@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Execution is forced with a noop sink (no driver-side collect), so timings
+measure the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "join_shuffle_facts",
+    "join_asof_attribution",
+    "join_range_window",
+    "window_running_sum",
+    "agg_rollup",
+    "scalar_json_funcs",
+    "array_explode_wordcount",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "cdc_txn_assembly",
+    "stream_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from openlogreplicator_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="olr-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    registry = entrymod.queries()
+    names = [n for n in HEADLINE if n in registry]
+    if os.environ.get("BENCH_ALL"):
+        names = sorted(registry)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name]
+        # warm the plan/scan cache out of band? No — cold per query, matching
+        # how the reference processes a log once.
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Output format configuration — mirrors the reference's Format toggles.
+
+Reference: ``src/common/Format.h:26-357`` (enum families) and the Debezium
+preset applied in ``src/OpenLogReplicator.cpp:693-708``. Only the toggles
+that change observable output are modeled; each maps to a column expression
+choice in :mod:`openlogreplicator_spark.builders.json_builder`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from enum import Enum
+
+
+class ScnFormat(Enum):
+    DEC = "dec"  # SCN_FORMAT::DEC
+    HEX = "hex"  # SCN_FORMAT::HEX (0x-prefixed, 16 digits)
+
+
+class XidFormat(Enum):
+    TEXT = "text"       # usn.slt.sqn decimal text (XID_FORMAT::TEXT_DEC)
+    TEXT_HEX = "hex"    # 0xusn.slt.sqn hex (XID_FORMAT::TEXT_HEX)
+    NUMERIC = "numeric"  # packed 64-bit (XID_FORMAT::DEC)
+
+
+class TimestampFormat(Enum):
+    UNIX_MICRO = "unix_micro"   # TIMESTAMP_FORMAT::UNIX_MICRO
+    UNIX_MILLI = "unix_milli"
+    UNIX_SEC = "unix"
+    ISO8601 = "iso8601"         # TIMESTAMP_FORMAT::ISO8601 (UTC, 'Z' suffix)
+
+
+class MessageFormat(Enum):
+    SHORT = "short"  # one message per DML op (MESSAGE_FORMAT::SHORT)
+    FULL = "full"    # one message per transaction (MESSAGE_FORMAT::FULL)
+
+
+class ColumnFormat(Enum):
+    CHANGED = "changed"    # updates carry only changed columns (default)
+    FULL_INS_DEC = "full_ins_dec"  # inserts/deletes materialize all columns
+    FULL_UPD = "full_upd"  # updates carry all columns (Debezium needs this)
+
+
+class SchemaFormat(Enum):
+    OBJ = "obj"            # owner/table/obj only
+    FULL = "full"          # + column type descriptors (SCHEMA_FORMAT::FULL)
+    REPEATED = "repeated"  # re-emit schema on every message
+
+
+class UnknownFormat(Enum):
+    QUESTION_MARK = "question"  # UNKNOWN_FORMAT::QUESTION_MARK (emit "?")
+    DUMP = "dump"               # hex dump of the raw value
+
+
+@dataclass(frozen=True)
+class Format:
+    """Observable-output toggles (reference Format.h defaults)."""
+
+    scn: ScnFormat = ScnFormat.DEC
+    xid: XidFormat = XidFormat.TEXT
+    timestamp: TimestampFormat = TimestampFormat.UNIX_MICRO
+    message: MessageFormat = MessageFormat.SHORT
+    column: ColumnFormat = ColumnFormat.CHANGED
+    schema: SchemaFormat = SchemaFormat.OBJ
+    unknown: UnknownFormat = UnknownFormat.QUESTION_MARK
+    skip_begin: bool = False   # MESSAGE_FORMAT::SKIP_BEGIN
+    skip_commit: bool = False  # MESSAGE_FORMAT::SKIP_COMMIT
+    add_offset: bool = False   # MESSAGE_FORMAT::ADD_OFFSET
+    add_sequences: bool = False
+    attributes: bool = False   # ATTRIBUTES_FORMAT — emit session attrs
+    db_name: str = "DB"
+
+    def with_options(self, **kw) -> "Format":
+        return replace(self, **kw)
+
+
+def debezium_preset() -> Format:
+    """The reference's `"format": "debezium"` preset.
+
+    Reference: src/OpenLogReplicator.cpp:693-708 — FULL_UPD columns, all
+    schema sections, ms timestamps, reversed XID rendering.
+    """
+    return Format(
+        column=ColumnFormat.FULL_UPD,
+        schema=SchemaFormat.FULL,
+        timestamp=TimestampFormat.UNIX_MILLI,
+        xid=XidFormat.TEXT,
+        skip_begin=True,
+        skip_commit=True,
+    )
+
+
+@dataclass(frozen=True)
+class TableSelector:
+    """Per-table replication config (reference SchemaElement).
+
+    Reference: src/metadata/SchemaElement.h — owner/table regex, key
+    (PK override), tag (message key), condition (attrs mini-language).
+    """
+
+    owner: str = ".*"
+    table: str = ".*"
+    key: tuple[str, ...] = ()
+    tag: tuple[str, ...] = ()
+    condition: str = ""
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Top-level pipeline config (reference OpenLogReplicator.cpp:145-1247)."""
+
+    fmt: Format = field(default_factory=Format)
+    selectors: tuple[TableSelector, ...] = (TableSelector(),)
+    skip_xid: tuple[str, ...] = ()       # F4 skip-list
+    start_scn: int | None = None         # O3 startup positioning
+    transaction_max_mb: int = 1024       # T4 size guard
+    checkpoint_interval_s: int = 10

@@ -1,0 +1,47 @@
+"""Parquet batch sources for the test/bench tables.
+
+Reference analog: S3 batch source (src/replicator/ReplicatorBatch.cpp:30-58)
+— a fixed file list read once. Here it's a plain ``spark.read.parquet`` so
+Catalyst gets predicate pushdown + column pruning on every scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables — always broadcast-joined, never shuffled.
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
+    # reader rejects; read nanos as long and truncate to micros (same
+    # truncation DuckDB applies when it reads the file).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

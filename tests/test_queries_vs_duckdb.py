@@ -1,0 +1,40 @@
+"""Local mirror of the driver's t2 check: every declared query vs DuckDB.
+
+Runs at sf0.001 by default (fast); set OLR_TEST_SF_DIR=/root/testdata/sf0.01
+to reproduce the driver's scale exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from openlogreplicator_spark.testing.compare import compare_to_oracle
+
+_QUERIES = entrymod.queries()
+_ORACLE = entrymod.oracle_sql()
+
+
+def test_registry_consistent():
+    # every oracle key must have a query; queries without oracle are the
+    # documented rows-only ops
+    assert set(_ORACLE) <= set(_QUERIES)
+    assert len(_QUERIES) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLE))
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = _QUERIES[name](spark, sf_dir)
+    compare_to_oracle(spark, df, _ORACLE[name], sf_dir, name=name)
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLE)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = _QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
