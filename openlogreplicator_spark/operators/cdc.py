@@ -1,0 +1,360 @@
+"""CDC-domain operators and their driver-facing queries.
+
+These re-express the reference's change-data-capture pipeline stages over
+the driver test tables (no Oracle instance exists here): transaction
+sessionization, last-image resolution, condition filters (F3), per-txn
+envelopes (B1 FULL), unchanged-column suppression (F5), checkpoint resume
+(F9). The real stateful core lives in transaction_assembly.py; the
+`cdc_txn_assembly` query drives it end-to-end against a SQL oracle by
+synthesizing a deterministic redo stream from orders+lineitem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.functions.expr_lang import compile_condition
+from openlogreplicator_spark.sources.tables import load_table
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization — the batch shape of transaction assembly
+    (T1/T5): one shuffle on the key, lag + running sum of boundary flags.
+    State per key is O(1); scales to any key cardinality."""
+    w = Window.partitionBy(key).orderBy(ts_col, order_tiebreak)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return df.withColumn("_new_session", is_new).withColumn(
+        "session_idx", F.sum("_new_session").over(w)
+    ).drop("_new_session")
+
+
+def cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-assembly analog over the events stream: sessions =
+    transactions, events = ops, session bounds = begin/commit SCN."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "duration_us"
+        ),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("start_ts"),
+    )
+
+
+CDC_SESSIONIZE_SQL = """
+WITH lagged AS (
+    SELECT user_id, ts, event_id,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000
+                   THEN 1 ELSE 0 END AS is_new
+    FROM lagged
+), sessions AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts
+FROM sessions GROUP BY user_id, session_idx
+"""
+
+
+def cdc_last_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row image per key — the materialized-view side of a CDC
+    stream (apply changes in SCN order, keep the last). max_by over one
+    shuffle; no window sort needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        )
+    )
+
+
+CDC_LAST_IMAGE_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_type,
+       ROUND(value, 6) AS last_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def _orders_redo_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic redo-record stream synthesized from orders+lineitem:
+    each order is a transaction (xid = orderkey); its lineitems are
+    inserts ordered by linenumber; commit closes it. SCNs are derived
+    arithmetically so the stream is reproducible in SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) is NOT unique in the test data — block/offset
+    # carry (qty, partkey) so the (scn, subscn, block, offset) sort key is
+    # deterministic; remaining ties are content-identical records.
+    dml = li.select(
+        (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).alias("scn"),
+        F.lit(0).alias("subscn"),
+        F.col("l_quantity").cast("long").alias("block"),
+        F.col("l_partkey").cast("int").alias("offset"),
+        F.lit(1).cast("long").alias("seq"),
+        F.col("l_orderkey").cast("string").alias("xid"),
+        F.lit("insert").alias("opcode"),
+        F.col("l_partkey").alias("obj"),
+        F.col("l_orderkey").alias("bdba"),
+        F.col("l_linenumber").alias("slot"),
+        F.lit(0).alias("fb"),
+        F.create_map(
+            F.lit("l_qty"), F.col("l_quantity").cast("bigint").cast("string")
+        ).alias("cols"),
+        F.lit(None)
+        .cast("array<map<string,string>>")
+        .alias("rows"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    commits = orders.select(
+        (F.col("o_orderkey") * 1000 + 999).alias("scn"),
+        F.lit(0).alias("subscn"),
+        F.lit(0).cast("long").alias("block"),
+        F.lit(0).alias("offset"),
+        F.lit(1).cast("long").alias("seq"),
+        F.col("o_orderkey").cast("string").alias("xid"),
+        F.lit("commit").alias("opcode"),
+        F.lit(0).cast("long").alias("obj"),
+        F.lit(None).cast("long").alias("bdba"),
+        F.lit(None).cast("int").alias("slot"),
+        F.lit(0).alias("fb"),
+        F.lit(None).cast("map<string,string>").alias("cols"),
+        F.lit(None).cast("array<map<string,string>>").alias("rows"),
+    )
+    begins = orders.select(
+        (F.col("o_orderkey") * 1000).alias("scn"),
+        F.lit(0).alias("subscn"),
+        F.lit(0).cast("long").alias("block"),
+        F.lit(0).alias("offset"),
+        F.lit(1).cast("long").alias("seq"),
+        F.col("o_orderkey").cast("string").alias("xid"),
+        F.lit("begin").alias("opcode"),
+        F.lit(0).cast("long").alias("obj"),
+        F.lit(None).cast("long").alias("bdba"),
+        F.lit(None).cast("int").alias("slot"),
+        F.lit(0).alias("fb"),
+        F.lit(None).cast("map<string,string>").alias("cols"),
+        F.lit(None).cast("array<map<string,string>>").alias("rows"),
+    )
+    return dml.unionByName(begins).unionByName(commits)
+
+
+def cdc_txn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end drive of the stateful assembly core (T1-T5) against a
+    SQL oracle: synthesize redo from orders+lineitem, shuffle by xid,
+    assemble per-transaction in applyInPandas, emit ordered committed ops."""
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions,
+    )
+
+    redo = _orders_redo_stream(spark, sf_dir)
+    assembled = assemble_transactions(redo)
+    return assembled.select(
+        F.col("xid").cast("bigint").alias("order_xid"),
+        "begin_scn",
+        "commit_scn",
+        "num",
+        "op",
+        F.col("obj").alias("partkey"),
+        "scn",
+        F.element_at("cols", F.lit("l_qty")).cast("bigint").alias("qty"),
+    )
+
+
+CDC_TXN_ASSEMBLY_SQL = """
+SELECT l_orderkey AS order_xid,
+       l_orderkey * 1000 AS begin_scn,
+       l_orderkey * 1000 + 999 AS commit_scn,
+       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, CAST(l_quantity AS BIGINT),
+                                   l_partkey) - 1 AS num,
+       'c' AS op,
+       l_partkey AS partkey,
+       l_orderkey * 1000 + l_linenumber AS scn,
+       CAST(l_quantity AS BIGINT) AS qty
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+"""
+
+
+def cdc_txn_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transaction envelope (B1 MESSAGE_FORMAT::FULL): one message per
+    txn carrying the ordered op list — here fingerprinted with md5 so the
+    ordering guarantee is oracle-checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op_key = F.concat_ws(
+        ":", F.col("l_linenumber"), F.col("l_partkey"), F.col("l_quantity").cast("bigint")
+    )
+    per_txn = (
+        li.withColumn("op_key", op_key)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "l_linenumber",
+                                    "l_partkey",
+                                    F.col("l_quantity").cast("bigint").alias("q"),
+                                    "op_key",
+                                )
+                            )
+                        ),
+                        lambda s: s.op_key,
+                    ),
+                )
+            ).alias("payload_md5"),
+        )
+    )
+    return per_txn.withColumnRenamed("l_orderkey", "xid")
+
+
+CDC_TXN_ENVELOPE_SQL = """
+SELECT l_orderkey AS xid,
+       COUNT(*) AS n_ops,
+       md5(string_agg(l_linenumber || ':' || l_partkey || ':' ||
+                      CAST(l_quantity AS BIGINT),
+                      ',' ORDER BY l_linenumber, l_partkey,
+                                   CAST(l_quantity AS BIGINT)))
+           AS payload_md5
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+def cdc_condition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 condition mini-language compiled to a Catalyst filter:
+    `([TYPE] == 'error' || [TYPE] == 'purchase') && ![USER] == '3'`
+    evaluated over a session-attribute map column."""
+    ev = load_table(spark, sf_dir, "events")
+    with_attrs = ev.withColumn(
+        "attrs",
+        F.create_map(
+            F.lit("TYPE"), F.col("event_type"),
+            F.lit("USER"), F.col("user_id").cast("string"),
+        ),
+    )
+    cond = compile_condition(
+        "([TYPE] == 'error' || [TYPE] == 'purchase') && !([USER] == '3')"
+    )
+    return (
+        with_attrs.filter(cond)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+CDC_CONDITION_SQL = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE (event_type = 'error' OR event_type = 'purchase')
+  AND NOT (CAST(user_id AS VARCHAR) = '3')
+GROUP BY event_type
+"""
+
+
+def cdc_unchanged_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 analog — update events carry only *changed* state: pair each
+    event with its per-user predecessor (lag = the before image) and emit
+    only transitions where the type actually changed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("before_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("before_type").isNotNull()
+            & (F.col("before_type") != F.col("event_type"))
+        )
+        .groupBy("before_type", F.col("event_type").alias("after_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+CDC_UNCHANGED_SQL = """
+SELECT before_type, event_type AS after_type, COUNT(*) AS n_transitions
+FROM (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS before_type
+    FROM events
+)
+WHERE before_type IS NOT NULL AND before_type <> event_type
+GROUP BY before_type, after_type
+"""
+
+
+def cdc_resume_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 checkpoint resume: only events past the confirmed position are
+    re-emitted (commit_scn > checkpoint_scn). The checkpoint here is a
+    deterministic quantile of event_id, resolved via a broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    ckpt = ev.agg((F.max("event_id") * 8 / 10).cast("bigint").alias("ckpt"))
+    return (
+        ev.crossJoin(F.broadcast(ckpt))
+        .filter(F.col("event_id") > F.col("ckpt"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_after_ckpt"), F.min("event_id").alias("first_id"))
+    )
+
+
+CDC_RESUME_SQL = """
+SELECT event_type, COUNT(*) AS n_after_ckpt, MIN(event_id) AS first_id
+FROM events
+WHERE event_id > (SELECT CAST(MAX(event_id) * 8 / 10 AS BIGINT) FROM events)
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "cdc_sessionize": cdc_sessionize,
+    "cdc_last_image": cdc_last_image,
+    "cdc_txn_assembly": cdc_txn_assembly,
+    "cdc_txn_envelope": cdc_txn_envelope,
+    "cdc_condition_filter": cdc_condition_filter,
+    "cdc_unchanged_suppression": cdc_unchanged_suppression,
+    "cdc_resume_filter": cdc_resume_filter,
+}
+
+ORACLE = {
+    "cdc_sessionize": CDC_SESSIONIZE_SQL,
+    "cdc_last_image": CDC_LAST_IMAGE_SQL,
+    "cdc_txn_assembly": CDC_TXN_ASSEMBLY_SQL,
+    "cdc_txn_envelope": CDC_TXN_ENVELOPE_SQL,
+    "cdc_condition_filter": CDC_CONDITION_SQL,
+    "cdc_unchanged_suppression": CDC_UNCHANGED_SQL,
+    "cdc_resume_filter": CDC_RESUME_SQL,
+}

@@ -1,0 +1,230 @@
+"""Transaction assembly — the engine's stateful core (SURVEY §2.1 T1-T8).
+
+Reassembles interleaved redo records into ordered, committed transactions:
+
+- T1/T2  XID-keyed buffering            (TransactionBuffer.cpp:1-309)
+- T3     partial-rollback LIFO cancel   (Transaction::rollbackLastOp,
+         Transaction.cpp:73-197 — cancels the latest un-cancelled op with
+         the same (bdba, slot))
+- T4     transaction size guard         (Parser.cpp:610-626)
+- T5     commit flush, ordered emission (Transaction::flush,
+         Transaction.cpp:199-571; rolled-back txns skipped :207-210)
+- B4     multi-row QMI/QMD expansion    (Builder.cpp:714-895)
+- P9     session-attribute merge        (OpCode0513/0514)
+
+Spark shape: one shuffle keyed by xid (the reference's transaction buffer
+*is* a hash partition by xid), then per-group assembly in an Arrow-batched
+``applyInPandas``. Per-group state is bounded by the size guard, so a
+1000-executor cluster holds each transaction on exactly one task — the
+same memory envelope as the reference's per-XID chunk lists, but spread
+across the cluster. Global emission order is (commit_scn, xid, num),
+restored lazily by the sink's sort — order is only *materialized* where
+the reference also had to serialize (the writer).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSEMBLED_SCHEMA = T.StructType(
+    [
+        T.StructField("xid", T.StringType()),
+        T.StructField("begin_scn", T.LongType()),
+        T.StructField("commit_scn", T.LongType()),
+        T.StructField("num", T.LongType()),
+        T.StructField("op", T.StringType()),  # c|u|d|ddl
+        T.StructField("obj", T.LongType()),
+        T.StructField("bdba", T.LongType()),
+        T.StructField("slot", T.IntegerType()),
+        T.StructField("scn", T.LongType()),
+        T.StructField("cols", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+def _norm_map(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    if isinstance(v, dict):
+        return v
+    return dict(v)
+
+
+_OP_MAP = {
+    "insert": "c",
+    "update": "u",
+    "overwrite": "u",
+    "delete": "d",
+    "ddl": "ddl",
+}
+
+
+def assemble_transactions_py(
+    records: Iterable[dict],
+    show_incomplete: bool = False,
+    max_ops: int | None = None,
+) -> list[dict]:
+    """Sequential reference implementation (single transaction stream).
+
+    Used as the oracle for property tests and inside the per-XID pandas
+    kernel. ``records`` must belong to one xid OR be globally interleaved —
+    the function keys its own state by xid either way.
+    """
+    txns: dict[str, dict] = {}
+    out: list[dict] = []
+    skiplist: set[str] = set()
+
+    def get(xid: str) -> dict:
+        return txns.setdefault(
+            xid, {"ops": [], "begin_scn": None, "attrs": {}, "dropped": False}
+        )
+
+    ordered = sorted(
+        records,
+        key=lambda r: (
+            r["scn"],
+            r.get("subscn") or 0,
+            r.get("block") or 0,
+            r.get("offset") or 0,
+        ),
+    )
+    for r in ordered:
+        xid = r["xid"]
+        if xid in skiplist:
+            continue
+        opc = r["opcode"]
+        t = get(xid)
+        if opc == "begin":
+            t["begin_scn"] = r["scn"]
+        elif opc == "attr":
+            t["attrs"].update(r.get("cols") or {})
+        elif opc == "prollback":
+            # LIFO cancel: newest surviving op with matching (bdba, slot)
+            for i in range(len(t["ops"]) - 1, -1, -1):
+                o = t["ops"][i]
+                if o["bdba"] == r.get("bdba") and o["slot"] == r.get("slot"):
+                    del t["ops"][i]
+                    break
+        elif opc == "rollback":
+            txns.pop(xid, None)
+            skiplist.add(xid)
+        elif opc == "commit":
+            if t["begin_scn"] is None and not show_incomplete and not t["ops"]:
+                txns.pop(xid, None)
+                continue
+            for num, o in enumerate(t["ops"]):
+                out.append(
+                    {
+                        "xid": xid,
+                        "begin_scn": t["begin_scn"],
+                        "commit_scn": r["scn"],
+                        "num": num,
+                        "op": o["op"],
+                        "obj": o["obj"],
+                        "bdba": o["bdba"],
+                        "slot": o["slot"],
+                        "scn": o["scn"],
+                        "cols": o["cols"],
+                        "attrs": dict(t["attrs"]),
+                    }
+                )
+            txns.pop(xid, None)
+        elif opc in ("qmi", "qmd"):
+            op = "c" if opc == "qmi" else "d"
+            rows = r.get("rows") or []
+            # QMD rollback-of-insert walks rows in reverse (Builder.cpp:805-895)
+            it = rows if opc == "qmi" else list(reversed(rows))
+            for j, row in enumerate(it):
+                t["ops"].append(
+                    {
+                        "op": op,
+                        "obj": r["obj"],
+                        "bdba": r.get("bdba"),
+                        "slot": (r.get("slot") or 0) + j,
+                        "scn": r["scn"],
+                        "cols": row,
+                    }
+                )
+        elif opc in _OP_MAP:
+            t["ops"].append(
+                {
+                    "op": _OP_MAP[opc],
+                    "obj": r["obj"],
+                    "bdba": r.get("bdba"),
+                    "slot": r.get("slot"),
+                    "scn": r["scn"],
+                    "cols": r.get("cols"),
+                }
+            )
+        if max_ops is not None and len(t["ops"]) > max_ops:
+            # T4 size guard: drop and skip-list the oversized transaction
+            txns.pop(xid, None)
+            skiplist.add(xid)
+    if show_incomplete:
+        for xid, t in txns.items():
+            for num, o in enumerate(t["ops"]):
+                out.append(
+                    {
+                        "xid": xid,
+                        "begin_scn": t["begin_scn"],
+                        "commit_scn": None,
+                        "num": num,
+                        "op": o["op"],
+                        "obj": o["obj"],
+                        "bdba": o["bdba"],
+                        "slot": o["slot"],
+                        "scn": o["scn"],
+                        "cols": o["cols"],
+                        "attrs": dict(t["attrs"]),
+                    }
+                )
+    return out
+
+
+def assemble_transactions(
+    records: DataFrame,
+    show_incomplete: bool = False,
+    max_ops: int | None = None,
+) -> DataFrame:
+    """Batch transaction assembly: shuffle by xid → per-group ordered flush.
+
+    Input: REDO_RECORD_SCHEMA rows (event_model.py). Output: one row per
+    emitted change event, committed transactions only, `num` dense within
+    xid, ordered by (commit_scn, xid, num) when sorted at the sink.
+    """
+
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = pdf.to_dict("records")
+        # Arrow hands MapType to pandas as list-of-(k,v) tuples; nulls in
+        # numeric columns arrive as NaN — normalize both.
+        for r in recs:
+            r["cols"] = _norm_map(r.get("cols"))
+            rows = r.get("rows")
+            if rows is None or (isinstance(rows, float) and pd.isna(rows)):
+                r["rows"] = None
+            else:
+                r["rows"] = [_norm_map(x) for x in rows]
+            for k in ("scn", "subscn", "block", "offset", "bdba", "slot"):
+                v = r.get(k)
+                if isinstance(v, float):
+                    r[k] = None if pd.isna(v) else int(v)
+        out = assemble_transactions_py(
+            recs, show_incomplete=show_incomplete, max_ops=max_ops
+        )
+        if not out:
+            return pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
+        return pd.DataFrame(out)
+
+    return records.groupBy("xid").applyInPandas(_assemble, schema=ASSEMBLED_SCHEMA)
+
+
+def with_emission_order(assembled: DataFrame) -> DataFrame:
+    """Global ordered emission (reference W1 confirm protocol): sort by
+    (commit_scn, xid, num). Done once at the sink — a total order is only
+    needed where the output leaves the engine."""
+    return assembled.orderBy("commit_scn", "xid", "num")

@@ -1,0 +1,140 @@
+"""Transaction-assembly invariants (reference Transaction.cpp semantics).
+
+Property: the distributed applyInPandas assembly must equal the sequential
+per-transaction apply; partial rollback cancels the newest matching op
+(LIFO); rolled-back transactions vanish; emission `num` is dense & ordered.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from openlogreplicator_spark.operators.transaction_assembly import (
+    assemble_transactions,
+    assemble_transactions_py,
+)
+from openlogreplicator_spark.sources.redo_gen import (
+    generate_redo_records,
+    redo_records_df,
+)
+
+
+def _key(e: dict) -> tuple:
+    return (e["commit_scn"] or -1, e["xid"], e["num"])
+
+
+def _norm(events: list[dict]) -> list[tuple]:
+    return sorted(
+        (
+            e["xid"], e["begin_scn"], e["commit_scn"], e["num"], e["op"],
+            e["obj"], e["bdba"], e["slot"], e["scn"],
+            tuple(sorted((e["cols"] or {}).items())),
+            tuple(sorted((e["attrs"] or {}).items())),
+        )
+        for e in events
+    )
+
+
+def test_spark_matches_sequential(spark):
+    records = generate_redo_records(n_txns=30, seed=7)
+    expected = assemble_transactions_py(records)
+    got = [r.asDict() for r in assemble_transactions(redo_records_df(spark, records)).collect()]
+    assert _norm(got) == _norm(expected)
+    assert len(got) > 0
+
+
+def test_partial_rollback_lifo():
+    base = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "insert", "obj": 1, "bdba": 10,
+         "slot": 1, "cols": {"v": "a"}},
+        {"scn": 3, "xid": "t", "opcode": "update", "obj": 1, "bdba": 10,
+         "slot": 1, "cols": {"v": "b"}},
+        {"scn": 4, "xid": "t", "opcode": "prollback", "bdba": 10, "slot": 1},
+        {"scn": 5, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(base)
+    # LIFO: the update (newest matching op) is cancelled, the insert survives
+    assert [(e["op"], e["cols"]["v"]) for e in out] == [("c", "a")]
+
+
+def test_rollback_drops_transaction():
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "insert", "obj": 1, "bdba": 1,
+         "slot": 0, "cols": {}},
+        {"scn": 3, "xid": "t", "opcode": "rollback"},
+        {"scn": 4, "xid": "u", "opcode": "begin"},
+        {"scn": 5, "xid": "u", "opcode": "delete", "obj": 2, "bdba": 2,
+         "slot": 0, "cols": {}},
+        {"scn": 6, "xid": "u", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert [e["xid"] for e in out] == ["u"]
+
+
+def test_qmi_expansion_and_order():
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "qmi", "obj": 9, "bdba": 5, "slot": 0,
+         "rows": [{"k": "1"}, {"k": "2"}, {"k": "3"}]},
+        {"scn": 3, "xid": "t", "opcode": "qmd", "obj": 9, "bdba": 6, "slot": 0,
+         "rows": [{"k": "8"}, {"k": "9"}]},
+        {"scn": 4, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert [(e["op"], e["cols"]["k"]) for e in out] == [
+        ("c", "1"), ("c", "2"), ("c", "3"),
+        ("d", "9"), ("d", "8"),  # qmd walks rows in reverse
+    ]
+    assert [e["num"] for e in out] == [0, 1, 2, 3, 4]
+
+
+def test_size_guard_drops_oversized():
+    recs = [{"scn": 1, "xid": "t", "opcode": "begin"}]
+    for i in range(10):
+        recs.append({"scn": 2 + i, "xid": "t", "opcode": "insert", "obj": 1,
+                     "bdba": i, "slot": 0, "cols": {}})
+    recs.append({"scn": 50, "xid": "t", "opcode": "commit"})
+    assert assemble_transactions_py(recs, max_ops=5) == []
+    assert len(assemble_transactions_py(recs, max_ops=100)) == 10
+
+
+def test_attrs_merged_into_events():
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "attr",
+         "cols": {"OS_USER_NAME": "app"}},
+        {"scn": 3, "xid": "t", "opcode": "insert", "obj": 1, "bdba": 1,
+         "slot": 0, "cols": {}},
+        {"scn": 4, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert out[0]["attrs"] == {"OS_USER_NAME": "app"}
+
+
+def test_incomplete_transactions_policy():
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "insert", "obj": 1, "bdba": 1,
+         "slot": 0, "cols": {}},
+        # no commit
+    ]
+    assert assemble_transactions_py(recs) == []
+    shown = assemble_transactions_py(recs, show_incomplete=True)
+    assert len(shown) == 1 and shown[0]["commit_scn"] is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_generator_property_sequential_invariants(seed):
+    records = generate_redo_records(n_txns=12, seed=seed)
+    out = assemble_transactions_py(records)
+    by_xid: dict[str, list] = {}
+    for e in out:
+        by_xid.setdefault(e["xid"], []).append(e)
+    for xid, evs in by_xid.items():
+        # num dense and ordered; one commit_scn per xid; scn ≤ commit_scn
+        assert [e["num"] for e in evs] == list(range(len(evs)))
+        assert len({e["commit_scn"] for e in evs}) == 1
+        assert all(e["scn"] <= e["commit_scn"] for e in evs)
