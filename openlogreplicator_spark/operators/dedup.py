@@ -1,0 +1,366 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-architected for 100 TB:
+
+- exact dedup: hash-groupBy on a content digest — one shuffle on md5(text),
+  survivor = min(doc_id). At scale the digest is the shuffle key, so
+  identical documents land on the same reducer regardless of cluster size.
+- n-gram Jaccard: word-shingle explode → self-join on shingle → pairwise
+  intersection counts. The shingle join only pairs documents that *share*
+  a shingle — candidate generation is data-proportional, never O(n²).
+- MinHash + LSH: k=16 signatures (min over md5(seed#shingle)), banded into
+  4 bands of 4; candidate pairs = same (band, band-key) bucket. The only
+  all-pairs-ish work happens inside LSH buckets, which are tiny by
+  construction. This is the 100-TB near-dup path.
+- SimHash: 16-bit sign-of-sums fingerprint over token hashes; signature
+  equality/neighborhood gives constant-size near-dup keys.
+
+Every query doubles the corpus with a synthetic "re-crawl" copy (exact or
+first-word-mutated) so dedup behavior is observable and oracle-checkable
+on the driver's synthetic documents table.
+
+To keep DuckDB oracles byte-identical, all hashing is md5-of-string and
+all tie-breaking is explicit — no engine-native hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.sources.tables import load_table
+
+_COPY_OFFSET = 1_000_000
+
+
+def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dup = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text", "source"
+    )
+    return docs.unionByName(dup)
+
+
+_DOCS_WITH_COPIES_SQL = f"""
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + {_COPY_OFFSET} AS doc_id, text, source FROM documents
+"""
+
+
+def _docs_with_mutated_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ near-duplicate copies (first word replaced) — re-crawl sim."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+    )
+    return docs.unionByName(mut)
+
+
+_DOCS_MUTATED_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_COPY_OFFSET} AS doc_id,
+           regexp_replace(text, '^\\S+', 'zzz') AS text
+    FROM documents
+"""
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — n-word shingles via JVM-side array lambdas."""
+    words = F.split("text", " ")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda j: F.concat_ws(
+            " ", *[F.element_at(words, j + k) for k in range(n)]
+        ),
+    )
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, len(words) - 2),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id.
+    (reference analog: none — this is the training-pipeline extension)"""
+    corpus = _docs_with_exact_copies(spark, sf_dir)
+    return (
+        corpus.withColumn("text_md5", F.md5("text"))
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH corpus AS ({_DOCS_WITH_COPIES_SQL})
+SELECT md5(text) AS text_md5, MIN(doc_id) AS survivor_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard over 3-word shingles for candidate pairs
+    that share ≥1 shingle; emit near-dup pairs (J ≥ 0.6). The shingle
+    equi-join is the candidate generator — no cross join anywhere."""
+    corpus = _docs_with_mutated_copies(spark, sf_dir)
+    sh = shingles(corpus).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH corpus AS ({_DOCS_MUTATED_SQL}),
+shingled AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM shingled a JOIN shingled b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+"""
+
+
+_K = 16          # minhash signature length
+_BAND_ROWS = 4   # rows per LSH band → 4 bands
+
+
+def minhash_signatures(sh: DataFrame, k: int = _K) -> DataFrame:
+    """(doc_id, sig array<string>): sig[i] = min over shingles of
+    md5(i || '#' || shingle).
+
+    Wide-form: k min-aggregates in ONE doc-keyed shuffle instead of a k×
+    row explode + (doc, seed)-keyed shuffle — partial aggregation (min is
+    algebraic) compresses each partition to one row per doc before the
+    exchange, so network volume is k strings per doc regardless of corpus
+    size. That's what survives 100 TB."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(k)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, the 100-TB path: signatures are
+    fixed-size per doc; banding turns similarity search into equi-joins
+    on (band, band_key); only bucket-mates are compared."""
+    corpus = _docs_with_mutated_copies(spark, sf_dir)
+    sh = shingles(corpus).distinct()
+    mh = minhash_signatures(sh)
+    # bands: slice the signature array; band_key = md5 of the slice
+    n_bands = _K // _BAND_ROWS
+    bands = mh.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", F.slice("sig", b * _BAND_ROWS + 1, _BAND_ROWS)
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    est = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / float(_K),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est.filter(F.col("est_jaccard") >= 0.5)
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH corpus AS ({_DOCS_MUTATED_SQL}),
+shingled AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
+mh AS (
+    SELECT doc_id, g.seed,
+           MIN(md5(g.seed || '#' || shingle)) AS mh
+    FROM shingled, generate_series(0, {_K - 1}) AS g(seed)
+    GROUP BY doc_id, g.seed
+),
+bands AS (
+    SELECT doc_id, seed // {_BAND_ROWS} AS band,
+           md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+    FROM mh GROUP BY doc_id, seed // {_BAND_ROWS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT id_a, id_b,
+           SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / {_K}.0 AS est_jaccard
+    FROM cand
+    JOIN mh x ON x.doc_id = id_a
+    JOIN mh y ON y.doc_id = id_b AND y.seed = x.seed
+    GROUP BY id_a, id_b
+)
+SELECT * FROM est WHERE est_jaccard >= 0.5
+"""
+
+_HEXD = "0123456789abcdef"
+_SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, bits: int = _SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): sign-of-sums over per-token md5 bits. All
+    integer/string builtins — portable bit-for-bit to the SQL oracle."""
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    h = F.md5("tok")
+    contribs = [
+        (
+            2
+            * F.shiftright(
+                F.instr(F.lit(_HEXD), F.substring(h, 1 + b // 4, 1)) - 1,
+                b % 4,
+            ).bitwiseAND(F.lit(1))
+            - 1
+        ).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    per_tok = tokens.select("doc_id", *contribs)
+    sums = per_tok.groupBy("doc_id").agg(
+        *[F.sum(f"c{b}").alias(f"s{b}") for b in range(bits)]
+    )
+    packed = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, 1 << b).otherwise(0)
+        packed = bit if packed is None else packed + bit
+    return sums.select("doc_id", packed.cast("bigint").alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + exact-signature collision groups."""
+    docs = _docs_with_exact_copies(spark, sf_dir).select("doc_id", "text")
+    sig = simhash(docs)
+    groups = sig.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+    return groups.filter(F.col("n_docs") > 1)
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH corpus AS ({_DOCS_WITH_COPIES_SQL}),
+tokens AS (
+    SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+    FROM corpus
+),
+contrib AS (
+    SELECT doc_id, b.b,
+           SUM(2 * ((strpos('{_HEXD}', substr(md5(tok), 1 + b.b // 4, 1)) - 1
+                     >> (b.b % 4)) & 1) - 1) AS s
+    FROM tokens, generate_series(0, {_SIMHASH_BITS - 1}) AS b(b)
+    GROUP BY doc_id, b.b
+),
+sigs AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM contrib GROUP BY doc_id
+)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+}

@@ -1,0 +1,282 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus — one scan, partial top-k per partition via window row_number.
+  Dot products run in JVM higher-order lambdas (zip_with + aggregate) in
+  double precision; no Python in the loop.
+- LSH-bucketed ANN: sign-random-projection buckets (hyperplanes derived
+  deterministically from md5 so they're reproducible); candidate search
+  only within the query's bucket. This is the 100-TB path: bucket key is
+  the shuffle key, brute force only inside buckets. Recall vs brute force
+  is asserted in tests (no SQL oracle — bucketing is not SQL-portable).
+- embedding stats / normalization: per-label aggregates and vector
+  arithmetic with zip_with/transform.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.sources.tables import load_table
+
+_TOP_K = 5
+_QUERY_MOD = 50  # vec_id % 50 == 0 → the query set
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, queries: DataFrame, k: int = _TOP_K
+) -> DataFrame:
+    """Brute-force cosine top-k: queries broadcast, corpus scanned once.
+    At 100 TB the corpus side stays partition-parallel; the per-query
+    top-k is a window over (query, cos) after a partial sort."""
+    # precompute norms once per side — the pair loop only does the dot
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    corpus = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("e_norm"))
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("e_norm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    return cosine_topk(emb, queries)
+
+
+ANN_COSINE_SQL = f"""
+WITH dots AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           (SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE)
+                       * CAST(e.embedding[g.i] AS DOUBLE))
+            FROM generate_series(1, 64) AS g(i)) AS dot,
+           (SELECT SUM(CAST(q.embedding[g.i] AS DOUBLE)
+                       * CAST(q.embedding[g.i] AS DOUBLE))
+            FROM generate_series(1, 64) AS g(i)) AS qq,
+           (SELECT SUM(CAST(e.embedding[g.i] AS DOUBLE)
+                       * CAST(e.embedding[g.i] AS DOUBLE))
+            FROM generate_series(1, 64) AS g(i)) AS ee
+    FROM embeddings q
+    JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE q.vec_id % {_QUERY_MOD} = 0
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           dot / (SQRT(qq) * SQRT(ee)) AS cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot / (SQRT(qq) * SQRT(ee)) DESC,
+                                       neighbor_id) AS rank
+    FROM dots
+)
+SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+_N_TABLES = 8   # independent LSH tables (recall ∝ 1-(1-p^planes)^tables)
+_N_PLANES = 4   # sign bits per table
+_DIM = 64
+
+
+def _lsh_sign_matrix() -> "object":
+    """Deterministic ±1 hyperplane matrix (tables*planes × dim) seeded
+    from md5 — reproducible without a stored model."""
+    import hashlib
+
+    import numpy as np
+
+    rows = _N_TABLES * _N_PLANES
+    m = np.empty((rows, _DIM), dtype=np.float64)
+    for r in range(rows):
+        h = hashlib.md5(f"olr-lsh:{r}".encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+        m[r] = rng.choice([-1.0, 1.0], size=_DIM)
+    return m
+
+
+def lsh_bucket(emb: DataFrame) -> DataFrame:
+    """(…, table, bucket) — one row per LSH table. Buckets are computed in
+    a vectorized pandas UDF: one Arrow batch → one (n×dim)·(dim×planes)
+    matmul for the whole batch; signs pack into per-table bucket ints.
+    At 100 TB this is a single map stage; the (table, bucket) pair then
+    becomes the shuffle key for candidate generation."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def buckets(col: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        m = _lsh_sign_matrix()
+        vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        proj = vecs @ m.T > 0  # (n, tables*planes) sign bits
+        out = []
+        weights = (1 << np.arange(_N_PLANES)).astype(np.int64)
+        for t in range(_N_TABLES):
+            bits = proj[:, t * _N_PLANES:(t + 1) * _N_PLANES]
+            out.append(bits @ weights)
+        packed = np.stack(out, axis=1)
+        return pd.Series(list(packed.astype("int32")))
+
+    return emb.withColumn("bkts", buckets("embedding")).select(
+        "*", F.posexplode("bkts").alias("table", "bucket")
+    ).drop("bkts")
+
+
+def ann_lsh_topk(
+    emb: DataFrame, queries: DataFrame, k: int = _TOP_K
+) -> DataFrame:
+    """ANN via multi-table LSH: exact search restricted to bucket-mates in
+    any of the 8 tables. The (table, bucket) equi-join replaces the cross
+    join — the scale path."""
+    be = lsh_bucket(emb)
+    bq = lsh_bucket(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "table",
+        "bucket",
+    )
+    pairs = (
+        be.join(bq, ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "vec_id", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r"))
+    )
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry (bucketing isn't SQL-portable); recall vs
+    brute force is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    return ann_lsh_topk(emb, queries)
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label aggregates over the vector column — norm statistics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", _norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+EMBEDDING_STATS_SQL = """
+WITH norms AS (
+    SELECT label,
+           SQRT((SELECT SUM(CAST(embedding[g.i] AS DOUBLE)
+                            * CAST(embedding[g.i] AS DOUBLE))
+                 FROM generate_series(1, 64) AS g(i))) AS nrm
+    FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(nrm), 6) AS avg_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM norms GROUP BY label
+"""
+
+
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector arithmetic via transform/zip_with: L2-normalize, emit the
+    first three components (flat columns keep the oracle portable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = _norm(F.col("embedding"))
+    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm)
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at(unit, 1), 6).alias("u1"),
+        F.round(F.element_at(unit, 2), 6).alias("u2"),
+        F.round(F.element_at(unit, 3), 6).alias("u3"),
+    )
+
+
+EMBEDDING_NORMALIZE_SQL = """
+WITH norms AS (
+    SELECT vec_id, embedding,
+           SQRT((SELECT SUM(CAST(embedding[g.i] AS DOUBLE)
+                            * CAST(embedding[g.i] AS DOUBLE))
+                 FROM generate_series(1, 64) AS g(i))) AS nrm
+    FROM embeddings
+)
+SELECT vec_id,
+       ROUND(CAST(embedding[1] AS DOUBLE) / nrm, 6) AS u1,
+       ROUND(CAST(embedding[2] AS DOUBLE) / nrm, 6) AS u2,
+       ROUND(CAST(embedding[3] AS DOUBLE) / nrm, 6) AS u3
+FROM norms
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "embedding_stats": embedding_stats,
+    "embedding_normalize": embedding_normalize,
+}
+
+ORACLE = {
+    "ann_cosine_topk": ANN_COSINE_SQL,
+    # ann_lsh_bucketed: rows-only (bucketed physical plan, recall tested)
+    "embedding_stats": EMBEDDING_STATS_SQL,
+    "embedding_normalize": EMBEDDING_NORMALIZE_SQL,
+}

@@ -190,12 +190,24 @@ def assemble_transactions(
     records: DataFrame,
     show_incomplete: bool = False,
     max_ops: int | None = None,
+    n_buckets: int = 256,
 ) -> DataFrame:
-    """Batch transaction assembly: shuffle by xid → per-group ordered flush.
+    """Batch transaction assembly: shuffle by xid-bucket → per-bucket
+    ordered flush.
 
     Input: REDO_RECORD_SCHEMA rows (event_model.py). Output: one row per
     emitted change event, committed transactions only, `num` dense within
     xid, ordered by (commit_scn, xid, num) when sorted at the sink.
+
+    Grouping is by ``pmod(xxhash64(xid), n_buckets)``, NOT by raw xid:
+    every record of an xid still lands in exactly one bucket (correctness
+    is per-xid), but one Arrow batch carries *thousands* of transactions,
+    so the per-group Python invocation cost is amortized ~10⁴×. The
+    in-kernel state machine is keyed by xid and handles interleaving.
+    Size n_buckets ≈ 4-8 × cluster cores at the target scale so each
+    bucket's working set fits an executor; hot xids cannot straddle
+    buckets, which is exactly the reference's one-transaction-one-buffer
+    invariant (TransactionBuffer.h:50-80).
     """
 
     def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -220,7 +232,13 @@ def assemble_transactions(
             return pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
         return pd.DataFrame(out)
 
-    return records.groupBy("xid").applyInPandas(_assemble, schema=ASSEMBLED_SCHEMA)
+    bucketed = records.withColumn(
+        "_bucket", F.pmod(F.xxhash64("xid"), F.lit(n_buckets))
+    )
+    return (
+        bucketed.groupBy("_bucket")
+        .applyInPandas(_assemble, schema=ASSEMBLED_SCHEMA)
+    )
 
 
 def with_emission_order(assembled: DataFrame) -> DataFrame:
