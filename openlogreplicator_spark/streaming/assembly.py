@@ -1,0 +1,134 @@
+"""Streaming transaction assembly — the reference's online data plane.
+
+`applyInPandasWithState` keyed by xid: per-key state buffers the open
+transaction's records across micro-batches; a commit flushes ordered
+events; a rollback clears; a processing-time timeout implements the
+incomplete-transaction policy (reference REDO_FLAGS::SHOW_INCOMPLETE /
+Ctx.h:97 — transactions abandoned mid-log are dropped or surfaced).
+
+Reference mapping:
+- micro-batch            = LWN group        (Parser.cpp:1260-1460)
+- per-key state          = per-XID chunk list (TransactionBuffer.h:50-80)
+- commit flush           = Transaction::flush (Transaction.cpp:199-571)
+- state store (RocksDB)  = swap-to-disk     (MemoryManager.cpp)
+- checkpoint dir         = state files      (Writer.cpp:362-400)
+
+State is a compact JSON payload of not-yet-committed records. At scale
+the state store shards by xid across the cluster and spills via RocksDB —
+the same oldest-inactive-first pressure valve the reference hand-rolls.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from openlogreplicator_spark.operators.transaction_assembly import (
+    ASSEMBLED_SCHEMA,
+    assemble_transactions_py,
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_buffered", T.IntegerType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+_TERMINAL = ("commit", "rollback")
+
+
+def _split_at_last_terminal(records: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Records up to (incl.) the last commit/rollback are flushable; the
+    tail belongs to still-open transactions and goes back to state."""
+    last = -1
+    for i, r in enumerate(records):
+        if r["opcode"] in _TERMINAL:
+            last = i
+    return records[: last + 1], records[last + 1:]
+
+
+def _sort_key(r: dict) -> tuple:
+    return (
+        r.get("scn") or 0,
+        r.get("subscn") or 0,
+        r.get("block") or 0,
+        r.get("offset") or 0,
+    )
+
+
+def assemble_stateful(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-xid stateful kernel (wired via groupBy('xid').applyInPandasWithState)."""
+    buffered: list[dict] = []
+    if state.exists:
+        (_, payload) = state.get
+        buffered = json.loads(payload)
+
+    if state.hasTimedOut:
+        # incomplete-transaction policy: drop the abandoned transaction
+        state.remove()
+        yield pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
+        return
+
+    new: list[dict] = []
+    for pdf in pdf_iter:
+        for r in pdf.to_dict("records"):
+            rec: dict[str, Any] = {}
+            for k, v in r.items():
+                if isinstance(v, float) and pd.isna(v):
+                    v = None
+                elif k in ("scn", "subscn", "block", "offset", "bdba", "slot", "seq"):
+                    v = int(v) if v is not None else None
+                elif k in ("cols",) and v is not None and not isinstance(v, dict):
+                    v = dict(v)
+                elif k == "rows" and v is not None:
+                    v = [dict(x) if not isinstance(x, dict) else x for x in v]
+                rec[k] = v
+            new.append(rec)
+    new.sort(key=_sort_key)
+
+    # Source contract: records arrive in log order across batches (the
+    # reference's reader guarantees the same). The defensive re-sort below
+    # repairs ordering *within* what we currently hold, but a record
+    # arriving after its transaction's commit was flushed is unrecoverable
+    # — same as a redo block appearing after its LWN was confirmed.
+    combined = sorted(buffered + new, key=_sort_key)
+    flushable, leftover = _split_at_last_terminal(combined)
+
+    if leftover:
+        state.update((len(leftover), json.dumps(leftover)))
+        # incomplete-transaction TTL. Generous by default: an open
+        # transaction is legitimate until its commit arrives; the timeout
+        # only reaps transactions abandoned by a crashed session (the
+        # reference keeps them until log end). Local test batches can be
+        # minutes apart under load — a short TTL here silently drops
+        # mid-flight transactions.
+        state.setTimeoutDuration(3_600_000)
+    elif state.exists:
+        state.remove()
+
+    if flushable:
+        # already in emission order — do not re-sort across batch boundaries
+        events = assemble_transactions_py(sorted(flushable, key=_sort_key))
+        if events:
+            yield pd.DataFrame(events)
+            return
+    yield pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
+
+
+def streaming_assemble(redo_stream: DataFrame) -> DataFrame:
+    """Wire the stateful kernel onto a streaming redo-record DataFrame."""
+    return redo_stream.groupBy("xid").applyInPandasWithState(
+        assemble_stateful,
+        outputStructType=ASSEMBLED_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,198 @@
+"""Structured Streaming end-to-end: stateful assembly across micro-batches,
+watermarked windows, exactly-once file sink, metrics listener."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.operators.transaction_assembly import (
+    assemble_transactions_py,
+)
+from openlogreplicator_spark.sources.redo_gen import generate_redo_records
+from openlogreplicator_spark.streaming.assembly import streaming_assemble
+from openlogreplicator_spark.streaming.pipeline import (
+    MetricsListener,
+    observed,
+    prepare_kafka_frame,
+    read_events_stream,
+    read_redo_json_stream,
+    windowed_metrics,
+    write_json_sink,
+)
+
+
+def _write_jsonl(path: str, rows: list[dict]) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_assembly_across_batches(spark, tmp_path):
+    """Transactions split across micro-batches must assemble identically
+    to the batch path (state carries open transactions)."""
+    records = generate_redo_records(n_txns=12, seed=3)
+    # split stream into 3 chronological files → maxFilesPerTrigger=1 gives
+    # 3 micro-batches with transactions straddling the boundaries
+    records.sort(key=lambda r: (r["scn"], r["subscn"], r["block"], r["offset"]))
+    indir = tmp_path / "redo_in"
+    indir.mkdir()
+    for i, chunk in enumerate(
+        [records[: len(records) // 3],
+         records[len(records) // 3: 2 * len(records) // 3],
+         records[2 * len(records) // 3:]]
+    ):
+        _write_jsonl(str(indir / f"part-{i:03d}.json"), chunk)
+        # the source contract (like the reference's sequence-ordered log
+        # reader) is chronological delivery: distinct mtimes keep the
+        # file-stream listing in write order
+        time.sleep(0.05)
+
+    stream = read_redo_json_stream(spark, str(indir), max_files_per_trigger=1)
+    assembled = streaming_assemble(stream)
+    q = (
+        assembled.writeStream.format("memory")
+        .queryName("assembled_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = [
+        r.asDict() for r in spark.sql("SELECT * FROM assembled_stream").collect()
+    ]
+    expected = assemble_transactions_py(records)
+
+    def norm(evs):
+        return sorted(
+            (
+                e["xid"], e["commit_scn"], e["num"], e["op"], e["obj"],
+                e["bdba"], e["slot"], e["scn"],
+                tuple(sorted((e["cols"] or {}).items())),
+            )
+            for e in evs
+        )
+
+    assert norm(got) == norm(expected)
+    assert len(got) > 0
+
+
+def test_watermarked_window_metrics(spark, tmp_path):
+    """Watermarked tumbling windows over a streamed events file equal the
+    batch aggregation (availableNow drains everything, so no late drops)."""
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-01T{i % 24:02d}:{i % 60:02d}:00.000Z",
+            "user_id": i % 5,
+            "event_type": ["view", "click"][i % 2],
+            "value": float(i),
+            "props": "{}",
+        }
+        for i in range(200)
+    ]
+    # sentinel far in the future: pushes the watermark past every real
+    # window so append mode flushes them before availableNow terminates
+    rows.append(
+        {"event_id": 9999, "ts": "2024-01-03T00:00:00.000Z", "user_id": 0,
+         "event_type": "flush", "value": 0.0, "props": "{}"}
+    )
+    indir = tmp_path / "events_in"
+    indir.mkdir()
+    _write_jsonl(str(indir / "e.json"), rows)
+
+    stream = read_events_stream(spark, str(indir))
+    q = (
+        windowed_metrics(stream)
+        .writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_type, SUM(n) AS n FROM win_metrics GROUP BY event_type"
+    ).collect()
+    assert {(r.event_type, r.n) for r in got} == {("view", 100), ("click", 100)}
+
+
+def test_file_sink_exactly_once_resume(spark, tmp_path):
+    """Re-running with the same checkpoint must not duplicate output
+    (W1/F9: exactly-once resume)."""
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+    _write_jsonl(
+        str(indir / "a.json"),
+        [
+            {"event_id": i, "ts": "2024-01-01T00:00:00.000Z", "user_id": 1,
+             "event_type": "view", "value": 1.0, "props": "{}"}
+            for i in range(10)
+        ],
+    )
+    stream = read_events_stream(spark, str(indir)).select(
+        "event_id", "event_type"
+    )
+    q = write_json_sink(stream, outdir, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.json(outdir).count()
+    # resume with identical input + checkpoint → no new epoch, no dupes
+    q2 = write_json_sink(
+        read_events_stream(spark, str(indir)).select("event_id", "event_type"),
+        outdir,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    n2 = spark.read.json(outdir).count()
+    assert n1 == 10 and n2 == 10
+
+
+def test_observe_and_listener_metrics(spark, tmp_path):
+    """df.observe counters + StreamingQueryListener progress (W8)."""
+    records = generate_redo_records(n_txns=6, seed=11)
+    indir = tmp_path / "redo_obs"
+    indir.mkdir()
+    _write_jsonl(str(indir / "all.json"), records)
+
+    listener = MetricsListener()
+    listener.attach(spark)
+    try:
+        stream = read_redo_json_stream(spark, str(indir))
+        assembled = observed(streaming_assemble(stream))
+        q = (
+            assembled.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(1)  # listener delivery is async
+    finally:
+        listener.detach(spark)
+    observed_metrics = [
+        p["observedMetrics"]["olr_metrics"]
+        for p in listener.progress
+        if p.get("observedMetrics", {}).get("olr_metrics")
+    ]
+    assert observed_metrics, "observe() metrics must surface via listener"
+    total = sum(m["rows_out"] for m in observed_metrics)
+    assert total == len(assemble_transactions_py(records))
+
+
+def test_kafka_frame_shape(spark):
+    """W2 wiring: (key, value) binary columns, key = tag JSON (B5)."""
+    df = spark.createDataFrame(
+        [("1.2.3", 100, "c")], "xid string, scn bigint, op string"
+    )
+    out = prepare_kafka_frame(df, ("xid",))
+    assert out.schema.simpleString() == "struct<key:binary,value:binary>"
+    row = out.collect()[0]
+    assert json.loads(bytes(row.key).decode()) == {"xid": "1.2.3"}
+    assert json.loads(bytes(row.value).decode())["scn"] == 100
