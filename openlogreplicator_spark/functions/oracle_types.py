@@ -1,0 +1,318 @@
+"""Oracle on-disk type decode kernels.
+
+Byte-level decoders for the value encodings the reference extracts from
+redo vectors, re-expressed as vectorized pandas UDFs (Arrow-batched; the
+per-value Python cost is amortized across the batch — this is the
+designated slow path exactly like the reference's per-column decode loop).
+
+Reference semantics mirrored:
+- NUMBER   base-100 mantissa/exponent, negative via complement + 0x66
+           terminator            (src/builder/Builder.h:422-568)
+- DATE     7-byte excess-100 century/year, 1-based month/day, excess-1
+           h/m/s                 (src/builder/Builder.cpp:210-252)
+- TIMESTAMP 11-byte DATE + big-endian nanoseconds
+                                 (src/builder/Builder.cpp:210-252)
+- TIMESTAMP WITH TZ 13-byte, offset form tzh+20/tzm+60
+                                 (src/builder/Builder.cpp:272-353)
+- INTERVAL YM 5-byte excess-2^31 years + excess-60 months
+                                 (src/builder/Builder.cpp:354-434)
+- INTERVAL DS 11-byte excess-2^31 days/nanos + excess-60 h/m/s
+                                 (src/builder/Builder.cpp:435-590)
+- ROWID    18-char base-64 render of (dataObj, afn, block, slot)
+                                 (src/common/types/RowId.h:1-274)
+- BINARY_FLOAT/DOUBLE sign-flipped IEEE big-endian
+                                 (src/builder/Builder.cpp:258-270)
+- RAW      hex passthrough       (src/builder/Builder.cpp:254-256)
+- charset decode: UTF-8/8-bit table charsets via codecs; HEX/NOMAPPING
+  passthrough modes             (src/locales/*, Format.h:42-46)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct
+
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# scalar (pure-Python) kernels — used directly and inside the pandas UDFs
+# ---------------------------------------------------------------------------
+
+
+def decode_number(b: bytes | None) -> str | None:
+    """Oracle NUMBER → canonical decimal string."""
+    if b is None or len(b) == 0:
+        return None
+    b = bytes(b)
+    if b == b"\x80":
+        return "0"
+    b0 = b[0]
+    if b0 & 0x80:  # positive: exponent = (b0 & 0x7f) - 65, digits = byte-1
+        exp = (b0 & 0x7F) - 65
+        digits = [x - 1 for x in b[1:]]
+        sign = ""
+    else:  # negative: exponent = 62 - b0, digits = 101-byte, 0x66 terminator
+        exp = 62 - b0
+        payload = b[1:]
+        if payload and payload[-1] == 0x66:
+            payload = payload[:-1]
+        digits = [101 - x for x in payload]
+        sign = "-"
+    if not digits:
+        return sign + "0"
+    # digit i has weight 100^(exp - i)
+    parts: list[str] = []
+    for i, d in enumerate(digits):
+        parts.append(str(d) if i == 0 else f"{d:02d}")
+    s = "".join(parts)
+    point = 2 * (exp + 1) - (2 - len(str(digits[0])))  # digits before the dot
+    if exp < 0:
+        frac = "00" * (-exp - 1) + "".join(f"{d:02d}" for d in digits)
+        frac = frac.rstrip("0") or "0"
+        return f"{sign}0.{frac}"
+    int_digits = digits[: exp + 1]
+    frac_digits = digits[exp + 1:]
+    int_part = str(int_digits[0]) + "".join(f"{d:02d}" for d in int_digits[1:])
+    int_part += "00" * (exp + 1 - len(int_digits))
+    frac = "".join(f"{d:02d}" for d in frac_digits).rstrip("0")
+    return f"{sign}{int_part}.{frac}" if frac else f"{sign}{int_part}"
+
+
+def encode_number(value: str) -> bytes:
+    """Inverse of decode_number (test fixture generator)."""
+    from decimal import Decimal
+
+    d = Decimal(value)
+    if d == 0:
+        return b"\x80"
+    neg = d < 0
+    d = abs(d)
+    # normalize to base-100 digits
+    exp = 0
+    while d >= 100:
+        d /= 100
+        exp += 1
+    while d < 1:
+        d *= 100
+        exp -= 1
+    digits: list[int] = []
+    for _ in range(20):
+        di = int(d)
+        digits.append(di)
+        d = (d - di) * 100
+        if d == 0:
+            break
+    while digits and digits[-1] == 0:
+        digits.pop()
+    if neg:
+        out = bytes([62 - exp] + [101 - x for x in digits])
+        if len(out) < 21:
+            out += b"\x66"
+        return out
+    return bytes([193 + exp] + [x + 1 for x in digits])
+
+
+def decode_date(b: bytes | None) -> str | None:
+    """7-byte Oracle DATE → 'YYYY-MM-DD HH:MM:SS' (keeps time of day)."""
+    if b is None or len(b) < 7:
+        return None
+    b = bytes(b)
+    year = (b[0] - 100) * 100 + (b[1] - 100)
+    return (
+        f"{year:04d}-{b[2]:02d}-{b[3]:02d} "
+        f"{b[4] - 1:02d}:{b[5] - 1:02d}:{b[6] - 1:02d}"
+    )
+
+
+def decode_timestamp(b: bytes | None) -> str | None:
+    """11-byte TIMESTAMP → 'YYYY-MM-DD HH:MM:SS.fffffffff' (nanos)."""
+    if b is None or len(b) < 7:
+        return None
+    b = bytes(b)
+    base = decode_date(b[:7])
+    nanos = struct.unpack(">I", b[7:11])[0] if len(b) >= 11 else 0
+    return f"{base}.{nanos:09d}"
+
+
+def decode_timestamp_tz(b: bytes | None) -> str | None:
+    """13-byte TIMESTAMP WITH TIME ZONE (offset form) →
+    'YYYY-MM-DD HH:MM:SS.fffffffff +HH:MM'."""
+    if b is None or len(b) < 13:
+        return None
+    b = bytes(b)
+    ts = decode_timestamp(b[:11])
+    tzh = b[11] - 20
+    tzm = b[12] - 60
+    sign = "+" if (tzh > 0 or (tzh == 0 and tzm >= 0)) else "-"
+    return f"{ts} {sign}{abs(tzh):02d}:{abs(tzm):02d}"
+
+
+def decode_interval_ym(b: bytes | None) -> str | None:
+    """5-byte INTERVAL YEAR TO MONTH → 'Y-M' text (sign-prefixed)."""
+    if b is None or len(b) < 5:
+        return None
+    b = bytes(b)
+    years = struct.unpack(">i", struct.pack(">I", struct.unpack(">I", b[:4])[0] ^ 0x80000000))[0]
+    months = b[4] - 60
+    total = years * 12 + months
+    sign = "-" if total < 0 else ""
+    total = abs(total)
+    return f"{sign}{total // 12}-{total % 12}"
+
+
+def decode_interval_ds(b: bytes | None) -> str | None:
+    """11-byte INTERVAL DAY TO SECOND → 'D HH:MM:SS.fffffffff'."""
+    if b is None or len(b) < 11:
+        return None
+    b = bytes(b)
+    days = struct.unpack(">i", struct.pack(">I", struct.unpack(">I", b[:4])[0] ^ 0x80000000))[0]
+    hours = b[4] - 60
+    minutes = b[5] - 60
+    seconds = b[6] - 60
+    nanos = struct.unpack(">i", struct.pack(">I", struct.unpack(">I", b[7:11])[0] ^ 0x80000000))[0]
+    total_ns = (((days * 24 + hours) * 60 + minutes) * 60 + seconds) * 10**9 + nanos
+    sign = "-" if total_ns < 0 else ""
+    total_ns = abs(total_ns)
+    ns = total_ns % 10**9
+    total_s = total_ns // 10**9
+    return (
+        f"{sign}{total_s // 86400} "
+        f"{(total_s % 86400) // 3600:02d}:{(total_s % 3600) // 60:02d}:"
+        f"{total_s % 60:02d}.{ns:09d}"
+    )
+
+
+_B64 = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+
+
+def rowid_to_text(data_obj: int, afn: int, block: int, slot: int) -> str:
+    """18-char Oracle ROWID: 6 chars dataObj ⊕ 3 afn ⊕ 6 block ⊕ 3 slot,
+    base-64 big-endian (RowId.h:1-274)."""
+    def enc(v: int, width: int) -> str:
+        out = []
+        for i in range(width - 1, -1, -1):
+            out.append(_B64[(v >> (6 * i)) & 0x3F])
+        return "".join(out)
+
+    return enc(data_obj, 6) + enc(afn, 3) + enc(block, 6) + enc(slot, 3)
+
+
+def decode_binary_float(b: bytes | None) -> float | None:
+    """Oracle BINARY_FLOAT: MSB set → positive (clear it); else negative
+    (invert all bits)."""
+    if b is None or len(b) < 4:
+        return None
+    b = bytes(b)
+    if b[0] & 0x80:
+        raw = bytes([b[0] & 0x7F]) + b[1:4]
+    else:
+        raw = bytes(x ^ 0xFF for x in b[:4])
+    return struct.unpack(">f", raw)[0]
+
+
+def decode_binary_double(b: bytes | None) -> float | None:
+    if b is None or len(b) < 8:
+        return None
+    b = bytes(b)
+    if b[0] & 0x80:
+        raw = bytes([b[0] & 0x7F]) + b[1:8]
+    else:
+        raw = bytes(x ^ 0xFF for x in b[:8])
+    return struct.unpack(">d", raw)[0]
+
+
+def encode_binary_double(v: float) -> bytes:
+    raw = struct.pack(">d", v)
+    if raw[0] & 0x80:  # negative → invert all
+        return bytes(x ^ 0xFF for x in raw)
+    return bytes([raw[0] | 0x80]) + raw[1:]
+
+
+def encode_binary_float(v: float) -> bytes:
+    raw = struct.pack(">f", v)
+    if raw[0] & 0x80:
+        return bytes(x ^ 0xFF for x in raw)
+    return bytes([raw[0] | 0x80]) + raw[1:]
+
+
+_CHARSET_CODECS = {
+    "AL32UTF8": "utf-8",
+    "UTF8": "utf-8",          # CESU-8 in Oracle; utf-8 for BMP content
+    "US7ASCII": "ascii",
+    "WE8ISO8859P1": "latin-1",
+    "EE8ISO8859P2": "iso8859-2",
+    "CL8ISO8859P5": "iso8859-5",
+    "WE8MSWIN1252": "cp1252",
+    "AL16UTF16": "utf-16-be",
+}
+
+
+def charset_decode(b: bytes | None, charset: str = "AL32UTF8", mode: str = "default") -> str | None:
+    """Charset decode with the reference's unsupported-value modes
+    (Format.h:42-46): default → replace, 'hex' → hex dump, 'nomapping' →
+    latin-1 passthrough."""
+    if b is None:
+        return None
+    b = bytes(b)
+    if mode == "hex":
+        return b.hex()
+    if mode == "nomapping":
+        return b.decode("latin-1")
+    codec = _CHARSET_CODECS.get(charset.upper())
+    if codec is None:
+        return b.hex()  # unknown charset → hex (QUESTION_MARK-ish fallback)
+    return b.decode(codec, errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# vectorized pandas UDF wrappers (Arrow batches of BinaryType columns)
+# ---------------------------------------------------------------------------
+
+
+def _series_udf(fn, ret_type: str):
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(ret_type)
+    def udf(col: pd.Series) -> pd.Series:
+        return col.map(lambda v: fn(v) if v is not None else None)
+
+    return udf
+
+
+def number_decode_udf():
+    return _series_udf(decode_number, "string")
+
+
+def date_decode_udf():
+    return _series_udf(decode_date, "string")
+
+
+def timestamp_decode_udf():
+    return _series_udf(decode_timestamp, "string")
+
+
+def interval_ym_decode_udf():
+    return _series_udf(decode_interval_ym, "string")
+
+
+def interval_ds_decode_udf():
+    return _series_udf(decode_interval_ds, "string")
+
+
+def binary_double_decode_udf():
+    return _series_udf(decode_binary_double, "double")
+
+
+def rowid_udf():
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("string")
+    def udf(obj: pd.Series, afn: pd.Series, block: pd.Series, slot: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                rowid_to_text(int(o), int(a), int(b), int(s))
+                for o, a, b, s in zip(obj, afn, block, slot)
+            ]
+        )
+
+    return udf

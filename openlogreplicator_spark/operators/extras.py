@@ -1,0 +1,107 @@
+"""Rows-only driver queries for operators whose output is not
+SQL-expressible in DuckDB (JSON envelope bytes, stubbed media decode).
+Their correctness is covered by golden unit tests instead
+(tests/test_json_builder.py, tests/test_multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.builders.json_builder import build_events
+from openlogreplicator_spark.config import Format, debezium_preset
+from openlogreplicator_spark.sources.tables import load_table
+
+
+def _orders_as_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CHANGE_EVENT_SCHEMA stream derived from orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        (F.col("o_orderkey") * 10).alias("scn"),
+        (F.col("o_orderkey") * 10 - 5).alias("c_scn"),
+        F.lit(0).cast("long").alias("c_idx"),
+        F.col("o_orderdate").alias("tm"),
+        F.lit(1).cast("long").alias("seq"),
+        F.concat_ws(
+            ".",
+            (F.col("o_custkey") % 8).cast("string"),
+            (F.col("o_custkey") % 16).cast("string"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("xid"),
+        F.lit("DB").alias("db"),
+        F.when(F.col("o_orderstatus") == "O", "c")
+        .when(F.col("o_orderstatus") == "P", "u")
+        .otherwise("d")
+        .alias("op"),
+        F.lit("TPCH").alias("owner"),
+        F.lit("ORDERS").alias("table"),
+        F.lit(18).cast("long").alias("obj"),
+        F.lit("AAAAASAAEAAAADbAAA").alias("rid"),
+        F.when(
+            F.col("o_orderstatus") != "O",
+            F.create_map(
+                F.lit("O_ORDERKEY"), F.col("o_orderkey").cast("string"),
+                F.lit("O_PRIO"), F.col("o_orderpriority"),
+            ),
+        ).alias("before"),
+        F.when(
+            F.col("o_orderstatus") != "F",
+            F.create_map(
+                F.lit("O_ORDERKEY"), F.col("o_orderkey").cast("string"),
+                F.lit("O_PRIO"), F.col("o_orderpriority"),
+            ),
+        ).alias("after"),
+        F.create_map(F.lit("OS_USER_NAME"), F.lit("tpch")).alias("attrs"),
+        F.lit(0).cast("long").alias("num"),
+        (F.col("o_orderkey") * 512).alias("offset"),
+    )
+
+
+def cdc_json_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 JSON event builder over a deterministic order-derived stream
+    (rows-only: byte-level JSON is golden-tested, not SQL-portable)."""
+    events = _orders_as_change_events(spark, sf_dir)
+    return build_events(events, Format(attributes=True), tag_cols=("O_ORDERKEY",))
+
+
+def cdc_json_builder_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 Debezium preset output shape."""
+    return build_events(
+        _orders_as_change_events(spark, sf_dir), debezium_preset()
+    )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media decode over the synthetic binary corpus."""
+    from openlogreplicator_spark.operators.multimodal import (
+        decode_media,
+        synth_media,
+    )
+
+    return decode_media(synth_media(spark, 128))
+
+
+def multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary blobs → hash-projection features → cosine top-3 (full
+    multimodal-to-ANN pipeline)."""
+    from openlogreplicator_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+    from openlogreplicator_spark.operators.similarity import cosine_topk
+
+    feats = extract_features(synth_media(spark, 128)).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    queries = feats.filter(F.col("vec_id") % 16 == 0)
+    return cosine_topk(feats, queries, k=3)
+
+
+QUERIES = {
+    "cdc_json_builder": cdc_json_builder,
+    "cdc_json_builder_debezium": cdc_json_builder_debezium,
+    "multimodal_decode": multimodal_decode,
+    "multimodal_features_ann": multimodal_features_ann,
+}
+
+ORACLE: dict[str, str] = {}

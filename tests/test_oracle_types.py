@@ -1,0 +1,160 @@
+"""Golden byte-level tests for the Oracle type decode kernels, mirroring
+the byte semantics of src/builder/Builder.{h,cpp} (NUMBER base-100 with
+0x66 negative terminator, DATE excess-100, sign-flipped IEEE floats)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+
+from openlogreplicator_spark.functions.oracle_types import (
+    charset_decode,
+    decode_binary_double,
+    decode_binary_float,
+    decode_date,
+    decode_interval_ds,
+    decode_interval_ym,
+    decode_number,
+    decode_timestamp,
+    decode_timestamp_tz,
+    encode_binary_double,
+    encode_binary_float,
+    encode_number,
+    rowid_to_text,
+)
+
+# hand-computed Oracle NUMBER encodings (the classic examples)
+NUMBER_GOLDENS = [
+    (b"\x80", "0"),
+    (b"\xc1\x02", "1"),                   # 1 = 100^0 * 1
+    (b"\xc1\x03", "2"),
+    (b"\xc2\x02", "100"),                 # 100 = 100^1 * 1
+    (b"\xc2\x02\x18\x2e", "123.45"),      # 1|23|45 exp 1
+    (b"\xc1\x50", "79"),
+    (b"\xc0\x33", "0.5"),                 # 50 at exp -1
+    (b"\xbf\x08", "0.0007"),              # 7 at exp -2
+    (b"\x3e\x64\x66", "-1"),              # negative: 62-exp, 101-d, 0x66
+    (b"\x3c\x64\x64\x3c\x66", "-10141"),  # -(1|01|41) exp 2
+    (b"\x3d\x64\x5a\x38\x66", "-111.45"),  # -(1|11|45) exp 1
+    (b"\x3e\x02\x66", "-99"),
+]
+
+
+def test_number_goldens():
+    for raw, expect in NUMBER_GOLDENS:
+        assert decode_number(raw) == expect, (raw.hex(), expect)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.decimals(
+        min_value=Decimal("-1e18"),
+        max_value=Decimal("1e18"),
+        allow_nan=False,
+        allow_infinity=False,
+        places=6,
+    )
+)
+def test_number_roundtrip(d):
+    s = format(d.normalize(), "f")
+    got = decode_number(encode_number(s))
+    assert Decimal(got) == Decimal(s)
+
+
+def test_date_golden():
+    # 1998-09-02 13:45:59 → cc=119, yy=198, m=9, d=2, h=14, mi=46, s=60
+    raw = bytes([119, 198, 9, 2, 14, 46, 60])
+    assert decode_date(raw) == "1998-09-02 13:45:59"
+    # epoch-ish 1970-01-01 00:00:00
+    raw = bytes([119, 170, 1, 1, 1, 1, 1])
+    assert decode_date(raw) == "1970-01-01 00:00:00"
+
+
+def test_timestamp_golden():
+    raw = bytes([119, 198, 9, 2, 14, 46, 60]) + (123456789).to_bytes(4, "big")
+    assert decode_timestamp(raw) == "1998-09-02 13:45:59.123456789"
+
+
+def test_timestamp_tz_golden():
+    base = bytes([119, 198, 9, 2, 14, 46, 60]) + (0).to_bytes(4, "big")
+    assert decode_timestamp_tz(base + bytes([25, 60])) == (
+        "1998-09-02 13:45:59.000000000 +05:00"
+    )
+    assert decode_timestamp_tz(base + bytes([15, 30])) == (
+        "1998-09-02 13:45:59.000000000 -05:30"
+    )
+
+
+def test_interval_ym():
+    # +3 years 4 months
+    raw = (0x80000000 + 3).to_bytes(4, "big") + bytes([64])
+    assert decode_interval_ym(raw) == "3-4"
+    # -1 year 2 months
+    raw = (0x80000000 - 1).to_bytes(4, "big") + bytes([58])
+    assert decode_interval_ym(raw) == "-1-2"
+
+
+def test_interval_ds():
+    raw = (
+        (0x80000000 + 2).to_bytes(4, "big")
+        + bytes([63, 64, 65])
+        + (0x80000000 + 500).to_bytes(4, "big")
+    )
+    assert decode_interval_ds(raw) == "2 03:04:05.000000500"
+
+
+def test_rowid_render():
+    # known shape: 18 chars from the documented base-64 alphabet
+    rid = rowid_to_text(8187, 4, 219, 0)
+    assert len(rid) == 18
+    assert rowid_to_text(0, 0, 0, 0) == "A" * 18
+    # dataObj=1 → 'AAAAAB' prefix
+    assert rowid_to_text(1, 0, 0, 0).startswith("AAAAAB")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+def test_binary_double_roundtrip(v):
+    assert decode_binary_double(encode_binary_double(v)) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False, width=32))
+def test_binary_float_roundtrip(v):
+    assert decode_binary_float(encode_binary_float(v)) == v
+
+
+def test_binary_double_ordering_property():
+    """Oracle's sign-flip encoding makes byte order = numeric order."""
+    vals = [-1e9, -1.5, -0.0, 0.0, 1e-9, 2.5, 1e12]
+    encoded = [encode_binary_double(v) for v in vals]
+    assert encoded == sorted(encoded)
+
+
+def test_charset_decode_modes():
+    assert charset_decode("héllo".encode("utf-8")) == "héllo"
+    assert charset_decode("héllo".encode("latin-1"), "WE8ISO8859P1") == "héllo"
+    assert charset_decode(b"\xff\xfe", mode="hex") == "fffe"
+    assert charset_decode(b"\xff", mode="nomapping") == "ÿ"
+    assert charset_decode(b"ab", "AL16UTF16") == "慢"
+
+
+def test_udfs_on_spark(spark):
+    from openlogreplicator_spark.functions.oracle_types import (
+        number_decode_udf,
+        rowid_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(raw, expect) for raw, expect in NUMBER_GOLDENS],
+        "raw binary, expect string",
+    )
+    out = df.select("expect", number_decode_udf()("raw").alias("got")).collect()
+    assert all(r.got == r.expect for r in out)
+
+    rid = spark.createDataFrame(
+        [(8187, 4, 219, 0)], "obj long, afn int, block long, slot int"
+    )
+    row = rid.select(rowid_udf()("obj", "afn", "block", "slot").alias("rid")).collect()[0]
+    assert len(row.rid) == 18
