@@ -24,6 +24,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracle: dict[str, str] = {}
     module_names = [
         "openlogreplicator_spark.operators.relational",
+        "openlogreplicator_spark.operators.relational2",
         "openlogreplicator_spark.operators.cdc",
         "openlogreplicator_spark.operators.dedup",
         "openlogreplicator_spark.operators.text",

@@ -339,6 +339,57 @@ GROUP BY event_type
 """
 
 
+def cdc_schema_asof_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9/§1.3 as-of dictionary resolution: events resolve against the
+    schema version in effect at their SCN. The dictionary is synthesized
+    from `part` with three SCN versions per object; events come from
+    lineitem with arithmetic SCNs. Uses the union-window as-of operator
+    (one shuffle on obj, no range join)."""
+    from openlogreplicator_spark.metadata.schema_registry import asof_resolve
+
+    part = load_table(spark, sf_dir, "part")
+    versions = []
+    for v, scn_from in (("v0", 0), ("v1", 1000), ("v2", 2000)):
+        versions.append(
+            part.select(
+                F.col("p_partkey").alias("obj"),
+                F.lit(scn_from).cast("long").alias("scn_from"),
+                F.concat(F.col("p_name"), F.lit("_" + v)).alias("name"),
+            )
+        )
+    dict_versions = versions[0].unionByName(versions[1]).unionByName(versions[2])
+    li = load_table(spark, sf_dir, "lineitem")
+    events = li.select(
+        F.col("l_orderkey").alias("event_key"),
+        F.col("l_linenumber").alias("line"),
+        F.col("l_partkey").alias("obj"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 3000).alias("scn"),
+    )
+    resolved = asof_resolve(events, dict_versions)
+    return resolved.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("scn").alias("min_scn"),
+        F.max("scn").alias("max_scn"),
+    )
+
+
+CDC_SCHEMA_ASOF_SQL = """
+-- independent computation of the same as-of semantics: the synthetic
+-- version boundaries are constants, so the effective version is a CASE
+WITH ev AS (
+    SELECT l_partkey AS obj,
+           (l_orderkey * 7 + l_linenumber * 13) % 3000 AS scn
+    FROM lineitem
+)
+SELECT p_name || CASE WHEN scn >= 2000 THEN '_v2'
+                      WHEN scn >= 1000 THEN '_v1'
+                      ELSE '_v0' END AS name,
+       COUNT(*) AS n_events, MIN(scn) AS min_scn, MAX(scn) AS max_scn
+FROM ev JOIN part ON p_partkey = obj
+GROUP BY name
+"""
+
+
 QUERIES = {
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
@@ -347,9 +398,11 @@ QUERIES = {
     "cdc_condition_filter": cdc_condition_filter,
     "cdc_unchanged_suppression": cdc_unchanged_suppression,
     "cdc_resume_filter": cdc_resume_filter,
+    "cdc_schema_asof_resolve": cdc_schema_asof_resolve,
 }
 
 ORACLE = {
+    "cdc_schema_asof_resolve": CDC_SCHEMA_ASOF_SQL,
     "cdc_sessionize": CDC_SESSIONIZE_SQL,
     "cdc_last_image": CDC_LAST_IMAGE_SQL,
     "cdc_txn_assembly": CDC_TXN_ASSEMBLY_SQL,

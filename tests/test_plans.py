@@ -1,0 +1,96 @@
+"""Physical-plan assertions: the plans must stay scale-shaped.
+
+These lock in the properties that matter at 100 TB — filter/column
+pushdown into the parquet scan, broadcast joins for dims, partial
+aggregation before exchanges, TakeOrderedAndProject for top-k, no
+cartesian products — so a regression that silently de-optimizes a query
+fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from openlogreplicator_spark.operators import relational, relational2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    df = relational.q1_pricing_summary(spark, sf_dir)
+    plan = _formatted(df)
+    # filter reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: o_* columns never read, only the 7 needed l_* columns
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema
+    assert "l_returnflag" in read_schema
+    # partial + final aggregation around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_broadcast_join_for_dims(spark, sf_dir):
+    plan = _plan(relational.join_broadcast_dim(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_no_shuffle_on_dims(spark, sf_dir):
+    plan = _plan(relational.q5_local_supplier(spark, sf_dir))
+    # all five dim joins broadcast; only the fact join may sort-merge
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(relational.topk_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    semi = _plan(relational.join_left_semi(spark, sf_dir))
+    anti = _plan(relational.join_left_anti(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketized range join must plan as an equi join — a nested-loop
+    (BroadcastNestedLoopJoin/Cartesian) would be O(n·m) at scale."""
+    plan = _plan(relational.join_range_window(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_queries_are_wholestage_codegen(spark, sf_dir):
+    plan = _plan(relational.scalar_string_funcs(spark, sf_dir))
+    # '*(n)' marks a WholeStageCodegen stage in the plan string
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan  # no Python in the scalar path
+
+
+def test_window_query_single_exchange(spark, sf_dir):
+    plan = _plan(relational.window_running_sum(spark, sf_dir))
+    # one shuffle for the user_id partition; no extra exchanges
+    assert plan.count("Exchange") == 1
+
+
+def test_q17_window_beats_self_join(spark, sf_dir):
+    plan = _plan(relational2.q17_small_quantity_revenue(spark, sf_dir))
+    # windowed correlated-avg: lineitem is scanned ONCE
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_dedup_exact_partial_aggregates(spark, sf_dir):
+    from openlogreplicator_spark.operators import dedup
+
+    plan = _plan(dedup.dedup_exact(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # map-side combine on the digest

@@ -1,0 +1,93 @@
+"""As-of dictionary resolution semantics (reference Schema.cpp/T9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.metadata.schema_registry import (
+    apply_dictionary_txns,
+    asof_resolve,
+    asof_resolve_broadcast,
+    prune_superseded,
+    select_tables,
+)
+
+
+def _dict(spark):
+    rows = [
+        # obj, scn_from, owner, name, type, dropped
+        (1, 0, "APP", "T1", "TABLE", False),
+        (1, 100, "APP", "T1_RENAMED", "TABLE", False),
+        (1, 200, "APP", "T1_RENAMED", "TABLE", True),   # dropped at 200
+        (2, 50, "APP", "T2", "TABLE", False),
+        (3, 10, "SYS", "OBJ$", "TABLE", False),
+    ]
+    return spark.createDataFrame(
+        rows, "obj long, scn_from long, owner string, name string, type string, dropped boolean"
+    )
+
+
+def _events(spark):
+    rows = [
+        (1, 5), (1, 99), (1, 100), (1, 150), (1, 250),
+        (2, 49), (2, 60), (3, 10),
+    ]
+    return spark.createDataFrame(rows, "obj long, scn long")
+
+
+EXPECT = {
+    (1, 5): ("T1", False),
+    (1, 99): ("T1", False),
+    (1, 100): ("T1_RENAMED", False),   # version at exactly scn applies
+    (1, 150): ("T1_RENAMED", False),
+    (1, 250): ("T1_RENAMED", True),    # resolved to tombstone
+    (2, 49): (None, None),             # before first version → unresolved
+    (2, 60): ("T2", False),
+    (3, 10): ("OBJ$", False),
+}
+
+
+def test_asof_resolve_window(spark):
+    out = asof_resolve(_events(spark), _dict(spark))
+    got = {(r.obj, r.scn): (r.name, r.dropped) for r in out.collect()}
+    assert got == EXPECT
+
+
+def test_asof_resolve_broadcast_equivalent(spark):
+    out = asof_resolve_broadcast(_events(spark), _dict(spark))
+    got = {(r.obj, r.scn): (r.name, r.dropped) for r in out.collect()}
+    assert got == EXPECT
+
+
+def test_regex_table_selection(spark):
+    d = select_tables(_dict(spark), owner_re="^APP$", table_re="^T1")
+    assert {r.name for r in d.collect()} == {"T1", "T1_RENAMED"}
+
+
+def test_dictionary_txn_apply_and_prune(spark):
+    d = _dict(spark)
+    sys_events = spark.createDataFrame(
+        [(4, 300, "c", "APP", "T4", "TABLE"), (2, 310, "d", "APP", "T2", "TABLE")],
+        "obj long, scn long, op string, owner string, name string, type string",
+    )
+    d2 = apply_dictionary_txns(d, sys_events)
+    out = asof_resolve(
+        spark.createDataFrame([(4, 305), (2, 320)], "obj long, scn long"), d2
+    ).collect()
+    got = {(r.obj, r.scn): (r.name, r.dropped) for r in out}
+    assert got[(4, 305)] == ("T4", False)
+    assert got[(2, 320)] == ("T2", True)
+
+    pruned = prune_superseded(d2, checkpoint_scn=150)
+    # obj 1: versions ≤150 collapse to the scn_from=100 one; 200 kept
+    v1 = sorted(
+        r.scn_from for r in pruned.filter(F.col("obj") == 1).collect()
+    )
+    assert v1 == [100, 200]
+    # resolution after the checkpoint is unchanged
+    out2 = asof_resolve(
+        spark.createDataFrame([(1, 150), (1, 250)], "obj long, scn long"), pruned
+    ).collect()
+    got2 = {(r.obj, r.scn): (r.name, r.dropped) for r in out2}
+    assert got2[(1, 150)] == ("T1_RENAMED", False)
+    assert got2[(1, 250)] == ("T1_RENAMED", True)
