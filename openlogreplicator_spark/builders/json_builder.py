@@ -122,9 +122,16 @@ def tag_expr(tag_cols: tuple[str, ...]) -> Column:
 
 
 def build_events(
-    events: DataFrame, fmt: Format, tag_cols: tuple[str, ...] = ()
+    events: DataFrame,
+    fmt: Format,
+    tag_cols: tuple[str, ...] = (),
+    max_ops_per_message: int | None = None,
 ) -> DataFrame:
-    """CHANGE_EVENT_SCHEMA rows → (key, value) JSON messages."""
+    """CHANGE_EVENT_SCHEMA rows → (key, value) JSON messages.
+
+    ``max_ops_per_message`` is the T6 big-transaction split
+    (Transaction.cpp:518-538): a FULL-format transaction whose payload
+    exceeds the cap is emitted as multiple messages keyed 'xid:part'."""
     df = events
     if fmt.skip_begin:
         df = df.filter(F.col("op") != "begin")
@@ -154,6 +161,37 @@ def build_events(
                 lambda s: s.p,
             ).alias("payload"),
         )
+        if max_ops_per_message:
+            cap = max_ops_per_message
+            n_parts = F.ceil(F.size("payload") / cap).cast("int")
+            parts = F.transform(
+                F.sequence(F.lit(0), n_parts - 1),
+                lambda i: F.struct(
+                    i.alias("part"),
+                    F.slice("payload", i * cap + 1, cap).alias("chunk"),
+                ),
+            )
+            grouped = grouped.select(
+                "xid", "hdr", F.explode(parts).alias("pc")
+            ).select(
+                "xid",
+                "hdr",
+                F.col("pc.part").alias("part"),
+                F.col("pc.chunk").alias("payload"),
+            )
+            value = F.to_json(
+                F.struct(
+                    F.col("hdr.scn").alias("scn"),
+                    F.col("hdr.tm").alias("tm"),
+                    F.col("hdr.xid").alias("xid"),
+                    F.col("hdr.db").alias("db"),
+                    F.col("part").alias("part"),
+                    F.col("payload").alias("payload"),
+                )
+            )
+            return grouped.select(
+                F.concat_ws(":", "xid", "part").alias("key"), value.alias("value")
+            )
         value = F.to_json(
             F.struct(
                 F.col("hdr.scn").alias("scn"),

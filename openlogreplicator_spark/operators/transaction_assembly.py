@@ -63,6 +63,33 @@ _OP_MAP = {
     "ddl": "ddl",
 }
 
+# chained-row piece flags (reference FB_P/FB_N, RedoLogRecord.h:36-43)
+FB_NEXT = 0x1  # more pieces of this row follow
+FB_PREV = 0x2  # continuation of the previous piece
+
+
+def _merge_row_pieces(ops: list[dict]) -> list[dict]:
+    """T7 chained/multi-piece row merge (Builder::valueSet semantics,
+    Builder.cpp:962-1376): an op flagged FB_PREV continues the previous
+    emitted op of the same object and op-kind — its columns overlay the
+    head piece's image. Chains close when a piece lacks FB_NEXT."""
+    merged: list[dict] = []
+    for o in ops:
+        fb = o.get("fb") or 0
+        if (
+            merged
+            and fb & FB_PREV
+            and (merged[-1].get("fb") or 0) & FB_NEXT
+            and merged[-1]["obj"] == o["obj"]
+            and merged[-1]["op"] == o["op"]
+        ):
+            head = merged[-1]
+            head["cols"] = {**(head["cols"] or {}), **(o["cols"] or {})}
+            head["fb"] = fb  # chain continues only if this piece has FB_NEXT
+        else:
+            merged.append(dict(o))
+    return merged
+
 
 def assemble_transactions_py(
     records: Iterable[dict],
@@ -117,7 +144,7 @@ def assemble_transactions_py(
             if t["begin_scn"] is None and not show_incomplete and not t["ops"]:
                 txns.pop(xid, None)
                 continue
-            for num, o in enumerate(t["ops"]):
+            for num, o in enumerate(_merge_row_pieces(t["ops"])):
                 out.append(
                     {
                         "xid": xid,
@@ -159,6 +186,7 @@ def assemble_transactions_py(
                     "slot": r.get("slot"),
                     "scn": r["scn"],
                     "cols": r.get("cols"),
+                    "fb": r.get("fb") or 0,
                 }
             )
         if max_ops is not None and len(t["ops"]) > max_ops:
@@ -167,7 +195,7 @@ def assemble_transactions_py(
             skiplist.add(xid)
     if show_incomplete:
         for xid, t in txns.items():
-            for num, o in enumerate(t["ops"]):
+            for num, o in enumerate(_merge_row_pieces(t["ops"])):
                 out.append(
                     {
                         "xid": xid,

@@ -1,0 +1,108 @@
+"""LOB reassembly (T8) + chained-row merge (T7) + big-txn split (T6)."""
+
+from __future__ import annotations
+
+import json
+
+from openlogreplicator_spark.operators.lob_assembly import (
+    LOB_CHUNK_SCHEMA,
+    assemble_lobs,
+    attach_lobs,
+)
+from openlogreplicator_spark.operators.transaction_assembly import (
+    FB_NEXT,
+    FB_PREV,
+    assemble_transactions_py,
+)
+
+
+def test_lob_chunks_assemble_in_order(spark):
+    chunks = spark.createDataFrame(
+        [
+            ("L1", "t", 2, "cc"),
+            ("L1", "t", 0, "aa"),   # out-of-order arrival
+            ("L1", "t", 1, "bb"),
+            ("L2", "t", 0, "zz"),
+        ],
+        LOB_CHUNK_SCHEMA,
+    )
+    lobs = {r.lob_id: (r.value, r.n_chunks) for r in assemble_lobs(chunks).collect()}
+    assert lobs == {"L1": ("aabbcc", 3), "L2": ("zz", 1)}
+
+
+def test_lob_attach_replaces_placeholder(spark):
+    events = spark.createDataFrame(
+        [
+            ("t", 1, {"ID": "1", "DOC": "LOB:L1"}),
+            ("t", 2, {"ID": "2", "DOC": "LOB:MISSING"}),
+            ("t", 3, {"ID": "3"}),
+        ],
+        "xid string, num int, cols map<string,string>",
+    )
+    chunks = spark.createDataFrame(
+        [("L1", "t", 0, "hello"), ("L1", "t", 1, "-world")], LOB_CHUNK_SCHEMA
+    )
+    out = {r.num: r.cols for r in
+           attach_lobs(events, assemble_lobs(chunks)).collect()}
+    assert out[1]["DOC"] == "hello-world"
+    assert out[2]["DOC"] == "LOB:MISSING"  # orphan stays a placeholder
+    assert out[3] == {"ID": "3"}
+
+
+def test_chained_row_pieces_merge():
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "insert", "obj": 1, "bdba": 1,
+         "slot": 0, "fb": FB_NEXT, "cols": {"c1": "a"}},
+        {"scn": 3, "xid": "t", "opcode": "insert", "obj": 1, "bdba": 1,
+         "slot": 1, "fb": FB_PREV | FB_NEXT, "cols": {"c2": "b"}},
+        {"scn": 4, "xid": "t", "opcode": "insert", "obj": 1, "bdba": 1,
+         "slot": 2, "fb": FB_PREV, "cols": {"c3": "c"}},
+        # independent row (no chain flags)
+        {"scn": 5, "xid": "t", "opcode": "insert", "obj": 1, "bdba": 2,
+         "slot": 0, "fb": 0, "cols": {"c1": "x"}},
+        {"scn": 6, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert len(out) == 2
+    assert out[0]["cols"] == {"c1": "a", "c2": "b", "c3": "c"}  # merged chain
+    assert out[1]["cols"] == {"c1": "x"}
+    assert [e["num"] for e in out] == [0, 1]
+
+
+def test_chain_does_not_merge_across_objects():
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "insert", "obj": 1, "bdba": 1,
+         "slot": 0, "fb": FB_NEXT, "cols": {"c1": "a"}},
+        {"scn": 3, "xid": "t", "opcode": "insert", "obj": 2, "bdba": 1,
+         "slot": 1, "fb": FB_PREV, "cols": {"c2": "b"}},
+        {"scn": 4, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert len(out) == 2  # different obj → no merge
+
+
+def test_big_transaction_split(spark):
+    import datetime
+
+    from openlogreplicator_spark.builders.json_builder import build_events
+    from openlogreplicator_spark.config import Format, MessageFormat
+    from openlogreplicator_spark.event_model import CHANGE_EVENT_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (100 + i, 100, 0, ts, 1, "1.1.1", "DB", "c", "U", "T", 1, "rid",
+         None, {"N": str(i)}, {}, i, 0)
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    fmt = Format(message=MessageFormat.FULL)
+    out = build_events(df, fmt, max_ops_per_message=3).collect()
+    assert len(out) == 3  # 7 ops → parts of 3/3/1
+    by_key = {r.key: json.loads(r.value) for r in out}
+    assert set(by_key) == {"1.1.1:0", "1.1.1:1", "1.1.1:2"}
+    # ordered payload preserved across the split
+    ns = [p["after"]["N"] for k in sorted(by_key) for p in by_key[k]["payload"]]
+    assert ns == [str(i) for i in range(7)]
+    assert by_key["1.1.1:2"]["part"] == 2
