@@ -25,6 +25,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     module_names = [
         "openlogreplicator_spark.operators.relational",
         "openlogreplicator_spark.operators.relational2",
+        "openlogreplicator_spark.operators.relational3",
         "openlogreplicator_spark.operators.cdc",
         "openlogreplicator_spark.operators.dedup",
         "openlogreplicator_spark.operators.text",

@@ -53,6 +53,11 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # warm the JVM/codegen/scheduler once so the first query's timing
+    # measures the query, not session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     registry = entrymod.queries()
     names = [n for n in HEADLINE if n in registry]
     if os.environ.get("BENCH_ALL"):
