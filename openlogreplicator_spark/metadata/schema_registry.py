@@ -45,6 +45,38 @@ def select_tables(
     )
 
 
+# SysCol property bits (reference src/common/table/SysCol.h:32-68)
+COL_PROP_HIDDEN = 0x1
+COL_PROP_GUARD = 0x2
+COL_PROP_NESTED = 0x4
+COL_PROP_UNUSED = 0x8
+
+
+def visible_columns(
+    dict_col: DataFrame,
+    show_hidden: bool = False,
+    show_guard: bool = False,
+    show_nested: bool = False,
+    show_unused: bool = False,
+) -> DataFrame:
+    """F8 column-visibility projection (Builder.cpp:106-113): hidden /
+    guard / nested / unused columns are excluded from decode unless the
+    matching SHOW_* flag is set. Applied at the catalog, so invisible
+    columns never enter the decode plan at all."""
+    mask = 0
+    if not show_hidden:
+        mask |= COL_PROP_HIDDEN
+    if not show_guard:
+        mask |= COL_PROP_GUARD
+    if not show_nested:
+        mask |= COL_PROP_NESTED
+    if not show_unused:
+        mask |= COL_PROP_UNUSED
+    return dict_col.filter(
+        F.coalesce(F.col("property"), F.lit(0)).bitwiseAND(F.lit(mask)) == 0
+    )
+
+
 def asof_resolve(
     events: DataFrame,
     dict_versions: DataFrame,

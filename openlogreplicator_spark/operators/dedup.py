@@ -38,7 +38,9 @@ def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = docs.select(
         (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text", "source"
     )
-    return docs.unionByName(dup)
+    # the documents file is a single small parquet → 1-2 input splits;
+    # spread the (expensive) shingle/hash stages across all cores
+    return docs.unionByName(dup).repartition(64, "doc_id")
 
 
 _DOCS_WITH_COPIES_SQL = f"""
@@ -55,7 +57,7 @@ def _docs_with_mutated_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
         F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
     )
-    return docs.unionByName(mut)
+    return docs.unionByName(mut).repartition(64, "doc_id")
 
 
 _DOCS_MUTATED_SQL = f"""
@@ -121,7 +123,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     that share ≥1 shingle; emit near-dup pairs (J ≥ 0.6). The shingle
     equi-join is the candidate generator — no cross join anywhere."""
     corpus = _docs_with_mutated_copies(spark, sf_dir)
-    sh = shingles(corpus).distinct()
+    # persisted: referenced three times (self-join sides + size counts)
+    sh = shingles(corpus).distinct().persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -221,6 +224,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    # the self-join would recompute the whole shingle→signature pipeline
+    # for each side; persist the (small: n_docs × n_bands rows) band table
+    # so candidate generation reads it twice from memory
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     est = (

@@ -64,6 +64,30 @@ def test_regex_table_selection(spark):
     assert {r.name for r in d.collect()} == {"T1", "T1_RENAMED"}
 
 
+def test_visible_columns_property_bits(spark):
+    from openlogreplicator_spark.metadata.schema_registry import visible_columns
+
+    cols = spark.createDataFrame(
+        [
+            (1, 0, "ID", 0),
+            (1, 1, "HIDDEN_C", 1),
+            (1, 2, "GUARD_C", 2),
+            (1, 3, "NESTED_C", 4),
+            (1, 4, "UNUSED_C", 8),
+            (1, 5, "V", None),
+        ],
+        "obj long, col int, name string, property long",
+    )
+    assert {r.name for r in visible_columns(cols).collect()} == {"ID", "V"}
+    assert {r.name for r in visible_columns(cols, show_hidden=True).collect()} == {
+        "ID", "V", "HIDDEN_C",
+    }
+    all_shown = visible_columns(
+        cols, show_hidden=True, show_guard=True, show_nested=True, show_unused=True
+    )
+    assert all_shown.count() == 6
+
+
 def test_dictionary_txn_apply_and_prune(spark):
     d = _dict(spark)
     sys_events = spark.createDataFrame(
