@@ -97,6 +97,17 @@ def multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(feats, queries, k=3)
 
 
+def cdc_protobuf_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 protobuf event builder (hand-rolled wire format) over the
+    order-derived change stream — rows-only; framing is golden-tested by
+    an independent wire parser in tests/test_protobuf_builder.py."""
+    from openlogreplicator_spark.builders.protobuf_builder import (
+        build_protobuf_events,
+    )
+
+    return build_protobuf_events(_orders_as_change_events(spark, sf_dir))
+
+
 def cdc_lob_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 end-to-end against a SQL oracle: shred each document's text into
     fixed-size out-of-row chunks (arriving in reversed order), reassemble
@@ -150,6 +161,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_features_ann": multimodal_features_ann,
     "cdc_lob_reassembly": cdc_lob_reassembly,
+    "cdc_protobuf_builder": cdc_protobuf_builder,
 }
 
 ORACLE: dict[str, str] = {

@@ -267,7 +267,71 @@ FROM norms
 """
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: the corpus is doubled with
+    scaled copies (cos(v, 2v) = 1), then pairs with cosine ≥ 0.99 are
+    flagged. At test scale the candidate set is the broadcast cross join;
+    the 100-TB path swaps in the LSH-bucketed candidate generator
+    (ann_lsh_topk) — thresholding logic is identical."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies).repartition(32, "vec_id")
+    norms = corpus.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = norms.alias("a")
+    b = norms.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_id") < F.col("b_id"))
+    cos = _dot(F.col("embedding"), F.col("b_emb")) / (
+        F.col("nrm") * F.col("b_nrm")
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.99)
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            F.round("cos", 4).alias("cos_r"),
+        )
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+    FROM embeddings
+),
+norms AS (
+    SELECT vec_id, embedding,
+           SQRT((SELECT SUM(CAST(embedding[g.i] AS DOUBLE)
+                            * CAST(embedding[g.i] AS DOUBLE))
+                 FROM generate_series(1, 64) AS g(i))) AS nrm
+    FROM corpus
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND((SELECT SUM(CAST(a.embedding[g.i] AS DOUBLE)
+                          * CAST(b.embedding[g.i] AS DOUBLE))
+              FROM generate_series(1, 64) AS g(i)) / (a.nrm * b.nrm), 4)
+           AS cos_r
+FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+WHERE (SELECT SUM(CAST(a.embedding[g.i] AS DOUBLE)
+                   * CAST(b.embedding[g.i] AS DOUBLE))
+       FROM generate_series(1, 64) AS g(i)) / (a.nrm * b.nrm) >= 0.99
+"""
+
+
 QUERIES = {
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "embedding_stats": embedding_stats,
@@ -275,6 +339,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     # ann_lsh_bucketed: rows-only (bucketed physical plan, recall tested)
     "embedding_stats": EMBEDDING_STATS_SQL,
