@@ -186,6 +186,62 @@ def test_observe_and_listener_metrics(spark, tmp_path):
     assert total == len(assemble_transactions_py(records))
 
 
+def test_idempotent_sink_under_replay(spark, tmp_path):
+    """W1 analog: replaying the same batch (foreachBatch failure retry)
+    must not duplicate rows in the target."""
+    from openlogreplicator_spark.streaming.sinks import idempotent_append
+
+    target = str(tmp_path / "sink")
+    batch1 = spark.createDataFrame(
+        [(100, "a", 0, "c"), (100, "a", 1, "u")],
+        "commit_scn long, xid string, num long, op string",
+    )
+    assert idempotent_append(batch1, target) == 2
+    # full replay: nothing new
+    assert idempotent_append(batch1, target) == 0
+    # partial overlap: only the new row lands
+    batch2 = spark.createDataFrame(
+        [(100, "a", 1, "u"), (101, "b", 0, "d")],
+        "commit_scn long, xid string, num long, op string",
+    )
+    assert idempotent_append(batch2, target) == 1
+    assert spark.read.parquet(target).count() == 3
+
+
+def test_tws_assembly_when_available(spark, tmp_path):
+    """transformWithStateInPandas variant — runs only where the
+    google.protobuf package (its state protocol) exists."""
+    import pytest
+
+    from openlogreplicator_spark.streaming.assembly_tws import (
+        streaming_assemble_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed — TWS state protocol unavailable")
+
+    records = generate_redo_records(n_txns=8, seed=21)
+    indir = tmp_path / "tws_in"
+    indir.mkdir()
+    _write_jsonl(str(indir / "all.json"), records)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = (
+        streaming_assemble_tws(read_redo_json_stream(spark, str(indir)))
+        .writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n FROM tws_out").collect()[0].n
+    assert got == len(assemble_transactions_py(records))
+
+
 def test_kafka_frame_shape(spark):
     """W2 wiring: (key, value) binary columns, key = tag JSON (B5)."""
     df = spark.createDataFrame(
