@@ -72,6 +72,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release persisted frames (dedup pipelines cache intermediates)
+        # so later queries aren't taxed by accumulated executor memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
