@@ -56,6 +56,35 @@ def assemble_lobs(chunks: DataFrame) -> DataFrame:
     )
 
 
+def reassemble_ddl(ddl_chunks: DataFrame) -> DataFrame:
+    """P15 DDL text reassembly (OpCode1801.h:28-103): a DDL statement
+    arrives chunked across redo records as (xid, seq, cnt, text_part);
+    concatenate in seq order per xid — same ordered-concat shape as LOB
+    assembly, one shuffle on xid. Emits op='ddl' rows with the full
+    statement and a completeness flag (got all `cnt` chunks)."""
+    return (
+        ddl_chunks.groupBy("xid")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq", "text_part")),
+                        lambda l, r: F.when(l.seq < r.seq, -1)
+                        .when(l.seq > r.seq, 1)
+                        .otherwise(0),
+                    ),
+                    lambda s: s.text_part,
+                ),
+            ).alias("ddl_text"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("cnt").alias("expected_chunks"),
+        )
+        .withColumn("complete", F.col("n_chunks") == F.col("expected_chunks"))
+        .withColumn("op", F.lit("ddl"))
+    )
+
+
 def attach_lobs(events: DataFrame, lobs: DataFrame, cols_field: str = "cols") -> DataFrame:
     """Replace 'LOB:<id>' placeholders inside the event's column map with
     assembled values. One equi join on the extracted lob_id (null for
