@@ -23,6 +23,14 @@ def test_minhash_finds_mutated_near_dups(spark, sf_dir):
     # most candidate pairs should be (original, its mutated copy)
     mirrored = sum(1 for a, b in pairs if b - a == 1_000_000)
     assert mirrored / len(pairs) > 0.5
+    # precision guard: correlated seed hashes (e.g. the double-hashing
+    # a + i*b scheme) inflate the estimator and flood the output with
+    # false candidates — total pairs must stay near the true near-dup set
+    n_docs = 500 if "0.01" in sf_dir or "0.001" in sf_dir else 5000
+    assert len(pairs) < 3 * n_docs, (
+        f"{len(pairs)} candidate pairs for {n_docs} docs — "
+        "minhash seeds are probably not independent"
+    )
 
 
 def test_ngram_jaccard_pairs_are_high_similarity(spark, sf_dir):
