@@ -65,7 +65,7 @@ WITH lagged AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_idx
     FROM flagged
 )
-SELECT user_id, session_idx, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
        MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts
 FROM sessions GROUP BY user_id, session_idx

@@ -2,14 +2,21 @@
 
 Each query is a (spark, sf_dir) -> DataFrame callable registered in
 ``QUERIES``; the matching DuckDB oracle SQL lives in ``ORACLE``. Numeric
-discipline for oracle-hash stability:
+discipline for oracle-hash stability (the driver hashes ``str(v)`` over
+pandas-converted results — Spark ``toPandas()`` vs DuckDB ``.df()`` — so
+every numeric output column must land in pandas as the same int64/float64
+on both engines; DuckDB converts EVERY decimal to float64 while Spark
+keeps ``Decimal`` objects, so decimal-typed *outputs* are forbidden):
 
-- money sums: per-row expression computed in double (bit-identical across
-  engines), cast to DECIMAL(18,4), summed exactly (order-independent) —
-  never a raw double sum, whose value depends on reduction order;
+- per-row money: emit the raw parquet double (or a per-row double
+  expression — same bits in both engines); never a decimal cast;
+- money sums: summed in exact decimal (order-independent), then CAST AS
+  DOUBLE as the final output on both sides — the exact-decimal → nearest-
+  double conversion is deterministic IEEE, so the float64 bits agree;
 - averages / irrational values: double + round(…, 4..6), far from the
   data's decimal granularity so engine rounding modes can't disagree;
-- counts: BIGINT both sides; time buckets rendered as strings (UTC).
+- counts: BIGINT both sides — DuckDB SUM(int) yields HUGEINT (→ float64
+  in pandas), so integer sums are CAST AS BIGINT in the oracle SQL.
 
 Scale notes are inline per query: what shuffles, what broadcasts, and what
 the 100-TB plan is.
@@ -37,10 +44,20 @@ def _money(name: str):
 
 
 def _revenue():
-    # exact decimal product, scale 4 — matches SUM(CAST(a AS DEC)*(1-CAST(d AS DEC)))
-    return F.sum(_money("l_extendedprice") * (1 - _money("l_discount"))).alias(
-        "revenue"
+    # exact decimal product summed exactly, emitted as double —
+    # matches CAST(SUM(CAST(a AS DEC)*(1-CAST(d AS DEC))) AS DOUBLE)
+    return (
+        F.sum(_money("l_extendedprice") * (1 - _money("l_discount")))
+        .cast("double")
+        .alias("revenue")
     )
+
+
+# DuckDB-side rendering of _revenue()
+REVENUE_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -59,10 +76,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_money("l_quantity")).alias("sum_qty"),
-            F.sum(_money("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
+            F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -73,12 +90,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
            AS sum_disc_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS sum_charge,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 4)       AS avg_qty,
        ROUND(AVG(l_extendedprice), 4)  AS avg_price,
        ROUND(AVG(l_discount), 6)       AS avg_disc,
@@ -120,7 +137,7 @@ Q3_SQL = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -165,7 +182,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -204,7 +221,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -235,7 +252,9 @@ def proj_filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.upper("p_name").alias("name_upper"),
             "p_brand",
-            _dec(F.col("p_retailprice") * F.col("p_size"), 2).alias("inventory_value"),
+            # per-row double product: same input bits + same multiply in both
+            # engines → bit-identical float64, no decimal cast needed
+            (F.col("p_retailprice") * F.col("p_size")).alias("inventory_value"),
         )
     )
 
@@ -244,7 +263,7 @@ PROJ_FILTER_SQL = """
 SELECT p_partkey,
        UPPER(p_name) AS name_upper,
        p_brand,
-       CAST(p_retailprice * p_size AS DECIMAL(18,2)) AS inventory_value
+       p_retailprice * p_size AS inventory_value
 FROM part
 WHERE regexp_matches(p_type, '^(ECO|SMA)') AND p_size >= 10
 """
@@ -267,14 +286,14 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec(F.col("o_totalprice"), 2)).alias("total_value"),
+            F.sum(_dec(F.col("o_totalprice"), 2)).cast("double").alias("total_value"),
         )
     )
 
 
 JOIN_BROADCAST_SQL = """
 SELECT n_name, COUNT(*) AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_value
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -300,7 +319,7 @@ def join_shuffle_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JOIN_SHUFFLE_SQL = """
 SELECT o_orderstatus, COUNT(*) AS n_lines,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """
@@ -314,11 +333,11 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     return orders.join(
         heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi"
-    ).select("o_orderkey", "o_orderstatus", _dec(F.col("o_totalprice"), 2).alias("o_total"))
+    ).select("o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("o_total"))
 
 
 JOIN_SEMI_SQL = """
-SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS o_total
+SELECT o_orderkey, o_orderstatus, o_totalprice AS o_total
 FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_quantity > 45)
@@ -466,7 +485,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.sum(_dec(F.col("l_quantity"), 2)).alias("sum_qty"),
+        F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("sum_qty"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
@@ -477,7 +496,7 @@ AGG_STATS_SQL = """
 SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT l_partkey) AS n_parts,
        COUNT(DISTINCT l_orderkey) AS n_orders,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        ROUND(AVG(l_discount), 6) AS avg_disc,
        strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
        strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
@@ -491,13 +510,13 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec(F.col("l_quantity"), 2)).alias("sum_qty"),
+        F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("sum_qty"),
     )
 
 
 AGG_ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -506,13 +525,13 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec(F.col("o_totalprice"), 2)).alias("total"),
+        F.sum(_dec(F.col("o_totalprice"), 2)).cast("double").alias("total"),
     )
 
 
 AGG_CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -538,15 +557,37 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). Sketches differ across
-    engines, so there is no DuckDB oracle — the unit test bounds the
-    relative error against the exact count instead. At 100 TB this is
-    the only viable distinct-count: fixed-size sketch, one shuffle of
-    sketches, no giant hash table."""
+    engines, so the oracle-checkable surface is the *accuracy contract*:
+    emit the exact distinct count plus a boolean asserting the sketch is
+    within 2% of it; the oracle returns the exact count and literal TRUE.
+    At 100 TB the sketch is the only viable distinct-count: fixed-size
+    state, one shuffle of sketches, no giant hash table."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("approx_users") - F.col("n_exact"))
+                / F.col("n_exact")
+                <= F.lit(0.02)
+            ).alias("within_2pct"),
+        )
     )
+
+
+AGG_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS within_2pct
+FROM events
+GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -658,13 +699,13 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            _dec(F.col("o_totalprice"), 2).alias("o_total"),
+            F.col("o_totalprice").alias("o_total"),
         )
     )
 
 
 TOPK_SQL = """
-SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_total
+SELECT o_orderkey, o_custkey, o_totalprice AS o_total
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
@@ -967,7 +1008,7 @@ ORACLE = {
     "agg_rollup": AGG_ROLLUP_SQL,
     "agg_cube": AGG_CUBE_SQL,
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
-    # agg_approx_distinct: sketch differs across engines — rows-only check.
+    "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,
     "window_rank_topn": WINDOW_RANK_SQL,
     "window_lag_lead": WINDOW_LAG_SQL,
     "window_running_sum": WINDOW_RUNNING_SQL,

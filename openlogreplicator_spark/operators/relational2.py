@@ -20,7 +20,7 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, COUNT(*) AS n,
-               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         FROM _o2
         WHERE o_custkey IN (SELECT c_custkey FROM _c2 WHERE c_acctbal > 5000)
         GROUP BY o_orderstatus
@@ -30,7 +30,7 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBQUERY_IN_SQL = """
 SELECT o_orderstatus, COUNT(*) AS n,
-       SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 GROUP BY o_orderstatus
@@ -73,7 +73,7 @@ def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, COUNT(*) AS n_above,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_above
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_above
         FROM _l4
         WHERE l_quantity > (SELECT AVG(l_quantity) FROM _l4)
         GROUP BY l_returnflag
@@ -83,7 +83,7 @@ def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBQUERY_SCALAR_SQL = """
 SELECT l_returnflag, COUNT(*) AS n_above,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_above
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_above
 FROM lineitem
 WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
 GROUP BY l_returnflag
@@ -102,13 +102,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity") < 0.5 * F.col("part_avg_qty")
     ).agg(
         F.count(F.lit(1)).alias("n_small"),
-        F.sum(_money("l_extendedprice")).alias("small_revenue"),
+        F.sum(_money("l_extendedprice")).cast("double").alias("small_revenue"),
     )
 
 
 Q17_SQL = """
 SELECT COUNT(*) AS n_small,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS small_revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
 FROM (
     SELECT l_quantity, l_extendedprice,
            AVG(l_quantity) OVER (PARTITION BY l_partkey) AS part_avg_qty
@@ -124,7 +124,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_money("l_quantity")).alias("total_qty"))
+        .agg(F.sum(_money("l_quantity")).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -142,7 +142,8 @@ Q18_SQL = """
 SELECT o_orderkey, o_custkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_date, total_qty
 FROM (
-    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
 )
 JOIN orders ON o_orderkey = l_orderkey

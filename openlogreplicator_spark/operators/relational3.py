@@ -66,9 +66,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.sum(_money("l_extendedprice") * (1 - _money("l_discount"))).alias(
-                "volume"
-            )
+            F.sum(_money("l_extendedprice") * (1 - _money("l_discount")))
+            .cast("double")
+            .alias("volume")
         )
         .filter(F.col("l_year").isin(1997, 1998))
     )
@@ -77,8 +77,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        EXTRACT(year FROM l_shipdate)::INT AS l_year,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS volume
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -113,10 +113,10 @@ def q12_late_lines_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -190,16 +190,16 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.filter(cond).agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(_money("l_extendedprice") * (1 - _money("l_discount"))).alias(
-            "revenue"
-        ),
+        F.sum(_money("l_extendedprice") * (1 - _money("l_discount")))
+        .cast("double")
+        .alias("revenue"),
     )
 
 
 Q19_SQL = """
 SELECT COUNT(*) AS n_lines,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 5 AND 25)
@@ -227,13 +227,13 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return no_urgent.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_custs"),
-        F.sum(_money("c_acctbal")).alias("total_bal"),
+        F.sum(_money("c_acctbal")).cast("double").alias("total_bal"),
     )
 
 
 Q22_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_custs,
-       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
 FROM customer
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders

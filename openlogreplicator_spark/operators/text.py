@@ -186,8 +186,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_TOKEN_COUNT_SQL = f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS total_re_tokens,
-       SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT)
+           AS total_re_tokens,
+       CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+           AS total_ws_tokens,
        ROUND(AVG(len(regexp_extract_all(text, '{_TOKEN_RE}'))), 6)
            AS avg_re_tokens,
        ROUND(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}')))

@@ -28,7 +28,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -44,7 +44,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_TUMBLING_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n,
-       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """
