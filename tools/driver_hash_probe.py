@@ -62,7 +62,8 @@ def main():
     queries = entry.queries()
     oracles = entry.oracle_sql()
 
-    names = list(queries.keys())[:50]
+    limit = int(os.environ.get("PROBE_LIMIT", "50"))
+    names = list(queries.keys())[:limit]
 
     con = duckdb.connect()
     for t in TABLES:
