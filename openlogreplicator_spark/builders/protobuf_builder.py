@@ -2,26 +2,28 @@
 
 The environment has no protobuf runtime or spark-protobuf jar, so this
 implements the protobuf *wire format* directly (varint/length-delimited
-encoding is ~40 lines) for a message shaped like the reference's
-``OraProtoBuf.proto``:
+encoding is ~40 lines), matching the reference's ``proto/OraProtoBuf.proto``
+field numbers and types exactly so consumers of the reference protocol
+(e.g. the Debezium connector that embeds this proto) can decode it:
 
-    message RedoResponse/Payload (subset, field numbers below):
-      uint64 scn = 1;          // varint
-      uint64 tm  = 2;          // varint (unix micros)
-      string xid = 3;          // length-delimited
-      string db  = 4;
-      repeated Op payload = 5; // nested message
-    message Op:
-      string op    = 1;        // c|u|d|begin|commit|ddl
-      string owner = 2;
-      string table = 3;
-      uint64 obj   = 4;
-      string rid   = 5;
-      repeated Col before = 6;
-      repeated Col after  = 7;
-    message Col:
-      string name  = 1;
-      string value = 2;
+    message RedoResponse:                      // OraProtoBuf.proto:143
+      ResponseCode code = 1;   // varint enum (0 = READY, default: absent)
+      uint64 scn  = 2;         // varint (oneof scn_val)
+      uint64 tm   = 4;         // varint, unix micros (oneof tm_val)
+      string xid  = 6;         // length-delimited (oneof xid_val)
+      string db   = 8;
+      repeated Payload payload = 9;
+      uint64 c_scn = 10;  uint64 c_idx = 11;
+    message Payload:                           // OraProtoBuf.proto:109
+      Op op = 1;               // enum BEGIN 0 COMMIT 1 INSERT 2
+                               //      UPDATE 3 DELETE 4 DDL 5 CHKPT 6
+      Schema schema = 2;       // {owner=1, name=2, obj=3}
+      string rid = 3;
+      repeated Value before = 4;
+      repeated Value after  = 5;
+      string ddl = 6;  uint64 num = 10;
+    message Value:                             // OraProtoBuf.proto:82
+      string name = 1;  string value_string = 5;  // oneof datum
 
 Encoding runs in an Arrow-batched pandas UDF (binary out); the decoder in
 tests is an independent hand-written wire-format parser, so the golden
@@ -68,30 +70,66 @@ def _s(field: int, value: str | None) -> bytes:
     return _ld(field, value.encode("utf-8"))
 
 
-def encode_col(name: str, value: str | None) -> bytes:
-    return _s(1, name) + (_s(2, value) if value is not None else b"")
+# Op enum values, OraProtoBuf.proto:28-36
+OP_ENUM = {"begin": 0, "commit": 1, "c": 2, "u": 3, "d": 4, "ddl": 5,
+           "chkpt": 6}
 
 
-def encode_op(op: dict[str, Any]) -> bytes:
-    out = _s(1, op.get("op"))
-    out += _s(2, op.get("owner"))
-    out += _s(3, op.get("table"))
+def encode_value(name: str, value: str | None) -> bytes:
+    """pb::Value — name=1, value_string=5 (null column: datum omitted,
+    matching the reference's columnNull which sets only the name)."""
+    return _s(1, name) + (_s(5, value) if value is not None else b"")
+
+
+def encode_schema(op: dict[str, Any]) -> bytes:
+    """pb::Schema — owner=1, name=2, obj=3."""
+    out = _s(1, op.get("owner"))
+    out += _s(2, op.get("table"))
     if op.get("obj") is not None:
-        out += _vi(4, int(op["obj"]))
-    out += _s(5, op.get("rid"))
-    for fnum, img in ((6, op.get("before")), (7, op.get("after"))):
-        for k in sorted((img or {})):
-            out += _ld(fnum, encode_col(k, img[k]))
+        out += _vi(3, int(op["obj"]))
+    return out
+
+
+def encode_payload(op: dict[str, Any]) -> bytes:
+    """pb::Payload — op enum=1, schema=2, rid=3, before*=4, after*=5,
+    ddl=6, num=10."""
+    out = b""
+    opcode = OP_ENUM.get(op.get("op") or "", None)
+    if opcode:  # proto3 omits the 0 (BEGIN) default
+        out += _vi(1, opcode)
+    schema = encode_schema(op)
+    if schema:
+        out += _ld(2, schema)
+    out += _s(3, op.get("rid"))
+    for fnum, img in ((4, op.get("before")), (5, op.get("after"))):
+        for k in sorted(img or {}):
+            out += _ld(fnum, encode_value(k, img[k]))
+    if op.get("ddl") is not None:
+        out += _s(6, op["ddl"])
+    if op.get("seq"):
+        out += _vi(7, int(op["seq"]))
+    if op.get("offset"):
+        out += _vi(8, int(op["offset"]))
+    if op.get("num") is not None:
+        out += _vi(10, int(op["num"]))
     return out
 
 
 def encode_event(ev: dict[str, Any]) -> bytes:
-    out = _vi(1, int(ev["scn"])) if ev.get("scn") is not None else b""
+    """pb::RedoResponse with one Payload — scn=2, tm=4, xid=6, db=8,
+    payload=9 (code stays at its proto3 default and is omitted, like the
+    reference's data messages where only WriterStream control replies set
+    it)."""
+    out = _vi(2, int(ev["scn"])) if ev.get("scn") is not None else b""
     if ev.get("tm_micros") is not None:
-        out += _vi(2, int(ev["tm_micros"]))
-    out += _s(3, ev.get("xid"))
-    out += _s(4, ev.get("db"))
-    out += _ld(5, encode_op(ev))
+        out += _vi(4, int(ev["tm_micros"]))
+    out += _s(6, ev.get("xid"))
+    out += _s(8, ev.get("db"))
+    out += _ld(9, encode_payload(ev))
+    if ev.get("c_scn"):
+        out += _vi(10, int(ev["c_scn"]))
+    if ev.get("c_idx"):
+        out += _vi(11, int(ev["c_idx"]))
     return out
 
 
@@ -101,7 +139,10 @@ def build_protobuf_events(events: DataFrame) -> DataFrame:
         F.col("xid").alias("key"),
         F.struct(
             "scn",
+            "c_scn",
+            "c_idx",
             F.unix_micros(F.col("tm").cast("timestamp")).alias("tm_micros"),
+            "seq",
             "xid",
             "db",
             "op",
@@ -111,6 +152,8 @@ def build_protobuf_events(events: DataFrame) -> DataFrame:
             "rid",
             "before",
             "after",
+            "num",
+            "offset",
         ).alias("ev"),
     )
 
@@ -128,7 +171,8 @@ def build_protobuf_events(events: DataFrame) -> DataFrame:
                     d[img] = None
                 elif not isinstance(v, dict):
                     d[img] = dict(v)
-            for f in ("scn", "tm_micros", "obj"):
+            for f in ("scn", "c_scn", "c_idx", "tm_micros", "seq", "obj",
+                      "num", "offset"):
                 if d.get(f) is not None and pd.isna(d[f]):
                     d[f] = None
             out.append(encode_event(d))

@@ -87,25 +87,75 @@ def reassemble_ddl(ddl_chunks: DataFrame) -> DataFrame:
 
 def attach_lobs(events: DataFrame, lobs: DataFrame, cols_field: str = "cols") -> DataFrame:
     """Replace 'LOB:<id>' placeholders inside the event's column map with
-    assembled values. One equi join on the extracted lob_id (null for
-    events without LOB references — those skip the join via left join)."""
-    ref = F.map_filter(
-        F.col(cols_field), lambda k, v: v.startswith("LOB:")
+    assembled values — each placeholder matched to ITS OWN lob_id (a row
+    may reference several LOB columns, e.g. a CLOB and a BLOB in one
+    update; the reference attaches per LobId via the page map,
+    Transaction.cpp:286-417).
+
+    Scale shape: rows without LOB references bypass everything (a
+    map_filter predicate, no shuffle). Referencing rows explode their
+    distinct lob_ids (almost always 1-2), equi-join on lob_id, and fold
+    back into a per-row patch map — join + regroup, both on narrow keys.
+    Unresolved references keep their placeholder (orphan policy) so a
+    later batch can attach them."""
+    orig_cols = events.columns
+    ref_ids = F.array_distinct(
+        F.transform(
+            F.map_values(
+                F.map_filter(F.col(cols_field), lambda k, v: v.startswith("LOB:"))
+            ),
+            lambda v: v.substr(F.lit(5), F.lit(1 << 10)),
+        )
     )
-    with_ref = events.withColumn(
-        "_lob_id",
-        F.try_element_at(F.map_values(ref), F.lit(1)).substr(F.lit(5), F.lit(1 << 10)),
+    tagged = events.withColumn("_ref_ids", ref_ids)
+    plain = tagged.filter(F.size("_ref_ids") == 0).drop("_ref_ids")
+    # _row_id is generated once, and every downstream node (explode →
+    # join → group) is a single lineage pass — no self-join, so the
+    # nondeterministic id cannot diverge between branches.
+    refs = tagged.filter(F.size("_ref_ids") > 0).withColumn(
+        "_row_id", F.monotonically_increasing_id()
     )
-    joined = with_ref.join(
-        lobs.select(F.col("lob_id").alias("_lob_id"), F.col("value").alias("_lob_value")),
+    exploded = refs.select("*", F.explode("_ref_ids").alias("_lob_id")).drop(
+        "_ref_ids"
+    )
+    joined = exploded.join(
+        lobs.select(
+            F.col("lob_id").alias("_lob_id"), F.col("value").alias("_lob_value")
+        ),
         on="_lob_id",
         how="left",
+    )
+    # collect_list skips nulls, so unresolved ids simply don't enter the
+    # patch map and their placeholders survive.
+    regrouped = joined.groupBy("_row_id").agg(
+        *[F.first(c).alias(c) for c in orig_cols],
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("_lob_value").isNotNull(),
+                    F.struct(
+                        F.col("_lob_id").alias("key"),
+                        F.col("_lob_value").alias("value"),
+                    ),
+                )
+            )
+        ).alias("_patch"),
     )
     patched = F.transform_values(
         F.col(cols_field),
         lambda k, v: F.when(
-            v.startswith("LOB:") & F.col("_lob_value").isNotNull(),
-            F.col("_lob_value"),
+            v.startswith("LOB:"),
+            F.coalesce(
+                F.try_element_at(
+                    F.col("_patch"), v.substr(F.lit(5), F.lit(1 << 10))
+                ),
+                v,
+            ),
         ).otherwise(v),
     )
-    return joined.withColumn(cols_field, patched).drop("_lob_id", "_lob_value")
+    resolved = (
+        regrouped.withColumn(cols_field, patched)
+        .drop("_row_id", "_patch")
+        .select(*orig_cols)
+    )
+    return plain.select(*orig_cols).unionByName(resolved)

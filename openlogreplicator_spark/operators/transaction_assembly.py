@@ -239,11 +239,16 @@ def _assemble_fast_path(
         ["scn", "subscn", "block", "offset"], kind="stable"
     ).reset_index(drop=True)
     commits = df[df["opcode"] == "commit"]
-    if commits["xid"].duplicated().any():
-        return None  # xid reuse — let the state machine arbitrate
+    begins = df[df["opcode"] == "begin"]
+    # xid reuse (a second begin OR commit for the same xid) — let the
+    # state machine arbitrate. Checking only commits is not enough: a
+    # reuse 'begin' arriving after the single commit would overwrite the
+    # emitted begin_scn here, whereas the sequential path snapshots
+    # begin_scn at commit time.
+    if commits["xid"].duplicated().any() or begins["xid"].duplicated().any():
+        return None
     commit_scn = dict(zip(commits["xid"], commits["scn"]))
     commit_pos = dict(zip(commits["xid"], commits.index))
-    begins = df[df["opcode"] == "begin"]
     begin_scn = dict(zip(begins["xid"], begins["scn"]))
 
     dml = df[df["opcode"].isin(("insert", "update", "overwrite", "delete"))].copy()

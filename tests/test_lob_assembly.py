@@ -49,6 +49,28 @@ def test_lob_attach_replaces_placeholder(spark):
     assert out[3] == {"ID": "3"}
 
 
+def test_lob_attach_multiple_lob_columns_per_row(spark):
+    """A row updating two LOB columns must get each placeholder replaced
+    by ITS OWN assembled value (round-1 bug: the first LOB's content was
+    copied into every LOB column of the row)."""
+    events = spark.createDataFrame(
+        [
+            ("t", 1, {"ID": "1", "DOC": "LOB:L1", "IMG": "LOB:L2"}),
+            ("t", 2, {"ID": "2", "DOC": "LOB:L1", "IMG": "LOB:GONE"}),
+            ("t", 3, {"ID": "3", "A": "LOB:L2", "B": "LOB:L2"}),
+        ],
+        "xid string, num int, cols map<string,string>",
+    )
+    chunks = spark.createDataFrame(
+        [("L1", "t", 0, "alpha"), ("L2", "t", 0, "beta")], LOB_CHUNK_SCHEMA
+    )
+    out = {r.num: r.cols for r in
+           attach_lobs(events, assemble_lobs(chunks)).collect()}
+    assert out[1] == {"ID": "1", "DOC": "alpha", "IMG": "beta"}
+    assert out[2] == {"ID": "2", "DOC": "alpha", "IMG": "LOB:GONE"}
+    assert out[3] == {"ID": "3", "A": "beta", "B": "beta"}
+
+
 def test_chained_row_pieces_merge():
     recs = [
         {"scn": 1, "xid": "t", "opcode": "begin"},

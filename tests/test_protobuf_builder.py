@@ -1,6 +1,9 @@
 """Protobuf wire-format golden tests — the decoder is an independent
 parser, so these verify real framing (varint tags, length-delimited
-nesting), mirroring the reference's BuilderProtobuf output model."""
+nesting) against the reference's proto/OraProtoBuf.proto field numbers:
+RedoResponse{scn=2, tm=4, xid=6, db=8, payload=9, c_scn=10, c_idx=11},
+Payload{op enum=1, schema=2, rid=3, before*=4, after*=5, num=10},
+Schema{owner=1, name=2, obj=3}, Value{name=1, value_string=5}."""
 
 from __future__ import annotations
 
@@ -15,51 +18,80 @@ from openlogreplicator_spark.event_model import CHANGE_EVENT_SCHEMA
 
 
 def test_wire_format_golden():
-    # scn=1 → field1 varint: 0x08 0x01 ; xid → field3 len-delim
+    # scn=1 → field2 varint: tag 0x10, value 0x01; tm → field4 varint 0x20
     raw = encode_event(
         {"scn": 1, "tm_micros": 2, "xid": "a.b.c", "db": "D", "op": "c",
          "owner": "U", "table": "T", "obj": 7, "rid": "r",
          "before": None, "after": {"K": "v"}}
     )
-    assert raw.startswith(bytes([0x08, 0x01, 0x10, 0x02]))
-    fields = dict(
-        (f, v) for f, _, v in decode_message(raw)
-    )
-    assert fields[1] == 1 and fields[2] == 2
-    assert fields[3] == b"a.b.c" and fields[4] == b"D"
-    op = dict((f, v) for f, _, v in decode_message(fields[5]))
-    assert op[1] == b"c" and op[2] == b"U" and op[3] == b"T"
-    assert op[4] == 7 and op[5] == b"r"
-    col = dict((f, v) for f, _, v in decode_message(op[7]))
-    assert col[1] == b"K" and col[2] == b"v"
+    assert raw.startswith(bytes([0x10, 0x01, 0x20, 0x02]))
+    fields = dict((f, v) for f, _, v in decode_message(raw))
+    assert fields[2] == 1 and fields[4] == 2
+    assert fields[6] == b"a.b.c" and fields[8] == b"D"
+    payload = dict((f, v) for f, _, v in decode_message(fields[9]))
+    assert payload[1] == 2  # Op.INSERT
+    schema = dict((f, v) for f, _, v in decode_message(payload[2]))
+    assert schema[1] == b"U" and schema[2] == b"T" and schema[3] == 7
+    assert payload[3] == b"r"
+    col = dict((f, v) for f, _, v in decode_message(payload[5]))
+    assert col[1] == b"K" and col[5] == b"v"
 
 
-def test_varint_multibyte():
+def test_op_enum_values():
+    # proto3 Op enum: BEGIN 0 (omitted as default), COMMIT 1, INSERT 2,
+    # UPDATE 3, DELETE 4, DDL 5, CHKPT 6
+    for op, code in (("commit", 1), ("u", 3), ("d", 4), ("ddl", 5),
+                     ("chkpt", 6)):
+        raw = encode_event({"scn": 1, "op": op})
+        payload = dict(
+            (f, v) for f, _, v in
+            decode_message(dict((f, v) for f, _, v in decode_message(raw))[9])
+        )
+        assert payload[1] == code, op
+    raw = encode_event({"scn": 1, "op": "begin"})
+    payload = decode_message(dict((f, v) for f, _, v in decode_message(raw))[9])
+    assert not any(f == 1 for f, _, _ in payload)  # default omitted
+
+
+def test_varint_multibyte_and_repeated_before():
     raw = encode_event(
         {"scn": 300, "tm_micros": None, "xid": None, "db": None, "op": "u",
          "owner": None, "table": None, "obj": None, "rid": None,
          "before": {"A": "1", "B": "2"}, "after": {"A": "9"}}
     )
     fields = decode_message(raw)
-    assert fields[0] == (1, 0, 300)  # 300 needs two varint bytes
-    op_msg = [v for f, _, v in fields if f == 5][0]
-    befores = [v for f, _, v in decode_message(op_msg) if f == 6]
-    assert len(befores) == 2  # repeated field, sorted by column name
+    assert fields[0] == (2, 0, 300)  # 300 needs two varint bytes
+    payload_msg = [v for f, _, v in fields if f == 9][0]
+    befores = [v for f, _, v in decode_message(payload_msg) if f == 4]
+    assert len(befores) == 2  # repeated Value, sorted by column name
+
+
+def test_null_column_value_omits_datum():
+    raw = encode_event({"scn": 1, "op": "c", "after": {"NULLED": None}})
+    payload = dict((f, v) for f, _, v in decode_message(
+        dict((f, v) for f, _, v in decode_message(raw))[9]))
+    val = decode_message(payload[5])
+    assert val == [(1, 2, b"NULLED")]  # name only, no value_string field
 
 
 def test_spark_protobuf_pipeline(spark):
     ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
     rows = [
-        (1002, 1000, 0, ts, 1, "3.7.42", "DB", "c", "USR", "T1", 5001,
-         "rid1", None, {"ID": "1"}, {}, 1, 0),
-        (1003, 1000, 0, ts, 1, "3.7.42", "DB", "u", "USR", "T1", 5001,
-         "rid1", {"ID": "1"}, {"ID": "2"}, {}, 2, 0),
+        (1002, 1000, 3, ts, 9, "3.7.42", "DB", "c", "USR", "T1", 5001,
+         "rid1", None, {"ID": "1"}, {}, 1, 77),
+        (1003, 1000, 3, ts, 9, "3.7.42", "DB", "u", "USR", "T1", 5001,
+         "rid1", {"ID": "1"}, {"ID": "2"}, {}, 2, 78),
     ]
     df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
     out = build_protobuf_events(df).collect()
     assert len(out) == 2
     for r in out:
         fields = dict((f, v) for f, _, v in decode_message(bytes(r.value)))
-        assert fields[3] == b"3.7.42"
-        assert fields[1] in (1002, 1003)
-        assert fields[2] == 1704110400000000
+        assert fields[6] == b"3.7.42"
+        assert fields[2] in (1002, 1003)
+        assert fields[4] == 1704110400000000  # tm micros
+        assert fields[10] == 1000 and fields[11] == 3  # c_scn / c_idx
+        payload = dict((f, v) for f, _, v in decode_message(fields[9]))
+        assert payload[7] == 9  # seq
+        assert payload[8] in (77, 78)  # offset
+        assert payload[10] in (1, 2)  # num

@@ -69,6 +69,29 @@ def test_fast_path_matches_state_machine(spark):
     assert len(got) == 200
 
 
+def test_fast_path_falls_back_on_begin_reuse(spark):
+    """xid reuse with a SECOND begin after the single commit: the fast
+    path's last-wins begin_scn map would report the reuse begin's SCN,
+    while the state machine snapshots begin_scn at commit. The duplicate
+    begin must force the fallback so both agree (round-2 ADVICE fix)."""
+    records = [
+        {"scn": 1, "xid": "rx", "opcode": "begin"},
+        {"scn": 2, "xid": "rx", "opcode": "insert", "obj": 1, "bdba": 1,
+         "slot": 0, "cols": {"k": "v"}},
+        {"scn": 3, "xid": "rx", "opcode": "commit"},
+        # uncommitted reuse of the same xid
+        {"scn": 4, "xid": "rx", "opcode": "begin"},
+        {"scn": 5, "xid": "rx", "opcode": "insert", "obj": 1, "bdba": 1,
+         "slot": 1, "cols": {"k": "w"}},
+    ]
+    expected = assemble_transactions_py(records)
+    got = [r.asDict() for r in
+           assemble_transactions(redo_records_df(spark, records)).collect()]
+    assert _norm(got) == _norm(expected)
+    assert len(got) == 1
+    assert got[0]["begin_scn"] == 1  # not the reuse begin's scn=4
+
+
 def test_partial_rollback_lifo():
     base = [
         {"scn": 1, "xid": "t", "opcode": "begin"},
