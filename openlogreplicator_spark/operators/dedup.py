@@ -118,13 +118,33 @@ HAVING COUNT(*) > 1
 """
 
 
+# Stop-shingle cap: a shingle appearing in more than this many documents
+# is boilerplate and is excluded from the Jaccard space BEFORE candidate
+# generation. Without it one hot shingle (a common trigram) makes the
+# self-join quadratic in its posting-list length — the round-1 scale
+# killer. With it, per-shingle join fan-out is bounded by CAP², and
+# near-dup pairs (which share rare, content-specific shingles) are
+# unaffected. The oracle SQL applies the identical filter.
+_SHINGLE_DF_CAP = 100
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise Jaccard over 3-word shingles for candidate pairs
-    that share ≥1 shingle; emit near-dup pairs (J ≥ 0.6). The shingle
-    equi-join is the candidate generator — no cross join anywhere."""
+    that share ≥1 (non-boilerplate) shingle; emit near-dup pairs
+    (J ≥ 0.6). The shingle equi-join is the candidate generator — no
+    cross join anywhere; the document-frequency cap bounds its fan-out."""
     corpus = _docs_with_mutated_copies(spark, sf_dir)
-    # persisted: referenced three times (self-join sides + size counts)
-    sh = shingles(corpus).distinct().persist()
+    sh_all = shingles(corpus).distinct()
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    # left-anti against the (tiny) hot set — AQE turns this into a
+    # broadcast anti join at scale. persisted: referenced three times
+    # (self-join sides + size counts).
+    sh = sh_all.join(hot, "shingle", "left_anti").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -156,7 +176,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_NGRAM_SQL = f"""
 WITH corpus AS ({_DOCS_MUTATED_SQL}),
-shingled AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
+shingled_all AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
+hot AS (SELECT shingle FROM shingled_all
+        GROUP BY shingle HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+shingled AS (SELECT * FROM shingled_all
+             WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter

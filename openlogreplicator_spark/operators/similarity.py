@@ -117,14 +117,14 @@ _N_PLANES = 4   # sign bits per table
 _DIM = 64
 
 
-def _lsh_sign_matrix() -> "object":
+def _lsh_sign_matrix(n_tables: int = _N_TABLES, n_planes: int = _N_PLANES):
     """Deterministic ±1 hyperplane matrix (tables*planes × dim) seeded
     from md5 — reproducible without a stored model."""
     import hashlib
 
     import numpy as np
 
-    rows = _N_TABLES * _N_PLANES
+    rows = n_tables * n_planes
     m = np.empty((rows, _DIM), dtype=np.float64)
     for r in range(rows):
         h = hashlib.md5(f"olr-lsh:{r}".encode()).digest()
@@ -133,25 +133,29 @@ def _lsh_sign_matrix() -> "object":
     return m
 
 
-def lsh_bucket(emb: DataFrame) -> DataFrame:
+def lsh_bucket(
+    emb: DataFrame, n_tables: int = _N_TABLES, n_planes: int = _N_PLANES
+) -> DataFrame:
     """(…, table, bucket) — one row per LSH table. Buckets are computed in
     a vectorized pandas UDF: one Arrow batch → one (n×dim)·(dim×planes)
     matmul for the whole batch; signs pack into per-table bucket ints.
     At 100 TB this is a single map stage; the (table, bucket) pair then
-    becomes the shuffle key for candidate generation."""
+    becomes the shuffle key for candidate generation. ``n_planes`` sets
+    the bucket count (2^planes per table) and must grow with log(N) so
+    bucket occupancy — and the per-bucket pair count — stays bounded."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     @pandas_udf("array<int>")
     def buckets(col: "pd.Series") -> "pd.Series":
         import numpy as np
 
-        m = _lsh_sign_matrix()
+        m = _lsh_sign_matrix(n_tables, n_planes)
         vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
         proj = vecs @ m.T > 0  # (n, tables*planes) sign bits
         out = []
-        weights = (1 << np.arange(_N_PLANES)).astype(np.int64)
-        for t in range(_N_TABLES):
-            bits = proj[:, t * _N_PLANES:(t + 1) * _N_PLANES]
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for t in range(n_tables):
+            bits = proj[:, t * n_planes:(t + 1) * n_planes]
             out.append(bits @ weights)
         packed = np.stack(out, axis=1)
         return pd.Series(list(packed.astype("int32")))
@@ -267,58 +271,56 @@ FROM norms
 """
 
 
+# Dedup LSH sizing: 2^16 buckets per table keeps expected bucket
+# occupancy (and thus per-bucket pair counts) tiny even at 100-TB vector
+# counts; 8 independent tables give ~99.5% recall at cos 0.99 and 100%
+# recall on exact/scaled duplicates (sign projections are scale-
+# invariant, so v and 2v always share every bucket).
+_DEDUP_TABLES = 8
+_DEDUP_PLANES = 16
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: the corpus is doubled with
     scaled copies (cos(v, 2v) = 1), then pairs with cosine ≥ 0.99 are
-    flagged. At test scale the candidate set is the broadcast cross join;
-    the 100-TB path swaps in the LSH-bucketed candidate generator
-    (ann_lsh_topk) — thresholding logic is identical."""
+    flagged.
+
+    Candidate generation is the LSH bucket join — NO driver-side collect
+    and NO all-pairs cross join anywhere (the round-1 version collected
+    the corpus with toPandas and broadcast a full matrix; fine at test
+    scale, dead at 100 TB). Shape: one map stage to bucket, one shuffle
+    on (table, bucket) for the self-join, exact JVM-side cosine only on
+    bucket-mates, dedup across tables. Every stage is partition-parallel
+    and bounded by bucket occupancy, which _DEDUP_PLANES keeps O(1)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
     )
-    corpus = emb.unionByName(copies).repartition(32, "vec_id")
+    corpus = emb.unionByName(copies)
 
-    # Block matmul instead of a materialized cross join: the (small)
-    # normalized corpus matrix broadcasts into every task; each partition
-    # scores its rows against it in ONE numpy matmul and emits only pairs
-    # over threshold. 8M pair rows never exist as Spark rows — at 100 TB
-    # the broadcast side becomes the IVF/LSH-bucketed centroid set, same
-    # shape. (Per-pair JVM lambdas measured 9s at sf0.1; this is <1s.)
-    import numpy as np
-
-    ref = corpus.toPandas()  # corpus is bounded (embeddings table, small)
-    ids = ref["vec_id"].to_numpy()
-    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in ref["embedding"]])
-    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_unit = spark.sparkContext.broadcast(unit)
-
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids_a = pdf["vec_id"].to_numpy()
-            a = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            cos = a @ b_unit.value.T
-            ia, ib = np.nonzero(cos >= 0.99)
-            id_a = ids_a[ia]
-            id_b = b_ids.value[ib]
-            keep = id_a < id_b
-            yield pd.DataFrame(
-                {
-                    "id_a": id_a[keep],
-                    "id_b": id_b[keep],
-                    "cos_r": np.round(cos[ia, ib][keep], 4),
-                }
-            )
-
-    return corpus.mapInPandas(
-        score, schema="id_a long, id_b long, cos_r double"
+    bucketed = lsh_bucket(corpus, _DEDUP_TABLES, _DEDUP_PLANES)
+    a = bucketed.select(
+        "table", "bucket",
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+    )
+    b = bucketed.select(
+        "table", "bucket",
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+    )
+    candidates = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = (
+        _dot(F.col("emb_a"), F.col("emb_b"))
+        / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    )
+    return (
+        candidates.withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.99)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
     )
 
 

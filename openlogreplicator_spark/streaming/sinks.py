@@ -7,10 +7,16 @@ equivalent here is an idempotent append keyed by the event identity
 (scn, idx): re-delivered batches drop rows whose keys already landed.
 Used inside foreachBatch, where Spark may re-run a batch after failure.
 
-Scale note: the existing-keys read prunes to the key columns only
-(column pruning reaches the parquet footer) and the anti join broadcasts
-the incoming batch's keys when small — the target table is never fully
-rewritten, only appended.
+Scale note: the existing-keys read prunes three ways — (1) to the key
+columns only (column pruning reaches the parquet footer), (2) to the
+incoming batch's commit-SCN range: keys are monotone in SCN, so a
+replayed batch can only collide with rows at-or-after its own minimum
+SCN, and every older file is skipped via parquet min/max stats (each
+appended file covers the narrow SCN range of its epoch). Without (2) the
+anti join re-read the ENTIRE target history every epoch — unbounded
+growth; with it the scan is one epoch-sized tail regardless of table
+age. (3) the anti join broadcasts the incoming batch's keys when small.
+The target table is never rewritten, only appended.
 """
 
 from __future__ import annotations
@@ -25,17 +31,26 @@ def idempotent_append(
     batch: DataFrame, path: str, keys: tuple[str, ...] = ("commit_scn", "xid", "num")
 ) -> int:
     """Append only rows whose key tuple is not already in the target.
-    Returns the number of rows actually written."""
+    Returns the number of rows actually written. ``keys[0]`` must be the
+    monotone SCN column — it drives the watermark pruning predicate."""
     spark = batch.sparkSession
+    batch = batch.persist()
+    scn_col = keys[0]
+    lo = batch.agg(F.min(scn_col).alias("lo")).collect()[0]["lo"]
     to_write = batch
-    if os.path.exists(path):
-        existing = spark.read.parquet(path).select(*keys)
+    if os.path.exists(path) and lo is not None:
+        existing = (
+            spark.read.parquet(path)
+            # SCN watermark: only files overlapping [lo, ∞) are read —
+            # parquet min/max stats skip the rest of the history.
+            .filter(F.col(scn_col) >= F.lit(lo))
+            .select(*keys)
+        )
         to_write = batch.join(existing, on=list(keys), how="left_anti")
-    to_write = to_write.persist()
     n = to_write.count()
     if n:
         to_write.write.mode("append").parquet(path)
-    to_write.unpersist()
+    batch.unpersist()
     return n
 
 

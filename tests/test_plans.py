@@ -94,3 +94,44 @@ def test_dedup_exact_partial_aggregates(spark, sf_dir):
 
     plan = _plan(dedup.dedup_exact(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2  # map-side combine on the digest
+
+
+def test_embedding_dedup_is_bucketed_not_cross_join(spark, sf_dir):
+    """Round-1 scale killer: dedup_embedding_cosine collected the corpus
+    to the driver. The replacement must plan as a (table, bucket) equi
+    join — no cartesian/nested-loop pair generation, no driver collect."""
+    from openlogreplicator_spark.operators import similarity
+
+    df = similarity.dedup_embedding_cosine(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join keys on (table, bucket)
+    assert "table" in plan and "bucket" in plan
+
+
+def test_ngram_jaccard_caps_shingle_df(spark, sf_dir):
+    """The hot-shingle anti join must appear before the candidate
+    self-join (document-frequency cap, round-2 fix)."""
+    from openlogreplicator_spark.operators import dedup
+
+    plan = _plan(dedup.dedup_ngram_jaccard(spark, sf_dir))
+    assert "LeftAnti" in plan  # stop-shingle filter is in the plan
+
+
+def test_no_driver_collect_in_operators():
+    """No operator may collect a data-scale frame to the driver. The only
+    sanctioned collects: catalog-scale dictionaries (typed_decode) and
+    scalar aggregates (sinks watermark)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "openlogreplicator_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if "testing" in str(p):
+            continue  # the compare harness mirrors the driver's toPandas
+        for m in re.finditer(r"\.toPandas\(\)", src):
+            offenders.append(f"{p.name}: toPandas")
+    assert offenders == [], offenders
