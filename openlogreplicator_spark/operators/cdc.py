@@ -11,6 +11,8 @@ synthesizing a deterministic redo stream from orders+lineitem.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -207,6 +209,54 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
 """
 
 
+def _binary_redo_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the OLRS1 binary rendering of the redo stream for this
+    scale factor (cached, deterministic — the writer sorts each file by
+    the assembly key, so regeneration is byte-stable)."""
+    import tempfile
+
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "olrs_binary_redo",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        write_binary_redo(_orders_redo_stream(spark, sf_dir), out_dir)
+    return out_dir
+
+
+def cdc_txn_assembly_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL front half, end to end: binary redo blocks →
+    (block validation + checksum) → LWN groups → record split → typed
+    vectors → transaction assembly → ordered committed ops — same oracle
+    as cdc_txn_assembly, but the input is physical OLRS1 bytes, not
+    pre-typed rows (Reader.cpp:109-169 + Parser.cpp:1340-1452 semantics;
+    see sources/binary_redo.py). One parse task per redo file; assembly
+    shuffles on the xid bucket exactly as in the typed path."""
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions,
+    )
+    from openlogreplicator_spark.sources.binary_redo import parse_redo_files
+
+    redo = parse_redo_files(spark, _binary_redo_dir(spark, sf_dir))
+    assembled = assemble_transactions(redo)
+    return assembled.select(
+        F.col("xid").cast("bigint").alias("order_xid"),
+        "begin_scn",
+        "commit_scn",
+        "num",
+        "op",
+        F.col("obj").alias("partkey"),
+        "scn",
+        F.element_at("cols", F.lit("l_qty")).cast("bigint").alias("qty"),
+    )
+
+
 def cdc_txn_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-transaction envelope (B1 MESSAGE_FORMAT::FULL): one message per
     txn carrying the ordered op list — here fingerprinted with md5 so the
@@ -394,6 +444,7 @@ QUERIES = {
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
     "cdc_txn_assembly": cdc_txn_assembly,
+    "cdc_txn_assembly_binary": cdc_txn_assembly_binary,
     "cdc_txn_envelope": cdc_txn_envelope,
     "cdc_condition_filter": cdc_condition_filter,
     "cdc_unchanged_suppression": cdc_unchanged_suppression,
@@ -406,6 +457,7 @@ ORACLE = {
     "cdc_sessionize": CDC_SESSIONIZE_SQL,
     "cdc_last_image": CDC_LAST_IMAGE_SQL,
     "cdc_txn_assembly": CDC_TXN_ASSEMBLY_SQL,
+    "cdc_txn_assembly_binary": CDC_TXN_ASSEMBLY_SQL,
     "cdc_txn_envelope": CDC_TXN_ENVELOPE_SQL,
     "cdc_condition_filter": CDC_CONDITION_SQL,
     "cdc_unchanged_suppression": CDC_UNCHANGED_SQL,

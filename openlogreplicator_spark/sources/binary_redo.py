@@ -1,0 +1,461 @@
+"""Binary redo-log parse plane: block format → LWN → record → vector.
+
+The reference's entire front half reads physical redo: 512-byte blocks
+with signed headers and XOR-fold checksums (src/reader/Reader.cpp:109-169,
+calcChSum :762-770), LWN (log-writer-number) groups whose header carries
+the group's block span / record count / checkpoint SCN
+(src/parser/Parser.cpp:1340-1381), records packed back-to-back INSIDE the
+LWN payload and split across block boundaries (Parser.cpp:1382-1452), and
+per-record chains of typed change vectors (Parser.cpp:113-312).
+
+This module re-creates that pipeline Spark-first on a documented binary
+fixture format ("OLRS1") that mirrors the reference's *structure* — block
+signatures, per-block checksums, LWN grouping, cross-block record split,
+multi-vector records — without copying Oracle's proprietary byte layout
+(real redo cannot be synthesized here anyway; what's exercised is the
+full parse machinery).
+
+Scale shape: one task per redo file (`spark.read.format("binaryFile")`
+keeps each file whole), the same unit of parallelism as the reference's
+one-reader-per-file thread model but multiplied across the cluster.
+Block validation (signature, block number, checksum) is vectorized with
+numpy over all blocks of a file at once; only the record/vector walk is
+a Python loop, and it feeds straight into the Arrow batch that
+`mapInPandas` returns.
+
+OLRS1 layout (all little-endian, 512-byte blocks):
+
+  block 0 (file header):  magic "OLRSRED1" | u16 version | u16 block_size
+                          | u32 sequence | u64 first_scn
+  block N>0 header (16B): u8 0x01 | u8 0x22 (512B signature, like the
+                          reference's size byte) | u16 checksum (XOR-fold
+                          of the block's u64 words to 16 bits, checksum
+                          field zeroed) | u32 block_number | u32 sequence
+                          | u16 flags (bit0 = LWN start) | u16 reserved
+  LWN header (24B, at payload start of an LWN-start block):
+                          u32 lwn_blocks | u32 n_records | u64 lwn_scn
+                          | u64 lwn_ts_us
+  record header (16B):    u32 record_size (incl. header) | u64 scn
+                          | u16 subscn | u16 n_vectors
+  vector:                 u16 opcode | u32 obj (~0 null) | u32 bdba (~0
+                          null) | u16 slot (0xFFFF null) | u8 fb
+                          | u8 flags (bit0 cols, bit1 rows, bit2
+                          rollback-variant of 5.4) | u16 xid_len | xid
+                          | [u16 n_cols | (u16 klen k u16 vlen v)*]
+                          | [u16 n_rows | (u16 n_cols ...)*]
+
+Records never straddle LWNs; they do straddle blocks (the writer packs
+them continuously through the 496-byte payload areas), so the parser must
+reassemble the LWN payload before the record walk — exactly the
+reference's copy-into-LwnMember step.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
+
+BLOCK_SIZE = 512
+PAYLOAD = BLOCK_SIZE - 16
+MAGIC = b"OLRSRED1"
+SIG0, SIG1 = 0x01, 0x22
+FLAG_LWN_START = 0x0001
+LWN_HEADER = 24
+REC_HEADER = 16
+LWN_MAX_RECORDS = 256
+
+NULL32 = 0xFFFFFFFF
+NULL16 = 0xFFFF
+
+# opcode codes follow the reference's layer.operation numbering
+# (OpCode.h): 5.2 begin, 5.4 commit/rollback (flag-distinguished), 5.6
+# partial rollback, 5.19 session attrs, 11.2/3/5/6 row ops, 11.11/12
+# multi-row, 24.1 DDL.
+OP_TO_CODE = {
+    "begin": 0x0502,
+    "commit": 0x0504,
+    "rollback": 0x0504,  # + flags bit2
+    "prollback": 0x0506,
+    "attr": 0x0513,
+    "insert": 0x0B02,
+    "delete": 0x0B03,
+    "update": 0x0B05,
+    "overwrite": 0x0B06,
+    "qmi": 0x0B0B,
+    "qmd": 0x0B0C,
+    "ddl": 0x1801,
+}
+CODE_TO_OP = {
+    0x0502: "begin",
+    0x0504: "commit",  # flags bit2 → rollback
+    0x0506: "prollback",
+    0x0513: "attr",
+    0x0B02: "insert",
+    0x0B03: "delete",
+    0x0B05: "update",
+    0x0B06: "overwrite",
+    0x0B0B: "qmi",
+    0x0B0C: "qmd",
+    0x1801: "ddl",
+}
+
+
+# --------------------------------------------------------------------------
+# encoding (fixture writer)
+# --------------------------------------------------------------------------
+
+
+def _enc_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack("<H", len(b)) + b
+
+
+def _enc_cols(cols: dict | None) -> bytes:
+    out = struct.pack("<H", len(cols))
+    for k in cols:
+        v = cols[k]
+        out += _enc_str(k)
+        if v is None:
+            out += struct.pack("<H", NULL16)
+        else:
+            out += _enc_str(v)
+    return out
+
+
+def encode_vector(rec: dict) -> bytes:
+    op = rec["opcode"]
+    code = OP_TO_CODE[op]
+    flags = 0
+    if op == "rollback":
+        flags |= 0x04
+    cols = rec.get("cols")
+    rows = rec.get("rows")
+    if cols is not None:
+        flags |= 0x01
+    if rows is not None:
+        flags |= 0x02
+    obj = rec.get("obj")
+    bdba = rec.get("bdba")
+    slot = rec.get("slot")
+    out = struct.pack(
+        "<HIIHBB",
+        code,
+        NULL32 if obj is None else int(obj),
+        NULL32 if bdba is None else int(bdba),
+        NULL16 if slot is None else int(slot),
+        int(rec.get("fb") or 0),
+        flags,
+    )
+    out += _enc_str(rec.get("xid") or "")
+    if cols is not None:
+        out += _enc_cols(cols)
+    if rows is not None:
+        out += struct.pack("<H", len(rows))
+        for r in rows:
+            out += _enc_cols(r)
+    return out
+
+
+def encode_record(rec: dict, extra_vectors: list[dict] | None = None) -> bytes:
+    vectors = [rec] + list(extra_vectors or [])
+    body = b"".join(encode_vector(v) for v in vectors)
+    size = REC_HEADER + len(body)
+    return (
+        struct.pack(
+            "<IQHH", size, int(rec["scn"]), int(rec.get("subscn") or 0),
+            len(vectors)
+        )
+        + body
+    )
+
+
+def _fold_checksum(block: bytearray) -> int:
+    """XOR-fold of the block's u64 words down to 16 bits with the
+    checksum field zeroed — semantics of Reader::calcChSum."""
+    import numpy as np
+
+    w = np.frombuffer(bytes(block), dtype="<u8").copy()
+    w[0] &= ~np.uint64(0xFFFF0000)  # zero the u16 checksum at bytes 2..3
+    x = int(np.bitwise_xor.reduce(w))
+    x ^= x >> 32
+    x ^= x >> 16
+    return x & 0xFFFF
+
+
+def encode_redo_file(records: list[dict], sequence: int) -> bytes:
+    """records (REDO_RECORD_SCHEMA dicts, already in file order) → one
+    OLRS1 file: header block + LWN-grouped data blocks."""
+    first_scn = int(records[0]["scn"]) if records else 0
+
+    # group into LWNs; encode each LWN's record bytes
+    lwns: list[tuple[list[bytes], int, int]] = []  # (recs, lwn_scn, ts)
+    for i in range(0, len(records), LWN_MAX_RECORDS):
+        chunk = records[i: i + LWN_MAX_RECORDS]
+        recs = [encode_record(r) for r in chunk]
+        lwn_scn = max(int(r["scn"]) for r in chunk)
+        lwns.append((recs, lwn_scn, 0))
+
+    # lay LWN payloads into blocks
+    blocks: list[bytearray] = []
+    flags: list[int] = []
+    for recs, lwn_scn, ts in lwns:
+        body = b"".join(recs)
+        total = LWN_HEADER + len(body)
+        n_blocks = (total + PAYLOAD - 1) // PAYLOAD
+        payload = (
+            struct.pack("<IIQQ", n_blocks, len(recs), lwn_scn, ts) + body
+        )
+        for off in range(0, total, PAYLOAD):
+            chunk = payload[off: off + PAYLOAD]
+            blk = bytearray(BLOCK_SIZE)
+            blk[16: 16 + len(chunk)] = chunk
+            blocks.append(blk)
+            flags.append(FLAG_LWN_START if off == 0 else 0)
+
+    out = bytearray()
+    header = bytearray(BLOCK_SIZE)
+    header[:8] = MAGIC
+    struct.pack_into("<HHIQ", header, 8, 1, BLOCK_SIZE, sequence, first_scn)
+    out += header
+    for i, blk in enumerate(blocks):
+        struct.pack_into(
+            "<BBHIIHH", blk, 0, SIG0, SIG1, 0, i + 1, sequence, flags[i], 0
+        )
+        struct.pack_into("<H", blk, 2, _fold_checksum(blk))
+        out += blk
+    return bytes(out)
+
+
+def write_binary_redo(
+    redo: DataFrame, out_dir: str, n_files: int = 16
+) -> None:
+    """Distributed fixture writer: hash-partition by xid (a transaction
+    never straddles files), order records within each file by the
+    assembly sort key, write one OLRS1 file per partition from its
+    executor. No driver-side data collect — only the tiny per-file
+    summary comes back."""
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    ordered = redo.repartition(n_files, "xid").sortWithinPartitions(
+        "scn", "subscn", "block", "offset"
+    )
+
+    def write_partition(batches):
+        import pandas as pd
+
+        records: list[dict] = []
+        for pdf in batches:
+            records.extend(pdf.to_dict("records"))
+        pid = TaskContext.get().partitionId()
+        for r in records:
+            cols = r.get("cols")
+            if cols is not None and not isinstance(cols, dict):
+                r["cols"] = dict(cols)  # MapType arrives as (k,v) pairs
+            rows = r.get("rows")
+            if rows is not None and not isinstance(rows, list):
+                rows = list(rows)
+            if rows is not None:
+                r["rows"] = [
+                    dict(x) if not isinstance(x, dict) else x for x in rows
+                ]
+            for f in ("obj", "bdba", "slot", "fb", "subscn"):
+                v = r.get(f)
+                if v is not None and pd.isna(v):
+                    r[f] = None
+        data = encode_redo_file(records, sequence=pid + 1)
+        path = os.path.join(out_dir, f"redo_{pid + 1:04d}.olrs")
+        with open(path, "wb") as fh:
+            fh.write(data)
+        yield pd.DataFrame(
+            {"file": [path], "n_records": [len(records)],
+             "n_bytes": [len(data)]}
+        )
+
+    summary = ordered.mapInPandas(
+        write_partition, schema="file string, n_records long, n_bytes long"
+    ).collect()
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:
+        fh.write("\n".join(f"{r.file}\t{r.n_records}" for r in summary))
+
+
+# --------------------------------------------------------------------------
+# decoding (the parse plane)
+# --------------------------------------------------------------------------
+
+
+def _dec_str(buf: bytes, pos: int) -> tuple[str, int]:
+    (n,) = struct.unpack_from("<H", buf, pos)
+    pos += 2
+    return buf[pos: pos + n].decode("utf-8"), pos + n
+
+
+def _dec_cols(buf: bytes, pos: int) -> tuple[dict, int]:
+    (n,) = struct.unpack_from("<H", buf, pos)
+    pos += 2
+    out = {}
+    for _ in range(n):
+        k, pos = _dec_str(buf, pos)
+        (vlen,) = struct.unpack_from("<H", buf, pos)
+        if vlen == NULL16:
+            out[k] = None
+            pos += 2
+        else:
+            v, pos = _dec_str(buf, pos)
+            out[k] = v
+    return out, pos
+
+
+def decode_vector(buf: bytes, pos: int) -> tuple[dict, int]:
+    code, obj, bdba, slot, fb, flags = struct.unpack_from("<HIIHBB", buf, pos)
+    pos += 14
+    xid, pos = _dec_str(buf, pos)
+    cols = rows = None
+    if flags & 0x01:
+        cols, pos = _dec_cols(buf, pos)
+    if flags & 0x02:
+        (n_rows,) = struct.unpack_from("<H", buf, pos)
+        pos += 2
+        rows = []
+        for _ in range(n_rows):
+            r, pos = _dec_cols(buf, pos)
+            rows.append(r)
+    op = CODE_TO_OP[code]
+    if code == 0x0504 and flags & 0x04:
+        op = "rollback"
+    return (
+        {
+            "xid": xid,
+            "opcode": op,
+            "obj": None if obj == NULL32 else obj,
+            "bdba": None if bdba == NULL32 else bdba,
+            "slot": None if slot == NULL16 else slot,
+            "fb": fb,
+            "cols": cols,
+            "rows": rows,
+        },
+        pos,
+    )
+
+
+def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:
+    """One OLRS1 file → REDO_RECORD_SCHEMA dicts. Validates the file
+    magic, every block's signature + block number + XOR-fold checksum
+    (all vectorized), then walks LWN groups and splits the packed record
+    stream back out of the payload areas — assigning each record the
+    (block, offset) where it starts, like the reference's LwnMember."""
+    import numpy as np
+
+    if len(data) % BLOCK_SIZE != 0:
+        raise ValueError(f"{path}: size {len(data)} not block-aligned")
+    if data[:8] != MAGIC:
+        raise ValueError(f"{path}: bad magic {data[:8]!r}")
+    version, block_size, sequence, _first_scn = struct.unpack_from(
+        "<HHIQ", data, 8
+    )
+    if version != 1 or block_size != BLOCK_SIZE:
+        raise ValueError(f"{path}: unsupported version/block size")
+
+    n_blocks = len(data) // BLOCK_SIZE
+    if n_blocks < 2:
+        return []
+
+    arr = np.frombuffer(data, dtype="<u1").reshape(n_blocks, BLOCK_SIZE)
+    body = arr[1:]
+    # signature bytes
+    if not ((body[:, 0] == SIG0).all() and (body[:, 1] == SIG1).all()):
+        bad = int(np.argmax((body[:, 0] != SIG0) | (body[:, 1] != SIG1)))
+        raise ValueError(f"{path}: bad block signature at block {bad + 1}")
+    # block numbers + sequence
+    hdr = np.frombuffer(body.tobytes(), dtype="<u4").reshape(n_blocks - 1, 128)
+    blkno = hdr[:, 1]
+    seqno = hdr[:, 2]
+    expect = np.arange(1, n_blocks, dtype="<u4")
+    if not (blkno == expect).all():
+        bad = int(np.argmax(blkno != expect))
+        raise ValueError(
+            f"{path}: block number mismatch at {bad + 1}: {int(blkno[bad])}"
+        )
+    if not (seqno == sequence).all():
+        raise ValueError(f"{path}: sequence mismatch inside file")
+    # XOR-fold checksums, all blocks at once (Reader::calcChSum semantics)
+    words = np.frombuffer(body.tobytes(), dtype="<u8").reshape(n_blocks - 1, 64)
+    stored = ((words[:, 0] >> np.uint64(16)) & np.uint64(0xFFFF)).astype(
+        np.uint64
+    )
+    w0 = words[:, 0] & ~np.uint64(0xFFFF0000)
+    x = np.bitwise_xor.reduce(words, axis=1) ^ words[:, 0] ^ w0
+    x ^= x >> np.uint64(32)
+    x ^= x >> np.uint64(16)
+    calc = x & np.uint64(0xFFFF)
+    if not (stored == calc).all():
+        bad = int(np.argmax(stored != calc))
+        raise ValueError(f"{path}: checksum mismatch at block {bad + 1}")
+    flags16 = np.frombuffer(body.tobytes(), dtype="<u2").reshape(
+        n_blocks - 1, 256
+    )[:, 6]
+
+    out: list[dict] = []
+    cur = 0  # index into body (block number - 1)
+    while cur < n_blocks - 1:
+        if not flags16[cur] & FLAG_LWN_START:
+            raise ValueError(
+                f"{path}: expected LWN start at block {cur + 1}"
+            )
+        lwn_blocks, n_records, _lwn_scn, _lwn_ts = struct.unpack_from(
+            "<IIQQ", data, (cur + 1) * BLOCK_SIZE + 16
+        )
+        payload = body[cur: cur + lwn_blocks, 16:].tobytes()
+        pos = LWN_HEADER
+        for _ in range(n_records):
+            size, scn, subscn, n_vectors = struct.unpack_from(
+                "<IQHH", payload, pos
+            )
+            # (block, offset) where this record starts — LwnMember analog
+            blk = cur + 1 + pos // PAYLOAD
+            off = 16 + pos % PAYLOAD
+            vpos = pos + REC_HEADER
+            for _ in range(n_vectors):
+                vec, vpos = decode_vector(payload, vpos)
+                vec.update(
+                    scn=scn, subscn=subscn, block=blk, offset=off,
+                    seq=sequence,
+                )
+                out.append(vec)
+            if vpos != pos + size:
+                raise ValueError(
+                    f"{path}: record size mismatch at block {blk}"
+                )
+            pos += size
+        cur += lwn_blocks
+    return out
+
+
+def parse_redo_files(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Directory of OLRS1 files → REDO_RECORD_SCHEMA DataFrame. One task
+    per file via the binaryFile source; validation + parse run on the
+    executors."""
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.olrs")
+        .load(in_dir)
+        .select("path", "content")
+    )
+
+    cols = [f.name for f in REDO_RECORD_SCHEMA.fields]
+
+    def parse(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                recs = parse_redo_bytes(bytes(content), path)
+                if recs:
+                    yield pd.DataFrame(recs, columns=cols)
+
+    return files.mapInPandas(parse, schema=REDO_RECORD_SCHEMA)
