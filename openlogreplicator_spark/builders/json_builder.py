@@ -17,6 +17,7 @@ from openlogreplicator_spark.config import (
     Format,
     MessageFormat,
     ScnFormat,
+    SchemaFormat,
     TimestampFormat,
     XidFormat,
 )
@@ -59,10 +60,56 @@ def tm_expr(fmt: Format, col: str = "tm") -> Column:
     return F.unix_micros(c)
 
 
-def _images(fmt: Format) -> tuple[Column, Column]:
-    """before/after images per COLUMN_FORMAT. CHANGED drops unchanged
-    columns from the update's before image (Builder.cpp:1467-1506)."""
+def _materialize_all(img: Column, all_cols: Column) -> Column:
+    """Image re-expressed over the table's FULL column list: present
+    values kept, missing columns materialized as explicit nulls
+    (Builder.cpp:1578-1586, FULL_INS_DEC insert branch)."""
+    return F.map_from_entries(
+        F.transform(
+            all_cols,
+            lambda c: F.struct(
+                c["name"].alias("key"),
+                F.element_at(img, c["name"]).alias("value"),
+            ),
+        )
+    )
+
+
+def _keep_pk_nulls(img: Column, pk_cols: Column) -> Column:
+    """Default insert/delete shaping (Builder.cpp:1588-1624): drop
+    null-valued non-key entries, materialize missing key columns as
+    nulls — so the key is always complete even when the redo image
+    omitted it."""
+    trimmed = F.map_filter(
+        img, lambda k, v: v.isNotNull() | F.array_contains(pk_cols, k)
+    )
+    pk_nulls = F.map_from_entries(
+        F.transform(
+            F.filter(pk_cols, lambda c: ~F.map_contains_key(img, c)),
+            lambda c: F.struct(
+                c.alias("key"), F.lit(None).cast("string").alias("value")
+            ),
+        )
+    )
+    return F.map_concat(trimmed, pk_nulls)
+
+
+def _images(fmt: Format, with_dict: bool = False) -> tuple[Column, Column]:
+    """before/after images per COLUMN_FORMAT (Builder.cpp:1467-1646).
+
+    - CHANGED (default): updates carry only changed columns in the
+      before image; with a dictionary, inserts/deletes drop null-valued
+      non-key columns and always materialize the key.
+    - FULL_INS_DEC: inserts/deletes materialize EVERY table column
+      (missing → explicit null).
+    - FULL_UPD: updates additionally carry the full column list on both
+      sides, with the reference's null propagation — a column present on
+      one side only is assumed unchanged-null on the other
+      (Builder.cpp:1508-1536).
+    Dictionary-dependent shaping needs `_all_cols`/`_pk_cols` columns
+    (joined in build_events when dict_cols is supplied)."""
     before, after = F.col("before"), F.col("after")
+
     if fmt.column == ColumnFormat.CHANGED:
         changed_before = F.when(
             F.col("op") == "u",
@@ -73,18 +120,144 @@ def _images(fmt: Format) -> tuple[Column, Column]:
                 ),
             ),
         ).otherwise(before)
-        return changed_before, after
-    return before, after
+        if not with_dict:
+            return changed_before, after
+        # unknown tables (no dictionary row) keep the raw image, like the
+        # reference's table == nullptr branch
+        has_dict = F.size(F.col("_all_cols")) > 0
+        return (
+            F.when(
+                (F.col("op") == "d") & has_dict,
+                _keep_pk_nulls(before, F.col("_pk_cols")),
+            ).otherwise(changed_before),
+            F.when(
+                (F.col("op") == "c") & has_dict,
+                _keep_pk_nulls(after, F.col("_pk_cols")),
+            ).otherwise(after),
+        )
+
+    if not with_dict:
+        return before, after
+
+    all_cols = F.col("_all_cols")
+    has_dict = F.size(all_cols) > 0
+    if fmt.column == ColumnFormat.FULL_INS_DEC:
+        return (
+            F.when(
+                (F.col("op") == "d") & has_dict,
+                _materialize_all(before, all_cols),
+            ).otherwise(before),
+            F.when(
+                (F.col("op") == "c") & has_dict,
+                _materialize_all(after, all_cols),
+            ).otherwise(after),
+        )
+
+    # FULL_UPD: updates carry all columns; a side missing a column that
+    # the other side has takes that side's value (null propagation)
+    merged_before = _materialize_all(
+        F.map_concat(
+            F.map_filter(after, lambda k, v: ~F.map_contains_key(before, k)),
+            before,
+        ),
+        all_cols,
+    )
+    merged_after = _materialize_all(
+        F.map_concat(
+            F.map_filter(before, lambda k, v: ~F.map_contains_key(after, k)),
+            after,
+        ),
+        all_cols,
+    )
+    return (
+        F.when((F.col("op") == "u") & has_dict, merged_before)
+        .when((F.col("op") == "d") & has_dict, _materialize_all(before, all_cols))
+        .otherwise(before),
+        F.when((F.col("op") == "u") & has_dict, merged_after)
+        .when((F.col("op") == "c") & has_dict, _materialize_all(after, all_cols))
+        .otherwise(after),
+    )
 
 
-def payload_struct(fmt: Format) -> Column:
-    before, after = _images(fmt)
+# SysCol COLTYPE code → rendered type descriptor (BuilderJson.h:430-517):
+# (oracle type name, carries length?, carries precision/scale?)
+_COLTYPE_RENDER = {
+    1: ("varchar2", True, False),
+    2: ("number", False, True),
+    8: ("long", False, False),
+    12: ("date", False, False),
+    23: ("raw", True, False),
+    24: ("long raw", False, False),
+    96: ("char", True, False),
+    100: ("binary_float", False, False),
+    101: ("binary_double", False, False),
+    112: ("clob", False, False),
+    113: ("blob", False, False),
+    180: ("timestamp", True, False),
+    181: ("timestamp with time zone", True, False),
+    182: ("interval year to month", True, False),
+    183: ("interval day to second", True, False),
+    208: ("urowid", True, False),
+    231: ("timestamp with local time zone", True, False),
+}
+
+
+def column_descriptor(c: Column) -> Column:
+    """One dictionary column row → {name, type, length?/precision?/
+    scale?, nullable} descriptor struct (BuilderJson.h:421-528)."""
+    type_name = F.lit("unknown")
+    for code, (name, _, _) in _COLTYPE_RENDER.items():
+        type_name = F.when(c["type"] == code, F.lit(name)).otherwise(type_name)
+    with_len = F.lit(False)
+    with_ps = F.lit(False)
+    for code, (_, has_len, has_ps) in _COLTYPE_RENDER.items():
+        if has_len:
+            with_len = F.when(c["type"] == code, F.lit(True)).otherwise(with_len)
+        if has_ps:
+            with_ps = F.when(c["type"] == code, F.lit(True)).otherwise(with_ps)
+    return F.struct(
+        c["name"].alias("name"),
+        type_name.alias("type"),
+        F.when(with_len, c["length"]).alias("length"),
+        F.when(with_ps, c["precision"]).alias("precision"),
+        F.when(with_ps, c["scale"]).alias("scale"),
+        c["nullable"].alias("nullable"),
+    )
+
+
+def schema_struct(fmt: Format) -> Column:
+    """The per-op schema section (BuilderJson.h:367-532): owner/table,
+    obj under SCHEMA_FORMAT::OBJ, column descriptors under FULL/REPEATED.
+    The reference emits FULL descriptors once per table per output
+    stream (stateful); the distributed analog is once per table per
+    TRANSACTION (`_first_for_table` marks the txn's first op for the
+    obj) — every consumer still sees the schema before any row of that
+    table in the transaction stream. REPEATED emits on every op."""
+    fields = [
+        F.col("owner").alias("owner"),
+        F.col("table").alias("table"),
+        F.col("obj").alias("obj"),
+    ]
+    if fmt.schema in (SchemaFormat.FULL, SchemaFormat.REPEATED):
+        descs = F.transform(F.col("_all_cols"), column_descriptor)
+        if fmt.schema == SchemaFormat.FULL:
+            descs = F.when(F.col("_first_for_table"), descs)
+        fields.append(descs.alias("columns"))
+    return F.struct(*fields)
+
+
+def payload_struct(fmt: Format, with_dict: bool = False) -> Column:
+    before, after = _images(fmt, with_dict)
     fields = [
         F.col("op").alias("op"),
-        F.struct(
-            F.col("owner").alias("owner"),
-            F.col("table").alias("table"),
-            F.col("obj").alias("obj"),
+        (
+            schema_struct(fmt)
+            if with_dict and fmt.schema != SchemaFormat.OBJ
+            else F.struct(
+                F.col("owner").alias("owner"),
+                F.col("table").alias("table"),
+                F.col("obj").alias("obj"),
+            )
         ).alias("schema"),
         F.col("rid").alias("rid"),
         before.alias("before"),
@@ -109,14 +282,20 @@ def header_fields(fmt: Format) -> list[Column]:
     return fields
 
 
-def tag_expr(tag_cols: tuple[str, ...]) -> Column:
-    """B5 message key: rendered tag columns from the after/before image."""
+def tag_expr(
+    tag_cols: tuple[str, ...], key_cols: tuple[str, ...] = ()
+) -> Column:
+    """B5 message key: rendered tag columns from the after/before image.
+    With no explicit tag, the B6 key-column override (TableSelector.key)
+    keys the message by the row's business key — Kafka partition-affinity
+    per key — falling back to xid."""
     img = F.coalesce(F.col("after"), F.col("before"))
-    if not tag_cols:
+    cols = tag_cols or key_cols
+    if not cols:
         return F.col("xid")
     return F.to_json(
         F.struct(
-            *[F.element_at(img, F.lit(c)).alias(c) for c in tag_cols]
+            *[F.element_at(img, F.lit(c)).alias(c) for c in cols]
         )
     )
 
@@ -126,17 +305,73 @@ def build_events(
     fmt: Format,
     tag_cols: tuple[str, ...] = (),
     max_ops_per_message: int | None = None,
+    dict_cols: DataFrame | None = None,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """CHANGE_EVENT_SCHEMA rows → (key, value) JSON messages.
 
     ``max_ops_per_message`` is the T6 big-transaction split
     (Transaction.cpp:518-538): a FULL-format transaction whose payload
-    exceeds the cap is emitted as multiple messages keyed 'xid:part'."""
+    exceeds the cap is emitted as multiple messages keyed 'xid:part'.
+
+    ``dict_cols`` (DICT_COL_SCHEMA rows) enables the dictionary-driven
+    surfaces: SCHEMA_FORMAT FULL/REPEATED column descriptors,
+    FULL_INS_DEC / FULL_UPD image materialization, and PK-completion of
+    insert/delete images. It broadcasts (catalog-scale) onto the event
+    stream keyed by obj. ``key_cols`` is the B6 TableSelector.key
+    override: it replaces the dictionary PK for image shaping and keys
+    the messages when no tag is configured."""
     df = events
     if fmt.skip_begin:
         df = df.filter(F.col("op") != "begin")
     if fmt.skip_commit:
         df = df.filter(F.col("op") != "commit")
+
+    with_dict = dict_cols is not None
+    if with_dict:
+        meta = dict_cols.groupBy("obj").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "col", "name", "type", "length", "precision",
+                            "scale", "nullable", "numpk",
+                        )
+                    )
+                ),
+                lambda s: s,
+            ).alias("_all_cols"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("numpk") > 0, F.col("name")))
+            ).alias("_dict_pk"),
+        )
+        df = df.join(F.broadcast(meta), "obj", "left").withColumn(
+            "_all_cols",
+            F.coalesce(
+                F.col("_all_cols"),
+                F.expr(
+                    "CAST(array() AS array<struct<col:int,name:string,"
+                    "type:int,length:int,precision:int,scale:int,"
+                    "nullable:boolean,numpk:int>>)"
+                ),
+            ),
+        )
+        if key_cols:
+            df = df.withColumn(
+                "_pk_cols", F.array(*[F.lit(c) for c in key_cols])
+            )
+        else:
+            df = df.withColumn(
+                "_pk_cols",
+                F.coalesce(F.col("_dict_pk"), F.expr("array()")),
+            )
+        if fmt.schema == SchemaFormat.FULL:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("xid", "obj").orderBy("num")
+            df = df.withColumn(
+                "_first_for_table", F.row_number().over(w) == 1
+            )
 
     if fmt.message == MessageFormat.FULL:
         # one message per transaction: ordered payload array (T5 emission
@@ -145,7 +380,7 @@ def build_events(
             "xid",
             "num",
             F.struct(*header_fields(fmt)).alias("hdr"),
-            payload_struct(fmt).alias("p"),
+            payload_struct(fmt, with_dict).alias("p"),
         )
         grouped = per_event.groupBy("xid").agg(
             F.min_by("hdr", "num").alias("hdr"),
@@ -208,7 +443,9 @@ def build_events(
     value = F.to_json(
         F.struct(
             *header_fields(fmt),
-            F.array(payload_struct(fmt)).alias("payload"),
+            F.array(payload_struct(fmt, with_dict)).alias("payload"),
         )
     )
-    return df.select(tag_expr(tag_cols).alias("key"), value.alias("value"))
+    return df.select(
+        tag_expr(tag_cols, key_cols).alias("key"), value.alias("value")
+    )

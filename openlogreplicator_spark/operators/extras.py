@@ -64,10 +64,27 @@ def cdc_json_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_events(events, Format(attributes=True), tag_cols=("O_ORDERKEY",))
 
 
+def _orders_dict_cols(spark: SparkSession) -> DataFrame:
+    """Dictionary rows (DICT_COL_SCHEMA) for the synthetic ORDERS obj —
+    drives schema sections + FULL_UPD/PK shaping in the builders."""
+    from openlogreplicator_spark.event_model import DICT_COL_SCHEMA
+
+    rows = [
+        (18, 0, 0, 0, "O_ORDERKEY", 2, 22, 10, 0, 873, False, 1, 0, 0),
+        (18, 1, 1, 1, "O_PRIO", 1, 15, None, None, 873, True, 0, 0, 0),
+        (18, 2, 2, 2, "O_NOTE", 1, 64, None, None, 873, True, 0, 0, 0),
+    ]
+    return spark.createDataFrame(rows, DICT_COL_SCHEMA)
+
+
 def cdc_json_builder_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3 Debezium preset output shape."""
+    """B3 Debezium preset output shape — FULL_UPD images materialized
+    over the dictionary column list plus SCHEMA_FORMAT::FULL column
+    descriptors on each transaction's first op per table."""
     return build_events(
-        _orders_as_change_events(spark, sf_dir), debezium_preset()
+        _orders_as_change_events(spark, sf_dir),
+        debezium_preset(),
+        dict_cols=_orders_dict_cols(spark),
     )
 
 

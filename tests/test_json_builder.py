@@ -124,3 +124,126 @@ def test_debezium_preset_shape(events_df):
     ops = {v["payload"][0]["op"] for v in out}
     assert ops == {"c", "u"}          # begin/commit skipped
     assert all(isinstance(v["tm"], int) for v in out)  # ms timestamps
+
+
+# --- dictionary-driven surfaces: schema sections + column-format modes ----
+
+
+@pytest.fixture(scope="module")
+def dict_cols_df(spark):
+    from openlogreplicator_spark.event_model import DICT_COL_SCHEMA
+
+    rows = [
+        # obj col segcol intcol name type length precision scale charsetid
+        # nullable numpk property scn_from
+        (5001, 0, 0, 0, "ID", 2, 22, 10, 0, 873, False, 1, 0, 0),
+        (5001, 1, 1, 1, "V", 1, 20, None, None, 873, True, 0, 0, 0),
+        (5001, 2, 2, 2, "W", 12, 7, None, None, 873, True, 0, 0, 0),
+    ]
+    return spark.createDataFrame(rows, DICT_COL_SCHEMA)
+
+
+def test_full_ins_dec_materializes_all_columns(events_df, dict_cols_df):
+    """FULL_INS_DEC (Builder.cpp:1578-1586): inserts carry EVERY table
+    column; columns absent from the redo image become explicit nulls."""
+    fmt = Format(column=ColumnFormat.FULL_INS_DEC)
+    out = [json.loads(r.value) for r in
+           build_events(events_df, fmt, dict_cols=dict_cols_df).collect()]
+    ins = [v for v in out if v["payload"][0]["op"] == "c"][0]
+    after = ins["payload"][0]["after"]
+    assert set(after) == {"ID", "V", "W"}
+    assert after["W"] is None and after["ID"] == "1"
+
+
+def test_changed_mode_pk_completion(spark, dict_cols_df):
+    """Default CHANGED shaping with a dictionary (Builder.cpp:1588-1624):
+    null-valued non-key columns drop from the insert image; a missing key
+    column is materialized as null so the key is always complete."""
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(1, 1, 0, ts, 1, "1.1.1", "DB", "c", "USR", "T1", 5001, "r",
+             None, {"V": None, "X": "keep"}, {}, 0, 0)]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    out = json.loads(
+        build_events(df, Format(), dict_cols=dict_cols_df).collect()[0].value
+    )
+    after = out["payload"][0]["after"]
+    assert "V" not in after          # null non-key dropped
+    assert after["X"] == "keep"      # non-null entries survive
+    assert after["ID"] is None       # missing PK materialized as null
+
+
+def test_full_upd_null_propagation(spark, dict_cols_df):
+    """FULL_UPD (Builder.cpp:1508-1536): updates carry the full column
+    list on both sides; a column present on one side only propagates to
+    the other."""
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(1, 1, 0, ts, 1, "1.1.1", "DB", "u", "USR", "T1", 5001, "r",
+             {"ID": "1", "V": "x"}, {"V": "y"}, {}, 0, 0)]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    fmt = Format(column=ColumnFormat.FULL_UPD)
+    out = json.loads(
+        build_events(df, fmt, dict_cols=dict_cols_df).collect()[0].value
+    )
+    p = out["payload"][0]
+    assert set(p["before"]) == {"ID", "V", "W"}
+    assert set(p["after"]) == {"ID", "V", "W"}
+    assert p["after"]["ID"] == "1"   # propagated from before
+    assert p["before"]["V"] == "x" and p["after"]["V"] == "y"
+    assert p["before"]["W"] is None and p["after"]["W"] is None
+
+
+def test_schema_full_descriptors_once_per_txn_table(events_df, dict_cols_df):
+    """SCHEMA_FORMAT::FULL (BuilderJson.h:411-532): column descriptors
+    with Oracle type rendering, emitted on the transaction's first op per
+    table only."""
+    from openlogreplicator_spark.config import SchemaFormat
+
+    fmt = Format(schema=SchemaFormat.FULL)
+    out = [json.loads(r.value) for r in
+           build_events(events_df, fmt, dict_cols=dict_cols_df).collect()]
+    dml = sorted(
+        (v for v in out if v["payload"][0]["op"] in ("c", "u")),
+        key=lambda v: v["scn"],
+    )
+    first, second = dml[0]["payload"][0], dml[1]["payload"][0]
+    cols = {c["name"]: c for c in first["schema"]["columns"]}
+    assert cols["ID"]["type"] == "number"
+    assert cols["ID"]["precision"] == 10 and cols["ID"]["scale"] == 0
+    assert cols["ID"]["nullable"] is False
+    assert cols["V"]["type"] == "varchar2" and cols["V"]["length"] == 20
+    assert "precision" not in cols["V"]  # length-typed, no precision
+    assert cols["W"]["type"] == "date" and "length" not in cols["W"]
+    assert "columns" not in second["schema"]  # only the first op carries them
+
+
+def test_schema_repeated_every_message(events_df, dict_cols_df):
+    from openlogreplicator_spark.config import SchemaFormat
+
+    fmt = Format(schema=SchemaFormat.REPEATED)
+    out = [json.loads(r.value) for r in
+           build_events(events_df, fmt, dict_cols=dict_cols_df).collect()]
+    dml = [v for v in out if v["payload"][0]["op"] in ("c", "u")]
+    assert all("columns" in v["payload"][0]["schema"] for v in dml)
+
+
+def test_key_override_b6(events_df, dict_cols_df):
+    """B6 TableSelector.key: overrides the dictionary PK and keys the
+    message by the business key when no tag is set."""
+    out = build_events(
+        events_df, Format(), dict_cols=dict_cols_df, key_cols=("V",)
+    )
+    keyed = {json.loads(r.value)["payload"][0]["op"]: r.key
+             for r in out.collect()}
+    assert json.loads(keyed["c"]) == {"V": "x"}
+    assert json.loads(keyed["u"]) == {"V": "y"}
+
+
+def test_debezium_preset_with_dict(events_df, dict_cols_df):
+    """The full Debezium preset now renders schema sections + FULL_UPD."""
+    out = [json.loads(r.value) for r in
+           build_events(events_df, debezium_preset(),
+                        dict_cols=dict_cols_df).collect()]
+    upd = [v for v in out if v["payload"][0]["op"] == "u"][0]["payload"][0]
+    assert set(upd["after"]) == {"ID", "V", "W"}
+    first = sorted(out, key=lambda v: v["scn"])[0]["payload"][0]
+    assert "columns" in first["schema"]
