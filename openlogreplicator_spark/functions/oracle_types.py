@@ -235,16 +235,79 @@ def encode_binary_float(v: float) -> bytes:
     return bytes([raw[0] | 0x80]) + raw[1:]
 
 
+# Oracle charset → python codec. The reference ships ~35k LoC of decode
+# tables under src/locales/ (CharacterSetJA16EUC.cpp, …SJIS, …ZHS16GBK,
+# …); the behaviorally-equivalent tables already exist as Python's
+# standard codecs, so this is the Spark-first rendering of the same
+# surface. Multi-byte sets are the ones a non-Latin-1 source database
+# hits immediately.
 _CHARSET_CODECS = {
+    # Unicode
     "AL32UTF8": "utf-8",
-    "UTF8": "utf-8",          # CESU-8 in Oracle; utf-8 for BMP content
+    # "UTF8" is intentionally NOT here: Oracle UTF8 is CESU-8 —
+    # supplementary characters arrive as two 3-byte-encoded surrogates
+    # (handled explicitly below; a plain utf-8 decode garbles them).
+    "AL16UTF16": "utf-16-be",
+    # 7/8-bit sets
     "US7ASCII": "ascii",
     "WE8ISO8859P1": "latin-1",
+    "WE8ISO8859P9": "iso8859-9",
+    "WE8ISO8859P15": "iso8859-15",
     "EE8ISO8859P2": "iso8859-2",
+    "SE8ISO8859P3": "iso8859-3",
+    "NEE8ISO8859P4": "iso8859-4",
     "CL8ISO8859P5": "iso8859-5",
+    "AR8ISO8859P6": "iso8859-6",
+    "EL8ISO8859P7": "iso8859-7",
+    "IW8ISO8859P8": "iso8859-8",
+    "NE8ISO8859P10": "iso8859-10",
+    "BLT8ISO8859P13": "iso8859-13",
+    "CEL8ISO8859P14": "iso8859-14",
     "WE8MSWIN1252": "cp1252",
-    "AL16UTF16": "utf-16-be",
+    "EE8MSWIN1250": "cp1250",
+    "CL8MSWIN1251": "cp1251",
+    "EL8MSWIN1253": "cp1253",
+    "TR8MSWIN1254": "cp1254",
+    "IW8MSWIN1255": "cp1255",
+    "AR8MSWIN1256": "cp1256",
+    "BLT8MSWIN1257": "cp1257",
+    "VN8MSWIN1258": "cp1258",
+    "TH8TISASCII": "tis-620",
+    # East-Asian multi-byte (table-driven in the reference)
+    "JA16EUC": "euc_jp",
+    "JA16SJIS": "shift_jis",
+    "JA16SJISTILDE": "shift_jis",
+    "JA16EUCTILDE": "euc_jp",
+    "ZHS16GBK": "gbk",
+    "ZHS32GB18030": "gb18030",
+    "ZHT16BIG5": "big5",
+    "ZHT16HKSCS": "big5hkscs",
+    "KO16KSC5601": "euc_kr",
+    "KO16MSWIN949": "cp949",
 }
+
+
+def _decode_cesu8(b: bytes) -> str:
+    """Oracle UTF8 is CESU-8: a supplementary character is stored as its
+    UTF-16 surrogate pair, each half independently 3-byte encoded. Decode
+    by letting the surrogates through, then recombining the pairs."""
+    s = b.decode("utf-8", errors="surrogatepass")
+    return s.encode("utf-16", "surrogatepass").decode("utf-16")
+
+
+def _encode_cesu8(s: str) -> bytes:
+    out = bytearray()
+    for ch in s:
+        cp = ord(ch)
+        if cp >= 0x10000:
+            cp -= 0x10000
+            hi = 0xD800 | (cp >> 10)
+            lo = 0xDC00 | (cp & 0x3FF)
+            out += chr(hi).encode("utf-8", "surrogatepass")
+            out += chr(lo).encode("utf-8", "surrogatepass")
+        else:
+            out += ch.encode("utf-8")
+    return bytes(out)
 
 
 def charset_decode(b: bytes | None, charset: str = "AL32UTF8", mode: str = "default") -> str | None:
@@ -258,7 +321,13 @@ def charset_decode(b: bytes | None, charset: str = "AL32UTF8", mode: str = "defa
         return b.hex()
     if mode == "nomapping":
         return b.decode("latin-1")
-    codec = _CHARSET_CODECS.get(charset.upper())
+    cs = charset.upper()
+    if cs == "UTF8":
+        try:
+            return _decode_cesu8(b)
+        except UnicodeDecodeError:
+            return b.decode("utf-8", errors="replace")
+    codec = _CHARSET_CODECS.get(cs)
     if codec is None:
         return b.hex()  # unknown charset → hex (QUESTION_MARK-ish fallback)
     return b.decode(codec, errors="replace")

@@ -257,6 +257,19 @@ def cdc_txn_assembly_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 checkpoint/heartbeat rows: one op=chkpt row per LWN of the
+    binary redo stream (Parser.cpp:1509-1521) — emitted even when no
+    subscribed table changes, the liveness signal downstream consumers
+    rely on. Rows-only: LWN grouping depends on the physical file
+    layout, which SQL over the logical tables cannot reproduce."""
+    from openlogreplicator_spark.sources.binary_redo import heartbeats
+
+    return heartbeats(spark, _binary_redo_dir(spark, sf_dir)).orderBy(
+        "seq", "block"
+    )
+
+
 def cdc_txn_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-transaction envelope (B1 MESSAGE_FORMAT::FULL): one message per
     txn carrying the ordered op list — here fingerprinted with md5 so the
@@ -445,6 +458,7 @@ QUERIES = {
     "cdc_last_image": cdc_last_image,
     "cdc_txn_assembly": cdc_txn_assembly,
     "cdc_txn_assembly_binary": cdc_txn_assembly_binary,
+    "cdc_heartbeat": cdc_heartbeat,
     "cdc_txn_envelope": cdc_txn_envelope,
     "cdc_condition_filter": cdc_condition_filter,
     "cdc_unchanged_suppression": cdc_unchanged_suppression,

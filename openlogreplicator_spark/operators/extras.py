@@ -126,22 +126,31 @@ def cdc_protobuf_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_lob_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T8 end-to-end against a SQL oracle: shred each document's text into
-    fixed-size out-of-row chunks (arriving in reversed order), reassemble
-    with the LOB operator, and fingerprint the result — md5(assembled)
-    must equal md5(original text)."""
-    from openlogreplicator_spark.operators.lob_assembly import assemble_lobs
+    """T8 end-to-end against a SQL oracle — through the LOB-INDEX path:
+    each document's text is shredded into out-of-row chunks addressed by
+    a scrambled dba (NO chunk index, reversed arrival order); page order
+    is derivable only from the index dba chains (dba → next_dba), ranked
+    by distributed pointer doubling, exactly the reference's orderList
+    model (Transaction.cpp:331-344). md5(assembled) must equal
+    md5(original text)."""
+    from openlogreplicator_spark.operators.lob_assembly import (
+        assemble_lobs_indexed,
+        chain_page_numbers,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     chunk = 40
     n_chunks = F.ceil(F.length("text") / chunk).cast("int")
+    # dba: position-scrambled but unique per (lob, page): order is NOT
+    # recoverable from the dba value — only the chains define it
+    dba = lambda i: (i * F.lit(2654435761) + F.col("doc_id")) % F.lit(1 << 31)  # noqa: E731
     shredded = docs.select(
         F.concat(F.lit("L"), F.col("doc_id")).alias("lob_id"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
                 lambda i: F.struct(
-                    i.alias("chunk_idx"),
+                    dba(i).alias("dba"),
                     F.substring(
                         F.col("text"), i * chunk + 1, chunk
                     ).alias("data"),
@@ -151,12 +160,29 @@ def cdc_lob_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lob_id",
         F.lit(None).cast("string").alias("xid"),
-        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.dba").alias("dba"),
         F.col("c.data").alias("data"),
     )
     # reverse arrival order: reassembly must not depend on input order
-    shredded = shredded.orderBy(F.col("chunk_idx").desc())
-    assembled = assemble_lobs(shredded)
+    shredded = shredded.orderBy(F.col("dba").desc())
+    chains = docs.filter(n_chunks > 1).select(
+        F.concat(F.lit("L"), F.col("doc_id")).alias("lob_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 2),
+                lambda i: F.struct(
+                    dba(i).alias("dba"), dba(i + 1).alias("next_dba")
+                ),
+            )
+        ).alias("e"),
+    ).select("lob_id", F.col("e.dba").alias("dba"), F.col("e.next_dba").alias("next_dba"))
+    single_page = docs.filter(n_chunks <= 1).select(
+        F.concat(F.lit("L"), F.col("doc_id")).alias("lob_id"),
+        dba(F.lit(0)).alias("dba"),
+        F.lit(0).alias("page_no"),
+    )
+    page_map = chain_page_numbers(chains).unionByName(single_page)
+    assembled = assemble_lobs_indexed(shredded, page_map)
     return assembled.select(
         F.col("lob_id"),
         F.md5("value").alias("value_md5"),

@@ -56,6 +56,135 @@ def assemble_lobs(chunks: DataFrame) -> DataFrame:
     )
 
 
+# LOB page-map rows — the KDLI LMAP/IMAP index analog: the LOB index
+# (not the data op) says which dba holds which logical page
+# (Transaction.cpp:380-417 setPage loop).
+LOB_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("lob_id", T.StringType()),
+        T.StructField("dba", T.LongType()),
+        T.StructField("page_no", T.IntegerType()),
+    ]
+)
+
+# dba successor chains — the orderList(dba, next_dba) analog
+# (Transaction.cpp:331-344): page order defined only by links.
+LOB_CHAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("lob_id", T.StringType()),
+        T.StructField("dba", T.LongType()),
+        T.StructField("next_dba", T.LongType()),
+    ]
+)
+
+# data chunks addressed by dba, NOT by a pre-supplied order
+# (the 19.1/26.x FILL payload: addLob(lobId, dba, data)).
+LOB_DBA_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("lob_id", T.StringType()),
+        T.StructField("xid", T.StringType()),
+        T.StructField("dba", T.LongType()),
+        T.StructField("data", T.StringType()),
+    ]
+)
+
+
+def chain_page_numbers(chains: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(lob_id, dba, next_dba) links → (lob_id, dba, page_no).
+
+    Distributed list ranking by pointer doubling: every node starts
+    pointing at its predecessor with rank 1 (the head gets rank 0); each
+    round follows the pointer two steps and adds its rank, so after k
+    rounds each pointer spans 2^k links — chains up to 2^max_iter pages
+    resolve in max_iter equi-join shuffles, all keyed (lob_id, dba) and
+    partition-parallel across LOBs. This replaces the reference's
+    in-memory orderList walk with the shape that survives 100 TB (a
+    sequential walk would be O(chain) driver-side)."""
+    pred = chains.select(
+        "lob_id",
+        F.col("next_dba").alias("dba"),
+        F.col("dba").alias("ptr"),
+    )
+    heads = chains.select("lob_id", "dba").subtract(
+        chains.select("lob_id", F.col("next_dba").alias("dba"))
+    )
+    nodes = (
+        chains.select("lob_id", "dba")
+        .union(chains.select("lob_id", F.col("next_dba").alias("dba")))
+        .distinct()
+        .join(pred, ["lob_id", "dba"], "left")
+        .select(
+            "lob_id",
+            "dba",
+            "ptr",
+            F.when(F.col("ptr").isNull(), 0).otherwise(1).alias("rank"),
+        )
+    )
+    _ = heads  # heads are exactly the ptr-null nodes; kept for clarity
+    for _i in range(max_iter):
+        nodes = nodes.persist()
+        if nodes.filter(F.col("ptr").isNotNull()).isEmpty():
+            break
+        hop = nodes.select(
+            "lob_id",
+            F.col("dba").alias("ptr"),
+            F.col("ptr").alias("ptr2"),
+            F.col("rank").alias("rank2"),
+        )
+        nodes = (
+            nodes.join(hop, ["lob_id", "ptr"], "left")
+            .select(
+                "lob_id",
+                "dba",
+                F.col("ptr2").alias("ptr"),
+                (F.col("rank") + F.coalesce(F.col("rank2"), F.lit(0))).alias(
+                    "rank"
+                ),
+            )
+        )
+    return nodes.select(
+        "lob_id", "dba", F.col("rank").cast("int").alias("page_no")
+    )
+
+
+def assemble_lobs_indexed(
+    chunks: DataFrame, page_map: DataFrame
+) -> DataFrame:
+    """dba-addressed chunks + index page map → (lob_id, value, n_chunks,
+    n_unmapped). Page order comes from the LOB INDEX, not from arrival
+    order or caller-supplied chunk numbers (Transaction.cpp:286-417).
+    One equi join on (lob_id, dba), then the same single-shuffle ordered
+    concat as assemble_lobs. Chunks with no index entry are counted in
+    n_unmapped and excluded (the reference warns and skips: 60014)."""
+    mapped = chunks.join(page_map, ["lob_id", "dba"], "left")
+    return (
+        mapped.groupBy("lob_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("page_no").isNotNull(),
+                                F.struct("page_no", "data"),
+                            )
+                        ),
+                        lambda l, r: F.when(l.page_no < r.page_no, -1)
+                        .when(l.page_no > r.page_no, 1)
+                        .otherwise(0),
+                    ),
+                    lambda s: s.data,
+                ),
+            ).alias("value"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("page_no").isNull(), 1).otherwise(0)
+            ).cast("int").alias("n_unmapped"),
+        )
+    )
+
+
 def reassemble_ddl(ddl_chunks: DataFrame) -> DataFrame:
     """P15 DDL text reassembly (OpCode1801.h:28-103): a DDL statement
     arrives chunked across redo records as (xid, seq, cnt, text_part);

@@ -436,6 +436,72 @@ def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:
     return out
 
 
+def lwn_headers(data: bytes, path: str = "<mem>") -> list[dict]:
+    """Checkpoint scan: only the LWN headers, no record parse — the B8
+    heartbeat source (the reference emits an op=chkpt row per completed
+    LWN, Parser.cpp:1509-1521). Vectorized flag scan, then one 24-byte
+    read per LWN."""
+    import numpy as np
+
+    if data[:8] != MAGIC:
+        raise ValueError(f"{path}: bad magic")
+    (sequence,) = struct.unpack_from("<I", data, 12)
+    n_blocks = len(data) // BLOCK_SIZE
+    if n_blocks < 2:
+        return []
+    flags16 = np.frombuffer(data, dtype="<u2").reshape(n_blocks, 256)[1:, 6]
+    out = []
+    for blk in (np.nonzero(flags16 & FLAG_LWN_START)[0] + 1).tolist():
+        lwn_blocks, n_records, lwn_scn, lwn_ts = struct.unpack_from(
+            "<IIQQ", data, blk * BLOCK_SIZE + 16
+        )
+        out.append(
+            {
+                "seq": sequence,
+                "block": blk,
+                "lwn_blocks": lwn_blocks,
+                "n_records": n_records,
+                "c_scn": lwn_scn,
+                "ts_us": lwn_ts,
+            }
+        )
+    return out
+
+
+def heartbeats(spark: SparkSession, in_dir: str) -> DataFrame:
+    """One op=chkpt heartbeat row per LWN across all redo files — the
+    liveness signal consumers poll even when no table they subscribe to
+    changes. Same one-task-per-file distribution as the record parse."""
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.olrs")
+        .load(in_dir)
+        .select("path", "content")
+    )
+
+    schema = (
+        "op string, seq long, block long, lwn_blocks long, "
+        "n_records long, c_scn long, ts_us long"
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for h in lwn_headers(bytes(content), path):
+                    rows.append({"op": "chkpt", **h})
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["op", "seq", "block", "lwn_blocks",
+                             "n_records", "c_scn", "ts_us"],
+                )
+
+    return files.mapInPandas(scan, schema=schema)
+
+
 def parse_redo_files(spark: SparkSession, in_dir: str) -> DataFrame:
     """Directory of OLRS1 files → REDO_RECORD_SCHEMA DataFrame. One task
     per file via the binaryFile source; validation + parse run on the

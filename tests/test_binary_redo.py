@@ -109,6 +109,23 @@ def test_corruption_detected():
         parse_redo_bytes(bytes(blob2), "t")
 
 
+def test_lwn_headers_heartbeat_scan():
+    """B8: the header-only scan yields one chkpt row per LWN with the
+    group's record count and checkpoint SCN."""
+    from openlogreplicator_spark.sources.binary_redo import lwn_headers
+
+    recs = [_rec(i, "t", "begin") for i in range(LWN_MAX_RECORDS + 10)]
+    blob = encode_redo_file(recs, sequence=9)
+    hbs = lwn_headers(blob, "t")
+    assert len(hbs) == 2  # 266 records → two LWN groups
+    assert hbs[0]["seq"] == 9
+    assert hbs[0]["n_records"] == LWN_MAX_RECORDS
+    assert hbs[1]["n_records"] == 10
+    assert hbs[0]["c_scn"] == LWN_MAX_RECORDS - 1  # max scn in group
+    assert hbs[0]["block"] == 1
+    assert hbs[1]["block"] == 1 + hbs[0]["lwn_blocks"]
+
+
 def test_distributed_write_and_parse(spark, tmp_path):
     from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
 

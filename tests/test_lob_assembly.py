@@ -71,6 +71,53 @@ def test_lob_attach_multiple_lob_columns_per_row(spark):
     assert out[3] == {"ID": "3", "A": "beta", "B": "beta"}
 
 
+def test_chain_page_numbers_pointer_doubling(spark):
+    """dba chains → page numbers via distributed list ranking: a 9-page
+    chain in scrambled order, plus an independent 2-page chain."""
+    from openlogreplicator_spark.operators.lob_assembly import (
+        LOB_CHAIN_SCHEMA,
+        chain_page_numbers,
+    )
+
+    seq = [31, 7, 90, 2, 55, 11, 68, 4, 23]  # logical page order of dbas
+    links = [("LA", seq[i], seq[i + 1]) for i in range(len(seq) - 1)]
+    links += [("LB", 100, 200)]
+    import random
+
+    random.Random(5).shuffle(links)
+    chains = spark.createDataFrame(links, LOB_CHAIN_SCHEMA)
+    got = {(r.lob_id, r.dba): r.page_no
+           for r in chain_page_numbers(chains).collect()}
+    assert [got[("LA", d)] for d in seq] == list(range(9))
+    assert got[("LB", 100)] == 0 and got[("LB", 200)] == 1
+
+
+def test_assemble_lobs_indexed_orders_by_index(spark):
+    """Page order comes from the index map, not arrival order or dba
+    value; unmapped chunks are counted and excluded."""
+    from openlogreplicator_spark.operators.lob_assembly import (
+        LOB_DBA_CHUNK_SCHEMA,
+        LOB_INDEX_SCHEMA,
+        assemble_lobs_indexed,
+    )
+
+    chunks = spark.createDataFrame(
+        [
+            ("L1", "t", 90, "cc"),   # high dba, LAST page per index
+            ("L1", "t", 10, "cc_orphan"),  # no index entry
+            ("L1", "t", 55, "aa"),   # index says page 0
+            ("L1", "t", 31, "bb"),
+        ],
+        LOB_DBA_CHUNK_SCHEMA,
+    )
+    index = spark.createDataFrame(
+        [("L1", 55, 0), ("L1", 31, 1), ("L1", 90, 2)], LOB_INDEX_SCHEMA
+    )
+    out = assemble_lobs_indexed(chunks, index).collect()[0]
+    assert out.value == "aabbcc"
+    assert out.n_unmapped == 1
+
+
 def test_chained_row_pieces_merge():
     recs = [
         {"scn": 1, "xid": "t", "opcode": "begin"},

@@ -140,6 +140,40 @@ def test_charset_decode_modes():
     assert charset_decode(b"ab", "AL16UTF16") == "慢"
 
 
+def test_charset_east_asian_golden_vectors():
+    """Table-driven multi-byte sets (reference src/locales/): golden
+    byte sequences per charset."""
+    # JA16EUC: '日本語' in EUC-JP
+    assert charset_decode(b"\xc6\xfc\xcb\xdc\xb8\xec", "JA16EUC") == "日本語"
+    # JA16SJIS: same text in Shift-JIS
+    assert charset_decode(b"\x93\xfa\x96\x7b\x8c\xea", "JA16SJIS") == "日本語"
+    # ZHS16GBK: '中文' in GBK
+    assert charset_decode(b"\xd6\xd0\xce\xc4", "ZHS16GBK") == "中文"
+    # ZHT16BIG5: '中文' in Big5
+    assert charset_decode(b"\xa4\xa4\xa4\xe5", "ZHT16BIG5") == "中文"
+    # KO16KSC5601: '한국' in EUC-KR
+    assert charset_decode(b"\xc7\xd1\xb1\xb9", "KO16KSC5601") == "한국"
+    # GB18030 4-byte sequence: U+10400 '𐐀'
+    assert charset_decode("𐐀".encode("gb18030"), "ZHS32GB18030") == "𐐀"
+
+
+def test_charset_utf8_is_cesu8():
+    """Oracle 'UTF8' is CESU-8: a supplementary char ships as two
+    3-byte-encoded surrogates (6 bytes), NOT one 4-byte UTF-8 sequence.
+    The round-1 plain-utf-8 mapping garbled these."""
+    from openlogreplicator_spark.functions.oracle_types import _encode_cesu8
+
+    s = "a𝄞b"  # U+1D11E musical symbol, outside the BMP
+    cesu = _encode_cesu8(s)
+    assert len(cesu) == 8  # 1 + 3 + 3 + 1 — surrogate pair, not 4-byte
+    assert cesu != s.encode("utf-8")
+    assert charset_decode(cesu, "UTF8") == s
+    # BMP content matches plain utf-8
+    assert charset_decode("héllo".encode("utf-8"), "UTF8") == "héllo"
+    # AL32UTF8 stays true 4-byte UTF-8
+    assert charset_decode(s.encode("utf-8"), "AL32UTF8") == s
+
+
 def test_udfs_on_spark(spark):
     from openlogreplicator_spark.functions.oracle_types import (
         number_decode_udf,
