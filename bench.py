@@ -34,6 +34,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality_score",
     "cdc_txn_assembly",
+    "cdc_txn_assembly_binary",
+    "cdc_lob_reassembly",
     "stream_session_window",
 ]
 

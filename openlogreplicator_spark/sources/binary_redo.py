@@ -231,7 +231,7 @@ def encode_redo_file(records: list[dict], sequence: int) -> bytes:
 
 
 def write_binary_redo(
-    redo: DataFrame, out_dir: str, n_files: int = 16
+    redo: DataFrame, out_dir: str, n_files: int = 32
 ) -> None:
     """Distributed fixture writer: hash-partition by xid (a transaction
     never straddles files), order records within each file by the

@@ -79,6 +79,10 @@ def test_chain_page_numbers_pointer_doubling(spark):
         chain_page_numbers,
     )
 
+    from openlogreplicator_spark.operators.lob_assembly import (
+        chain_page_numbers_doubling,
+    )
+
     seq = [31, 7, 90, 2, 55, 11, 68, 4, 23]  # logical page order of dbas
     links = [("LA", seq[i], seq[i + 1]) for i in range(len(seq) - 1)]
     links += [("LB", 100, 200)]
@@ -86,10 +90,11 @@ def test_chain_page_numbers_pointer_doubling(spark):
 
     random.Random(5).shuffle(links)
     chains = spark.createDataFrame(links, LOB_CHAIN_SCHEMA)
-    got = {(r.lob_id, r.dba): r.page_no
-           for r in chain_page_numbers(chains).collect()}
-    assert [got[("LA", d)] for d in seq] == list(range(9))
-    assert got[("LB", 100)] == 0 and got[("LB", 200)] == 1
+    for impl in (chain_page_numbers, chain_page_numbers_doubling):
+        got = {(r.lob_id, r.dba): r.page_no
+               for r in impl(chains).collect()}
+        assert [got[("LA", d)] for d in seq] == list(range(9))
+        assert got[("LB", 100)] == 0 and got[("LB", 200)] == 1
 
 
 def test_assemble_lobs_indexed_orders_by_index(spark):
