@@ -39,6 +39,8 @@ _PRIORITY = [
     "cdc_resume_filter",
     "cdc_schema_asof_resolve",
     "cdc_heartbeat",
+    "cdc_ddl_classify",
+    "cdc_metrics",
     # LLM-pipeline: dedup
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -84,8 +86,6 @@ _PRIORITY = [
     # representative re-verifies of queries whose outputs changed type
     "q3_shipping_priority",
     "topk_orders",
-    "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity",
 ]
 
 

@@ -270,6 +270,153 @@ def cdc_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ddl_chunk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 24.1 DDL chunk stream synthesized from part: each
+    part is one DDL transaction whose statement verb (and ddlType code)
+    cycles through the reference's classification buckets
+    (Builder.cpp:1810-1846); the statement is split into 12-char chunks.
+    Even partkeys carry the numeric ddlType, odd ones don't — so both
+    classifier paths (code table, text fallback) are driver-exercised."""
+    part = load_table(spark, sf_dir, "part")
+    verbs = F.array(
+        F.lit("CREATE TABLE"), F.lit("ALTER TABLE"), F.lit("DROP TABLE"),
+        F.lit("TRUNCATE TABLE"), F.lit("PURGE TABLE"), F.lit("COMMENT ON"),
+    )
+    codes = F.array(
+        F.lit(1), F.lit(15), F.lit(12), F.lit(85), F.lit(198), F.lit(0)
+    )
+    idx = (F.col("p_partkey") % 6 + 1).cast("int")
+    stmt = F.concat(
+        F.element_at(verbs, idx), F.lit(" part_"), F.col("p_partkey")
+    )
+    chunk = 12
+    n_chunks = F.ceil(F.length(stmt) / chunk).cast("int")
+    return part.select(
+        F.concat(F.lit("D"), F.col("p_partkey")).alias("xid"),
+        F.when(F.col("p_partkey") % 2 == 0, F.element_at(codes, idx))
+        .cast("int")
+        .alias("ddl_type"),
+        stmt.alias("_stmt"),
+        n_chunks.alias("cnt"),
+        F.explode(F.sequence(F.lit(1), n_chunks)).alias("seq"),
+    ).select(
+        "xid",
+        "ddl_type",
+        "seq",
+        "cnt",
+        F.substring("_stmt", (F.col("seq") - 1) * chunk + 1, chunk).alias(
+            "text_part"
+        ),
+    )
+
+
+def cdc_ddl_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 DDL reassembly + classification end-to-end: chunked 24.1
+    records → seq-ordered concat per xid (P15) → category via the
+    reference's ddlType code table, falling back to the statement's
+    leading verb where no code was captured."""
+    from openlogreplicator_spark.operators.lob_assembly import (
+        classify_ddl,
+        reassemble_ddl,
+    )
+
+    ddl = reassemble_ddl(_ddl_chunk_stream(spark, sf_dir))
+    return classify_ddl(ddl).select(
+        "xid",
+        "ddl_category",
+        "complete",
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        F.md5("ddl_text").alias("ddl_md5"),
+    )
+
+
+CDC_DDL_CLASSIFY_SQL = """
+WITH p AS (
+    SELECT p_partkey,
+           CASE p_partkey % 6
+               WHEN 0 THEN 'CREATE TABLE' WHEN 1 THEN 'ALTER TABLE'
+               WHEN 2 THEN 'DROP TABLE'   WHEN 3 THEN 'TRUNCATE TABLE'
+               WHEN 4 THEN 'PURGE TABLE'  ELSE 'COMMENT ON' END AS verb,
+           CASE p_partkey % 6
+               WHEN 0 THEN 'create' WHEN 1 THEN 'alter' WHEN 2 THEN 'drop'
+               WHEN 3 THEN 'truncate' WHEN 4 THEN 'purge'
+               ELSE 'other' END AS cat
+    FROM part
+)
+SELECT 'D' || p_partkey AS xid,
+       cat AS ddl_category,
+       TRUE AS complete,
+       CAST(CEIL(LENGTH(verb || ' part_' || p_partkey) / 12.0) AS INT)
+           AS n_chunks,
+       md5(verb || ' part_' || p_partkey) AS ddl_md5
+FROM p
+"""
+
+
+def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 metrics surface (Metrics.h:68-110 counter names): dml_ops_*_out
+    from the assembled committed stream, transactions_out, and
+    ddl_ops_<category> from the classified DDL stream — long-format
+    (metric, value) rows, the shape a Prometheus exporter scrapes. The
+    counters are computed distributed (two partial-agg shuffles), not by
+    a driver-side listener."""
+    from openlogreplicator_spark.operators.lob_assembly import (
+        classify_ddl,
+        reassemble_ddl,
+    )
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions,
+    )
+
+    assembled = assemble_transactions(_orders_redo_stream(spark, sf_dir))
+    op_name = (
+        F.when(F.col("op") == "c", "insert")
+        .when(F.col("op") == "u", "update")
+        .otherwise("delete")
+    )
+    dml = assembled.groupBy(op_name.alias("kind")).agg(
+        F.count(F.lit(1)).alias("value")
+    ).select(
+        F.concat(F.lit("dml_ops_"), F.col("kind"), F.lit("_out")).alias(
+            "metric"
+        ),
+        "value",
+    )
+    txns = assembled.agg(
+        F.countDistinct("xid").alias("value")
+    ).select(F.lit("transactions_out").alias("metric"), "value")
+    ddl = (
+        classify_ddl(reassemble_ddl(_ddl_chunk_stream(spark, sf_dir)))
+        .groupBy("ddl_category")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.concat(F.lit("ddl_ops_"), F.col("ddl_category")).alias(
+                "metric"
+            ),
+            "value",
+        )
+    )
+    return dml.unionByName(txns).unionByName(ddl)
+
+
+CDC_METRICS_SQL = """
+SELECT 'dml_ops_insert_out' AS metric, COUNT(*) AS value
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'transactions_out', COUNT(DISTINCT l_orderkey)
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'ddl_ops_' || CASE p_partkey % 6
+           WHEN 0 THEN 'create' WHEN 1 THEN 'alter' WHEN 2 THEN 'drop'
+           WHEN 3 THEN 'truncate' WHEN 4 THEN 'purge' ELSE 'other' END,
+       COUNT(*)
+FROM part
+GROUP BY 1
+"""
+
+
 def cdc_txn_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-transaction envelope (B1 MESSAGE_FORMAT::FULL): one message per
     txn carrying the ordered op list — here fingerprinted with md5 so the
@@ -459,6 +606,8 @@ QUERIES = {
     "cdc_txn_assembly": cdc_txn_assembly,
     "cdc_txn_assembly_binary": cdc_txn_assembly_binary,
     "cdc_heartbeat": cdc_heartbeat,
+    "cdc_ddl_classify": cdc_ddl_classify,
+    "cdc_metrics": cdc_metrics,
     "cdc_txn_envelope": cdc_txn_envelope,
     "cdc_condition_filter": cdc_condition_filter,
     "cdc_unchanged_suppression": cdc_unchanged_suppression,
@@ -472,6 +621,8 @@ ORACLE = {
     "cdc_last_image": CDC_LAST_IMAGE_SQL,
     "cdc_txn_assembly": CDC_TXN_ASSEMBLY_SQL,
     "cdc_txn_assembly_binary": CDC_TXN_ASSEMBLY_SQL,
+    "cdc_ddl_classify": CDC_DDL_CLASSIFY_SQL,
+    "cdc_metrics": CDC_METRICS_SQL,
     "cdc_txn_envelope": CDC_TXN_ENVELOPE_SQL,
     "cdc_condition_filter": CDC_CONDITION_SQL,
     "cdc_unchanged_suppression": CDC_UNCHANGED_SQL,

@@ -238,28 +238,78 @@ def reassemble_ddl(ddl_chunks: DataFrame) -> DataFrame:
     arrives chunked across redo records as (xid, seq, cnt, text_part);
     concatenate in seq order per xid — same ordered-concat shape as LOB
     assembly, one shuffle on xid. Emits op='ddl' rows with the full
-    statement and a completeness flag (got all `cnt` chunks)."""
+    statement and a completeness flag (got all `cnt` chunks). A
+    ``ddl_type`` column (the 24.1 record's numeric type code) is carried
+    through for :func:`classify_ddl`."""
+    aggs = [
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seq", "text_part")),
+                    lambda l, r: F.when(l.seq < r.seq, -1)
+                    .when(l.seq > r.seq, 1)
+                    .otherwise(0),
+                ),
+                lambda s: s.text_part,
+            ),
+        ).alias("ddl_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("cnt").alias("expected_chunks"),
+    ]
+    if "ddl_type" in ddl_chunks.columns:
+        aggs.append(F.max("ddl_type").alias("ddl_type"))
     return (
         ddl_chunks.groupBy("xid")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seq", "text_part")),
-                        lambda l, r: F.when(l.seq < r.seq, -1)
-                        .when(l.seq > r.seq, 1)
-                        .otherwise(0),
-                    ),
-                    lambda s: s.text_part,
-                ),
-            ).alias("ddl_text"),
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.max("cnt").alias("expected_chunks"),
-        )
+        .agg(*aggs)
         .withColumn("complete", F.col("n_chunks") == F.col("expected_chunks"))
         .withColumn("op", F.lit("ddl"))
     )
+
+
+def ddl_category_expr(ddl_type_col: str = "ddl_type") -> "F.Column":
+    """B7 DDL classification by the numeric ddlType carried in the 24.1
+    record — the exact code table of Builder::processDdl
+    (Builder.cpp:1810-1846): 1/4/9 create, 85 truncate, 8/12 drop,
+    15/11 alter, 198 purge, everything else other. Feeds the per-category
+    ddl_ops metrics counters (Metrics.h:68-73)."""
+    c = F.col(ddl_type_col)
+    return (
+        F.when(c.isin(1, 4, 9), "create")
+        .when(c == 85, "truncate")
+        .when(c.isin(8, 12), "drop")
+        .when(c.isin(15, 11), "alter")
+        .when(c == 198, "purge")
+        .otherwise("other")
+    )
+
+
+def ddl_category_from_text(text_col: str = "ddl_text") -> "F.Column":
+    """Classification fallback from the statement's leading verb, for
+    streams whose 24.1 records didn't carry a ddlType code (the rendered
+    text is authoritative enough for the counter buckets)."""
+    verb = F.upper(F.regexp_extract(F.ltrim(F.col(text_col)), r"^(\w+)", 1))
+    return (
+        F.when(verb == "CREATE", "create")
+        .when(verb == "TRUNCATE", "truncate")
+        .when(verb == "DROP", "drop")
+        .when(verb == "ALTER", "alter")
+        .when(verb == "PURGE", "purge")
+        .otherwise("other")
+    )
+
+
+def classify_ddl(ddl: DataFrame) -> DataFrame:
+    """Reassembled DDL rows → rows + ``ddl_category``: by ddlType code
+    when a ``ddl_type`` column exists and is non-null, else by leading
+    verb. Pure JVM expressions — classification never leaves codegen."""
+    if "ddl_type" in ddl.columns:
+        cat = F.when(
+            F.col("ddl_type").isNotNull(), ddl_category_expr("ddl_type")
+        ).otherwise(ddl_category_from_text("ddl_text"))
+    else:
+        cat = ddl_category_from_text("ddl_text")
+    return ddl.withColumn("ddl_category", cat)
 
 
 def attach_lobs(events: DataFrame, lobs: DataFrame, cols_field: str = "cols") -> DataFrame:

@@ -11,6 +11,12 @@ Reassembles interleaved redo records into ordered, committed transactions:
          Transaction.cpp:199-571; rolled-back txns skipped :207-210)
 - B4     multi-row QMI/QMD expansion    (Builder.cpp:714-895)
 - P9     session-attribute merge        (OpCode0513/0514)
+- P12    11.4 lock / 11.16 supp-log / 11.22 KDOCMP
+         (Parser.cpp:393-400; Transaction.cpp:419-491 — locks parse and
+         never emit; supplemental-log records fill before-image columns
+         the row piece didn't carry and are transparent to the LIFO
+         partial-rollback cancel, Transaction.cpp:171-176; KDOCMP is
+         LogMiner support, consumed silently)
 
 Spark shape: one shuffle keyed by xid (the reference's transaction buffer
 *is* a hash partition by xid), then per-group assembly in an Arrow-batched
@@ -161,6 +167,34 @@ def assemble_transactions_py(
                     }
                 )
             txns.pop(xid, None)
+        elif opc == "lock":
+            # 11.4 lock row piece (select-for-update): parsed, never
+            # emitted — no change event exists for a lock.
+            pass
+        elif opc == "kdocmp":
+            # 11.22 LogMiner-support record: consumed silently
+            # (Transaction.cpp:431-433).
+            pass
+        elif opc == "supp":
+            # 11.16 supplemental log record: fills before-image columns
+            # (typically the PK) that the addressed row piece didn't
+            # carry (Transaction.cpp:451-481). Targets the most recent op
+            # with the same (bdba, slot); an unaddressed supp with no
+            # match is ignored (suppLogBdba==0 → nul1/nul2).
+            supp_cols = r.get("cols") or {}
+            addr = (r.get("bdba"), r.get("slot"))
+            for i in range(len(t["ops"]) - 1, -1, -1):
+                o = t["ops"][i]
+                if (o["bdba"], o["slot"]) == addr:
+                    o["cols"] = {**supp_cols, **(o["cols"] or {})}
+                    break
+            else:
+                # supp ahead of its row piece (same group, piece order
+                # not guaranteed): stash, applied when the op arrives
+                if addr[0] is not None:
+                    t.setdefault("pending_supp", {}).setdefault(
+                        addr, {}
+                    ).update(supp_cols)
         elif opc in ("qmi", "qmd"):
             op = "c" if opc == "qmi" else "d"
             rows = r.get("rows") or []
@@ -178,6 +212,12 @@ def assemble_transactions_py(
                     }
                 )
         elif opc in _OP_MAP:
+            cols = r.get("cols")
+            pending = t.get("pending_supp", {}).pop(
+                (r.get("bdba"), r.get("slot")), None
+            )
+            if pending:
+                cols = {**pending, **(cols or {})}
             t["ops"].append(
                 {
                     "op": _OP_MAP[opc],
@@ -185,7 +225,7 @@ def assemble_transactions_py(
                     "bdba": r.get("bdba"),
                     "slot": r.get("slot"),
                     "scn": r["scn"],
-                    "cols": r.get("cols"),
+                    "cols": cols,
                     "fb": r.get("fb") or 0,
                 }
             )

@@ -73,8 +73,8 @@ NULL16 = 0xFFFF
 
 # opcode codes follow the reference's layer.operation numbering
 # (OpCode.h): 5.2 begin, 5.4 commit/rollback (flag-distinguished), 5.6
-# partial rollback, 5.19 session attrs, 11.2/3/5/6 row ops, 11.11/12
-# multi-row, 24.1 DDL.
+# partial rollback, 5.19 session attrs, 11.2/3/5/6 row ops, 11.4 lock,
+# 11.16 supplemental log, 11.22 KDOCMP, 11.11/12 multi-row, 24.1 DDL.
 OP_TO_CODE = {
     "begin": 0x0502,
     "commit": 0x0504,
@@ -83,10 +83,13 @@ OP_TO_CODE = {
     "attr": 0x0513,
     "insert": 0x0B02,
     "delete": 0x0B03,
+    "lock": 0x0B04,
     "update": 0x0B05,
     "overwrite": 0x0B06,
     "qmi": 0x0B0B,
     "qmd": 0x0B0C,
+    "supp": 0x0B10,
+    "kdocmp": 0x0B16,
     "ddl": 0x1801,
 }
 CODE_TO_OP = {
@@ -96,10 +99,13 @@ CODE_TO_OP = {
     0x0513: "attr",
     0x0B02: "insert",
     0x0B03: "delete",
+    0x0B04: "lock",
     0x0B05: "update",
     0x0B06: "overwrite",
     0x0B0B: "qmi",
     0x0B0C: "qmd",
+    0x0B10: "supp",
+    0x0B16: "kdocmp",
     0x1801: "ddl",
 }
 

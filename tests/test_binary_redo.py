@@ -37,6 +37,10 @@ def test_roundtrip_all_opcodes():
         _rec(4, "t1", "qmi", obj=5, bdba=9,
              rows=[{"A": "1"}, {"A": "2"}]),
         _rec(5, "t1", "prollback", bdba=9, slot=1),
+        _rec(5, "t1", "lock", obj=5, bdba=9, slot=2),
+        _rec(5, "t1", "supp", obj=5, bdba=9, slot=1, subscn=1,
+             cols={"ID": "7"}),
+        _rec(5, "t1", "kdocmp", obj=5, bdba=9, slot=1, subscn=2),
         _rec(6, "t1", "attr", cols={"LOGIN_USER_NAME": "scott"}),
         _rec(7, "t1", "ddl", cols={"sql": "CREATE TABLE t(i int)"}),
         _rec(8, "t1", "commit"),

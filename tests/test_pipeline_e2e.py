@@ -134,3 +134,28 @@ def test_ddl_reassembly_chunks(spark):
     assert r.ddl_text == "ALTER TABLE app_t ADD (c2 NUMBER)"
     assert r.op == "ddl"
     assert not r.complete  # 2 of 3 chunks arrived
+
+
+def test_ddl_classification_code_and_text(spark):
+    """B7: classification follows the reference ddlType code table when a
+    code was captured (Builder.cpp:1810-1846), else the leading verb."""
+    from openlogreplicator_spark.operators.lob_assembly import classify_ddl
+
+    chunks = spark.createDataFrame(
+        [
+            # code 85 (truncate) wins over the CREATE verb — code is
+            # authoritative when present
+            ("x1", 1, 1, "CREATE TABLE t(i int)", 85),
+            ("x2", 1, 1, "drop table old_t", None),     # verb fallback
+            ("x3", 1, 1, "GRANT SELECT ON t TO u", None),  # → other
+            ("x4", 1, 1, "ALTER INDEX i REBUILD", 11),
+            ("x5", 1, 1, "PURGE RECYCLEBIN", 198),
+        ],
+        "xid string, seq int, cnt int, text_part string, ddl_type int",
+    )
+    got = {
+        r.xid: r.ddl_category
+        for r in classify_ddl(reassemble_ddl(chunks)).collect()
+    }
+    assert got == {"x1": "truncate", "x2": "drop", "x3": "other",
+                   "x4": "alter", "x5": "purge"}

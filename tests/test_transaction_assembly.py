@@ -107,6 +107,77 @@ def test_partial_rollback_lifo():
     assert [(e["op"], e["cols"]["v"]) for e in out] == [("c", "a")]
 
 
+def test_supp_log_fills_before_image():
+    """P12 11.16: supplemental columns fill what the row piece didn't
+    carry, and NEVER overwrite captured redo values
+    (Transaction.cpp:451-481)."""
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "update", "obj": 1, "bdba": 10,
+         "slot": 3, "cols": {"c2": "new"}},
+        {"scn": 2, "xid": "t", "opcode": "supp", "obj": 1, "bdba": 10,
+         "slot": 3, "subscn": 1, "cols": {"id": "7", "c2": "stale"}},
+        {"scn": 3, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert len(out) == 1
+    assert out[0]["cols"] == {"id": "7", "c2": "new"}
+
+
+def test_supp_log_before_row_piece():
+    """Piece order inside the group is not guaranteed: a supp arriving
+    ahead of its row piece still attaches by (bdba, slot)."""
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "supp", "obj": 1, "bdba": 10,
+         "slot": 3, "cols": {"id": "7"}},
+        {"scn": 2, "xid": "t", "opcode": "update", "obj": 1, "bdba": 10,
+         "slot": 3, "subscn": 1, "cols": {"c2": "new"}},
+        {"scn": 3, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert len(out) == 1
+    assert out[0]["cols"] == {"id": "7", "c2": "new"}
+
+
+def test_supp_unaddressed_ignored_and_lock_kdocmp_consumed():
+    """11.16 with no addressable row piece is ignored (nul1/nul2 path);
+    11.4 locks and 11.22 KDOCMP never emit (Parser.cpp:393-400)."""
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "supp", "obj": 1, "bdba": None,
+         "slot": None, "cols": {"id": "9"}},
+        {"scn": 3, "xid": "t", "opcode": "lock", "obj": 1, "bdba": 4,
+         "slot": 0},
+        {"scn": 4, "xid": "t", "opcode": "insert", "obj": 1, "bdba": 4,
+         "slot": 0, "cols": {"k": "1"}},
+        {"scn": 5, "xid": "t", "opcode": "kdocmp", "obj": 1, "bdba": 4,
+         "slot": 0},
+        {"scn": 6, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert [(e["op"], e["cols"]) for e in out] == [("c", {"k": "1"})]
+
+
+def test_prollback_transparent_to_supp():
+    """A partial rollback cancels the newest ROW op — supp records are
+    not in the op list and cannot absorb the cancel
+    (Transaction.cpp:171-176: 0B10 is skippable)."""
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "insert", "obj": 1, "bdba": 10,
+         "slot": 1, "cols": {"v": "keep"}},
+        {"scn": 3, "xid": "t", "opcode": "update", "obj": 1, "bdba": 10,
+         "slot": 2, "cols": {"v": "gone"}},
+        {"scn": 3, "xid": "t", "opcode": "supp", "obj": 1, "bdba": 10,
+         "slot": 2, "subscn": 1, "cols": {"id": "5"}},
+        {"scn": 4, "xid": "t", "opcode": "prollback", "bdba": 10, "slot": 2},
+        {"scn": 5, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert [(e["op"], e["cols"]["v"]) for e in out] == [("c", "keep")]
+
+
 def test_rollback_drops_transaction():
     recs = [
         {"scn": 1, "xid": "t", "opcode": "begin"},
