@@ -197,6 +197,33 @@ def rowid_to_text(data_obj: int, afn: int, block: int, slot: int) -> str:
     return enc(data_obj, 6) + enc(afn, 3) + enc(block, 6) + enc(slot, 3)
 
 
+def rowid_expr(data_obj, afn, block, slot):
+    """Column-level B9 ROWID render — same layout as
+    :func:`rowid_to_text` but composed from JVM builtins (substring over
+    the base-64 alphabet per 6-bit digit), so the hot pipeline path
+    never drops into Python."""
+    from pyspark.sql import functions as F
+
+    alph = F.lit(_B64)
+
+    def enc(col, width):
+        col = F.coalesce(col.cast("long"), F.lit(0))
+        return F.concat(
+            *[
+                alph.substr(
+                    (
+                        F.shiftright(col, 6 * i).bitwiseAND(F.lit(0x3F))
+                        + F.lit(1)
+                    ).cast("int"),
+                    F.lit(1),
+                )
+                for i in range(width - 1, -1, -1)
+            ]
+        )
+
+    return F.concat(enc(data_obj, 6), enc(afn, 3), enc(block, 6), enc(slot, 3))
+
+
 def decode_binary_float(b: bytes | None) -> float | None:
     """Oracle BINARY_FLOAT: MSB set → positive (clear it); else negative
     (invert all bits)."""

@@ -474,60 +474,106 @@ def lwn_headers(data: bytes, path: str = "<mem>") -> list[dict]:
     return out
 
 
-def heartbeats(spark: SparkSession, in_dir: str) -> DataFrame:
-    """One op=chkpt heartbeat row per LWN across all redo files — the
-    liveness signal consumers poll even when no table they subscribe to
-    changes. Same one-task-per-file distribution as the record parse."""
+# binaryFile source schema — must be passed explicitly for readStream
+# (streaming file sources can't infer).
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+HEARTBEAT_SCHEMA = (
+    "op string, seq long, block long, lwn_blocks long, "
+    "n_records long, c_scn long, ts_us long"
+)
+
+_HB_COLS = ["op", "seq", "block", "lwn_blocks", "n_records", "c_scn",
+            "ts_us"]
+
+
+def _record_frames(batches):
+    """mapInPandas kernel: (path, content) batches → record frames.
+    Shared by the batch and streaming readers."""
     import pandas as pd
 
-    files = (
+    cols = [f.name for f in REDO_RECORD_SCHEMA.fields]
+    for pdf in batches:
+        for path, content in zip(pdf["path"], pdf["content"]):
+            recs = parse_redo_bytes(bytes(content), path)
+            if recs:
+                yield pd.DataFrame(recs, columns=cols)
+
+
+def _heartbeat_frames(batches):
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            for h in lwn_headers(bytes(content), path):
+                rows.append({"op": "chkpt", **h})
+        if rows:
+            yield pd.DataFrame(rows, columns=_HB_COLS)
+
+
+def _binary_files(spark: SparkSession, in_dir: str) -> DataFrame:
+    return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.olrs")
         .load(in_dir)
         .select("path", "content")
     )
 
-    schema = (
-        "op string, seq long, block long, lwn_blocks long, "
-        "n_records long, c_scn long, ts_us long"
+
+def _binary_files_stream(
+    spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S1/S4 online reader: ordered incremental listing of redo files —
+    the archived+online scheduler made declarative (maxFilesPerTrigger =
+    the reader-thread queue depth)."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.olrs")
+        .option("latestFirst", "false")
+    )
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return reader.load(in_dir).select("path", "content")
+
+
+def heartbeats(spark: SparkSession, in_dir: str) -> DataFrame:
+    """One op=chkpt heartbeat row per LWN across all redo files — the
+    liveness signal consumers poll even when no table they subscribe to
+    changes. Same one-task-per-file distribution as the record parse."""
+    return _binary_files(spark, in_dir).mapInPandas(
+        _heartbeat_frames, schema=HEARTBEAT_SCHEMA
     )
 
-    def scan(batches):
-        for pdf in batches:
-            rows = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                for h in lwn_headers(bytes(content), path):
-                    rows.append({"op": "chkpt", **h})
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=["op", "seq", "block", "lwn_blocks",
-                             "n_records", "c_scn", "ts_us"],
-                )
 
-    return files.mapInPandas(scan, schema=schema)
+def heartbeat_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Streaming chkpt rows (B8): one per LWN as its file is listed."""
+    return _binary_files_stream(spark, in_dir).mapInPandas(
+        _heartbeat_frames, schema=HEARTBEAT_SCHEMA
+    )
 
 
 def parse_redo_files(spark: SparkSession, in_dir: str) -> DataFrame:
     """Directory of OLRS1 files → REDO_RECORD_SCHEMA DataFrame. One task
     per file via the binaryFile source; validation + parse run on the
     executors."""
-    import pandas as pd
-
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.olrs")
-        .load(in_dir)
-        .select("path", "content")
+    return _binary_files(spark, in_dir).mapInPandas(
+        _record_frames, schema=REDO_RECORD_SCHEMA
     )
 
-    cols = [f.name for f in REDO_RECORD_SCHEMA.fields]
 
-    def parse(batches):
-        for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
-                recs = parse_redo_bytes(bytes(content), path)
-                if recs:
-                    yield pd.DataFrame(recs, columns=cols)
-
-    return files.mapInPandas(parse, schema=REDO_RECORD_SCHEMA)
+def parse_redo_stream(
+    spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming variant of :func:`parse_redo_files`: the reference's
+    online mode (S1 reader thread tailing redo + S4 scheduler) as a
+    Structured Streaming source — new OLRS files are discovered in
+    order, parsed on executors, and feed the stateful assembly."""
+    return _binary_files_stream(
+        spark, in_dir, max_files_per_trigger
+    ).mapInPandas(_record_frames, schema=REDO_RECORD_SCHEMA)
