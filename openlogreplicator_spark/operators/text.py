@@ -228,14 +228,182 @@ FROM documents
 """
 
 
+# PII patterns — deliberately RE2-safe (no backrefs/lookaround) so the
+# same pattern string runs in Spark (Java regex) and DuckDB (RE2).
+_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII pass: count and redact phone numbers and email
+    addresses in one scan — pure ``regexp_replace``/``regexp_count``
+    builtins, zero shuffle, linear at any corpus size."""
+    return df.withColumn(
+        "n_phones", F.regexp_count(F.col(text_col), F.lit(_PHONE_RE))
+    ).withColumn(
+        "n_emails", F.regexp_count(F.col(text_col), F.lit(_EMAIL_RE))
+    ).withColumn(
+        "scrubbed",
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), _PHONE_RE, "<PHONE>"),
+            _EMAIL_RE,
+            "<EMAIL>",
+        ),
+    )
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a customer-contact corpus (synthesized from the
+    customer table so phones/emails genuinely occur): per-row redaction
+    counts + an md5 of the scrubbed text proving byte-identical output."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        (k % 90 + 10).cast("string"),
+        F.lpad((k * 7 % 1000).cast("string"), 3, "0"),
+        F.lpad((k * 13 % 1000).cast("string"), 3, "0"),
+        F.lpad((k * 31 % 10000).cast("string"), 4, "0"),
+    )
+    corpus = cust.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" ("), F.col("c_mktsegment"),
+            F.lit(") call "), phone,
+            F.lit(" or mail u"), k, F.lit("@example.com"),
+        ).alias("text"),
+    )
+    out = pii_scrub(corpus)
+    return out.select(
+        "c_custkey",
+        "n_phones",
+        "n_emails",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )
+
+
+TEXT_PII_SCRUB_SQL = f"""
+WITH corpus AS (
+    SELECT c_custkey,
+           c_name || ' (' || c_mktsegment || ') call '
+               || (c_custkey % 90 + 10)
+               || '-' || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')
+               || ' or mail u' || c_custkey || '@example.com' AS text
+    FROM customer
+)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       md5(regexp_replace(regexp_replace(text, '{_PHONE_RE}', '<PHONE>', 'g'),
+                          '{_EMAIL_RE}', '<EMAIL>', 'g')) AS scrubbed_md5
+FROM corpus
+"""
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, all computed inside JVM
+    array lambdas (no explode, no shuffle): duplicate-word fraction,
+    most-common-word share (fold over the sorted token array), and
+    duplicate-bigram fraction. The filter decision is a pure projection —
+    at 100 TB this is a map-only scan."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    # longest run in the sorted array == max term frequency
+    top_count = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(1).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(1),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    n_bi = F.size(bigrams)
+    n_bi_distinct = F.size(F.array_distinct(bigrams))
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(F.lit(1.0) - n_distinct / n, 6).alias("dup_word_ratio"),
+        F.round(top_count / n, 6).alias("top_word_share"),
+        F.round(F.lit(1.0) - n_bi_distinct / n_bi, 6).alias(
+            "dup_2gram_ratio"
+        ),
+    )
+
+
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals + the Gopher-style keep/drop verdict (a doc
+    dominated by one word or repeated bigrams is boilerplate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = repetition_signals(docs)
+    return sig.withColumn(
+        "keep",
+        (F.col("top_word_share") < 0.2) & (F.col("dup_2gram_ratio") < 0.5),
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH words AS (
+    SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\\s+') AS w
+    FROM documents
+), tok AS (
+    SELECT doc_id, UNNEST(w) AS word FROM words
+), tf AS (
+    SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word
+), perdoc AS (
+    SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+           MAX(c) AS top_count
+    FROM tf GROUP BY doc_id
+), bi AS (
+    SELECT doc_id,
+           len(w) - 1 AS n_bi,
+           len(list_distinct(list_transform(
+               generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1]))) AS n_bi_distinct
+    FROM words
+)
+SELECT p.doc_id,
+       CAST(p.n_words AS INT) AS n_words,
+       ROUND(1.0 - p.n_distinct / CAST(p.n_words AS DOUBLE), 6)
+           AS dup_word_ratio,
+       ROUND(p.top_count / CAST(p.n_words AS DOUBLE), 6) AS top_word_share,
+       ROUND(1.0 - b.n_bi_distinct / CAST(b.n_bi AS DOUBLE), 6)
+           AS dup_2gram_ratio,
+       (p.top_count / CAST(p.n_words AS DOUBLE) < 0.2
+        AND 1.0 - b.n_bi_distinct / CAST(b.n_bi AS DOUBLE) < 0.5) AS keep
+FROM perdoc p JOIN bi b ON b.doc_id = p.doc_id
+"""
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
+    "text_repetition_filter": text_repetition_filter,
 }
 
 ORACLE = {
+    "text_pii_scrub": TEXT_PII_SCRUB_SQL,
+    "text_repetition_filter": TEXT_REPETITION_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,

@@ -49,6 +49,12 @@ ASSEMBLED_SCHEMA = T.StructType(
         T.StructField("slot", T.IntegerType()),
         T.StructField("scn", T.LongType()),
         T.StructField("cols", T.MapType(T.StringType(), T.StringType())),
+        # P5: the paired 5.1 undo vector's image — before-image for
+        # updates/deletes (OpCode0501.h; Parser.cpp pairs vector1=undo
+        # with vector2=redo inside one record)
+        T.StructField(
+            "before_cols", T.MapType(T.StringType(), T.StringType())
+        ),
         T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
     ]
 )
@@ -91,6 +97,11 @@ def _merge_row_pieces(ops: list[dict]) -> list[dict]:
         ):
             head = merged[-1]
             head["cols"] = {**(head["cols"] or {}), **(o["cols"] or {})}
+            if o.get("before_cols"):
+                head["before_cols"] = {
+                    **(head.get("before_cols") or {}),
+                    **o["before_cols"],
+                }
             head["fb"] = fb  # chain continues only if this piece has FB_NEXT
         else:
             merged.append(dict(o))
@@ -163,10 +174,20 @@ def assemble_transactions_py(
                         "slot": o["slot"],
                         "scn": o["scn"],
                         "cols": o["cols"],
+                        "before_cols": o.get("before_cols"),
                         "attrs": dict(t["attrs"]),
                     }
                 )
             txns.pop(xid, None)
+        elif opc == "undo":
+            # P5: 5.1 undo vector — the before image of the row piece the
+            # paired redo vector changes (the reference carries it as
+            # redoLogRecord1 of the same record). Addressed by
+            # (bdba, slot); consumed by the next row op at that address.
+            if r.get("bdba") is not None:
+                t.setdefault("pending_undo", {})[
+                    (r.get("bdba"), r.get("slot"))
+                ] = r.get("cols") or {}
         elif opc == "lock":
             # 11.4 lock row piece (select-for-update): parsed, never
             # emitted — no change event exists for a lock.
@@ -218,6 +239,9 @@ def assemble_transactions_py(
             )
             if pending:
                 cols = {**pending, **(cols or {})}
+            undo = t.get("pending_undo", {}).pop(
+                (r.get("bdba"), r.get("slot")), None
+            )
             t["ops"].append(
                 {
                     "op": _OP_MAP[opc],
@@ -226,6 +250,7 @@ def assemble_transactions_py(
                     "slot": r.get("slot"),
                     "scn": r["scn"],
                     "cols": cols,
+                    "before_cols": undo,
                     "fb": r.get("fb") or 0,
                 }
             )
@@ -248,6 +273,7 @@ def assemble_transactions_py(
                         "slot": o["slot"],
                         "scn": o["scn"],
                         "cols": o["cols"],
+                        "before_cols": o.get("before_cols"),
                         "attrs": dict(t["attrs"]),
                     }
                 )
@@ -315,6 +341,7 @@ def _assemble_fast_path(
             "slot": dml["slot"],
             "scn": dml["scn"],
             "cols": dml["cols"].map(_norm_map),
+            "before_cols": [None] * len(dml),
             "attrs": [{} for _ in range(len(dml))],
         }
     )

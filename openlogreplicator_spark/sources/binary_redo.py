@@ -76,6 +76,7 @@ NULL16 = 0xFFFF
 # partial rollback, 5.19 session attrs, 11.2/3/5/6 row ops, 11.4 lock,
 # 11.16 supplemental log, 11.22 KDOCMP, 11.11/12 multi-row, 24.1 DDL.
 OP_TO_CODE = {
+    "undo": 0x0501,
     "begin": 0x0502,
     "commit": 0x0504,
     "rollback": 0x0504,  # + flags bit2
@@ -93,6 +94,7 @@ OP_TO_CODE = {
     "ddl": 0x1801,
 }
 CODE_TO_OP = {
+    0x0501: "undo",
     0x0502: "begin",
     0x0504: "commit",  # flags bit2 → rollback
     0x0506: "prollback",

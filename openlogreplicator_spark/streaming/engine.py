@@ -72,9 +72,14 @@ def to_change_events(
         ev = ev.withColumn("owner", F.lit("APP")).withColumn(
             "table", F.concat(F.lit("OBJ"), F.col("obj"))
         )
-    before = F.when(
-        F.col("op").isin("u", "d"), F.col("cols")
-    ).otherwise(F.lit(None).cast("map<string,string>"))
+    # P5: the paired 5.1 undo image is the authoritative before; absent
+    # one (no supplemental logging), fall back to the change columns
+    before = F.coalesce(
+        F.col("before_cols"),
+        F.when(F.col("op").isin("u", "d"), F.col("cols")).otherwise(
+            F.lit(None).cast("map<string,string>")
+        ),
+    )
     after = F.when(
         F.col("op").isin("c", "u"), F.col("cols")
     ).otherwise(F.lit(None).cast("map<string,string>"))

@@ -55,6 +55,19 @@ def test_roundtrip_all_opcodes():
         assert got["seq"] == 3
 
 
+def test_undo_redo_pair_roundtrip():
+    """P5: a 5.1 undo vector followed by its 11.5 redo round-trips with
+    before and after images intact."""
+    undo = _rec(5, "t", "undo", obj=9, bdba=3, slot=1,
+                cols={"id": "7", "c2": "old"})
+    redo = _rec(5, "t", "update", obj=9, bdba=3, slot=1, subscn=1,
+                cols={"c2": "new"})
+    got = parse_redo_bytes(encode_redo_file([undo, redo], 2), "t")
+    assert [g["opcode"] for g in got] == ["undo", "update"]
+    assert got[0]["cols"] == {"id": "7", "c2": "old"}
+    assert got[1]["cols"] == {"c2": "new"}
+
+
 def test_records_split_across_blocks():
     """Big column payloads force records to straddle 512-byte block
     boundaries; the parser must reassemble the LWN payload first."""

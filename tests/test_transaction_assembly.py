@@ -107,6 +107,30 @@ def test_partial_rollback_lifo():
     assert [(e["op"], e["cols"]["v"]) for e in out] == [("c", "a")]
 
 
+def test_undo_vector_carries_before_image():
+    """P5: the 5.1 undo vector paired with a row op becomes the op's
+    before image (OpCode0501; Parser pairs vector1=undo, vector2=redo).
+    Deletes get their full image from the undo; updates keep change
+    cols separate from the before."""
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "undo", "obj": 1, "bdba": 10,
+         "slot": 3, "cols": {"id": "7", "c2": "old"}},
+        {"scn": 2, "xid": "t", "opcode": "update", "obj": 1, "bdba": 10,
+         "slot": 3, "subscn": 1, "cols": {"c2": "new"}},
+        {"scn": 3, "xid": "t", "opcode": "undo", "obj": 1, "bdba": 11,
+         "slot": 0, "cols": {"id": "8", "c2": "bye"}},
+        {"scn": 3, "xid": "t", "opcode": "delete", "obj": 1, "bdba": 11,
+         "slot": 0, "subscn": 1},
+        {"scn": 4, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert [(e["op"], e["cols"], e["before_cols"]) for e in out] == [
+        ("u", {"c2": "new"}, {"id": "7", "c2": "old"}),
+        ("d", None, {"id": "8", "c2": "bye"}),
+    ]
+
+
 def test_supp_log_fills_before_image():
     """P12 11.16: supplemental columns fill what the row piece didn't
     carry, and NEVER overwrite captured redo values
