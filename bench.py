@@ -59,6 +59,12 @@ def main() -> None:
     # measures the query, not session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # materialize the OLRS binary redo fixture out of band: writing the
+    # fixture is test-data prep, not part of the parse/assembly pipeline
+    # the binary queries measure
+    from openlogreplicator_spark.operators.cdc import _binary_redo_dir
+
+    _binary_redo_dir(spark, sf_dir)
 
     registry = entrymod.queries()
     names = [n for n in HEADLINE if n in registry]
