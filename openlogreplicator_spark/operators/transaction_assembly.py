@@ -340,7 +340,9 @@ def _assemble_fast_path(
             "bdba": dml["bdba"],
             "slot": dml["slot"],
             "scn": dml["scn"],
-            "cols": dml["cols"].map(_norm_map),
+            # maps pass back to Arrow as the list-of-tuples form they
+            # arrived in — no per-row dict conversion on the fast path
+            "cols": dml["cols"],
             "before_cols": [None] * len(dml),
             "attrs": [{} for _ in range(len(dml))],
         }
