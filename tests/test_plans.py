@@ -119,6 +119,64 @@ def test_ngram_jaccard_caps_shingle_df(spark, sf_dir):
     assert "LeftAnti" in plan  # stop-shingle filter is in the plan
 
 
+def test_lob_chain_walk_is_bucketed(spark, sf_dir):
+    """The LOB index-chain walk must shuffle ONCE on the hash bucket
+    (one Python invocation per bucket, thousands of LOBs each) — not per
+    LOB, and with no iterative join rounds in the plan."""
+    from openlogreplicator_spark.operators import extras
+
+    plan = _plan(extras.cdc_lob_reassembly(spark, sf_dir))
+    assert "_bucket" in plan  # bucketed applyInPandas, not per-key
+    assert "CartesianProduct" not in plan
+
+
+def test_text_repetition_is_shuffle_free(spark, sf_dir):
+    """Repetition signals fold inside array lambdas — a map-only scan.
+    Any Exchange here would be an accidental explode/groupBy."""
+    from openlogreplicator_spark.operators import text
+
+    plan = _plan(text.text_repetition_filter(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pii_scrub_is_codegen_scan(spark, sf_dir):
+    from openlogreplicator_spark.operators import text
+
+    plan = _plan(text.text_pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan  # regex redaction is map-only
+    assert "BatchEvalPython" not in plan
+
+
+def test_ddl_classify_single_shuffle(spark, sf_dir):
+    """Reassembly is one xid shuffle; classification is pure projection
+    on top (no second exchange, no Python)."""
+    from openlogreplicator_spark.operators import cdc
+
+    plan = _plan(cdc.cdc_ddl_classify(spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # partial-agg pair around one shuffle
+    assert "BatchEvalPython" not in plan
+
+
+def test_engine_dictionary_join_broadcasts(spark):
+    """F1 selection resolves owner/table via a broadcast join — the
+    dictionary is catalog-scale and must never shuffle the event
+    stream."""
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        ASSEMBLED_SCHEMA,
+    )
+    from openlogreplicator_spark.streaming.engine import to_change_events
+
+    assembled = spark.createDataFrame([], ASSEMBLED_SCHEMA)
+    dict_obj = spark.createDataFrame(
+        [(1, "APP", "T1")], "obj long, owner string, name string"
+    )
+    plan = _plan(to_change_events(assembled, EngineConfig(), dict_obj))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_no_driver_collect_in_operators():
     """No operator may collect a data-scale frame to the driver. The only
     sanctioned collects: catalog-scale dictionaries (typed_decode) and
