@@ -210,6 +210,130 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries)
 
 
+# IVF sizing: nlist ≈ sqrt(N) at scale (16 at test scale); nprobe trades
+# recall for the fraction of inverted lists scanned (4/16 = 25% of the
+# corpus touched per query instead of 100%).
+_IVF_K = 16
+_IVF_NPROBE = 4
+_IVF_ITERS = 2
+
+
+def _ivf_assign_udf(cent, nprobe: int = 1):
+    """Vectorized centroid assignment: one (batch×dim)·(dim×k) matmul per
+    Arrow batch. With nprobe>1 returns the nprobe nearest centroid ids
+    (the query-side probe list)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    c = np.asarray(cent, dtype=np.float64)
+    c_sq = (c ** 2).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def assign(col: "pd.Series") -> "pd.Series":
+        vecs = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in col]
+        )
+        # argmin ||v-c||² = argmin (||c||² - 2 v·c); ||v||² is constant
+        d = c_sq - 2.0 * (vecs @ c.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype("int32")))
+
+    return assign
+
+
+def ivf_fit(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS):
+    """Fit IVF centroids with Lloyd iterations, Spark-distributed:
+    assignment is a vectorized matmul map stage; the centroid update is a
+    (cid, dim-position) groupBy average. Only MODEL state (k×dim floats —
+    kilobytes) ever reaches the driver; corpus-scale frames never do.
+    Seeding is deterministic (first k vec_ids) so the index is
+    reproducible without a model store."""
+    import numpy as np
+
+    dim = len(emb.select("embedding").first()[0])
+    seed = emb.orderBy("vec_id").limit(k).collect()
+    cent = np.asarray(
+        [np.asarray(r.embedding, dtype=np.float64) for r in seed]
+    )
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "cid", F.element_at(_ivf_assign_udf(cent)("embedding"), 1)
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("v").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # k×dim rows — model-scale, not data-scale
+        )
+        new = cent.copy()
+        counts = np.zeros(k)
+        for r in sums:
+            new[r.cid, r.pos] = r.s / r.n
+            counts[r.cid] = r.n
+        # empty cells keep their previous centroid
+        cent = np.where(counts[:, None] > 0, new, cent)
+        _ = dim
+    return cent
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = _TOP_K,
+    nlist: int = _IVF_K,
+    nprobe: int = _IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in nlist inverted lists (their nearest
+    centroid); a query probes its nprobe nearest lists and exact-ranks
+    only those candidates. The cid equi-join replaces the cross join —
+    per-query work drops to nprobe/nlist of the corpus. At 100 TB: the
+    inverted lists are the shuffle key (co-partitionable, skew bounded by
+    balanced centroids), assignment is one map stage, and the centroid
+    model is broadcast-by-closure (kilobytes)."""
+    cent = ivf_fit(emb, nlist)
+    corpus = emb.withColumn(
+        "cid", F.element_at(_ivf_assign_udf(cent)("embedding"), 1)
+    ).select("cid", "vec_id", "embedding", _norm("embedding").alias("e_norm"))
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_norm"),
+        F.explode(_ivf_assign_udf(cent, nprobe)("embedding")).alias("cid"),
+    )
+    pairs = corpus.join(probes, "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_norm") * F.col("e_norm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+        )
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry (k-means isn't SQL-portable); recall vs
+    brute force is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    return ann_ivf_topk(emb, queries)
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label aggregates over the vector column — norm statistics."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -355,6 +479,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf": ann_ivf,
     "embedding_stats": embedding_stats,
     "embedding_normalize": embedding_normalize,
 }

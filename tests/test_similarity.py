@@ -28,6 +28,37 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall > 0.15, f"LSH recall suspiciously low: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4/16 scans ~25% of the corpus per query; on random
+    64-dim data recall must beat both random chance and the LSH floor —
+    probing the nearest centroid cells concentrates true neighbors."""
+    from openlogreplicator_spark.operators.similarity import ann_ivf
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf(spark, sf_dir).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.3, f"IVF recall suspiciously low: {recall}"
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    from openlogreplicator_spark.operators.similarity import ivf_fit
+    from openlogreplicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = ivf_fit(emb, k=8, iters=1)
+    c2 = ivf_fit(emb, k=8, iters=1)
+    import numpy as np
+
+    assert np.array_equal(c1, c2)
+
+
 def test_topk_is_deterministic_and_ranked(spark, sf_dir):
     df = ann_cosine_topk(spark, sf_dir)
     rows = df.collect()
