@@ -243,6 +243,51 @@ GROUP BY c_mktsegment
 """
 
 
+_SALT_BUCKETS = 8
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-salted join: the fact side (events, hot user_ids)
+    carries a deterministic salt; the dim side replicates once per salt
+    value, so a hot key's rows spread across _SALT_BUCKETS reducers
+    instead of piling onto one. This is the manual form of what AQE's
+    skew-join split does at runtime — kept as a first-class operator
+    because a 100-TB pipeline wants the salt BEFORE the shuffle when the
+    skew is known (AQE only splits after a stage materializes). Results
+    are salt-invariant, so the oracle is the plain join."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.col("event_id"), F.lit(_SALT_BUCKETS))
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)])),
+        )
+    )
+    joined = ev.join(
+        dim.hint("shuffle_hash"),
+        (ev.user_id == dim.c_custkey) & (ev._salt == dim._salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # exact decimal accumulation: double partial sums are
+        # order-dependent across shuffles; decimals aren't
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+JOIN_SKEW_SALTED_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
@@ -250,9 +295,11 @@ QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "join_skew_salted": join_skew_salted,
 }
 
 ORACLE = {
+    "join_skew_salted": JOIN_SKEW_SALTED_SQL,
     "q4_order_priority": Q4_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q12_late_lines_by_flag": Q12_SQL,
