@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -417,6 +418,79 @@ GROUP BY 1
 """
 
 
+# XMLTYPE tag/attr dictionaries — the XmlCtx XDB X$NM/X$QN analog
+# (catalog-scale, closure-broadcast to the decode kernel)
+_XML_TAGS = {1: "part", 2: "name", 3: "brand", 4: "size"}
+_XML_ATTRS = {1: "id", 2: "type"}
+
+
+def cdc_xmltype_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XMLTYPE column decode end-to-end (Builder::parseXml surface,
+    Builder.cpp:1869-2430): each part row becomes a binary token-coded
+    XMLTYPE value (dictionary-referenced tags, attribute tokens, chunked
+    text — the OLRX1 format); the decode kernel re-serializes it to XML
+    text, checked against an oracle that builds the same XML directly in
+    SQL. Both encode and decode are one Arrow-batched map stage; the tag
+    dictionary broadcasts by closure like the reference's XmlCtx."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from openlogreplicator_spark.functions.xmltype import (
+        encode_xmltype,
+        xmltype_decode_udf,
+    )
+
+    tag_ids = {v: k for k, v in _XML_TAGS.items()}
+    attr_ids = {v: k for k, v in _XML_ATTRS.items()}
+
+    @pandas_udf("binary")
+    def encode(key: pd.Series, name: pd.Series, brand: pd.Series,
+               ptype: pd.Series, size: pd.Series) -> pd.Series:
+        out = []
+        for k, n, b, t, s in zip(key, name, brand, ptype, size):
+            doc = (
+                "part",
+                {"id": str(k), "type": t},
+                [
+                    ("name", {}, [n]),
+                    ("brand", {}, [b]),
+                    ("size", {}, [str(s)]),
+                ],
+            )
+            out.append(encode_xmltype(doc, tag_ids, attr_ids))
+        return pd.Series(out)
+
+    part = load_table(spark, sf_dir, "part")
+    with_xml = part.select(
+        "p_partkey",
+        encode("p_partkey", "p_name", "p_brand", "p_type", "p_size").alias(
+            "xml_bin"
+        ),
+    )
+    decoded = with_xml.select(
+        "p_partkey",
+        xmltype_decode_udf(_XML_TAGS, _XML_ATTRS)("xml_bin").alias("xml"),
+    )
+    return decoded.select(
+        "p_partkey",
+        F.length("xml").alias("xml_len"),
+        F.md5("xml").alias("xml_md5"),
+    )
+
+
+CDC_XMLTYPE_SQL = """
+SELECT p_partkey,
+       LENGTH('<part id="' || p_partkey || '" type="' || p_type || '">'
+              || '<name>' || p_name || '</name>'
+              || '<brand>' || p_brand || '</brand>'
+              || '<size>' || p_size || '</size></part>') AS xml_len,
+       md5('<part id="' || p_partkey || '" type="' || p_type || '">'
+           || '<name>' || p_name || '</name>'
+           || '<brand>' || p_brand || '</brand>'
+           || '<size>' || p_size || '</size></part>') AS xml_md5
+FROM part
+"""
+
+
 def cdc_txn_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-transaction envelope (B1 MESSAGE_FORMAT::FULL): one message per
     txn carrying the ordered op list — here fingerprinted with md5 so the
@@ -608,6 +682,7 @@ QUERIES = {
     "cdc_heartbeat": cdc_heartbeat,
     "cdc_ddl_classify": cdc_ddl_classify,
     "cdc_metrics": cdc_metrics,
+    "cdc_xmltype_decode": cdc_xmltype_decode,
     "cdc_txn_envelope": cdc_txn_envelope,
     "cdc_condition_filter": cdc_condition_filter,
     "cdc_unchanged_suppression": cdc_unchanged_suppression,
@@ -623,6 +698,7 @@ ORACLE = {
     "cdc_txn_assembly_binary": CDC_TXN_ASSEMBLY_SQL,
     "cdc_ddl_classify": CDC_DDL_CLASSIFY_SQL,
     "cdc_metrics": CDC_METRICS_SQL,
+    "cdc_xmltype_decode": CDC_XMLTYPE_SQL,
     "cdc_txn_envelope": CDC_TXN_ENVELOPE_SQL,
     "cdc_condition_filter": CDC_CONDITION_SQL,
     "cdc_unchanged_suppression": CDC_UNCHANGED_SQL,
