@@ -142,7 +142,9 @@ def build_pipeline(
     available_now: bool = True,
 ):
     """Assemble and START the full pipeline from one config. Returns the
-    ``StreamingQuery``. ``sink`` ∈ {json, noop, memory}."""
+    ``StreamingQuery``. ``sink`` ∈ {json, noop, memory, lake} — ``lake``
+    writes the typed change events as (owner, table)-partitioned parquet
+    instead of rendered messages."""
     from openlogreplicator_spark.builders.json_builder import build_events
 
     redo = parse_redo_stream(spark, in_dir, max_files_per_trigger)
@@ -157,6 +159,12 @@ def build_pipeline(
     sel = cfg.selectors[0] if cfg.selectors else TableSelector()
     if sel.condition:
         events = events.filter(compile_condition(sel.condition))
+    if sink == "lake":
+        from openlogreplicator_spark.streaming.sinks import write_lake_sink
+
+        return write_lake_sink(
+            events, out_dir, checkpoint, available_now=available_now
+        )
     events = events.observe(
         "olr_metrics",
         F.count(F.lit(1)).alias("rows_out"),

@@ -61,3 +61,29 @@ def foreach_batch_idempotent(path: str, keys: tuple[str, ...] = ("commit_scn", "
         idempotent_append(batch, path, keys)
 
     return write
+
+
+def write_lake_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: tuple[str, ...] = ("owner", "table"),
+    available_now: bool = True,
+):
+    """Warehouse/lake sink: change events land as parquet partitioned by
+    the replicated table's identity — the layout a downstream MERGE/SCD2
+    job wants (one partition per source table, pruned by any per-table
+    consumer). Exactly-once via the streaming commit log. At 100 TB the
+    partition columns bound file counts by table cardinality, not row
+    count; within a partition, files are epoch-sized and carry tight
+    commit_scn min/max stats for incremental consumers."""
+    w = (
+        events.writeStream.format("parquet")
+        .partitionBy(*partition_cols)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -8,6 +8,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from openlogreplicator_spark.config import EngineConfig, Format, TableSelector
 from openlogreplicator_spark.sources.binary_redo import write_binary_redo
@@ -82,6 +83,34 @@ def test_pipeline_start_scn_and_condition(spark, redo_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("select count(*) from olr_scn").collect()[0][0] == 0
+
+
+def test_pipeline_lake_sink_partitions_by_table(spark, redo_dir, tmp_path):
+    """The lake sink lands typed change events as parquet partitioned by
+    the replicated table's identity; partition pruning then serves
+    per-table consumers without touching other tables' files."""
+    import os
+
+    d, records = redo_dir
+    out = str(tmp_path / "lake")
+    q = build_pipeline(
+        spark,
+        EngineConfig(),
+        d,
+        checkpoint=str(tmp_path / "ckpt_lake"),
+        out_dir=out,
+        sink="lake",
+    )
+    q.awaitTermination(120)
+    parts = [p for p in os.listdir(out) if p.startswith("owner=")]
+    assert parts, f"no partition dirs in {os.listdir(out)}"
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert {"owner", "table", "op", "before", "after"} <= set(back.columns)
+    # partition pruning: a single-table read plans against one partition
+    one_table = back.select("table").first()[0]
+    pruned = back.filter(F.col("table") == one_table)
+    assert pruned.count() > 0
 
 
 def test_pipeline_heartbeats_and_metrics(spark, redo_dir, tmp_path):
