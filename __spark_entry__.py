@@ -102,6 +102,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "openlogreplicator_spark.operators.similarity",
         "openlogreplicator_spark.operators.extras",
         "openlogreplicator_spark.operators.history",
+        "openlogreplicator_spark.operators.sampling",
         "openlogreplicator_spark.streaming.windows",
     ]
     import importlib

@@ -1,0 +1,145 @@
+"""Training-mix construction: deterministic sampling + sequence packing.
+
+Two operations every pretraining data pipeline runs between "corpus" and
+"dataloader":
+
+- stratified mix sampling: keep a per-stratum (language/source) fraction
+  of documents, DETERMINISTICALLY — the keep decision hashes the doc id,
+  so re-runs, backfills, and multi-site runs agree without coordination
+  or a stored sample list. (``df.sampleBy`` is seeded-random per task and
+  not reproducible across repartitions; hash-threshold sampling is.)
+- sequence packing: concatenate documents into fixed token-budget
+  training sequences (greedy in a deterministic order). Expressed as a
+  running-sum window + integer division — one shuffle on the stratum,
+  no Python.
+
+Both are map/window-only: at 100 TB the only data movement is the
+per-stratum window partition, and strata (languages × sources) are few
+and balanced relative to cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.sources.tables import load_table
+
+# per-language keep rate (percent) — the "training mix" weights
+_MIX_PCT = {"en": 80, "de": 50, "fr": 30}
+_DEFAULT_PCT = 10
+_SEQ_TOKEN_BUDGET = 512
+
+
+def _keep_bucket(id_col):
+    """Deterministic 0-99 bucket from the doc id: first 8 md5 hex digits
+    mod 100. md5 (not xxhash) so the DuckDB oracle reproduces it
+    byte-identically."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+
+
+def sample_mix(docs: DataFrame, pct: dict[str, int], default_pct: int) -> DataFrame:
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(p)) for lang, p in pct.items()
+        ],
+        F.lit(default_pct),
+    )
+    return docs.withColumn("_bucket", _keep_bucket(F.col("doc_id"))).filter(
+        F.col("_bucket") < rate
+    )
+
+
+def sample_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc counts and token mass after deterministic
+    mix-weighted sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_mix(docs, _MIX_PCT, _DEFAULT_PCT)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{lang}' THEN {p}" for lang, p in _MIX_PCT.items()
+)
+
+SAMPLE_MIX_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+           AS total_tokens
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 100
+      < CASE lang {_MIX_CASE} ELSE {_DEFAULT_PCT} END
+GROUP BY lang
+"""
+
+
+def pack_sequences(
+    docs: DataFrame, token_budget: int = _SEQ_TOKEN_BUDGET
+) -> DataFrame:
+    """Assign each document to a fixed-budget training sequence: docs are
+    taken in deterministic (lang, doc_id) order and packed greedily by
+    cumulative token count — seq_id = floor((cumsum - n_tokens) /
+    budget), i.e. a document starts a new sequence when the running total
+    crosses the budget. One window per language partition."""
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    with_cum = docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return with_cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / token_budget)
+        .cast("bigint")
+        .alias("seq_id"),
+    )
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing summary: per (lang, seq_id) document count and
+    token fill — the dataloader's unit of work."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs)
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           len(string_split_regex(TRIM(text), '\\s+')) AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                       - n_tokens) / {_SEQ_TOKEN_BUDGET}.0) AS BIGINT)
+               AS seq_id
+    FROM toks
+)
+SELECT lang, seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+FROM packed GROUP BY lang, seq_id
+"""
+
+
+QUERIES = {
+    "sample_training_mix": sample_training_mix,
+    "pack_training_sequences": pack_training_sequences,
+}
+
+ORACLE = {
+    "sample_training_mix": SAMPLE_MIX_SQL,
+    "pack_training_sequences": PACK_SEQUENCES_SQL,
+}
