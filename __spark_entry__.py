@@ -83,9 +83,11 @@ _PRIORITY = [
     "q7_volume_shipping",
     "q12_late_lines_by_flag",
     "agg_approx_distinct",
-    # representative re-verifies of queries whose outputs changed type
-    "q3_shipping_priority",
-    "topk_orders",
+    # new round-2 operator families (q3/topk re-verifies rotated out:
+    # the 14 round-1 reds above already re-verify the same result-type
+    # cast patterns)
+    "cdc_xmltype_decode",
+    "sample_training_mix",
 ]
 
 
