@@ -32,7 +32,6 @@ _PRIORITY = [
     "cdc_txn_assembly",
     "cdc_txn_assembly_binary",
     "cdc_sessionize",
-    "cdc_last_image",
     "cdc_txn_envelope",
     "cdc_condition_filter",
     "cdc_unchanged_suppression",
@@ -47,6 +46,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "decontaminate_ngram",
     # text analysis
     "text_quality_score",
     "text_lang_id",
@@ -83,9 +83,9 @@ _PRIORITY = [
     "q7_volume_shipping",
     "q12_late_lines_by_flag",
     "agg_approx_distinct",
-    # new round-2 operator families (q3/topk re-verifies rotated out:
-    # the 14 round-1 reds above already re-verify the same result-type
-    # cast patterns)
+    # new round-2 operator families (q3/topk/cdc_last_image re-verifies
+    # rotated out: green in round 1, and the 14 round-1 reds above
+    # already re-verify the same result-type cast patterns)
     "cdc_xmltype_decode",
     "sample_training_mix",
 ]

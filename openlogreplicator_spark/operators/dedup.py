@@ -382,11 +382,70 @@ FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
 """
 
 
+# Benchmark decontamination uses long (8-word) n-grams: long enough that a
+# shared gram is near-certain verbatim overlap, the standard knob in
+# published training-data pipelines (e.g. GPT-3 used 13-gram, Gopher 8-gram
+# overlap against their eval sets).
+_DECON_N = 8
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: flag every training document that
+    shares at least one 8-word n-gram with the held-out evaluation split
+    (here `doc_id % 10 == 0` — a deterministic split both engines agree
+    on). Emits (doc_id, n_shared) for contaminated training docs; the
+    decontaminated corpus is the anti-join of `documents` against this.
+
+    100-TB shape: both sides reduce to DISTINCT (doc, gram) / DISTINCT
+    gram *before* a single equi-join shuffle keyed on the gram, so the
+    join input is bounded by the distinct-gram space, not raw tokens. A
+    real benchmark eval set is tiny relative to the corpus, so its gram
+    set broadcasts; this synthetic split is 10% of the corpus, which is
+    exactly the shape AQE resolves to a shuffle join on its own — no
+    hand-picked strategy needed.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = shingles(docs, n=_DECON_N).withColumnRenamed("shingle", "gram")
+    train = grams.filter(F.col("doc_id") % 10 != 0).distinct()
+    evals = (
+        grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    )
+    return (
+        train.join(evals, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+
+
+_DECON_GRAM_EXPR = " || ' ' || ".join(
+    f"words[i+{k}]" for k in range(_DECON_N)
+)
+
+DECONTAMINATE_SQL = f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+g AS (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, len(words) - {_DECON_N - 1}),
+                  i -> {_DECON_GRAM_EXPR})) AS gram
+    FROM w
+    WHERE len(words) >= {_DECON_N}
+),
+train AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM train t JOIN eval_g e USING (gram)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "decontaminate_ngram": decontaminate_ngram,
 }
 
 ORACLE = {
@@ -394,4 +453,5 @@ ORACLE = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "decontaminate_ngram": DECONTAMINATE_SQL,
 }

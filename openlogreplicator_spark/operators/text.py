@@ -392,6 +392,45 @@ FROM perdoc p JOIN bi b ON b.doc_id = p.doc_id
 """
 
 
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: the 100 most frequent tokens with term count
+    and document frequency. The (count DESC, token ASC) tiebreak makes
+    the top-k set a total order, so both engines cut the same boundary.
+
+    100-TB shape: one partial-aggregated shuffle on the token (the df
+    count piggybacks on the same grouping via a pre-distinct), then
+    TakeOrderedAndProject for the k cut — no global sort materializes.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("n"), "token")
+        .limit(100)
+    )
+
+
+TEXT_VOCAB_SQL = """
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token
+    FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100
+"""
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -399,6 +438,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition_filter": text_repetition_filter,
+    "text_vocab_topk": text_vocab_topk,
 }
 
 ORACLE = {
@@ -408,4 +448,5 @@ ORACLE = {
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_vocab_topk": TEXT_VOCAB_SQL,
 }

@@ -38,13 +38,18 @@ def read_redo_json_stream(
     return reader.json(path)
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming source over the events table schema (JSON lines)."""
     schema = (
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string"
     )
-    return spark.readStream.schema(schema).json(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
 
 
 def windowed_metrics(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -137,14 +137,56 @@ GROUP BY user_id, session_idx
 """
 
 
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay dedup: the event feed is delivered twice (an
+    at-least-once source re-sending a whole batch) and deduplicated on
+    event_id before a per-type rollup. Streaming form is
+    `dropDuplicatesWithinWatermark(["event_id"])` — state is TTL'd by
+    the event-time watermark instead of growing without bound (see
+    tests/test_streaming.py::test_stream_dedup_within_watermark); the
+    batch projection here runs the identical plan minus the TTL.
+
+    100-TB shape: dedup state is hash-partitioned on event_id and
+    watermark-bounded, so the stream holds one watermark-window of keys
+    per partition, not the full history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    replayed = ev.unionByName(ev)
+    deduped = replayed.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# event_id is unique in the feed, so dedup-on-event_id of a double
+# delivery collapses back to the original table.
+STREAM_DEDUP_SQL = """
+WITH replayed AS (
+    SELECT * FROM events UNION ALL SELECT * FROM events
+),
+deduped AS (
+    SELECT event_type, user_id
+    FROM replayed
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) = 1
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM deduped
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
+    "stream_dedup_replay": stream_dedup_replay,
 }
 
 ORACLE = {
     "stream_tumbling_window": STREAM_TUMBLING_SQL,
     "stream_sliding_window": STREAM_SLIDING_SQL,
     "stream_session_window": STREAM_SESSION_SQL,
+    "stream_dedup_replay": STREAM_DEDUP_SQL,
 }

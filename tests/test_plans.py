@@ -193,3 +193,26 @@ def test_no_driver_collect_in_operators():
         for m in re.finditer(r"\.toPandas\(\)", src):
             offenders.append(f"{p.name}: toPandas")
     assert offenders == [], offenders
+
+def test_decontaminate_distinct_before_join(spark, sf_dir):
+    """Contamination scan must reduce both sides to distinct grams BEFORE
+    the equi-join (partial-aggregated distinct), and never plan a
+    cartesian/nested-loop pair generation."""
+    from openlogreplicator_spark.operators import dedup
+
+    plan = _plan(dedup.decontaminate_ngram(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # distinct on each side + final count: at least 3 agg pairs
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_topk_take_ordered(spark, sf_dir):
+    """Top-k vocabulary must cut with TakeOrderedAndProject (per-partition
+    heaps), not a global sort of the vocabulary."""
+    from openlogreplicator_spark.operators import text
+
+    plan = _plan(text.text_vocab_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan

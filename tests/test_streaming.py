@@ -121,6 +121,49 @@ def test_watermarked_window_metrics(spark, tmp_path):
     assert {(r.event_type, r.n) for r in got} == {("view", 100), ("click", 100)}
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """An at-least-once source re-delivers all of batch 1 inside batch 2;
+    dropDuplicatesWithinWatermark emits every event_id exactly once while
+    TTL'ing key state by the event-time watermark (the scale contract:
+    state holds one watermark-window of keys, not the full history)."""
+
+    def ev(i: int) -> dict:
+        return {
+            "event_id": i,
+            "ts": f"2024-01-01T00:{i:02d}:00.000Z",
+            "user_id": i % 3,
+            "event_type": "view",
+            "value": float(i),
+            "props": "{}",
+        }
+
+    batch1 = [ev(i) for i in range(30)]
+    batch2 = batch1 + [ev(i) for i in range(30, 50)]  # full replay + new
+    indir = tmp_path / "dedup_in"
+    indir.mkdir()
+    _write_jsonl(str(indir / "b0.json"), batch1)
+    time.sleep(0.05)  # distinct mtimes keep batch order deterministic
+    _write_jsonl(str(indir / "b1.json"), batch2)
+
+    stream = read_events_stream(spark, str(indir), max_files_per_trigger=1)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_id, COUNT(*) AS c FROM dedup_stream GROUP BY event_id"
+    ).collect()
+    assert {r.event_id for r in got} == set(range(50))
+    assert all(r.c == 1 for r in got)
+
+
 def test_file_sink_exactly_once_resume(spark, tmp_path):
     """Re-running with the same checkpoint must not duplicate output
     (W1/F9: exactly-once resume)."""
