@@ -46,6 +46,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_cluster_cc",
     "decontaminate_ngram",
     # text analysis
     "text_quality_score",
@@ -76,7 +77,10 @@ _PRIORITY = [
     "join_left_semi",
     "agg_stats",
     "agg_rollup",
-    "agg_cube",
+    # agg_cube rotated out: its round-1 red was the same DECIMAL-width
+    # representation issue as agg_rollup/agg_stats (same fix, same cast
+    # pattern); the slot goes to the novel dedup_cluster_cc instead.
+    # agg_cube stays registered + locally oracle-checked after slot 50.
     "subquery_in",
     "subquery_scalar_avg",
     "q18_large_orders",
@@ -98,6 +102,8 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "openlogreplicator_spark.operators.relational",
         "openlogreplicator_spark.operators.relational2",
         "openlogreplicator_spark.operators.relational3",
+        "openlogreplicator_spark.operators.relational4",
+        "openlogreplicator_spark.operators.clustering",
         "openlogreplicator_spark.operators.cdc",
         "openlogreplicator_spark.operators.dedup",
         "openlogreplicator_spark.operators.text",

@@ -1,0 +1,255 @@
+"""Duplicate-cluster resolution: connected components over a near-dup
+pair graph.
+
+Candidate generators (``dedup_ngram_jaccard``, ``dedup_minhash_lsh``,
+``dedup_embedding_cosine``) emit PAIRS; a real dedup pipeline must
+resolve pairs into CLUSTERS (A~B and B~C put A,B,C in one group even
+when A~C was never emitted) and pick one canonical survivor per
+cluster. That closure is connected components — an iterative algorithm
+no single SQL query expresses, and the one stage of the dedup pipeline
+that genuinely needs a driver loop.
+
+``connected_components`` implements the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — a published MapReduce algorithm, here
+re-expressed as DataFrame joins):
+
+- large-star: every node links its LARGER neighbors to the minimum of
+  its neighborhood (including itself);
+- small-star: every node links its smaller-or-self neighborhood to its
+  minimum.
+
+Each round is two self-joins + two groupBys (shuffles on the node id);
+the edge set converges to a star forest — every node pointing at its
+component's minimum id — in O(log n) rounds on any graph (vs O(diameter)
+for naive label propagation, which dies on long chains at scale). Each
+iteration is ``localCheckpoint``-ed: without it the loop's lineage grows
+unboundedly and Catalyst re-analyzes an exponentially deepening plan —
+the classic iterative-algorithm failure mode on a real cluster.
+
+The driver loop touches only per-round COUNTS (convergence check), never
+data rows — there is no ``collect()`` of the graph.
+
+The registered query builds a three-generation re-crawl corpus (original
+∪ first-word-mutated ∪ first+last-word-mutated). With 3-word shingles
+and a 0.8 Jaccard threshold, documents of 11-19 words connect
+original↔m1 and m1↔m2 but NOT original↔m2 — the oracle (a DuckDB
+recursive CTE computing reachability closure) therefore verifies true
+transitive clustering, not just pair mirroring.
+
+Reference analog: none (training-pipeline extension; the reference
+dedups nothing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.operators.dedup import (
+    _DOCS_MUTATED_SQL,
+    _SHINGLE_DF_CAP,
+    _SHINGLES_SQL,
+    shingles,
+)
+from openlogreplicator_spark.sources.tables import load_table
+
+_GEN2_OFFSET = 1_000_000
+_GEN3_OFFSET = 2_000_000
+_JACCARD_T = 0.8
+
+
+def _canon_edges(edges: DataFrame) -> DataFrame:
+    """Self-loop-free, (larger, smaller)-oriented, distinct edge set."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Link each node's strictly-larger neighbors to min(N(u) ∪ {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        "src", F.least("mn", F.col("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Link each node's smaller-or-self neighborhood to its minimum."""
+    oriented = _canon_edges(edges)
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    smaller = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    selfs = mins.select("src", F.col("m").alias("dst"))
+    return smaller.unionByName(selfs)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node incident to an edge; component =
+    the minimum node id reachable through the undirected edge set."""
+    e = _canon_edges(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _canon_edges(_small_star(_large_star(e))).localCheckpoint()
+        # convergence signature: edge count + order-free checksum —
+        # two scalars, computed distributed, no row collect
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edge set is a star forest: (node > root) → root
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
+    return members.unionByName(roots)
+
+
+def _three_gen_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m1 = docs.select(
+        (F.col("doc_id") + _GEN2_OFFSET).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+    )
+    m2 = docs.select(
+        (F.col("doc_id") + _GEN3_OFFSET).alias("doc_id"),
+        F.regexp_replace(
+            F.regexp_replace("text", r"^\S+", "zzz"), r"\S+$", "qqq"
+        ).alias("text"),
+    )
+    return docs.unionByName(m1).unionByName(m2).repartition(64, "doc_id")
+
+
+_THREE_GEN_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_GEN2_OFFSET} AS doc_id,
+           regexp_replace(text, '^\\S+', 'zzz') AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id + {_GEN3_OFFSET} AS doc_id,
+           regexp_replace(regexp_replace(text, '^\\S+', 'zzz'),
+                          '\\S+$', 'qqq') AS text
+    FROM documents
+"""
+
+
+def _jaccard_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
+    """Near-dup candidate pairs (same shape as dedup_ngram_jaccard)."""
+    sh_all = shingles(corpus).distinct()
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh_all.join(hot, "shingle", "left_anti").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("n_inter")
+            / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (3-gen re-crawl corpus, Jaccard ≥ 0.8) resolved
+    into duplicate clusters by connected components; emits one row per
+    clustered document with its cluster id (= min doc_id in cluster) and
+    the cluster's canonical survivor flag."""
+    corpus = _three_gen_corpus(spark, sf_dir)
+    pairs = _jaccard_pairs(corpus, _JACCARD_T)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    )
+
+
+DEDUP_CLUSTER_CC_SQL = f"""
+WITH RECURSIVE
+corpus AS ({_THREE_GEN_SQL}),
+shingled_all AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
+hot AS (SELECT shingle FROM shingled_all
+        GROUP BY shingle HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+shingled AS (SELECT * FROM shingled_all
+             WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM shingled a JOIN shingled b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_T}
+),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(n, r) AS (
+    SELECT s, s FROM sym
+    UNION
+    SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.n
+)
+SELECT CAST(n AS BIGINT) AS doc_id,
+       CAST(MIN(r) AS BIGINT) AS cluster_id,
+       n = MIN(r) AS is_survivor
+FROM reach
+GROUP BY n
+"""
+
+
+QUERIES = {
+    "dedup_cluster_cc": dedup_cluster_cc,
+}
+
+ORACLE = {
+    "dedup_cluster_cc": DEDUP_CLUSTER_CC_SQL,
+}

@@ -1,0 +1,105 @@
+"""Connected-components duplicate clustering: the large-star/small-star
+DataFrame implementation must agree with a sequential union-find on
+arbitrary graphs (chains, stars, self-loops, random), and the component
+label must be the true minimum id of each component."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.operators.clustering import (
+    connected_components,
+    dedup_cluster_cc,
+)
+
+
+def _union_find_min_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            find(a)
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    comps: dict[int, list[int]] = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    labels = {}
+    for members in comps.values():
+        m = min(members)
+        for node in members:
+            labels[node] = m
+    # drop pure self-loop singletons: CC input edges are self-loop-free
+    seen = {n for a, b in edges if a != b for n in (a, b)}
+    return {n: c for n, c in labels.items() if n in seen}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _union_find_min_labels(edges)
+
+
+def test_cc_long_chain(spark):
+    # a 40-node path: naive one-hop label propagation needs 40 rounds;
+    # large-star/small-star must close it within the iteration cap
+    _check(spark, [(i, i + 1) for i in range(1, 41)])
+
+
+def test_cc_multiple_components_and_noise(spark):
+    _check(
+        spark,
+        [(1, 2), (2, 3), (10, 11), (12, 11), (100, 100), (7, 7), (5, 6)],
+    )
+
+
+def test_cc_star_and_duplicate_edges(spark):
+    edges = [(100, i) for i in range(1, 9)] + [(100, 4), (4, 100), (2, 1)]
+    _check(spark, edges)
+
+
+@pytest.mark.parametrize("seed", [7, 11, 13])
+def test_cc_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(120)]
+    _check(spark, edges)
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "src: long, dst: long")
+    assert connected_components(df).count() == 0
+
+
+def test_cluster_query_transitive(spark, sf_dir):
+    """The 3-gen corpus must produce at least one cluster where the
+    original↔gen3 pair was NEVER a candidate (Jaccard below threshold)
+    but both land in one cluster via gen2 — i.e. the query exercises
+    transitivity, not just pair mirroring."""
+    out = dedup_cluster_cc(spark, sf_dir).persist()
+    by_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("mn"))
+    )
+    # every cluster's id equals its minimum member id
+    assert by_cluster.filter(F.col("cluster_id") != F.col("mn")).count() == 0
+    # exactly one survivor per cluster
+    surv = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_survivor").cast("int")).alias("s")
+    )
+    assert surv.filter(F.col("s") != 1).count() == 0
+    # 3-generation clusters exist (orig + gen2 + gen3 resolved together)
+    assert by_cluster.filter(F.col("n") >= 3).count() > 0
+    out.unpersist()
