@@ -392,6 +392,103 @@ FROM perdoc p JOIN bi b ON b.doc_id = p.doc_id
 """
 
 
+_MIN_WORDS = 25
+_MAX_DUP_WORD = 0.62
+_MAX_TOP_SHARE = 0.15
+_MIN_STOP = 0.02
+
+
+def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus filter: every quality signal evaluated in ONE
+    map-only projection (length, duplicate-word ratio, top-word share,
+    stopword ratio), composed into a keep/drop verdict with a
+    machine-readable drop-reason list. This is the nightly "documents
+    in, training corpus out" gate; at 100 TB it is a single scan with
+    zero shuffles — signals are never computed in separate passes and
+    joined back."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(words)
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(words)) / n
+    top_count = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(1).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(1),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    top_share = top_count / n
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*[F.lit(s) for s in _STOPWORDS])))
+        / n
+    )
+    # concat_ws skips null elements, so un-triggered reasons vanish
+    reasons = F.concat_ws(
+        ",",
+        F.when(n < _MIN_WORDS, F.lit("too_short")),
+        F.when(dup_ratio > _MAX_DUP_WORD, F.lit("repetitive")),
+        F.when(top_share > _MAX_TOP_SHARE, F.lit("dominated")),
+        F.when(stop_ratio < _MIN_STOP, F.lit("low_stopword")),
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(dup_ratio, 6).alias("dup_word_ratio"),
+        F.round(top_share, 6).alias("top_word_share"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        (reasons == "").alias("keep"),
+        reasons.alias("drop_reasons"),
+    )
+
+
+TEXT_FILTER_PIPELINE_SQL = f"""
+WITH sig AS (
+    SELECT doc_id,
+           len(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS n_words,
+           1.0 - len(list_distinct(string_split_regex(LOWER(TRIM(text)), '\\s+')))
+                 / CAST(len(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS DOUBLE)
+               AS dup_ratio,
+           (SELECT MAX(c) FROM (
+               SELECT COUNT(*) AS c
+               FROM UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS u(w)
+               GROUP BY w)) /
+               CAST(len(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS DOUBLE)
+               AS top_share,
+           len(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                           w -> w IN ({_STOP_SQL})))
+               / CAST(len(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS DOUBLE)
+               AS stop_ratio
+    FROM documents
+), flagged AS (
+    SELECT doc_id, n_words, dup_ratio, top_share, stop_ratio,
+           COALESCE(array_to_string(list_filter([
+               CASE WHEN n_words < {_MIN_WORDS} THEN 'too_short' END,
+               CASE WHEN dup_ratio > {_MAX_DUP_WORD} THEN 'repetitive' END,
+               CASE WHEN top_share > {_MAX_TOP_SHARE} THEN 'dominated' END,
+               CASE WHEN stop_ratio < {_MIN_STOP} THEN 'low_stopword' END
+           ], x -> x IS NOT NULL), ','), '') AS drop_reasons
+    FROM sig
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       ROUND(dup_ratio, 6) AS dup_word_ratio,
+       ROUND(top_share, 6) AS top_word_share,
+       ROUND(stop_ratio, 6) AS stop_ratio,
+       drop_reasons = '' AS keep,
+       drop_reasons
+FROM flagged
+"""
+
+
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: the 100 most frequent tokens with term count
     and document frequency. The (count DESC, token ASC) tiebreak makes
@@ -438,10 +535,12 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
     "text_repetition_filter": text_repetition_filter,
+    "text_filter_pipeline": text_filter_pipeline,
     "text_vocab_topk": text_vocab_topk,
 }
 
 ORACLE = {
+    "text_filter_pipeline": TEXT_FILTER_PIPELINE_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
     "text_repetition_filter": TEXT_REPETITION_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,

@@ -208,6 +208,67 @@ def test_decontaminate_distinct_before_join(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_q6_is_pushdown_scan(spark, sf_dir):
+    """Q6 is the canonical scan-bound query: every predicate must reach
+    the parquet scan and only the four needed columns may be read."""
+    from openlogreplicator_spark.operators import relational4
+
+    plan = _formatted(relational4.q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_returnflag" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q8_dims_all_broadcast(spark, sf_dir):
+    """Q8 joins five dimensions — every one must broadcast; the only
+    shuffle join allowed is lineitem⋈orders."""
+    from openlogreplicator_spark.operators import relational4
+
+    plan = _plan(relational4.q8_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q13_outer_join_then_double_agg(spark, sf_dir):
+    from openlogreplicator_spark.operators import relational4
+
+    plan = _plan(relational4.q13_order_count_distribution(spark, sf_dir))
+    assert "LeftOuter" in plan
+    # two aggregations (per-customer, then distribution), each partial+final
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_text_filter_pipeline_is_map_only(spark, sf_dir):
+    """The composite corpus gate evaluates every signal in one projection
+    — any Exchange means a signal regressed into a separate pass."""
+    from openlogreplicator_spark.operators import text
+
+    plan = _plan(text.text_filter_pipeline(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cc_rounds_are_equi_joins(spark):
+    """One large-star+small-star round must plan as equi joins on the
+    node id — no cartesian/nested-loop neighborhood expansion."""
+    from openlogreplicator_spark.operators.clustering import (
+        _canon_edges,
+        _large_star,
+        _small_star,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (4, 3)], "src: long, dst: long")
+    plan = _plan(_canon_edges(_small_star(_large_star(e))))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_vocab_topk_take_ordered(spark, sf_dir):
     """Top-k vocabulary must cut with TakeOrderedAndProject (per-partition
     heaps), not a global sort of the vocabulary."""
