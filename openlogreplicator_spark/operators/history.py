@@ -77,10 +77,118 @@ FROM events
 """
 
 
+_INSERT_OFFSET = 10_000
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """MERGE a change stream into a snapshot: per key the LAST change
+    wins — 'd' removes the row, 'u' updates it, 'i' creates it; keys
+    without changes pass through. One window shuffle on the key to pick
+    the last change + one outer join against the base — exactly the
+    plan a warehouse MERGE executes, with no per-row driver logic.
+
+    ``changes`` columns: key, op ('i'|'u'|'d'), new_bal, ts, tiebreak.
+    (reference analog: the consumer side of W1-W3's ordered delivery —
+    doc 8.checkpointing.adoc's idempotent-apply contract)"""
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak).desc()
+    )
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key, "op", "new_bal")
+    )
+    b = base.alias("b")
+    c = last.alias("c")
+    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
+    return (
+        joined.filter(
+            F.col("c.op").isNull() | (F.col("c.op") != "d")
+        )
+        .filter(F.col(f"b.{key}").isNotNull() | (F.col("c.op") == "i"))
+        .select(
+            F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key),
+            F.coalesce(
+                F.col("b.c_name"),
+                F.concat(F.lit("NEW-"), F.col(f"c.{key}").cast("string")),
+            ).alias("c_name"),
+            F.when(F.col("c.op").isin("u", "i"), F.col("c.new_bal"))
+            .otherwise(F.col("b.c_acctbal"))
+            .alias("c_acctbal"),
+            F.coalesce(F.col("b.c_mktsegment"), F.lit("NEW")).alias(
+                "c_mktsegment"
+            ),
+        )
+    )
+
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state snapshot from base + change stream: events map
+    deterministically to ops ('error'→delete of user_id, 'signup'→insert
+    of user_id+offset, click/view/purchase→balance update); the last
+    change per key wins; untouched base rows pass through."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(
+            F.col("event_type") == "signup",
+            F.col("user_id") + _INSERT_OFFSET,
+        )
+        .otherwise(F.col("user_id"))
+        .alias("c_custkey"),
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type") == "signup", F.lit("i"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.round("value", 2).alias("new_bal"),
+        "ts",
+        "event_id",
+    )
+    return apply_changes(base, changes, "c_custkey", "ts", "event_id")
+
+
+CDC_APPLY_CHANGES_SQL = f"""
+WITH changes AS (
+    SELECT CASE WHEN event_type = 'signup'
+                THEN user_id + {_INSERT_OFFSET} ELSE user_id END AS c_custkey,
+           CASE event_type WHEN 'error' THEN 'd'
+                           WHEN 'signup' THEN 'i'
+                           ELSE 'u' END AS op,
+           ROUND(value, 2) AS new_bal, ts, event_id
+    FROM events
+),
+last AS (
+    SELECT c_custkey, op, new_bal
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM changes)
+    WHERE rn = 1
+)
+SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+       COALESCE(b.c_name, 'NEW-' || CAST(c.c_custkey AS VARCHAR)) AS c_name,
+       CASE WHEN c.op IN ('u', 'i') THEN c.new_bal
+            ELSE b.c_acctbal END AS c_acctbal,
+       COALESCE(b.c_mktsegment, 'NEW') AS c_mktsegment
+FROM customer b FULL OUTER JOIN last c ON b.c_custkey = c.c_custkey
+WHERE (c.op IS NULL OR c.op <> 'd')
+  AND (b.c_custkey IS NOT NULL OR c.op = 'i')
+"""
+
+
 QUERIES = {
     "cdc_scd2_history": cdc_scd2_history,
+    "cdc_apply_changes": cdc_apply_changes,
 }
 
 ORACLE = {
     "cdc_scd2_history": CDC_SCD2_SQL,
+    "cdc_apply_changes": CDC_APPLY_CHANGES_SQL,
 }

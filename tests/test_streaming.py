@@ -164,6 +164,58 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert all(r.c == 1 for r in got)
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join — the streaming form of T5's pairing
+    of DML rows with their transaction's commit: a DML joins the commit
+    that lands within 10 minutes after it, on two independently-arriving
+    watermarked streams. The time-range condition is what lets Spark
+    expire join state (without it, both sides buffer forever)."""
+    dml = [
+        {"xid": f"x{i:02d}", "ts": f"2024-01-01T00:{i:02d}:00.000Z", "val": i}
+        for i in range(30)
+    ]
+    # only even transactions commit, two minutes after their DML
+    commits = [
+        {"xid": f"x{i:02d}", "cts": f"2024-01-01T00:{i + 2:02d}:00.000Z"}
+        for i in range(0, 30, 2)
+    ]
+    d_dir, c_dir = tmp_path / "dml_in", tmp_path / "commit_in"
+    d_dir.mkdir(), c_dir.mkdir()
+    _write_jsonl(str(d_dir / "d.json"), dml)
+    _write_jsonl(str(c_dir / "c.json"), commits)
+
+    d = (
+        spark.readStream.schema("xid string, ts string, val long")
+        .json(str(d_dir))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "1 minute")
+    )
+    c = (
+        spark.readStream.schema("xid string, cts string")
+        .json(str(c_dir))
+        .withColumn("cts", F.to_timestamp("cts"))
+        .withWatermark("cts", "1 minute")
+    )
+    joined = d.join(
+        c,
+        (d.xid == c.xid)
+        & (c.cts >= d.ts)
+        & (c.cts <= d.ts + F.expr("INTERVAL 10 MINUTES")),
+    ).select(d.xid.alias("xid"), "val", "cts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT xid, val FROM ss_join").collect()
+    assert {(r.xid, r.val) for r in got} == {
+        (f"x{i:02d}", i) for i in range(0, 30, 2)
+    }
+
+
 def test_file_sink_exactly_once_resume(spark, tmp_path):
     """Re-running with the same checkpoint must not duplicate output
     (W1/F9: exactly-once resume)."""
