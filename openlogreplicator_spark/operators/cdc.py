@@ -32,8 +32,13 @@ def sessionize(
     (T1/T5): one shuffle on the key, lag + running sum of boundary flags.
     State per key is O(1); scales to any key cardinality."""
     w = Window.partitionBy(key).orderBy(ts_col, order_tiebreak)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # unix_micros over an explicit cast-to-timestamp: legal for both
+    # TimestampType (no-op cast) and TIMESTAMP_NTZ (interpreted in the UTC
+    # session tz) — a bare numeric cast of NTZ is a plan-time
+    # AnalysisException in Spark 4, which is what broke round 2.
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     return df.withColumn("_new_session", is_new).withColumn(
         "session_idx", F.sum("_new_session").over(w)
     ).drop("_new_session")

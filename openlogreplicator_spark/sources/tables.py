@@ -32,14 +32,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores TIMESTAMP(NANOS) which the vectorized parquet
-    # reader rejects; read nanos as long and truncate to micros (same
-    # truncation DuckDB applies when it reads the file).
+    # The driver regenerates the parquet between rounds and the physical
+    # timestamp encoding has changed before (round 1: TIMESTAMP(NANOS),
+    # round 2+: timestamp[us] → TIMESTAMP_NTZ under Spark 4). Canonicalize
+    # every `ts` to TimestampType (an instant; session tz is UTC) so every
+    # downstream operator sees exactly one type no matter how the file was
+    # written. DuckDB reads the same file as a naive timestamp, which under
+    # a UTC session matches value-for-value.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":  # TIMESTAMP(NANOS) surfaced via nanosAsLong
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
