@@ -37,7 +37,6 @@ _PRIORITY = [
     "cdc_unchanged_suppression",
     "cdc_resume_filter",
     "cdc_schema_asof_resolve",
-    "cdc_heartbeat",
     "cdc_ddl_classify",
     "cdc_metrics",
     # LLM-pipeline: dedup
@@ -55,16 +54,25 @@ _PRIORITY = [
     "text_fingerprint",
     # similarity / embeddings
     "ann_cosine_topk",
-    "ann_lsh_bucketed",
     "embedding_stats",
     "embedding_normalize",
-    # builders + multimodal + LOB
-    "cdc_json_builder",
-    "cdc_json_builder_debezium",
-    "multimodal_decode",
-    "multimodal_features_ann",
     "cdc_lob_reassembly",
-    "cdc_protobuf_builder",
+    # round-3 rotation: the 7 oracle-less queries (cdc_heartbeat,
+    # ann_lsh_bucketed, cdc_json_builder, cdc_json_builder_debezium,
+    # multimodal_decode, multimodal_features_ann, cdc_protobuf_builder)
+    # moved past slot 50 — round 1 showed the driver records them as
+    # `err: no_oracle`, burning a verification slot each. They remain
+    # registered, rows-run locally (tests/test_queries_vs_duckdb.py) and
+    # golden/recall-tested in their unit suites. Their slots go to
+    # oracle-checked round-2 families that have never had a driver
+    # verdict:
+    "cdc_scd2_history",
+    "cdc_apply_changes",
+    "text_vocab_topk",
+    "pack_training_sequences",
+    "stream_dedup_replay",
+    "join_skew_salted",
+    "text_filter_pipeline",
     # streaming windows
     "stream_tumbling_window",
     "stream_sliding_window",
