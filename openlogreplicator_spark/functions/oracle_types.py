@@ -112,6 +112,35 @@ def encode_number(value: str) -> bytes:
     return bytes([193 + exp] + [x + 1 for x in digits])
 
 
+def encode_date(s: str) -> bytes:
+    """Inverse of decode_date: 'YYYY-MM-DD HH:MM:SS' → the 7-byte Oracle
+    DATE form (excess-100 century/year, 1-based month/day, excess-1
+    h/m/s — Builder.cpp:210-252). Fixture-writer side of the kernel pair
+    so the parse plane exercises the decoder end-to-end."""
+    d = _dt.datetime.strptime(s[:19], "%Y-%m-%d %H:%M:%S")
+    return bytes(
+        [
+            d.year // 100 + 100,
+            d.year % 100 + 100,
+            d.month,
+            d.day,
+            d.hour + 1,
+            d.minute + 1,
+            d.second + 1,
+        ]
+    )
+
+
+def encode_timestamp(s: str) -> bytes:
+    """Inverse of decode_timestamp: 11-byte form = 7-byte DATE + big-endian
+    nanoseconds."""
+    nanos = 0
+    if "." in s:
+        frac = s.split(".", 1)[1]
+        nanos = int(frac.ljust(9, "0")[:9])
+    return encode_date(s[:19]) + struct.pack(">I", nanos)
+
+
 def decode_date(b: bytes | None) -> str | None:
     """7-byte Oracle DATE → 'YYYY-MM-DD HH:MM:SS' (keeps time of day)."""
     if b is None or len(b) < 7:

@@ -136,8 +136,15 @@ def _orders_redo_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("bdba"),
         F.col("l_linenumber").alias("slot"),
         F.lit(0).alias("fb"),
+        # canonical-string column images; the binary rendering re-encodes
+        # l_qty/l_price as Oracle NUMBER bytes and l_ship as a 7-byte DATE
+        # (OLRS1 v2), so the byte kernels run in the parse plane
         F.create_map(
-            F.lit("l_qty"), F.col("l_quantity").cast("bigint").cast("string")
+            F.lit("l_qty"), F.col("l_quantity").cast("bigint").cast("string"),
+            F.lit("l_price"),
+            F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+            F.lit("l_ship"),
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
         ).alias("cols"),
         F.lit(None)
         .cast("array<map<string,string>>")
@@ -223,16 +230,22 @@ def _binary_redo_dir(spark: SparkSession, sf_dir: str) -> str:
 
     from openlogreplicator_spark.sources.binary_redo import write_binary_redo
 
+    # v2 in the cache path: a format bump must never reuse files written
+    # by an older process on the same machine
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        "olrs_binary_redo",
+        "olrs_binary_redo_v2",
         os.path.basename(os.path.normpath(sf_dir)),
     )
     if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         import shutil
 
         shutil.rmtree(out_dir, ignore_errors=True)
-        write_binary_redo(_orders_redo_stream(spark, sf_dir), out_dir)
+        write_binary_redo(
+            _orders_redo_stream(spark, sf_dir),
+            out_dir,
+            col_types={"l_qty": "number", "l_price": "number", "l_ship": "date"},
+        )
     return out_dir
 
 
@@ -260,7 +273,32 @@ def cdc_txn_assembly_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obj").alias("partkey"),
         "scn",
         F.element_at("cols", F.lit("l_qty")).cast("bigint").alias("qty"),
+        # travelled as Oracle NUMBER / 7-byte DATE images through the
+        # physical file and back through the byte kernels:
+        F.element_at("cols", F.lit("l_price"))
+        .cast("decimal(12,2)")
+        .cast("string")
+        .alias("price"),
+        F.element_at("cols", F.lit("l_ship")).alias("ship_ts"),
     )
+
+
+CDC_TXN_ASSEMBLY_BINARY_SQL = """
+SELECT l_orderkey AS order_xid,
+       l_orderkey * 1000 AS begin_scn,
+       l_orderkey * 1000 + 999 AS commit_scn,
+       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, CAST(l_quantity AS BIGINT),
+                                   l_partkey) - 1 AS num,
+       'c' AS op,
+       l_partkey AS partkey,
+       l_orderkey * 1000 + l_linenumber AS scn,
+       CAST(l_quantity AS BIGINT) AS qty,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price,
+       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+"""
 
 
 def cdc_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,7 +738,7 @@ ORACLE = {
     "cdc_sessionize": CDC_SESSIONIZE_SQL,
     "cdc_last_image": CDC_LAST_IMAGE_SQL,
     "cdc_txn_assembly": CDC_TXN_ASSEMBLY_SQL,
-    "cdc_txn_assembly_binary": CDC_TXN_ASSEMBLY_SQL,
+    "cdc_txn_assembly_binary": CDC_TXN_ASSEMBLY_BINARY_SQL,
     "cdc_ddl_classify": CDC_DDL_CLASSIFY_SQL,
     "cdc_metrics": CDC_METRICS_SQL,
     "cdc_xmltype_decode": CDC_XMLTYPE_SQL,

@@ -41,8 +41,20 @@ OLRS1 layout (all little-endian, 512-byte blocks):
                           null) | u16 slot (0xFFFF null) | u8 fb
                           | u8 flags (bit0 cols, bit1 rows, bit2
                           rollback-variant of 5.4) | u16 xid_len | xid
-                          | [u16 n_cols | (u16 klen k u16 vlen v)*]
+                          | [u16 n_cols | (u16 klen k VALUE)*]
                           | [u16 n_rows | (u16 n_cols ...)*]
+  VALUE (v1):             u16 vlen (0xFFFF null) | vlen utf-8 bytes
+  VALUE (v2):             u16 vlen (0xFFFF null) | u8 type | vlen bytes —
+                          type 0 utf-8 string, 1 Oracle NUMBER (base-100
+                          mantissa/exponent, Builder.h:422-568), 2 Oracle
+                          7-byte DATE (Builder.cpp:210-252), 3 Oracle
+                          11-byte TIMESTAMP. Version 2 carries column
+                          images in Oracle's actual byte forms so the
+                          byte-accurate kernels in functions/
+                          oracle_types.py run inside the parse plane,
+                          exactly where the reference decodes them
+                          (the k/v *framing* stays OLRS1's own — Oracle's
+                          KDO field layouts are not copied).
 
 Records never straddle LWNs; they do straddle blocks (the writer packs
 them continuously through the 496-byte payload areas), so the parser must
@@ -61,6 +73,7 @@ from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
 
 BLOCK_SIZE = 512
 PAYLOAD = BLOCK_SIZE - 16
+VERSION = 2
 MAGIC = b"OLRSRED1"
 SIG0, SIG1 = 0x01, 0x22
 FLAG_LWN_START = 0x0001
@@ -70,6 +83,14 @@ LWN_MAX_RECORDS = 256
 
 NULL32 = 0xFFFFFFFF
 NULL16 = 0xFFFF
+
+# v2 typed-value tags: the writer picks the tag from a column-type map,
+# the parse plane dispatches to the matching oracle_types kernel.
+TYPE_STR = 0
+TYPE_NUMBER = 1
+TYPE_DATE = 2
+TYPE_TS = 3
+_TYPE_BY_NAME = {"number": TYPE_NUMBER, "date": TYPE_DATE, "timestamp": TYPE_TS}
 
 # opcode codes follow the reference's layer.operation numbering
 # (OpCode.h): 5.2 begin, 5.4 commit/rollback (flag-distinguished), 5.6
@@ -122,7 +143,26 @@ def _enc_str(s: str) -> bytes:
     return struct.pack("<H", len(b)) + b
 
 
-def _enc_cols(cols: dict | None) -> bytes:
+def _enc_value(v: str, vtype: int) -> bytes:
+    """v2 typed value: canonical string → Oracle byte image + tag."""
+    from openlogreplicator_spark.functions.oracle_types import (
+        encode_date,
+        encode_number,
+        encode_timestamp,
+    )
+
+    if vtype == TYPE_NUMBER:
+        payload = encode_number(v)
+    elif vtype == TYPE_DATE:
+        payload = encode_date(v)
+    elif vtype == TYPE_TS:
+        payload = encode_timestamp(v)
+    else:
+        payload = v.encode("utf-8")
+    return struct.pack("<HB", len(payload), vtype) + payload
+
+
+def _enc_cols(cols: dict | None, col_types: dict | None = None) -> bytes:
     out = struct.pack("<H", len(cols))
     for k in cols:
         v = cols[k]
@@ -130,11 +170,12 @@ def _enc_cols(cols: dict | None) -> bytes:
         if v is None:
             out += struct.pack("<H", NULL16)
         else:
-            out += _enc_str(v)
+            vtype = _TYPE_BY_NAME.get((col_types or {}).get(k, ""), TYPE_STR)
+            out += _enc_value(v, vtype)
     return out
 
 
-def encode_vector(rec: dict) -> bytes:
+def encode_vector(rec: dict, col_types: dict | None = None) -> bytes:
     op = rec["opcode"]
     code = OP_TO_CODE[op]
     flags = 0
@@ -160,17 +201,21 @@ def encode_vector(rec: dict) -> bytes:
     )
     out += _enc_str(rec.get("xid") or "")
     if cols is not None:
-        out += _enc_cols(cols)
+        out += _enc_cols(cols, col_types)
     if rows is not None:
         out += struct.pack("<H", len(rows))
         for r in rows:
-            out += _enc_cols(r)
+            out += _enc_cols(r, col_types)
     return out
 
 
-def encode_record(rec: dict, extra_vectors: list[dict] | None = None) -> bytes:
+def encode_record(
+    rec: dict,
+    extra_vectors: list[dict] | None = None,
+    col_types: dict | None = None,
+) -> bytes:
     vectors = [rec] + list(extra_vectors or [])
-    body = b"".join(encode_vector(v) for v in vectors)
+    body = b"".join(encode_vector(v, col_types) for v in vectors)
     size = REC_HEADER + len(body)
     return (
         struct.pack(
@@ -194,16 +239,20 @@ def _fold_checksum(block: bytearray) -> int:
     return x & 0xFFFF
 
 
-def encode_redo_file(records: list[dict], sequence: int) -> bytes:
+def encode_redo_file(
+    records: list[dict], sequence: int, col_types: dict | None = None
+) -> bytes:
     """records (REDO_RECORD_SCHEMA dicts, already in file order) → one
-    OLRS1 file: header block + LWN-grouped data blocks."""
+    OLRS1 file: header block + LWN-grouped data blocks. `col_types`
+    (column key → number|date|timestamp) selects Oracle byte images for
+    those column values (v2)."""
     first_scn = int(records[0]["scn"]) if records else 0
 
     # group into LWNs; encode each LWN's record bytes
     lwns: list[tuple[list[bytes], int, int]] = []  # (recs, lwn_scn, ts)
     for i in range(0, len(records), LWN_MAX_RECORDS):
         chunk = records[i: i + LWN_MAX_RECORDS]
-        recs = [encode_record(r) for r in chunk]
+        recs = [encode_record(r, col_types=col_types) for r in chunk]
         lwn_scn = max(int(r["scn"]) for r in chunk)
         lwns.append((recs, lwn_scn, 0))
 
@@ -227,7 +276,7 @@ def encode_redo_file(records: list[dict], sequence: int) -> bytes:
     out = bytearray()
     header = bytearray(BLOCK_SIZE)
     header[:8] = MAGIC
-    struct.pack_into("<HHIQ", header, 8, 1, BLOCK_SIZE, sequence, first_scn)
+    struct.pack_into("<HHIQ", header, 8, VERSION, BLOCK_SIZE, sequence, first_scn)
     out += header
     for i, blk in enumerate(blocks):
         struct.pack_into(
@@ -239,7 +288,10 @@ def encode_redo_file(records: list[dict], sequence: int) -> bytes:
 
 
 def write_binary_redo(
-    redo: DataFrame, out_dir: str, n_files: int = 32
+    redo: DataFrame,
+    out_dir: str,
+    n_files: int = 32,
+    col_types: dict | None = None,
 ) -> None:
     """Distributed fixture writer: hash-partition by xid (a transaction
     never straddles files), order records within each file by the
@@ -276,7 +328,7 @@ def write_binary_redo(
                 v = r.get(f)
                 if v is not None and pd.isna(v):
                     r[f] = None
-        data = encode_redo_file(records, sequence=pid + 1)
+        data = encode_redo_file(records, sequence=pid + 1, col_types=col_types)
         path = os.path.join(out_dir, f"redo_{pid + 1:04d}.olrs")
         with open(path, "wb") as fh:
             fh.write(data)
@@ -303,35 +355,60 @@ def _dec_str(buf: bytes, pos: int) -> tuple[str, int]:
     return buf[pos: pos + n].decode("utf-8"), pos + n
 
 
-def _dec_cols(buf: bytes, pos: int) -> tuple[dict, int]:
+def _dec_value(buf: bytes, pos: int, version: int) -> tuple[str | None, int]:
+    """One column image → canonical string. v2 runs the byte-accurate
+    Oracle kernels (NUMBER/DATE/TIMESTAMP) right here in the parse plane —
+    the same place the reference's OpCode decoders run."""
+    from openlogreplicator_spark.functions.oracle_types import (
+        decode_date,
+        decode_number,
+        decode_timestamp,
+    )
+
+    (vlen,) = struct.unpack_from("<H", buf, pos)
+    pos += 2
+    if vlen == NULL16:
+        return None, pos
+    if version < 2:
+        return buf[pos: pos + vlen].decode("utf-8"), pos + vlen
+    vtype = buf[pos]
+    pos += 1
+    payload = buf[pos: pos + vlen]
+    pos += vlen
+    if vtype == TYPE_NUMBER:
+        return decode_number(payload), pos
+    if vtype == TYPE_DATE:
+        return decode_date(payload), pos
+    if vtype == TYPE_TS:
+        return decode_timestamp(payload), pos
+    return payload.decode("utf-8"), pos
+
+
+def _dec_cols(buf: bytes, pos: int, version: int) -> tuple[dict, int]:
     (n,) = struct.unpack_from("<H", buf, pos)
     pos += 2
     out = {}
     for _ in range(n):
         k, pos = _dec_str(buf, pos)
-        (vlen,) = struct.unpack_from("<H", buf, pos)
-        if vlen == NULL16:
-            out[k] = None
-            pos += 2
-        else:
-            v, pos = _dec_str(buf, pos)
-            out[k] = v
+        out[k], pos = _dec_value(buf, pos, version)
     return out, pos
 
 
-def decode_vector(buf: bytes, pos: int) -> tuple[dict, int]:
+def decode_vector(
+    buf: bytes, pos: int, version: int = VERSION
+) -> tuple[dict, int]:
     code, obj, bdba, slot, fb, flags = struct.unpack_from("<HIIHBB", buf, pos)
     pos += 14
     xid, pos = _dec_str(buf, pos)
     cols = rows = None
     if flags & 0x01:
-        cols, pos = _dec_cols(buf, pos)
+        cols, pos = _dec_cols(buf, pos, version)
     if flags & 0x02:
         (n_rows,) = struct.unpack_from("<H", buf, pos)
         pos += 2
         rows = []
         for _ in range(n_rows):
-            r, pos = _dec_cols(buf, pos)
+            r, pos = _dec_cols(buf, pos, version)
             rows.append(r)
     op = CODE_TO_OP[code]
     if code == 0x0504 and flags & 0x04:
@@ -366,7 +443,7 @@ def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:
     version, block_size, sequence, _first_scn = struct.unpack_from(
         "<HHIQ", data, 8
     )
-    if version != 1 or block_size != BLOCK_SIZE:
+    if version not in (1, 2) or block_size != BLOCK_SIZE:
         raise ValueError(f"{path}: unsupported version/block size")
 
     n_blocks = len(data) // BLOCK_SIZE
@@ -429,7 +506,7 @@ def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:
             off = 16 + pos % PAYLOAD
             vpos = pos + REC_HEADER
             for _ in range(n_vectors):
-                vec, vpos = decode_vector(payload, vpos)
+                vec, vpos = decode_vector(payload, vpos, version)
                 vec.update(
                     scn=scn, subscn=subscn, block=blk, offset=off,
                     seq=sequence,
