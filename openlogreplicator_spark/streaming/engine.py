@@ -140,18 +140,30 @@ def build_pipeline(
     with_heartbeats: bool = False,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    state_dir: str | None = None,
 ):
     """Assemble and START the full pipeline from one config. Returns the
     ``StreamingQuery``. ``sink`` ∈ {json, noop, memory, lake} — ``lake``
     writes the typed change events as (owner, table)-partitioned parquet
-    instead of rendered messages."""
+    instead of rendered messages. With ``state_dir`` and no explicit
+    ``cfg.start_scn``, startup position comes from the portable W7
+    checkpoint document (Writer::readCheckpoint cold-start path)."""
     from openlogreplicator_spark.builders.json_builder import build_events
 
+    start_scn = cfg.start_scn
+    if start_scn is None and state_dir is not None:
+        from openlogreplicator_spark.metadata.state_documents import (
+            read_checkpoint_doc,
+        )
+
+        doc = read_checkpoint_doc(state_dir, cfg.fmt.db_name)
+        if doc is not None:
+            start_scn = int(doc["scn"])
     redo = parse_redo_stream(spark, in_dir, max_files_per_trigger)
-    if cfg.start_scn is not None:
+    if start_scn is not None:
         # O3/F9 startup positioning: everything at or below the
         # checkpointed SCN was already confirmed by the writer
-        redo = redo.filter(F.col("scn") > cfg.start_scn)
+        redo = redo.filter(F.col("scn") > start_scn)
     if cfg.skip_xid:
         redo = redo.filter(~F.col("xid").isin(*list(cfg.skip_xid)))
     assembled = streaming_assemble(redo)

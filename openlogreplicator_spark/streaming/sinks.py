@@ -54,11 +54,32 @@ def idempotent_append(
     return n
 
 
-def foreach_batch_idempotent(path: str, keys: tuple[str, ...] = ("commit_scn", "xid", "num")):
-    """foreachBatch hook: writer exactly-once under batch replay."""
+def foreach_batch_idempotent(
+    path: str,
+    keys: tuple[str, ...] = ("commit_scn", "xid", "num"),
+    state_dir: str | None = None,
+    database: str = "DB",
+):
+    """foreachBatch hook: writer exactly-once under batch replay. With a
+    ``state_dir``, every epoch also advances the portable W7 checkpoint
+    document to the batch's max confirmed SCN (Writer::writeCheckpoint:
+    the confirm heap's high-water mark becomes {database, scn, idx, ...})
+    so a reference-style cold start can resume from the document alone."""
 
     def write(batch: DataFrame, epoch_id: int) -> None:
         idempotent_append(batch, path, keys)
+        if state_dir is not None:
+            from openlogreplicator_spark.metadata.state_documents import (
+                read_checkpoint_doc,
+                write_checkpoint_doc,
+            )
+
+            scn_col = keys[0]
+            hi = batch.agg(F.max(scn_col).alias("hi")).collect()[0]["hi"]
+            if hi is not None:
+                prev = read_checkpoint_doc(state_dir, database)
+                if prev is None or int(prev["scn"]) < int(hi):
+                    write_checkpoint_doc(state_dir, database, scn=int(hi))
 
     return write
 

@@ -1,0 +1,122 @@
+"""W7 portable state documents: writer checkpoint doc + schema snapshot
+(reference: Writer.cpp:386-443 checkpoint write/read,
+SerializerJson.cpp:52-137/539-770 schema serialize/deserialize). The
+contract under test is the reference's own: a cold start positioned purely
+from the exported documents resumes exactly where the previous run
+confirmed."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from openlogreplicator_spark.metadata.state_documents import (
+    export_schema_snapshot,
+    import_schema_snapshot,
+    latest_schema_snapshot,
+    read_checkpoint_doc,
+    resume_scn,
+    write_checkpoint_doc,
+)
+
+
+def test_checkpoint_doc_roundtrip_and_shape(tmp_path):
+    d = str(tmp_path)
+    path = write_checkpoint_doc(
+        d, "ORCL", scn=4711, idx=3, resetlogs=17, activation=99
+    )
+    with open(path) as fh:
+        doc = json.load(fh)
+    # exact reference field set (Writer.cpp:386-395) — nothing extra, so a
+    # reference-compatible tool can parse it
+    assert set(doc) == {"database", "scn", "idx", "resetlogs", "activation"}
+    assert doc == {
+        "database": "ORCL", "scn": 4711, "idx": 3,
+        "resetlogs": 17, "activation": 99,
+    }
+    assert read_checkpoint_doc(d, "ORCL") == doc
+    assert resume_scn(d, "ORCL") == 4711
+    assert resume_scn(d, "OTHER", default_scn=5) == 5
+
+
+def test_checkpoint_doc_missing_field_rejected(tmp_path):
+    p = tmp_path / "ORCL-chkpt.json"
+    p.write_text('{"database":"ORCL","scn":1}')
+    with pytest.raises(ValueError, match="missing checkpoint field"):
+        read_checkpoint_doc(str(tmp_path), "ORCL")
+
+
+def test_schema_snapshot_roundtrip(spark, tmp_path):
+    d = str(tmp_path)
+    versions = spark.createDataFrame(
+        [
+            (18, 100, "APP", "ORDERS", "TABLE", False),
+            (18, 250, "APP", "ORDERS_V2", "TABLE", False),
+            (21, 120, "APP", "ITEMS", "TABLE", False),
+            (21, 300, "APP", "ITEMS", "TABLE", True),  # tombstone
+        ],
+        "obj long, scn_from long, owner string, name string, type string, dropped boolean",
+    )
+    export_schema_snapshot(versions, d, "ORCL", scn=300, resetlogs=17)
+    path = latest_schema_snapshot(d, "ORCL")
+    assert path and path.endswith("ORCL-schema-300.json")
+    back = import_schema_snapshot(spark, path)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in versions.collect()
+    }
+
+
+def test_cold_start_resumes_from_documents(spark, tmp_path):
+    """End-to-end: run the pipeline, confirm via the idempotent sink that
+    writes the W7 doc, then cold-start a second pipeline positioned ONLY
+    by the document — it must emit nothing (everything already confirmed),
+    and as-of resolution over the re-imported snapshot must match the
+    original registry."""
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.metadata.schema_registry import asof_resolve
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import (
+        generate_redo_records,
+        redo_records_df,
+    )
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+    from openlogreplicator_spark.streaming.sinks import foreach_batch_idempotent
+
+    redo_dir = str(tmp_path / "redo")
+    records = generate_redo_records(n_txns=12, seed=7, p_rollback=0.0)
+    write_binary_redo(redo_records_df(spark, records), redo_dir, n_files=2)
+    state_dir = str(tmp_path / "state")
+
+    # first run: lake sink, then confirm everything through the
+    # idempotent writer which advances the portable checkpoint doc
+    q = build_pipeline(
+        spark, EngineConfig(), redo_dir,
+        checkpoint=str(tmp_path / "ck1"), out_dir=str(tmp_path / "lake"),
+        sink="lake",
+    )
+    q.awaitTermination(120)
+    events = spark.read.parquet(str(tmp_path / "lake"))
+    writer = foreach_batch_idempotent(
+        str(tmp_path / "confirmed"), keys=("c_scn", "xid", "num"),
+        state_dir=state_dir, database="DB",
+    )
+    writer(events, 0)
+    doc = read_checkpoint_doc(state_dir, "DB")
+    max_scn = events.agg({"c_scn": "max"}).collect()[0][0]
+    assert doc is not None and doc["scn"] == max_scn
+
+    # replay: the same batch again writes zero new rows (exactly-once)
+    before = spark.read.parquet(str(tmp_path / "confirmed")).count()
+    writer(events, 1)
+    assert spark.read.parquet(str(tmp_path / "confirmed")).count() == before
+
+    # cold start: positioning comes from the document alone
+    q2 = build_pipeline(
+        spark, EngineConfig(), redo_dir,
+        checkpoint=str(tmp_path / "ck2"), sink="memory",
+        query_name="olr_cold", state_dir=state_dir,
+    )
+    q2.awaitTermination(120)
+    # db_name default is DB; all SCNs ≤ doc scn were confirmed → no output
+    assert spark.sql("select count(*) from olr_cold").collect()[0][0] == 0
