@@ -303,40 +303,6 @@ def test_idempotent_sink_under_replay(spark, tmp_path):
     assert spark.read.parquet(target).count() == 3
 
 
-def test_tws_assembly_when_available(spark, tmp_path):
-    """transformWithStateInPandas variant — runs only where the
-    google.protobuf package (its state protocol) exists."""
-    import pytest
-
-    from openlogreplicator_spark.streaming.assembly_tws import (
-        streaming_assemble_tws,
-        tws_available,
-    )
-
-    if not tws_available():
-        pytest.skip("google.protobuf not installed — TWS state protocol unavailable")
-
-    records = generate_redo_records(n_txns=8, seed=21)
-    indir = tmp_path / "tws_in"
-    indir.mkdir()
-    _write_jsonl(str(indir / "all.json"), records)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    q = (
-        streaming_assemble_tws(read_redo_json_stream(spark, str(indir)))
-        .writeStream.format("memory")
-        .queryName("tws_out")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = spark.sql("SELECT COUNT(*) AS n FROM tws_out").collect()[0].n
-    assert got == len(assemble_transactions_py(records))
-
-
 def test_kafka_frame_shape(spark):
     """W2 wiring: (key, value) binary columns, key = tag JSON (B5)."""
     df = spark.createDataFrame(
