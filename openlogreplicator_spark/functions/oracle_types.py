@@ -383,6 +383,17 @@ def charset_decode(b: bytes | None, charset: str = "AL32UTF8", mode: str = "defa
             return _decode_cesu8(b)
         except UnicodeDecodeError:
             return b.decode("utf-8", errors="replace")
+    if cs in ("KO16KSCCS", "ZHT16HKSCS31"):
+        # no Python codec exists — rule+delta decoders reproducing the
+        # reference's tables bit-exactly (charset_extra.py)
+        from openlogreplicator_spark.functions.charset_extra import (
+            decode_ko16ksccs,
+            decode_zht16hkscs31,
+        )
+
+        return (
+            decode_ko16ksccs(b) if cs == "KO16KSCCS" else decode_zht16hkscs31(b)
+        )
     codec = _CHARSET_CODECS.get(cs)
     if codec is None:
         return b.hex()  # unknown charset → hex (QUESTION_MARK-ish fallback)

@@ -192,3 +192,37 @@ def test_udfs_on_spark(spark):
     )
     row = rid.select(rowid_udf()("obj", "afn", "block", "slot").alias("rid")).collect()[0]
     assert len(row.rid) == 18
+
+
+class TestCharsetExtra:
+    """KO16KSCCS / ZHT16HKSCS31 — the two reference charsets with no
+    Python codec, decoded by rule+delta (charset_extra.py; full-table
+    equivalence is re-checkable via tools/gen_charset_deltas.py)."""
+
+    def test_ko16ksccs_golden(self):
+        from openlogreplicator_spark.functions.oracle_types import charset_decode
+
+        # assigned syllables ride the Johab mapping (ref table probes:
+        # 가=0x8861, 한=0xD065, 글=0x8B69)
+        assert charset_decode(bytes.fromhex("8861d0658b69"), "KO16KSCCS") == "가한글"
+        # delta entry: 0xD9C1 → U+25C9 (Johab says U+2299)
+        assert charset_decode(bytes.fromhex("d9c1"), "KO16KSCCS") == "◉"
+        # valid-but-unassigned position → U+00AD (reference filler)
+        assert charset_decode(bytes.fromhex("8452"), "KO16KSCCS") == "­"
+        # structurally invalid trail byte → replacement
+        assert charset_decode(bytes.fromhex("8431"), "KO16KSCCS") == "�"
+        # ASCII passthrough mixes freely
+        assert charset_decode(b"A\x88\x61B", "KO16KSCCS") == "A가B"
+
+    def test_zht16hkscs31_golden(self):
+        from openlogreplicator_spark.functions.oracle_types import charset_decode
+
+        # Big5 core (一=0xA440, 廠=0xBC74, 龘=0xF9D5)
+        assert charset_decode(bytes.fromhex("a440bc74f9d5"), "ZHT16HKSCS31") == "一廠龘"
+        # Unicode-3.1 PUA compatibility zone: 0x8140 → U+EEB8, linear
+        assert charset_decode(bytes.fromhex("8140"), "ZHT16HKSCS31") == ""
+        assert charset_decode(bytes.fromhex("8141"), "ZHT16HKSCS31") == ""
+        # row 0x87 continues the same linear zone (157/row)
+        assert charset_decode(bytes.fromhex("8740"), "ZHT16HKSCS31") == ""
+        # mixed row: codec-assigned char wins over the PUA zone
+        assert charset_decode(bytes.fromhex("8e69"), "ZHT16HKSCS31") == "箸"
