@@ -31,6 +31,8 @@ HEADLINE = [
     "scalar_json_funcs",
     "array_explode_wordcount",
     "dedup_minhash_lsh",
+    "dedup_cluster_cc",
+    "decontaminate_ngram",
     "ann_cosine_topk",
     "text_quality_score",
     "cdc_txn_assembly",

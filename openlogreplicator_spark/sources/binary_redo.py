@@ -70,6 +70,14 @@ import struct
 from pyspark.sql import DataFrame, SparkSession
 
 from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
+from openlogreplicator_spark.functions.oracle_types import (
+    decode_date,
+    decode_number,
+    decode_timestamp,
+    encode_date,
+    encode_number,
+    encode_timestamp,
+)
 
 BLOCK_SIZE = 512
 PAYLOAD = BLOCK_SIZE - 16
@@ -145,12 +153,6 @@ def _enc_str(s: str) -> bytes:
 
 def _enc_value(v: str, vtype: int) -> bytes:
     """v2 typed value: canonical string → Oracle byte image + tag."""
-    from openlogreplicator_spark.functions.oracle_types import (
-        encode_date,
-        encode_number,
-        encode_timestamp,
-    )
-
     if vtype == TYPE_NUMBER:
         payload = encode_number(v)
     elif vtype == TYPE_DATE:
@@ -359,12 +361,6 @@ def _dec_value(buf: bytes, pos: int, version: int) -> tuple[str | None, int]:
     """One column image → canonical string. v2 runs the byte-accurate
     Oracle kernels (NUMBER/DATE/TIMESTAMP) right here in the parse plane —
     the same place the reference's OpCode decoders run."""
-    from openlogreplicator_spark.functions.oracle_types import (
-        decode_date,
-        decode_number,
-        decode_timestamp,
-    )
-
     (vlen,) = struct.unpack_from("<H", buf, pos)
     pos += 2
     if vlen == NULL16:
