@@ -1,0 +1,80 @@
+"""W8 Prometheus text exposition for the metrics surface.
+
+The reference exposes its counters through prometheus-cpp metric families
+with labels (src/common/metrics/MetricsPrometheus.cpp:41-110 —
+``dml_ops{type="insert",filter="out"}``, ``ddl_ops{type="create"}``,
+``checkpoints{filter="out"}``…). The engine's counters are computed
+distributed (operators/cdc.py::cdc_metrics — two partial-agg shuffles,
+long-format (metric, value) rows); this module renders those rows into
+the standard exposition text format, so any Prometheus scraper or
+pushgateway can ingest them. Serving over HTTP is environment wiring —
+the renderer is the portable part.
+
+Scale note: the input is counter-scale (one row per metric family
+member), so the collect here is a few dozen scalars per scrape.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_HELP = {
+    "dml_ops": "Number of DML operations",
+    "ddl_ops": "Number of DDL operations",
+    "transactions": "Number of transactions",
+    "checkpoints": "Number of checkpoint records",
+    "bytes_parsed": "Number of bytes parsed containing redo log data",
+    "bytes_confirmed": "Number of bytes confirmed by output",
+    "messages_sent": "Number of messages sent to output",
+}
+
+_DML = re.compile(r"^dml_ops_(insert|update|delete)_(out|skip)$")
+_DDL = re.compile(r"^ddl_ops_(\w+)$")
+_TXN = re.compile(r"^transactions(?:_(\w+))?$")
+_CHK = re.compile(r"^checkpoints(?:_(\w+))?$")
+
+
+def _family(metric: str) -> tuple[str, dict[str, str]]:
+    """Long-format counter name → (family, labels) per the reference's
+    family/label layout."""
+    m = _DML.match(metric)
+    if m:
+        return "dml_ops", {"type": m.group(1), "filter": m.group(2)}
+    m = _DDL.match(metric)
+    if m:
+        return "ddl_ops", {"type": m.group(1)}
+    m = _TXN.match(metric)
+    if m:
+        return "transactions", {"filter": m.group(1) or "out"}
+    m = _CHK.match(metric)
+    if m:
+        return "checkpoints", {"filter": m.group(1) or "out"}
+    return metric, {}
+
+
+def render_prometheus(metrics: DataFrame, prefix: str = "") -> str:
+    """(metric, value) rows → Prometheus text exposition format 0.0.4:
+    one ``# HELP``/``# TYPE`` header per family, one sample line per
+    labeled member, families sorted for a stable scrape body."""
+    rows = metrics.select("metric", "value").collect()
+    families: dict[str, list[tuple[dict[str, str], float]]] = {}
+    for r in rows:
+        fam, labels = _family(r["metric"])
+        families.setdefault(fam, []).append((labels, r["value"]))
+    out: list[str] = []
+    for fam in sorted(families):
+        name = f"{prefix}{fam}"
+        help_text = _HELP.get(fam, fam.replace("_", " "))
+        out.append(f"# HELP {name} {help_text}")
+        out.append(f"# TYPE {name} counter")
+        for labels, value in sorted(families[fam], key=lambda lv: sorted(lv[0].items())):
+            if labels:
+                body = ",".join(
+                    f'{k}="{v}"' for k, v in sorted(labels.items())
+                )
+                out.append(f"{name}{{{body}}} {value}")
+            else:
+                out.append(f"{name} {value}")
+    return "\n".join(out) + "\n"

@@ -397,6 +397,43 @@ FROM p
 """
 
 
+def cdc_txn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transaction telemetry off the assembled stream: op count,
+    distinct objects touched, SCN span, payload sum — the numbers behind
+    the reference's big-transaction guard and buffer sizing (T4/T6,
+    TransactionBuffer size accounting). One xid-keyed partial agg after
+    assembly; no extra shuffle beyond the assembly's own."""
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions,
+    )
+
+    assembled = assemble_transactions(_orders_redo_stream(spark, sf_dir))
+    return assembled.groupBy(
+        F.col("xid").cast("bigint").alias("order_xid")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.countDistinct("obj").alias("n_objs"),
+        F.min("scn").alias("first_scn"),
+        F.max("scn").alias("last_scn"),
+        F.sum(
+            F.element_at("cols", F.lit("l_qty")).cast("bigint")
+        ).alias("qty_sum"),
+    )
+
+
+CDC_TXN_STATS_SQL = """
+SELECT l_orderkey AS order_xid,
+       COUNT(*) AS n_ops,
+       COUNT(DISTINCT l_partkey) AS n_objs,
+       MIN(l_orderkey * 1000 + l_linenumber) AS first_scn,
+       MAX(l_orderkey * 1000 + l_linenumber) AS last_scn,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+GROUP BY l_orderkey
+"""
+
+
 def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8 metrics surface (Metrics.h:68-110 counter names): dml_ops_*_out
     from the assembled committed stream, transactions_out, and
@@ -723,6 +760,7 @@ QUERIES = {
     "cdc_txn_assembly": cdc_txn_assembly,
     "cdc_txn_assembly_binary": cdc_txn_assembly_binary,
     "cdc_heartbeat": cdc_heartbeat,
+    "cdc_txn_stats": cdc_txn_stats,
     "cdc_ddl_classify": cdc_ddl_classify,
     "cdc_metrics": cdc_metrics,
     "cdc_xmltype_decode": cdc_xmltype_decode,
@@ -739,6 +777,7 @@ ORACLE = {
     "cdc_last_image": CDC_LAST_IMAGE_SQL,
     "cdc_txn_assembly": CDC_TXN_ASSEMBLY_SQL,
     "cdc_txn_assembly_binary": CDC_TXN_ASSEMBLY_BINARY_SQL,
+    "cdc_txn_stats": CDC_TXN_STATS_SQL,
     "cdc_ddl_classify": CDC_DDL_CLASSIFY_SQL,
     "cdc_metrics": CDC_METRICS_SQL,
     "cdc_xmltype_decode": CDC_XMLTYPE_SQL,

@@ -475,8 +475,54 @@ WHERE (SELECT SUM(CAST(a.embedding[g.i] AS DOUBLE)
 """
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (the storage/serving compression step of
+    an embedding pipeline): per-vector absmax scale, symmetric round to
+    [-127, 127]. Map-only JVM lambdas — no shuffle, no Python. Emits the
+    scale, the first three quantized components, and the whole-vector
+    quantized sum so the oracle checks every component without array
+    compares."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 127.0 / absmax).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(absmax / 127.0, 6).alias("scale"),
+        F.element_at(q, 1).alias("q1"),
+        F.element_at(q, 2).alias("q2"),
+        F.element_at(q, 3).alias("q3"),
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH m AS (
+    SELECT vec_id, embedding,
+           (SELECT MAX(ABS(CAST(embedding[g.i] AS DOUBLE)))
+            FROM generate_series(1, 64) AS g(i)) AS absmax
+    FROM embeddings
+)
+SELECT vec_id,
+       ROUND(absmax / 127.0, 6) AS scale,
+       CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 127.0 / absmax) AS INT) AS q1,
+       CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 127.0 / absmax) AS INT) AS q2,
+       CAST(ROUND(CAST(embedding[3] AS DOUBLE) * 127.0 / absmax) AS INT) AS q3,
+       CAST((SELECT SUM(ROUND(CAST(embedding[g.i] AS DOUBLE) * 127.0 / absmax))
+             FROM generate_series(1, 64) AS g(i)) AS BIGINT) AS q_sum
+FROM m
+"""
+
+
 QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "embedding_quantize": embedding_quantize,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
@@ -490,4 +536,5 @@ ORACLE = {
     # ann_lsh_bucketed: rows-only (bucketed physical plan, recall tested)
     "embedding_stats": EMBEDDING_STATS_SQL,
     "embedding_normalize": EMBEDDING_NORMALIZE_SQL,
+    "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
 }

@@ -528,8 +528,110 @@ LIMIT 100
 """
 
 
+# RAG/training chunking: fixed character windows with overlap. At 100 TB
+# this is map-only (explode over a per-row sequence, no shuffle) — chunk
+# boundaries never cross documents, so it parallelizes embarrassingly.
+_CHUNK_SIZE = 120
+_CHUNK_STRIDE = 90
+
+
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (the retrieval/training
+    pre-tokenization split): one row per (doc, window) with the stride
+    index — downstream embedding/packing consumes these directly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(starts).alias("pos", "start"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("chunk_idx"),
+        F.col("text").substr(F.col("start") + 1, F.lit(_CHUNK_SIZE)).alias(
+            "chunk"
+        ),
+    ).withColumn("chunk_len", F.length("chunk").cast("bigint"))
+
+
+TEXT_CHUNK_SQL = f"""
+WITH s AS (
+    SELECT doc_id, text, UNNEST(generate_series(0, len(text) - 1,
+           {_CHUNK_STRIDE})) AS start
+    FROM documents
+)
+SELECT doc_id,
+       CAST(start / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       substring(text, CAST(start AS INT) + 1, {_CHUNK_SIZE}) AS chunk,
+       CAST(len(substring(text, CAST(start AS INT) + 1, {_CHUNK_SIZE}))
+            AS BIGINT) AS chunk_len
+FROM s
+"""
+
+
+# Boilerplate passage scan: fixed non-overlapping word windows shared by
+# ≥2 documents (the C4/RefinedWeb repeated-span removal shape). Both
+# sides reduce to DISTINCT (doc, passage) before one passage-keyed
+# shuffle; the join input is bounded by the distinct-passage space.
+_PASSAGE_WORDS = 4
+
+
+def text_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_boiler): how many of the document's passages also
+    appear verbatim in at least one other document. The decontaminated
+    corpus is the anti-join of documents against this frame."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    n = _PASSAGE_WORDS
+    idx = F.when(
+        F.size(words) >= n,
+        F.sequence(F.lit(0), (F.size(words) / n).cast("int") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    passages = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda p: F.array_join(F.slice(words, p * n + 1, n), " "),
+            )
+        ).alias("passage"),
+    ).distinct()
+    shared = (
+        passages.groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("passage")
+    )
+    return (
+        passages.join(shared, "passage")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_boiler"))
+    )
+
+
+TEXT_DEDUP_PASSAGES_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+p AS (
+    SELECT doc_id,
+           array_to_string(list_slice(words, i * {_PASSAGE_WORDS} + 1,
+               i * {_PASSAGE_WORDS} + {_PASSAGE_WORDS}), ' ') AS passage
+    FROM w, UNNEST(generate_series(0,
+        CAST(floor(len(words) / {_PASSAGE_WORDS}) AS INT) - 1)) AS t(i)
+), d AS (SELECT DISTINCT doc_id, passage FROM p),
+s AS (SELECT passage FROM d GROUP BY passage HAVING COUNT(*) >= 2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+FROM d JOIN s USING (passage)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
+    "text_chunk_split": text_chunk_split,
+    "text_dedup_passages": text_dedup_passages,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
@@ -540,6 +642,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_chunk_split": TEXT_CHUNK_SQL,
+    "text_dedup_passages": TEXT_DEDUP_PASSAGES_SQL,
     "text_filter_pipeline": TEXT_FILTER_PIPELINE_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
     "text_repetition_filter": TEXT_REPETITION_SQL,
