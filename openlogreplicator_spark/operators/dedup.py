@@ -404,7 +404,15 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the shape AQE resolves to a shuffle join on its own — no
     hand-picked strategy needed.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # the gram explode is the dominant cost and must use every core;
+        # the test corpus is one parquet split, which would otherwise pin
+        # the whole scan+explode to a single task (at production scale the
+        # source has many splits and this is a near-free small shuffle)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     grams = shingles(docs, n=_DECON_N).withColumnRenamed("shingle", "gram")
     train = grams.filter(F.col("doc_id") % 10 != 0).distinct()
     evals = (

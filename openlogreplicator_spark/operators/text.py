@@ -583,7 +583,14 @@ def text_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_boiler): how many of the document's passages also
     appear verbatim in at least one other document. The decontaminated
     corpus is the anti-join of documents against this frame."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # spread the passage explode across every core even when the
+        # source is a single parquet split (test corpus); at production
+        # scale the scan has many splits and this shuffle is noise
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     words = F.split("text", " ")
     n = _PASSAGE_WORDS
     idx = F.when(

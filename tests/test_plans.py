@@ -277,3 +277,32 @@ def test_vocab_topk_take_ordered(spark, sf_dir):
     plan = _plan(text.text_vocab_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+def test_chunk_split_is_map_only(spark, sf_dir):
+    """Chunking must be explode-over-scan with ZERO exchanges — chunk
+    boundaries never cross documents, so any shuffle is waste."""
+    from openlogreplicator_spark.operators import text
+
+    plan = _plan(text.text_chunk_split(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_embedding_quantize_is_map_only(spark, sf_dir):
+    """Quantization is per-vector arithmetic: no shuffle, no Python."""
+    from openlogreplicator_spark.operators import similarity
+
+    plan = _plan(similarity.embedding_quantize(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_passages_no_cartesian(spark, sf_dir):
+    """Passage scan: distinct before the passage-keyed equi-join; never
+    a cartesian/nested-loop pair generation."""
+    from openlogreplicator_spark.operators import text
+
+    plan = _plan(text.text_dedup_passages(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
