@@ -240,12 +240,28 @@ def _binary_redo_dir(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         import shutil
 
-        shutil.rmtree(out_dir, ignore_errors=True)
+        # build in a process-unique staging dir and rename into place:
+        # a concurrent builder can never expose (or delete) a half-built
+        # directory, and the loser of the rename race just discards its
+        # copy — both processes read a complete fixture
+        staging = f"{out_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
         write_binary_redo(
             _orders_redo_stream(spark, sf_dir),
-            out_dir,
+            staging,
             col_types={"l_qty": "number", "l_price": "number", "l_ship": "date"},
         )
+        # a dir without _SUCCESS can only be garbage from a crashed
+        # legacy builder (the staging scheme never exposes one) — clear
+        # it so the rename can land
+        if os.path.isdir(out_dir) and not os.path.exists(
+            os.path.join(out_dir, "_SUCCESS")
+        ):
+            shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            os.rename(staging, out_dir)
+        except OSError:  # lost the race — a complete fixture already exists
+            shutil.rmtree(staging, ignore_errors=True)
     return out_dir
 
 
