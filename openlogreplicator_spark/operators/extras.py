@@ -198,10 +198,55 @@ FROM documents
 """
 
 
+def multimodal_decode_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode stage over REAL table blobs with a SQL
+    oracle: document text re-cast as opaque binary payloads runs through
+    the same Arrow-batched ``decode_media`` plumbing as the synthetic
+    media corpus (schema, batch shape, map-only stage), and every decoded
+    statistic — byte count, checksum, mean byte intensity — is
+    independently recomputed by DuckDB. This pins the decode *pipeline*
+    with a hard oracle; the codec swap-in point stays the documented stub
+    (multimodal.py)."""
+    from openlogreplicator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta_t = MEDIA_SCHEMA["meta"].dataType
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("blob").alias("kind"),
+        F.col("text").cast("binary").alias("data"),
+        F.lit(None).cast(meta_t).alias("meta"),
+    )
+    out = decode_media(media)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "decoder",
+    )
+
+
+MULTIMODAL_DECODE_TABLE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       md5(text) AS checksum,
+       ROUND(list_sum(list_transform(range(1, CAST(strlen(text) AS INT) + 1),
+                 i -> ord(substring(text, i, 1))))
+             / strlen(text) / 255.0, 6) AS mean_intensity,
+       'fake' AS decoder
+FROM documents
+"""
+
+
 QUERIES = {
     "cdc_json_builder": cdc_json_builder,
     "cdc_json_builder_debezium": cdc_json_builder_debezium,
     "multimodal_decode": multimodal_decode,
+    "multimodal_decode_table": multimodal_decode_table,
     "multimodal_features_ann": multimodal_features_ann,
     "cdc_lob_reassembly": cdc_lob_reassembly,
     "cdc_protobuf_builder": cdc_protobuf_builder,
@@ -209,4 +254,5 @@ QUERIES = {
 
 ORACLE: dict[str, str] = {
     "cdc_lob_reassembly": CDC_LOB_SQL,
+    "multimodal_decode_table": MULTIMODAL_DECODE_TABLE_SQL,
 }
