@@ -635,10 +635,60 @@ GROUP BY doc_id
 """
 
 
+def text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal (the integer-exact stand-in for a
+    perplexity filter): per document, the summed corpus term frequency of
+    its tokens and the mean. Two stages — a global token-count agg
+    (partial-aggregated, vocabulary-sized result) broadcast back onto the
+    exploded tokens, then one doc-keyed agg. All arithmetic stays integer
+    until the single final division, so the result is bit-stable under
+    any partitioning (no float sum-order sensitivity)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        toks.join(F.broadcast(tf), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").alias("tf_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("tf_sum").cast("bigint").alias("tf_sum"),
+            F.round(F.col("tf_sum") / F.col("n_tokens"), 6).alias("mean_tf"),
+        )
+    )
+
+
+TEXT_COMMONNESS_SQL = """
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents
+), tf AS (
+    SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(tf) AS BIGINT) AS tf_sum,
+       ROUND(CAST(SUM(tf) AS DOUBLE) / COUNT(*), 6) AS mean_tf
+FROM toks JOIN tf USING (token)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
     "text_chunk_split": text_chunk_split,
     "text_dedup_passages": text_dedup_passages,
+    "text_commonness": text_commonness,
     "text_lang_id": text_lang_id,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
@@ -649,6 +699,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_commonness": TEXT_COMMONNESS_SQL,
     "text_chunk_split": TEXT_CHUNK_SQL,
     "text_dedup_passages": TEXT_DEDUP_PASSAGES_SQL,
     "text_filter_pipeline": TEXT_FILTER_PIPELINE_SQL,
