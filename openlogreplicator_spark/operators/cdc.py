@@ -115,7 +115,9 @@ FROM (
 """
 
 
-def _orders_redo_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _orders_redo_stream(
+    spark: SparkSession, sf_dir: str, typed_images: bool = False
+) -> DataFrame:
     """Deterministic redo-record stream synthesized from orders+lineitem:
     each order is a transaction (xid = orderkey); its lineitems are
     inserts ordered by linenumber; commit closes it. SCNs are derived
@@ -136,15 +138,42 @@ def _orders_redo_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("bdba"),
         F.col("l_linenumber").alias("slot"),
         F.lit(0).alias("fb"),
-        # canonical-string column images; the binary rendering re-encodes
-        # l_qty/l_price as Oracle NUMBER bytes and l_ship as a 7-byte DATE
-        # (OLRS1 v2), so the byte kernels run in the parse plane
+        # canonical-string column images; the binary rendering (OLRS1 v3)
+        # re-encodes l_qty/l_price as Oracle NUMBER bytes, l_ship as a
+        # 7-byte DATE, and — when typed_images is set (the binary-fixture
+        # path only, to keep the typed-row assembly query lean) — l_note
+        # as JA16SJIS charset text, l_disc as BINARY_DOUBLE and l_raw as
+        # RAW, so every scalar byte kernel runs in the parse plane
         F.create_map(
-            F.lit("l_qty"), F.col("l_quantity").cast("bigint").cast("string"),
-            F.lit("l_price"),
-            F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
-            F.lit("l_ship"),
-            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
+            *(
+                [
+                    F.lit("l_qty"),
+                    F.col("l_quantity").cast("bigint").cast("string"),
+                    F.lit("l_price"),
+                    F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+                    F.lit("l_ship"),
+                    F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
+                ]
+                + (
+                    [
+                        F.lit("l_note"),
+                        F.concat(
+                            F.when(F.col("l_returnflag") == "R", F.lit("返品 "))
+                            .when(F.col("l_returnflag") == "A", F.lit("承認 "))
+                            .otherwise(F.lit("通常 ")),
+                            F.col("l_linestatus"),
+                        ),
+                        F.lit("l_disc"),
+                        F.col("l_discount").cast("string"),
+                        F.lit("l_raw"),
+                        F.md5(
+                            F.concat_ws("|", "l_orderkey", "l_linenumber")
+                        ),
+                    ]
+                    if typed_images
+                    else []
+                )
+            )
         ).alias("cols"),
         F.lit(None)
         .cast("array<map<string,string>>")
@@ -230,11 +259,11 @@ def _binary_redo_dir(spark: SparkSession, sf_dir: str) -> str:
 
     from openlogreplicator_spark.sources.binary_redo import write_binary_redo
 
-    # v2 in the cache path: a format bump must never reuse files written
-    # by an older process on the same machine
+    # version in the cache path: a format bump must never reuse files
+    # written by an older process on the same machine
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        "olrs_binary_redo_v2",
+        "olrs_binary_redo_v3",
         os.path.basename(os.path.normpath(sf_dir)),
     )
     if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
@@ -247,9 +276,16 @@ def _binary_redo_dir(spark: SparkSession, sf_dir: str) -> str:
         staging = f"{out_dir}.tmp.{os.getpid()}"
         shutil.rmtree(staging, ignore_errors=True)
         write_binary_redo(
-            _orders_redo_stream(spark, sf_dir),
+            _orders_redo_stream(spark, sf_dir, typed_images=True),
             staging,
-            col_types={"l_qty": "number", "l_price": "number", "l_ship": "date"},
+            col_types={
+                "l_qty": "number",
+                "l_price": "number",
+                "l_ship": "date",
+                "l_note": "varchar2:JA16SJIS",
+                "l_disc": "binary_double",
+                "l_raw": "raw",
+            },
         )
         # a dir without _SUCCESS can only be garbage from a crashed
         # legacy builder (the staging scheme never exposes one) — clear
@@ -289,13 +325,17 @@ def cdc_txn_assembly_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obj").alias("partkey"),
         "scn",
         F.element_at("cols", F.lit("l_qty")).cast("bigint").alias("qty"),
-        # travelled as Oracle NUMBER / 7-byte DATE images through the
-        # physical file and back through the byte kernels:
+        # travelled as Oracle NUMBER / 7-byte DATE / JA16SJIS charset /
+        # BINARY_DOUBLE / RAW images through the physical file and back
+        # through the byte kernels:
         F.element_at("cols", F.lit("l_price"))
         .cast("decimal(12,2)")
         .cast("string")
         .alias("price"),
         F.element_at("cols", F.lit("l_ship")).alias("ship_ts"),
+        F.element_at("cols", F.lit("l_note")).alias("note"),
+        F.element_at("cols", F.lit("l_disc")).cast("double").alias("disc"),
+        F.element_at("cols", F.lit("l_raw")).alias("raw_hex"),
     )
 
 
@@ -311,7 +351,12 @@ SELECT l_orderkey AS order_xid,
        l_orderkey * 1000 + l_linenumber AS scn,
        CAST(l_quantity AS BIGINT) AS qty,
        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price,
-       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts
+       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+       CASE l_returnflag WHEN 'R' THEN '返品 ' WHEN 'A' THEN '承認 '
+            ELSE '通常 ' END || l_linestatus AS note,
+       l_discount AS disc,
+       md5(CAST(l_orderkey AS VARCHAR) || '|'
+           || CAST(l_linenumber AS VARCHAR)) AS raw_hex
 FROM lineitem
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
 """
@@ -770,6 +815,83 @@ GROUP BY name
 """
 
 
+def cdc_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 sequence-gap detection (Replicator.cpp:456-624): the scheduler
+    must notice a missing redo-log sequence before processing past it.
+    Here the observed sequence set is the events stream minus a
+    deterministic "lost archive" subset (event_id % 97 == 0); the
+    operator reports each gap as (gap_start, gap_end, n_missing).
+
+    100-TB shape: a global `lag` window would range-sort the whole
+    sequence space through one task chain, so gaps are found with two
+    self-equi-joins instead — a sequence s starts a gap iff s+1 is
+    absent, ends one iff s-1 is absent (anti-joins shuffled on the
+    sequence key, fully parallel). Only the gap *boundaries* — rare by
+    construction — flow into the final pairing window, so that sort is
+    over a vanishingly small frame, not the data."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.filter(F.col("event_id") % 97 != 0)
+        .select(F.col("event_id").alias("seq"))
+        .distinct()
+    )
+    # s+1 is absent  ⇔  s is not in {t-1 | t ∈ seqs}  (gap starts at s+1)
+    # s-1 is absent  ⇔  s is not in {t+1 | t ∈ seqs}  (gap ends at s-1)
+    nxt = seqs.select((F.col("seq") + 1).alias("seq"))
+    prv = seqs.select((F.col("seq") - 1).alias("seq"))
+    bounds = seqs.agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi")
+    )
+    starts = (
+        seqs.join(prv, "seq", "left_anti")
+        .join(F.broadcast(bounds))
+        .filter(F.col("seq") < F.col("hi"))
+        .select((F.col("seq") + 1).alias("gap_start"))
+    )
+    ends = (
+        seqs.join(nxt, "seq", "left_anti")
+        .join(F.broadcast(bounds))
+        .filter(F.col("seq") > F.col("lo"))
+        .select((F.col("seq") - 1).alias("gap_end"))
+    )
+    w = Window.orderBy("gap_start")
+    w2 = Window.orderBy("gap_end")
+    paired = (
+        starts.withColumn("k", F.row_number().over(w))
+        .join(ends.withColumn("k", F.row_number().over(w2)), "k")
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
+        )
+    )
+    return paired
+
+
+CDC_GAP_DETECT_SQL = """
+WITH seqs AS (
+    SELECT DISTINCT event_id AS seq FROM events WHERE event_id % 97 <> 0
+),
+b AS (SELECT MIN(seq) AS lo, MAX(seq) AS hi FROM seqs),
+starts AS (
+    SELECT seq + 1 AS gap_start,
+           ROW_NUMBER() OVER (ORDER BY seq) AS k
+    FROM seqs s, b
+    WHERE seq < hi
+      AND NOT EXISTS (SELECT 1 FROM seqs t WHERE t.seq = s.seq + 1)
+),
+ends AS (
+    SELECT seq - 1 AS gap_end,
+           ROW_NUMBER() OVER (ORDER BY seq) AS k
+    FROM seqs s, b
+    WHERE seq > lo
+      AND NOT EXISTS (SELECT 1 FROM seqs t WHERE t.seq = s.seq - 1)
+)
+SELECT gap_start, gap_end, gap_end - gap_start + 1 AS n_missing
+FROM starts JOIN ends USING (k)
+"""
+
+
 QUERIES = {
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
@@ -785,6 +907,7 @@ QUERIES = {
     "cdc_unchanged_suppression": cdc_unchanged_suppression,
     "cdc_resume_filter": cdc_resume_filter,
     "cdc_schema_asof_resolve": cdc_schema_asof_resolve,
+    "cdc_gap_detect": cdc_gap_detect,
 }
 
 ORACLE = {
@@ -801,4 +924,5 @@ ORACLE = {
     "cdc_condition_filter": CDC_CONDITION_SQL,
     "cdc_unchanged_suppression": CDC_UNCHANGED_SQL,
     "cdc_resume_filter": CDC_RESUME_SQL,
+    "cdc_gap_detect": CDC_GAP_DETECT_SQL,
 }

@@ -413,7 +413,16 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # source has many splits and this is a near-free small shuffle)
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    grams = shingles(docs, n=_DECON_N).withColumnRenamed("shingle", "gram")
+    # Grams are hashed to 64 bits right after the explode, so every
+    # downstream exchange (two DISTINCTs + the equi-join) shuffles 8-byte
+    # keys instead of ~50-byte strings — the standard trick in published
+    # dedup pipelines. Collisions would need two distinct grams on the
+    # same xxhash64 value inside one doc↔eval pair; at 2^-64 per pair
+    # that is ~1e-8 even at 1e9 distinct grams, far below any other
+    # error source in the pipeline.
+    grams = shingles(docs, n=_DECON_N).select(
+        "doc_id", F.xxhash64("shingle").alias("gram")
+    )
     train = grams.filter(F.col("doc_id") % 10 != 0).distinct()
     evals = (
         grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()

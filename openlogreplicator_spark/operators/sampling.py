@@ -134,12 +134,63 @@ FROM packed GROUP BY lang, seq_id
 """
 
 
+# train/valid/test boundaries on the 0-99 hash bucket: [0,80) train,
+# [80,90) valid, [90,100) test
+_SPLIT_TRAIN, _SPLIT_VALID = 80, 90
+
+
+def assign_split(docs: DataFrame) -> DataFrame:
+    """Leakage-safe holdout assignment: the split is a pure function of
+    the document id (md5 bucket), so a document can never change split
+    between runs, re-partitions, or backfills — the property that makes
+    a decontamination scan against the eval split stable over time.
+    Map-only; no shuffle."""
+    b = _keep_bucket(F.col("doc_id"))
+    return docs.withColumn(
+        "split",
+        F.when(b < _SPLIT_TRAIN, F.lit("train"))
+        .when(b < _SPLIT_VALID, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-construction audit: per (split, lang) document count and
+    token mass — the table a pretraining run signs off before training.
+    One hash-partitioned aggregation; the split itself is map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return assign_split(docs).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+    )
+
+
+SPLIT_TRAIN_EVAL_SQL = f"""
+WITH assigned AS (
+    SELECT lang, text,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 100 < {_SPLIT_TRAIN} THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 100 < {_SPLIT_VALID} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+           AS total_tokens
+FROM assigned GROUP BY split, lang
+"""
+
+
 QUERIES = {
     "sample_training_mix": sample_training_mix,
     "pack_training_sequences": pack_training_sequences,
+    "split_train_eval": split_train_eval,
 }
 
 ORACLE = {
     "sample_training_mix": SAMPLE_MIX_SQL,
     "pack_training_sequences": PACK_SEQUENCES_SQL,
+    "split_train_eval": SPLIT_TRAIN_EVAL_SQL,
 }

@@ -684,6 +684,70 @@ GROUP BY doc_id
 """
 
 
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by a tf-idf-shaped score —
+    the keyword-extraction stage of a retrieval/indexing pipeline. The
+    score is tf(doc,term) * (N // df(term)) in pure integer arithmetic:
+    same ordering intent as tf*log(N/df), but bit-stable across engines
+    and partitionings (a float log differs in the last ulp between libm
+    implementations, which can flip near-ties and change the top-k set).
+
+    100-TB shape: one (doc,token) partial-agg shuffle; df is a
+    vocabulary-sized aggregate broadcast back; the corpus size N joins
+    as a broadcast 1-row aggregate (no driver collect); the final top-3
+    is a per-doc window over at most vocabulary-per-doc rows."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tab), "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.expr("n_docs div df")).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "score")
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents
+), tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), dfr AS (
+    SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, token, CAST(tf * (n_docs // df) AS BIGINT) AS score
+    FROM tf JOIN dfr USING (token), n
+)
+SELECT doc_id, rank, token, score FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, token) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
     "text_chunk_split": text_chunk_split,
@@ -696,6 +760,7 @@ QUERIES = {
     "text_repetition_filter": text_repetition_filter,
     "text_filter_pipeline": text_filter_pipeline,
     "text_vocab_topk": text_vocab_topk,
+    "text_tfidf_topterms": text_tfidf_topterms,
 }
 
 ORACLE = {
@@ -710,4 +775,5 @@ ORACLE = {
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_vocab_topk": TEXT_VOCAB_SQL,
+    "text_tfidf_topterms": TEXT_TFIDF_SQL,
 }

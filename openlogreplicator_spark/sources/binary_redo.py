@@ -48,7 +48,12 @@ OLRS1 layout (all little-endian, 512-byte blocks):
                           type 0 utf-8 string, 1 Oracle NUMBER (base-100
                           mantissa/exponent, Builder.h:422-568), 2 Oracle
                           7-byte DATE (Builder.cpp:210-252), 3 Oracle
-                          11-byte TIMESTAMP. Version 2 carries column
+                          11-byte TIMESTAMP. Version 3 adds: 4 charset
+                          text (u8 charset-table index + bytes in that
+                          charset; parseString Builder.cpp:129-133),
+                          5 BINARY_DOUBLE (8-byte IEEE, Oracle sign-flip,
+                          Builder.cpp:258-270), 6 RAW (hex passthrough,
+                          Builder.cpp:254-256). Versions 2+ carry column
                           images in Oracle's actual byte forms so the
                           byte-accurate kernels in functions/
                           oracle_types.py run inside the parse plane,
@@ -71,9 +76,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
 from openlogreplicator_spark.functions.oracle_types import (
+    charset_decode,
+    decode_binary_double,
     decode_date,
     decode_number,
     decode_timestamp,
+    encode_binary_double,
     encode_date,
     encode_number,
     encode_timestamp,
@@ -81,7 +89,7 @@ from openlogreplicator_spark.functions.oracle_types import (
 
 BLOCK_SIZE = 512
 PAYLOAD = BLOCK_SIZE - 16
-VERSION = 2
+VERSION = 3
 MAGIC = b"OLRSRED1"
 SIG0, SIG1 = 0x01, 0x22
 FLAG_LWN_START = 0x0001
@@ -92,13 +100,36 @@ LWN_MAX_RECORDS = 256
 NULL32 = 0xFFFFFFFF
 NULL16 = 0xFFFF
 
-# v2 typed-value tags: the writer picks the tag from a column-type map,
-# the parse plane dispatches to the matching oracle_types kernel.
+# v2+ typed-value tags: the writer picks the tag from a column-type map,
+# the parse plane dispatches to the matching oracle_types kernel. v3 adds
+# the remaining scalar decode paths of Builder.cpp: charset-encoded text
+# (parseString, Builder.cpp:129-133 — payload leads with a charset-table
+# index byte), BINARY_DOUBLE (IEEE with Oracle sign-flip,
+# Builder.cpp:258-270) and RAW (hex passthrough, Builder.cpp:254-256).
 TYPE_STR = 0
 TYPE_NUMBER = 1
 TYPE_DATE = 2
 TYPE_TS = 3
-_TYPE_BY_NAME = {"number": TYPE_NUMBER, "date": TYPE_DATE, "timestamp": TYPE_TS}
+TYPE_CSTEXT = 4
+TYPE_BDOUBLE = 5
+TYPE_RAW = 6
+
+# charset-table indices for TYPE_CSTEXT payloads (u8 prefix); names are
+# Oracle charset ids resolved by functions.oracle_types.charset_decode.
+CHARSET_TABLE = ("AL32UTF8", "JA16SJIS", "ZHS16GBK", "WE8MSWIN1252")
+_CHARSET_PY = ("utf-8", "shift_jis", "gbk", "cp1252")
+
+_TYPE_BY_NAME = {"number": TYPE_NUMBER, "date": TYPE_DATE, "timestamp": TYPE_TS,
+                 "binary_double": TYPE_BDOUBLE, "raw": TYPE_RAW}
+
+
+def _vtype_for(type_name: str) -> tuple[int, int]:
+    """Column-type name → (tag, charset index). `varchar2:<CHARSET>`
+    selects TYPE_CSTEXT with that charset; anything unknown is a plain
+    UTF-8 string."""
+    if type_name.startswith("varchar2:"):
+        return TYPE_CSTEXT, CHARSET_TABLE.index(type_name.split(":", 1)[1])
+    return _TYPE_BY_NAME.get(type_name, TYPE_STR), 0
 
 # opcode codes follow the reference's layer.operation numbering
 # (OpCode.h): 5.2 begin, 5.4 commit/rollback (flag-distinguished), 5.6
@@ -151,14 +182,20 @@ def _enc_str(s: str) -> bytes:
     return struct.pack("<H", len(b)) + b
 
 
-def _enc_value(v: str, vtype: int) -> bytes:
-    """v2 typed value: canonical string → Oracle byte image + tag."""
+def _enc_value(v: str, vtype: int, cs_idx: int = 0) -> bytes:
+    """v2+ typed value: canonical string → Oracle byte image + tag."""
     if vtype == TYPE_NUMBER:
         payload = encode_number(v)
     elif vtype == TYPE_DATE:
         payload = encode_date(v)
     elif vtype == TYPE_TS:
         payload = encode_timestamp(v)
+    elif vtype == TYPE_CSTEXT:
+        payload = bytes([cs_idx]) + v.encode(_CHARSET_PY[cs_idx])
+    elif vtype == TYPE_BDOUBLE:
+        payload = encode_binary_double(float(v))
+    elif vtype == TYPE_RAW:
+        payload = bytes.fromhex(v)
     else:
         payload = v.encode("utf-8")
     return struct.pack("<HB", len(payload), vtype) + payload
@@ -172,8 +209,8 @@ def _enc_cols(cols: dict | None, col_types: dict | None = None) -> bytes:
         if v is None:
             out += struct.pack("<H", NULL16)
         else:
-            vtype = _TYPE_BY_NAME.get((col_types or {}).get(k, ""), TYPE_STR)
-            out += _enc_value(v, vtype)
+            vtype, cs_idx = _vtype_for((col_types or {}).get(k, ""))
+            out += _enc_value(v, vtype, cs_idx)
     return out
 
 
@@ -377,6 +414,12 @@ def _dec_value(buf: bytes, pos: int, version: int) -> tuple[str | None, int]:
         return decode_date(payload), pos
     if vtype == TYPE_TS:
         return decode_timestamp(payload), pos
+    if vtype == TYPE_CSTEXT:
+        return charset_decode(payload[1:], CHARSET_TABLE[payload[0]]), pos
+    if vtype == TYPE_BDOUBLE:
+        return repr(decode_binary_double(payload)), pos
+    if vtype == TYPE_RAW:
+        return payload.hex(), pos
     return payload.decode("utf-8"), pos
 
 
@@ -439,7 +482,7 @@ def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:
     version, block_size, sequence, _first_scn = struct.unpack_from(
         "<HHIQ", data, 8
     )
-    if version not in (1, 2) or block_size != BLOCK_SIZE:
+    if version not in (1, 2, 3) or block_size != BLOCK_SIZE:
         raise ValueError(f"{path}: unsupported version/block size")
 
     n_blocks = len(data) // BLOCK_SIZE

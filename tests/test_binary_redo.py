@@ -218,3 +218,43 @@ def test_typed_images_roundtrip():
     assert got["nul"] is None
     # the wire bytes really are Oracle images, not ASCII
     assert _enc_value("37", TYPE_NUMBER)[3:] == b"\xc1\x26"
+
+
+def test_v3_typed_images_roundtrip():
+    """v3 tags: charset text (u8 charset index + encoded bytes,
+    parseString Builder.cpp:129-133), BINARY_DOUBLE (IEEE + Oracle
+    sign-flip, Builder.cpp:258-270) and RAW (hex passthrough,
+    Builder.cpp:254-256) round-trip through the physical file."""
+    from openlogreplicator_spark.sources.binary_redo import (
+        TYPE_BDOUBLE,
+        TYPE_CSTEXT,
+        TYPE_RAW,
+        _enc_value,
+    )
+
+    recs = [
+        _rec(1, "t1", "insert", obj=5, bdba=9, slot=1,
+             cols={"note": "返品 F", "cn": "数据库", "w": "café",
+                   "disc": "0.04", "negd": "-123.5", "raw": "deadbeef00"}),
+        _rec(2, "t1", "commit"),
+    ]
+    types = {"note": "varchar2:JA16SJIS", "cn": "varchar2:ZHS16GBK",
+             "w": "varchar2:WE8MSWIN1252", "disc": "binary_double",
+             "negd": "binary_double", "raw": "raw"}
+    out = parse_redo_bytes(encode_redo_file(recs, 1, col_types=types), "t")
+    got = out[0]["cols"]
+    assert got["note"] == "返品 F"
+    assert got["cn"] == "数据库"
+    assert got["w"] == "café"
+    assert float(got["disc"]) == 0.04
+    assert float(got["negd"]) == -123.5
+    assert got["raw"] == "deadbeef00"
+    # the wire bytes really are charset-encoded, not UTF-8: Shift-JIS
+    # 返 is 0x95D4 (charset index byte 1 leads the payload)
+    wire = _enc_value("返品 F", TYPE_CSTEXT, 1)[3:]
+    assert wire[0] == 1 and wire[1:3] == b"\x95\xd4"
+    # BINARY_DOUBLE positive → MSB set (Oracle order-preserving form)
+    assert _enc_value("0.04", TYPE_BDOUBLE)[3] & 0x80
+    # negative → all bits inverted (leading byte has MSB clear)
+    assert not _enc_value("-123.5", TYPE_BDOUBLE)[3] & 0x80
+    assert _enc_value("deadbeef00", TYPE_RAW)[3:] == b"\xde\xad\xbe\xef\x00"
