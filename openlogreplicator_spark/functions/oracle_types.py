@@ -39,6 +39,12 @@ import pandas as pd
 # ---------------------------------------------------------------------------
 
 
+# base-100 digit → two-character decimal rendering, precomputed once:
+# the NUMBER kernel runs per column image in the binary parse plane, so
+# per-digit f-string formatting is measurable at millions of values
+_D2 = tuple(f"{i:02d}" for i in range(101))
+
+
 def decode_number(b: bytes | None) -> str | None:
     """Oracle NUMBER → canonical decimal string."""
     if b is None or len(b) == 0:
@@ -47,35 +53,33 @@ def decode_number(b: bytes | None) -> str | None:
     if b == b"\x80":
         return "0"
     b0 = b[0]
+    d2 = _D2
     if b0 & 0x80:  # positive: exponent = (b0 & 0x7f) - 65, digits = byte-1
         exp = (b0 & 0x7F) - 65
-        digits = [x - 1 for x in b[1:]]
+        ds = [d2[x - 1] for x in b[1:]]
         sign = ""
     else:  # negative: exponent = 62 - b0, digits = 101-byte, 0x66 terminator
         exp = 62 - b0
         payload = b[1:]
         if payload and payload[-1] == 0x66:
             payload = payload[:-1]
-        digits = [101 - x for x in payload]
+        ds = [d2[101 - x] for x in payload]
         sign = "-"
-    if not digits:
+    if not ds:
         return sign + "0"
-    # digit i has weight 100^(exp - i)
-    parts: list[str] = []
-    for i, d in enumerate(digits):
-        parts.append(str(d) if i == 0 else f"{d:02d}")
-    s = "".join(parts)
-    point = 2 * (exp + 1) - (2 - len(str(digits[0])))  # digits before the dot
+    # digit-pair i has weight 100^(exp - i)
     if exp < 0:
-        frac = "00" * (-exp - 1) + "".join(f"{d:02d}" for d in digits)
-        frac = frac.rstrip("0") or "0"
+        frac = ("00" * (-exp - 1) + "".join(ds)).rstrip("0") or "0"
         return f"{sign}0.{frac}"
-    int_digits = digits[: exp + 1]
-    frac_digits = digits[exp + 1:]
-    int_part = str(int_digits[0]) + "".join(f"{d:02d}" for d in int_digits[1:])
-    int_part += "00" * (exp + 1 - len(int_digits))
-    frac = "".join(f"{d:02d}" for d in frac_digits).rstrip("0")
-    return f"{sign}{int_part}.{frac}" if frac else f"{sign}{int_part}"
+    int_ds = ds[: exp + 1]
+    frac_ds = ds[exp + 1:]
+    int_part = (
+        (int_ds[0].lstrip("0") or "0")
+        + "".join(int_ds[1:])
+        + "00" * (exp + 1 - len(int_ds))
+    )
+    frac = "".join(frac_ds).rstrip("0")
+    return f"{sign}{int_part}.{frac}" if frac else sign + int_part
 
 
 def encode_number(value: str) -> bytes:

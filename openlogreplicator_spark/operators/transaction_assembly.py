@@ -350,18 +350,14 @@ def _assemble_fast_path(
     return out
 
 
-def assemble_transactions(
+def _assemble_python(
     records: DataFrame,
     show_incomplete: bool = False,
     max_ops: int | None = None,
     n_buckets: int = 256,
 ) -> DataFrame:
-    """Batch transaction assembly: shuffle by xid-bucket → per-bucket
-    ordered flush.
-
-    Input: REDO_RECORD_SCHEMA rows (event_model.py). Output: one row per
-    emitted change event, committed transactions only, `num` dense within
-    xid, ordered by (commit_scn, xid, num) when sorted at the sink.
+    """Arrow-batched state-machine assembly: shuffle by xid-bucket →
+    per-bucket ordered flush in ``applyInPandas``.
 
     Grouping is by ``pmod(xxhash64(xid), n_buckets)``, NOT by raw xid:
     every record of an xid still lands in exactly one bucket (correctness
@@ -406,6 +402,134 @@ def assemble_transactions(
         bucketed.groupBy("_bucket")
         .applyInPandas(_assemble, schema=ASSEMBLED_SCHEMA)
     )
+
+
+# sort-key null sentinels: pandas sort_values puts NaN last, so absent
+# key components must sort after every present value
+_NULL_I32 = 2**31 - 1
+_NULL_I64 = 2**63 - 1
+
+
+def assemble_transactions(
+    records: DataFrame,
+    show_incomplete: bool = False,
+    max_ops: int | None = None,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Batch transaction assembly: JVM split-route.
+
+    Input: REDO_RECORD_SCHEMA rows (event_model.py). Output: one row per
+    emitted change event, committed transactions only, `num` dense within
+    xid, ordered by (commit_scn, xid, num) when sorted at the sink.
+
+    Transactions are routed by shape, computed with window aggregates
+    over ONE xid-keyed shuffle:
+
+    - **plain** (only begin/DML/commit vectors, no chained-row fb flags,
+      at most one begin and one commit — the overwhelming majority of
+      real OLTP redo): assembled entirely JVM-side. Emitted ops are the
+      DML vectors ordered before the commit by the reference's
+      (scn, subscn, block, offset) LWN sort key (Parser.h:46-60);
+      ``num`` is a per-xid row_number. The column-image payload never
+      leaves Tungsten — no Arrow transfer, no Python.
+    - **exotic** (partial rollbacks, QMI/QMD, supplemental log, locks,
+      chained pieces, attrs, xid reuse): routed to the Arrow-batched
+      per-xid state machine (`_assemble_python`), which implements the
+      full LIFO-cancel/merge semantics.
+
+    At 100 TB this is the difference between streaming the whole change
+    payload through Python workers and streaming only the rare stateful
+    tail: the hot path stays in whole-stage codegen, and the Python
+    kernel's input is bounded by the exotic fraction of the workload.
+    The `show_incomplete`/`max_ops` configurations need global per-txn
+    state and take the state-machine path wholesale.
+    """
+    if show_incomplete or max_ops is not None:
+        return _assemble_python(records, show_incomplete, max_ops, n_buckets)
+
+    from pyspark.sql import Window
+
+    # ONE explicit xid shuffle that BOTH routes hang off: the plain
+    # window pipeline and the exotic state-machine branch read the same
+    # exchange (ReuseExchange), so an expensive upstream (the binary
+    # parse plane) executes exactly once.
+    base = records.repartition(n_buckets, "xid")
+
+    opcode = F.col("opcode")
+    is_exotic = (~opcode.isin(*sorted(_FAST_OPS))) | (
+        F.coalesce(F.col("fb"), F.lit(0)) != 0
+    )
+    key = F.struct(
+        F.col("scn").alias("scn"),
+        F.coalesce(F.col("subscn"), F.lit(_NULL_I32)).alias("subscn"),
+        F.coalesce(F.col("block"), F.lit(_NULL_I64)).alias("block"),
+        F.coalesce(F.col("offset"), F.lit(_NULL_I32)).alias("offset"),
+    )
+    # all per-txn aggregates over ONE ordered window spec, so the plain
+    # branch pays a single in-partition sort; the running emit-count
+    # below chains on the same (partition, order) and needs no new sort
+    wo = Window.partitionBy("xid").orderBy(key)
+    wu = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ann = (
+        base.withColumn("_exotic", F.max(is_exotic.cast("int")).over(wu))
+        .withColumn("_nc", F.sum((opcode == "commit").cast("int")).over(wu))
+        .withColumn("_nb", F.sum((opcode == "begin").cast("int")).over(wu))
+        .withColumn("_ckey", F.min(F.when(opcode == "commit", key)).over(wu))
+        .withColumn(
+            "_bscn", F.min(F.when(opcode == "begin", F.col("scn"))).over(wu)
+        )
+    )
+    plain_txn = (
+        (F.col("_exotic") == 0) & (F.col("_nc") <= 1) & (F.col("_nb") <= 1)
+    )
+    # emitted ops: DML of a plainly-committed txn positioned before its
+    # commit in the LWN sort order — an op after the commit belongs to an
+    # uncommitted xid reuse → dropped, matching the state machine; plain
+    # xids with no commit at all are incomplete → dropped wholesale
+    emitted = (
+        plain_txn
+        & (F.col("_nc") == 1)
+        & opcode.isin("insert", "update", "overwrite", "delete")
+        & (key < F.col("_ckey"))
+    )
+    ann = ann.withColumn("_emit", emitted).withColumn(
+        "_num", F.sum(F.col("_emit").cast("long")).over(wo) - 1
+    )
+    op_expr = F.lit(None).cast("string")
+    for k, v in _OP_MAP.items():
+        op_expr = F.when(opcode == k, F.lit(v)).otherwise(op_expr)
+    plain_out = ann.filter("_emit").select(
+        F.col("xid").cast("string").alias("xid"),
+        F.col("_bscn").cast("long").alias("begin_scn"),
+        F.col("_ckey.scn").cast("long").alias("commit_scn"),
+        F.col("_num").cast("long").alias("num"),
+        op_expr.alias("op"),
+        F.col("obj").cast("long").alias("obj"),
+        F.col("bdba").cast("long").alias("bdba"),
+        F.col("slot").cast("int").alias("slot"),
+        F.col("scn").cast("long").alias("scn"),
+        F.col("cols").alias("cols"),
+        F.lit(None).cast("map<string,string>").alias("before_cols"),
+        F.expr("map()").cast("map<string,string>").alias("attrs"),
+    )
+    # exotic routing: a slim per-xid aggregate (no payload columns) off
+    # the same exchange decides which transactions need the state
+    # machine; the semi-join side is txn-count-sized and broadcastable
+    exotic_xids = (
+        base.groupBy("xid")
+        .agg(
+            F.max(is_exotic.cast("int")).alias("_e"),
+            F.sum((opcode == "commit").cast("int")).alias("_nc"),
+            F.sum((opcode == "begin").cast("int")).alias("_nb"),
+        )
+        .filter("_e = 1 OR _nc > 1 OR _nb > 1")
+        .select("xid")
+    )
+    exotic = base.join(exotic_xids, "xid", "left_semi")
+    exotic_out = _assemble_python(
+        exotic, show_incomplete, max_ops, n_buckets
+    )
+    return plain_out.unionByName(exotic_out)
 
 
 def with_emission_order(assembled: DataFrame) -> DataFrame:

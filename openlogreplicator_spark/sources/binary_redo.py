@@ -424,11 +424,17 @@ def _dec_value(buf: bytes, pos: int, version: int) -> tuple[str | None, int]:
 
 
 def _dec_cols(buf: bytes, pos: int, version: int) -> tuple[dict, int]:
-    (n,) = struct.unpack_from("<H", buf, pos)
+    # hottest loop of the record walk — the key read is inlined (one
+    # function call per value instead of two)
+    unpack = struct.unpack_from
+    (n,) = unpack("<H", buf, pos)
     pos += 2
     out = {}
     for _ in range(n):
-        k, pos = _dec_str(buf, pos)
+        (klen,) = unpack("<H", buf, pos)
+        pos += 2
+        k = buf[pos: pos + klen].decode("utf-8")
+        pos += klen
         out[k], pos = _dec_value(buf, pos, version)
     return out, pos
 
