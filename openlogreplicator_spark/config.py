@@ -115,3 +115,10 @@ class EngineConfig:
     start_scn: int | None = None         # O3 startup positioning
     transaction_max_mb: int = 1024       # T4 size guard
     checkpoint_interval_s: int = 10
+    # schema resolution mode (SURVEY §1.3; REDO_FLAGS, Ctx.h:88-89):
+    #   "dict"       dictionary-backed — unknown objects are dropped
+    #   "adaptive"   unknown objects synthesized as USER_<obj>/TABLE_<obj>
+    #                (Schema.cpp:521-526)
+    #   "schemaless" no dictionary — columns emitted positionally as
+    #                COL_<n> (Builder.cpp:96-100)
+    schema_mode: str = "dict"

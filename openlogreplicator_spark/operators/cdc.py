@@ -892,6 +892,94 @@ FROM starts JOIN ends USING (k)
 """
 
 
+def cdc_adaptive_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-schema resolution (REDO_FLAGS::ADAPTIVE_SCHEMA, Ctx.h:89;
+    Schema.cpp:521-526): a dictionary that covers only half the objects
+    (even partkeys) resolves DML against known tables normally and
+    synthesizes USER_<obj>/TABLE_<obj> naming for the rest instead of
+    dropping them. Emits per-owner-class event counts."""
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions,
+    )
+    from openlogreplicator_spark.streaming.engine import to_change_events
+
+    part = load_table(spark, sf_dir, "part")
+    dict_obj = part.filter(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("obj"),
+        F.lit("APP").alias("owner"),
+        F.concat(F.lit("PART_"), F.col("p_partkey")).alias("name"),
+    )
+    assembled = assemble_transactions(_orders_redo_stream(spark, sf_dir))
+    events = to_change_events(
+        assembled, EngineConfig(schema_mode="adaptive"), dict_obj
+    )
+    return (
+        events.filter(F.col("op").isin("c", "u", "d"))
+        .groupBy(
+            F.when(F.col("owner") == "APP", F.lit("known"))
+            .otherwise(F.lit("synthesized"))
+            .alias("owner_class")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("obj").alias("n_objs"),
+            F.countDistinct("table").alias("n_tables"),
+        )
+    )
+
+
+CDC_ADAPTIVE_SCHEMA_SQL = """
+WITH ev AS (
+    SELECT l_partkey AS obj,
+           CASE WHEN l_partkey % 2 = 0 AND EXISTS (
+                    SELECT 1 FROM part WHERE p_partkey = l_partkey)
+                THEN 'known' ELSE 'synthesized' END AS owner_class
+    FROM lineitem
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+)
+SELECT owner_class, COUNT(*) AS n_events,
+       COUNT(DISTINCT obj) AS n_objs, COUNT(DISTINCT obj) AS n_tables
+FROM ev GROUP BY owner_class
+"""
+
+
+def cdc_schemaless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless mode (REDO_FLAGS::SCHEMALESS, Ctx.h:88;
+    Builder.cpp:96-100): no dictionary — objects pass as OBJ<n> and
+    column images are emitted positionally as COL_<n> in wire order.
+    Aggregates COL_0 (the quantity image) per synthetic table."""
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions,
+    )
+    from openlogreplicator_spark.streaming.engine import to_change_events
+
+    assembled = assemble_transactions(_orders_redo_stream(spark, sf_dir))
+    events = to_change_events(
+        assembled, EngineConfig(schema_mode="schemaless")
+    )
+    return (
+        events.filter(F.col("op") == "c")
+        .groupBy("table")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.element_at("after", F.lit("COL_0")).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_col0"),
+        )
+    )
+
+
+CDC_SCHEMALESS_SQL = """
+SELECT 'OBJ' || l_partkey AS "table", COUNT(*) AS n_events,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_col0
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+GROUP BY l_partkey
+"""
+
+
 QUERIES = {
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
@@ -908,6 +996,8 @@ QUERIES = {
     "cdc_resume_filter": cdc_resume_filter,
     "cdc_schema_asof_resolve": cdc_schema_asof_resolve,
     "cdc_gap_detect": cdc_gap_detect,
+    "cdc_adaptive_schema": cdc_adaptive_schema,
+    "cdc_schemaless_decode": cdc_schemaless_decode,
 }
 
 ORACLE = {
@@ -925,4 +1015,6 @@ ORACLE = {
     "cdc_unchanged_suppression": CDC_UNCHANGED_SQL,
     "cdc_resume_filter": CDC_RESUME_SQL,
     "cdc_gap_detect": CDC_GAP_DETECT_SQL,
+    "cdc_adaptive_schema": CDC_ADAPTIVE_SCHEMA_SQL,
+    "cdc_schemaless_decode": CDC_SCHEMALESS_SQL,
 }

@@ -457,12 +457,53 @@ GROUP BY t.doc_id
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: deduplicate a NEW ingestion batch against a
+    prior-snapshot kept set (the re-crawl / continuous-ingestion shape —
+    a new document is dropped if its exact content hash already exists
+    in the kept corpus, and within the batch only the smallest doc_id
+    per hash survives). Snapshot boundary is deterministic: doc_id % 3
+    != 0 is the prior corpus, % 3 == 0 the new batch.
+
+    100-TB shape: both sides reduce to (hash[, min id]) aggregates
+    before one equi-join on the hash — the prior set is arbitrarily
+    large, so no broadcast assumption; the anti-join shuffles digest
+    keys only."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    prior = (
+        docs.filter(F.col("doc_id") % 3 != 0).select("content_hash").distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    batch_min = batch.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return batch_min.join(prior, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+prior AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 3 <> 0),
+batch AS (
+    SELECT content_hash, MIN(doc_id) AS doc_id
+    FROM h WHERE doc_id % 3 = 0 GROUP BY content_hash
+)
+SELECT doc_id, content_hash FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM prior p
+                  WHERE p.content_hash = b.content_hash)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "decontaminate_ngram": decontaminate_ngram,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLE = {
@@ -471,4 +512,5 @@ ORACLE = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "decontaminate_ngram": DECONTAMINATE_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
 }

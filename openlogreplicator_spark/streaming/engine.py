@@ -50,8 +50,35 @@ def to_change_events(
     naming (the reference's system-table routing falls back the same
     way). ROWID renders from (obj, bdba, slot) JVM-side."""
     sel = cfg.selectors[0] if cfg.selectors else TableSelector()
+    mode = getattr(cfg, "schema_mode", "dict")
     ev = assembled
-    if dict_obj is not None:
+    if mode == "schemaless":
+        # REDO_FLAGS::SCHEMALESS (Ctx.h:88; Builder.cpp:96-100): no
+        # dictionary at all — objects named positionally, column images
+        # emitted as COL_<n> in wire order
+        renum = lambda c: F.map_from_arrays(  # noqa: E731
+            F.transform(
+                F.map_keys(c),
+                lambda _x, i: F.concat(F.lit("COL_"), i.cast("string")),
+            ),
+            F.map_values(c),
+        )
+        ev = (
+            ev.withColumn("owner", F.lit("APP"))
+            .withColumn("table", F.concat(F.lit("OBJ"), F.col("obj")))
+            .withColumn(
+                "cols",
+                F.when(F.col("cols").isNotNull(), renum(F.col("cols"))),
+            )
+            .withColumn(
+                "before_cols",
+                F.when(
+                    F.col("before_cols").isNotNull(),
+                    renum(F.col("before_cols")),
+                ),
+            )
+        )
+    elif dict_obj is not None:
         from openlogreplicator_spark.metadata.schema_registry import (
             select_tables,
         )
@@ -59,9 +86,25 @@ def to_change_events(
         chosen = select_tables(dict_obj, sel.owner, sel.table).select(
             "obj", "owner", F.col("name").alias("table")
         )
+        how = "left" if mode == "adaptive" else "inner"
         dml = ev.filter(F.col("op").isin("c", "u", "d")).join(
-            F.broadcast(chosen), "obj", "inner"
+            F.broadcast(chosen), "obj", how
         )
+        if mode == "adaptive":
+            # REDO_FLAGS::ADAPTIVE_SCHEMA (Ctx.h:89; Schema.cpp:521-526):
+            # objects absent from the dictionary are synthesized instead
+            # of dropped
+            dml = dml.withColumn(
+                "owner",
+                F.coalesce(
+                    F.col("owner"), F.concat(F.lit("USER_"), F.col("obj"))
+                ),
+            ).withColumn(
+                "table",
+                F.coalesce(
+                    F.col("table"), F.concat(F.lit("TABLE_"), F.col("obj"))
+                ),
+            )
         rest = (
             ev.filter(~F.col("op").isin("c", "u", "d"))
             .withColumn("owner", F.lit(None).cast("string"))
