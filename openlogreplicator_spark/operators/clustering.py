@@ -161,7 +161,14 @@ _THREE_GEN_SQL = f"""
 
 def _jaccard_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
     """Near-dup candidate pairs (same shape as dedup_ngram_jaccard)."""
-    sh_all = shingles(corpus).distinct()
+    # 64-bit shingle hashing — same shuffle-narrowing as
+    # dedup_ngram_jaccard; Jaccard counts are hash-collision-exact at
+    # any realistic corpus size
+    sh_all = (
+        shingles(corpus)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
     hot = (
         sh_all.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

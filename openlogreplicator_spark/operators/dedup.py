@@ -134,7 +134,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (J ≥ 0.6). The shingle equi-join is the candidate generator — no
     cross join anywhere; the document-frequency cap bounds its fan-out."""
     corpus = _docs_with_mutated_copies(spark, sf_dir)
-    sh_all = shingles(corpus).distinct()
+    # shingles hash to 64 bits before any exchange: the distinct, the
+    # df-cap aggregate, and the self-join all shuffle 8-byte keys
+    # instead of ~20-byte trigram strings (collision odds are ~1e-8 at
+    # 1e9 distinct shingles — see decontaminate_ngram)
+    sh_all = (
+        shingles(corpus)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
     hot = (
         sh_all.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
