@@ -597,15 +597,22 @@ def text_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words) >= n,
         F.sequence(F.lit(0), (F.size(words) / n).cast("int") - 1),
     ).otherwise(F.array().cast("array<int>"))
-    passages = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda p: F.array_join(F.slice(words, p * n + 1, n), " "),
-            )
-        ).alias("passage"),
-    ).distinct()
+    # passages hash to 64 bits before the distinct / df-count / join
+    # exchanges — 8-byte keys instead of ~50-byte strings (collision
+    # odds ~1e-8 at 1e9 distinct passages; see decontaminate_ngram)
+    passages = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda p: F.array_join(F.slice(words, p * n + 1, n), " "),
+                )
+            ).alias("_p"),
+        )
+        .select("doc_id", F.xxhash64("_p").alias("passage"))
+        .distinct()
+    )
     shared = (
         passages.groupBy("passage")
         .agg(F.count(F.lit(1)).alias("n_docs"))
