@@ -980,6 +980,46 @@ GROUP BY l_partkey
 """
 
 
+def cdc_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flashback/as-of materialization (O3/F9 consumer shape): the state
+    of every key AS OF a position cutoff — apply the change stream only
+    up to half the maximum sequence, then keep the last image per key.
+    The cutoff joins as a broadcast 1-row aggregate (no driver collect);
+    the snapshot is one key-partitioned window."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg((F.max("event_id") / 2).alias("cut"))
+    upto = ev.join(F.broadcast(cut)).filter(F.col("event_id") < F.col("cut"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        upto.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("asof_event_id"),
+            F.col("event_type").alias("asof_type"),
+            F.round("value", 6).alias("asof_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
+        )
+    )
+
+
+CDC_ASOF_SNAPSHOT_SQL = """
+SELECT user_id,
+       event_id AS asof_event_id,
+       event_type AS asof_type,
+       ROUND(value, 6) AS asof_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+    WHERE event_id < (SELECT MAX(event_id) / 2 FROM events)
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
@@ -998,6 +1038,7 @@ QUERIES = {
     "cdc_gap_detect": cdc_gap_detect,
     "cdc_adaptive_schema": cdc_adaptive_schema,
     "cdc_schemaless_decode": cdc_schemaless_decode,
+    "cdc_asof_snapshot": cdc_asof_snapshot,
 }
 
 ORACLE = {
@@ -1017,4 +1058,5 @@ ORACLE = {
     "cdc_gap_detect": CDC_GAP_DETECT_SQL,
     "cdc_adaptive_schema": CDC_ADAPTIVE_SCHEMA_SQL,
     "cdc_schemaless_decode": CDC_SCHEMALESS_SQL,
+    "cdc_asof_snapshot": CDC_ASOF_SNAPSHOT_SQL,
 }

@@ -183,14 +183,82 @@ FROM assigned GROUP BY split, lang
 """
 
 
+# temperature-sampling knobs: alpha=0.5 rebalances toward low-resource
+# strata (sqrt is IEEE-exact in every engine, so the computed rates are
+# bit-identical between Spark and the oracle); M is the target mix size
+# as a fraction of the corpus
+_TEMP_TARGET_FRAC = 0.4
+
+
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixing (the p_l^alpha upsampling
+    rule used by multilingual pretraining runs, alpha=0.5): per-language
+    keep rates are proportional to sqrt(corpus share), normalized to hit
+    a target mix size, then applied with the deterministic md5-bucket
+    keep rule. Emits per-language rate and achieved counts.
+
+    100-TB shape: one language-count aggregate (vocabulary-of-languages
+    sized), the rate table broadcast back onto the scan, one final
+    partial-agg rollup — the per-document work is map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum(F.sqrt("cnt")).alias("z"), F.sum("cnt").alias("n")
+    )
+    rates = (
+        counts.join(F.broadcast(totals))
+        .withColumn(
+            "rate_pct",
+            F.floor(
+                F.lit(100.0)
+                * (
+                    F.lit(_TEMP_TARGET_FRAC)
+                    * F.col("n")
+                    * F.sqrt("cnt")
+                    / F.col("z")
+                )
+                / F.col("cnt")
+            ).cast("bigint"),
+        )
+        .select("lang", "rate_pct")
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn("_bucket", _keep_bucket(F.col("doc_id")))
+        .filter(F.col("_bucket") < F.col("rate_pct"))
+    )
+    return kept.groupBy("lang", "rate_pct").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+SAMPLE_TEMPERATURE_SQL = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+totals AS (SELECT SUM(sqrt(cnt)) AS z, SUM(cnt) AS n FROM counts),
+rates AS (
+    SELECT lang,
+           CAST(FLOOR(100 * ({_TEMP_TARGET_FRAC} * n * sqrt(cnt) / z) / cnt)
+                AS BIGINT) AS rate_pct
+    FROM counts, totals
+)
+SELECT d.lang, r.rate_pct, COUNT(*) AS n_kept
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 100 < r.rate_pct
+GROUP BY d.lang, r.rate_pct
+"""
+
+
 QUERIES = {
     "sample_training_mix": sample_training_mix,
     "pack_training_sequences": pack_training_sequences,
     "split_train_eval": split_train_eval,
+    "sample_temperature_mix": sample_temperature_mix,
 }
 
 ORACLE = {
     "sample_training_mix": SAMPLE_MIX_SQL,
     "pack_training_sequences": PACK_SEQUENCES_SQL,
     "split_train_eval": SPLIT_TRAIN_EVAL_SQL,
+    "sample_temperature_mix": SAMPLE_TEMPERATURE_SQL,
 }
