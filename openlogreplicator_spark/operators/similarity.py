@@ -520,12 +520,140 @@ FROM m
 """
 
 
+# product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): m subspaces × ksub codewords; a vector
+# compresses to m small codes (here 8 bytes vs 64 floats — 32× smaller),
+# and query-to-corpus distances evaluate by table lookup in the
+# compressed domain (ADC). This is the memory-bounded ANN path: at
+# 100 TB the corpus lives as codes, the codebook is kilobytes.
+_PQ_M = 8
+_PQ_KSUB = 32
+_PQ_TRAIN = 512
+_PQ_ITERS = 8
+
+
+def pq_fit(emb: DataFrame, m: int = _PQ_M, ksub: int = _PQ_KSUB):
+    """Codebooks from a deterministic bounded sample (first _PQ_TRAIN
+    vec_ids) — the standard PQ practice: training is sample-based and
+    model-scale; only the full-corpus ENCODE is distributed. Vectors are
+    L2-normalized first so squared-L2 ranking matches cosine ranking."""
+    import numpy as np
+
+    sample = emb.orderBy("vec_id").limit(_PQ_TRAIN).collect()
+    X = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in sample])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1] // m
+    books = []
+    for sub_i in range(m):
+        sub = X[:, sub_i * d:(sub_i + 1) * d]
+        cent = sub[:ksub].copy()
+        for _ in range(_PQ_ITERS):
+            dist = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            a = dist.argmin(1)
+            for c in range(ksub):
+                pts = sub[a == c]
+                if len(pts):
+                    cent[c] = pts.mean(0)
+        books.append(cent)
+    return np.asarray(books)  # m × ksub × d
+
+
+def _pq_encode_udf(books):
+    """Distributed encode: per Arrow batch, one argmin per subspace —
+    the full corpus never reaches the driver."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    m, ksub, d = books.shape
+
+    @pandas_udf("array<int>")
+    def enc(col: "pd.Series") -> "pd.Series":
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        codes = np.empty((len(V), m), dtype="int32")
+        for s in range(m):
+            sub = V[:, s * d:(s + 1) * d]
+            dist = (books[s] ** 2).sum(1) - 2.0 * (sub @ books[s].T)
+            codes[:, s] = dist.argmin(1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def ann_pq_topk(
+    emb: DataFrame, queries: DataFrame, k: int = _TOP_K
+) -> DataFrame:
+    """PQ/ADC top-k: corpus encoded to m codes; per query, an m×ksub
+    distance table is built once and every corpus distance is a lookup
+    sum over codes. Queries broadcast (no driver collect of data);
+    scoring groups by query so each group vectorizes as one numpy
+    gather."""
+    import numpy as np
+
+    books = pq_fit(emb)
+    m, ksub, d = books.shape
+    corpus = emb.select(
+        "vec_id", _pq_encode_udf(books)("embedding").alias("codes")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qv = np.asarray(pdf["q_emb"].iloc[0], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        tab = np.empty((m, ksub))
+        for s in range(m):
+            diff = books[s] - qv[s * d:(s + 1) * d]
+            tab[s] = (diff ** 2).sum(1)
+        codes = np.vstack(
+            [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+        )
+        adist = tab[np.arange(m)[None, :], codes].sum(1)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"],
+                "neighbor_id": pdf["vec_id"],
+                "adist": adist,
+            }
+        )
+
+    scored = pairs.groupBy("query_id").applyInPandas(
+        score, "query_id bigint, neighbor_id bigint, adist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("adist", 6).alias("adist_r"),
+        )
+    )
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry (k-means codebooks aren't SQL-portable);
+    recall vs brute force is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
+    return ann_pq_topk(emb, queries)
+
+
 QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_quantize": embedding_quantize,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
+    "ann_pq": ann_pq,
     "embedding_stats": embedding_stats,
     "embedding_normalize": embedding_normalize,
 }
