@@ -1020,6 +1020,112 @@ FROM (
 """
 
 
+def _orders_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-shaped redo: every lineitem is a 5.1-undo + 11.5-update
+    pair at the same (bdba, slot) — the reference's vector1/vector2
+    pairing (Parser.cpp:310-576) — inside per-order transactions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) duplicates would collide in the undo
+    # address map — the pairing key must identify the ROW PIECE, so the
+    # slot is a per-order dense row number (unique even for
+    # content-identical lines)
+    uid_w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", F.col("l_quantity").cast("bigint"), "l_partkey"
+    )
+    li = li.withColumn("ln_uid", F.row_number().over(uid_w))
+    common = [
+        F.lit(1).cast("long").alias("seq"),
+        F.col("l_orderkey").cast("string").alias("xid"),
+        F.col("l_partkey").alias("obj"),
+        F.col("l_orderkey").alias("bdba"),
+        F.col("ln_uid").alias("slot"),
+        F.lit(0).alias("fb"),
+        F.lit(None).cast("array<map<string,string>>").alias("rows"),
+    ]
+    scn = (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).alias("scn")
+    block = F.col("l_quantity").cast("long").alias("block")
+    offset = F.col("l_partkey").cast("int").alias("offset")
+    undo = li.select(
+        scn, F.lit(0).alias("subscn"), block, offset,
+        *common,
+        F.lit("undo").alias("opcode"),
+        F.create_map(
+            F.lit("l_qty"),
+            (F.col("l_quantity").cast("bigint") + 100).cast("string"),
+        ).alias("cols"),
+    )
+    upd = li.select(
+        scn, F.lit(1).alias("subscn"), block, offset,
+        *common,
+        F.lit("update").alias("opcode"),
+        F.create_map(
+            F.lit("l_qty"), F.col("l_quantity").cast("bigint").cast("string")
+        ).alias("cols"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    def _ctl(opcode, scn_off):
+        return orders.select(
+            (F.col("o_orderkey") * 1000 + scn_off).alias("scn"),
+            F.lit(0).alias("subscn"),
+            F.lit(0).cast("long").alias("block"),
+            F.lit(0).alias("offset"),
+            F.lit(1).cast("long").alias("seq"),
+            F.col("o_orderkey").cast("string").alias("xid"),
+            F.lit(0).cast("long").alias("obj"),
+            F.lit(None).cast("long").alias("bdba"),
+            F.lit(None).cast("int").alias("slot"),
+            F.lit(0).alias("fb"),
+            F.lit(None).cast("array<map<string,string>>").alias("rows"),
+            F.lit(opcode).alias("opcode"),
+            F.lit(None).cast("map<string,string>").alias("cols"),
+        )
+    cols_order = undo.columns
+    return (
+        undo.unionByName(upd)
+        .unionByName(_ctl("begin", 0).select(*cols_order))
+        .unionByName(_ctl("commit", 999).select(*cols_order))
+    )
+
+
+def cdc_before_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 undo-pairing through the driver gate: 5.1 undo vectors carry
+    the before image; assembly pairs each with the row op at the same
+    (bdba, slot) and emits it as `before_cols` (OpCode0501.h;
+    Transaction.cpp pairing). Every transaction here is exotic (carries
+    undo vectors), so this also drives the state-machine route of the
+    split assembly under the driver's oracle check."""
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions,
+    )
+
+    redo = _orders_update_stream(spark, sf_dir)
+    assembled = assemble_transactions(redo)
+    return assembled.select(
+        F.col("xid").cast("bigint").alias("order_xid"),
+        "num",
+        "op",
+        "scn",
+        F.element_at("cols", F.lit("l_qty")).cast("bigint").alias("qty_after"),
+        F.element_at("before_cols", F.lit("l_qty"))
+        .cast("bigint")
+        .alias("qty_before"),
+    )
+
+
+CDC_BEFORE_IMAGE_SQL = """
+SELECT l_orderkey AS order_xid,
+       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, CAST(l_quantity AS BIGINT),
+                                   l_partkey) - 1 AS num,
+       'u' AS op,
+       l_orderkey * 1000 + l_linenumber AS scn,
+       CAST(l_quantity AS BIGINT) AS qty_after,
+       CAST(l_quantity AS BIGINT) + 100 AS qty_before
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+"""
+
+
 QUERIES = {
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
@@ -1039,6 +1145,7 @@ QUERIES = {
     "cdc_adaptive_schema": cdc_adaptive_schema,
     "cdc_schemaless_decode": cdc_schemaless_decode,
     "cdc_asof_snapshot": cdc_asof_snapshot,
+    "cdc_before_image": cdc_before_image,
 }
 
 ORACLE = {
@@ -1059,4 +1166,5 @@ ORACLE = {
     "cdc_adaptive_schema": CDC_ADAPTIVE_SCHEMA_SQL,
     "cdc_schemaless_decode": CDC_SCHEMALESS_SQL,
     "cdc_asof_snapshot": CDC_ASOF_SNAPSHOT_SQL,
+    "cdc_before_image": CDC_BEFORE_IMAGE_SQL,
 }
