@@ -755,6 +755,65 @@ SELECT doc_id, rank, token, score FROM (
 """
 
 
+def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    binary-junk detector (natural prose sits near 4.2 bits/char; flat
+    noise near log2(alphabet), repeated filler far below). Computed as
+    log2(n) - sum(c*log2(c))/n over the per-character counts, the same
+    expression order in the oracle so the doubles agree bit-for-bit
+    before the final 6-dp round.
+
+    100-TB shape: char explode is map-only; two partial-agg shuffles
+    ((doc, char) then doc) whose reduce width is alphabet-bounded."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("c") * F.log2("c")).alias("clc"),
+    )
+    ent = F.round(
+        F.log2("n") - F.col("clc") / F.col("n"), 6
+    ).alias("entropy_r")
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.col("n_distinct_chars").cast("bigint").alias("n_distinct_chars"),
+        ent,
+    ).withColumn(
+        "keep", (F.col("entropy_r") > 2.5) & (F.col("entropy_r") < 5.2)
+    )
+
+
+TEXT_ENTROPY_SQL = """
+WITH chars AS (
+    SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+), counts AS (
+    SELECT doc_id, ch, COUNT(*) AS c FROM chars
+    WHERE len(ch) > 0 GROUP BY doc_id, ch
+), per_doc AS (
+    SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct_chars,
+           SUM(c * log2(c)) AS clc
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       ROUND(log2(n) - clc / n, 6) AS entropy_r,
+       ROUND(log2(n) - clc / n, 6) > 2.5
+           AND ROUND(log2(n) - clc / n, 6) < 5.2 AS keep
+FROM per_doc
+"""
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
     "text_chunk_split": text_chunk_split,
@@ -768,6 +827,7 @@ QUERIES = {
     "text_filter_pipeline": text_filter_pipeline,
     "text_vocab_topk": text_vocab_topk,
     "text_tfidf_topterms": text_tfidf_topterms,
+    "text_entropy_filter": text_entropy_filter,
 }
 
 ORACLE = {
@@ -783,4 +843,5 @@ ORACLE = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_vocab_topk": TEXT_VOCAB_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
+    "text_entropy_filter": TEXT_ENTROPY_SQL,
 }
