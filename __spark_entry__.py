@@ -51,11 +51,18 @@ _PRIORITY = [
     "text_quality_score",
     "text_lang_id",
     "text_token_count",
-    "text_fingerprint",
+    "cdc_schemaless_decode",
     # similarity / embeddings
     "ann_cosine_topk",
-    "embedding_stats",
-    "embedding_normalize",
+    # round-3 rotation #2: embedding_stats / embedding_normalize /
+    # text_fingerprint (map-only projections, lowest-risk of the window)
+    # move past slot 50; their slots go to this session's riskiest novel
+    # semantics — undo-pairing through the exotic assembly route and the
+    # two new schema-resolution modes — which a driver verdict proves in
+    # a way a local rerun cannot. All three displaced queries stay
+    # registered and locally oracle-checked.
+    "cdc_before_image",
+    "cdc_adaptive_schema",
     "cdc_lob_reassembly",
     # round-3 rotation: the 7 oracle-less queries (cdc_heartbeat,
     # ann_lsh_bucketed, cdc_json_builder, cdc_json_builder_debezium,
