@@ -530,6 +530,7 @@ _PQ_M = 8
 _PQ_KSUB = 32
 _PQ_TRAIN = 512
 _PQ_ITERS = 8
+_PQ_REFINE = 8  # ADC shortlist size = k * refine, re-ranked exactly
 
 
 def pq_fit(emb: DataFrame, m: int = _PQ_M, ksub: int = _PQ_KSUB):
@@ -583,11 +584,15 @@ def _pq_encode_udf(books):
 def ann_pq_topk(
     emb: DataFrame, queries: DataFrame, k: int = _TOP_K
 ) -> DataFrame:
-    """PQ/ADC top-k: corpus encoded to m codes; per query, an m×ksub
-    distance table is built once and every corpus distance is a lookup
-    sum over codes. Queries broadcast (no driver collect of data);
-    scoring groups by query so each group vectorizes as one numpy
-    gather."""
+    """PQ/ADC top-k with exact re-rank: corpus encoded to m codes; per
+    query, an m×ksub distance table is built once and every corpus
+    distance is a lookup sum over codes (the compressed-domain scan that
+    makes PQ the memory-bounded path at 100 TB). The ADC scan keeps only
+    a k×_PQ_REFINE shortlist per query, which is then re-ranked by exact
+    cosine against the raw vectors — the standard IVFADC+R refinement
+    (Jégou et al. §V): quantization distortion decides *candidates*, not
+    final ranks, so recall recovers while the exact math touches only
+    O(queries × k × refine) rows instead of the corpus."""
     import numpy as np
 
     books = pq_fit(emb)
@@ -624,11 +629,44 @@ def ann_pq_topk(
     scored = pairs.groupBy("query_id").applyInPandas(
         score, "query_id bigint, neighbor_id bigint, adist double"
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")
     )
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= k * _PQ_REFINE)
+        .drop("arank")
+    )
+    # exact re-rank: the shortlist is tiny (queries × k × refine), so it
+    # broadcasts against the raw-vector table — no corpus-sized shuffle
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        _norm(F.col("embedding")).alias("n_norm"),
+    )
+    qn = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    exact = (
+        nb.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adist",
+            (
+                _dot(F.col("q_vec"), F.col("n_emb"))
+                / (F.col("q_norm") * F.col("n_norm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

@@ -83,9 +83,10 @@ def test_cosine_topk_excludes_self_and_bounds(spark, sf_dir):
 
 def test_pq_recall_vs_bruteforce(spark, sf_dir):
     """PQ/ADC at m=8, ksub=32 keeps 8 bytes per vector (32x smaller than
-    the float corpus); on random 64-dim data the compressed-domain
-    ranking must still recover a solid fraction of the exact top-5 —
-    far above the ~1% random floor."""
+    the float corpus); the ADC scan shortlists k*refine candidates and
+    exact cosine re-ranks them, so recall on random 64-dim data must be
+    well above half of the exact top-5 — far above the ~1% random floor
+    (ADC-only ranking measured ~0.24 here; with re-rank ~0.74)."""
     from openlogreplicator_spark.operators.similarity import ann_pq
 
     exact = {
@@ -98,4 +99,4 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     }
     assert exact
     recall = len(exact & approx) / len(exact)
-    assert recall > 0.3, f"PQ recall suspiciously low: {recall}"
+    assert recall > 0.55, f"PQ recall suspiciously low: {recall}"
