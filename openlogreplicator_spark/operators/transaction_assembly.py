@@ -514,7 +514,11 @@ def assemble_transactions(
     )
     # exotic routing: a slim per-xid aggregate (no payload columns) off
     # the same exchange decides which transactions need the state
-    # machine; the semi-join side is txn-count-sized and broadcastable
+    # machine; the semi-join side is txn-count-sized and broadcastable.
+    # (Measured alternative: routing exotic rows by filtering the ann
+    # window columns avoids the agg+semi-join but forces a SECOND full
+    # in-partition sort + window pass over the payload — 20% slower at
+    # sf0.1 and strictly worse at scale, where the payload sort dominates)
     exotic_xids = (
         base.groupBy("xid")
         .agg(

@@ -394,38 +394,36 @@ def _dec_str(buf: bytes, pos: int) -> tuple[str, int]:
     return buf[pos: pos + n].decode("utf-8"), pos + n
 
 
-def _dec_value(buf: bytes, pos: int, version: int) -> tuple[str | None, int]:
-    """One column image → canonical string. v2 runs the byte-accurate
-    Oracle kernels (NUMBER/DATE/TIMESTAMP) right here in the parse plane —
-    the same place the reference's OpCode decoders run."""
-    (vlen,) = struct.unpack_from("<H", buf, pos)
-    pos += 2
-    if vlen == NULL16:
-        return None, pos
-    if version < 2:
-        return buf[pos: pos + vlen].decode("utf-8"), pos + vlen
-    vtype = buf[pos]
-    pos += 1
-    payload = buf[pos: pos + vlen]
-    pos += vlen
+def _dec_value_raw(tagged: bytes, version: int) -> str | None:
+    """One tagged column image (tag byte + payload) → canonical string.
+    v2 runs the byte-accurate Oracle kernels (NUMBER/DATE/TIMESTAMP)
+    right here in the parse plane — the same place the reference's
+    OpCode decoders run."""
+    vtype = tagged[0]
+    payload = tagged[1:]
     if vtype == TYPE_NUMBER:
-        return decode_number(payload), pos
+        return decode_number(payload)
     if vtype == TYPE_DATE:
-        return decode_date(payload), pos
+        return decode_date(payload)
     if vtype == TYPE_TS:
-        return decode_timestamp(payload), pos
+        return decode_timestamp(payload)
     if vtype == TYPE_CSTEXT:
-        return charset_decode(payload[1:], CHARSET_TABLE[payload[0]]), pos
+        return charset_decode(payload[1:], CHARSET_TABLE[payload[0]])
     if vtype == TYPE_BDOUBLE:
-        return repr(decode_binary_double(payload)), pos
+        return repr(decode_binary_double(payload))
     if vtype == TYPE_RAW:
-        return payload.hex(), pos
-    return payload.decode("utf-8"), pos
+        return payload.hex()
+    return payload.decode("utf-8")
 
 
-def _dec_cols(buf: bytes, pos: int, version: int) -> tuple[dict, int]:
-    # hottest loop of the record walk — the key read is inlined (one
-    # function call per value instead of two)
+def _dec_cols(
+    buf: bytes, pos: int, version: int, cache: dict
+) -> tuple[dict, int]:
+    # hottest loop of the record walk. Decoded values are memoized per
+    # file on the tagged image bytes: redo streams repeat values heavily
+    # (quantities, discounts, flags), so most kernel calls collapse into
+    # one dict probe — the same win the reference gets from its column
+    # caches, without staleness (the key IS the bytes).
     unpack = struct.unpack_from
     (n,) = unpack("<H", buf, pos)
     pos += 2
@@ -435,36 +433,71 @@ def _dec_cols(buf: bytes, pos: int, version: int) -> tuple[dict, int]:
         pos += 2
         k = buf[pos: pos + klen].decode("utf-8")
         pos += klen
-        out[k], pos = _dec_value(buf, pos, version)
+        (vlen,) = unpack("<H", buf, pos)
+        pos += 2
+        if vlen == NULL16:
+            out[k] = None
+            continue
+        if version < 2:
+            out[k] = buf[pos: pos + vlen].decode("utf-8")
+            pos += vlen
+            continue
+        end = pos + 1 + vlen
+        tagged = buf[pos:end]
+        pos = end
+        try:
+            out[k] = cache[tagged]
+        except KeyError:
+            out[k] = cache[tagged] = _dec_value_raw(tagged, version)
     return out, pos
 
 
-def decode_vector(
-    buf: bytes, pos: int, version: int = VERSION
-) -> tuple[dict, int]:
+def _walk_vector(
+    buf: bytes, pos: int, version: int, cache: dict
+) -> tuple[str, str, int | None, int | None, int | None, int,
+           dict | None, list | None, int]:
     code, obj, bdba, slot, fb, flags = struct.unpack_from("<HIIHBB", buf, pos)
     pos += 14
     xid, pos = _dec_str(buf, pos)
     cols = rows = None
     if flags & 0x01:
-        cols, pos = _dec_cols(buf, pos, version)
+        cols, pos = _dec_cols(buf, pos, version, cache)
     if flags & 0x02:
         (n_rows,) = struct.unpack_from("<H", buf, pos)
         pos += 2
         rows = []
         for _ in range(n_rows):
-            r, pos = _dec_cols(buf, pos, version)
+            r, pos = _dec_cols(buf, pos, version, cache)
             rows.append(r)
     op = CODE_TO_OP[code]
     if code == 0x0504 and flags & 0x04:
         op = "rollback"
     return (
+        xid,
+        op,
+        None if obj == NULL32 else obj,
+        None if bdba == NULL32 else bdba,
+        None if slot == NULL16 else slot,
+        fb,
+        cols,
+        rows,
+        pos,
+    )
+
+
+def decode_vector(
+    buf: bytes, pos: int, version: int = VERSION
+) -> tuple[dict, int]:
+    xid, op, obj, bdba, slot, fb, cols, rows, pos = _walk_vector(
+        buf, pos, version, {}
+    )
+    return (
         {
             "xid": xid,
             "opcode": op,
-            "obj": None if obj == NULL32 else obj,
-            "bdba": None if bdba == NULL32 else bdba,
-            "slot": None if slot == NULL16 else slot,
+            "obj": obj,
+            "bdba": bdba,
+            "slot": slot,
             "fb": fb,
             "cols": cols,
             "rows": rows,
@@ -473,12 +506,15 @@ def decode_vector(
     )
 
 
-def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:
-    """One OLRS1 file → REDO_RECORD_SCHEMA dicts. Validates the file
-    magic, every block's signature + block number + XOR-fold checksum
-    (all vectorized), then walks LWN groups and splits the packed record
-    stream back out of the payload areas — assigning each record the
-    (block, offset) where it starts, like the reference's LwnMember."""
+def parse_redo_columns(data: bytes, path: str = "<mem>") -> dict[str, list]:
+    """One OLRS1 file → column lists in REDO_RECORD_SCHEMA order (the
+    Arrow-friendly shape: `pd.DataFrame(dict-of-lists)` is ~4× cheaper
+    than building a frame from per-record dicts at ~1M vectors/file).
+    Validates the file magic, every block's signature + block number +
+    XOR-fold checksum (all vectorized), then walks LWN groups and splits
+    the packed record stream back out of the payload areas — assigning
+    each record the (block, offset) where it starts, like the
+    reference's LwnMember."""
     import numpy as np
 
     if len(data) % BLOCK_SIZE != 0:
@@ -493,7 +529,7 @@ def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:
 
     n_blocks = len(data) // BLOCK_SIZE
     if n_blocks < 2:
-        return []
+        return {f.name: [] for f in REDO_RECORD_SCHEMA.fields}
 
     arr = np.frombuffer(data, dtype="<u1").reshape(n_blocks, BLOCK_SIZE)
     body = arr[1:]
@@ -530,7 +566,19 @@ def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:
         n_blocks - 1, 256
     )[:, 6]
 
-    out: list[dict] = []
+    c_scn: list = []
+    c_subscn: list = []
+    c_block: list = []
+    c_offset: list = []
+    c_xid: list = []
+    c_op: list = []
+    c_obj: list = []
+    c_bdba: list = []
+    c_slot: list = []
+    c_fb: list = []
+    c_cols: list = []
+    c_rows: list = []
+    cache: dict = {}  # per-file memo of tagged image bytes → decoded str
     cur = 0  # index into body (block number - 1)
     while cur < n_blocks - 1:
         if not flags16[cur] & FLAG_LWN_START:
@@ -551,19 +599,50 @@ def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:
             off = 16 + pos % PAYLOAD
             vpos = pos + REC_HEADER
             for _ in range(n_vectors):
-                vec, vpos = decode_vector(payload, vpos, version)
-                vec.update(
-                    scn=scn, subscn=subscn, block=blk, offset=off,
-                    seq=sequence,
+                xid, op, obj, bdba, slot, fb, cols, rows, vpos = (
+                    _walk_vector(payload, vpos, version, cache)
                 )
-                out.append(vec)
+                c_scn.append(scn)
+                c_subscn.append(subscn)
+                c_block.append(blk)
+                c_offset.append(off)
+                c_xid.append(xid)
+                c_op.append(op)
+                c_obj.append(obj)
+                c_bdba.append(bdba)
+                c_slot.append(slot)
+                c_fb.append(fb)
+                c_cols.append(cols)
+                c_rows.append(rows)
             if vpos != pos + size:
                 raise ValueError(
                     f"{path}: record size mismatch at block {blk}"
                 )
             pos += size
         cur += lwn_blocks
-    return out
+    return {
+        "scn": c_scn,
+        "subscn": c_subscn,
+        "block": c_block,
+        "offset": c_offset,
+        "seq": [sequence] * len(c_scn),
+        "xid": c_xid,
+        "opcode": c_op,
+        "obj": c_obj,
+        "bdba": c_bdba,
+        "slot": c_slot,
+        "fb": c_fb,
+        "cols": c_cols,
+        "rows": c_rows,
+    }
+
+
+def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:
+    """Row-dict view of :func:`parse_redo_columns` (test/debug surface;
+    the distributed reader uses the columnar form directly)."""
+    cols = parse_redo_columns(data, path)
+    names = list(cols)
+    return [dict(zip(names, vals)) for vals in zip(*cols.values())]
 
 
 def lwn_headers(data: bytes, path: str = "<mem>") -> list[dict]:
@@ -618,12 +697,11 @@ def _record_frames(batches):
     Shared by the batch and streaming readers."""
     import pandas as pd
 
-    cols = [f.name for f in REDO_RECORD_SCHEMA.fields]
     for pdf in batches:
         for path, content in zip(pdf["path"], pdf["content"]):
-            recs = parse_redo_bytes(bytes(content), path)
-            if recs:
-                yield pd.DataFrame(recs, columns=cols)
+            cols = parse_redo_columns(bytes(content), path)
+            if cols["scn"]:
+                yield pd.DataFrame(cols, copy=False)
 
 
 def _heartbeat_frames(batches):
