@@ -82,7 +82,9 @@ _PRIORITY = [
     "text_filter_pipeline",
     # streaming windows
     "stream_tumbling_window",
-    "stream_sliding_window",
+    # stream_sliding_window rotated out (same family as tumbling/session,
+    # both still in-window) for the new exact-substring dedup operator
+    "dedup_substring",
     "stream_session_window",
     # round-1 reds, fixed in round 2 — must be re-verified
     "q1_pricing_summary",

@@ -253,10 +253,98 @@ GROUP BY n
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring overlap dedup (Manber, "Finding Similar Files in a Large
+# File System", USENIX'94; the character-level exact-match family behind
+# Lee et al., "Deduplicating Training Data Makes Language Models Better",
+# ACL'22 — their suffix-array pass re-expressed as content-anchored
+# fingerprints so it distributes as hash joins).
+#
+# Word-shingle Jaccard and MinHash measure SET similarity; they can miss a
+# long verbatim run embedded in two otherwise-different documents. This
+# operator detects exact character-level overlap: every position where a
+# space is followed by _SUB_W more characters anchors a _SUB_W-char gram.
+# Anchoring on CONTENT (not on a stride) makes the fingerprint set
+# alignment-invariant — two documents sharing any verbatim substring that
+# contains an anchor with _SUB_W chars of runway share the identical gram,
+# no matter where the run sits in either document. At 100 TB this is one
+# explode (map-side), one distinct, and one document-frequency join — the
+# same shuffle shape as the shingle pipeline, keyed by 8-byte gram hashes.
+
+_SUB_W = 32
+
+
+def substring_fingerprints(docs: DataFrame, w: int = _SUB_W) -> DataFrame:
+    """(doc_id, g): distinct 64-bit hashes of the w-char grams anchored at
+    each space with w characters of runway. JVM-only (sequence/substring/
+    xxhash64 under whole-stage codegen); no Python in the loop."""
+    anchors = F.when(
+        F.length("text") > w,
+        F.sequence(F.lit(1), F.length("text") - w),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select("doc_id", "text", F.explode(anchors).alias("p"))
+        .filter(F.expr("substring(text, p, 1)") == " ")
+        .select(
+            "doc_id",
+            F.xxhash64(F.expr(f"substring(text, p + 1, {_SUB_W})")).alias("g"),
+        )
+        .distinct()
+    )
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shared): how many of the document's anchored grams also
+    appear verbatim in at least one OTHER document of the 3-generation
+    re-crawl corpus. Documents with n_shared > 0 carry verbatim overlap;
+    the exact-dedup'd corpus drops or trims them. The first-word mutation
+    leaves gen-1/gen-2 sharing everything after the first word, so the
+    expected overlap is structural, not incidental."""
+    corpus = _three_gen_corpus(spark, sf_dir)
+    grams = substring_fingerprints(corpus)
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    return (
+        grams.join(shared, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "n_shared")
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH corpus AS ({_THREE_GEN_SQL}),
+positions AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, GREATEST(LENGTH(text) - {_SUB_W}, 0)))
+               AS p
+    FROM corpus
+),
+grams AS (
+    SELECT DISTINCT doc_id, substr(text, p + 1, {_SUB_W}) AS gram
+    FROM positions
+    WHERE substr(text, p, 1) = ' '
+),
+shared AS (
+    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       COUNT(DISTINCT gram) AS n_shared
+FROM grams JOIN shared USING (gram)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_substring": dedup_substring,
 }
 
 ORACLE = {
     "dedup_cluster_cc": DEDUP_CLUSTER_CC_SQL,
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
 }

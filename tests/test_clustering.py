@@ -103,3 +103,41 @@ def test_cluster_query_transitive(spark, sf_dir):
     # 3-generation clusters exist (orig + gen2 + gen3 resolved together)
     assert by_cluster.filter(F.col("n") >= 3).count() > 0
     out.unpersist()
+
+
+def test_substring_fingerprints_alignment_invariant(spark):
+    """Two docs sharing a long verbatim run at DIFFERENT offsets must
+    share anchored grams (content anchoring, not stride alignment), and
+    unrelated text must share none."""
+    from openlogreplicator_spark.operators.clustering import (
+        substring_fingerprints,
+    )
+
+    run = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "PREFIX_A " + run),
+            (2, "a very different and much longer leading segment here " + run),
+            (3, "entirely unrelated content with no overlap whatsoever in it"),
+        ],
+        "doc_id: long, text: string",
+    )
+    fp = substring_fingerprints(docs)
+    a = {r.g for r in fp.filter("doc_id = 1").collect()}
+    b = {r.g for r in fp.filter("doc_id = 2").collect()}
+    c = {r.g for r in fp.filter("doc_id = 3").collect()}
+    assert a & b, "shared verbatim run must share anchored grams"
+    assert not (a & c) and not (b & c)
+
+
+def test_dedup_substring_expected_overlap(spark, sf_dir):
+    """gen-1/gen-2 differ only in the first word, so nearly every
+    document of the 3-gen corpus must report shared grams; the query's
+    plan must stay JVM-only (no Python eval in the gram pipeline)."""
+    from openlogreplicator_spark.operators.clustering import dedup_substring
+
+    out = dedup_substring(spark, sf_dir)
+    assert "BatchEvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+    n_docs = out.count()
+    assert n_docs > 0
+    assert out.filter("n_shared <= 0").count() == 0
