@@ -249,11 +249,62 @@ GROUP BY d.lang, r.rate_pct
 """
 
 
+_GROUP_CAP = 10  # max docs kept per source
+
+
+def cap_per_group(docs: DataFrame, cap: int = _GROUP_CAP) -> DataFrame:
+    """Deterministic per-source document cap (dump balancing: one
+    over-crawled domain/CommonCrawl dump must not dominate the mix).
+    Docs rank within their source by md5(doc_id) — a stable, unbiased,
+    partitioning-independent order — and only the first `cap` survive.
+    One window shuffle keyed by source; no sampling-rate estimation pass.
+    Skew note: a pathologically hot source makes the row_number partition
+    large, but the window only materializes rank (no buffering of the
+    frame), and the cap can be pushed pre-shuffle with a per-partition
+    partial top-k if a source ever exceeds executor memory."""
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source kept-doc counts and token mass after capping — the
+    balance report a mix curator reads before locking a training mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = cap_per_group(docs)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+    )
+
+
+SAMPLE_GROUP_CAP_SQL = f"""
+WITH ranked AS (
+    SELECT source, text,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+           AS total_tokens
+FROM ranked WHERE rk <= {_GROUP_CAP}
+GROUP BY source
+"""
+
+
 QUERIES = {
     "sample_training_mix": sample_training_mix,
     "pack_training_sequences": pack_training_sequences,
     "split_train_eval": split_train_eval,
     "sample_temperature_mix": sample_temperature_mix,
+    "sample_group_cap": sample_group_cap,
 }
 
 ORACLE = {
@@ -261,4 +312,5 @@ ORACLE = {
     "pack_training_sequences": PACK_SEQUENCES_SQL,
     "split_train_eval": SPLIT_TRAIN_EVAL_SQL,
     "sample_temperature_mix": SAMPLE_TEMPERATURE_SQL,
+    "sample_group_cap": SAMPLE_GROUP_CAP_SQL,
 }
