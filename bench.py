@@ -31,6 +31,7 @@ HEADLINE = [
     "scalar_json_funcs",
     "array_explode_wordcount",
     "dedup_minhash_lsh",
+    "dedup_substring",
     "dedup_cluster_cc",
     "decontaminate_ngram",
     "ann_cosine_topk",
