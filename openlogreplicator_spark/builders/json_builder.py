@@ -14,9 +14,12 @@ from pyspark.sql import functions as F
 
 from openlogreplicator_spark.config import (
     ColumnFormat,
+    DbFormat,
     Format,
     MessageFormat,
+    RidFormat,
     ScnFormat,
+    ScnType,
     SchemaFormat,
     TimestampFormat,
     XidFormat,
@@ -24,9 +27,16 @@ from openlogreplicator_spark.config import (
 
 
 def scn_expr(fmt: Format, col: str = "scn") -> Column:
+    # SCN_TYPE::COMMIT_VALUE (BuilderJson.h:241-248): the header scn is
+    # the transaction's commit/checkpoint SCN, not the op's record SCN
+    base = (
+        F.coalesce(F.col("c_scn"), F.col(col))
+        if fmt.scn_type == ScnType.COMMIT_VALUE
+        else F.col(col)
+    )
     if fmt.scn == ScnFormat.HEX:
-        return F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.col(col))), 16, "0"))
-    return F.col(col)
+        return F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(base)), 16, "0"))
+    return base
 
 
 def xid_expr(fmt: Format, col: str = "xid") -> Column:
@@ -259,13 +269,30 @@ def payload_struct(fmt: Format, with_dict: bool = False) -> Column:
                 F.col("obj").alias("obj"),
             )
         ).alias("schema"),
-        F.col("rid").alias("rid"),
         before.alias("before"),
         after.alias("after"),
     ]
+    if fmt.rid == RidFormat.TEXT:
+        # RID_FORMAT::TEXT (BuilderJson.h:94); SKIP omits the field —
+        # the reference default. to_json drops null struct fields, so
+        # position in the struct doesn't matter
+        fields.insert(2, F.col("rid").alias("rid"))
     if fmt.add_offset:
         fields.append(F.col("offset").alias("offset"))
     return F.struct(*fields)
+
+
+def _db_expr(fmt: Format) -> Column | None:
+    """DB_FORMAT guard (BuilderJson.cpp:462-634): DDL messages show the
+    db name under ADD_DDL, everything else under ADD_DML; DEFAULT omits
+    it. A per-row None renders as an absent JSON field."""
+    if fmt.db == DbFormat.DEFAULT:
+        return None
+    if fmt.db == DbFormat.ALL:
+        return F.lit(fmt.db_name)
+    if fmt.db == DbFormat.ADD_DDL:
+        return F.when(F.col("op") == "ddl", F.lit(fmt.db_name))
+    return F.when(F.col("op") != "ddl", F.lit(fmt.db_name))
 
 
 def header_fields(fmt: Format) -> list[Column]:
@@ -273,13 +300,28 @@ def header_fields(fmt: Format) -> list[Column]:
         scn_expr(fmt).alias("scn"),
         tm_expr(fmt).alias("tm"),
         xid_expr(fmt).alias("xid"),
-        F.lit(fmt.db_name).alias("db"),
     ]
+    db = _db_expr(fmt)
+    if db is not None:
+        fields.append(db.alias("db"))
     if fmt.add_sequences:
         fields.append(F.col("seq").alias("seq"))
     if fmt.attributes:
         fields.append(F.col("attrs").alias("attrs"))
     return fields
+
+
+def _header_names(fmt: Format) -> list[str]:
+    """Field names `header_fields` produces, for unpacking a collected
+    hdr struct (MESSAGE_FORMAT::FULL path)."""
+    names = ["scn", "tm", "xid"]
+    if fmt.db != DbFormat.DEFAULT:
+        names.append("db")
+    if fmt.add_sequences:
+        names.append("seq")
+    if fmt.attributes:
+        names.append("attrs")
+    return names
 
 
 def tag_expr(
@@ -416,10 +458,10 @@ def build_events(
             )
             value = F.to_json(
                 F.struct(
-                    F.col("hdr.scn").alias("scn"),
-                    F.col("hdr.tm").alias("tm"),
-                    F.col("hdr.xid").alias("xid"),
-                    F.col("hdr.db").alias("db"),
+                    *[
+                        F.col(f"hdr.{n}").alias(n)
+                        for n in _header_names(fmt)
+                    ],
                     F.col("part").alias("part"),
                     F.col("payload").alias("payload"),
                 )
@@ -429,10 +471,7 @@ def build_events(
             )
         value = F.to_json(
             F.struct(
-                F.col("hdr.scn").alias("scn"),
-                F.col("hdr.tm").alias("tm"),
-                F.col("hdr.xid").alias("xid"),
-                F.col("hdr.db").alias("db"),
+                *[F.col(f"hdr.{n}").alias(n) for n in _header_names(fmt)],
                 F.col("payload").alias("payload"),
             )
         )

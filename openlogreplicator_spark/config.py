@@ -52,17 +52,51 @@ class UnknownFormat(Enum):
     DUMP = "dump"               # hex dump of the raw value
 
 
+class RidFormat(Enum):
+    """RID_FORMAT (Format.h:86-89; emission guard BuilderJson.h:94).
+    The reference DEFAULT is SKIP; this repo defaults to TEXT because the
+    engine pipelines, goldens, and oracle queries key on the ROWID —
+    the reference rendering is one toggle away and golden-tested."""
+
+    SKIP = "skip"  # no rid field in the payload
+    TEXT = "text"  # 18-char base-64 ROWID
+
+
+class DbFormat(Enum):
+    """DB_FORMAT (Format.h:35-40; call sites BuilderJson.cpp:462-634):
+    which message kinds carry the database name in the header. The
+    reference DEFAULT omits it everywhere; this repo defaults to ALL
+    (see RidFormat note)."""
+
+    DEFAULT = "none"    # db name omitted
+    ADD_DML = "dml"     # on begin/commit/DML messages
+    ADD_DDL = "ddl"     # on DDL messages
+    ALL = "all"
+
+
+class ScnType(Enum):
+    """SCN_TYPE::COMMIT_VALUE (Format.h:101-108, BuilderJson.h:241-248):
+    the header scn renders as the transaction's commit (checkpoint) SCN
+    instead of the op's own record SCN."""
+
+    DEFAULT = "op"
+    COMMIT_VALUE = "commit"
+
+
 @dataclass(frozen=True)
 class Format:
     """Observable-output toggles (reference Format.h defaults)."""
 
     scn: ScnFormat = ScnFormat.DEC
+    scn_type: ScnType = ScnType.DEFAULT
     xid: XidFormat = XidFormat.TEXT
     timestamp: TimestampFormat = TimestampFormat.UNIX_MICRO
     message: MessageFormat = MessageFormat.SHORT
     column: ColumnFormat = ColumnFormat.CHANGED
     schema: SchemaFormat = SchemaFormat.OBJ
     unknown: UnknownFormat = UnknownFormat.QUESTION_MARK
+    rid: RidFormat = RidFormat.TEXT
+    db: DbFormat = DbFormat.ALL
     skip_begin: bool = False   # MESSAGE_FORMAT::SKIP_BEGIN
     skip_commit: bool = False  # MESSAGE_FORMAT::SKIP_COMMIT
     add_offset: bool = False   # MESSAGE_FORMAT::ADD_OFFSET
@@ -87,6 +121,11 @@ def debezium_preset() -> Format:
         xid=XidFormat.TEXT,
         skip_begin=True,
         skip_commit=True,
+        # the reference debezium block also forces ridFormat=TEXT and
+        # dbFormat=ALL (OpenLogReplicator.cpp:696-701) — this repo's
+        # defaults already are those values; stated here for parity
+        rid=RidFormat.TEXT,
+        db=DbFormat.ALL,
     )
 
 

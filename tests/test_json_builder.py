@@ -247,3 +247,66 @@ def test_debezium_preset_with_dict(events_df, dict_cols_df):
     assert set(upd["after"]) == {"ID", "V", "W"}
     first = sorted(out, key=lambda v: v["scn"])[0]["payload"][0]
     assert "columns" in first["schema"]
+
+
+def test_reference_default_rendering(events_df):
+    """The reference's own Format.h defaults: RID_FORMAT::SKIP drops the
+    rid field, DB_FORMAT::DEFAULT drops the db field
+    (OpenLogReplicator.cpp:675-680 default block)."""
+    from openlogreplicator_spark.config import DbFormat, RidFormat
+
+    fmt = Format(rid=RidFormat.SKIP, db=DbFormat.DEFAULT)
+    for r in build_events(events_df, fmt).collect():
+        v = json.loads(r.value)
+        assert "db" not in v
+        for p in v["payload"]:
+            assert "rid" not in p
+
+
+def test_db_format_add_dml_vs_ddl(events_df, spark):
+    """DB_FORMAT::ADD_DML puts the db name on begin/commit/DML headers
+    only; ADD_DDL only on ddl messages (BuilderJson.cpp:462-634)."""
+    import datetime
+
+    from openlogreplicator_spark.config import DbFormat
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    with_ddl = events_df.union(
+        spark.createDataFrame(
+            [(1005, 1000, 0, ts, 1, "3.7.42", "DB", "ddl", "USR", "T1",
+              5001, None, None, {"sql": "ALTER TABLE T1 ADD C2 NUMBER"},
+              {}, 4, 140)],
+            CHANGE_EVENT_SCHEMA,
+        )
+    )
+    dml = {json.loads(r.value)["payload"][0]["op"]: json.loads(r.value)
+           for r in build_events(with_ddl, Format(db=DbFormat.ADD_DML)).collect()}
+    assert dml["c"]["db"] == "DB" and dml["begin"]["db"] == "DB"
+    assert "db" not in dml["ddl"]
+    ddl = {json.loads(r.value)["payload"][0]["op"]: json.loads(r.value)
+           for r in build_events(with_ddl, Format(db=DbFormat.ADD_DDL)).collect()}
+    assert ddl["ddl"]["db"] == "DB"
+    assert "db" not in ddl["c"] and "db" not in ddl["commit"]
+
+
+def test_scn_type_commit_value(events_df):
+    """SCN_TYPE::COMMIT_VALUE renders the txn's commit/checkpoint SCN in
+    every header (BuilderJson.h:241-248) — here c_scn=1000 for all ops."""
+    from openlogreplicator_spark.config import ScnType
+
+    out = build_events(events_df, Format(scn_type=ScnType.COMMIT_VALUE))
+    scns = {json.loads(r.value)["scn"] for r in out.collect()}
+    assert scns == {1000}
+
+
+def test_full_message_without_db(events_df):
+    """MESSAGE_FORMAT::FULL header unpacking must track the configured
+    header fields (regression: the hdr struct has no db under
+    DB_FORMAT::DEFAULT)."""
+    from openlogreplicator_spark.config import DbFormat
+
+    fmt = Format(message=MessageFormat.FULL, db=DbFormat.DEFAULT)
+    rows = [json.loads(r.value) for r in build_events(events_df, fmt).collect()]
+    assert len(rows) == 1
+    assert "db" not in rows[0]
+    assert [p["op"] for p in rows[0]["payload"]] == ["begin", "c", "u", "commit"]
