@@ -180,8 +180,21 @@ def decode_timestamp_tz(b: bytes | None) -> str | None:
     return f"{ts} {sign}{abs(tzh):02d}:{abs(tzm):02d}"
 
 
-def decode_interval_ym(b: bytes | None) -> str | None:
-    """5-byte INTERVAL YEAR TO MONTH → 'Y-M' text (sign-prefixed)."""
+# INTERVAL render variants (Format.h:54-74; render loops
+# Builder.cpp:354-434 YTM / 435-590 DTS). The *_STRING unix variants
+# differ from the plain ones only in JSON quoting, which this engine's
+# string-image pipeline applies uniformly — both map to the same text.
+_YTM_SEP = {"string_ym_space": " ", "string_ym_comma": ",",
+            "string_ym_dash": "-"}
+_DTS_SEP = {"iso8601_space": " ", "iso8601_comma": ",", "iso8601_dash": "-"}
+
+
+def decode_interval_ym(
+    b: bytes | None, fmt: str = "string_ym_dash"
+) -> str | None:
+    """5-byte INTERVAL YEAR TO MONTH → text per INTERVAL_YTM_FORMAT:
+    'months' (total month count, Builder.cpp:386-401) or
+    'string_ym_{space,comma,dash}' ('Y<sep>M', Builder.cpp:403-430)."""
     if b is None or len(b) < 5:
         return None
     b = bytes(b)
@@ -190,11 +203,18 @@ def decode_interval_ym(b: bytes | None) -> str | None:
     total = years * 12 + months
     sign = "-" if total < 0 else ""
     total = abs(total)
-    return f"{sign}{total // 12}-{total % 12}"
+    if fmt in ("months", "months_string"):
+        return f"{sign}{total}"
+    return f"{sign}{total // 12}{_YTM_SEP[fmt]}{total % 12}"
 
 
-def decode_interval_ds(b: bytes | None) -> str | None:
-    """11-byte INTERVAL DAY TO SECOND → 'D HH:MM:SS.fffffffff'."""
+def decode_interval_ds(
+    b: bytes | None, fmt: str = "iso8601_space"
+) -> str | None:
+    """11-byte INTERVAL DAY TO SECOND → text per INTERVAL_DTS_FORMAT:
+    'iso8601_{space,comma,dash}' ('D<sep>HH:MM:SS.fffffffff',
+    Builder.cpp:491-533) or 'unix[_nano|_micro|_milli]' (total duration
+    scaled with half-up rounding, Builder.cpp:535-557)."""
     if b is None or len(b) < 11:
         return None
     b = bytes(b)
@@ -206,10 +226,18 @@ def decode_interval_ds(b: bytes | None) -> str | None:
     total_ns = (((days * 24 + hours) * 60 + minutes) * 60 + seconds) * 10**9 + nanos
     sign = "-" if total_ns < 0 else ""
     total_ns = abs(total_ns)
+    if fmt in ("unix_nano", "unix_nano_string"):
+        return f"{sign}{total_ns}"
+    if fmt in ("unix_micro", "unix_micro_string"):
+        return f"{sign}{(total_ns + 500) // 1000}"
+    if fmt in ("unix_milli", "unix_milli_string"):
+        return f"{sign}{(total_ns + 500_000) // 1_000_000}"
+    if fmt in ("unix", "unix_string"):
+        return f"{sign}{(total_ns + 500_000_000) // 10**9}"
     ns = total_ns % 10**9
     total_s = total_ns // 10**9
     return (
-        f"{sign}{total_s // 86400} "
+        f"{sign}{total_s // 86400}{_DTS_SEP[fmt]}"
         f"{(total_s % 86400) // 3600:02d}:{(total_s % 3600) // 60:02d}:"
         f"{total_s % 60:02d}.{ns:09d}"
     )
@@ -431,12 +459,12 @@ def timestamp_decode_udf():
     return _series_udf(decode_timestamp, "string")
 
 
-def interval_ym_decode_udf():
-    return _series_udf(decode_interval_ym, "string")
+def interval_ym_decode_udf(fmt: str = "string_ym_dash"):
+    return _series_udf(lambda b: decode_interval_ym(b, fmt), "string")
 
 
-def interval_ds_decode_udf():
-    return _series_udf(decode_interval_ds, "string")
+def interval_ds_decode_udf(fmt: str = "iso8601_space"):
+    return _series_udf(lambda b: decode_interval_ds(b, fmt), "string")
 
 
 def binary_double_decode_udf():

@@ -226,3 +226,38 @@ class TestCharsetExtra:
         assert charset_decode(bytes.fromhex("8740"), "ZHT16HKSCS31") == ""
         # mixed row: codec-assigned char wins over the PUA zone
         assert charset_decode(bytes.fromhex("8e69"), "ZHT16HKSCS31") == "箸"
+
+
+def test_interval_format_variants():
+    """INTERVAL_YTM_FORMAT / INTERVAL_DTS_FORMAT render matrix
+    (Format.h:54-74; Builder.cpp:354-590)."""
+    ym = (0x80000000 + 3).to_bytes(4, "big") + bytes([64])  # +3y 4m
+    assert decode_interval_ym(ym, "months") == "40"
+    assert decode_interval_ym(ym, "months_string") == "40"
+    assert decode_interval_ym(ym, "string_ym_space") == "3 4"
+    assert decode_interval_ym(ym, "string_ym_comma") == "3,4"
+    assert decode_interval_ym(ym, "string_ym_dash") == "3-4"
+    neg = (0x80000000 - 1).to_bytes(4, "big") + bytes([58])  # -1y 2m
+    assert decode_interval_ym(neg, "months") == "-14"
+
+    ds = (
+        (0x80000000 + 2).to_bytes(4, "big")
+        + bytes([63, 64, 65])
+        + (0x80000000 + 1500).to_bytes(4, "big")
+    )  # +2d 03:04:05.0000015
+    assert decode_interval_ds(ds, "iso8601_space") == "2 03:04:05.000001500"
+    assert decode_interval_ds(ds, "iso8601_comma") == "2,03:04:05.000001500"
+    assert decode_interval_ds(ds, "iso8601_dash") == "2-03:04:05.000001500"
+    total_ns = ((2 * 24 + 3) * 3600 + 4 * 60 + 5) * 10**9 + 1500
+    assert decode_interval_ds(ds, "unix_nano") == str(total_ns)
+    # half-up rounding at each scale (Builder.cpp:541-557)
+    assert decode_interval_ds(ds, "unix_micro") == str((total_ns + 500) // 1000)
+    assert decode_interval_ds(ds, "unix_milli") == str((total_ns + 500_000) // 10**6)
+    assert decode_interval_ds(ds, "unix") == str((total_ns + 500_000_000) // 10**9)
+    nds = (
+        (0x80000000 - 1).to_bytes(4, "big")
+        + bytes([59, 58, 57])
+        + (0x80000000 - 250).to_bytes(4, "big")
+    )  # -1d 01:02:03.00000025
+    assert decode_interval_ds(nds, "unix_nano").startswith("-")
+    assert decode_interval_ds(nds, "iso8601_space").startswith("-1 01:02:03")
