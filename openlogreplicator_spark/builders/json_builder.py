@@ -22,8 +22,50 @@ from openlogreplicator_spark.config import (
     ScnType,
     SchemaFormat,
     TimestampFormat,
+    UnknownFormat,
+    UnknownType,
     XidFormat,
 )
+
+# dictionary type codes the engine cannot decode to a value — the
+# reference emits LONG / LONG RAW as unsupported (BuilderJson.h:445-448)
+_UNSUPPORTED_COLTYPES = (8, 24)
+
+
+def _shape_unknown(img: Column, fmt: Format) -> Column:
+    """UNKNOWN_TYPE / UNKNOWN_FORMAT shaping of one image against the
+    dictionary's per-column type codes: HIDE drops unsupported-type
+    columns; SHOW renders them as '?' (QUESTION_MARK) or a hex dump of
+    the raw image bytes (DUMP)."""
+    tmap = F.map_from_entries(
+        F.transform(
+            F.col("_all_cols"),
+            lambda c: F.struct(c["name"].alias("key"), c["type"].alias("value")),
+        )
+    )
+
+    def unk(k: Column) -> Column:
+        return F.coalesce(
+            F.element_at(tmap, k).isin(*_UNSUPPORTED_COLTYPES), F.lit(False)
+        )
+
+    if fmt.unknown_type == UnknownType.HIDE:
+        return F.map_filter(img, lambda k, v: ~unk(k))
+    if fmt.unknown == UnknownFormat.DUMP:
+        render = lambda v: F.lower(F.hex(v))  # noqa: E731
+    else:
+        render = lambda v: F.lit("?")  # noqa: E731
+    return F.map_from_entries(
+        F.transform(
+            F.map_entries(img),
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                F.when(unk(e["key"]) & e["value"].isNotNull(), render(e["value"]))
+                .otherwise(e["value"])
+                .alias("value"),
+            ),
+        )
+    )
 
 
 def scn_expr(fmt: Format, col: str = "scn") -> Column:
@@ -105,6 +147,14 @@ def _keep_pk_nulls(img: Column, pk_cols: Column) -> Column:
 
 
 def _images(fmt: Format, with_dict: bool = False) -> tuple[Column, Column]:
+    before, after = _images_core(fmt, with_dict)
+    if with_dict:
+        before = _shape_unknown(before, fmt)
+        after = _shape_unknown(after, fmt)
+    return before, after
+
+
+def _images_core(fmt: Format, with_dict: bool = False) -> tuple[Column, Column]:
     """before/after images per COLUMN_FORMAT (Builder.cpp:1467-1646).
 
     - CHANGED (default): updates carry only changed columns in the

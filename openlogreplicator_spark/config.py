@@ -52,6 +52,16 @@ class UnknownFormat(Enum):
     DUMP = "dump"               # hex dump of the raw value
 
 
+class UnknownType(Enum):
+    """UNKNOWN_TYPE (Format.h:182-186): what happens to columns whose
+    dictionary type the engine cannot decode (LONG / LONG RAW,
+    BuilderJson.h:445-448). HIDE (the reference default) drops them from
+    the image; SHOW emits them rendered per UNKNOWN_FORMAT."""
+
+    HIDE = "hide"
+    SHOW = "show"
+
+
 class RidFormat(Enum):
     """RID_FORMAT (Format.h:86-89; emission guard BuilderJson.h:94).
     The reference DEFAULT is SKIP; this repo defaults to TEXT because the
@@ -95,6 +105,7 @@ class Format:
     column: ColumnFormat = ColumnFormat.CHANGED
     schema: SchemaFormat = SchemaFormat.OBJ
     unknown: UnknownFormat = UnknownFormat.QUESTION_MARK
+    unknown_type: UnknownType = UnknownType.HIDE
     rid: RidFormat = RidFormat.TEXT
     db: DbFormat = DbFormat.ALL
     skip_begin: bool = False   # MESSAGE_FORMAT::SKIP_BEGIN

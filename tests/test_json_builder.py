@@ -310,3 +310,32 @@ def test_full_message_without_db(events_df):
     assert len(rows) == 1
     assert "db" not in rows[0]
     assert [p["op"] for p in rows[0]["payload"]] == ["begin", "c", "u", "commit"]
+
+
+def test_unknown_type_hide_and_show(events_df, spark):
+    """UNKNOWN_TYPE::HIDE (default, Format.h:182-186) drops columns of
+    undecodable dictionary types (LONG=8, BuilderJson.h:445-448);
+    SHOW renders them per UNKNOWN_FORMAT (? or hex dump)."""
+    from openlogreplicator_spark.config import UnknownFormat, UnknownType
+    from openlogreplicator_spark.event_model import DICT_COL_SCHEMA
+
+    dict_cols = spark.createDataFrame(
+        [
+            (5001, 0, 0, 0, "ID", 2, 22, 10, 0, 873, False, 1, 0, 0),
+            (5001, 1, 1, 1, "V", 8, 0, None, None, 873, True, 0, 0, 0),  # LONG
+        ],
+        DICT_COL_SCHEMA,
+    )
+
+    def images(fmt):
+        out = [json.loads(r.value) for r in
+               build_events(events_df, fmt, dict_cols=dict_cols).collect()]
+        return [v for v in out if v["payload"][0]["op"] == "c"][0]["payload"][0]
+
+    hidden = images(Format())  # default: HIDE
+    assert "V" not in hidden["after"] and hidden["after"]["ID"] == "1"
+    q = images(Format(unknown_type=UnknownType.SHOW))
+    assert q["after"]["V"] == "?"
+    dump = images(Format(unknown_type=UnknownType.SHOW,
+                         unknown=UnknownFormat.DUMP))
+    assert dump["after"]["V"] == "78"  # 'x' → hex
