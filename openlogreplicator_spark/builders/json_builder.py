@@ -35,8 +35,11 @@ _UNSUPPORTED_COLTYPES = (8, 24)
 def _shape_unknown(img: Column, fmt: Format) -> Column:
     """UNKNOWN_TYPE / UNKNOWN_FORMAT shaping of one image against the
     dictionary's per-column type codes: HIDE drops unsupported-type
-    columns; SHOW renders them as '?' (QUESTION_MARK) or a hex dump of
-    the raw image bytes (DUMP)."""
+    columns; SHOW renders them as '?' (QUESTION_MARK) or hex (DUMP).
+    Fidelity note: the reference dumps Oracle's original byte image;
+    this engine's parse plane has already decoded images to canonical
+    strings, so DUMP hexes the decoded string's UTF-8 — same toggle
+    surface, different byte source."""
     tmap = F.map_from_entries(
         F.transform(
             F.col("_all_cols"),
@@ -332,46 +335,51 @@ def payload_struct(fmt: Format, with_dict: bool = False) -> Column:
     return F.struct(*fields)
 
 
-def _db_expr(fmt: Format) -> Column | None:
+def _db_expr(fmt: Format, full_message: bool = False) -> Column | None:
     """DB_FORMAT guard (BuilderJson.cpp:462-634): DDL messages show the
     db name under ADD_DDL, everything else under ADD_DML; DEFAULT omits
-    it. A per-row None renders as an absent JSON field."""
+    it. A per-row None renders as an absent JSON field. A FULL envelope
+    is a transaction message — the reference stamps its single header at
+    begin-processing with the ADD_DML bit (BuilderJson.cpp:462), so the
+    gate is format-level there, never the content of one payload row."""
     if fmt.db == DbFormat.DEFAULT:
         return None
     if fmt.db == DbFormat.ALL:
         return F.lit(fmt.db_name)
+    if full_message:
+        return F.lit(fmt.db_name) if fmt.db == DbFormat.ADD_DML else None
     if fmt.db == DbFormat.ADD_DDL:
         return F.when(F.col("op") == "ddl", F.lit(fmt.db_name))
     return F.when(F.col("op") != "ddl", F.lit(fmt.db_name))
 
 
-def header_fields(fmt: Format) -> list[Column]:
-    fields = [
-        scn_expr(fmt).alias("scn"),
-        tm_expr(fmt).alias("tm"),
-        xid_expr(fmt).alias("xid"),
+def _header_pairs(
+    fmt: Format, full_message: bool = False
+) -> list[tuple[str, Column]]:
+    """(name, expr) header fields — the single source of truth for both
+    the header struct and the FULL-path unpacking, so a new toggle can't
+    silently drop out of one of them."""
+    pairs = [
+        ("scn", scn_expr(fmt)),
+        ("tm", tm_expr(fmt)),
+        ("xid", xid_expr(fmt)),
     ]
-    db = _db_expr(fmt)
+    db = _db_expr(fmt, full_message)
     if db is not None:
-        fields.append(db.alias("db"))
+        pairs.append(("db", db))
     if fmt.add_sequences:
-        fields.append(F.col("seq").alias("seq"))
+        pairs.append(("seq", F.col("seq")))
     if fmt.attributes:
-        fields.append(F.col("attrs").alias("attrs"))
-    return fields
+        pairs.append(("attrs", F.col("attrs")))
+    return pairs
 
 
-def _header_names(fmt: Format) -> list[str]:
-    """Field names `header_fields` produces, for unpacking a collected
-    hdr struct (MESSAGE_FORMAT::FULL path)."""
-    names = ["scn", "tm", "xid"]
-    if fmt.db != DbFormat.DEFAULT:
-        names.append("db")
-    if fmt.add_sequences:
-        names.append("seq")
-    if fmt.attributes:
-        names.append("attrs")
-    return names
+def header_fields(fmt: Format, full_message: bool = False) -> list[Column]:
+    return [c.alias(n) for n, c in _header_pairs(fmt, full_message)]
+
+
+def _header_names(fmt: Format, full_message: bool = False) -> list[str]:
+    return [n for n, _ in _header_pairs(fmt, full_message)]
 
 
 def tag_expr(
@@ -471,7 +479,7 @@ def build_events(
         per_event = df.select(
             "xid",
             "num",
-            F.struct(*header_fields(fmt)).alias("hdr"),
+            F.struct(*header_fields(fmt, full_message=True)).alias("hdr"),
             payload_struct(fmt, with_dict).alias("p"),
         )
         grouped = per_event.groupBy("xid").agg(
@@ -510,7 +518,7 @@ def build_events(
                 F.struct(
                     *[
                         F.col(f"hdr.{n}").alias(n)
-                        for n in _header_names(fmt)
+                        for n in _header_names(fmt, full_message=True)
                     ],
                     F.col("part").alias("part"),
                     F.col("payload").alias("payload"),
@@ -521,7 +529,8 @@ def build_events(
             )
         value = F.to_json(
             F.struct(
-                *[F.col(f"hdr.{n}").alias(n) for n in _header_names(fmt)],
+                *[F.col(f"hdr.{n}").alias(n)
+                  for n in _header_names(fmt, full_message=True)],
                 F.col("payload").alias("payload"),
             )
         )

@@ -287,7 +287,7 @@ def substring_fingerprints(docs: DataFrame, w: int = _SUB_W) -> DataFrame:
         .filter(F.expr("substring(text, p, 1)") == " ")
         .select(
             "doc_id",
-            F.xxhash64(F.expr(f"substring(text, p + 1, {_SUB_W})")).alias("g"),
+            F.xxhash64(F.expr(f"substring(text, p + 1, {int(w)})")).alias("g"),
         )
         .distinct()
     )
@@ -301,7 +301,10 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves gen-1/gen-2 sharing everything after the first word, so the
     expected overlap is structural, not incidental."""
     corpus = _three_gen_corpus(spark, sf_dir)
-    grams = substring_fingerprints(corpus)
+    # two consumers (the df aggregate and the final join) — persist so the
+    # per-character explode + distinct don't recompute, same shape as the
+    # `sh` persist in _jaccard_pairs
+    grams = substring_fingerprints(corpus).persist()
     shared = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))

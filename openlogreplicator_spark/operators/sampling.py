@@ -31,6 +31,14 @@ _DEFAULT_PCT = 10
 _SEQ_TOKEN_BUDGET = 512
 
 
+def _n_tokens():
+    """Whitespace token count of `text` — must stay in lockstep with the
+    DuckDB oracle's len(string_split_regex(TRIM(text), '\\s+')); defined
+    once so a tokenization tweak can't desynchronize the four queries
+    that share it."""
+    return F.size(F.split(F.trim(F.col("text")), r"\s+"))
+
+
 def _keep_bucket(id_col):
     """Deterministic 0-99 bucket from the doc id: first 8 md5 hex digits
     mod 100. md5 (not xxhash) so the DuckDB oracle reproduces it
@@ -58,7 +66,7 @@ def sample_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix-weighted sampling."""
     docs = load_table(spark, sf_dir, "documents")
     kept = sample_mix(docs, _MIX_PCT, _DEFAULT_PCT)
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tokens = _n_tokens()
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens).cast("bigint").alias("total_tokens"),
@@ -89,7 +97,7 @@ def pack_sequences(
     cumulative token count — seq_id = floor((cumsum - n_tokens) /
     budget), i.e. a document starts a new sequence when the running total
     crosses the budget. One window per language partition."""
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tokens = _n_tokens()
     w = Window.partitionBy("lang").orderBy("doc_id")
     with_cum = docs.select(
         "doc_id", "lang", n_tokens.alias("n_tokens")
@@ -159,7 +167,7 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     token mass — the table a pretraining run signs off before training.
     One hash-partitioned aggregation; the split itself is map-only."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tokens = _n_tokens()
     return assign_split(docs).groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens).cast("bigint").alias("total_tokens"),
@@ -276,7 +284,7 @@ def sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance report a mix curator reads before locking a training mix."""
     docs = load_table(spark, sf_dir, "documents")
     kept = cap_per_group(docs)
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tokens = _n_tokens()
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens).cast("bigint").alias("total_tokens"),

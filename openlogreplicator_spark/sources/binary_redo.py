@@ -620,7 +620,7 @@ def parse_redo_columns(data: bytes, path: str = "<mem>") -> dict[str, list]:
                 )
             pos += size
         cur += lwn_blocks
-    return {
+    cols = {
         "scn": c_scn,
         "subscn": c_subscn,
         "block": c_block,
@@ -635,6 +635,11 @@ def parse_redo_columns(data: bytes, path: str = "<mem>") -> dict[str, list]:
         "cols": c_cols,
         "rows": c_rows,
     }
+    # mapInPandas matches the yielded frame to REDO_RECORD_SCHEMA
+    # positionally — key the dict by the schema's own field order so a
+    # schema change can never silently mis-assign columns (a missing
+    # name raises KeyError here instead)
+    return {f.name: cols[f.name] for f in REDO_RECORD_SCHEMA.fields}
 
 
 def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:

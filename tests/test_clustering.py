@@ -138,6 +138,12 @@ def test_dedup_substring_expected_overlap(spark, sf_dir):
 
     out = dedup_substring(spark, sf_dir)
     assert "BatchEvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+    from openlogreplicator_spark.sources.tables import load_table
+
+    n_base = load_table(spark, sf_dir, "documents").count()
     n_docs = out.count()
-    assert n_docs > 0
+    # every generation overlaps its neighbor over most of the text, so
+    # (nearly) all 3×n_base corpus members must report shared grams —
+    # not just one overlapping pair
+    assert n_docs >= 2 * n_base, f"{n_docs} of {3 * n_base} report overlap"
     assert out.filter("n_shared <= 0").count() == 0
