@@ -429,7 +429,16 @@ def charset_decode(b: bytes | None, charset: str = "AL32UTF8", mode: str = "defa
     codec = _CHARSET_CODECS.get(cs)
     if codec is None:
         return b.hex()  # unknown charset → hex (QUESTION_MARK-ish fallback)
-    return b.decode(codec, errors="replace")
+    s = b.decode(codec, errors="replace")
+    if cs in ("JA16SJISTILDE", "JA16EUCTILDE"):
+        # the TILDE variants override exactly one mapping vs their base
+        # sets: SJIS 0x8160 / EUC 0xA1C1 → U+FF5E FULLWIDTH TILDE instead
+        # of U+301C WAVE DASH (CharacterSetJA16SJISTILDE.cpp:27-29,
+        # CharacterSetJA16EUCTILDE.cpp:26-28). Those are the only byte
+        # sequences the base codecs decode to U+301C, so the post-decode
+        # translation is bit-exact.
+        s = s.replace("\u301c", "\uff5e")
+    return s
 
 
 # ---------------------------------------------------------------------------

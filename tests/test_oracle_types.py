@@ -261,3 +261,19 @@ def test_interval_format_variants():
     )  # -1d 01:02:03.00000025
     assert decode_interval_ds(nds, "unix_nano").startswith("-")
     assert decode_interval_ds(nds, "iso8601_space").startswith("-1 01:02:03")
+
+
+def test_tilde_charset_variants():
+    """JA16SJISTILDE / JA16EUCTILDE override exactly one mapping vs their
+    base sets: 0x8160 / 0xA1C1 → U+FF5E FULLWIDTH TILDE where the base
+    decodes U+301C WAVE DASH (CharacterSetJA16SJISTILDE.cpp:27-29,
+    CharacterSetJA16EUCTILDE.cpp:26-28)."""
+    from openlogreplicator_spark.functions.oracle_types import charset_decode
+
+    assert charset_decode(b"\x81\x60", "JA16SJIS") == "〜"
+    assert charset_decode(b"\x81\x60", "JA16SJISTILDE") == "～"
+    assert charset_decode(b"\xa1\xc1", "JA16EUC") == "〜"
+    assert charset_decode(b"\xa1\xc1", "JA16EUCTILDE") == "～"
+    # surrounding text unaffected
+    assert charset_decode("済".encode("shift_jis") + b"\x81\x60",
+                          "JA16SJISTILDE") == "済～"
