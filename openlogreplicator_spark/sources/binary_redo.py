@@ -417,23 +417,30 @@ def _dec_value_raw(tagged: bytes, version: int) -> str | None:
 
 
 def _dec_cols(
-    buf: bytes, pos: int, version: int, cache: dict
+    buf: bytes, pos: int, version: int, cache: dict, kcache: dict
 ) -> tuple[dict, int]:
-    # hottest loop of the record walk. Decoded values are memoized per
-    # file on the tagged image bytes: redo streams repeat values heavily
-    # (quantities, discounts, flags), so most kernel calls collapse into
-    # one dict probe — the same win the reference gets from its column
-    # caches, without staleness (the key IS the bytes).
-    unpack = struct.unpack_from
-    (n,) = unpack("<H", buf, pos)
+    # hottest loop of the record walk. u16 fields read by direct byte
+    # arithmetic (measurably cheaper than struct.unpack_from at ~300k
+    # calls/file). Decoded values are memoized per file on the tagged
+    # image bytes: redo streams repeat values heavily (quantities,
+    # discounts, flags), so most kernel calls collapse into one dict
+    # probe — the same win the reference gets from its column caches,
+    # without staleness (the key IS the bytes). Column-name bytes repeat
+    # every record and memoize in their own dict (separate from the
+    # value cache so raw key bytes can never collide with tagged image
+    # bytes).
+    n = buf[pos] | (buf[pos + 1] << 8)
     pos += 2
     out = {}
     for _ in range(n):
-        (klen,) = unpack("<H", buf, pos)
+        klen = buf[pos] | (buf[pos + 1] << 8)
         pos += 2
-        k = buf[pos: pos + klen].decode("utf-8")
+        kb = buf[pos: pos + klen]
         pos += klen
-        (vlen,) = unpack("<H", buf, pos)
+        k = kcache.get(kb)
+        if k is None:
+            k = kcache[kb] = kb.decode("utf-8")
+        vlen = buf[pos] | (buf[pos + 1] << 8)
         pos += 2
         if vlen == NULL16:
             out[k] = None
@@ -453,7 +460,7 @@ def _dec_cols(
 
 
 def _walk_vector(
-    buf: bytes, pos: int, version: int, cache: dict
+    buf: bytes, pos: int, version: int, cache: dict, kcache: dict
 ) -> tuple[str, str, int | None, int | None, int | None, int,
            dict | None, list | None, int]:
     code, obj, bdba, slot, fb, flags = struct.unpack_from("<HIIHBB", buf, pos)
@@ -461,13 +468,13 @@ def _walk_vector(
     xid, pos = _dec_str(buf, pos)
     cols = rows = None
     if flags & 0x01:
-        cols, pos = _dec_cols(buf, pos, version, cache)
+        cols, pos = _dec_cols(buf, pos, version, cache, kcache)
     if flags & 0x02:
         (n_rows,) = struct.unpack_from("<H", buf, pos)
         pos += 2
         rows = []
         for _ in range(n_rows):
-            r, pos = _dec_cols(buf, pos, version, cache)
+            r, pos = _dec_cols(buf, pos, version, cache, kcache)
             rows.append(r)
     op = CODE_TO_OP[code]
     if code == 0x0504 and flags & 0x04:
@@ -489,7 +496,7 @@ def decode_vector(
     buf: bytes, pos: int, version: int = VERSION
 ) -> tuple[dict, int]:
     xid, op, obj, bdba, slot, fb, cols, rows, pos = _walk_vector(
-        buf, pos, version, {}
+        buf, pos, version, {}, {}
     )
     return (
         {
@@ -578,7 +585,8 @@ def parse_redo_columns(data: bytes, path: str = "<mem>") -> dict[str, list]:
     c_fb: list = []
     c_cols: list = []
     c_rows: list = []
-    cache: dict = {}  # per-file memo of tagged image bytes → decoded str
+    cache: dict = {}   # per-file memo of tagged image bytes → decoded str
+    kcache: dict = {}  # per-file memo of column-name bytes → str
     cur = 0  # index into body (block number - 1)
     while cur < n_blocks - 1:
         if not flags16[cur] & FLAG_LWN_START:
@@ -600,7 +608,7 @@ def parse_redo_columns(data: bytes, path: str = "<mem>") -> dict[str, list]:
             vpos = pos + REC_HEADER
             for _ in range(n_vectors):
                 xid, op, obj, bdba, slot, fb, cols, rows, vpos = (
-                    _walk_vector(payload, vpos, version, cache)
+                    _walk_vector(payload, vpos, version, cache, kcache)
                 )
                 c_scn.append(scn)
                 c_subscn.append(subscn)
