@@ -814,6 +814,176 @@ FROM per_doc
 """
 
 
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-model perplexity — the CCNet-style LM
+    quality filter (Wenzek et al., LREC'20) with the model trained on the
+    corpus itself instead of an external KenLM (none ships here, and the
+    corpus-trained form needs no side artifact). Per document:
+    avg_logp = sum_bigrams ln P(c2|c1) / n_bigrams, ppl = exp(-avg_logp);
+    P(c2|c1) = count(c1c2)/count(c1·) over the whole corpus. Low
+    perplexity = typical prose; high = gibberish/junk.
+
+    100-TB shape: the bigram explode is map-only; the model is
+    alphabet²-bounded (tiny) so both model joins BROADCAST; the only
+    data-scale shuffles are the two partial-agg exchanges ((doc,bg) then
+    doc). Float safety: the per-doc sum is ~500 terms of magnitude ~5 —
+    accumulated double error ~1e-11 against a 5e-7 rounding boundary at
+    6 dp, the same argument as text_entropy_filter (green since r3)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    model = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bigrams.groupBy(
+        F.substring("bg", 1, 1).alias("c1")
+    ).agg(F.count(F.lit(1)).alias("tot"))
+    per = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("k"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("tot").cast("double"))
+    terms = (
+        per.join(F.broadcast(model), "bg")
+        .join(F.broadcast(ctx), F.substring("bg", 1, 1) == F.col("c1"))
+        .select("doc_id", "k", (F.col("k") * logp).alias("term"))
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.sum("k").alias("n"), F.sum("term").alias("sumlog")
+    )
+    avg_logp = F.col("sumlog") / F.col("n")
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_bigrams"),
+        F.round(avg_logp, 6).alias("avg_logp"),
+        F.round(F.exp(-avg_logp), 6).alias("ppl"),
+    )
+
+
+TEXT_BIGRAM_PPL_SQL = """
+WITH big AS (
+    SELECT doc_id, substring(text, i, 2) AS bg
+    FROM documents, UNNEST(generate_series(1, length(text) - 1)) AS t(i)
+    WHERE length(text) >= 2
+), model AS (
+    SELECT bg, COUNT(*) AS cnt FROM big GROUP BY bg
+), ctx AS (
+    SELECT substring(bg, 1, 1) AS c1, COUNT(*) AS tot FROM big GROUP BY c1
+), per AS (
+    SELECT doc_id, bg, COUNT(*) AS k FROM big GROUP BY doc_id, bg
+), terms AS (
+    SELECT p.doc_id, p.k,
+           p.k * ln(CAST(m.cnt AS DOUBLE) / CAST(c.tot AS DOUBLE)) AS term
+    FROM per p
+    JOIN model m USING (bg)
+    JOIN ctx c ON substring(p.bg, 1, 1) = c.c1
+), agg AS (
+    SELECT doc_id, SUM(k) AS n, SUM(term) AS sumlog
+    FROM terms GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+       ROUND(sumlog / n, 6) AS avg_logp,
+       ROUND(exp(-(sumlog / n)), 6) AS ppl
+FROM agg
+"""
+
+
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS'23 "Data Selection
+    for Language Models via Importance Resampling"): score each raw
+    document by how much its unigram distribution resembles a target
+    domain — here the `lang='en'` slice stands in for the target corpus —
+    versus the raw pool. log w(d) = sum_tokens [ln p_tgt(tok) -
+    ln p_raw(tok)], add-1 smoothed over the raw vocabulary; positive =
+    more target-like than pool-average, the resampling key.
+
+    DSIR hashes features into 2^16 buckets to bound the model; the
+    feature table here is the raw vocabulary itself (already
+    vocab-bounded and broadcastable at this corpus; at 100 TB swap the
+    token key for `xxhash64(token) % 2^20` Spark-side — the plan shape
+    is unchanged). One token explode, one vocab-sized broadcast join,
+    one doc-keyed partial agg; no data-scale shuffle beyond those."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    )
+    model = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("cnt_tgt"),
+    )
+    # scalar totals enter the plan as a 1-row broadcast cross join, not a
+    # driver collect — the plan stays a single lazy DAG
+    totals = model.agg(
+        F.sum("cnt_raw").alias("tot_raw"),
+        F.sum("cnt_tgt").alias("tot_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    log_ratio = F.log(
+        (F.col("cnt_tgt") + 1).cast("double")
+        / (F.col("tot_tgt") + F.col("vocab")).cast("double")
+    ) - F.log(
+        (F.col("cnt_raw") + 1).cast("double")
+        / (F.col("tot_raw") + F.col("vocab")).cast("double")
+    )
+    terms = (
+        toks.join(F.broadcast(model), "token")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", log_ratio.alias("lr"))
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("log_w")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("log_w", 6).alias("log_weight"),
+        (F.col("log_w") > 0).alias("target_like"),
+    )
+
+
+SAMPLE_DSIR_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents
+), model AS (
+    SELECT token, COUNT(*) AS cnt_raw,
+           COUNT(*) FILTER (WHERE lang = 'en') AS cnt_tgt
+    FROM toks GROUP BY token
+), totals AS (
+    SELECT SUM(cnt_raw) AS tot_raw, SUM(cnt_tgt) AS tot_tgt,
+           COUNT(*) AS vocab
+    FROM model
+), terms AS (
+    SELECT t.doc_id,
+           ln(CAST(m.cnt_tgt + 1 AS DOUBLE)
+              / CAST(x.tot_tgt + x.vocab AS DOUBLE))
+           - ln(CAST(m.cnt_raw + 1 AS DOUBLE)
+                / CAST(x.tot_raw + x.vocab AS DOUBLE)) AS lr
+    FROM toks t JOIN model m USING (token), totals x
+), agg AS (
+    SELECT doc_id, COUNT(*) AS n_tokens, SUM(lr) AS log_w
+    FROM terms GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(log_w, 6) AS log_weight, log_w > 0 AS target_like
+FROM agg
+"""
+
+
 QUERIES = {
     "text_quality_score": text_quality_score,
     "text_chunk_split": text_chunk_split,
@@ -828,6 +998,8 @@ QUERIES = {
     "text_vocab_topk": text_vocab_topk,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_entropy_filter": text_entropy_filter,
+    "text_bigram_perplexity": text_bigram_perplexity,
+    "sample_dsir_weights": sample_dsir_weights,
 }
 
 ORACLE = {
@@ -844,4 +1016,6 @@ ORACLE = {
     "text_vocab_topk": TEXT_VOCAB_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_entropy_filter": TEXT_ENTROPY_SQL,
+    "text_bigram_perplexity": TEXT_BIGRAM_PPL_SQL,
+    "sample_dsir_weights": SAMPLE_DSIR_SQL,
 }

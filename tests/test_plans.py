@@ -306,3 +306,26 @@ def test_dedup_passages_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bigram_perplexity_model_joins_broadcast(spark, sf_dir):
+    """LM model and context tables are alphabet²-bounded: both joins must
+    broadcast — a sort-merge join here would shuffle the full bigram
+    stream twice at data scale."""
+    from openlogreplicator_spark.operators import text
+
+    plan = _plan(text.text_bigram_perplexity(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_model_join_broadcasts(spark, sf_dir):
+    """DSIR vocab model joins broadcast; the scalar totals enter as a
+    1-row broadcast, never a driver collect."""
+    from openlogreplicator_spark.operators import text
+
+    plan = _plan(text.sample_dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
