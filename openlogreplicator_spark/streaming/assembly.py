@@ -63,7 +63,10 @@ def _sort_key(r: dict) -> tuple:
 
 
 def assemble_stateful(
-    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdf_iter: Iterable[pd.DataFrame],
+    state: GroupState,
+    max_ops: int | None = None,
 ) -> Iterable[pd.DataFrame]:
     """Per-xid stateful kernel (wired via groupBy('xid').applyInPandasWithState)."""
     buffered: list[dict] = []
@@ -116,17 +119,29 @@ def assemble_stateful(
 
     if flushable:
         # already in emission order — do not re-sort across batch boundaries
-        events = assemble_transactions_py(sorted(flushable, key=_sort_key))
+        events = assemble_transactions_py(
+            sorted(flushable, key=_sort_key), max_ops=max_ops
+        )
         if events:
             yield pd.DataFrame(events)
             return
     yield pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
 
 
-def streaming_assemble(redo_stream: DataFrame) -> DataFrame:
-    """Wire the stateful kernel onto a streaming redo-record DataFrame."""
+def streaming_assemble(
+    redo_stream: DataFrame, max_ops: int | None = None
+) -> DataFrame:
+    """Wire the stateful kernel onto a streaming redo-record DataFrame.
+    ``max_ops`` is the T4 transaction size guard (Transaction.h size
+    cap): a transaction exceeding it is dropped whole, as the reference
+    does when `transaction-max-mb` overflows. Threaded via a closure so
+    it serializes with the function to the executors."""
+
+    def kernel(key, pdf_iter, state):
+        return assemble_stateful(key, pdf_iter, state, max_ops=max_ops)
+
     return redo_stream.groupBy("xid").applyInPandasWithState(
-        assemble_stateful,
+        kernel,
         outputStructType=ASSEMBLED_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

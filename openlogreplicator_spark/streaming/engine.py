@@ -209,7 +209,13 @@ def build_pipeline(
         redo = redo.filter(F.col("scn") > start_scn)
     if cfg.skip_xid:
         redo = redo.filter(~F.col("xid").isin(*list(cfg.skip_xid)))
-    assembled = streaming_assemble(redo)
+    # T4 size guard: the reference caps transactions by bytes
+    # (transaction-max-mb); this engine's unit of buffering is ops, so
+    # the cap converts at the OLRS1 average vector size (~512 B/op —
+    # one block per op is the worst case, so the converted cap is
+    # conservative in the reference's favor)
+    max_ops = cfg.transaction_max_mb * (1024 * 1024 // 512)
+    assembled = streaming_assemble(redo, max_ops=max_ops)
     events = to_change_events(assembled, cfg, dict_obj)
     sel = cfg.selectors[0] if cfg.selectors else TableSelector()
     if sel.condition:
@@ -240,6 +246,12 @@ def build_pipeline(
     writer = messages.writeStream.queryName(query_name)
     if available_now:
         writer = writer.trigger(availableNow=True)
+    else:
+        # continuous mode: the micro-batch cadence is the reference's
+        # checkpoint interval (Writer.cpp checkpoint timer)
+        writer = writer.trigger(
+            processingTime=f"{cfg.checkpoint_interval_s} seconds"
+        )
     if sink == "memory":
         return writer.format("memory").start()
     if sink == "noop":
