@@ -685,8 +685,138 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pq_topk(emb, queries)
 
 
+_SEM_K = 8      # anchor count; grow ~N/target_cluster_size at scale
+_SEM_TAU = 0.35  # intra-cluster duplicate threshold — the synthetic
+                 # embeddings are near-orthogonal (max pairwise cos
+                 # ~0.51, p99.9 ~0.38), so a production-style 0.9+
+                 # threshold would never fire; 0.35 exercises the
+                 # duplicate path on this corpus
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster-scoped semantic dedup —
+    assign every embedding to its nearest anchor, then inside each
+    cluster mark any vector whose cosine to a LOWER-id cluster-mate
+    exceeds tau as a duplicate (one survivor per semantic group).
+
+    Anchors here are the K lowest vec_ids (deterministic, so the oracle
+    can reproduce them); production SemDeDup uses k-means centroids,
+    which only changes how the anchor frame is built. 100-TB shape: the
+    anchor table is K×dim (broadcast), assignment is map-only, and the
+    pair scan is an equi-join on cluster id — comparisons are bounded by
+    the largest cluster, never all-pairs; K must grow with N to keep
+    cluster occupancy (and the per-cluster pair count) constant, the
+    same K-vs-N discipline as lsh_bucket's plane count."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = (
+        emb.orderBy("vec_id")
+        .limit(_SEM_K)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("a_emb"),
+            _norm(F.col("embedding")).alias("a_norm"),
+        )
+    )
+    e = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("e_norm")
+    )
+    sims = e.crossJoin(F.broadcast(anchors)).select(
+        "vec_id",
+        "anchor_id",
+        (
+            _dot(F.col("embedding"), F.col("a_emb"))
+            / (F.col("e_norm") * F.col("a_norm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "anchor_id")
+    # three consumers (both pair-scan sides + the output join) — persist
+    # so anchor assignment runs once, not per subtree
+    assigned = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("anchor_id").alias("cluster"))
+        .persist()
+    )
+    sided = assigned.join(e, "vec_id")
+    a = sided.select(
+        F.col("vec_id").alias("a_id"),
+        "cluster",
+        F.col("embedding").alias("a_e"),
+        F.col("e_norm").alias("a_n"),
+    )
+    b = sided.select(
+        F.col("vec_id").alias("b_id"),
+        "cluster",
+        F.col("embedding").alias("b_e"),
+        F.col("e_norm").alias("b_n"),
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(
+            _dot(F.col("a_e"), F.col("b_e")) / (F.col("a_n") * F.col("b_n"))
+            > _SEM_TAU
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assigned.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH anchors AS (
+    SELECT vec_id AS anchor_id, embedding AS a_emb
+    FROM embeddings ORDER BY vec_id LIMIT {_SEM_K}
+), sims AS (
+    SELECT e.vec_id, a.anchor_id,
+           (SELECT SUM(CAST(e.embedding[g.i] AS DOUBLE)
+                       * CAST(a.a_emb[g.i] AS DOUBLE))
+            FROM generate_series(1, 64) AS g(i))
+           / (SQRT((SELECT SUM(CAST(e.embedding[g.i] AS DOUBLE)
+                               * CAST(e.embedding[g.i] AS DOUBLE))
+                    FROM generate_series(1, 64) AS g(i)))
+              * SQRT((SELECT SUM(CAST(a.a_emb[g.i] AS DOUBLE)
+                                 * CAST(a.a_emb[g.i] AS DOUBLE))
+                      FROM generate_series(1, 64) AS g(i)))) AS cos
+    FROM embeddings e CROSS JOIN anchors a
+), assigned AS (
+    SELECT vec_id, anchor_id AS cluster FROM (
+        SELECT vec_id, anchor_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, anchor_id) AS rn
+        FROM sims
+    ) WHERE rn = 1
+), dups AS (
+    SELECT DISTINCT x.vec_id AS vec_id
+    FROM assigned x
+    JOIN assigned y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+    JOIN embeddings ea ON ea.vec_id = x.vec_id
+    JOIN embeddings eb ON eb.vec_id = y.vec_id
+    WHERE (SELECT SUM(CAST(ea.embedding[g.i] AS DOUBLE)
+                      * CAST(eb.embedding[g.i] AS DOUBLE))
+           FROM generate_series(1, 64) AS g(i))
+          / (SQRT((SELECT SUM(CAST(ea.embedding[g.i] AS DOUBLE)
+                              * CAST(ea.embedding[g.i] AS DOUBLE))
+                   FROM generate_series(1, 64) AS g(i)))
+             * SQRT((SELECT SUM(CAST(eb.embedding[g.i] AS DOUBLE)
+                                * CAST(eb.embedding[g.i] AS DOUBLE))
+                     FROM generate_series(1, 64) AS g(i))))
+          > {_SEM_TAU}
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       d.vec_id IS NULL AS keep
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+
 QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic": dedup_semantic,
     "embedding_quantize": embedding_quantize,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -698,6 +828,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     # ann_lsh_bucketed: rows-only (bucketed physical plan, recall tested)
     "embedding_stats": EMBEDDING_STATS_SQL,

@@ -329,3 +329,18 @@ def test_dsir_model_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_pair_scan_is_equi_join(spark, sf_dir):
+    """SemDeDup's pair scan joins on cluster id — bounded by the largest
+    cluster. The only nested-loop allowed is the K-row anchor broadcast;
+    the vec×vec side must never be a cartesian pair generation."""
+    from openlogreplicator_spark.operators import similarity
+
+    plan = _plan(similarity.dedup_semantic(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the anchor-assignment subtree (the only nested loop, against K
+    # rows) is persisted and must be SERVED from cache to its three
+    # consumers, not recomputed per subtree
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "BatchEvalPython" not in plan
