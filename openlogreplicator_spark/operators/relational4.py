@@ -18,7 +18,7 @@ engines so float formatting can't diverge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openlogreplicator_spark.operators.relational import _money
@@ -242,8 +242,54 @@ WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
 """
 
 
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, the trailing-1-hour event count,
+    integer cent-sum, and min/max value at every event — the sliding
+    time-window aggregate shape (rate limiting, rolling spend, burst
+    detection). Spark's rangeBetween needs a numeric sort key, so the
+    frame orders by unix_micros(ts) with a ±μs-exact 1-hour bound —
+    identical peer semantics to the oracle's RANGE BETWEEN INTERVAL.
+    The summed metric is an integer cent value: a moving FLOAT sum is
+    evaluated in frame order by Spark but segment-tree order by DuckDB,
+    so only order-free (integer / order-stat) aggregates are emitted.
+    One shuffle on user_id; state per row is O(frame occupancy)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    us = F.unix_micros("ts")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(cents).over(w).cast("bigint").alias("cents_1h"),
+        F.round(F.min("value").over(w), 6).alias("min_1h"),
+        F.round(F.max("value").over(w), 6).alias("max_1h"),
+    )
+
+
+WINDOW_RANGE_INTERVAL_SQL = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+           AS cents_1h,
+       ROUND(MIN(value) OVER w, 6) AS min_1h,
+       ROUND(MAX(value) OVER w, 6) AS max_1h
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
+    "window_range_interval": window_range_interval,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
     "q13_order_count_distribution": q13_order_count_distribution,
@@ -252,6 +298,7 @@ QUERIES = {
 
 ORACLE = {
     "q6_forecast_revenue": Q6_SQL,
+    "window_range_interval": WINDOW_RANGE_INTERVAL_SQL,
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,
     "q13_order_count_distribution": Q13_SQL,
