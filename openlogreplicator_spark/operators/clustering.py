@@ -109,21 +109,53 @@ def connected_components(
     e = _canon_edges(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint()
-    prev_sig = None
-    for _ in range(max_iter):
-        e = _canon_edges(_small_star(_large_star(e))).localCheckpoint()
-        # convergence signature: edge count + order-free checksum —
-        # two scalars, computed distributed, no row collect
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    # Each round's shuffles otherwise run at the session's full
+    # spark.sql.shuffle.partitions even when the edge set has shrunk to
+    # thousands of rows — AQE's partition coalescing does not apply to
+    # the RDD materialization localCheckpoint performs, so per-round
+    # task-scheduling overhead dominates small graphs. Scale the loop's
+    # shuffle width to the measured edge count (from the convergence
+    # signature we already compute), never above the session default —
+    # at cluster scale with billions of edges this is a no-op.
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    orig_parts = spark.conf.get(conf_key)
+    default_parts = int(orig_parts)
+    # seed the width from the input edge count — the checkpointed frame
+    # is already materialized, so this count is a metadata-cheap job
+    n_edges = e.count()
+    try:
+        for _ in range(max_iter):
+            p = min(default_parts, max(4, n_edges // 250_000))
+            spark.conf.set(conf_key, str(p))
+            e = _canon_edges(_small_star(_large_star(e))).localCheckpoint()
+            # Convergence = the canon-oriented edge set is a star forest
+            # (every src appears exactly once, no dst is also a src) —
+            # the exact alternating-star fixpoint, detected at the end
+            # of the productive round instead of burning one more round
+            # to observe an unchanged signature. Three scalars, computed
+            # distributed, no row collect.
+            per_src = e.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+            chain = (
+                e.alias("x")
+                .join(
+                    per_src.select("src").alias("y"),
+                    F.col("x.dst") == F.col("y.src"),
+                    "left_outer",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.col("y.src")).alias("n_chain"),
+                )
+            )
+            row = chain.crossJoin(
+                per_src.agg(F.max("c").alias("max_c"))
+            ).collect()[0]
+            n_edges = row["n"]
+            if row["n_chain"] == 0 and (row["max_c"] or 1) == 1:
+                break
+    finally:
+        spark.conf.set(conf_key, orig_parts)
     # converged edge set is a star forest: (node > root) → root
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component")).distinct()
