@@ -398,15 +398,11 @@ _MAX_TOP_SHARE = 0.15
 _MIN_STOP = 0.02
 
 
-def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite corpus filter: every quality signal evaluated in ONE
-    map-only projection (length, duplicate-word ratio, top-word share,
-    stopword ratio), composed into a keep/drop verdict with a
-    machine-readable drop-reason list. This is the nightly "documents
-    in, training corpus out" gate; at 100 TB it is a single scan with
-    zero shuffles — signals are never computed in separate passes and
-    joined back."""
-    docs = load_table(spark, sf_dir, "documents")
+def filter_gate(docs: DataFrame) -> DataFrame:
+    """Append the composite-gate signal columns (n_words, ratios, keep,
+    drop_reasons) to ``docs``, all in ONE map-only projection — shared by
+    the standalone `text_filter_pipeline` query and the composed
+    `pipeline_pretraining_corpus` flagship."""
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n = F.size(words)
     dup_ratio = F.lit(1.0) - F.size(F.array_distinct(words)) / n
@@ -441,13 +437,33 @@ def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(stop_ratio < _MIN_STOP, F.lit("low_stopword")),
     )
     return docs.select(
-        "doc_id",
+        "*",
         n.alias("n_words"),
         F.round(dup_ratio, 6).alias("dup_word_ratio"),
         F.round(top_share, 6).alias("top_word_share"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         (reasons == "").alias("keep"),
         reasons.alias("drop_reasons"),
+    )
+
+
+def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus filter: every quality signal evaluated in ONE
+    map-only projection (length, duplicate-word ratio, top-word share,
+    stopword ratio), composed into a keep/drop verdict with a
+    machine-readable drop-reason list. This is the nightly "documents
+    in, training corpus out" gate; at 100 TB it is a single scan with
+    zero shuffles — signals are never computed in separate passes and
+    joined back."""
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_gate(docs).select(
+        "doc_id",
+        "n_words",
+        "dup_word_ratio",
+        "top_word_share",
+        "stop_ratio",
+        "keep",
+        "drop_reasons",
     )
 
 

@@ -344,3 +344,15 @@ def test_semantic_dedup_pair_scan_is_equi_join(spark, sf_dir):
     # consumers, not recomputed per subtree
     assert plan.count("InMemoryTableScan") >= 3
     assert "BatchEvalPython" not in plan
+
+
+def test_pretraining_pipeline_two_shuffles(spark, sf_dir):
+    """The composed gate→dedup→sample→account pipeline must stay one
+    scan + two data-scale exchanges (digest window, final agg): a third
+    exchange means a stage stopped fusing."""
+    from openlogreplicator_spark.operators import pipeline
+
+    plan = _plan(pipeline.pipeline_pretraining_corpus(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected <=2 shuffles, plan has {n_exchanges}"
