@@ -285,6 +285,89 @@ GROUP BY n
 """
 
 
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection per duplicate cluster: the same
+    near-dup clusters as `dedup_cluster_cc`, but the canonical document
+    is the LONGEST member (tie → min doc_id) — the keep-longest rule
+    production dedup pipelines use instead of keep-min-id, since a
+    truncated re-crawl should lose to the fuller original. One extra
+    cluster-keyed agg over the CC output; the argmax folds into a single
+    struct-max, so no second pass over members."""
+    corpus = _three_gen_corpus(spark, sf_dir)
+    pairs = _jaccard_pairs(corpus, _JACCARD_T)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sized = comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).join(
+        corpus.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    return (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("best"),
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            (-F.col("best.neg_id")).cast("bigint").alias("survivor_id"),
+            F.col("best.n_chars").cast("bigint").alias("survivor_chars"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
+DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE
+corpus AS ({_THREE_GEN_SQL}),
+shingled_all AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
+hot AS (SELECT shingle FROM shingled_all
+        GROUP BY shingle HAVING COUNT(*) > {_SHINGLE_DF_CAP}),
+shingled AS (SELECT * FROM shingled_all
+             WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM shingled a JOIN shingled b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_T}
+),
+sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(n, r) AS (
+    SELECT s, s FROM sym
+    UNION
+    SELECT sym.d, reach.r FROM reach JOIN sym ON sym.s = reach.n
+),
+members AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+sized AS (
+    SELECT m.doc_id, m.cluster_id, LENGTH(c.text) AS n_chars
+    FROM members m JOIN corpus c USING (doc_id)
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(survivor_id AS BIGINT) AS survivor_id,
+       CAST(survivor_chars AS BIGINT) AS survivor_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM (
+    SELECT cluster_id, doc_id AS survivor_id, n_chars AS survivor_chars,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM sized
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring overlap dedup (Manber, "Finding Similar Files in a Large
 # File System", USENIX'94; the character-level exact-match family behind
@@ -376,10 +459,12 @@ GROUP BY doc_id
 
 QUERIES = {
     "dedup_cluster_cc": dedup_cluster_cc,
+    "dedup_canonical_pick": dedup_canonical_pick,
     "dedup_substring": dedup_substring,
 }
 
 ORACLE = {
     "dedup_cluster_cc": DEDUP_CLUSTER_CC_SQL,
+    "dedup_canonical_pick": DEDUP_CANONICAL_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
 }
