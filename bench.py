@@ -32,6 +32,8 @@ HEADLINE = [
     "array_explode_wordcount",
     "dedup_minhash_lsh",
     "dedup_substring",
+    "text_bigram_perplexity",
+    "pipeline_pretraining_corpus",
     "dedup_cluster_cc",
     "decontaminate_ngram",
     "ann_cosine_topk",
