@@ -354,7 +354,7 @@ def _assemble_python(
     records: DataFrame,
     show_incomplete: bool = False,
     max_ops: int | None = None,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Arrow-batched state-machine assembly: shuffle by xid-bucket →
     per-bucket ordered flush in ``applyInPandas``.
@@ -395,6 +395,8 @@ def _assemble_python(
             return pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
         return pd.DataFrame(out)
 
+    if n_buckets is None:
+        n_buckets = _default_buckets(records)
     bucketed = records.withColumn(
         "_bucket", F.pmod(F.xxhash64("xid"), F.lit(n_buckets))
     )
@@ -410,11 +412,21 @@ _NULL_I32 = 2**31 - 1
 _NULL_I64 = 2**63 - 1
 
 
+def _default_buckets(records: DataFrame) -> int:
+    """4 × the session's core count, floor 64 — the '4-8 × cluster
+    cores' sizing rule computed from the session instead of a constant,
+    so a 32-core local run gets 128 buckets and a 4000-core cluster gets
+    16k without a config change. Each bucket's working set (its share of
+    in-flight transactions) must fit one executor; more buckets only
+    shrink Arrow batch amortization, fewer concentrate hot xids."""
+    return max(64, 4 * records.sparkSession.sparkContext.defaultParallelism)
+
+
 def assemble_transactions(
     records: DataFrame,
     show_incomplete: bool = False,
     max_ops: int | None = None,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Batch transaction assembly: JVM split-route.
 
@@ -444,6 +456,8 @@ def assemble_transactions(
     The `show_incomplete`/`max_ops` configurations need global per-txn
     state and take the state-machine path wholesale.
     """
+    if n_buckets is None:
+        n_buckets = _default_buckets(records)
     if show_incomplete or max_ops is not None:
         return _assemble_python(records, show_incomplete, max_ops, n_buckets)
 
