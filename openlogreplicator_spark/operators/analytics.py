@@ -1,0 +1,273 @@
+"""Event-stream analytics consumers over the CDC/event tables.
+
+The reference delivers an ordered change/event stream (W1-W3); the
+canonical things a warehouse does with that stream beyond history
+materialization (history.py) are behavioral analytics: funnels, cohort
+retention, transition graphs, and net-change compaction (the consumer
+side of doc 8.checkpointing.adoc's idempotent-apply contract — Kafka
+topic-compaction semantics expressed relationally).
+
+Scale shapes: every operator here is one or two key-partitioned
+shuffles (user_id / cohort bucket); no self-joins on the event table,
+no driver-side state. Stage frames in the funnel are per-user
+aggregates — orders of magnitude smaller than the event stream — so
+the chained joins shuffle only aggregate-sized inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.sources.tables import load_table
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel view → click → purchase: a user counts at
+    a stage only if the stage event happened strictly AFTER the previous
+    stage's first completion (min-timestamp chaining). Each stage is a
+    per-user aggregate (one shuffle on user_id) joined back to the
+    events scan; the join inputs shrink monotonically stage over stage."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("cts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_view").alias("stage"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("2_click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("3_purchase").alias("stage"), "n_users"
+            )
+        )
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS vts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS cts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS pts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click' AS stage, COUNT(*) AS n_users FROM c
+UNION ALL
+SELECT '3_purchase' AS stage, COUNT(*) AS n_users FROM p
+"""
+
+
+def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    counted distinct on each later active day. Two shuffles (first-day
+    agg, cohort-cell agg); the (user, day) distinct is partial-aggregated
+    map-side so the exchange carries at most one row per user-day."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort")
+    )
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+EVENT_RETENTION_SQL = """
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+    FROM events GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort, a.day) AS INT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.cohort, date_diff('day', f.cohort, a.day)
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (first-order Markov edges): lag over
+    the per-user timeline, then a global pair count. One window shuffle
+    on user_id + one partial-agg shuffle on the 25-row pair space."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH lagged AS (
+    SELECT event_type AS next_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type, next_type, COUNT(*) AS n_transitions
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+def net_changes(
+    changes: DataFrame, key: str, ts_col: str, tiebreak: str
+) -> DataFrame:
+    """Net-effect compaction of a change batch: per key, collapse the op
+    sequence to its net result (Kafka topic-compaction / Delta CDF
+    semantics): i…d ⇒ none (row never existed for a reader of the
+    compacted batch), i…x ⇒ i, x…d ⇒ d, else u. Carries the last image.
+    One window shuffle on the key; no join.
+
+    ``changes`` columns: key, op ('i'|'u'|'d'), val, ts, tiebreak."""
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    first_op = F.first("op").over(full)
+    last_op = F.last("op").over(full)
+    return (
+        changes.select(
+            key,
+            first_op.alias("first_op"),
+            last_op.alias("last_op"),
+            F.last("val").over(full).alias("last_val"),
+            F.count(F.lit(1)).over(full).alias("n_ops"),
+        )
+        .distinct()
+        .withColumn(
+            "net_op",
+            F.when(
+                (F.col("first_op") == "i") & (F.col("last_op") == "d"), "none"
+            )
+            .when(F.col("first_op") == "i", "i")
+            .when(F.col("last_op") == "d", "d")
+            .otherwise("u"),
+        )
+        .select(key, "net_op", "last_val", "n_ops")
+    )
+
+
+def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-change compaction over a change stream derived from events
+    (signup ⇒ insert, error ⇒ delete, else update), keyed by user."""
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "i")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+        .alias("op"),
+        F.round("value", 6).alias("val"),
+        "ts",
+        "event_id",
+    )
+    return net_changes(changes, "user_id", "ts", "event_id")
+
+
+CDC_NET_CHANGES_SQL = """
+WITH changes AS (
+    SELECT user_id,
+           CASE event_type WHEN 'signup' THEN 'i'
+                           WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+           ROUND(value, 6) AS val, ts, event_id
+    FROM events
+),
+spanned AS (
+    SELECT DISTINCT user_id,
+        FIRST_VALUE(op) OVER w AS first_op,
+        LAST_VALUE(op) OVER w AS last_op,
+        LAST_VALUE(val) OVER w AS last_val,
+        COUNT(*) OVER w AS n_ops
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       CASE WHEN first_op = 'i' AND last_op = 'd' THEN 'none'
+            WHEN first_op = 'i' THEN 'i'
+            WHEN last_op = 'd' THEN 'd'
+            ELSE 'u' END AS net_op,
+       last_val, n_ops
+FROM spanned
+"""
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals in exact integer cents
+    (bucket = floor(total)·100 cents DIV 25000_00): binning and sums stay
+    in integer space so no float rounding can diverge engines. Map-side
+    partial agg; one exchange over ≤ ~25 bucket rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+    return (
+        o.select(cents.alias("cents"))
+        .groupBy(F.expr("cents DIV 2500000").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+AGG_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 2500000 AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "event_funnel": event_funnel,
+    "event_retention": event_retention,
+    "event_transitions": event_transitions,
+    "cdc_net_changes": cdc_net_changes,
+    "agg_histogram": agg_histogram,
+}
+
+ORACLE = {
+    "event_funnel": EVENT_FUNNEL_SQL,
+    "event_retention": EVENT_RETENTION_SQL,
+    "event_transitions": EVENT_TRANSITIONS_SQL,
+    "cdc_net_changes": CDC_NET_CHANGES_SQL,
+    "agg_histogram": AGG_HISTOGRAM_SQL,
+}
