@@ -85,7 +85,11 @@ _PRIORITY = [
     # stream_sliding_window rotated out (same family as tumbling/session,
     # both still in-window) for the new exact-substring dedup operator
     "dedup_substring",
-    "stream_session_window",
+    # stream_session_window rotated out (driver-green in round 1; the
+    # tumbling family-mate stays in-window) for the new OLRS1 v4
+    # typed-images query — TSTZ/interval/boolean/UROWID byte kernels
+    # end-to-end through the physical parse plane, oracle-checked
+    "cdc_typed_images_binary",
     # round-1 reds, fixed in round 2 — must be re-verified
     "q1_pricing_summary",
     "q10_returned_items",

@@ -323,6 +323,95 @@ def encode_binary_float(v: float) -> bytes:
     return bytes([raw[0] | 0x80]) + raw[1:]
 
 
+def encode_timestamp_tz(s: str) -> bytes:
+    """Inverse of decode_timestamp_tz: 'YYYY-MM-DD HH:MM:SS.fffffffff
+    ±HH:MM' → the 13-byte offset form (11-byte TIMESTAMP + excess-20
+    hour / excess-60 minute offset bytes, Builder.cpp:272-353)."""
+    ts, off = s.rsplit(" ", 1)
+    sign = -1 if off[0] == "-" else 1
+    tzh, tzm = (int(x) for x in off[1:].split(":"))
+    return encode_timestamp(ts) + bytes([sign * tzh + 20, sign * tzm + 60])
+
+
+def encode_interval_ym(s: str) -> bytes:
+    """Inverse of decode_interval_ym(fmt='string_ym_dash'): '[-]Y-M' →
+    5 bytes (big-endian years XOR 0x80000000, excess-60 months)."""
+    neg = s.startswith("-")
+    y, m = (int(x) for x in s.lstrip("-").split("-"))
+    sign = -1 if neg else 1
+    return struct.pack(">I", (sign * y) & 0xFFFFFFFF ^ 0x80000000) + bytes(
+        [sign * m + 60]
+    )
+
+
+def encode_interval_ds(s: str) -> bytes:
+    """Inverse of decode_interval_ds(fmt='iso8601_space'):
+    '[-]D HH:MM:SS.fffffffff' → 11 bytes (big-endian days XOR
+    0x80000000, excess-60 h/m/s, big-endian nanos XOR 0x80000000).
+    All components carry the interval's sign, as Oracle stores them."""
+    neg = s.startswith("-")
+    d_part, hms = s.lstrip("-").split(" ")
+    hh, mm, rest = hms.split(":")
+    ss, frac = rest.split(".")
+    sign = -1 if neg else 1
+    days = sign * int(d_part)
+    nanos = sign * int(frac.ljust(9, "0")[:9])
+    return (
+        struct.pack(">I", days & 0xFFFFFFFF ^ 0x80000000)
+        + bytes([sign * int(hh) + 60, sign * int(mm) + 60, sign * int(ss) + 60])
+        + struct.pack(">I", nanos & 0xFFFFFFFF ^ 0x80000000)
+    )
+
+
+def decode_boolean(b: bytes | None) -> str | None:
+    """1-byte Oracle BOOLEAN (type 252) → '0'/'1' — the reference renders
+    the byte through its digit map and emits a bare number
+    (Builder.cpp:591-600 map10)."""
+    if b is None or len(b) != 1 or b[0] > 1:
+        return None
+    return str(b[0])
+
+
+def encode_boolean(s: str) -> bytes:
+    return bytes([int(s)])
+
+
+def decode_urowid(b: bytes | None) -> str | None:
+    """13-byte UROWID (leading 0x01 physical-rowid marker) → 18-char
+    ROWID text. Field layout per RowId::decodeFromHex (RowId.h:114-131):
+    dataObj(4 BE) | slot(2 BE) | afn(2 BE) | dba-low-22-bits(4 BE);
+    render joins afn back above the block bits (Builder.cpp:601-613)."""
+    if b is None or len(b) != 13 or b[0] != 0x01:
+        return None
+    b = bytes(b)
+    data_obj = struct.unpack(">I", b[1:5])[0]
+    slot = struct.unpack(">H", b[5:7])[0]
+    afn = struct.unpack(">H", b[7:9])[0]
+    block = struct.unpack(">I", b[9:13])[0] & 0x3FFFFF
+    return rowid_to_text(data_obj, afn, block, slot)
+
+
+def encode_urowid(text: str) -> bytes:
+    """Inverse of decode_urowid: 18-char ROWID text → 13-byte UROWID."""
+    def dec(s: str) -> int:
+        v = 0
+        for ch in s:
+            v = (v << 6) | _B64.index(ch)
+        return v
+
+    data_obj = dec(text[0:6])
+    afn = dec(text[6:9])
+    block = dec(text[9:15])
+    slot = dec(text[15:18])
+    return (
+        b"\x01"
+        + struct.pack(">I", data_obj)
+        + struct.pack(">H", slot)
+        + struct.pack(">H", afn)
+        + struct.pack(">I", block)
+    )
+
+
 # Oracle charset → python codec. The reference ships ~35k LoC of decode
 # tables under src/locales/ (CharacterSetJA16EUC.cpp, …SJIS, …ZHS16GBK,
 # …); the behaviorally-equivalent tables already exist as Python's

@@ -1126,6 +1126,218 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
 """
 
 
+
+
+def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
+    """OLRS1 v4 fixture exercising the remaining scalar byte images:
+    TIMESTAMP WITH TZ, INTERVAL YTM/DTS, BOOLEAN, UROWID — one
+    transaction per order, deterministic values derived arithmetically
+    from the order columns so a SQL oracle can re-render them exactly."""
+    import tempfile
+
+    from openlogreplicator_spark.functions.oracle_types import rowid_expr
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "olrs_typed_images_v4",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    c = F.col("o_custkey")
+    nanos = (k * c) % 1000000000
+    tzh = k % 29 - 14
+    tstz = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("."),
+        F.lpad(nanos.cast("string"), 9, "0"),
+        F.when(tzh >= 0, F.lit(" +")).otherwise(F.lit(" -")),
+        F.lpad(F.abs(tzh).cast("string"), 2, "0"),
+        F.lit(":00"),
+    )
+    months = c % 61 - 30
+    m_abs = F.abs(months)
+    iym = F.concat(
+        F.when(months < 0, F.lit("-")).otherwise(F.lit("")),
+        F.expr("CAST(abs(o_custkey % 61 - 30) DIV 12 AS STRING)"),
+        F.lit("-"),
+        (m_abs % 12).cast("string"),
+    )
+    tot = (k % 2001 - 1000) * F.lit(987654321987).cast("long")
+    a = F.abs(tot)
+    ids = F.concat(
+        F.when(tot < 0, F.lit("-")).otherwise(F.lit("")),
+        F.expr(
+            "CAST(abs((o_orderkey % 2001 - 1000) * 987654321987)"
+            " DIV 86400000000000 AS STRING)"
+        ),
+        F.lit(" "),
+        F.lpad(
+            F.expr(
+                "CAST(abs((o_orderkey % 2001 - 1000) * 987654321987)"
+                " DIV 3600000000000 % 24 AS STRING)"
+            ), 2, "0",
+        ),
+        F.lit(":"),
+        F.lpad(
+            F.expr(
+                "CAST(abs((o_orderkey % 2001 - 1000) * 987654321987)"
+                " DIV 60000000000 % 60 AS STRING)"
+            ), 2, "0",
+        ),
+        F.lit(":"),
+        F.lpad(
+            F.expr(
+                "CAST(abs((o_orderkey % 2001 - 1000) * 987654321987)"
+                " DIV 1000000000 % 60 AS STRING)"
+            ), 2, "0",
+        ),
+        F.lit("."),
+        F.lpad((a % 1000000000).cast("string"), 9, "0"),
+    )
+    flag = F.when(F.col("o_orderstatus") == "F", F.lit("1")).otherwise(
+        F.lit("0")
+    )
+    urid = rowid_expr(c, k % 512, k % 4194304, k % 2048)
+
+    def frame(scn, opcode, cols):
+        return orders.select(
+            scn.alias("scn"),
+            F.lit(0).alias("subscn"),
+            F.lit(0).cast("long").alias("block"),
+            F.lit(0).alias("offset"),
+            F.lit(1).cast("long").alias("seq"),
+            k.cast("string").alias("xid"),
+            F.lit(opcode).alias("opcode"),
+            (c if opcode == "insert" else F.lit(0)).cast("long").alias("obj"),
+            (k if opcode == "insert" else F.lit(None)).cast("long").alias("bdba"),
+            (F.lit(0) if opcode == "insert" else F.lit(None)).cast("int").alias("slot"),
+            F.lit(0).alias("fb"),
+            cols.alias("cols"),
+            F.lit(None).cast("array<map<string,string>>").alias("rows"),
+        )
+
+    no_cols = F.lit(None).cast("map<string,string>")
+    imgs = F.create_map(
+        F.lit("o_tstz"), tstz,
+        F.lit("o_iym"), iym,
+        F.lit("o_ids"), ids,
+        F.lit("o_bool"), flag,
+        F.lit("o_urowid"), urid,
+    )
+    redo = (
+        frame(k * 1000, "begin", no_cols)
+        .unionByName(frame(k * 1000 + 1, "insert", imgs))
+        .unionByName(frame(k * 1000 + 999, "commit", no_cols))
+    )
+
+    import shutil
+
+    staging = f"{out_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_binary_redo(
+        redo,
+        staging,
+        col_types={
+            "o_tstz": "timestamp_tz",
+            "o_iym": "interval_ym",
+            "o_ids": "interval_ds",
+            "o_bool": "boolean",
+            "o_urowid": "urowid",
+        },
+    )
+    if os.path.isdir(out_dir) and not os.path.exists(
+        os.path.join(out_dir, "_SUCCESS")
+    ):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        os.rename(staging, out_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return out_dir
+
+
+def cdc_typed_images_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The long tail of Builder.cpp's scalar decode surface, end to end
+    through physical bytes: TIMESTAMP WITH TZ (13-byte offset form,
+    Builder.cpp:272-353), INTERVAL YEAR TO MONTH / DAY TO SECOND
+    (Builder.cpp:354-590), BOOLEAN (Builder.cpp:591-600) and UROWID
+    (Builder.cpp:601-613 / RowId.h:114-131) images are encoded into
+    OLRS1 v4 files, validated + walked by the parse plane, decoded by
+    the byte kernels inside the record walk, assembled per transaction,
+    and checked against a SQL oracle that re-renders every value from
+    the order columns."""
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions,
+    )
+    from openlogreplicator_spark.sources.binary_redo import parse_redo_files
+
+    redo = parse_redo_files(spark, _typed_images_redo_dir(spark, sf_dir))
+    assembled = assemble_transactions(redo)
+    return assembled.select(
+        F.col("xid").cast("bigint").alias("order_xid"),
+        "scn",
+        "op",
+        F.element_at("cols", F.lit("o_tstz")).alias("tstz"),
+        F.element_at("cols", F.lit("o_iym")).alias("iym"),
+        F.element_at("cols", F.lit("o_ids")).alias("ids"),
+        F.element_at("cols", F.lit("o_bool")).alias("flag"),
+        F.element_at("cols", F.lit("o_urowid")).alias("urid"),
+    )
+
+
+def _rowid_text_sql(data_obj: str, afn: str, block: str, slot: str) -> str:
+    """DuckDB re-render of the 18-char ROWID text (base-64 big-endian
+    digit groups, RowId.h:1-274) from integer expressions."""
+    alph = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+    )
+    parts = []
+    for expr, width in ((data_obj, 6), (afn, 3), (block, 6), (slot, 3)):
+        for i in range(width - 1, -1, -1):
+            parts.append(
+                f"substr('{alph}', CAST((({expr}) >> {6 * i}) & 63 AS INT)"
+                " + 1, 1)"
+            )
+    return " || ".join(parts)
+
+
+CDC_TYPED_IMAGES_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey AS k, o_custkey AS c, o_orderdate, o_orderstatus,
+           (o_orderkey % 2001 - 1000) * 987654321987 AS tot
+    FROM orders
+)
+SELECT k AS order_xid,
+       k * 1000 + 1 AS scn,
+       'c' AS op,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.'
+           || lpad(CAST((k * c) % 1000000000 AS VARCHAR), 9, '0')
+           || CASE WHEN k % 29 - 14 >= 0 THEN ' +' ELSE ' -' END
+           || lpad(CAST(abs(k % 29 - 14) AS VARCHAR), 2, '0') || ':00'
+           AS tstz,
+       CASE WHEN c % 61 - 30 < 0 THEN '-' ELSE '' END
+           || CAST(abs(c % 61 - 30) // 12 AS VARCHAR) || '-'
+           || CAST(abs(c % 61 - 30) % 12 AS VARCHAR) AS iym,
+       CASE WHEN tot < 0 THEN '-' ELSE '' END
+           || CAST(abs(tot) // 86400000000000 AS VARCHAR) || ' '
+           || lpad(CAST(abs(tot) // 3600000000000 % 24 AS VARCHAR), 2, '0')
+           || ':'
+           || lpad(CAST(abs(tot) // 60000000000 % 60 AS VARCHAR), 2, '0')
+           || ':'
+           || lpad(CAST(abs(tot) // 1000000000 % 60 AS VARCHAR), 2, '0')
+           || '.'
+           || lpad(CAST(abs(tot) % 1000000000 AS VARCHAR), 9, '0') AS ids,
+       CASE WHEN o_orderstatus = 'F' THEN '1' ELSE '0' END AS flag,
+       {_rowid_text_sql('c', 'k % 512', 'k % 4194304', 'k % 2048')} AS urid
+FROM base
+"""
+
+
 QUERIES = {
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
@@ -1146,6 +1358,7 @@ QUERIES = {
     "cdc_schemaless_decode": cdc_schemaless_decode,
     "cdc_asof_snapshot": cdc_asof_snapshot,
     "cdc_before_image": cdc_before_image,
+    "cdc_typed_images_binary": cdc_typed_images_binary,
 }
 
 ORACLE = {
@@ -1167,4 +1380,5 @@ ORACLE = {
     "cdc_schemaless_decode": CDC_SCHEMALESS_SQL,
     "cdc_asof_snapshot": CDC_ASOF_SNAPSHOT_SQL,
     "cdc_before_image": CDC_BEFORE_IMAGE_SQL,
+    "cdc_typed_images_binary": CDC_TYPED_IMAGES_SQL,
 }

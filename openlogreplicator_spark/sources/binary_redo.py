@@ -53,7 +53,14 @@ OLRS1 layout (all little-endian, 512-byte blocks):
                           charset; parseString Builder.cpp:129-133),
                           5 BINARY_DOUBLE (8-byte IEEE, Oracle sign-flip,
                           Builder.cpp:258-270), 6 RAW (hex passthrough,
-                          Builder.cpp:254-256). Versions 2+ carry column
+                          Builder.cpp:254-256). Version 4 adds:
+                          7 TIMESTAMP WITH TZ (13-byte offset form,
+                          Builder.cpp:272-353), 8 INTERVAL YEAR TO MONTH
+                          (5 bytes, Builder.cpp:354-434), 9 INTERVAL DAY
+                          TO SECOND (11 bytes, Builder.cpp:435-590),
+                          10 BOOLEAN (1 byte, Builder.cpp:591-600),
+                          11 UROWID (13-byte physical form,
+                          Builder.cpp:601-613). Versions 2+ carry column
                           images in Oracle's actual byte forms so the
                           byte-accurate kernels in functions/
                           oracle_types.py run inside the parse plane,
@@ -78,18 +85,28 @@ from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
 from openlogreplicator_spark.functions.oracle_types import (
     charset_decode,
     decode_binary_double,
+    decode_boolean,
     decode_date,
+    decode_interval_ds,
+    decode_interval_ym,
     decode_number,
     decode_timestamp,
+    decode_timestamp_tz,
+    decode_urowid,
     encode_binary_double,
+    encode_boolean,
     encode_date,
+    encode_interval_ds,
+    encode_interval_ym,
     encode_number,
     encode_timestamp,
+    encode_timestamp_tz,
+    encode_urowid,
 )
 
 BLOCK_SIZE = 512
 PAYLOAD = BLOCK_SIZE - 16
-VERSION = 3
+VERSION = 4
 MAGIC = b"OLRSRED1"
 SIG0, SIG1 = 0x01, 0x22
 FLAG_LWN_START = 0x0001
@@ -113,6 +130,16 @@ TYPE_TS = 3
 TYPE_CSTEXT = 4
 TYPE_BDOUBLE = 5
 TYPE_RAW = 6
+# v4: the remaining scalar column-image forms of Builder.cpp —
+# TIMESTAMP WITH TZ 13-byte offset form (Builder.cpp:272-353), INTERVAL
+# YEAR TO MONTH / DAY TO SECOND 5/11-byte forms (Builder.cpp:354-590),
+# BOOLEAN 1-byte (Builder.cpp:591-600) and UROWID 13-byte physical-rowid
+# form (Builder.cpp:601-613, RowId.h:114-131).
+TYPE_TSTZ = 7
+TYPE_IYM = 8
+TYPE_IDS = 9
+TYPE_BOOL = 10
+TYPE_UROWID = 11
 
 # charset-table indices for TYPE_CSTEXT payloads (u8 prefix); names are
 # Oracle charset ids resolved by functions.oracle_types.charset_decode.
@@ -120,7 +147,10 @@ CHARSET_TABLE = ("AL32UTF8", "JA16SJIS", "ZHS16GBK", "WE8MSWIN1252")
 _CHARSET_PY = ("utf-8", "shift_jis", "gbk", "cp1252")
 
 _TYPE_BY_NAME = {"number": TYPE_NUMBER, "date": TYPE_DATE, "timestamp": TYPE_TS,
-                 "binary_double": TYPE_BDOUBLE, "raw": TYPE_RAW}
+                 "binary_double": TYPE_BDOUBLE, "raw": TYPE_RAW,
+                 "timestamp_tz": TYPE_TSTZ, "interval_ym": TYPE_IYM,
+                 "interval_ds": TYPE_IDS, "boolean": TYPE_BOOL,
+                 "urowid": TYPE_UROWID}
 
 
 def _vtype_for(type_name: str) -> tuple[int, int]:
@@ -196,6 +226,16 @@ def _enc_value(v: str, vtype: int, cs_idx: int = 0) -> bytes:
         payload = encode_binary_double(float(v))
     elif vtype == TYPE_RAW:
         payload = bytes.fromhex(v)
+    elif vtype == TYPE_TSTZ:
+        payload = encode_timestamp_tz(v)
+    elif vtype == TYPE_IYM:
+        payload = encode_interval_ym(v)
+    elif vtype == TYPE_IDS:
+        payload = encode_interval_ds(v)
+    elif vtype == TYPE_BOOL:
+        payload = encode_boolean(v)
+    elif vtype == TYPE_UROWID:
+        payload = encode_urowid(v)
     else:
         payload = v.encode("utf-8")
     return struct.pack("<HB", len(payload), vtype) + payload
@@ -413,6 +453,16 @@ def _dec_value_raw(tagged: bytes, version: int) -> str | None:
         return repr(decode_binary_double(payload))
     if vtype == TYPE_RAW:
         return payload.hex()
+    if vtype == TYPE_TSTZ:
+        return decode_timestamp_tz(payload)
+    if vtype == TYPE_IYM:
+        return decode_interval_ym(payload)
+    if vtype == TYPE_IDS:
+        return decode_interval_ds(payload)
+    if vtype == TYPE_BOOL:
+        return decode_boolean(payload)
+    if vtype == TYPE_UROWID:
+        return decode_urowid(payload)
     return payload.decode("utf-8")
 
 
@@ -531,7 +581,7 @@ def parse_redo_columns(data: bytes, path: str = "<mem>") -> dict[str, list]:
     version, block_size, sequence, _first_scn = struct.unpack_from(
         "<HHIQ", data, 8
     )
-    if version not in (1, 2, 3) or block_size != BLOCK_SIZE:
+    if version not in (1, 2, 3, 4) or block_size != BLOCK_SIZE:
         raise ValueError(f"{path}: unsupported version/block size")
 
     n_blocks = len(data) // BLOCK_SIZE

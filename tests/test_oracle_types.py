@@ -277,3 +277,59 @@ def test_tilde_charset_variants():
     # surrounding text unaffected
     assert charset_decode("済".encode("shift_jis") + b"\x81\x60",
                           "JA16SJISTILDE") == "済～"
+
+
+def test_v4_image_kernels_round_trip():
+    """TSTZ / interval / BOOLEAN / UROWID encode↔decode pairs (the OLRS1
+    v4 column-image forms, Builder.cpp:272-613)."""
+    from openlogreplicator_spark.functions.oracle_types import (
+        decode_boolean,
+        decode_interval_ds,
+        decode_interval_ym,
+        decode_timestamp_tz,
+        decode_urowid,
+        encode_boolean,
+        encode_interval_ds,
+        encode_interval_ym,
+        encode_timestamp_tz,
+        encode_urowid,
+        rowid_to_text,
+    )
+
+    for s in (
+        "2024-03-05 10:20:30.000000123 +05:30",
+        "1999-12-31 23:59:59.999999999 -11:45",
+        "2024-01-01 00:00:00.000000000 +00:00",
+        "2024-01-01 00:00:00.000000000 -00:30",
+    ):
+        assert decode_timestamp_tz(encode_timestamp_tz(s)) == s
+    for s in ("3-7", "-2-11", "0-0", "-0-1", "150-11"):
+        assert decode_interval_ym(encode_interval_ym(s)) == s
+    for s in (
+        "5 03:20:11.000001234",
+        "-12 23:59:59.999999999",
+        "0 00:00:00.000000000",
+        "-0 00:00:01.000000000",
+    ):
+        assert decode_interval_ds(encode_interval_ds(s)) == s
+    assert decode_boolean(encode_boolean("0")) == "0"
+    assert decode_boolean(encode_boolean("1")) == "1"
+    assert decode_boolean(b"\x02") is None  # reference: columnUnknown
+
+    t = rowid_to_text(91234, 7, 12345, 42)
+    assert decode_urowid(encode_urowid(t)) == t
+    assert encode_urowid(t)[0] == 0x01  # physical-rowid marker
+
+
+def test_v4_tstz_golden_bytes():
+    """13-byte layout golden check: excess-20 hour / excess-60 minute
+    offset bytes after the 11-byte timestamp (Builder.cpp:272-353)."""
+    from openlogreplicator_spark.functions.oracle_types import (
+        encode_timestamp_tz,
+    )
+
+    b = encode_timestamp_tz("2024-03-05 10:20:30.000000123 +05:30")
+    assert len(b) == 13
+    assert b[11] == 25 and b[12] == 90  # +5h → 20+5, +30m → 60+30
+    nb = encode_timestamp_tz("2024-03-05 10:20:30.000000123 -05:30")
+    assert nb[11] == 15 and nb[12] == 30  # -5h → 20-5, -30m → 60-30
