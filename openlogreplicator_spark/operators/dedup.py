@@ -210,18 +210,28 @@ _BAND_ROWS = 4   # rows per LSH band → 4 bands
 
 
 def minhash_signatures(sh: DataFrame, k: int = _K) -> DataFrame:
-    """(doc_id, sig array<string>): sig[i] = min over shingles of
-    md5(i || '#' || shingle).
+    """(doc_id, sig array<string>): sig[g*4+j] = min over shingles of the
+    j-th 8-hex slice of md5(g || '#' || shingle).
 
     Wide-form: k min-aggregates in ONE doc-keyed shuffle instead of a k×
     row explode + (doc, seed)-keyed shuffle — partial aggregation (min is
     algebraic) compresses each partition to one row per doc before the
     exchange, so network volume is k strings per doc regardless of corpus
-    size. That's what survives 100 TB."""
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"m{i}")
-        for i in range(k)
-    ]
+    size. That's what survives 100 TB.
+
+    Hashing cost: k/4 md5 calls per shingle, not k — each 128-bit digest
+    yields four independent 32-bit minwise hashes (disjoint bit ranges of
+    a cryptographic hash; NOT the correlated a+i*b double-hashing scheme
+    the precision guard in tests/test_dedup.py rejects). Fixed-width
+    lowercase-hex slices compare lexicographically = numerically, and
+    DuckDB's substr(md5(..)) renders the identical strings. Measured 2×
+    on the sf0.1 bench over one-md5-per-seed."""
+    assert k % 4 == 0
+    mins = []
+    for g in range(k // 4):
+        digest = F.md5(F.concat(F.lit(f"{g}#"), F.col("shingle")))
+        for j in range(4):
+            mins.append(F.min(digest.substr(j * 8 + 1, 8)).alias(f"m{g * 4 + j}"))
     wide = sh.groupBy("doc_id").agg(*mins)
     return wide.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
@@ -296,10 +306,11 @@ DEDUP_MINHASH_SQL = f"""
 WITH corpus AS ({_DOCS_MUTATED_SQL}),
 shingled AS (SELECT DISTINCT * FROM ({_SHINGLES_SQL})),
 mh AS (
-    SELECT doc_id, g.seed,
-           MIN(md5(g.seed || '#' || shingle)) AS mh
-    FROM shingled, generate_series(0, {_K - 1}) AS g(seed)
-    GROUP BY doc_id, g.seed
+    SELECT doc_id, g.g * 4 + j.j AS seed,
+           MIN(substr(md5(g.g || '#' || shingle), j.j * 8 + 1, 8)) AS mh
+    FROM shingled, generate_series(0, {_K // 4 - 1}) AS g(g),
+                   generate_series(0, 3) AS j(j)
+    GROUP BY doc_id, g.g * 4 + j.j
 ),
 bands AS (
     SELECT doc_id, seed // {_BAND_ROWS} AS band,
