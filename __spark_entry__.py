@@ -50,7 +50,11 @@ _PRIORITY = [
     # text analysis
     "text_quality_score",
     "text_lang_id",
-    "text_token_count",
+    # text_token_count rotated out (map-only projection, two family-
+    # mates stay in-window) for the KDO positional-framing query — the
+    # riskiest novel semantics of this session (col#-addressed images,
+    # nulls bitmap, dictionary resolve at parse time)
+    "cdc_kdo_positional_binary",
     "cdc_schemaless_decode",
     # similarity / embeddings
     "ann_cosine_topk",

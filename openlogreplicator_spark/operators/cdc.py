@@ -1338,6 +1338,152 @@ FROM base
 """
 
 
+
+
+_KDO_OBJ = 1001  # the fixture table's object id in the dictionary
+_KDO_DICT = {_KDO_OBJ: ["l_qty", "l_price", "l_ship"]}
+
+
+def _kdo_positional_redo_dir(spark: SparkSession, sf_dir: str) -> str:
+    """OLRS1 v5 fixture: column images travel in the reference's KDO
+    shape — identified by segment column number under a nulls bitmap,
+    with NO names in the stream (OpCode.h KDO parse; nulls handling
+    Builder.cpp:1382-1426). Names resolve at parse time against the
+    dictionary, as Builder::processDml resolves columns against the
+    schema packs. Every 7th lineitem ships a NULL l_ship so the bitmap
+    path is exercised on real rows."""
+    import tempfile
+
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "olrs_kdo_positional_v5",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dml = li.select(
+        (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).alias("scn"),
+        F.lit(0).alias("subscn"),
+        F.col("l_quantity").cast("long").alias("block"),
+        F.col("l_partkey").cast("int").alias("offset"),
+        F.lit(1).cast("long").alias("seq"),
+        F.col("l_orderkey").cast("string").alias("xid"),
+        F.lit("insert").alias("opcode"),
+        F.lit(_KDO_OBJ).cast("long").alias("obj"),
+        F.col("l_orderkey").alias("bdba"),
+        F.col("l_linenumber").alias("slot"),
+        F.lit(0).alias("fb"),
+        F.map_from_arrays(
+            F.array(F.lit("l_qty"), F.lit("l_price"), F.lit("l_ship")),
+            F.array(
+                F.col("l_quantity").cast("bigint").cast("string"),
+                F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+                F.when(
+                    F.col("l_linenumber") % 7 == 0, F.lit(None)
+                ).otherwise(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss")),
+            ),
+        ).alias("cols"),
+        F.lit(None).cast("array<map<string,string>>").alias("rows"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+
+    def ctl(scn_expr, opcode):
+        return orders.select(
+            scn_expr.alias("scn"),
+            F.lit(0).alias("subscn"),
+            F.lit(0).cast("long").alias("block"),
+            F.lit(0).alias("offset"),
+            F.lit(1).cast("long").alias("seq"),
+            F.col("o_orderkey").cast("string").alias("xid"),
+            F.lit(opcode).alias("opcode"),
+            F.lit(0).cast("long").alias("obj"),
+            F.lit(None).cast("long").alias("bdba"),
+            F.lit(None).cast("int").alias("slot"),
+            F.lit(0).alias("fb"),
+            F.lit(None).cast("map<string,string>").alias("cols"),
+            F.lit(None).cast("array<map<string,string>>").alias("rows"),
+        )
+
+    redo = (
+        ctl(F.col("o_orderkey") * 1000, "begin")
+        .unionByName(dml)
+        .unionByName(ctl(F.col("o_orderkey") * 1000 + 999, "commit"))
+    )
+
+    import shutil
+
+    staging = f"{out_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_binary_redo(
+        redo,
+        staging,
+        col_types={"l_qty": "number", "l_price": "number", "l_ship": "date"},
+        pos_dicts=_KDO_DICT,
+    )
+    if os.path.isdir(out_dir) and not os.path.exists(
+        os.path.join(out_dir, "_SUCCESS")
+    ):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        os.rename(staging, out_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return out_dir
+
+
+def cdc_kdo_positional_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDO-shaped physical decode end to end: positional column images
+    under a nulls bitmap (no names in the stream) → dictionary resolve
+    at parse → transaction assembly → SQL oracle. Proves the parse
+    plane works the way the reference's does: what travels is
+    (obj, col#, bytes), and names/types come from the replicated
+    dictionary (Schema.cpp buildMaps → Builder.cpp:1382-1426)."""
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions,
+    )
+    from openlogreplicator_spark.sources.binary_redo import parse_redo_files
+
+    redo = parse_redo_files(
+        spark, _kdo_positional_redo_dir(spark, sf_dir), dictionary=_KDO_DICT
+    )
+    assembled = assemble_transactions(redo)
+    return assembled.select(
+        F.col("xid").cast("bigint").alias("order_xid"),
+        "scn",
+        "num",
+        "op",
+        F.element_at("cols", F.lit("l_qty")).cast("bigint").alias("qty"),
+        # Oracle NUMBER canonical text has no trailing zeros; re-widen to
+        # the column's declared scale for the comparison, as the typed
+        # decode layer does from SysCol precision/scale
+        F.element_at("cols", F.lit("l_price"))
+        .cast("decimal(12,2)")
+        .cast("string")
+        .alias("price"),
+        F.element_at("cols", F.lit("l_ship")).alias("ship_ts"),
+    )
+
+
+CDC_KDO_POSITIONAL_SQL = """
+SELECT l_orderkey AS order_xid,
+       l_orderkey * 1000 + l_linenumber AS scn,
+       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, CAST(l_quantity AS BIGINT),
+                                   l_partkey) - 1 AS num,
+       'c' AS op,
+       CAST(l_quantity AS BIGINT) AS qty,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price,
+       CASE WHEN l_linenumber % 7 = 0 THEN NULL
+            ELSE strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') END AS ship_ts
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+"""
+
+
 QUERIES = {
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
@@ -1359,6 +1505,7 @@ QUERIES = {
     "cdc_asof_snapshot": cdc_asof_snapshot,
     "cdc_before_image": cdc_before_image,
     "cdc_typed_images_binary": cdc_typed_images_binary,
+    "cdc_kdo_positional_binary": cdc_kdo_positional_binary,
 }
 
 ORACLE = {
@@ -1381,4 +1528,5 @@ ORACLE = {
     "cdc_asof_snapshot": CDC_ASOF_SNAPSHOT_SQL,
     "cdc_before_image": CDC_BEFORE_IMAGE_SQL,
     "cdc_typed_images_binary": CDC_TYPED_IMAGES_SQL,
+    "cdc_kdo_positional_binary": CDC_KDO_POSITIONAL_SQL,
 }

@@ -106,10 +106,11 @@ from openlogreplicator_spark.functions.oracle_types import (
 
 BLOCK_SIZE = 512
 PAYLOAD = BLOCK_SIZE - 16
-VERSION = 4
+VERSION = 5
 MAGIC = b"OLRSRED1"
 SIG0, SIG1 = 0x01, 0x22
 FLAG_LWN_START = 0x0001
+FLAG_POSITIONAL = 0x08  # vector flag bit3: KDO positional column framing
 LWN_HEADER = 24
 REC_HEADER = 16
 LWN_MAX_RECORDS = 256
@@ -241,6 +242,27 @@ def _enc_value(v: str, vtype: int, cs_idx: int = 0) -> bytes:
     return struct.pack("<HB", len(payload), vtype) + payload
 
 
+def _enc_cols_positional(
+    cols: dict, names: list[str], col_types: dict | None = None
+) -> bytes:
+    """KDO-shaped column area: u8 column count | nulls bitmap | one
+    tagged VALUE per non-null column in seg-col# order. Column names
+    never enter the stream — the parser resolves (obj, col#) against the
+    dictionary, as the reference resolves KDO columns against its schema
+    packs."""
+    cc = len(names)
+    bitmap = bytearray((cc + 7) // 8)
+    vals = b""
+    for i, name in enumerate(names):
+        v = cols.get(name)
+        if v is None:
+            bitmap[i // 8] |= 1 << (i % 8)
+        else:
+            vtype, cs_idx = _vtype_for((col_types or {}).get(name, ""))
+            vals += _enc_value(v, vtype, cs_idx)
+    return struct.pack("<B", cc) + bytes(bitmap) + vals
+
+
 def _enc_cols(cols: dict | None, col_types: dict | None = None) -> bytes:
     out = struct.pack("<H", len(cols))
     for k in cols:
@@ -254,7 +276,11 @@ def _enc_cols(cols: dict | None, col_types: dict | None = None) -> bytes:
     return out
 
 
-def encode_vector(rec: dict, col_types: dict | None = None) -> bytes:
+def encode_vector(
+    rec: dict,
+    col_types: dict | None = None,
+    pos_dicts: dict | None = None,
+) -> bytes:
     op = rec["opcode"]
     code = OP_TO_CODE[op]
     flags = 0
@@ -262,11 +288,16 @@ def encode_vector(rec: dict, col_types: dict | None = None) -> bytes:
         flags |= 0x04
     cols = rec.get("cols")
     rows = rec.get("rows")
+    obj = rec.get("obj")
+    positional = (
+        cols is not None and pos_dicts is not None and obj in pos_dicts
+    )
     if cols is not None:
         flags |= 0x01
     if rows is not None:
         flags |= 0x02
-    obj = rec.get("obj")
+    if positional:
+        flags |= FLAG_POSITIONAL
     bdba = rec.get("bdba")
     slot = rec.get("slot")
     out = struct.pack(
@@ -280,7 +311,10 @@ def encode_vector(rec: dict, col_types: dict | None = None) -> bytes:
     )
     out += _enc_str(rec.get("xid") or "")
     if cols is not None:
-        out += _enc_cols(cols, col_types)
+        if positional:
+            out += _enc_cols_positional(cols, pos_dicts[obj], col_types)
+        else:
+            out += _enc_cols(cols, col_types)
     if rows is not None:
         out += struct.pack("<H", len(rows))
         for r in rows:
@@ -292,9 +326,10 @@ def encode_record(
     rec: dict,
     extra_vectors: list[dict] | None = None,
     col_types: dict | None = None,
+    pos_dicts: dict | None = None,
 ) -> bytes:
     vectors = [rec] + list(extra_vectors or [])
-    body = b"".join(encode_vector(v, col_types) for v in vectors)
+    body = b"".join(encode_vector(v, col_types, pos_dicts) for v in vectors)
     size = REC_HEADER + len(body)
     return (
         struct.pack(
@@ -319,7 +354,10 @@ def _fold_checksum(block: bytearray) -> int:
 
 
 def encode_redo_file(
-    records: list[dict], sequence: int, col_types: dict | None = None
+    records: list[dict],
+    sequence: int,
+    col_types: dict | None = None,
+    pos_dicts: dict | None = None,
 ) -> bytes:
     """records (REDO_RECORD_SCHEMA dicts, already in file order) → one
     OLRS1 file: header block + LWN-grouped data blocks. `col_types`
@@ -331,7 +369,8 @@ def encode_redo_file(
     lwns: list[tuple[list[bytes], int, int]] = []  # (recs, lwn_scn, ts)
     for i in range(0, len(records), LWN_MAX_RECORDS):
         chunk = records[i: i + LWN_MAX_RECORDS]
-        recs = [encode_record(r, col_types=col_types) for r in chunk]
+        recs = [encode_record(r, col_types=col_types, pos_dicts=pos_dicts)
+                for r in chunk]
         lwn_scn = max(int(r["scn"]) for r in chunk)
         lwns.append((recs, lwn_scn, 0))
 
@@ -371,6 +410,7 @@ def write_binary_redo(
     out_dir: str,
     n_files: int = 32,
     col_types: dict | None = None,
+    pos_dicts: dict | None = None,
 ) -> None:
     """Distributed fixture writer: hash-partition by xid (a transaction
     never straddles files), order records within each file by the
@@ -407,7 +447,8 @@ def write_binary_redo(
                 v = r.get(f)
                 if v is not None and pd.isna(v):
                     r[f] = None
-        data = encode_redo_file(records, sequence=pid + 1, col_types=col_types)
+        data = encode_redo_file(records, sequence=pid + 1,
+                                col_types=col_types, pos_dicts=pos_dicts)
         path = os.path.join(out_dir, f"redo_{pid + 1:04d}.olrs")
         with open(path, "wb") as fh:
             fh.write(data)
@@ -509,15 +550,54 @@ def _dec_cols(
     return out, pos
 
 
+def _dec_cols_positional(
+    buf: bytes, pos: int, version: int, cache: dict,
+    obj: int, dictionary: dict | None,
+) -> tuple[dict, int]:
+    """KDO positional column area → name-keyed dict: nulls come from the
+    bitmap, names from the dictionary's (obj → ordered column names)
+    entry. An obj absent from the dictionary falls back to positional
+    COL_<n> names — exactly the reference's schemaless rendering
+    (Builder.cpp:96-100) when the dictionary has no table."""
+    cc = buf[pos]
+    pos += 1
+    nb = (cc + 7) // 8
+    bitmap = buf[pos: pos + nb]
+    pos += nb
+    names = dictionary.get(obj) if dictionary else None
+    out = {}
+    for i in range(cc):
+        k = names[i] if names else f"COL_{i}"
+        if bitmap[i // 8] & (1 << (i % 8)):
+            out[k] = None
+            continue
+        vlen = buf[pos] | (buf[pos + 1] << 8)
+        pos += 2
+        end = pos + 1 + vlen
+        tagged = buf[pos:end]
+        pos = end
+        try:
+            out[k] = cache[tagged]
+        except KeyError:
+            out[k] = cache[tagged] = _dec_value_raw(tagged, version)
+    return out, pos
+
+
 def _walk_vector(
-    buf: bytes, pos: int, version: int, cache: dict, kcache: dict
+    buf: bytes, pos: int, version: int, cache: dict, kcache: dict,
+    dictionary: dict | None = None,
 ) -> tuple[str, str, int | None, int | None, int | None, int,
            dict | None, list | None, int]:
     code, obj, bdba, slot, fb, flags = struct.unpack_from("<HIIHBB", buf, pos)
     pos += 14
     xid, pos = _dec_str(buf, pos)
     cols = rows = None
-    if flags & 0x01:
+    if flags & FLAG_POSITIONAL:
+        cols, pos = _dec_cols_positional(
+            buf, pos, version, cache,
+            None if obj == NULL32 else obj, dictionary,
+        )
+    elif flags & 0x01:
         cols, pos = _dec_cols(buf, pos, version, cache, kcache)
     if flags & 0x02:
         (n_rows,) = struct.unpack_from("<H", buf, pos)
@@ -543,10 +623,11 @@ def _walk_vector(
 
 
 def decode_vector(
-    buf: bytes, pos: int, version: int = VERSION
+    buf: bytes, pos: int, version: int = VERSION,
+    dictionary: dict | None = None,
 ) -> tuple[dict, int]:
     xid, op, obj, bdba, slot, fb, cols, rows, pos = _walk_vector(
-        buf, pos, version, {}, {}
+        buf, pos, version, {}, {}, dictionary
     )
     return (
         {
@@ -563,7 +644,9 @@ def decode_vector(
     )
 
 
-def parse_redo_columns(data: bytes, path: str = "<mem>") -> dict[str, list]:
+def parse_redo_columns(
+    data: bytes, path: str = "<mem>", dictionary: dict | None = None
+) -> dict[str, list]:
     """One OLRS1 file → column lists in REDO_RECORD_SCHEMA order (the
     Arrow-friendly shape: `pd.DataFrame(dict-of-lists)` is ~4× cheaper
     than building a frame from per-record dicts at ~1M vectors/file).
@@ -581,7 +664,7 @@ def parse_redo_columns(data: bytes, path: str = "<mem>") -> dict[str, list]:
     version, block_size, sequence, _first_scn = struct.unpack_from(
         "<HHIQ", data, 8
     )
-    if version not in (1, 2, 3, 4) or block_size != BLOCK_SIZE:
+    if version not in (1, 2, 3, 4, 5) or block_size != BLOCK_SIZE:
         raise ValueError(f"{path}: unsupported version/block size")
 
     n_blocks = len(data) // BLOCK_SIZE
@@ -658,7 +741,8 @@ def parse_redo_columns(data: bytes, path: str = "<mem>") -> dict[str, list]:
             vpos = pos + REC_HEADER
             for _ in range(n_vectors):
                 xid, op, obj, bdba, slot, fb, cols, rows, vpos = (
-                    _walk_vector(payload, vpos, version, cache, kcache)
+                    _walk_vector(payload, vpos, version, cache, kcache,
+                                 dictionary)
                 )
                 c_scn.append(scn)
                 c_subscn.append(subscn)
@@ -700,10 +784,12 @@ def parse_redo_columns(data: bytes, path: str = "<mem>") -> dict[str, list]:
     return {f.name: cols[f.name] for f in REDO_RECORD_SCHEMA.fields}
 
 
-def parse_redo_bytes(data: bytes, path: str = "<mem>") -> list[dict]:
+def parse_redo_bytes(
+    data: bytes, path: str = "<mem>", dictionary: dict | None = None
+) -> list[dict]:
     """Row-dict view of :func:`parse_redo_columns` (test/debug surface;
     the distributed reader uses the columnar form directly)."""
-    cols = parse_redo_columns(data, path)
+    cols = parse_redo_columns(data, path, dictionary)
     names = list(cols)
     return [dict(zip(names, vals)) for vals in zip(*cols.values())]
 
@@ -755,14 +841,14 @@ _HB_COLS = ["op", "seq", "block", "lwn_blocks", "n_records", "c_scn",
             "ts_us"]
 
 
-def _record_frames(batches):
+def _record_frames(batches, dictionary: dict | None = None):
     """mapInPandas kernel: (path, content) batches → record frames.
     Shared by the batch and streaming readers."""
     import pandas as pd
 
     for pdf in batches:
         for path, content in zip(pdf["path"], pdf["content"]):
-            cols = parse_redo_columns(bytes(content), path)
+            cols = parse_redo_columns(bytes(content), path, dictionary)
             if cols["scn"]:
                 yield pd.DataFrame(cols, copy=False)
 
@@ -823,12 +909,22 @@ def heartbeat_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
-def parse_redo_files(spark: SparkSession, in_dir: str) -> DataFrame:
+def parse_redo_files(
+    spark: SparkSession, in_dir: str, dictionary: dict | None = None
+) -> DataFrame:
     """Directory of OLRS1 files → REDO_RECORD_SCHEMA DataFrame. One task
     per file via the binaryFile source; validation + parse run on the
-    executors."""
+    executors. ``dictionary`` maps obj → ordered column names for v5
+    KDO-positional vectors (closure-broadcast to the parse tasks — the
+    schema-registry resolve the reference performs in Builder::processDml)."""
+    if dictionary is None:
+        kernel = _record_frames
+    else:
+        def kernel(batches):
+            return _record_frames(batches, dictionary)
+
     return _binary_files(spark, in_dir).mapInPandas(
-        _record_frames, schema=REDO_RECORD_SCHEMA
+        kernel, schema=REDO_RECORD_SCHEMA
     )
 
 

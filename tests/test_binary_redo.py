@@ -258,3 +258,50 @@ def test_v3_typed_images_roundtrip():
     # negative → all bits inverted (leading byte has MSB clear)
     assert not _enc_value("-123.5", TYPE_BDOUBLE)[3] & 0x80
     assert _enc_value("deadbeef00", TYPE_RAW)[3:] == b"\xde\xad\xbe\xef\x00"
+
+
+def test_v5_positional_cols_round_trip():
+    """KDO-shaped positional framing: nulls bitmap + dictionary resolve,
+    with k/v fallback for objects outside the positional dict and
+    schemaless COL_<n> fallback when no dictionary is supplied
+    (OpCode.h KDO parse / Builder.cpp:96-100,1382-1426)."""
+    from openlogreplicator_spark.sources.binary_redo import (
+        FLAG_POSITIONAL,
+        encode_redo_file,
+        parse_redo_bytes,
+    )
+
+    def rec(scn, opcode, obj=0, cols=None, slot=None):
+        return {
+            "scn": scn, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
+            "xid": "1", "opcode": opcode, "obj": obj,
+            "bdba": 1 if cols else None, "slot": slot, "fb": 0,
+            "cols": cols, "rows": None,
+        }
+
+    recs = [
+        rec(1000, "begin"),
+        rec(1001, "insert", 1001, {"q": "5", "p": "123.45", "d": None}, 1),
+        rec(1002, "insert", 9999, {"a": "x", "b": None}, 2),
+        rec(1999, "commit"),
+    ]
+    pos_dicts = {1001: ["q", "p", "d"]}
+    data = encode_redo_file(
+        recs, 1, col_types={"q": "number", "p": "number"},
+        pos_dicts=pos_dicts,
+    )
+
+    out = [r for r in parse_redo_bytes(data, dictionary=pos_dicts)
+           if r["opcode"] == "insert"]
+    assert out[0]["cols"] == {"q": "5", "p": "123.45", "d": None}
+    assert out[1]["cols"] == {"a": "x", "b": None}  # k/v fallback
+
+    # no dictionary → schemaless positional names, exactly the
+    # reference's COL_<n> rendering
+    bare = [r for r in parse_redo_bytes(data)
+            if r["opcode"] == "insert"][0]
+    assert bare["cols"] == {"COL_0": "5", "COL_1": "123.45", "COL_2": None}
+
+    # the positional vector really has no column names in the stream
+    assert FLAG_POSITIONAL == 0x08
+    assert b"l_qty" not in data and b"\x01q\x00" not in data
