@@ -40,7 +40,9 @@ HEADLINE = [
     "text_quality_score",
     "cdc_txn_assembly",
     "cdc_txn_assembly_binary",
+    "cdc_kdo_positional_binary",
     "cdc_lob_reassembly",
+    "event_funnel",
     "stream_session_window",
 ]
 
