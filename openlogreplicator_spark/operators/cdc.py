@@ -1484,6 +1484,71 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
 """
 
 
+
+
+def cdc_txn_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 big-transaction split through the REAL builder path
+    (Transaction.cpp:518-538): lineitem-derived change events →
+    MESSAGE_FORMAT::FULL envelopes capped at 5 ops → one message per
+    (xid, part) keyed 'xid:part'. The oracle recomputes the part layout
+    arithmetically; op counts per part must match exactly."""
+    from pyspark.sql import Window
+
+    from openlogreplicator_spark.builders.json_builder import build_events
+    from openlogreplicator_spark.config import Format, MessageFormat
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", F.col("l_quantity").cast("bigint"), "l_partkey"
+    )
+    events = li.select(
+        (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).alias("scn"),
+        (F.col("l_orderkey") * 1000).alias("c_scn"),
+        F.lit(0).cast("long").alias("c_idx"),
+        F.col("l_shipdate").alias("tm"),
+        F.lit(1).cast("long").alias("seq"),
+        F.col("l_orderkey").cast("string").alias("xid"),
+        F.lit("DB").alias("db"),
+        F.lit("c").alias("op"),
+        F.lit("TPCH").alias("owner"),
+        F.lit("LINEITEM").alias("table"),
+        F.lit(19).cast("long").alias("obj"),
+        F.lit("AAAAATAAEAAAADbAAA").alias("rid"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        F.create_map(
+            F.lit("L_QTY"), F.col("l_quantity").cast("bigint").cast("string")
+        ).alias("after"),
+        F.lit(None).cast("map<string,string>").alias("attrs"),
+        (F.row_number().over(w) - 1).cast("long").alias("num"),
+        (F.col("l_orderkey") * 512).alias("offset"),
+    )
+    msgs = build_events(
+        events, Format(message=MessageFormat.FULL), max_ops_per_message=5
+    )
+    return msgs.select(
+        "key",
+        F.json_array_length(
+            F.get_json_object("value", "$.payload")
+        ).alias("n_ops"),
+    )
+
+
+CDC_TXN_SPLIT_SQL = """
+WITH n AS (
+    SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+),
+parts AS (
+    SELECT l_orderkey, n,
+           UNNEST(generate_series(0, CAST((n + 4) // 5 AS INT) - 1)) AS p
+    FROM n
+)
+SELECT CAST(l_orderkey AS VARCHAR) || ':' || CAST(p AS VARCHAR) AS key,
+       CAST(CASE WHEN n - p * 5 >= 5 THEN 5 ELSE n - p * 5 END
+            AS INT) AS n_ops
+FROM parts
+"""
+
+
 QUERIES = {
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
@@ -1506,6 +1571,7 @@ QUERIES = {
     "cdc_before_image": cdc_before_image,
     "cdc_typed_images_binary": cdc_typed_images_binary,
     "cdc_kdo_positional_binary": cdc_kdo_positional_binary,
+    "cdc_txn_split": cdc_txn_split,
 }
 
 ORACLE = {
@@ -1529,4 +1595,5 @@ ORACLE = {
     "cdc_before_image": CDC_BEFORE_IMAGE_SQL,
     "cdc_typed_images_binary": CDC_TYPED_IMAGES_SQL,
     "cdc_kdo_positional_binary": CDC_KDO_POSITIONAL_SQL,
+    "cdc_txn_split": CDC_TXN_SPLIT_SQL,
 }
