@@ -172,3 +172,7 @@ class EngineConfig:
     #   "schemaless" no dictionary — columns emitted positionally as
     #                COL_<n> (Builder.cpp:96-100)
     schema_mode: str = "dict"
+    # obj → ordered column names for OLRS1 v5 KDO-positional vectors:
+    # the parse-plane dictionary resolve (Builder.cpp:1382-1426). None ⇒
+    # k/v-framed files (or schemaless COL_<n> names for positional ones)
+    pos_dictionary: dict | None = None

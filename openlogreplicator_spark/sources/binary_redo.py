@@ -929,12 +929,23 @@ def parse_redo_files(
 
 
 def parse_redo_stream(
-    spark: SparkSession, in_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    in_dir: str,
+    max_files_per_trigger: int | None = None,
+    dictionary: dict | None = None,
 ) -> DataFrame:
     """Streaming variant of :func:`parse_redo_files`: the reference's
     online mode (S1 reader thread tailing redo + S4 scheduler) as a
     Structured Streaming source — new OLRS files are discovered in
-    order, parsed on executors, and feed the stateful assembly."""
+    order, parsed on executors, and feed the stateful assembly.
+    ``dictionary`` enables v5 KDO-positional decode as in the batch
+    reader."""
+    if dictionary is None:
+        kernel = _record_frames
+    else:
+        def kernel(batches):
+            return _record_frames(batches, dictionary)
+
     return _binary_files_stream(
         spark, in_dir, max_files_per_trigger
-    ).mapInPandas(_record_frames, schema=REDO_RECORD_SCHEMA)
+    ).mapInPandas(kernel, schema=REDO_RECORD_SCHEMA)

@@ -202,7 +202,10 @@ def build_pipeline(
         doc = read_checkpoint_doc(state_dir, cfg.fmt.db_name)
         if doc is not None:
             start_scn = int(doc["scn"])
-    redo = parse_redo_stream(spark, in_dir, max_files_per_trigger)
+    redo = parse_redo_stream(
+        spark, in_dir, max_files_per_trigger,
+        dictionary=cfg.pos_dictionary,
+    )
     if start_scn is not None:
         # O3/F9 startup positioning: everything at or below the
         # checkpointed SCN was already confirmed by the writer

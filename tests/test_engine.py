@@ -135,3 +135,64 @@ def test_pipeline_heartbeats_and_metrics(spark, redo_dir, tmp_path):
     # W8: observed counters surfaced in the query progress
     progress = q.lastProgress
     assert progress is not None
+
+
+def test_pipeline_positional_dictionary_decode(spark, tmp_path):
+    """v5 KDO-positional files through the WHOLE pipeline: the engine's
+    pos_dictionary resolves (obj, col#) images to names at parse time,
+    and the emitted JSON carries the resolved column names."""
+    d = str(tmp_path / "olrs_pos")
+    pos_dict = {77: ["AMOUNT", "NOTE"]}
+    records = []
+    for k in range(1, 9):
+        xid = str(k)
+        records.append(
+            {"scn": k * 100, "subscn": 0, "block": 0, "offset": 0,
+             "seq": 1, "xid": xid, "opcode": "begin", "obj": 0,
+             "bdba": None, "slot": None, "fb": 0, "cols": None,
+             "rows": None}
+        )
+        records.append(
+            {"scn": k * 100 + 1, "subscn": 0, "block": 1, "offset": k,
+             "seq": 1, "xid": xid, "opcode": "insert", "obj": 77,
+             "bdba": k, "slot": 0, "fb": 0,
+             "cols": {"AMOUNT": str(k * 10),
+                      "NOTE": None if k % 2 else f"n{k}"},
+             "rows": None}
+        )
+        records.append(
+            {"scn": k * 100 + 99, "subscn": 0, "block": 0, "offset": 0,
+             "seq": 1, "xid": xid, "opcode": "commit", "obj": 0,
+             "bdba": None, "slot": None, "fb": 0, "cols": None,
+             "rows": None}
+        )
+    write_binary_redo(
+        redo_records_df(spark, records), d, n_files=2,
+        col_types={"AMOUNT": "number"}, pos_dicts=pos_dict,
+    )
+    cfg = EngineConfig(pos_dictionary=pos_dict)
+    q = build_pipeline(
+        spark,
+        cfg,
+        d,
+        checkpoint=str(tmp_path / "ckpt_pos"),
+        sink="memory",
+        query_name="olr_pos",
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from olr_pos").collect()
+    assert rows
+    amounts = {}
+    for r in rows:
+        v = json.loads(r.value)
+        for p in v["payload"]:
+            if p.get("after"):
+                amounts[v["xid"]] = p["after"]
+    assert amounts, "no decoded images emitted"
+    for xid, after in amounts.items():
+        k = int(xid)
+        assert after["AMOUNT"] == str(k * 10)
+        if k % 2:
+            assert after.get("NOTE") is None
+        else:
+            assert after["NOTE"] == f"n{k}"
