@@ -195,3 +195,47 @@ def prune_superseded(
         .drop("_rn")
     )
     return dict_versions.filter(F.col("scn_from") > checkpoint_scn).unionByName(old)
+
+
+def diff_schemas(
+    old_cols: DataFrame, new_cols: DataFrame
+) -> DataFrame:
+    """W7/consistency surface: diff two dictionary column snapshots —
+    the relational form of ``Schema::compareTo`` (Schema.cpp:113-143),
+    which the reference runs as its online ``verifySchema`` consistency
+    check (ReplicatorOnline.cpp:470-494). One full-outer join on
+    (obj, intcol); attribute changes compare the descriptor struct.
+
+    Returns change rows: (obj, intcol, change ∈ {column_added,
+    column_dropped, column_changed}, old_name, new_name). Table-level
+    adds/drops surface as their columns' rows; a snapshot is typically
+    catalog-scale, so the join broadcasts."""
+    attrs = ["name", "type", "length", "precision", "scale", "nullable",
+             "numpk"]
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            "obj",
+            "intcol",
+            F.struct(*[F.col(a) for a in attrs]).alias(f"_{tag}"),
+        )
+
+    o = side(old_cols, "old")
+    n = side(new_cols, "new")
+    joined = o.join(n, ["obj", "intcol"], "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), "column_added")
+        .when(F.col("_new").isNull(), "column_dropped")
+        .when(F.col("_old") != F.col("_new"), "column_changed")
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            "obj",
+            "intcol",
+            "change",
+            F.col("_old.name").alias("old_name"),
+            F.col("_new.name").alias("new_name"),
+        )
+    )

@@ -949,3 +949,68 @@ def parse_redo_stream(
     return _binary_files_stream(
         spark, in_dir, max_files_per_trigger
     ).mapInPandas(kernel, schema=REDO_RECORD_SCHEMA)
+
+
+def dump_redo_log(data: bytes, path: str = "<mem>", raw: bool = False) -> str:
+    """Debug dump of one OLRS1 file in the spirit of the reference's
+    LogMiner-compatible ``dump-redo-log`` mode (Parser.cpp:143-201 emits
+    the same text Oracle's ``ALTER SYSTEM DUMP LOGFILE`` produces, so
+    outputs can be golden-diffed). This renders the OLRS1 structures in
+    the same layout — an RBA-addressed record header line, an
+    SCN/SUBSCN line, then one line per redo vector — giving the repo the
+    same bisection tool: two parsers disagreeing on a file diff here
+    first.
+
+    ``raw`` additionally hex-dumps each record's header bytes
+    (``## H:`` lines, Parser.cpp:161-171 dumpRawData)."""
+    (sequence,) = struct.unpack_from("<I", data, 12)
+    out: list[str] = []
+    records = parse_redo_bytes(data, path)
+    # regroup vectors by (scn, subscn, block, offset) — one REDO RECORD
+    # header per record, as the reference prints
+    by_rec: dict = {}
+    for r in records:
+        by_rec.setdefault(
+            (r["scn"], r["subscn"], r["block"], r["offset"]), []
+        ).append(r)
+    for (scn, subscn, block, offset), vecs in by_rec.items():
+        out.append(
+            f"REDO RECORD - Thread:1 RBA: 0x{sequence:06x}.{block:08x}."
+            f"{offset:04x} VLD: 0x05"
+        )
+        if raw:
+            hdr = struct.pack("<IQHH", 0, scn, subscn, len(vecs))
+            out.append(
+                "## H: [{}] {}".format(
+                    block * BLOCK_SIZE + offset,
+                    " ".join(f"{b:02x}" for b in hdr),
+                )
+            )
+        out.append(f"SCN: 0x{scn:016x} SUBSCN:{subscn:3d}")
+        for v in vecs:
+            code = OP_TO_CODE[
+                "commit" if v["opcode"] == "rollback" else v["opcode"]
+            ]
+            line = (
+                f"CHANGE #1 OP:{code >> 8}.{code & 0xFF}"
+                f" OBJ:{v['obj'] if v['obj'] is not None else '~'}"
+                f" DBA:{v['bdba'] if v['bdba'] is not None else '~'}"
+                f" SLT:{v['slot'] if v['slot'] is not None else '~'}"
+                f" XID:{v['xid']}"
+            )
+            if v["opcode"] == "rollback":
+                line += " ROLLBACK"
+            out.append(line)
+            if v["cols"]:
+                for k, val in v["cols"].items():
+                    out.append(
+                        f"  col {k} = "
+                        + ("NULL" if val is None else f'"{val}"')
+                    )
+            if v["rows"]:
+                for i, row in enumerate(v["rows"]):
+                    out.append(f"  slot[{i}]: " + ", ".join(
+                        f"{k}={'NULL' if x is None else x}"
+                        for k, x in row.items()
+                    ))
+    return "\n".join(out) + "\n"

@@ -305,3 +305,33 @@ def test_v5_positional_cols_round_trip():
     # the positional vector really has no column names in the stream
     assert FLAG_POSITIONAL == 0x08
     assert b"l_qty" not in data and b"\x01q\x00" not in data
+
+
+def test_dump_redo_log_layout():
+    """dump-redo-log debug surface (Parser.cpp:143-201 layout analog):
+    RBA-addressed record headers, SCN lines, per-vector CHANGE lines
+    with column images; rollback variant flagged."""
+    from openlogreplicator_spark.sources.binary_redo import (
+        dump_redo_log,
+        encode_redo_file,
+    )
+
+    def rec(scn, opcode, obj=0, cols=None, bdba=None, slot=None):
+        return {"scn": scn, "subscn": 0, "block": 0, "offset": 0,
+                "seq": 1, "xid": "7", "opcode": opcode, "obj": obj,
+                "bdba": bdba, "slot": slot, "fb": 0, "cols": cols,
+                "rows": None}
+
+    data = encode_redo_file(
+        [rec(1000, "begin"),
+         rec(1001, "insert", 7, {"q": "5", "d": None}, 1, 1),
+         rec(1999, "rollback")],
+        3,
+    )
+    text = dump_redo_log(data, raw=True)
+    assert "REDO RECORD - Thread:1 RBA: 0x000003." in text
+    assert "SCN: 0x00000000000003e8" in text
+    assert "OP:5.2" in text and "OP:11.2" in text
+    assert "OP:5.4" in text and "ROLLBACK" in text
+    assert 'col q = "5"' in text and "col d = NULL" in text
+    assert "## H: [" in text  # raw header hex lines

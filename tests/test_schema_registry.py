@@ -115,3 +115,39 @@ def test_dictionary_txn_apply_and_prune(spark):
     got2 = {(r.obj, r.scn): (r.name, r.dropped) for r in out2}
     assert got2[(1, 150)] == ("T1_RENAMED", False)
     assert got2[(1, 250)] == ("T1_RENAMED", True)
+
+
+def test_diff_schemas_compare_to(spark):
+    """Schema::compareTo analog (Schema.cpp:113-143): added / dropped /
+    changed columns between two dictionary snapshots."""
+    from openlogreplicator_spark.metadata.schema_registry import diff_schemas
+
+    shape = ("obj long, intcol int, name string, type int, length int,"
+             " precision int, scale int, nullable boolean, numpk int")
+    old = spark.createDataFrame(
+        [
+            (1, 1, "ID", 2, 22, 10, 0, False, 1),
+            (1, 2, "VAL", 1, 100, None, None, True, 0),
+            (1, 3, "DROPME", 1, 10, None, None, True, 0),
+            (2, 1, "K", 2, 22, 10, 0, False, 1),
+        ],
+        shape,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 1, "ID", 2, 22, 10, 0, False, 1),           # unchanged
+            (1, 2, "VAL", 1, 200, None, None, True, 0),      # length widened
+            (1, 4, "ADDED", 12, 7, None, None, True, 0),     # new column
+            (2, 1, "K", 2, 22, 10, 0, False, 1),             # unchanged
+        ],
+        shape,
+    )
+    changes = {
+        (r.obj, r.intcol): (r.change, r.old_name, r.new_name)
+        for r in diff_schemas(old, new).collect()
+    }
+    assert changes == {
+        (1, 2): ("column_changed", "VAL", "VAL"),
+        (1, 3): ("column_dropped", "DROPME", None),
+        (1, 4): ("column_added", None, "ADDED"),
+    }
