@@ -137,6 +137,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "openlogreplicator_spark.operators.history",
         "openlogreplicator_spark.operators.analytics",
         "openlogreplicator_spark.operators.lob_text",
+        "openlogreplicator_spark.operators.linalg",
         "openlogreplicator_spark.operators.sampling",
         "openlogreplicator_spark.operators.pipeline",
         "openlogreplicator_spark.streaming.windows",

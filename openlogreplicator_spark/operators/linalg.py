@@ -1,0 +1,140 @@
+"""Distributed linear algebra over embedding columns: PCA / whitening.
+
+Training-data pipelines whiten or PCA-reduce embeddings before
+similarity search and semantic dedup (SemDeDup projects to the top
+components; IVF/PQ recall improves on decorrelated vectors). The
+distributed shape is the classic two-phase PCA:
+
+1. one `mapInPandas` pass computes per-partition moment partials
+   (count, sum vector, Gram matrix) — dim² floats per PARTITION, not
+   per row, so the driver reduce is model-scale (64×64 here; even
+   4096-dim is 128 MB total across 1000 partitions);
+2. the covariance eigendecomposition runs on the driver (dim×dim,
+   numpy — O(dim³), data-size-independent);
+3. the projection matrix closure-broadcasts into a map-only transform.
+
+No data-scale collect, no shuffle at all: phase 1 is a tree-reduce of
+partials, phase 3 is embarrassingly parallel. Rows-only query (DuckDB
+has no eigensolver); correctness is unit-tested against numpy's full
+PCA on the collected sf0.001 corpus plus invariants (orthonormal
+components, descending explained variance, reconstruction error).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.sources.tables import load_table
+
+
+def _moment_partials(vec_df: DataFrame, dim: int):
+    """Phase 1: (count, sum, gram) partials per partition, reduced on
+    the driver. Input column: `embedding` array<float>."""
+    import pandas as pd
+
+    def part(batches):
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+        )
+
+    parts = vec_df.select("embedding").mapInPandas(
+        part, schema="n long, s array<double>, g array<double>"
+    ).collect()  # model-scale: one row per partition
+    n = sum(r.n for r in parts)
+    s = np.sum([np.array(r.s) for r in parts], axis=0)
+    g = np.sum([np.array(r.g).reshape(dim, dim) for r in parts], axis=0)
+    return n, s, g
+
+
+def fit_pca(vec_df: DataFrame, dim: int, k: int):
+    """Covariance eigendecomposition from streamed moments:
+    cov = g/n − mean·meanᵀ. Returns (mean, components[k,dim],
+    explained_variance[k]) with components in descending-variance
+    order, deterministic sign (largest-|loading| coordinate positive)."""
+    n, s, g = _moment_partials(vec_df, dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T               # (k, dim)
+    for i in range(comps.shape[0]):     # deterministic sign convention
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, w[order]
+
+
+def project_pca(
+    vec_df: DataFrame,
+    mean: np.ndarray,
+    comps: np.ndarray,
+    whiten_var: np.ndarray | None = None,
+) -> DataFrame:
+    """Phase 3: map-only projection (x−mean)·compsᵀ, optionally scaled
+    by 1/√variance (whitening). Closure-broadcast model; Arrow batches."""
+    import pandas as pd
+
+    mean_l = mean.tolist()
+    comps_l = comps.tolist()
+    scale_l = (
+        (1.0 / np.sqrt(np.maximum(whiten_var, 1e-12))).tolist()
+        if whiten_var is not None
+        else None
+    )
+    out_schema = "vec_id long, proj array<double>"
+
+    def proj(batches):
+        m0 = np.array(mean_l)
+        c = np.array(comps_l)
+        sc = np.array(scale_l) if scale_l is not None else None
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            p = (m - m0) @ c.T
+            if sc is not None:
+                p = p * sc
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": list(p)}
+            )
+
+    return vec_df.select("vec_id", "embedding").mapInPandas(
+        proj, schema=out_schema
+    )
+
+
+_PCA_K = 8
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA projection of the embeddings table (rows-only — no SQL
+    eigensolver exists; invariants + numpy parity are unit-tested)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    mean, comps, var = fit_pca(emb, dim, _PCA_K)
+    out = project_pca(emb, mean, comps, whiten_var=var)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("proj", 1), 6).alias("pc1"),
+        F.round(F.element_at("proj", 2), 6).alias("pc2"),
+        F.aggregate(
+            F.transform("proj", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("norm2"),
+    )
+
+
+QUERIES = {
+    "embedding_pca": embedding_pca,
+}
+
+ORACLE: dict[str, str] = {}
