@@ -156,20 +156,22 @@ def net_changes(
     compacted batch), i…x ⇒ i, x…d ⇒ d, else u. Carries the last image.
     One window shuffle on the key; no join.
 
-    ``changes`` columns: key, op ('i'|'u'|'d'), val, ts, tiebreak."""
-    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
-    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    first_op = F.first("op").over(full)
-    last_op = F.last("op").over(full)
+    ``changes`` columns: key, op ('i'|'u'|'d'), val, ts, tiebreak.
+
+    ONE partial-aggregated shuffle: min_by/max_by on the (ts, tiebreak)
+    ordering struct replace a window + distinct (which costs a second
+    exchange on the full row). min_by/max_by are algebraic, so map-side
+    combine compresses each partition to one row per key before the
+    exchange — the shape that survives 100 TB."""
+    order = F.struct(ts_col, tiebreak)
     return (
-        changes.select(
-            key,
-            first_op.alias("first_op"),
-            last_op.alias("last_op"),
-            F.last("val").over(full).alias("last_val"),
-            F.count(F.lit(1)).over(full).alias("n_ops"),
+        changes.groupBy(key)
+        .agg(
+            F.min_by("op", order).alias("first_op"),
+            F.max_by("op", order).alias("last_op"),
+            F.max_by("val", order).alias("last_val"),
+            F.count(F.lit(1)).alias("n_ops"),
         )
-        .distinct()
         .withColumn(
             "net_op",
             F.when(
