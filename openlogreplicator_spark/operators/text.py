@@ -945,9 +945,21 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
     )
-    model = toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("cnt_raw"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("cnt_tgt"),
+    # ONE explode + ONE (doc, token) partial-agg shuffle; the model
+    # derives from the compact per-doc counts (sum of k == raw count,
+    # exactly), the same never-explode-twice shape as
+    # text_bigram_perplexity. lang is per-doc constant so it rides the
+    # grouping key for the conditional target count.
+    per = (
+        toks.groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist()
+    )
+    model = per.groupBy("token").agg(
+        F.sum("k").alias("cnt_raw"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("k"))), F.lit(0)
+        ).alias("cnt_tgt"),
     )
     # scalar totals enter the plan as a 1-row broadcast cross join, not a
     # driver collect — the plan stays a single lazy DAG
@@ -964,12 +976,12 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("tot_raw") + F.col("vocab")).cast("double")
     )
     terms = (
-        toks.join(F.broadcast(model), "token")
+        per.join(F.broadcast(model), "token")
         .crossJoin(F.broadcast(totals))
-        .select("doc_id", log_ratio.alias("lr"))
+        .select("doc_id", "k", (F.col("k") * log_ratio).alias("term"))
     )
     agg = terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"), F.sum("lr").alias("log_w")
+        F.sum("k").alias("n_tokens"), F.sum("term").alias("log_w")
     )
     return agg.select(
         "doc_id",
