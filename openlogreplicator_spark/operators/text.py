@@ -727,8 +727,13 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("tf")
+    # persisted: referenced by both the df aggregate (broadcast build
+    # job) and the scoring probe — without it the corpus explode runs
+    # twice, once per job
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
