@@ -154,7 +154,6 @@ def net_changes(
     sequence to its net result (Kafka topic-compaction / Delta CDF
     semantics): i…d ⇒ none (row never existed for a reader of the
     compacted batch), i…x ⇒ i, x…d ⇒ d, else u. Carries the last image.
-    One window shuffle on the key; no join.
 
     ``changes`` columns: key, op ('i'|'u'|'d'), val, ts, tiebreak.
 

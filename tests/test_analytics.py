@@ -105,8 +105,10 @@ def test_histogram_counts_sum_to_orders(spark, sf_dir):
     assert total == load_table(spark, sf_dir, "orders").count()
 
 
-def test_net_changes_single_window_shuffle(spark, sf_dir):
-    # one window shuffle on the key, no join anywhere
+def test_net_changes_single_agg_shuffle(spark, sf_dir):
+    # one partial-aggregated exchange on the key, no join, no window
     plan = _plan(analytics.cdc_net_changes(spark, sf_dir))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
