@@ -111,4 +111,7 @@ def test_net_changes_single_agg_shuffle(spark, sf_dir):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
-    assert plan.count("HashAggregate") >= 2  # partial + final
+    # partial + final aggregate around the exchange (min_by/max_by lower
+    # to SortAggregate)
+    assert "partial_min_by" in plan
+    assert plan.count("Aggregate") >= 2
