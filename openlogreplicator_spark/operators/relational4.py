@@ -287,6 +287,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna / KLL-style sketch) under the
+    accuracy contract: per order-priority, emit the EXACT p50/p90 of
+    o_totalprice in cents plus booleans asserting the sketch lands
+    within the 1%-relative-rank tolerance band (checked against the
+    exact empirical CDF bounds). The oracle returns the exact values and
+    literal TRUE — the sketch value itself never crosses engines. At
+    100 TB the sketch is the only viable quantile: bounded state,
+    mergeable partials, one shuffle of sketches."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+    base = o.select(
+        "o_orderpriority", cents.alias("cents")
+    )
+    agg = base.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_approx(cents, array(0.5, 0.9), 10000)"
+        ).alias("apx"),
+        F.expr("percentile(cents, 0.5)").alias("ex50"),
+        F.expr("percentile(cents, 0.9)").alias("ex90"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "percentile(cents, array(0.49, 0.51, 0.89, 0.91))"
+        ).alias("band"),
+    )
+    # within-band check: the sketch's rank error eps=1/10000 means the
+    # returned value's true rank is within [p-eps, p+eps]; with 1% slack
+    # the value must lie between the exact 49th/51st (89th/91st)
+    # percentile values
+    return agg.select(
+        "o_orderpriority",
+        F.floor("ex50").cast("bigint").alias("exact_p50"),
+        F.floor("ex90").cast("bigint").alias("exact_p90"),
+        (
+            (F.element_at("apx", 1) >= F.element_at("band", 1))
+            & (F.element_at("apx", 1) <= F.element_at("band", 2))
+        ).alias("p50_in_band"),
+        (
+            (F.element_at("apx", 2) >= F.element_at("band", 3))
+            & (F.element_at("apx", 2) <= F.element_at("band", 4))
+        ).alias("p90_in_band"),
+    )
+
+
+AGG_APPROX_QUANTILE_SQL = """
+SELECT o_orderpriority,
+       CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+            0.5)) AS BIGINT) AS exact_p50,
+       CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+            0.9)) AS BIGINT) AS exact_p90,
+       TRUE AS p50_in_band,
+       TRUE AS p90_in_band
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "window_range_interval": window_range_interval,
@@ -294,6 +351,7 @@ QUERIES = {
     "q9_product_profit": q9_product_profit,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q15_top_supplier": q15_top_supplier,
+    "agg_approx_quantile": agg_approx_quantile,
 }
 
 ORACLE = {
@@ -303,4 +361,5 @@ ORACLE = {
     "q9_product_profit": Q9_SQL,
     "q13_order_count_distribution": Q13_SQL,
     "q15_top_supplier": Q15_SQL,
+    "agg_approx_quantile": AGG_APPROX_QUANTILE_SQL,
 }
