@@ -98,11 +98,59 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return smaller.unionByName(selfs)
 
 
+# Below this edge count the whole graph fits ONE task comfortably
+# (16 bytes/edge ⇒ ≤ ~80 MB) and a single-pass union-find beats the
+# alternating-star loop's per-round scheduling cost by ~10×. Same
+# size-gated adaptivity as broadcast-vs-shuffle joins: executor-side
+# either way (mapInPandas, never a driver collect); above the gate the
+# O(log n)-round distributed algorithm owns the graph.
+_LOCAL_CC_EDGES = 5_000_000
+
+
+def _cc_local(e: DataFrame) -> DataFrame:
+    """Single-task union-find (union-by-min + path compression): exact
+    same (node, min-reachable-id) output as the distributed loop."""
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for s_, d_ in zip(pdf["src"], pdf["dst"]):
+                s_, d_ = int(s_), int(d_)
+                if s_ not in parent:
+                    parent[s_] = s_
+                if d_ not in parent:
+                    parent[d_] = d_
+                a, b = find(s_), find(d_)
+                if a != b:
+                    if a < b:
+                        parent[b] = a
+                    else:
+                        parent[a] = b
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "component": [find(v) for v in nodes]}
+        )
+
+    return e.repartition(1).mapInPandas(
+        uf, schema="node long, component long"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    local_threshold: int = _LOCAL_CC_EDGES,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge; component =
     the minimum node id reachable through the undirected edge set."""
@@ -124,6 +172,8 @@ def connected_components(
     # seed the width from the input edge count — the checkpointed frame
     # is already materialized, so this count is a metadata-cheap job
     n_edges = e.count()
+    if n_edges <= local_threshold:
+        return _cc_local(e)
     try:
         for _ in range(max_iter):
             p = min(default_parts, max(4, n_edges // 250_000))
@@ -196,10 +246,13 @@ def _jaccard_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
     # 64-bit shingle hashing — same shuffle-narrowing as
     # dedup_ngram_jaccard; Jaccard counts are hash-collision-exact at
     # any realistic corpus size
+    # persisted: the hot-shingle aggregate (broadcast build) and the
+    # anti-join probe would otherwise each re-run the explode + distinct
     sh_all = (
         shingles(corpus)
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
+        .persist()
     )
     hot = (
         sh_all.groupBy("shingle")

@@ -138,10 +138,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-cap aggregate, and the self-join all shuffle 8-byte keys
     # instead of ~20-byte trigram strings (collision odds are ~1e-8 at
     # 1e9 distinct shingles — see decontaminate_ngram)
+    # persisted: the hot-shingle aggregate (broadcast build) and the
+    # anti-join probe would otherwise each re-run the explode + distinct
     sh_all = (
         shingles(corpus)
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
+        .persist()
     )
     hot = (
         sh_all.groupBy("shingle")

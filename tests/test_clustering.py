@@ -147,3 +147,26 @@ def test_dedup_substring_expected_overlap(spark, sf_dir):
     # not just one overlapping pair
     assert n_docs >= 2 * n_base, f"{n_docs} of {3 * n_base} report overlap"
     assert out.filter("n_shared <= 0").count() == 0
+
+
+def test_cc_local_and_distributed_paths_agree(spark):
+    """The size-gated union-find fast path and the alternating-star
+    distributed loop must produce identical (node, component) maps."""
+    import random
+
+    from openlogreplicator_spark.operators.clustering import (
+        connected_components,
+    )
+
+    rng = random.Random(123)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        (r.node, r.component)
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == dist and local
