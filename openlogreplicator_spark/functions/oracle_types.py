@@ -323,6 +323,45 @@ def encode_binary_float(v: float) -> bytes:
     return bytes([raw[0] | 0x80]) + raw[1:]
 
 
+# The fixture database's timezone for TIMESTAMP WITH LOCAL TZ decode —
+# the reference reads it from metadata->dbTimezone (set from V$ or
+# config); OLRS1 models a fixed-offset database zone.
+DB_TIMEZONE_SECONDS = 2 * 3600
+
+
+def decode_timestamp_ltz(
+    b: bytes | None, db_tz_seconds: int = DB_TIMEZONE_SECONDS
+) -> str | None:
+    """7/11-byte TIMESTAMP WITH LOCAL TIME ZONE: the stored wall clock
+    is in the DATABASE timezone; the emitted value is the UTC instant
+    (Builder.cpp:167-208 — valuesToEpoch(metadata->dbTimezone))."""
+    if b is None or len(b) not in (7, 11):
+        return None
+    b = bytes(b)
+    wall = decode_date(b[:7])
+    if wall is None:
+        return None
+    nanos = struct.unpack(">I", b[7:11])[0] if len(b) == 11 else 0
+    dt = _dt.datetime.strptime(wall, "%Y-%m-%d %H:%M:%S") - _dt.timedelta(
+        seconds=db_tz_seconds
+    )
+    return dt.strftime("%Y-%m-%d %H:%M:%S") + f".{nanos:09d}"
+
+
+def encode_timestamp_ltz(
+    s: str, db_tz_seconds: int = DB_TIMEZONE_SECONDS
+) -> bytes:
+    """Inverse of decode_timestamp_ltz: UTC canonical text → wall clock
+    in the database timezone → 11 bytes."""
+    ts, frac = s.split(".")
+    dt = _dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S") + _dt.timedelta(
+        seconds=db_tz_seconds
+    )
+    return encode_date(dt.strftime("%Y-%m-%d %H:%M:%S")) + struct.pack(
+        ">I", int(frac.ljust(9, "0")[:9])
+    )
+
+
 def encode_timestamp_tz(s: str) -> bytes:
     """Inverse of decode_timestamp_tz: 'YYYY-MM-DD HH:MM:SS.fffffffff
     ±HH:MM' → the 13-byte offset form (11-byte TIMESTAMP + excess-20

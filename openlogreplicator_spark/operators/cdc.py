@@ -1140,7 +1140,7 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
 
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        "olrs_typed_images_v4",
+        "olrs_typed_images_v4b",
         os.path.basename(os.path.normpath(sf_dir)),
     )
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
@@ -1203,6 +1203,20 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
         F.lit("0")
     )
     urid = rowid_expr(c, k % 512, k % 4194304, k % 2048)
+    # TIMESTAMP WITH LOCAL TZ: the image's wall clock is o_orderdate in
+    # the fixture database's +02:00 zone; the canonical (decoded) form
+    # is the UTC instant, so the generator shifts the wall clock down
+    ltz = F.concat(
+        F.date_format(
+            F.expr("o_orderdate - INTERVAL 2 HOURS"), "yyyy-MM-dd HH:mm:ss"
+        ),
+        F.lit("."),
+        F.lpad(((k * 7919) % 1000000000).cast("string"), 9, "0"),
+    )
+    # BINARY_FLOAT: float32 shortest-render string; the encoder re-packs
+    # it to the identical 4 bytes (shortest-roundtrip property), the
+    # decoder emits repr(float64-widened)
+    fval = F.col("o_totalprice").cast("float").cast("string")
 
     def frame(scn, opcode, cols):
         return orders.select(
@@ -1228,6 +1242,8 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
         F.lit("o_ids"), ids,
         F.lit("o_bool"), flag,
         F.lit("o_urowid"), urid,
+        F.lit("o_ltz"), ltz,
+        F.lit("o_float"), fval,
     )
     redo = (
         frame(k * 1000, "begin", no_cols)
@@ -1248,6 +1264,8 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
             "o_ids": "interval_ds",
             "o_bool": "boolean",
             "o_urowid": "urowid",
+            "o_ltz": "timestamp_ltz",
+            "o_float": "binary_float",
         },
     )
     if os.path.isdir(out_dir) and not os.path.exists(
@@ -1287,6 +1305,8 @@ def cdc_typed_images_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("cols", F.lit("o_ids")).alias("ids"),
         F.element_at("cols", F.lit("o_bool")).alias("flag"),
         F.element_at("cols", F.lit("o_urowid")).alias("urid"),
+        F.element_at("cols", F.lit("o_ltz")).alias("ltz"),
+        F.element_at("cols", F.lit("o_float")).alias("fval"),
     )
 
 
@@ -1309,6 +1329,7 @@ def _rowid_text_sql(data_obj: str, afn: str, block: str, slot: str) -> str:
 CDC_TYPED_IMAGES_SQL = f"""
 WITH base AS (
     SELECT o_orderkey AS k, o_custkey AS c, o_orderdate, o_orderstatus,
+           o_totalprice,
            (o_orderkey % 2001 - 1000) * 987654321987 AS tot
     FROM orders
 )
@@ -1333,7 +1354,10 @@ SELECT k AS order_xid,
            || '.'
            || lpad(CAST(abs(tot) % 1000000000 AS VARCHAR), 9, '0') AS ids,
        CASE WHEN o_orderstatus = 'F' THEN '1' ELSE '0' END AS flag,
-       {_rowid_text_sql('c', 'k % 512', 'k % 4194304', 'k % 2048')} AS urid
+       {_rowid_text_sql('c', 'k % 512', 'k % 4194304', 'k % 2048')} AS urid,
+       strftime(o_orderdate - INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') || '.'
+           || lpad(CAST((k * 7919) % 1000000000 AS VARCHAR), 9, '0') AS ltz,
+       CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS fval
 FROM base
 """
 

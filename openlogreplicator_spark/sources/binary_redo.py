@@ -85,21 +85,25 @@ from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
 from openlogreplicator_spark.functions.oracle_types import (
     charset_decode,
     decode_binary_double,
+    decode_binary_float,
     decode_boolean,
     decode_date,
     decode_interval_ds,
     decode_interval_ym,
     decode_number,
     decode_timestamp,
+    decode_timestamp_ltz,
     decode_timestamp_tz,
     decode_urowid,
     encode_binary_double,
+    encode_binary_float,
     encode_boolean,
     encode_date,
     encode_interval_ds,
     encode_interval_ym,
     encode_number,
     encode_timestamp,
+    encode_timestamp_ltz,
     encode_timestamp_tz,
     encode_urowid,
 )
@@ -141,6 +145,8 @@ TYPE_IYM = 8
 TYPE_IDS = 9
 TYPE_BOOL = 10
 TYPE_UROWID = 11
+TYPE_TSLTZ = 12   # wall clock in the DB timezone → UTC instant
+TYPE_BFLOAT = 13  # sign-flipped IEEE float (Builder.cpp:258-270)
 
 # charset-table indices for TYPE_CSTEXT payloads (u8 prefix); names are
 # Oracle charset ids resolved by functions.oracle_types.charset_decode.
@@ -151,7 +157,8 @@ _TYPE_BY_NAME = {"number": TYPE_NUMBER, "date": TYPE_DATE, "timestamp": TYPE_TS,
                  "binary_double": TYPE_BDOUBLE, "raw": TYPE_RAW,
                  "timestamp_tz": TYPE_TSTZ, "interval_ym": TYPE_IYM,
                  "interval_ds": TYPE_IDS, "boolean": TYPE_BOOL,
-                 "urowid": TYPE_UROWID}
+                 "urowid": TYPE_UROWID, "timestamp_ltz": TYPE_TSLTZ,
+                 "binary_float": TYPE_BFLOAT}
 
 
 def _vtype_for(type_name: str) -> tuple[int, int]:
@@ -237,6 +244,10 @@ def _enc_value(v: str, vtype: int, cs_idx: int = 0) -> bytes:
         payload = encode_boolean(v)
     elif vtype == TYPE_UROWID:
         payload = encode_urowid(v)
+    elif vtype == TYPE_TSLTZ:
+        payload = encode_timestamp_ltz(v)
+    elif vtype == TYPE_BFLOAT:
+        payload = encode_binary_float(float(v))
     else:
         payload = v.encode("utf-8")
     return struct.pack("<HB", len(payload), vtype) + payload
@@ -504,6 +515,10 @@ def _dec_value_raw(tagged: bytes, version: int) -> str | None:
         return decode_boolean(payload)
     if vtype == TYPE_UROWID:
         return decode_urowid(payload)
+    if vtype == TYPE_TSLTZ:
+        return decode_timestamp_ltz(payload)
+    if vtype == TYPE_BFLOAT:
+        return repr(decode_binary_float(payload))
     return payload.decode("utf-8")
 
 

@@ -333,3 +333,26 @@ def test_v4_tstz_golden_bytes():
     assert b[11] == 25 and b[12] == 90  # +5h → 20+5, +30m → 60+30
     nb = encode_timestamp_tz("2024-03-05 10:20:30.000000123 -05:30")
     assert nb[11] == 15 and nb[12] == 30  # -5h → 20-5, -30m → 60-30
+
+
+def test_timestamp_ltz_kernel():
+    """TIMESTAMP WITH LOCAL TZ (Builder.cpp:167-208): stored wall clock
+    is in the database timezone; emitted value is the UTC instant."""
+    from openlogreplicator_spark.functions.oracle_types import (
+        decode_timestamp_ltz,
+        encode_date,
+        encode_timestamp_ltz,
+    )
+
+    for s in (
+        "2024-03-05 10:20:30.000000123",
+        "2023-12-31 23:30:00.000000000",  # offset crosses midnight
+        "2024-01-01 00:30:00.999999999",
+    ):
+        assert decode_timestamp_ltz(encode_timestamp_ltz(s)) == s
+    # wall 12:00 in the fixture's +02:00 database zone → 10:00 UTC
+    b = encode_date("2024-06-01 12:00:00") + b"\x00\x00\x00\x00"
+    assert decode_timestamp_ltz(b) == "2024-06-01 10:00:00.000000000"
+    # 7-byte form (no fraction) is legal; other sizes are columnUnknown
+    assert decode_timestamp_ltz(b[:7]) == "2024-06-01 10:00:00.000000000"
+    assert decode_timestamp_ltz(b[:9]) is None
