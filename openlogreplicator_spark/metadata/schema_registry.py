@@ -239,3 +239,27 @@ def diff_schemas(
             F.col("_new.name").alias("new_name"),
         )
     )
+
+
+def resolve_partitions(
+    events: DataFrame, part_map: DataFrame, obj_col: str = "obj"
+) -> DataFrame:
+    """Partition → base-table routing: DML lands on a partition's object
+    id, but the dictionary entry (columns, PK, selection) belongs to the
+    base table — the reference keeps SYS.TABPART$/TABSUBPART$ maps
+    (SysTabPart.h:27-38 obj→bo; attached to the owning table in
+    Schema::buildMaps, Schema.cpp:600-640) and resolves each redo obj
+    through them before the table lookup.
+
+    ``part_map`` columns: pobj (partition object id), bobj (base table
+    object id), part_pos (partition position). Catalog-scale →
+    broadcast; non-partition objects pass through unchanged with
+    part_pos NULL. One map-side join, no shuffle of the event stream."""
+    pm = part_map.select(
+        F.col("pobj").alias(obj_col), "bobj", "part_pos"
+    )
+    return (
+        events.join(F.broadcast(pm), obj_col, "left")
+        .withColumn(obj_col, F.coalesce(F.col("bobj"), F.col(obj_col)))
+        .drop("bobj")
+    )

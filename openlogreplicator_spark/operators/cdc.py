@@ -1573,6 +1573,57 @@ FROM parts
 """
 
 
+
+
+def cdc_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-table DML routing (5.supported-features.adoc
+    "partitioned tables"): each lineitem op lands on a partition object
+    id; the SYS.TABPART$-shaped map (pobj → bo, SysTabPart.h:27-38)
+    resolves it to the base table object before dictionary lookup, with
+    the partition position carried for observability. Non-partition
+    objects pass through with a NULL position."""
+    from openlogreplicator_spark.metadata.schema_registry import (
+        resolve_partitions,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    # SYS.TABPART$ replica: every part row is one partition of a base
+    # table; 97 base tables spread the key space
+    part_map = part.select(
+        (F.lit(10000) + F.col("p_partkey")).alias("pobj"),
+        (F.lit(100) + F.col("p_partkey") % 97).alias("bobj"),
+        (F.col("p_partkey") / 97).cast("int").alias("part_pos"),
+    )
+    events = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.lit(10000) + F.col("l_partkey")).alias("obj"),
+    )
+    out = resolve_partitions(events, part_map)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("obj").alias("base_obj"),
+        "part_pos",
+    )
+
+
+CDC_PARTITION_ROUTING_SQL = """
+WITH part_map AS (
+    SELECT 10000 + p_partkey AS pobj,
+           100 + p_partkey % 97 AS bobj,
+           CAST(p_partkey // 97 AS INT) AS part_pos
+    FROM part
+)
+SELECT l_orderkey, l_linenumber,
+       COALESCE(m.bobj, 10000 + l_partkey) AS base_obj,
+       m.part_pos
+FROM lineitem
+LEFT JOIN part_map m ON m.pobj = 10000 + l_partkey
+"""
+
+
 QUERIES = {
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
@@ -1596,6 +1647,7 @@ QUERIES = {
     "cdc_typed_images_binary": cdc_typed_images_binary,
     "cdc_kdo_positional_binary": cdc_kdo_positional_binary,
     "cdc_txn_split": cdc_txn_split,
+    "cdc_partition_routing": cdc_partition_routing,
 }
 
 ORACLE = {
@@ -1620,4 +1672,5 @@ ORACLE = {
     "cdc_typed_images_binary": CDC_TYPED_IMAGES_SQL,
     "cdc_kdo_positional_binary": CDC_KDO_POSITIONAL_SQL,
     "cdc_txn_split": CDC_TXN_SPLIT_SQL,
+    "cdc_partition_routing": CDC_PARTITION_ROUTING_SQL,
 }
