@@ -84,9 +84,13 @@ def main() -> None:
     # materialize the OLRS binary redo fixture out of band: writing the
     # fixture is test-data prep, not part of the parse/assembly pipeline
     # the binary queries measure
-    from openlogreplicator_spark.operators.cdc import _binary_redo_dir
+    from openlogreplicator_spark.operators.cdc import (
+        _binary_redo_dir,
+        _kdo_positional_redo_dir,
+    )
 
     _binary_redo_dir(spark, sf_dir)
+    _kdo_positional_redo_dir(spark, sf_dir)
 
     registry = entrymod.queries()
     names = [n for n in HEADLINE if n in registry]
