@@ -67,6 +67,7 @@ def assemble_stateful(
     pdf_iter: Iterable[pd.DataFrame],
     state: GroupState,
     max_ops: int | None = None,
+    ttl_timeout: bool = True,
 ) -> Iterable[pd.DataFrame]:
     """Per-xid stateful kernel (wired via groupBy('xid').applyInPandasWithState)."""
     buffered: list[dict] = []
@@ -112,8 +113,13 @@ def assemble_stateful(
         # only reaps transactions abandoned by a crashed session (the
         # reference keeps them until log end). Local test batches can be
         # minutes apart under load — a short TTL here silently drops
-        # mid-flight transactions.
-        state.setTimeoutDuration(3_600_000)
+        # mid-flight transactions. Only registered in continuous mode:
+        # with any processing-time timer pending, Spark's
+        # shouldRunAnotherBatch forces endless zero-input micro-batches
+        # under Trigger.AvailableNow, so a drain run would never
+        # terminate.
+        if ttl_timeout:
+            state.setTimeoutDuration(3_600_000)
     elif state.exists:
         state.remove()
 
@@ -129,21 +135,40 @@ def assemble_stateful(
 
 
 def streaming_assemble(
-    redo_stream: DataFrame, max_ops: int | None = None
+    redo_stream: DataFrame,
+    max_ops: int | None = None,
+    ttl_timeout: bool = True,
 ) -> DataFrame:
     """Wire the stateful kernel onto a streaming redo-record DataFrame.
     ``max_ops`` is the T4 transaction size guard (Transaction.h size
     cap): a transaction exceeding it is dropped whole, as the reference
     does when `transaction-max-mb` overflows. Threaded via a closure so
-    it serializes with the function to the executors."""
+    it serializes with the function to the executors.
+
+    ``ttl_timeout`` selects the abandoned-transaction reaper (a
+    processing-time timer per open xid). It must be False for
+    Trigger.AvailableNow drain runs: Spark schedules another micro-batch
+    whenever a ProcessingTimeTimeout is configured (state may hold a
+    pending timer it can only service by running a batch), so a drain
+    with timers enabled spins zero-input batches forever instead of
+    terminating. Continuous pipelines keep the reaper; a bounded drain
+    simply leaves incomplete transactions in state — identical to the
+    reference at log end, which holds open transactions until more redo
+    arrives (Transaction.h buffering)."""
 
     def kernel(key, pdf_iter, state):
-        return assemble_stateful(key, pdf_iter, state, max_ops=max_ops)
+        return assemble_stateful(
+            key, pdf_iter, state, max_ops=max_ops, ttl_timeout=ttl_timeout
+        )
 
     return redo_stream.groupBy("xid").applyInPandasWithState(
         kernel,
         outputStructType=ASSEMBLED_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -218,7 +218,11 @@ def build_pipeline(
     # one block per op is the worst case, so the converted cap is
     # conservative in the reference's favor)
     max_ops = cfg.transaction_max_mb * (1024 * 1024 // 512)
-    assembled = streaming_assemble(redo, max_ops=max_ops)
+    # drain runs must not register processing-time timers (see
+    # streaming_assemble: a pending timer blocks AvailableNow termination)
+    assembled = streaming_assemble(
+        redo, max_ops=max_ops, ttl_timeout=not available_now
+    )
     events = to_change_events(assembled, cfg, dict_obj)
     sel = cfg.selectors[0] if cfg.selectors else TableSelector()
     if sel.condition:

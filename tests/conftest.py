@@ -28,3 +28,20 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def drain(q, timeout: int = 180) -> None:
+    """Await an AvailableNow streaming query and FAIL if it does not
+    terminate, stopping it either way. A query that out-lives its drain
+    (e.g. a pending processing-time timer forcing endless zero-input
+    batches) would otherwise leak CPU-churning Python workers for the
+    rest of the test session."""
+    try:
+        terminated = q.awaitTermination(timeout)
+        assert terminated, (
+            f"streaming query {q.name!r} still active after {timeout}s "
+            "drain — AvailableNow did not terminate"
+        )
+    finally:
+        if q.isActive:
+            q.stop()

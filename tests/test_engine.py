@@ -10,6 +10,7 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import drain
 from openlogreplicator_spark.config import EngineConfig, Format, TableSelector
 from openlogreplicator_spark.sources.binary_redo import write_binary_redo
 from openlogreplicator_spark.sources.redo_gen import (
@@ -50,7 +51,7 @@ def test_pipeline_end_to_end_binary_to_json(spark, redo_dir, tmp_path):
         sink="memory",
         query_name="olr_e2e",
     )
-    q.awaitTermination(120)
+    drain(q)
     rows = spark.sql("select * from olr_e2e").collect()
     assert rows, "pipeline emitted nothing"
     seen_xids = set()
@@ -81,7 +82,7 @@ def test_pipeline_start_scn_and_condition(spark, redo_dir, tmp_path):
         sink="memory",
         query_name="olr_scn",
     )
-    q.awaitTermination(120)
+    drain(q)
     assert spark.sql("select count(*) from olr_scn").collect()[0][0] == 0
 
 
@@ -101,7 +102,7 @@ def test_pipeline_lake_sink_partitions_by_table(spark, redo_dir, tmp_path):
         out_dir=out,
         sink="lake",
     )
-    q.awaitTermination(120)
+    drain(q)
     parts = [p for p in os.listdir(out) if p.startswith("owner=")]
     assert parts, f"no partition dirs in {os.listdir(out)}"
     back = spark.read.parquet(out)
@@ -125,7 +126,7 @@ def test_pipeline_heartbeats_and_metrics(spark, redo_dir, tmp_path):
         query_name="olr_hb",
         with_heartbeats=True,
     )
-    q.awaitTermination(120)
+    drain(q)
     rows = spark.sql("select * from olr_hb").collect()
     chkpt = [json.loads(r.value) for r in rows if r.key == "chkpt"]
     events = [json.loads(r.value) for r in rows if r.key != "chkpt"]
@@ -179,7 +180,7 @@ def test_pipeline_positional_dictionary_decode(spark, tmp_path):
         sink="memory",
         query_name="olr_pos",
     )
-    q.awaitTermination(120)
+    drain(q)
     rows = spark.sql("select * from olr_pos").collect()
     assert rows
     amounts = {}

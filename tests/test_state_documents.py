@@ -11,6 +11,7 @@ import json
 
 import pytest
 
+from conftest import drain
 from openlogreplicator_spark.metadata.state_documents import (
     export_schema_snapshot,
     import_schema_snapshot,
@@ -95,7 +96,7 @@ def test_cold_start_resumes_from_documents(spark, tmp_path):
         checkpoint=str(tmp_path / "ck1"), out_dir=str(tmp_path / "lake"),
         sink="lake",
     )
-    q.awaitTermination(120)
+    drain(q)
     events = spark.read.parquet(str(tmp_path / "lake"))
     writer = foreach_batch_idempotent(
         str(tmp_path / "confirmed"), keys=("c_scn", "xid", "num"),
@@ -117,6 +118,6 @@ def test_cold_start_resumes_from_documents(spark, tmp_path):
         checkpoint=str(tmp_path / "ck2"), sink="memory",
         query_name="olr_cold", state_dir=state_dir,
     )
-    q2.awaitTermination(120)
+    drain(q2)
     # db_name default is DB; all SCNs ≤ doc scn were confirmed → no output
     assert spark.sql("select count(*) from olr_cold").collect()[0][0] == 0

@@ -9,6 +9,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from conftest import drain
 from openlogreplicator_spark.operators.transaction_assembly import (
     assemble_transactions_py,
 )
@@ -52,7 +53,7 @@ def test_streaming_assembly_across_batches(spark, tmp_path):
         time.sleep(0.05)
 
     stream = read_redo_json_stream(spark, str(indir), max_files_per_trigger=1)
-    assembled = streaming_assemble(stream)
+    assembled = streaming_assemble(stream, ttl_timeout=False)
     q = (
         assembled.writeStream.format("memory")
         .queryName("assembled_stream")
@@ -60,7 +61,7 @@ def test_streaming_assembly_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
 
     got = [
         r.asDict() for r in spark.sql("SELECT * FROM assembled_stream").collect()
@@ -114,7 +115,7 @@ def test_watermarked_window_metrics(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = spark.sql(
         "SELECT event_type, SUM(n) AS n FROM win_metrics GROUP BY event_type"
     ).collect()
@@ -156,7 +157,7 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = spark.sql(
         "SELECT event_id, COUNT(*) AS c FROM dedup_stream GROUP BY event_id"
     ).collect()
@@ -209,7 +210,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = spark.sql("SELECT xid, val FROM ss_join").collect()
     assert {(r.xid, r.val) for r in got} == {
         (f"x{i:02d}", i) for i in range(0, 30, 2)
@@ -235,7 +236,7 @@ def test_file_sink_exactly_once_resume(spark, tmp_path):
         "event_id", "event_type"
     )
     q = write_json_sink(stream, outdir, ckpt)
-    q.awaitTermination(120)
+    drain(q)
     n1 = spark.read.json(outdir).count()
     # resume with identical input + checkpoint → no new epoch, no dupes
     q2 = write_json_sink(
@@ -243,7 +244,7 @@ def test_file_sink_exactly_once_resume(spark, tmp_path):
         outdir,
         ckpt,
     )
-    q2.awaitTermination(120)
+    drain(q2)
     n2 = spark.read.json(outdir).count()
     assert n1 == 10 and n2 == 10
 
@@ -259,7 +260,7 @@ def test_observe_and_listener_metrics(spark, tmp_path):
     listener.attach(spark)
     try:
         stream = read_redo_json_stream(spark, str(indir))
-        assembled = observed(streaming_assemble(stream))
+        assembled = observed(streaming_assemble(stream, ttl_timeout=False))
         q = (
             assembled.writeStream.format("noop")
             .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
@@ -267,7 +268,7 @@ def test_observe_and_listener_metrics(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        drain(q)
         time.sleep(1)  # listener delivery is async
     finally:
         listener.detach(spark)
