@@ -314,3 +314,83 @@ def test_kafka_frame_shape(spark):
     row = out.collect()[0]
     assert json.loads(bytes(row.key).decode()) == {"xid": "1.2.3"}
     assert json.loads(bytes(row.value).decode())["scn"] == 100
+
+
+class _FakeGroupState:
+    """Minimal GroupState double for driving assemble_stateful directly."""
+
+    def __init__(self, payload=None, timed_out=False):
+        self._payload = payload
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._payload is not None
+
+    @property
+    def get(self):
+        return (len(json.loads(self._payload)), self._payload)
+
+    def update(self, value):
+        self._payload = value[1]
+
+    def remove(self):
+        self._payload = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        if self.hasTimedOut is None:  # pragma: no cover - guard parity
+            raise RuntimeError("timeout not configured")
+        self.timeout_ms = ms
+
+
+def _open_txn_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {"scn": 10, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
+             "xid": "9.9.9", "opcode": "begin", "obj": 0, "bdba": None,
+             "slot": None, "fb": 0, "cols": None, "rows": None},
+            {"scn": 11, "subscn": 0, "block": 1, "offset": 0, "seq": 1,
+             "xid": "9.9.9", "opcode": "insert", "obj": 5, "bdba": 1,
+             "slot": 0, "fb": 0, "cols": {"A": "1"}, "rows": None},
+        ]
+    )
+
+
+def test_stateful_kernel_ttl_reaps_abandoned_txn():
+    """T4 abandoned-transaction policy: a timed-out key drops its
+    buffered ops whole and clears state (continuous-mode reaper)."""
+    from openlogreplicator_spark.streaming.assembly import assemble_stateful
+
+    buffered = json.dumps(
+        [{"scn": 1, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
+          "xid": "9.9.9", "opcode": "begin", "obj": 0, "bdba": None,
+          "slot": None, "fb": 0, "cols": None, "rows": None}]
+    )
+    state = _FakeGroupState(payload=buffered, timed_out=True)
+    out = list(assemble_stateful(("9.9.9",), iter([]), state))
+    assert state.removed
+    assert sum(len(p) for p in out) == 0
+
+
+def test_stateful_kernel_timer_only_in_continuous_mode():
+    """Drain mode must not register processing-time timers: a pending
+    timer forces endless zero-input AvailableNow batches (the round-3
+    non-termination bug). Continuous mode must register the TTL."""
+    from openlogreplicator_spark.streaming.assembly import assemble_stateful
+
+    cont = _FakeGroupState()
+    list(assemble_stateful(("9.9.9",), iter([_open_txn_pdf()]), cont,
+                           ttl_timeout=True))
+    assert cont.timeout_ms == 3_600_000, "continuous mode must arm the TTL"
+    assert cont.exists, "open transaction stays buffered"
+
+    drain = _FakeGroupState()
+    list(assemble_stateful(("9.9.9",), iter([_open_txn_pdf()]), drain,
+                           ttl_timeout=False))
+    assert drain.timeout_ms is None, "drain mode must not arm timers"
+    assert drain.exists, "open transaction stays buffered at log end"
