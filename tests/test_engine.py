@@ -6,6 +6,7 @@ observed metrics (reference: OpenLogReplicator.cpp:145-1247 wiring)."""
 from __future__ import annotations
 
 import json
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -197,3 +198,37 @@ def test_pipeline_positional_dictionary_decode(spark, tmp_path):
             assert after.get("NOTE") is None
         else:
             assert after["NOTE"] == f"n{k}"
+
+
+def test_pipeline_continuous_mode_emits_and_stops(spark, redo_dir, tmp_path):
+    """Production trigger path (available_now=False, processing-time
+    cadence + TTL reaper armed): the pipeline must emit committed
+    transactions from a live micro-batch stream and stop cleanly on
+    request. Guards the other side of the drain/continuous timer split."""
+    d, records = redo_dir
+    committed = _committed_xids(records)
+    cfg = EngineConfig(checkpoint_interval_s=1)
+    q = build_pipeline(
+        spark,
+        cfg,
+        d,
+        checkpoint=str(tmp_path / "ckpt_cont"),
+        sink="memory",
+        query_name="olr_cont",
+        available_now=False,
+    )
+    try:
+        deadline = time.time() + 120
+        seen = set()
+        while time.time() < deadline:
+            rows = spark.sql("select * from olr_cont").collect()
+            seen = {json.loads(r.value)["xid"] for r in rows}
+            if seen >= committed:
+                break
+            time.sleep(1)
+        assert seen >= committed, (
+            f"continuous pipeline missing xids: {sorted(committed - seen)}"
+        )
+    finally:
+        q.stop()
+    assert not q.isActive
