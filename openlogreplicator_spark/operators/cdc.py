@@ -21,6 +21,33 @@ from openlogreplicator_spark.functions.expr_lang import compile_condition
 from openlogreplicator_spark.sources.tables import load_table
 
 
+def _publish_fixture(staging: str, out_dir: str) -> str:
+    """Atomically publish a staged fixture dir and PROVE a complete
+    fixture is at out_dir before returning: a rename can fail for
+    reasons other than losing the race to a concurrent winner (stale
+    non-empty out_dir appearing between the pre-clean and the rename),
+    in which case returning the path unverified would hand callers a
+    partial or missing fixture."""
+    import shutil
+
+    if os.path.isdir(out_dir) and not os.path.exists(
+        os.path.join(out_dir, "_SUCCESS")
+    ):
+        # a dir without _SUCCESS can only be garbage from a crashed
+        # legacy builder (the staging scheme never exposes one) — clear
+        # it so the rename can land
+        shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        os.rename(staging, out_dir)
+    except OSError:  # lost the race — a complete fixture already exists
+        shutil.rmtree(staging, ignore_errors=True)
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        raise RuntimeError(
+            f"fixture publish failed: {out_dir} has no _SUCCESS after rename"
+        )
+    return out_dir
+
+
 def sessionize(
     df: DataFrame,
     key: str,
@@ -287,17 +314,7 @@ def _binary_redo_dir(spark: SparkSession, sf_dir: str) -> str:
                 "l_raw": "raw",
             },
         )
-        # a dir without _SUCCESS can only be garbage from a crashed
-        # legacy builder (the staging scheme never exposes one) — clear
-        # it so the rename can land
-        if os.path.isdir(out_dir) and not os.path.exists(
-            os.path.join(out_dir, "_SUCCESS")
-        ):
-            shutil.rmtree(out_dir, ignore_errors=True)
-        try:
-            os.rename(staging, out_dir)
-        except OSError:  # lost the race — a complete fixture already exists
-            shutil.rmtree(staging, ignore_errors=True)
+        _publish_fixture(staging, out_dir)
     return out_dir
 
 
@@ -1140,7 +1157,7 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
 
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        "olrs_typed_images_v4b",
+        "olrs_typed_images_v4c",
         os.path.basename(os.path.normpath(sf_dir)),
     )
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
@@ -1268,15 +1285,7 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
             "o_float": "binary_float",
         },
     )
-    if os.path.isdir(out_dir) and not os.path.exists(
-        os.path.join(out_dir, "_SUCCESS")
-    ):
-        shutil.rmtree(out_dir, ignore_errors=True)
-    try:
-        os.rename(staging, out_dir)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-    return out_dir
+    return _publish_fixture(staging, out_dir)
 
 
 def cdc_typed_images_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,7 +1315,12 @@ def cdc_typed_images_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("cols", F.lit("o_bool")).alias("flag"),
         F.element_at("cols", F.lit("o_urowid")).alias("urid"),
         F.element_at("cols", F.lit("o_ltz")).alias("ltz"),
-        F.element_at("cols", F.lit("o_float")).alias("fval"),
+        # DOUBLE on both sides: the parse plane renders the float32
+        # image as a repr string, but hashing a string against the
+        # oracle's DOUBLE depends on two engines' float formatters
+        # coinciding. Casting to double makes both engines hash the
+        # same 64-bit value through the same conversion path.
+        F.element_at("cols", F.lit("o_float")).cast("double").alias("fval"),
     )
 
 
@@ -1448,15 +1462,7 @@ def _kdo_positional_redo_dir(spark: SparkSession, sf_dir: str) -> str:
         col_types={"l_qty": "number", "l_price": "number", "l_ship": "date"},
         pos_dicts=_KDO_DICT,
     )
-    if os.path.isdir(out_dir) and not os.path.exists(
-        os.path.join(out_dir, "_SUCCESS")
-    ):
-        shutil.rmtree(out_dir, ignore_errors=True)
-    try:
-        os.rename(staging, out_dir)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-    return out_dir
+    return _publish_fixture(staging, out_dir)
 
 
 def cdc_kdo_positional_binary(spark: SparkSession, sf_dir: str) -> DataFrame:

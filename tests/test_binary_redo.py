@@ -335,3 +335,39 @@ def test_dump_redo_log_layout():
     assert "OP:5.4" in text and "ROLLBACK" in text
     assert 'col q = "5"' in text and "col d = NULL" in text
     assert "## H: [" in text  # raw header hex lines
+
+
+def test_typed_images_fixture_regeneration_deterministic(spark, sf_dir):
+    """Round-3 driver red was a hash divergence the local mirror could
+    not reproduce: prove the weakest link — fixture regeneration plus
+    the full parse/decode path — is bit-deterministic across two
+    independent generations, and that fval hashes as a DOUBLE (not a
+    Python repr string racing DuckDB's float formatter)."""
+    import shutil
+
+    from openlogreplicator_spark.operators.cdc import (
+        _typed_images_redo_dir,
+        cdc_typed_images_binary,
+    )
+
+    def _fixture_path():
+        import os
+        import tempfile
+
+        return os.path.join(
+            tempfile.gettempdir(),
+            "olrs_typed_images_v4c",
+            os.path.basename(os.path.normpath(sf_dir)),
+        )
+
+    def run_once():
+        shutil.rmtree(_fixture_path(), ignore_errors=True)
+        out = _typed_images_redo_dir(spark, sf_dir)
+        assert out == _fixture_path()
+        df = cdc_typed_images_binary(spark, sf_dir)
+        assert dict(df.dtypes)["fval"] == "double"
+        return sorted(tuple(r) for r in df.collect())
+
+    first = run_once()
+    second = run_once()
+    assert first == second and len(first) > 0
