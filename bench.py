@@ -97,25 +97,65 @@ def main() -> None:
     if os.environ.get("BENCH_ALL"):
         names = sorted(registry)
 
+    import hashlib
+    import re
+    import statistics
+
+    def plan_fingerprint(df) -> str:
+        """Hash of the optimized logical plan with volatile tokens
+        (expression ids, temp paths, object addresses) canonicalized —
+        two runs of the same code produce the same fingerprint, so a
+        timing swing with an UNCHANGED fingerprint is machine noise,
+        not a plan change."""
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        plan = re.sub(r"#\d+[L]?", "#", plan)
+        plan = re.sub(r"@[0-9a-f]+", "@", plan)
+        plan = re.sub(r"/tmp/\S+", "/tmp/_", plan)
+        plan = re.sub(r"plan_id=\d+", "plan_id=_", plan)
+        return hashlib.sha256(plan.encode()).hexdigest()[:12]
+
+    prev: dict = {}
+    prev_fp: dict = {}
+    for r in range(20, 0, -1):
+        path = os.path.join(REPO_ROOT, f"BENCH_r{r:02d}.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                doc = json.load(fh)
+            prev = doc.get("queries", {})
+            prev_fp = doc.get("plan_fingerprints", {})
+            break
+
     timings: dict[str, float] = {}
+    fingerprints: dict[str, str] = {}
+    noise: list[str] = []
     for name in names:
         fn = registry[name]
-        # best of two executions: the reference is a warm long-running
-        # process, so first-run constants (codegen compile, Arrow channel
-        # setup, page-cache fill) are session noise, not operator cost —
-        # and single-shot timings on this box vary ±50% run to run.
-        best = None
-        for _ in range(2):
+        # median of three executions: the median absorbs both the first
+        # run's one-time constants (codegen compile, Arrow channel
+        # setup, page-cache fill — session costs the reference's
+        # long-running process never re-pays) and this box's ±50%
+        # single-shot swings.
+        runs = []
+        for i in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(dt)
             # release persisted frames (dedup pipelines cache
             # intermediates) so later queries aren't taxed by
             # accumulated executor memory
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(statistics.median(runs), 3)
+        fingerprints[name] = plan_fingerprint(fn(spark, sf_dir))
+        # >25% move on an unchanged plan = machine noise by construction
+        if (
+            name in prev
+            and prev_fp.get(name) == fingerprints[name]
+            and prev[name] > 0
+            and abs(timings[name] - prev[name]) / prev[name] > 0.25
+        ):
+            noise.append(name)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -126,6 +166,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plan_fingerprints": fingerprints,
+                "noise_flagged": noise,
                 "sf": float(sf) if sf else sf_dir,
                 "n_queries": len(timings),
             }

@@ -133,9 +133,14 @@ def encode_event(ev: dict[str, Any]) -> bytes:
     return out
 
 
-def build_protobuf_events(events: DataFrame) -> DataFrame:
-    """CHANGE_EVENT_SCHEMA rows → (key, value binary) protobuf messages."""
+def build_protobuf_events(
+    events: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """CHANGE_EVENT_SCHEMA rows → (key, value binary) protobuf messages.
+    ``extra_cols`` pass through unencoded (e.g. the network sink's
+    ordering watermark), preserving row order."""
     prepared = events.select(
+        *extra_cols,
         F.col("xid").alias("key"),
         F.struct(
             "scn",
@@ -178,7 +183,9 @@ def build_protobuf_events(events: DataFrame) -> DataFrame:
             out.append(encode_event(d))
         return pd.Series(out)
 
-    return prepared.select("key", enc("ev").alias("value"))
+    return prepared.select(
+        *extra_cols, "key", enc("ev").alias("value")
+    )
 
 
 # --- independent wire-format decoder (tests only) -------------------------

@@ -150,6 +150,14 @@ def _orders_redo_stream(
     inserts ordered by linenumber; commit closes it. SCNs are derived
     arithmetically so the stream is reproducible in SQL."""
     li = load_table(spark, sf_dir, "lineitem")
+    # distribute the image build: a single-file scan yields only
+    # size/128MB partitions, so the map/md5/charset rendering below
+    # would otherwise run 2-3 wide on a 32-core box (measured 2.4×
+    # slower). The shuffle moves slim source columns, and assembly's
+    # xid shuffle downstream moves the built maps either way.
+    li = li.repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey"
+    )
     # (orderkey, linenumber) is NOT unique in the test data — block/offset
     # carry (qty, partkey) so the (scn, subscn, block, offset) sort key is
     # deterministic; remaining ties are content-identical records.
@@ -1050,7 +1058,32 @@ def _orders_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber", F.col("l_quantity").cast("bigint"), "l_partkey"
     )
     li = li.withColumn("ln_uid", F.row_number().over(uid_w))
-    common = [
+    # ONE scan + ONE window for both vectors of the pair: the (undo,
+    # update) records explode out of an inline array, instead of two
+    # plan branches each re-running the scan and the row-number window
+    undo_map = F.create_map(
+        F.lit("l_qty"),
+        (F.col("l_quantity").cast("bigint") + 100).cast("string"),
+    )
+    upd_map = F.create_map(
+        F.lit("l_qty"), F.col("l_quantity").cast("bigint").cast("string")
+    )
+    pair = F.array(
+        F.struct(
+            F.lit(0).alias("subscn"),
+            F.lit("undo").alias("opcode"),
+            undo_map.alias("cols"),
+        ),
+        F.struct(
+            F.lit(1).alias("subscn"),
+            F.lit("update").alias("opcode"),
+            upd_map.alias("cols"),
+        ),
+    )
+    both = li.select(
+        (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).alias("scn"),
+        F.col("l_quantity").cast("long").alias("block"),
+        F.col("l_partkey").cast("int").alias("offset"),
         F.lit(1).cast("long").alias("seq"),
         F.col("l_orderkey").cast("string").alias("xid"),
         F.col("l_partkey").alias("obj"),
@@ -1058,27 +1091,15 @@ def _orders_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ln_uid").alias("slot"),
         F.lit(0).alias("fb"),
         F.lit(None).cast("array<map<string,string>>").alias("rows"),
-    ]
-    scn = (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).alias("scn")
-    block = F.col("l_quantity").cast("long").alias("block")
-    offset = F.col("l_partkey").cast("int").alias("offset")
-    undo = li.select(
-        scn, F.lit(0).alias("subscn"), block, offset,
-        *common,
-        F.lit("undo").alias("opcode"),
-        F.create_map(
-            F.lit("l_qty"),
-            (F.col("l_quantity").cast("bigint") + 100).cast("string"),
-        ).alias("cols"),
+        F.explode(pair).alias("v"),
     )
-    upd = li.select(
-        scn, F.lit(1).alias("subscn"), block, offset,
-        *common,
-        F.lit("update").alias("opcode"),
-        F.create_map(
-            F.lit("l_qty"), F.col("l_quantity").cast("bigint").cast("string")
-        ).alias("cols"),
+    undo = both.select(
+        "scn", F.col("v.subscn").alias("subscn"), "block", "offset",
+        "seq", "xid", "obj", "bdba", "slot", "fb", "rows",
+        F.col("v.opcode").alias("opcode"),
+        F.col("v.cols").alias("cols"),
     )
+    upd = None  # folded into `undo` by the explode above
     orders = load_table(spark, sf_dir, "orders")
     def _ctl(opcode, scn_off):
         return orders.select(
@@ -1098,7 +1119,7 @@ def _orders_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     cols_order = undo.columns
     return (
-        undo.unionByName(upd)
+        undo
         .unionByName(_ctl("begin", 0).select(*cols_order))
         .unionByName(_ctl("commit", 999).select(*cols_order))
     )

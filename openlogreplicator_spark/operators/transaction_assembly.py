@@ -19,10 +19,11 @@ Reassembles interleaved redo records into ordered, committed transactions:
          LogMiner support, consumed silently)
 
 Spark shape: one shuffle keyed by xid (the reference's transaction buffer
-*is* a hash partition by xid), then per-partition assembly in an
-Arrow-batched ``mapInPandas`` kernel — vectorized pandas for plain
-transactions, the sequential state machine for the exotic tail.
-Per-group state is bounded by the size guard, so a
+*is* a hash partition by xid), then per-partition assembly in a
+``mapInArrow`` kernel — vectorized emission (including adjacent
+undo-pairing) for plain transactions with the column images riding
+through as Arrow arrays, the sequential state machine for the exotic
+tail. Per-group state is bounded by the size guard, so a
 1000-executor cluster holds each transaction on exactly one task — the
 same memory envelope as the reference's per-XID chunk lists, but spread
 across the cluster. Global emission order is (commit_scn, xid, num),
@@ -285,73 +286,6 @@ def assemble_transactions_py(
 _FAST_OPS = {"begin", "commit", "insert", "update", "overwrite", "delete"}
 
 
-def _assemble_fast_path(
-    pdf: pd.DataFrame, show_incomplete: bool, max_ops: int | None
-):
-    """Vectorized kernel for the dominant case: only begin/DML/commit,
-    no partial rollbacks, no multi-row ops, no chained pieces, no attrs.
-    The general state machine costs ~1µs/record in Python dict handling;
-    this path is pure pandas/numpy (sort → per-xid commit broadcast →
-    cumcount) and is ~5× faster. Falls back (returns None) whenever any
-    record needs stateful semantics."""
-    opcodes = pdf["opcode"]
-    if not opcodes.isin(_FAST_OPS).all():
-        return None
-    if max_ops is not None or show_incomplete:
-        return None
-    fb = pdf["fb"]
-    if fb.notna().any() and (fb.fillna(0) != 0).any():
-        return None
-
-    df = pdf.sort_values(
-        ["scn", "subscn", "block", "offset"], kind="stable"
-    ).reset_index(drop=True)
-    commits = df[df["opcode"] == "commit"]
-    begins = df[df["opcode"] == "begin"]
-    # xid reuse (a second begin OR commit for the same xid) — let the
-    # state machine arbitrate. Checking only commits is not enough: a
-    # reuse 'begin' arriving after the single commit would overwrite the
-    # emitted begin_scn here, whereas the sequential path snapshots
-    # begin_scn at commit time.
-    if commits["xid"].duplicated().any() or begins["xid"].duplicated().any():
-        return None
-    commit_scn = dict(zip(commits["xid"], commits["scn"]))
-    commit_pos = dict(zip(commits["xid"], commits.index))
-    begin_scn = dict(zip(begins["xid"], begins["scn"]))
-
-    dml = df[df["opcode"].isin(("insert", "update", "overwrite", "delete"))].copy()
-    # only ops positioned before their transaction's commit are emitted
-    # (an op after the commit belongs to an uncommitted reuse → dropped,
-    # matching the state machine)
-    cpos = dml["xid"].map(commit_pos)
-    dml = dml[cpos.notna() & (dml.index < cpos)]
-    if len(dml) == 0:
-        return pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
-    out = pd.DataFrame(
-        {
-            "xid": dml["xid"],
-            "begin_scn": pd.array(
-                dml["xid"].map(begin_scn), dtype="Int64"
-            ),
-            "commit_scn": pd.array(
-                dml["xid"].map(commit_scn), dtype="Int64"
-            ),
-            "num": dml.groupby("xid", sort=False).cumcount(),
-            "op": dml["opcode"].map(_OP_MAP),
-            "obj": dml["obj"],
-            "bdba": dml["bdba"],
-            "slot": dml["slot"],
-            "scn": dml["scn"],
-            # maps pass back to Arrow as the list-of-tuples form they
-            # arrived in — no per-row dict conversion on the fast path
-            "cols": dml["cols"],
-            "before_cols": [None] * len(dml),
-            "attrs": [{} for _ in range(len(dml))],
-        }
-    )
-    return out
-
-
 def _state_machine_frame(
     pdf: pd.DataFrame, show_incomplete: bool, max_ops: int | None
 ) -> pd.DataFrame:
@@ -378,66 +312,6 @@ def _state_machine_frame(
     if not out:
         return pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
     return pd.DataFrame(out)
-
-
-def _assemble_partition(
-    pdf: pd.DataFrame, show_incomplete: bool, max_ops: int | None
-) -> pd.DataFrame:
-    """One partition's records → assembled events, routed by shape:
-
-    - **plain** transactions (only begin/DML/commit vectors, no
-      chained-row fb flags, no multi-row payloads, at most one begin and
-      one commit — the overwhelming majority of real OLTP redo) are
-      assembled by the vectorized pandas path (`_assemble_fast_path`),
-      ~µs-scale per record.
-    - **exotic** transactions (partial rollbacks, QMI/QMD, supplemental
-      log, locks, chained pieces, attrs, xid reuse) go through the full
-      sequential state machine — the input is bounded by the exotic
-      fraction of the workload.
-
-    The split is computed with vectorized masks, so the per-record
-    Python state machine never sees plain traffic.
-    """
-    if show_incomplete or max_ops is not None:
-        # both need global per-txn state (size guard, incomplete flush)
-        return _state_machine_frame(pdf, show_incomplete, max_ops)
-    opcodes = pdf["opcode"]
-    fb = pdf["fb"]
-    exotic_rec = (
-        ~opcodes.isin(_FAST_OPS)
-        | (fb.notna() & (fb.fillna(0) != 0))
-        | pdf["rows"].notna()
-    )
-    commit_xids = pdf.loc[opcodes == "commit", "xid"]
-    begin_xids = pdf.loc[opcodes == "begin", "xid"]
-    exotic_xids = set(pdf.loc[exotic_rec, "xid"])
-    exotic_xids.update(commit_xids[commit_xids.duplicated()])
-    exotic_xids.update(begin_xids[begin_xids.duplicated()])
-    if not exotic_xids:
-        fast = _assemble_fast_path(pdf, show_incomplete, max_ops)
-        assert fast is not None  # routing guarantees the preconditions
-        return fast
-    mask = pdf["xid"].isin(exotic_xids)
-    parts = []
-    plain_pdf = pdf[~mask]
-    if len(plain_pdf):
-        fast = _assemble_fast_path(plain_pdf, show_incomplete, max_ops)
-        assert fast is not None
-        parts.append(fast)
-    slow = _state_machine_frame(pdf[mask], show_incomplete, max_ops)
-    if len(slow):
-        parts.append(slow)
-    if not parts:
-        return pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
-    return parts[0] if len(parts) == 1 else pd.concat(
-        parts, ignore_index=True
-    )
-
-
-# sort-key null sentinels: pandas sort_values puts NaN last, so absent
-# key components must sort after every present value
-_NULL_I32 = 2**31 - 1
-_NULL_I64 = 2**63 - 1
 
 
 def _arrow_out_schema(cols_type):
@@ -495,14 +369,20 @@ def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
         return
 
     slim = tbl.select(
-        ["xid", "opcode", "scn", "subscn", "block", "offset", "fb"]
+        ["xid", "opcode", "scn", "subscn", "block", "offset", "fb",
+         "bdba", "slot"]
     ).to_pandas()
     rows_present = pc.is_valid(
         tbl.column("rows").combine_chunks()
     ).to_numpy(zero_copy_only=False)
     opc = slim["opcode"]
+    # 5.1 undo vectors are FAST-capable: in real redo every update
+    # carries its before image as the paired undo vector of the same
+    # record (Parser.cpp pairs redoLogRecord1/redoLogRecord2), so
+    # classing undo as exotic would route the NORMAL update workload
+    # through the sequential state machine at scale.
     exotic_rec = (
-        (~opc.isin(_FAST_OPS)).to_numpy()
+        (~(opc.isin(_FAST_OPS) | (opc == "undo").to_numpy())).to_numpy()
         | (slim["fb"].fillna(0).to_numpy() != 0)
         | rows_present
     )
@@ -519,22 +399,90 @@ def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
         exo_mask = None
         plain = slim
 
-    # vectorized plain emission — same semantics as _assemble_fast_path:
-    # sort by the LWN key (NaN sentinels sort last, like the sequential
-    # path's null handling), emit DML positioned before its txn's single
-    # commit, num = per-xid enumeration.
+    # vectorized plain emission: sort by the LWN key (NaN sentinels
+    # sort last, like the sequential path's null handling), emit DML
+    # positioned before its txn's single commit, num = per-xid
+    # enumeration.
     s = plain.sort_values(
         ["scn", "subscn", "block", "offset"], kind="stable"
     )
-    pos = np.arange(len(s))
-    commit_m = s["opcode"].to_numpy() == "commit"
-    begin_m = s["opcode"].to_numpy() == "begin"
-    commit_scn = dict(zip(s.loc[commit_m, "xid"], s.loc[commit_m, "scn"]))
-    commit_pos = dict(zip(s.loc[commit_m, "xid"], pos[commit_m]))
-    begin_scn = dict(zip(s.loc[begin_m, "xid"], s.loc[begin_m, "scn"]))
+    xids = s["xid"].to_numpy()
+    opcs = s["opcode"].to_numpy()
+    undo_m = opcs == "undo"
     dml_m = s["opcode"].isin(
         ("insert", "update", "overwrite", "delete")
     ).to_numpy()
+    before_src = None
+    if undo_m.any():
+        # undo pairing, fully vectorized and EXACT: the state machine's
+        # per-address automaton — pending_undo[(bdba,slot)] is SET by
+        # each 5.1 undo (later undo overwrites) and POPPED by the next
+        # row op at that address — is replayed per (xid, bdba, slot)
+        # group with segmented cummax/cummin over the LWN order. A DML
+        # pairs with undo u iff u is the latest undo before it in its
+        # group AND the DML is the first row-op after u (otherwise an
+        # earlier op already popped it). Unconsumed undos simply stay
+        # pending, exactly as in the sequential path.
+        n = len(s)
+        gpos = np.arange(n)
+        bdba_s = s["bdba"].fillna(-1).to_numpy()
+        slot_s = s["slot"].fillna(-1).to_numpy()
+        addressed = ~s["bdba"].isna().to_numpy()
+        x_codes = pd.factorize(xids)[0]
+        order2 = np.lexsort((gpos, slot_s, bdba_s, x_codes))
+        X, B, S_, P = (
+            x_codes[order2], bdba_s[order2], slot_s[order2], gpos[order2]
+        )
+        U = (undo_m & addressed)[order2]
+        D = dml_m[order2]
+        newgrp = np.ones(n, bool)
+        if n > 1:
+            newgrp[1:] = (
+                (X[1:] != X[:-1]) | (B[1:] != B[:-1]) | (S_[1:] != S_[:-1])
+            )
+        seg = np.cumsum(newgrp)
+        big = np.int64(n + 2)
+        # exclusive last-undo position before each row, within group
+        lu = np.where(U, P, -1) + seg * big
+        lu_in = np.maximum.accumulate(lu)
+        lu_ex = np.concatenate(([0], lu_in[:-1]))
+        lu_ex[newgrp] = -1 + seg[newgrp] * big  # reset at group start
+        lu_ex = lu_ex - seg * big  # -1 = none
+        # exclusive next-rowop position after each row, within group
+        # (reverse pass; only DML pops pending undo in the state
+        # machine). +seg*big makes later segments strictly larger so
+        # the suffix-min can never leak across group boundaries.
+        ndv = np.where(D, P, big) + seg * big
+        nd_in = np.minimum.accumulate(ndv[::-1])[::-1]
+        nd_ex = np.concatenate((nd_in[1:], [0]))
+        grp_end = np.concatenate((newgrp[1:], [True]))
+        nd_ex[grp_end] = big + seg[grp_end] * big
+        nd_ex = nd_ex - seg * big  # `big` = none
+        # per-DML candidate undo, paired iff the undo's next row op is
+        # this DML (positions are global-unique, so equality suffices)
+        inv = np.empty(n, dtype=np.int64)
+        inv[P] = np.arange(n)
+        cand = lu_ex  # in sorted space, for every row
+        pair_sorted = (
+            D
+            & (cand >= 0)
+            & (nd_ex[inv[np.maximum(cand, 0)]] == P)
+        )
+        # map back to emission (gpos) space: global pos of the undo
+        # feeding each paired dml
+        undo_pos = np.full(n, -1, dtype=np.int64)
+        undo_pos[P[pair_sorted]] = cand[pair_sorted]
+        orig_idx = s.index.to_numpy()
+        before_src = pd.Series(
+            np.where(undo_pos >= 0, orig_idx[np.maximum(undo_pos, 0)], -1),
+            index=s.index,
+        )
+    pos = np.arange(len(s))
+    commit_m = opcs == "commit"
+    begin_m = opcs == "begin"
+    commit_scn = dict(zip(s.loc[commit_m, "xid"], s.loc[commit_m, "scn"]))
+    commit_pos = dict(zip(s.loc[commit_m, "xid"], pos[commit_m]))
+    begin_scn = dict(zip(s.loc[begin_m, "xid"], s.loc[begin_m, "scn"]))
     dml = s[dml_m]
     cpos = dml["xid"].map(commit_pos)
     emit_m = cpos.notna().to_numpy() & (
@@ -550,6 +498,20 @@ def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
             return tbl.column(name).take(take_idx).combine_chunks()
 
         k = len(dml)
+        if before_src is not None:
+            bidx = before_src.loc[dml.index].to_numpy()
+            before_arr = (
+                tbl.column("cols")
+                .take(
+                    pa.array(
+                        [int(i) if i >= 0 else None for i in bidx],
+                        type=pa.int64(),
+                    )
+                )
+                .combine_chunks()
+            )
+        else:
+            before_arr = pa.nulls(k, type=cols_type)
         empty_maps = pa.MapArray.from_arrays(
             pa.array(np.zeros(k + 1, dtype=np.int32)),
             pa.array([], type=cols_type.key_type),
@@ -573,7 +535,7 @@ def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
                 tk("slot"),
                 tk("scn"),
                 tk("cols"),
-                pa.nulls(k, type=cols_type),
+                before_arr,
                 empty_maps,
             ],
             schema=out_schema,

@@ -35,6 +35,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # files.maxPartitionBytes stays at the 128 MB default: an A/B at
+        # sf0.1 showed 16 MB partitions (≈10 scan tasks for a 300 MB
+        # file instead of 3) consistently LOSE end-to-end — each extra
+        # task costs more in launch overhead (and in Python-runner
+        # handshakes for pandas stages) than its share of parallelism
+        # returns at this data size.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

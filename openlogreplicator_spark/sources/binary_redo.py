@@ -529,19 +529,171 @@ def _dec_value_raw(tagged: bytes, version: int) -> str | None:
     return payload.decode("utf-8")
 
 
+def _fmt_datetime14(comp, extra_cols: int = 0):
+    """Vectorized 'YYYY-MM-DD HH:MM:SS' render from int64 vectors of
+    YYYYMMDDHHMMSS composites: digit extraction and separator insertion
+    are whole-column numpy ops; only the final bytes→str hop is per
+    value. ``extra_cols`` reserves trailing byte columns for callers
+    that append fractional seconds."""
+    import numpy as np
+
+    n = len(comp)
+    digits = np.empty((n, 14), np.uint8)
+    c = comp.copy()
+    for i in range(13, -1, -1):
+        digits[:, i] = c % 10 + 48
+        c //= 10
+    m = np.empty((n, 19 + extra_cols), np.uint8)
+    m[:, 0:4] = digits[:, 0:4]
+    m[:, 4] = 45  # '-'
+    m[:, 5:7] = digits[:, 4:6]
+    m[:, 7] = 45
+    m[:, 8:10] = digits[:, 6:8]
+    m[:, 10] = 32  # ' '
+    m[:, 11:13] = digits[:, 8:10]
+    m[:, 13] = 58  # ':'
+    m[:, 14:16] = digits[:, 10:12]
+    m[:, 16] = 58
+    m[:, 17:19] = digits[:, 12:14]
+    return m
+
+
+def _np_strings(m) -> list[str]:
+    """(n, w) uint8 matrix → list of n ascii strings."""
+    w = m.shape[1]
+    return [
+        x.decode("ascii")
+        for x in m.reshape(-1).view(f"S{w}").tolist()
+    ]
+
+
+def _date_composites(a):
+    """(n, ≥7) uint8 date-byte matrix → int64 YYYYMMDDHHMMSS vector."""
+    x = a.astype("int64")
+    y = (x[:, 0] - 100) * 100 + (x[:, 1] - 100)
+    return (
+        (((y * 100 + x[:, 2]) * 100 + x[:, 3]) * 100 + (x[:, 4] - 1))
+        * 10000
+        + (x[:, 5] - 1) * 100
+        + (x[:, 6] - 1)
+    )
+
+
+def _nano_digits(m, a, col: int):
+    """Write '.fffffffff' into byte-matrix m at ``col`` from the
+    big-endian u32 nano columns of a (vectorized)."""
+    import numpy as np
+
+    x = a.astype("int64")
+    nanos = (
+        (x[:, -4] << 24) | (x[:, -3] << 16) | (x[:, -2] << 8) | x[:, -1]
+    )
+    m[:, col] = 46  # '.'
+    c = nanos.copy()
+    for i in range(8, -1, -1):
+        m[:, col + 1 + i] = c % 10 + 48
+        c //= 10
+
+
+def _batch_decode(uniq, version: int) -> dict:
+    """Unique tagged images → decoded strings, grouped by type tag and
+    decoded in vectorized numpy batches where the byte form is fixed
+    width (DATE/TIMESTAMP/BINARY_DOUBLE/BINARY_FLOAT); variable-width
+    kernels (NUMBER, charset text, RAW, intervals, UROWID) run the
+    scalar byte kernels once per distinct image. This is the
+    reference's structure: the record walk stays cheap, value render is
+    batched per column image (Parser.cpp:113-312 vs Builder.cpp:89-690)."""
+    import numpy as np
+
+    out: dict = {}
+    by_type: dict[int, list[bytes]] = {}
+    for t in uniq:
+        by_type.setdefault(t[0], []).append(t)
+    for vtype, items in by_type.items():
+        n = len(items)
+        if vtype == TYPE_DATE and n > 16 and len(items[0]) == 8 and all(
+            len(x) == 8 for x in items
+        ):
+            a = np.frombuffer(b"".join(items), np.uint8).reshape(n, 8)[:, 1:]
+            strs = _np_strings(_fmt_datetime14(_date_composites(a)))
+            out.update(zip(items, strs))
+        elif vtype == TYPE_TS and n > 16 and all(len(x) == 12 for x in items):
+            a = np.frombuffer(b"".join(items), np.uint8).reshape(n, 12)[:, 1:]
+            m = _fmt_datetime14(_date_composites(a), extra_cols=10)
+            _nano_digits(m, a, 19)
+            out.update(zip(items, _np_strings(m)))
+        elif vtype == TYPE_BDOUBLE and n > 16 and all(
+            len(x) == 9 for x in items
+        ):
+            raw = np.frombuffer(b"".join(items), np.uint8).reshape(n, 9)[
+                :, 1:
+            ].copy()
+            pos = (raw[:, 0] & 0x80) != 0
+            raw[pos, 0] &= 0x7F
+            raw[~pos] ^= 0xFF
+            vals = np.ascontiguousarray(raw).view(">f8").ravel().tolist()
+            out.update(zip(items, (repr(v) for v in vals)))
+        elif vtype == TYPE_BFLOAT and n > 16 and all(
+            len(x) == 5 for x in items
+        ):
+            raw = np.frombuffer(b"".join(items), np.uint8).reshape(n, 5)[
+                :, 1:
+            ].copy()
+            pos = (raw[:, 0] & 0x80) != 0
+            raw[pos, 0] &= 0x7F
+            raw[~pos] ^= 0xFF
+            vals = np.ascontiguousarray(raw).view(">f4").ravel().tolist()
+            out.update(zip(items, (repr(v) for v in vals)))
+        else:
+            for t in items:
+                out[t] = _dec_value_raw(t, version)
+    return out
+
+
+def _remap_images(cols_list, rows_list, cache, version: int) -> None:
+    """Second pass of the columnar decode: swap each dict's interned
+    tagged-bytes values for their decoded strings, in place in the
+    column lists (v1 files decoded inline and skip this)."""
+    if version < 2:
+        return
+    uniq = [t for t, v in cache.items() if v is t]
+    if not uniq:
+        return
+    decoded = _batch_decode(uniq, version)
+    cache.update(decoded)
+    for i, d in enumerate(cols_list):
+        if d:
+            cols_list[i] = {
+                k: (v if v is None else decoded.get(v, v))
+                for k, v in d.items()
+            }
+    for i, rows in enumerate(rows_list):
+        if rows:
+            rows_list[i] = [
+                {
+                    k: (v if v is None else decoded.get(v, v))
+                    for k, v in d.items()
+                }
+                for d in rows
+            ]
+
+
 def _dec_cols(
     buf: bytes, pos: int, version: int, cache: dict, kcache: dict
 ) -> tuple[dict, int]:
-    # hottest loop of the record walk. u16 fields read by direct byte
-    # arithmetic (measurably cheaper than struct.unpack_from at ~300k
-    # calls/file). Decoded values are memoized per file on the tagged
-    # image bytes: redo streams repeat values heavily (quantities,
-    # discounts, flags), so most kernel calls collapse into one dict
-    # probe — the same win the reference gets from its column caches,
-    # without staleness (the key IS the bytes). Column-name bytes repeat
-    # every record and memoize in their own dict (separate from the
-    # value cache so raw key bytes can never collide with tagged image
-    # bytes).
+    # hottest loop of the record walk — STRUCTURE ONLY. u16 fields read
+    # by direct byte arithmetic (measurably cheaper than
+    # struct.unpack_from at ~300k calls/file). Column images are NOT
+    # decoded here: the walk interns the tagged image bytes (cache maps
+    # tagged → the one canonical bytes object), and the file-level
+    # caller batch-decodes the unique images per type after the walk —
+    # the reference's own split between the record walk
+    # (Parser.cpp:113-312) and value rendering (Builder.cpp:89-690).
+    # Redo streams repeat values heavily (quantities, discounts,
+    # flags), so interning also collapses the decode work to one call
+    # per distinct image. Column-name bytes memoize in their own dict
+    # (separate from the value cache so raw key bytes can never collide
+    # with tagged image bytes).
     n = buf[pos] | (buf[pos + 1] << 8)
     pos += 2
     out = {}
@@ -565,10 +717,11 @@ def _dec_cols(
         end = pos + 1 + vlen
         tagged = buf[pos:end]
         pos = end
-        try:
-            out[k] = cache[tagged]
-        except KeyError:
-            out[k] = cache[tagged] = _dec_value_raw(tagged, version)
+        v = cache.get(tagged)
+        if v is None:
+            cache[tagged] = tagged
+            v = tagged
+        out[k] = v
     return out, pos
 
 
@@ -603,10 +756,11 @@ def _dec_cols_positional(
         end = pos + 1 + vlen
         tagged = buf[pos:end]
         pos = end
-        try:
-            out[k] = cache[tagged]
-        except KeyError:
-            out[k] = cache[tagged] = _dec_value_raw(tagged, version)
+        v = cache.get(tagged)
+        if v is None:
+            cache[tagged] = tagged
+            v = tagged
+        out[k] = v
     return out, pos
 
 
@@ -653,9 +807,13 @@ def decode_vector(
     buf: bytes, pos: int, version: int = VERSION,
     dictionary: dict | None = None,
 ) -> tuple[dict, int]:
+    cache: dict = {}
     xid, op, obj, bdba, slot, fb, cols, rows, pos = _walk_vector(
-        buf, pos, version, {}, {}, dictionary
+        buf, pos, version, cache, {}, dictionary
     )
+    cols_l, rows_l = [cols], [rows]
+    _remap_images(cols_l, rows_l, cache, version)
+    cols, rows = cols_l[0], rows_l[0]
     return (
         {
             "xid": xid,
@@ -789,6 +947,10 @@ def parse_redo_columns(
                 )
             pos += size
         cur += lwn_blocks
+    # columnar value decode: the walk above interned raw tagged images;
+    # decode each distinct image once, in per-type vectorized batches,
+    # then swap them into the column dicts
+    _remap_images(c_cols, c_rows, cache, version)
     cols = {
         "scn": c_scn,
         "subscn": c_subscn,

@@ -184,13 +184,18 @@ def build_pipeline(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     state_dir: str | None = None,
+    network_server=None,
 ):
     """Assemble and START the full pipeline from one config. Returns the
-    ``StreamingQuery``. ``sink`` ∈ {json, noop, memory, lake} — ``lake``
-    writes the typed change events as (owner, table)-partitioned parquet
-    instead of rendered messages. With ``state_dir`` and no explicit
-    ``cfg.start_scn``, startup position comes from the portable W7
-    checkpoint document (Writer::readCheckpoint cold-start path)."""
+    ``StreamingQuery``. ``sink`` ∈ {json, noop, memory, lake, network} —
+    ``lake`` writes the typed change events as (owner, table)-partitioned
+    parquet instead of rendered messages; ``network`` (W4) streams
+    protobuf frames through ``network_server`` (a
+    :class:`~openlogreplicator_spark.streaming.stream_network.StreamServer`)
+    speaking the reference's StreamClient pull protocol. With
+    ``state_dir`` and no explicit ``cfg.start_scn``, startup position
+    comes from the portable W7 checkpoint document
+    (Writer::readCheckpoint cold-start path)."""
     from openlogreplicator_spark.builders.json_builder import build_events
 
     start_scn = cfg.start_scn
@@ -232,6 +237,23 @@ def build_pipeline(
 
         return write_lake_sink(
             events, out_dir, checkpoint, available_now=available_now
+        )
+    if sink == "network":
+        from openlogreplicator_spark.streaming.stream_network import (
+            stream_network_sink,
+        )
+
+        writer = events.writeStream.queryName(query_name)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(
+                processingTime=f"{cfg.checkpoint_interval_s} seconds"
+            )
+        return (
+            writer.foreachBatch(stream_network_sink(network_server))
+            .option("checkpointLocation", checkpoint)
+            .start()
         )
     events = events.observe(
         "olr_metrics",

@@ -1,0 +1,479 @@
+"""W4 network delivery: the reference's third sink family — a socket
+server speaking the StreamClient pull protocol.
+
+Reference surface being re-expressed:
+
+- **Framing** (`src/stream/StreamNetwork.cpp:122-330`): every message is
+  a little-endian u32 length prefix followed by the protobuf bytes; a
+  message of 4 GiB or more sends the u32 sentinel ``0xFFFFFFFF`` and
+  then a u64 length (``StreamNetwork.h:49 MAX_LENGTH``).
+- **Handshake / restart negotiation**
+  (`src/writer/WriterStream.cpp:52-232`, `proto/OraProtoBuf.proto:59-78`):
+  the client drives with ``RedoRequest`` codes INFO → START (first run)
+  or CONTINUE (restart), the server answers READY / REPLICATE /
+  INVALID_DATABASE…, then streams ``RedoResponse`` data messages.
+  CONFIRM carries the client's durable (c_scn, c_idx) watermark: the
+  server prunes its resend queue up to it (WriterStream.cpp:199-232)
+  and persists it in the checkpoint document, exactly the W1 confirm
+  bookkeeping the file sinks use.
+
+Spark integration: :func:`stream_network_sink` is a ``foreachBatch``
+writer — each micro-batch's change events are protobuf-encoded
+DISTRIBUTED (the Arrow-batched builder of
+`builders/protobuf_builder.py`), then the framed bytes funnel through
+the server's single ordered socket. That funnel is not a scale wart:
+the protocol itself is one client pulling one totally-ordered stream,
+the same serialization point as the reference's writer thread — scale
+fan-out belongs to the Kafka/file sinks (W2/W3).
+
+The protobuf wire codec reuses the hand-rolled encoder of
+``builders/protobuf_builder.py`` (no protobuf runtime in this
+environment); requests/responses match OraProtoBuf.proto field numbers
+so a stock reference client could interoperate.
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import socket
+import struct
+import threading
+
+from openlogreplicator_spark.builders.protobuf_builder import (
+    _ld,
+    _s,
+    _vi,
+    decode_message,
+)
+
+MAX_LENGTH32 = 0xFFFFFFFF
+
+# RequestCode (OraProtoBuf.proto:62-67)
+REQ_INFO, REQ_START, REQ_CONTINUE, REQ_CONFIRM = 0, 1, 2, 3
+# ResponseCode (OraProtoBuf.proto:69-78)
+RESP_READY = 0
+RESP_FAILED_START = 1
+RESP_STARTING = 2
+RESP_ALREADY_STARTED = 3
+RESP_REPLICATE = 4
+RESP_PAYLOAD = 5
+RESP_INVALID_DATABASE = 6
+RESP_INVALID_COMMAND = 7
+
+
+# --------------------------------------------------------------------------
+# framing (StreamNetwork::sendMessage / readMessage)
+# --------------------------------------------------------------------------
+
+
+def send_frame(sock: socket.socket, payload: bytes) -> None:
+    if len(payload) < MAX_LENGTH32:
+        sock.sendall(struct.pack("<I", len(payload)) + payload)
+    else:
+        sock.sendall(
+            struct.pack("<I", MAX_LENGTH32)
+            + struct.pack("<Q", len(payload))
+            + payload
+        )
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return bytes(buf)
+
+
+def recv_frame(sock: socket.socket) -> bytes | None:
+    hdr = _recv_exact(sock, 4)
+    if hdr is None:
+        return None
+    (length,) = struct.unpack("<I", hdr)
+    if length == MAX_LENGTH32:
+        hdr8 = _recv_exact(sock, 8)
+        if hdr8 is None:
+            return None
+        (length,) = struct.unpack("<Q", hdr8)
+    return _recv_exact(sock, length)
+
+
+# --------------------------------------------------------------------------
+# RedoRequest / control RedoResponse wire codec (OraProtoBuf.proto:129-160)
+# --------------------------------------------------------------------------
+
+
+def encode_redo_request(
+    code: int,
+    database: str,
+    scn: int | None = None,
+    seq: int | None = None,
+    c_scn: int | None = None,
+    c_idx: int | None = None,
+) -> bytes:
+    out = _vi(1, code) if code else b""
+    out += _s(2, database)
+    if scn is not None:
+        out += _vi(3, scn)
+    if seq is not None:
+        out += _vi(6, seq)
+    if c_scn is not None:
+        out += _vi(8, c_scn)
+    if c_idx is not None:
+        out += _vi(9, c_idx)
+    return out
+
+
+def decode_redo_request(buf: bytes) -> dict:
+    req = {"code": REQ_INFO}
+    for field, _wire, value in decode_message(buf):
+        if field == 1:
+            req["code"] = value
+        elif field == 2:
+            req["database"] = value.decode("utf-8")
+        elif field == 3:
+            req["scn"] = value
+        elif field == 6:
+            req["seq"] = value
+        elif field == 8:
+            req["c_scn"] = value
+        elif field == 9:
+            req["c_idx"] = value
+    return req
+
+
+def encode_control_response(
+    code: int,
+    scn: int | None = None,
+    c_scn: int | None = None,
+    c_idx: int | None = None,
+) -> bytes:
+    # proto3 default: code 0 (READY) is omitted from the wire
+    out = _vi(1, code) if code else b""
+    if scn is not None:
+        out += _vi(2, scn)
+    if c_scn is not None:
+        out += _vi(10, c_scn)
+    if c_idx is not None:
+        out += _vi(11, c_idx)
+    return out
+
+
+def decode_control_response(buf: bytes) -> dict:
+    resp = {"code": RESP_READY, "payload": []}
+    for field, _wire, value in decode_message(buf):
+        if field == 1:
+            resp["code"] = value
+        elif field == 2:
+            resp["scn"] = value
+        elif field == 9:
+            resp["payload"].append(value)
+        elif field == 10:
+            resp["c_scn"] = value
+        elif field == 11:
+            resp["c_idx"] = value
+    return resp
+
+
+# --------------------------------------------------------------------------
+# server (the writer side: WriterStream.cpp state machine)
+# --------------------------------------------------------------------------
+
+
+class StreamServer:
+    """Single-client ordered-delivery server.
+
+    Holds the unconfirmed message queue [(scn, idx, frame)], the
+    confirmed watermark, and the WriterStream request state machine.
+    ``enqueue`` is the producer side (fed by the foreachBatch sink);
+    frames stream to the client only while a START/CONTINUE has put the
+    session into replicate mode.
+    """
+
+    def __init__(
+        self,
+        database: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        state_dir: str | None = None,
+        first_scn: int = 0,
+    ) -> None:
+        self.database = database
+        self.state_dir = state_dir
+        self.first_scn = first_scn
+        self._lock = threading.Condition()
+        self._queue: list[tuple[int, int, bytes]] = []
+        self.confirmed_scn = 0
+        self.confirmed_idx = 0
+        self._streaming = False
+        self._cursor = 0  # next queue position to send
+        self._stop = False
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, port))
+        self._srv.listen(1)
+        self.address = self._srv.getsockname()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    # -- producer side ----------------------------------------------------
+
+    def enqueue(self, scn: int, idx: int, frame: bytes) -> None:
+        with self._lock:
+            self._queue.append((scn, idx, frame))
+            self._lock.notify_all()
+
+    def stop(self) -> None:
+        self._stop = True
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    # -- protocol ----------------------------------------------------------
+
+    def _persist_confirm(self) -> None:
+        if self.state_dir is None:
+            return
+        from openlogreplicator_spark.metadata.state_documents import (
+            write_checkpoint_doc,
+        )
+
+        write_checkpoint_doc(
+            self.state_dir,
+            self.database,
+            scn=self.confirmed_scn,
+            idx=self.confirmed_idx,
+        )
+
+    def _handle(self, req: dict) -> bytes | None:
+        if req.get("database") != self.database:
+            # WriterStream.cpp:57-61 — refuse to talk about another db
+            return encode_control_response(RESP_INVALID_DATABASE)
+        code = req.get("code", REQ_INFO)
+        with self._lock:
+            if code == REQ_INFO:
+                if not self._queue and not self._streaming:
+                    return encode_control_response(
+                        RESP_READY,
+                        c_scn=self.confirmed_scn,
+                        c_idx=self.confirmed_idx,
+                    )
+                return encode_control_response(
+                    RESP_REPLICATE,
+                    scn=self.first_scn,
+                    c_scn=self.confirmed_scn,
+                    c_idx=self.confirmed_idx,
+                )
+            if code == REQ_START:
+                if self._streaming:
+                    return encode_control_response(
+                        RESP_ALREADY_STARTED,
+                        scn=self.first_scn,
+                        c_scn=self.confirmed_scn,
+                        c_idx=self.confirmed_idx,
+                    )
+                self._streaming = True
+                self._cursor = 0
+                return encode_control_response(
+                    RESP_REPLICATE,
+                    scn=self.first_scn,
+                    c_scn=self.confirmed_scn,
+                    c_idx=self.confirmed_idx,
+                )
+            if code == REQ_CONTINUE:
+                # client supplies its durable watermark; 0/absent means
+                # resume from the server's confirmed point
+                # (WriterStream.cpp:165-197)
+                c_scn = req.get("c_scn") or self.confirmed_scn
+                c_idx = req.get("c_idx", self.confirmed_idx)
+                self._cursor = 0
+                while self._cursor < len(self._queue) and (
+                    self._queue[self._cursor][0] < c_scn
+                    or (
+                        self._queue[self._cursor][0] == c_scn
+                        and self._queue[self._cursor][1] <= c_idx
+                    )
+                ):
+                    self._cursor += 1
+                self._streaming = True
+                return encode_control_response(RESP_REPLICATE)
+            if code == REQ_CONFIRM:
+                # prune everything at or below the watermark
+                # (WriterStream.cpp:199-232); no response message
+                c_scn = req.get("c_scn")
+                if c_scn is not None:
+                    c_idx = req.get("c_idx", 0)
+                    dropped = 0
+                    while self._queue and (
+                        self._queue[0][0] < c_scn
+                        or (
+                            self._queue[0][0] == c_scn
+                            and self._queue[0][1] <= c_idx
+                        )
+                    ):
+                        self._queue.pop(0)
+                        dropped += 1
+                    self._cursor = max(0, self._cursor - dropped)
+                    self.confirmed_scn = c_scn
+                    self.confirmed_idx = c_idx
+                    self._persist_confirm()
+                return None
+        return encode_control_response(RESP_INVALID_COMMAND)
+
+    def _serve(self) -> None:
+        while not self._stop:
+            try:
+                client, _ = self._srv.accept()
+            except OSError:
+                return
+            try:
+                self._session(client)
+            except (ConnectionError, OSError):
+                pass
+            finally:
+                with self._lock:
+                    self._streaming = False
+                try:
+                    client.close()
+                except OSError:
+                    pass
+
+    def _session(self, client: socket.socket) -> None:
+        client.setblocking(False)
+        while not self._stop:
+            # inbound requests first (the reference polls for CONFIRM
+            # while streaming, WriterStream.cpp:234-276)
+            r, _, _ = select.select([client], [], [], 0.02)
+            if r:
+                client.setblocking(True)
+                frame = recv_frame(client)
+                client.setblocking(False)
+                if frame is None:
+                    return  # client went away — await reconnect
+                resp = self._handle(decode_redo_request(frame))
+                if resp is not None:
+                    client.setblocking(True)
+                    send_frame(client, resp)
+                    client.setblocking(False)
+            # then stream pending data frames
+            with self._lock:
+                streaming = self._streaming
+                frames = list(self._queue[self._cursor:])
+                self._cursor = len(self._queue) if streaming else self._cursor
+            if streaming and frames:
+                client.setblocking(True)
+                for _scn, _idx, f in frames:
+                    send_frame(client, f)
+                client.setblocking(False)
+
+
+# --------------------------------------------------------------------------
+# client (the consumer side of the pull protocol)
+# --------------------------------------------------------------------------
+
+
+class StreamClient:
+    """Reference-protocol consumer: INFO → START/CONTINUE → payloads →
+    CONFIRM. Used by the e2e tests as the loopback peer; shaped like the
+    client embedded in the reference's Debezium connector."""
+
+    def __init__(self, host: str, port: int, database: str) -> None:
+        self.database = database
+        self._sock = socket.create_connection((host, port), timeout=30)
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def _rpc(self, payload: bytes) -> dict:
+        send_frame(self._sock, payload)
+        frame = recv_frame(self._sock)
+        if frame is None:
+            raise ConnectionError("server closed during rpc")
+        return decode_control_response(frame)
+
+    def info(self) -> dict:
+        return self._rpc(encode_redo_request(REQ_INFO, self.database))
+
+    def start(self, scn: int | None = None, seq: int | None = None) -> dict:
+        return self._rpc(
+            encode_redo_request(REQ_START, self.database, scn=scn, seq=seq)
+        )
+
+    def resume(self, c_scn: int | None = None, c_idx: int | None = None) -> dict:
+        return self._rpc(
+            encode_redo_request(
+                REQ_CONTINUE, self.database, c_scn=c_scn, c_idx=c_idx
+            )
+        )
+
+    def confirm(self, c_scn: int, c_idx: int = 0) -> None:
+        send_frame(
+            self._sock,
+            encode_redo_request(
+                REQ_CONFIRM, self.database, c_scn=c_scn, c_idx=c_idx
+            ),
+        )
+
+    def recv_event(self, timeout: float = 10.0) -> dict | None:
+        self._sock.settimeout(timeout)
+        try:
+            frame = recv_frame(self._sock)
+        except TimeoutError:
+            return None
+        if frame is None:
+            return None
+        ev = {"payload": []}
+        for field, _wire, value in decode_message(frame):
+            if field == 1:
+                ev["code"] = value
+            elif field == 2:
+                ev["scn"] = value
+            elif field == 6:
+                ev["xid"] = value.decode("utf-8")
+            elif field == 8:
+                ev["db"] = value.decode("utf-8")
+            elif field == 9:
+                ev["payload"].append(value)
+            elif field == 10:
+                ev["c_scn"] = value
+            elif field == 11:
+                ev["c_idx"] = value
+        return ev
+
+
+# --------------------------------------------------------------------------
+# Spark sink
+# --------------------------------------------------------------------------
+
+
+def stream_network_sink(server: StreamServer):
+    """foreachBatch writer: CHANGE_EVENT_SCHEMA micro-batches →
+    protobuf-framed messages on the server's queue, in (c_scn, xid, num)
+    emission order. Encoding runs distributed (Arrow pandas UDF); only
+    the framed bytes of the batch funnel to the driver, because network
+    delivery IS one ordered socket — the reference writer has the
+    identical single-threaded funnel (WriterQueue → Stream)."""
+    from openlogreplicator_spark.builders.protobuf_builder import (
+        build_protobuf_events,
+    )
+    from pyspark.sql import functions as F
+
+    def write(batch_df, batch_id: int) -> None:
+        prepared = (
+            batch_df.withColumn(
+                "_oscn", F.coalesce(F.col("c_scn"), F.col("scn"))
+            )
+            .withColumn("_oidx", F.coalesce(F.col("num"), F.lit(0)))
+            .orderBy("_oscn", "xid", "_oidx")
+        )
+        encoded = build_protobuf_events(
+            prepared, extra_cols=("_oscn", "_oidx")
+        )
+        for row in encoded.toLocalIterator():
+            server.enqueue(int(row._oscn), int(row._oidx), bytes(row.value))
+
+    return write

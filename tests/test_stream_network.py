@@ -1,0 +1,194 @@
+"""W4 network sink: framing, the StreamClient pull protocol
+(INFO/START/CONTINUE/CONFIRM, WriterStream.cpp:52-276), and the full
+pipeline → socket → confirm → checkpoint-doc → restart/CONTINUE loop."""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+from conftest import drain
+from openlogreplicator_spark.config import EngineConfig, Format
+from openlogreplicator_spark.metadata.state_documents import (
+    read_checkpoint_doc,
+)
+from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+from openlogreplicator_spark.sources.redo_gen import (
+    generate_redo_records,
+    redo_records_df,
+)
+from openlogreplicator_spark.streaming.engine import build_pipeline
+from openlogreplicator_spark.streaming.stream_network import (
+    MAX_LENGTH32,
+    REQ_CONFIRM,
+    RESP_ALREADY_STARTED,
+    RESP_INVALID_DATABASE,
+    RESP_READY,
+    RESP_REPLICATE,
+    StreamClient,
+    StreamServer,
+    decode_control_response,
+    decode_redo_request,
+    encode_control_response,
+    encode_redo_request,
+    recv_frame,
+    send_frame,
+)
+
+
+def test_frame_roundtrip_and_big_frame_sentinel():
+    a, b = socket.socketpair()
+    try:
+        send_frame(a, b"hello")
+        assert recv_frame(b) == b"hello"
+        send_frame(a, b"")
+        assert recv_frame(b) == b""
+        # the >=4GiB path uses a u32 sentinel + u64 length
+        # (StreamNetwork.h:49, sendMessage :157-200); construct the
+        # header by hand so the reader's sentinel branch is exercised
+        payload = b"big-frame-body"
+        a.sendall(
+            struct.pack("<I", MAX_LENGTH32)
+            + struct.pack("<Q", len(payload))
+            + payload
+        )
+        assert recv_frame(b) == payload
+        a.close()
+        assert recv_frame(b) is None  # clean EOF
+    finally:
+        b.close()
+
+
+def test_request_response_wire_roundtrip():
+    req = decode_redo_request(
+        encode_redo_request(
+            REQ_CONFIRM, "DB1", scn=7, seq=3, c_scn=1000, c_idx=4
+        )
+    )
+    assert req == {
+        "code": REQ_CONFIRM, "database": "DB1", "scn": 7, "seq": 3,
+        "c_scn": 1000, "c_idx": 4,
+    }
+    resp = decode_control_response(
+        encode_control_response(RESP_REPLICATE, scn=5, c_scn=9, c_idx=2)
+    )
+    assert resp["code"] == RESP_REPLICATE and resp["scn"] == 5
+    assert resp["c_scn"] == 9 and resp["c_idx"] == 2
+    # proto3 default code (READY) omitted on the wire
+    assert decode_control_response(encode_control_response(RESP_READY))[
+        "code"
+    ] == RESP_READY
+
+
+def test_server_handshake_confirm_and_continue(tmp_path):
+    state_dir = str(tmp_path / "state")
+    server = StreamServer("DBT", state_dir=state_dir)
+    host, port = server.address
+    try:
+        c = StreamClient(host, port, "DBT")
+        # INFO before any data: READY (WriterStream::processInfo)
+        assert c.info()["code"] == RESP_READY
+        # wrong database is refused
+        bad = StreamClient(host, port, "OTHER")
+        # second concurrent client shares the single-session server —
+        # use protocol objects directly over the same socket instead
+        bad.close()
+        assert server._handle({"database": "OTHER", "code": 0}) == (
+            encode_control_response(RESP_INVALID_DATABASE)
+        )
+        # START → REPLICATE, then frames flow
+        assert c.start(scn=0)["code"] == RESP_REPLICATE
+        for i in range(1, 4):
+            server.enqueue(100 * i, 0, f"payload-{i}".encode())
+        frames = []
+        sock = c._sock
+        for _ in range(3):
+            frames.append(recv_frame(sock))
+        assert frames == [b"payload-1", b"payload-2", b"payload-3"]
+        # CONFIRM prunes the queue and persists the checkpoint doc
+        c.confirm(200, 0)
+        import time
+
+        for _ in range(100):
+            if server.confirmed_scn == 200:
+                break
+            time.sleep(0.02)
+        assert server.confirmed_scn == 200
+        assert [q[0] for q in server._queue] == [300]
+        doc = read_checkpoint_doc(state_dir, "DBT")
+        assert doc is not None and int(doc["scn"]) == 200
+        # START while streaming → ALREADY_STARTED
+        assert c.start()["code"] == RESP_ALREADY_STARTED
+        c.close()
+        # reconnect: CONTINUE from the durable watermark resends only
+        # the unconfirmed tail (WriterStream::processContinue)
+        c2 = StreamClient(host, port, "DBT")
+        assert c2.info()["code"] == RESP_REPLICATE
+        assert c2.resume(c_scn=200, c_idx=0)["code"] == RESP_REPLICATE
+        assert recv_frame(c2._sock) == b"payload-3"
+        c2.close()
+    finally:
+        server.stop()
+
+
+def test_pipeline_to_network_sink_end_to_end(spark, tmp_path):
+    """pipeline → socket → client confirms → checkpoint doc advances;
+    a restarted client resumes from CONTINUE without re-receiving
+    confirmed frames."""
+    redo_dir = str(tmp_path / "redo")
+    records = generate_redo_records(n_txns=12, seed=5, p_rollback=0.0)
+    write_binary_redo(redo_records_df(spark, records), redo_dir, n_files=2)
+    state_dir = str(tmp_path / "state")
+    cfg = EngineConfig(fmt=Format(db_name="NETDB"))
+    server = StreamServer("NETDB", state_dir=state_dir)
+    host, port = server.address
+    try:
+        client = StreamClient(host, port, "NETDB")
+        assert client.info()["code"] == RESP_READY
+        assert client.start(scn=0)["code"] == RESP_REPLICATE
+        q = build_pipeline(
+            spark, cfg, redo_dir,
+            checkpoint=str(tmp_path / "ckpt"),
+            sink="network",
+            network_server=server,
+        )
+        drain(q)
+        events = []
+        while True:
+            ev = client.recv_event(timeout=2.0)
+            if ev is None:
+                break
+            events.append(ev)
+        assert len(events) > 0
+        assert all(e["db"] == "NETDB" for e in events)
+        assert all(e["payload"] for e in events)
+        # emission order is the confirm watermark order (c_scn, xid, num)
+        # — the same key the reference's writer queue carries
+        scns = [e.get("c_scn", e["scn"]) for e in events]
+        assert scns == sorted(scns)  # ordered emission
+        # confirm everything up to the midpoint watermark
+        mid = scns[len(scns) // 2]
+        client.confirm(mid, 10**9)
+        import time
+
+        for _ in range(100):
+            if server.confirmed_scn == mid:
+                break
+            time.sleep(0.02)
+        doc = read_checkpoint_doc(state_dir, "NETDB")
+        assert doc is not None and int(doc["scn"]) == mid
+        client.close()
+        # restart: CONTINUE resumes after the confirmed watermark
+        c2 = StreamClient(host, port, "NETDB")
+        assert c2.resume()["code"] == RESP_REPLICATE
+        tail = []
+        while True:
+            ev = c2.recv_event(timeout=2.0)
+            if ev is None:
+                break
+            tail.append(ev.get("c_scn", ev["scn"]))
+        assert tail and min(tail) > mid
+        assert tail == [s for s in scns if s > mid]
+        c2.close()
+    finally:
+        server.stop()

@@ -282,3 +282,102 @@ def test_generator_property_sequential_invariants(seed):
         assert [e["num"] for e in evs] == list(range(len(evs)))
         assert len({e["commit_scn"] for e in evs}) == 1
         assert all(e["scn"] <= e["commit_scn"] for e in evs)
+
+
+def test_vectorized_undo_pairing_matches_state_machine(spark):
+    """The Arrow kernel replays the per-address pending-undo automaton
+    (set/overwrite at 5.1, pop at the next row op) with segmented
+    vector ops; this drives randomized streams — non-adjacent pairs,
+    overwritten undos, repeated addresses, unconsumed undos — through
+    the Spark path and demands byte-identical output to the sequential
+    state machine."""
+    import random
+
+    rng = random.Random(20260815)
+    records = []
+    scn = 0
+    for xid in range(40):
+        x = str(xid)
+        scn += 10
+        records.append({"scn": scn, "xid": x, "opcode": "begin"})
+        n_addr = rng.randint(1, 4)
+        for a in range(n_addr):
+            bdba, slot = 100 + xid, a
+            shape = rng.choice(
+                ["pair", "undo_only", "dml_only", "overwrite",
+                 "pair_gap", "two_dml"]
+            )
+            scn += 10
+            if shape == "pair":
+                records.append({"scn": scn, "xid": x, "opcode": "undo",
+                                "obj": 1, "bdba": bdba, "slot": slot,
+                                "cols": {"q": "old"}})
+                records.append({"scn": scn + 1, "xid": x,
+                                "opcode": "update", "obj": 1,
+                                "bdba": bdba, "slot": slot,
+                                "cols": {"q": "new"}})
+            elif shape == "undo_only":
+                records.append({"scn": scn, "xid": x, "opcode": "undo",
+                                "obj": 1, "bdba": bdba, "slot": slot,
+                                "cols": {"q": "orphan"}})
+            elif shape == "dml_only":
+                records.append({"scn": scn, "xid": x, "opcode": "insert",
+                                "obj": 1, "bdba": bdba, "slot": slot,
+                                "cols": {"q": "bare"}})
+            elif shape == "overwrite":
+                records.append({"scn": scn, "xid": x, "opcode": "undo",
+                                "obj": 1, "bdba": bdba, "slot": slot,
+                                "cols": {"q": "first"}})
+                records.append({"scn": scn + 1, "xid": x, "opcode": "undo",
+                                "obj": 1, "bdba": bdba, "slot": slot,
+                                "cols": {"q": "second"}})
+                records.append({"scn": scn + 2, "xid": x,
+                                "opcode": "delete", "obj": 1,
+                                "bdba": bdba, "slot": slot,
+                                "cols": {"q": "gone"}})
+            elif shape == "pair_gap":
+                # undo separated from its dml by another address's rows
+                records.append({"scn": scn, "xid": x, "opcode": "undo",
+                                "obj": 1, "bdba": bdba, "slot": slot,
+                                "cols": {"q": "gapold"}})
+                records.append({"scn": scn + 1, "xid": x,
+                                "opcode": "insert", "obj": 1,
+                                "bdba": bdba + 1000, "slot": slot,
+                                "cols": {"q": "other"}})
+                records.append({"scn": scn + 2, "xid": x,
+                                "opcode": "update", "obj": 1,
+                                "bdba": bdba, "slot": slot,
+                                "cols": {"q": "gapnew"}})
+            else:  # two_dml — second gets no before image
+                records.append({"scn": scn, "xid": x, "opcode": "undo",
+                                "obj": 1, "bdba": bdba, "slot": slot,
+                                "cols": {"q": "once"}})
+                records.append({"scn": scn + 1, "xid": x,
+                                "opcode": "update", "obj": 1,
+                                "bdba": bdba, "slot": slot,
+                                "cols": {"q": "v1"}})
+                records.append({"scn": scn + 2, "xid": x,
+                                "opcode": "update", "obj": 1,
+                                "bdba": bdba, "slot": slot,
+                                "cols": {"q": "v2"}})
+            scn += 5
+        scn += 10
+        records.append({"scn": scn, "xid": x, "opcode": "commit"})
+    from openlogreplicator_spark.sources.redo_gen import redo_records_df
+
+    expected = assemble_transactions_py(records)
+    df = redo_records_df(spark, records)
+    got = [r.asDict() for r in assemble_transactions(df).collect()]
+
+    def key(e):
+        return (e["xid"], e["commit_scn"], e["num"])
+
+    assert len(got) == len(expected)
+    gmap = {key(e): e for e in got}
+    for e in expected:
+        g = gmap[key(e)]
+        assert g["op"] == e["op"] and g["scn"] == e["scn"]
+        assert (g["cols"] or None) == (e["cols"] or None)
+        eb = e.get("before_cols") or None
+        gb = g.get("before_cols") or None
+        assert gb == eb, (e["xid"], e["num"], gb, eb)
