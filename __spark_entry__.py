@@ -80,10 +80,16 @@ _PRIORITY = [  # round-4 window — see rotation note above the old list below
     "dedup_semantic",
     "dedup_incremental",
     "dedup_canonical_pick",
-    # embeddings / multimodal
+    # embeddings / multimodal. embedding_stats / embedding_normalize
+    # (map-only projections, the lowest-risk of this window) yield
+    # their slots to the two NEW oracle-checked operators of this round:
+    # the real-codec image decode (pixel-exact vs an arithmetic oracle)
+    # and the type-system tail (LONG/LONG RAW unknown-type matrix +
+    # EXPERIMENTAL_JSON raw-LOB passthrough). Both displaced queries
+    # stay registered and locally oracle-checked.
     "embedding_quantize",
-    "embedding_stats",
-    "embedding_normalize",
+    "multimodal_image_stats",
+    "cdc_type_tail",
     "multimodal_decode_table",
     # streaming windows (registered since r1, never hit the window)
     "stream_sliding_window",

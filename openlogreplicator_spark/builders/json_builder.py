@@ -30,16 +30,21 @@ from openlogreplicator_spark.config import (
 # dictionary type codes the engine cannot decode to a value — the
 # reference emits LONG / LONG RAW as unsupported (BuilderJson.h:445-448)
 _UNSUPPORTED_COLTYPES = (8, 24)
+# SysCol COLTYPE::JSON — raw-LOB passthrough behind EXPERIMENTAL_JSON
+_JSON_COLTYPE = 119
 
 
 def _shape_unknown(img: Column, fmt: Format) -> Column:
     """UNKNOWN_TYPE / UNKNOWN_FORMAT shaping of one image against the
     dictionary's per-column type codes: HIDE drops unsupported-type
     columns; SHOW renders them as '?' (QUESTION_MARK) or hex (DUMP).
-    Fidelity note: the reference dumps Oracle's original byte image;
-    this engine's parse plane has already decoded images to canonical
-    strings, so DUMP hexes the decoded string's UTF-8 — same toggle
-    surface, different byte source."""
+    JSON-typed (119) columns are their own case (Builder.cpp:154-158):
+    with EXPERIMENTAL_JSON set, the LOB-assembled value passes through
+    as raw hex (the reference's columnRaw); without the flag the column
+    never emits. Fidelity note: the reference dumps Oracle's original
+    byte image; this engine's parse plane has already decoded images to
+    canonical strings, so DUMP/raw hex the decoded string's UTF-8 —
+    same toggle surface, different byte source."""
     tmap = F.map_from_entries(
         F.transform(
             F.col("_all_cols"),
@@ -51,6 +56,29 @@ def _shape_unknown(img: Column, fmt: Format) -> Column:
         return F.coalesce(
             F.element_at(tmap, k).isin(*_UNSUPPORTED_COLTYPES), F.lit(False)
         )
+
+    def is_json(k: Column) -> Column:
+        return F.coalesce(
+            F.element_at(tmap, k) == _JSON_COLTYPE, F.lit(False)
+        )
+
+    if fmt.experimental_json:
+        img = F.map_from_entries(
+            F.transform(
+                F.map_entries(img),
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    F.when(
+                        is_json(e["key"]) & e["value"].isNotNull(),
+                        F.lower(F.hex(e["value"])),
+                    )
+                    .otherwise(e["value"])
+                    .alias("value"),
+                ),
+            )
+        )
+    else:
+        img = F.map_filter(img, lambda k, v: ~is_json(k))
 
     if fmt.unknown_type == UnknownType.HIDE:
         return F.map_filter(img, lambda k, v: ~unk(k))

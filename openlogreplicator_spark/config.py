@@ -110,6 +110,10 @@ class Format:
     db: DbFormat = DbFormat.ALL
     skip_begin: bool = False   # MESSAGE_FORMAT::SKIP_BEGIN
     skip_commit: bool = False  # MESSAGE_FORMAT::SKIP_COMMIT
+    # REDO_FLAGS::EXPERIMENTAL_JSON (Ctx.h:104): JSON-typed (119)
+    # columns pass through as raw LOB hex (Builder.cpp:154-158);
+    # off ⇒ the column never emits
+    experimental_json: bool = False
     add_offset: bool = False   # MESSAGE_FORMAT::ADD_OFFSET
     add_sequences: bool = False
     attributes: bool = False   # ATTRIBUTES_FORMAT — emit session attrs

@@ -1651,7 +1651,94 @@ LEFT JOIN part_map m ON m.pobj = 10000 + l_partkey
 """
 
 
+def cdc_type_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-system tail, oracle-checked: LONG(8)/LONG RAW(24) columns
+    are value-undecodable — the UNKNOWN_TYPE matrix hides them (default)
+    or marks them ('?' / hex dump) per Format.h; JSON(119) columns are
+    their own case: EXPERIMENTAL_JSON passes the LOB value through as
+    raw hex (Builder.cpp:154-158, BuilderJson.h:445-448), without the
+    flag the column never emits. One row per sampled order shows every
+    branch side by side."""
+    from openlogreplicator_spark.builders.json_builder import _shape_unknown
+    from openlogreplicator_spark.config import (
+        Format,
+        UnknownFormat,
+        UnknownType,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    img = F.create_map(
+        F.lit("c_name"), F.col("o_orderpriority"),
+        F.lit("c_long"), F.concat(
+            F.lit("L-"), F.col("o_orderstatus"), F.lit("/"),
+            F.col("o_orderpriority"),
+        ),
+        F.lit("c_lraw"), F.md5(F.col("o_orderkey").cast("string")),
+        F.lit("c_json"), F.concat(
+            F.lit('{"k":'), F.col("o_orderkey").cast("string"), F.lit("}")
+        ),
+    )
+    dict_cols = F.array(
+        *[
+            F.struct(F.lit(n).alias("name"), F.lit(t).alias("type"))
+            for n, t in (
+                ("c_name", 1), ("c_long", 8), ("c_lraw", 24), ("c_json", 119)
+            )
+        ]
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        img.alias("_img"),
+        dict_cols.alias("_all_cols"),
+    )
+    hide = Format(unknown_type=UnknownType.HIDE)
+    show_dump = Format(
+        unknown_type=UnknownType.SHOW,
+        unknown=UnknownFormat.DUMP,
+        experimental_json=True,
+    )
+    show_q = Format(
+        unknown_type=UnknownType.SHOW, unknown=UnknownFormat.QUESTION_MARK
+    )
+    shaped = base.select(
+        "order_key",
+        _shape_unknown(F.col("_img"), hide).alias("m_hide"),
+        _shape_unknown(F.col("_img"), show_dump).alias("m_dump"),
+        _shape_unknown(F.col("_img"), show_q).alias("m_q"),
+    )
+    return shaped.select(
+        "order_key",
+        F.element_at("m_hide", F.lit("c_name")).alias("name_kept"),
+        F.element_at("m_hide", F.lit("c_long")).alias("long_hidden"),
+        F.element_at("m_hide", F.lit("c_json")).alias("json_off"),
+        F.element_at("m_dump", F.lit("c_long")).alias("long_dump"),
+        F.element_at("m_dump", F.lit("c_lraw")).alias("lraw_dump"),
+        F.element_at("m_dump", F.lit("c_json")).alias("json_raw"),
+        F.element_at("m_q", F.lit("c_long")).alias("long_q"),
+        F.element_at("m_q", F.lit("c_lraw")).alias("lraw_q"),
+    )
+
+
+CDC_TYPE_TAIL_SQL = """
+SELECT o_orderkey AS order_key,
+       o_orderpriority AS name_kept,
+       CAST(NULL AS VARCHAR) AS long_hidden,
+       CAST(NULL AS VARCHAR) AS json_off,
+       lower(hex(encode('L-' || o_orderstatus || '/' || o_orderpriority)))
+           AS long_dump,
+       lower(hex(encode(md5(CAST(o_orderkey AS VARCHAR))))) AS lraw_dump,
+       lower(hex(encode('{"k":' || CAST(o_orderkey AS VARCHAR) || '}')))
+           AS json_raw,
+       '?' AS long_q,
+       '?' AS lraw_q
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
 QUERIES = {
+    "cdc_type_tail": cdc_type_tail,
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
     "cdc_txn_assembly": cdc_txn_assembly,
@@ -1678,6 +1765,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_type_tail": CDC_TYPE_TAIL_SQL,
     "cdc_schema_asof_resolve": CDC_SCHEMA_ASOF_SQL,
     "cdc_sessionize": CDC_SESSIONIZE_SQL,
     "cdc_last_image": CDC_LAST_IMAGE_SQL,

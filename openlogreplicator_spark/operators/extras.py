@@ -204,9 +204,9 @@ def multimodal_decode_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same Arrow-batched ``decode_media`` plumbing as the synthetic
     media corpus (schema, batch shape, map-only stage), and every decoded
     statistic — byte count, checksum, mean byte intensity — is
-    independently recomputed by DuckDB. This pins the decode *pipeline*
-    with a hard oracle; the codec swap-in point stays the documented stub
-    (multimodal.py)."""
+    independently recomputed by DuckDB. Text blobs carry no media magic,
+    so this drives the decoder's `raw` passthrough branch; the real
+    codecs are oracle-checked by multimodal_image_stats."""
     from openlogreplicator_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         decode_media,
@@ -237,8 +237,90 @@ SELECT doc_id AS media_id,
        ROUND(list_sum(list_transform(range(1, CAST(strlen(text) AS INT) + 1),
                  i -> ord(substring(text, i, 1))))
              / strlen(text) / 255.0, 6) AS mean_intensity,
-       'fake' AS decoder
+       'raw' AS decoder
 FROM documents
+"""
+
+
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end against an independent oracle: each
+    selected order becomes a two-band BMP/PNG/PPM image (geometry and
+    band colors are arithmetic functions of the order columns), encoded
+    in an Arrow stage, decoded by the pure-Python codecs
+    (functions/imagecodec.py), and the decoded geometry + EXACT pixel
+    sum (an integer — no float-formatting race) are recomputed by
+    DuckDB from the same arithmetic. A decoder column proves which
+    codec ran."""
+    import pandas as pd
+
+    from openlogreplicator_spark.functions import imagecodec as ic
+    from openlogreplicator_spark.operators.multimodal import (
+        _synth_pixels,
+        decode_media,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    ).select("o_orderkey")
+
+    def enc(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                w = 8 + (k % 8) * 2
+                h = 6 + (k % 6)
+                px = _synth_pixels(k, w, h)
+                fmt = ("png", "bmp", "ppm")[k % 3]
+                data = {
+                    "png": ic.encode_png,
+                    "bmp": ic.encode_bmp,
+                    "ppm": ic.encode_ppm,
+                }[fmt](px)
+                ids.append(k)
+                blobs.append(bytearray(data))
+            yield pd.DataFrame({"media_id": ids, "data": blobs})
+
+    media = orders.mapInPandas(
+        enc, schema="media_id long, data binary"
+    ).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "data",
+        F.lit(None).cast(
+            "struct<format:string,width:int,height:int,"
+            "sample_rate:int,n_frames:int>"
+        ).alias("meta"),
+    )
+    out = decode_media(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "decoder",
+        F.round(
+            F.col("mean_intensity") * 255.0 * F.col("width")
+            * F.col("height") * 3
+        ).cast("long").alias("pixel_sum"),
+    )
+
+
+MULTIMODAL_IMAGE_STATS_SQL = """
+WITH src AS (
+    SELECT o_orderkey AS k,
+           8 + (o_orderkey % 8) * 2 AS w,
+           6 + (o_orderkey % 6) AS h
+    FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT k AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CASE k % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'ppm' END
+           AS decoder,
+       ((k % 256) + (k * 7) % 256 + (k * 13) % 256) * (w // 2) * h
+       + ((k * 31) % 256 + (k * 3) % 256 + (k * 17) % 256)
+         * (w - w // 2) * h AS pixel_sum
+FROM src
 """
 
 
@@ -247,6 +329,7 @@ QUERIES = {
     "cdc_json_builder_debezium": cdc_json_builder_debezium,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_table": multimodal_decode_table,
+    "multimodal_image_stats": multimodal_image_stats,
     "multimodal_features_ann": multimodal_features_ann,
     "cdc_lob_reassembly": cdc_lob_reassembly,
     "cdc_protobuf_builder": cdc_protobuf_builder,
@@ -255,4 +338,5 @@ QUERIES = {
 ORACLE: dict[str, str] = {
     "cdc_lob_reassembly": CDC_LOB_SQL,
     "multimodal_decode_table": MULTIMODAL_DECODE_TABLE_SQL,
+    "multimodal_image_stats": MULTIMODAL_IMAGE_STATS_SQL,
 }

@@ -20,9 +20,27 @@ def test_decode_media_shapes_and_determinism(spark):
     out = decode_media(media)
     rows = out.collect()
     assert len(rows) == 30
-    assert all(r.decoder == "fake" for r in rows)  # stub clearly marked
-    assert all(r.n_bytes == 64 + r.media_id for r in rows)
+    # REAL codecs ran — decoder names the parsed container
+    assert {r.decoder for r in rows} == {"png", "bmp", "ppm", "wav", "mpng"}
     assert all(0.0 <= r.mean_intensity <= 1.0 for r in rows)
+    # decoded geometry comes from the byte stream and matches the meta
+    metas = {r.media_id: r.meta for r in media.collect()}
+    for r in rows:
+        if r.decoder in ("png", "bmp", "ppm", "mpng"):
+            assert (r.width, r.height) == (
+                metas[r.media_id].width, metas[r.media_id].height
+            )
+        if r.decoder == "mpng":
+            assert r.n_frames == metas[r.media_id].n_frames
+        if r.decoder == "wav":
+            assert r.width == metas[r.media_id].sample_rate
+    # pixel-exact: recompute one image's mean locally from the blob
+    from openlogreplicator_spark.functions.imagecodec import decode_image
+
+    img = media.filter(F.col("kind") == "image").first()
+    px = decode_image(bytes(img.data))
+    got = next(r for r in rows if r.media_id == img.media_id)
+    assert abs(got.mean_intensity - float(px.mean()) / 255.0) < 1e-12
     # deterministic: re-running yields identical checksums
     again = {r.media_id: r.checksum for r in decode_media(media).collect()}
     assert {r.media_id: r.checksum for r in rows} == again
@@ -36,19 +54,50 @@ def test_resize_plan_geometry(spark):
         assert abs(r.scale_x * (64 / r.scale_x) - 64) < 1e-9
 
 
-def test_sample_frames_every_n(spark):
+def test_sample_frames_every_n_and_real_frame_decode(spark):
+    from openlogreplicator_spark.operators.multimodal import (
+        decode_sampled_frames,
+    )
+
     media = synth_media(spark, 30)
-    frames = sample_frames(media, every_n=5).collect()
+    sampled = sample_frames(media, every_n=3)
+    frames = sampled.collect()
     assert frames
-    assert all(r.frame_idx % 5 == 0 for r in frames)
-    # video with n_frames=21 keeps frames 0,5,10,15,20
+    assert all(r.frame_idx % 3 == 0 for r in frames)
+    # video with n_frames=7 keeps frames 0,3,6
     vid = media.filter(
-        (F.col("kind") == "video") & (F.col("meta.n_frames") == 21)
+        (F.col("kind") == "video") & (F.col("meta.n_frames") == 7)
     ).select("media_id").collect()
     if vid:
         mid = vid[0].media_id
         got = sorted(r.frame_idx for r in frames if r.media_id == mid)
-        assert got == [0, 5, 10, 15, 20]
+        assert got == [0, 3, 6]
+    # the retained frames decode to real per-frame pixels
+    stats = decode_sampled_frames(sampled).collect()
+    assert len(stats) == len(frames)
+    assert all(r.width == 16 and r.height == 12 for r in stats)
+    assert all(0.0 <= r.mean_intensity <= 1.0 for r in stats)
+
+
+def test_resize_media_real_pixels(spark):
+    from openlogreplicator_spark.functions.imagecodec import (
+        decode_image,
+        resize_nearest,
+    )
+    from openlogreplicator_spark.operators.multimodal import resize_media
+
+    media = synth_media(spark, 9)
+    out = {r.media_id: bytes(r.data) for r in resize_media(media, 20, 10).collect()}
+    src = {
+        r.media_id: bytes(r.data)
+        for r in media.filter(F.col("kind") == "image").collect()
+    }
+    assert set(out) == set(src)
+    for mid, blob in out.items():
+        px = decode_image(blob)
+        assert px.shape == (10, 20, 3)
+        expect = resize_nearest(decode_image(src[mid]), 20, 10)
+        assert (px == expect).all()
 
 
 def test_extract_features_feeds_ann(spark):
