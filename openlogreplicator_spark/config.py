@@ -180,3 +180,7 @@ class EngineConfig:
     # the parse-plane dictionary resolve (Builder.cpp:1382-1426). None ⇒
     # k/v-framed files (or schemaless COL_<n> names for positional ones)
     pos_dictionary: dict | None = None
+    # database timezone (seconds east of UTC) for TIMESTAMP WITH LOCAL
+    # TIME ZONE decode — the reference reads metadata->dbTimezone from
+    # V$/config; threads into the parse plane's TSLTZ kernel
+    db_timezone_seconds: int = 2 * 3600

@@ -686,6 +686,8 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEM_K = 8      # anchor count; grow ~N/target_cluster_size at scale
+_SEM_CAP = 256  # per-cluster comparison-side cap (hot-cluster guard);
+                # exact while occupancy ≤ cap — true at every tested SF
 _SEM_TAU = 0.35  # intra-cluster duplicate threshold — the synthetic
                  # embeddings are near-orthogonal (max pairwise cos
                  # ~0.51, p99.9 ~0.38), so a production-style 0.9+
@@ -693,24 +695,24 @@ _SEM_TAU = 0.35  # intra-cluster duplicate threshold — the synthetic
                  # duplicate path on this corpus
 
 
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al., 2023): cluster-scoped semantic dedup —
-    assign every embedding to its nearest anchor, then inside each
-    cluster mark any vector whose cosine to a LOWER-id cluster-mate
-    exceeds tau as a duplicate (one survivor per semantic group).
-
-    Anchors here are the K lowest vec_ids (deterministic, so the oracle
-    can reproduce them); production SemDeDup uses k-means centroids,
-    which only changes how the anchor frame is built. 100-TB shape: the
-    anchor table is K×dim (broadcast), assignment is map-only, and the
-    pair scan is an equi-join on cluster id — comparisons are bounded by
-    the largest cluster, never all-pairs; K must grow with N to keep
-    cluster occupancy (and the per-cluster pair count) constant, the
-    same K-vs-N discipline as lsh_bucket's plane count."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = _SEM_K,
+    tau: float = _SEM_TAU,
+    cap: int | None = None,
+) -> DataFrame:
+    """SemDeDup core (Abbas et al., 2023) over a (vec_id, embedding)
+    frame — see :func:`dedup_semantic` for the algorithm. ``cap``
+    bounds the HOT-CLUSTER pair blow-up: the comparison side of the
+    pair scan keeps only each cluster's ``cap`` lowest-id members, so
+    a cluster of occupancy m generates at most m·cap candidate pairs
+    instead of m²/2 (the DF-cap discipline of dedup_ngram_jaccard).
+    Duplicates are then 'close to one of the cluster's first ``cap``
+    members' — exact whenever occupancy ≤ cap, a documented
+    head-anchored approximation beyond it."""
     anchors = (
         emb.orderBy("vec_id")
-        .limit(_SEM_K)
+        .limit(k)
         .select(
             F.col("vec_id").alias("anchor_id"),
             F.col("embedding").alias("a_emb"),
@@ -744,7 +746,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("a_e"),
         F.col("e_norm").alias("a_n"),
     )
-    b = sided.select(
+    b_src = sided
+    if cap is not None:
+        wc = Window.partitionBy("cluster").orderBy("vec_id")
+        b_src = (
+            sided.withColumn("_rk", F.row_number().over(wc))
+            .filter(F.col("_rk") <= cap)
+            .drop("_rk")
+        )
+    b = b_src.select(
         F.col("vec_id").alias("b_id"),
         "cluster",
         F.col("embedding").alias("b_e"),
@@ -755,7 +765,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("b_id") < F.col("a_id"))
         .filter(
             _dot(F.col("a_e"), F.col("b_e")) / (F.col("a_n") * F.col("b_n"))
-            > _SEM_TAU
+            > tau
         )
         .select(F.col("a_id").alias("vec_id"))
         .distinct()
@@ -766,6 +776,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("bigint").alias("cluster"),
         F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
     )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster-scoped semantic dedup —
+    assign every embedding to its nearest anchor, then inside each
+    cluster mark any vector whose cosine to a LOWER-id cluster-mate
+    exceeds tau as a duplicate (one survivor per semantic group).
+
+    Anchors here are the K lowest vec_ids (deterministic, so the oracle
+    can reproduce them); production SemDeDup uses k-means centroids,
+    which only changes how the anchor frame is built. 100-TB shape: the
+    anchor table is K×dim (broadcast), assignment is map-only, and the
+    pair scan is an equi-join on cluster id with the comparison side
+    capped at _SEM_CAP members per cluster — worst-case pairs are
+    occupancy·cap, never occupancy². The SQL oracle applies the
+    identical cap, so the check stays exact at any skew; K must grow
+    with N to keep cluster occupancy under the cap, the same K-vs-N
+    discipline as lsh_bucket's plane count."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(emb, _SEM_K, _SEM_TAU, _SEM_CAP)
 
 
 DEDUP_SEMANTIC_SQL = f"""
@@ -791,10 +821,15 @@ WITH anchors AS (
                                   ORDER BY cos DESC, anchor_id) AS rn
         FROM sims
     ) WHERE rn = 1
+), ranked AS (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS rk
+    FROM assigned
 ), dups AS (
     SELECT DISTINCT x.vec_id AS vec_id
     FROM assigned x
-    JOIN assigned y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+    JOIN ranked y ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+                 AND y.rk <= {_SEM_CAP}
     JOIN embeddings ea ON ea.vec_id = x.vec_id
     JOIN embeddings eb ON eb.vec_id = y.vec_id
     WHERE (SELECT SUM(CAST(ea.embedding[g.i] AS DOUBLE)

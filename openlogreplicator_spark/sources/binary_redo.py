@@ -83,6 +83,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
 from openlogreplicator_spark.functions.oracle_types import (
+    DB_TIMEZONE_SECONDS as DB_TZ_DEFAULT,
     charset_decode,
     decode_binary_double,
     decode_binary_float,
@@ -493,7 +494,9 @@ def _dec_str(buf: bytes, pos: int) -> tuple[str, int]:
     return buf[pos: pos + n].decode("utf-8"), pos + n
 
 
-def _dec_value_raw(tagged: bytes, version: int) -> str | None:
+def _dec_value_raw(
+    tagged: bytes, version: int, db_tz: int = DB_TZ_DEFAULT
+) -> str | None:
     """One tagged column image (tag byte + payload) → canonical string.
     v2 runs the byte-accurate Oracle kernels (NUMBER/DATE/TIMESTAMP)
     right here in the parse plane — the same place the reference's
@@ -523,7 +526,7 @@ def _dec_value_raw(tagged: bytes, version: int) -> str | None:
     if vtype == TYPE_UROWID:
         return decode_urowid(payload)
     if vtype == TYPE_TSLTZ:
-        return decode_timestamp_ltz(payload)
+        return decode_timestamp_ltz(payload, db_tz)
     if vtype == TYPE_BFLOAT:
         return repr(decode_binary_float(payload))
     return payload.decode("utf-8")
@@ -595,7 +598,7 @@ def _nano_digits(m, a, col: int):
         c //= 10
 
 
-def _batch_decode(uniq, version: int) -> dict:
+def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
     """Unique tagged images → decoded strings, grouped by type tag and
     decoded in vectorized numpy batches where the byte form is fixed
     width (DATE/TIMESTAMP/BINARY_DOUBLE/BINARY_FLOAT); variable-width
@@ -646,11 +649,13 @@ def _batch_decode(uniq, version: int) -> dict:
             out.update(zip(items, (repr(v) for v in vals)))
         else:
             for t in items:
-                out[t] = _dec_value_raw(t, version)
+                out[t] = _dec_value_raw(t, version, db_tz)
     return out
 
 
-def _remap_images(cols_list, rows_list, cache, version: int) -> None:
+def _remap_images(
+    cols_list, rows_list, cache, version: int, db_tz: int = DB_TZ_DEFAULT
+) -> None:
     """Second pass of the columnar decode: swap each dict's interned
     tagged-bytes values for their decoded strings, in place in the
     column lists (v1 files decoded inline and skip this)."""
@@ -659,7 +664,7 @@ def _remap_images(cols_list, rows_list, cache, version: int) -> None:
     uniq = [t for t, v in cache.items() if v is t]
     if not uniq:
         return
-    decoded = _batch_decode(uniq, version)
+    decoded = _batch_decode(uniq, version, db_tz)
     cache.update(decoded)
     for i, d in enumerate(cols_list):
         if d:
@@ -805,14 +810,14 @@ def _walk_vector(
 
 def decode_vector(
     buf: bytes, pos: int, version: int = VERSION,
-    dictionary: dict | None = None,
+    dictionary: dict | None = None, db_tz: int = DB_TZ_DEFAULT,
 ) -> tuple[dict, int]:
     cache: dict = {}
     xid, op, obj, bdba, slot, fb, cols, rows, pos = _walk_vector(
         buf, pos, version, cache, {}, dictionary
     )
     cols_l, rows_l = [cols], [rows]
-    _remap_images(cols_l, rows_l, cache, version)
+    _remap_images(cols_l, rows_l, cache, version, db_tz)
     cols, rows = cols_l[0], rows_l[0]
     return (
         {
@@ -830,7 +835,8 @@ def decode_vector(
 
 
 def parse_redo_columns(
-    data: bytes, path: str = "<mem>", dictionary: dict | None = None
+    data: bytes, path: str = "<mem>", dictionary: dict | None = None,
+    db_tz: int = DB_TZ_DEFAULT,
 ) -> dict[str, list]:
     """One OLRS1 file → column lists in REDO_RECORD_SCHEMA order (the
     Arrow-friendly shape: `pd.DataFrame(dict-of-lists)` is ~4× cheaper
@@ -950,7 +956,7 @@ def parse_redo_columns(
     # columnar value decode: the walk above interned raw tagged images;
     # decode each distinct image once, in per-type vectorized batches,
     # then swap them into the column dicts
-    _remap_images(c_cols, c_rows, cache, version)
+    _remap_images(c_cols, c_rows, cache, version, db_tz)
     cols = {
         "scn": c_scn,
         "subscn": c_subscn,
@@ -974,11 +980,12 @@ def parse_redo_columns(
 
 
 def parse_redo_bytes(
-    data: bytes, path: str = "<mem>", dictionary: dict | None = None
+    data: bytes, path: str = "<mem>", dictionary: dict | None = None,
+    db_tz: int = DB_TZ_DEFAULT,
 ) -> list[dict]:
     """Row-dict view of :func:`parse_redo_columns` (test/debug surface;
     the distributed reader uses the columnar form directly)."""
-    cols = parse_redo_columns(data, path, dictionary)
+    cols = parse_redo_columns(data, path, dictionary, db_tz)
     names = list(cols)
     return [dict(zip(names, vals)) for vals in zip(*cols.values())]
 
@@ -1030,14 +1037,16 @@ _HB_COLS = ["op", "seq", "block", "lwn_blocks", "n_records", "c_scn",
             "ts_us"]
 
 
-def _record_frames(batches, dictionary: dict | None = None):
+def _record_frames(
+    batches, dictionary: dict | None = None, db_tz: int = DB_TZ_DEFAULT
+):
     """mapInPandas kernel: (path, content) batches → record frames.
     Shared by the batch and streaming readers."""
     import pandas as pd
 
     for pdf in batches:
         for path, content in zip(pdf["path"], pdf["content"]):
-            cols = parse_redo_columns(bytes(content), path, dictionary)
+            cols = parse_redo_columns(bytes(content), path, dictionary, db_tz)
             if cols["scn"]:
                 yield pd.DataFrame(cols, copy=False)
 
@@ -1099,18 +1108,21 @@ def heartbeat_stream(spark: SparkSession, in_dir: str) -> DataFrame:
 
 
 def parse_redo_files(
-    spark: SparkSession, in_dir: str, dictionary: dict | None = None
+    spark: SparkSession,
+    in_dir: str,
+    dictionary: dict | None = None,
+    db_tz_seconds: int = DB_TZ_DEFAULT,
 ) -> DataFrame:
     """Directory of OLRS1 files → REDO_RECORD_SCHEMA DataFrame. One task
     per file via the binaryFile source; validation + parse run on the
     executors. ``dictionary`` maps obj → ordered column names for v5
     KDO-positional vectors (closure-broadcast to the parse tasks — the
-    schema-registry resolve the reference performs in Builder::processDml)."""
-    if dictionary is None:
-        kernel = _record_frames
-    else:
-        def kernel(batches):
-            return _record_frames(batches, dictionary)
+    schema-registry resolve the reference performs in Builder::processDml).
+    ``db_tz_seconds`` is the database timezone for TIMESTAMP WITH LOCAL
+    TIME ZONE decode — the reference reads metadata->dbTimezone; here it
+    threads from EngineConfig into the parse tasks."""
+    def kernel(batches):
+        return _record_frames(batches, dictionary, db_tz_seconds)
 
     return _binary_files(spark, in_dir).mapInPandas(
         kernel, schema=REDO_RECORD_SCHEMA
@@ -1122,18 +1134,16 @@ def parse_redo_stream(
     in_dir: str,
     max_files_per_trigger: int | None = None,
     dictionary: dict | None = None,
+    db_tz_seconds: int = DB_TZ_DEFAULT,
 ) -> DataFrame:
     """Streaming variant of :func:`parse_redo_files`: the reference's
     online mode (S1 reader thread tailing redo + S4 scheduler) as a
     Structured Streaming source — new OLRS files are discovered in
     order, parsed on executors, and feed the stateful assembly.
-    ``dictionary`` enables v5 KDO-positional decode as in the batch
+    ``dictionary`` and ``db_tz_seconds`` behave as in the batch
     reader."""
-    if dictionary is None:
-        kernel = _record_frames
-    else:
-        def kernel(batches):
-            return _record_frames(batches, dictionary)
+    def kernel(batches):
+        return _record_frames(batches, dictionary, db_tz_seconds)
 
     return _binary_files_stream(
         spark, in_dir, max_files_per_trigger

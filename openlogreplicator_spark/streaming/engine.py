@@ -23,6 +23,8 @@ xid across executors in the state store; the dictionary join broadcasts
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -198,6 +200,17 @@ def build_pipeline(
     (Writer::readCheckpoint cold-start path)."""
     from openlogreplicator_spark.builders.json_builder import build_events
 
+    # drain (AvailableNow, ttl_timeout=False → NoTimeout) and continuous
+    # (ProcessingTimeTimeout) runs configure DIFFERENT timeout types on
+    # the same stateful operator, and Spark does not allow the timeout
+    # type of a checkpointed operator to change across restarts — mixing
+    # the modes on one checkpoint is undefined behavior. A per-mode
+    # suffix makes the two mode families physically disjoint, so any
+    # caller-supplied checkpoint dir is safe under either mode.
+    checkpoint = os.path.join(
+        checkpoint, "drain" if available_now else "continuous"
+    )
+
     start_scn = cfg.start_scn
     if start_scn is None and state_dir is not None:
         from openlogreplicator_spark.metadata.state_documents import (
@@ -210,6 +223,7 @@ def build_pipeline(
     redo = parse_redo_stream(
         spark, in_dir, max_files_per_trigger,
         dictionary=cfg.pos_dictionary,
+        db_tz_seconds=cfg.db_timezone_seconds,
     )
     if start_scn is not None:
         # O3/F9 startup positioning: everything at or below the

@@ -371,3 +371,22 @@ def test_typed_images_fixture_regeneration_deterministic(spark, sf_dir):
     first = run_once()
     second = run_once()
     assert first == second and len(first) > 0
+
+
+def test_db_timezone_threads_into_tsltz_decode():
+    """TIMESTAMP WITH LOCAL TIME ZONE decodes against the CONFIGURED
+    database zone (EngineConfig.db_timezone_seconds → parse plane), not
+    a module constant: the same wall-clock image yields different UTC
+    instants under different zones."""
+    utc_canonical = "1997-03-14 06:30:01.000000000"
+    recs = [
+        _rec(1, "t", "insert", obj=1, bdba=1, slot=1,
+             cols={"lt": utc_canonical}),
+        _rec(2, "t", "commit"),
+    ]
+    data = encode_redo_file(recs, 1, col_types={"lt": "timestamp_ltz"})
+    # the fixture writer encodes at the +02:00 default; decoding at the
+    # matching zone round-trips, decoding at +09:00 shifts by 7 hours
+    assert parse_redo_bytes(data, "t")[0]["cols"]["lt"] == utc_canonical
+    shifted = parse_redo_bytes(data, "t", db_tz=9 * 3600)[0]["cols"]["lt"]
+    assert shifted == "1997-03-13 23:30:01.000000000"

@@ -100,3 +100,46 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     assert exact
     recall = len(exact & approx) / len(exact)
     assert recall > 0.55, f"PQ recall suspiciously low: {recall}"
+
+
+def test_semantic_dedup_hot_cluster_cap(spark):
+    """Hot-cluster guard: with every vector landing in ONE cluster, the
+    comparison side keeps only the cap lowest-id members — duplicates
+    are exactly 'close to one of the head members', verified against a
+    numpy replay of the same rule, and the plan carries the rank
+    filter."""
+    import numpy as np
+
+    from openlogreplicator_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(99)
+    base = rng.standard_normal(16).astype("float32")
+    rows = []
+    for i in range(120):
+        if i % 3 == 0:
+            v = base + rng.standard_normal(16).astype("float32") * 0.01
+        else:
+            v = base + rng.standard_normal(16).astype("float32") * 0.6
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cap, tau = 10, 0.9
+    out = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(emb, k=1, tau=tau, cap=cap).collect()
+    }
+    assert len(out) == 120
+    # numpy replay of the capped rule: head = the cap lowest ids of the
+    # (single) cluster; dup iff cos(v, head_member_with_lower_id) > tau
+    V = np.array([np.array(r[1]) for r in rows])
+    head = list(range(cap))
+    for i in range(120):
+        dup = any(
+            j < i and float(V[i] @ V[j]) > tau for j in head
+        )
+        assert out[i] == (not dup), i
+    # a far-tail duplicate pair (both ids > cap) is NOT flagged — the
+    # cap is semantically visible, not just a perf hint
+    plan = semantic_dedup(
+        emb, k=1, tau=tau, cap=cap
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan and "_rk" in plan
