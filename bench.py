@@ -121,33 +121,39 @@ def main() -> None:
         if os.path.exists(path):
             with open(path) as fh:
                 doc = json.load(fh)
+            # the driver wraps the printed JSON line under "parsed"
+            doc = doc.get("parsed", doc)
             prev = doc.get("queries", {})
             prev_fp = doc.get("plan_fingerprints", {})
             break
+
+    # median of three FULL PASSES over the query list, not three
+    # back-to-back runs per query: this box's interference arrives in
+    # minute-scale waves (same-code medians observed 2-3.5× apart), so
+    # back-to-back repetitions all sample the same wave — interleaving
+    # spreads each query's three samples across the whole sweep.
+    # Pass 0 additionally absorbs one-time constants (codegen compile,
+    # Arrow channel setup, page-cache fill) the reference's long-running
+    # process never re-pays.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _pass in range(3):
+        for name in names:
+            fn = registry[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            samples[name].append(time.perf_counter() - t0)
+            # release persisted frames (dedup pipelines cache
+            # intermediates) so later queries aren't taxed by
+            # accumulated executor memory
+            spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     fingerprints: dict[str, str] = {}
     noise: list[str] = []
     for name in names:
-        fn = registry[name]
-        # median of three executions: the median absorbs both the first
-        # run's one-time constants (codegen compile, Arrow channel
-        # setup, page-cache fill — session costs the reference's
-        # long-running process never re-pays) and this box's ±50%
-        # single-shot swings.
-        runs = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            runs.append(dt)
-            # release persisted frames (dedup pipelines cache
-            # intermediates) so later queries aren't taxed by
-            # accumulated executor memory
-            spark.catalog.clearCache()
-        timings[name] = round(statistics.median(runs), 3)
-        fingerprints[name] = plan_fingerprint(fn(spark, sf_dir))
+        timings[name] = round(statistics.median(samples[name]), 3)
+        fingerprints[name] = plan_fingerprint(registry[name](spark, sf_dir))
         # >25% move on an unchanged plan = machine noise by construction
         if (
             name in prev

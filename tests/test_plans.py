@@ -356,3 +356,19 @@ def test_pretraining_pipeline_two_shuffles(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"expected <=2 shuffles, plan has {n_exchanges}"
+
+
+def test_binary_assembly_single_parse_single_exchange(spark, sf_dir):
+    """The assembly is ONE exchange with ONE consumer: the round-3
+    design re-executed the binary parse plane once per exchange consumer
+    (Catalyst pushes per-consumer pruning below the repartition, so
+    ReuseExchange never fires). Lock the invariant structurally: exactly
+    one parse kernel and one shuffle in the whole binary pipeline."""
+    from openlogreplicator_spark.operators.cdc import cdc_txn_assembly_binary
+
+    plan = cdc_txn_assembly_binary(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "MapInArrow" in plan  # the assembly kernel itself
