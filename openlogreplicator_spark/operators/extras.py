@@ -58,10 +58,38 @@ def _orders_as_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_json_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1 JSON event builder over a deterministic order-derived stream
-    (rows-only: byte-level JSON is golden-tested, not SQL-portable)."""
+    """B1 JSON event builder over a deterministic order-derived stream —
+    the DuckDB oracle reconstructs the exact message BYTES (header field
+    order, per-op payload sections, COLUMN_FORMAT::CHANGED's empty
+    update before-image), so the default-format envelope is
+    hash-checked, not just golden-tested."""
     events = _orders_as_change_events(spark, sf_dir)
     return build_events(events, Format(attributes=True), tag_cols=("O_ORDERKEY",))
+
+
+CDC_JSON_BUILDER_SQL = """
+SELECT '{"O_ORDERKEY":"' || o_orderkey || '"}' AS key,
+       '{"scn":' || (o_orderkey * 10)
+       || ',"tm":' || epoch_us(o_orderdate)
+       || ',"xid":"' || (o_custkey % 8) || '.' || (o_custkey % 16) || '.'
+       || o_orderkey
+       || '","db":"DB","attrs":{"OS_USER_NAME":"tpch"},"payload":[{"op":"'
+       || CASE o_orderstatus WHEN 'O' THEN 'c' WHEN 'P' THEN 'u'
+          ELSE 'd' END
+       || '","schema":{"owner":"TPCH","table":"ORDERS","obj":18},'
+       || '"rid":"AAAAASAAEAAAADbAAA"'
+       || CASE WHEN o_orderstatus <> 'O'
+               THEN ',"before":{' || CASE WHEN o_orderstatus = 'P' THEN ''
+                    ELSE '"O_ORDERKEY":"' || o_orderkey || '","O_PRIO":"'
+                         || o_orderpriority || '"' END || '}'
+               ELSE '' END
+       || CASE WHEN o_orderstatus <> 'F'
+               THEN ',"after":{"O_ORDERKEY":"' || o_orderkey
+                    || '","O_PRIO":"' || o_orderpriority || '"}'
+               ELSE '' END
+       || '}]}' AS value
+FROM orders
+"""
 
 
 def _orders_dict_cols(spark: SparkSession) -> DataFrame:
@@ -80,12 +108,51 @@ def _orders_dict_cols(spark: SparkSession) -> DataFrame:
 def cdc_json_builder_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3 Debezium preset output shape — FULL_UPD images materialized
     over the dictionary column list plus SCHEMA_FORMAT::FULL column
-    descriptors on each transaction's first op per table."""
+    descriptors on each transaction's first op per table. The DuckDB
+    oracle reconstructs the exact bytes: millisecond timestamps, the
+    full column-descriptor block, per-op FULL_UPD sections with
+    explicit nulls for undictionaried columns."""
     return build_events(
         _orders_as_change_events(spark, sf_dir),
         debezium_preset(),
         dict_cols=_orders_dict_cols(spark),
     )
+
+
+_DBZ_SCHEMA_BLOCK = (
+    '"schema":{"owner":"TPCH","table":"ORDERS","obj":18,"columns":['
+    '{"name":"O_ORDERKEY","type":"number","precision":10,"scale":0,'
+    '"nullable":false},'
+    '{"name":"O_PRIO","type":"varchar2","length":15,"nullable":true},'
+    '{"name":"O_NOTE","type":"varchar2","length":64,"nullable":true}]}'
+)
+
+CDC_JSON_DEBEZIUM_SQL = f"""
+WITH src AS (
+    SELECT o_orderkey AS k, o_orderpriority AS prio,
+           (o_custkey % 8) || '.' || (o_custkey % 16) || '.' || o_orderkey
+               AS xid,
+           CASE o_orderstatus WHEN 'O' THEN 'c' WHEN 'P' THEN 'u'
+                ELSE 'd' END AS op,
+           epoch_ms(o_orderdate) AS tm_ms
+    FROM orders
+), img AS (
+    SELECT *, '"O_ORDERKEY":"' || k || '","O_PRIO":"' || prio
+              || '","O_NOTE":null' AS full_img
+    FROM src
+)
+SELECT xid AS key,
+       '{{"scn":' || (k * 10) || ',"tm":' || tm_ms || ',"xid":"' || xid
+       || '","db":"DB","payload":[{{"op":"' || op || '",'
+       || '{_DBZ_SCHEMA_BLOCK}'
+       || ',"rid":"AAAAASAAEAAAADbAAA"'
+       || CASE WHEN op IN ('u', 'd')
+               THEN ',"before":{{' || full_img || '}}' ELSE '' END
+       || CASE WHEN op IN ('c', 'u')
+               THEN ',"after":{{' || full_img || '}}' ELSE '' END
+       || '}}]}}' AS value
+FROM img
+"""
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,6 +403,8 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "cdc_json_builder": CDC_JSON_BUILDER_SQL,
+    "cdc_json_builder_debezium": CDC_JSON_DEBEZIUM_SQL,
     "cdc_lob_reassembly": CDC_LOB_SQL,
     "multimodal_decode_table": MULTIMODAL_DECODE_TABLE_SQL,
     "multimodal_image_stats": MULTIMODAL_IMAGE_STATS_SQL,
