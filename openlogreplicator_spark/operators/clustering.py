@@ -243,24 +243,29 @@ _THREE_GEN_SQL = f"""
 
 def _jaccard_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
     """Near-dup candidate pairs (same shape as dedup_ngram_jaccard)."""
+    from pyspark.sql import Window
+
     # 64-bit shingle hashing — same shuffle-narrowing as
     # dedup_ngram_jaccard; Jaccard counts are hash-collision-exact at
-    # any realistic corpus size
-    # persisted: the hot-shingle aggregate (broadcast build) and the
-    # anti-join probe would otherwise each re-run the explode + distinct
-    sh_all = (
+    # any realistic corpus size.
+    # ONE persisted frame, already partitioned by shingle: the DF cap is
+    # a window count over that partitioning (replacing the previous
+    # aggregate + anti-join pass over a second persist), and the
+    # self-join below joins ON the partitioning key, so neither side
+    # needs another exchange — the shingle set shuffles exactly twice
+    # (distinct, then the shingle repartition) instead of four times.
+    sh = (
         shingles(corpus)
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
+        .repartition("shingle")
+        .withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .drop("_df")
         .persist()
     )
-    hot = (
-        sh_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    sh = sh_all.join(hot, "shingle", "left_anti").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
