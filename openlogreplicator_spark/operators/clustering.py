@@ -473,21 +473,22 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-dedup'd corpus drops or trims them. The first-word mutation
     leaves gen-1/gen-2 sharing everything after the first word, so the
     expected overlap is structural, not incidental."""
+    from pyspark.sql import Window
+
     corpus = _three_gen_corpus(spark, sf_dir)
-    # two consumers (the df aggregate and the final join) — persist so the
-    # per-character explode + distinct don't recompute, same shape as the
-    # `sh` persist in _jaccard_pairs
-    grams = substring_fingerprints(corpus).persist()
-    shared = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("g")
-    )
+    # ONE straight pipeline, no persist, no join-back: grams are
+    # distinct per (doc_id, g), so a count over the g-partitioned
+    # window IS the document frequency — the aggregate + self-join of
+    # the previous shape collapses into a window filter on the same
+    # exchange (the _jaccard_pairs restructure, applied here)
+    grams = substring_fingerprints(corpus).repartition("g")
+    shared = grams.withColumn(
+        "_nd", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).filter(F.col("_nd") > 1)
     return (
-        grams.join(shared, "g")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("g").alias("n_shared"))
+        shared.groupBy("doc_id")
+        # rows are unique per (doc_id, g), so count == count_distinct
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "n_shared")
     )
 

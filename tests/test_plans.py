@@ -111,12 +111,13 @@ def test_embedding_dedup_is_bucketed_not_cross_join(spark, sf_dir):
 
 
 def test_ngram_jaccard_caps_shingle_df(spark, sf_dir):
-    """The hot-shingle anti join must appear before the candidate
-    self-join (document-frequency cap, round-2 fix)."""
+    """The document-frequency cap must gate the candidate self-join
+    (round-2 fix; round-4: a window count over the shingle-partitioned
+    frame instead of an aggregate + anti-join second pass)."""
     from openlogreplicator_spark.operators import dedup
 
     plan = _plan(dedup.dedup_ngram_jaccard(spark, sf_dir))
-    assert "LeftAnti" in plan  # stop-shingle filter is in the plan
+    assert "_df" in plan and "count(1) windowspecdefinition(shingle" in plan
 
 
 def test_lob_chain_walk_is_bucketed(spark, sf_dir):
