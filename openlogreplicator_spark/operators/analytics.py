@@ -257,7 +257,64 @@ GROUP BY 1
 """
 
 
+def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust telemetry anomaly flags: per event_type, values further
+    than K median-absolute-deviations from the median are anomalous —
+    the outlier gate a data pipeline runs over ingestion metrics before
+    trusting a batch. EXACT medians (percentile, not approx) so the
+    oracle matches bit-for-bit; two grouped passes over a broadcast
+    per-type model (type count is tiny), no window over the fact
+    stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"), F.first("med").alias("med")
+    )
+    flagged = (
+        ev.join(F.broadcast(mad), "event_type")
+        # a constant-valued type has MAD 0 — nothing there can be an
+        # outlier (and ANSI division would reject it)
+        .filter(F.col("mad") > 0)
+        .withColumn(
+            "score",
+            F.abs(F.col("value") - F.col("med")) / F.col("mad"),
+        )
+        .filter(F.col("score") > 8.0)
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("score", 4).alias("mad_score"),
+    )
+
+
+EVENT_ANOMALY_MAD_SQL = """
+WITH med AS (
+    SELECT event_type, median(value) AS med
+    FROM events GROUP BY event_type
+), mad AS (
+    SELECT e.event_type, median(ABS(e.value - m.med)) AS mad, ANY_VALUE(m.med) AS med
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 6) AS value,
+       ROUND(ABS(e.value - m.med) / m.mad, 4) AS mad_score
+FROM events e JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND ABS(e.value - m.med) / m.mad > 8.0
+"""
+
+
 QUERIES = {
+    "event_anomaly_mad": event_anomaly_mad,
     "event_funnel": event_funnel,
     "event_retention": event_retention,
     "event_transitions": event_transitions,
@@ -266,6 +323,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "event_anomaly_mad": EVENT_ANOMALY_MAD_SQL,
     "event_funnel": EVENT_FUNNEL_SQL,
     "event_retention": EVENT_RETENTION_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,

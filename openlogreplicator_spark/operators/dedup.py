@@ -118,6 +118,73 @@ HAVING COUNT(*) > 1
 """
 
 
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup with survivor PRIORITY — the mix-building
+    case exact dedup misses: the same document arrives from several
+    dumps/sources (wiki inside a web crawl, books in two snapshots), and
+    the pipeline must keep the copy from the most-trusted source, not an
+    arbitrary minimum. Survivor = lexicographically-highest-priority
+    source, doc_id as the tie-break; emits one row per duplicated digest
+    with the survivor and the losing source set. One digest-keyed
+    shuffle; min-by-struct aggregates — no window, no join-back."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # re-crawl sim: every 5th document also arrives from a mirror dump —
+    # same bytes, different source attribution
+    mirror = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat(F.lit("mirror-"), F.col("source")).alias("source"),
+        "text",
+    )
+    docs = base.unionByName(mirror).select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    pick = F.struct(F.col("source").alias("s"), F.col("doc_id").alias("d"))
+    return (
+        docs.groupBy("digest")
+        .agg(
+            F.min(pick).alias("_w"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_set("source")).alias("sources"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "digest",
+            F.col("_w.d").alias("survivor_id"),
+            F.col("_w.s").alias("survivor_source"),
+            "n_copies",
+            F.array_join("sources", ",").alias("source_set"),
+        )
+    )
+
+
+DEDUP_CROSS_SOURCE_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_COPY_OFFSET} AS doc_id,
+           'mirror-' || source AS source, text
+    FROM documents WHERE doc_id % 5 = 0
+),
+d AS (SELECT doc_id, source, md5(text) AS digest FROM docs),
+r AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY digest
+                              ORDER BY source, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY digest) AS n
+    FROM d
+)
+SELECT digest,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+       MAX(CASE WHEN rn = 1 THEN source END) AS survivor_source,
+       COUNT(*) AS n_copies,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS source_set
+FROM r WHERE n > 1
+GROUP BY digest
+"""
+
+
 # Stop-shingle cap: a shingle appearing in more than this many documents
 # is boilerplate and is excluded from the Jaccard space BEFORE candidate
 # generation. Without it one hot shingle (a common trigram) makes the
@@ -522,6 +589,7 @@ WHERE NOT EXISTS (SELECT 1 FROM prior p
 
 
 QUERIES = {
+    "dedup_cross_source": dedup_cross_source,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -531,6 +599,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_cross_source": DEDUP_CROSS_SOURCE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,

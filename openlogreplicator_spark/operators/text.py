@@ -1026,7 +1026,55 @@ FROM agg
 """
 
 
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card in one pass: per-(source, lang), per-source and
+    corpus-total statistics — document count, characters, whitespace
+    token estimate, min/max length — via GROUPING SETS over ONE scan
+    (the rollup the mix-construction stage reads before setting rates).
+    All-integer aggregates, so the oracle is exact."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "min_chars",
+            "max_chars",
+        )
+    )
+
+
+CORPUS_STATS_SQL = """
+SELECT COALESCE(source, '<all>') AS source,
+       COALESCE(lang, '<all>') AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+            AS BIGINT) AS total_tokens,
+       MIN(LENGTH(text)) AS min_chars,
+       MAX(LENGTH(text)) AS max_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
+
 QUERIES = {
+    "corpus_stats_report": corpus_stats_report,
     "text_quality_score": text_quality_score,
     "text_chunk_split": text_chunk_split,
     "text_dedup_passages": text_dedup_passages,
@@ -1045,6 +1093,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_stats_report": CORPUS_STATS_SQL,
     "text_commonness": TEXT_COMMONNESS_SQL,
     "text_chunk_split": TEXT_CHUNK_SQL,
     "text_dedup_passages": TEXT_DEDUP_PASSAGES_SQL,
