@@ -21,6 +21,27 @@ from openlogreplicator_spark.functions.expr_lang import compile_condition
 from openlogreplicator_spark.sources.tables import load_table
 
 
+def _source_stamp(sf_dir: str, *tables: str) -> str:
+    """Identity of the parquet inputs a cached OLRS fixture was built
+    from: the driver REGENERATES the testdata between rounds, and a
+    fixture rendered from the previous generation would hash-mismatch
+    every oracle recomputed over the new parquet (same row counts,
+    different values — invisible to rows/schema checks). Folding
+    (size, mtime_ns) of each source file into the cache path makes
+    regeneration invalidate the cache structurally."""
+    import hashlib
+
+    parts = []
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{t}:absent")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def _publish_fixture(staging: str, out_dir: str) -> str:
     """Atomically publish a staged fixture dir and PROVE a complete
     fixture is at out_dir before returning: a rename can fail for
@@ -299,7 +320,8 @@ def _binary_redo_dir(spark: SparkSession, sf_dir: str) -> str:
     out_dir = os.path.join(
         tempfile.gettempdir(),
         "olrs_binary_redo_v3",
-        os.path.basename(os.path.normpath(sf_dir)),
+        os.path.basename(os.path.normpath(sf_dir))
+        + "-" + _source_stamp(sf_dir, "lineitem", "orders"),
     )
     if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         import shutil
@@ -1179,7 +1201,8 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
     out_dir = os.path.join(
         tempfile.gettempdir(),
         "olrs_typed_images_v4c",
-        os.path.basename(os.path.normpath(sf_dir)),
+        os.path.basename(os.path.normpath(sf_dir))
+        + "-" + _source_stamp(sf_dir, "orders"),
     )
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
@@ -1418,7 +1441,8 @@ def _kdo_positional_redo_dir(spark: SparkSession, sf_dir: str) -> str:
     out_dir = os.path.join(
         tempfile.gettempdir(),
         "olrs_kdo_positional_v5",
-        os.path.basename(os.path.normpath(sf_dir)),
+        os.path.basename(os.path.normpath(sf_dir))
+        + "-" + _source_stamp(sf_dir, "lineitem", "orders"),
     )
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir

@@ -350,6 +350,8 @@ def test_typed_images_fixture_regeneration_deterministic(spark, sf_dir):
         cdc_typed_images_binary,
     )
 
+    from openlogreplicator_spark.operators.cdc import _source_stamp
+
     def _fixture_path():
         import os
         import tempfile
@@ -357,7 +359,8 @@ def test_typed_images_fixture_regeneration_deterministic(spark, sf_dir):
         return os.path.join(
             tempfile.gettempdir(),
             "olrs_typed_images_v4c",
-            os.path.basename(os.path.normpath(sf_dir)),
+            os.path.basename(os.path.normpath(sf_dir))
+            + "-" + _source_stamp(sf_dir, "orders"),
         )
 
     def run_once():
