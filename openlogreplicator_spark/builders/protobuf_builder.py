@@ -41,6 +41,12 @@ from pyspark.sql import functions as F
 
 
 def _varint(n: int) -> bytes:
+    # protobuf encodes negative int64 as the two's-complement uint64
+    # (a 10-byte varint). Without the mask, Python's arithmetic shift
+    # never zeroes a negative n — an infinite loop, found when the
+    # first change stream with scn 0 produced c_scn = -5.
+    if n < 0:
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F

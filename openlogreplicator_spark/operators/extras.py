@@ -183,13 +183,125 @@ def multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cdc_protobuf_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 protobuf event builder (hand-rolled wire format) over the
-    order-derived change stream — rows-only; framing is golden-tested by
+    order-derived change stream. The value column is the message HEX so
+    the DuckDB oracle can rebuild the exact wire bytes — varints,
+    length-delimited framing, nested Schema/Value messages and all
+    (see _pb_sql helpers); the framing is additionally golden-tested by
     an independent wire parser in tests/test_protobuf_builder.py."""
     from openlogreplicator_spark.builders.protobuf_builder import (
         build_protobuf_events,
     )
 
-    return build_protobuf_events(_orders_as_change_events(spark, sf_dir))
+    msgs = build_protobuf_events(_orders_as_change_events(spark, sf_dir))
+    return msgs.select("key", F.lower(F.hex("value")).alias("value_hex"))
+
+
+def _pb_varint_sql(v: str, max_groups: int = 10) -> str:
+    """DuckDB expression: hex of the protobuf varint of BIGINT ``v``.
+    Negative int64 encodes as its two's-complement uint64 (the 10-byte
+    varint), like the builder's _varint — the HUGEINT mask makes the
+    shifts act unsigned. ``max_groups`` bounds the unrolled 7-bit
+    groups (lambda-free concat of CASEs — ~10× cheaper than a
+    list_reduce per value) from the caller's known value range; pass 10
+    whenever the value can be negative."""
+    m = f"(CAST(({v}) AS HUGEINT) & ((1::HUGEINT << 64) - 1))"
+    parts = []
+    for i in range(max_groups):
+        cond = "TRUE" if i == 0 else f"({m} >> {7 * i}) > 0"
+        byte = (
+            f"printf('%02x', CAST((({m} >> {7 * i}) & 127) "
+            f"+ CASE WHEN ({m} >> {7 * (i + 1)}) > 0 THEN 128 "
+            "ELSE 0 END AS INT))"
+        )
+        parts.append(f"CASE WHEN {cond} THEN {byte} ELSE '' END")
+    return "(" + " || ".join(parts) + ")"
+
+
+def _pb_vi_sql(field: int, v: str, max_groups: int = 10) -> str:
+    """field-keyed varint (wire type 0)."""
+    key = (field << 3) | 0
+    return f"'{key:02x}' || {_pb_varint_sql(v, max_groups)}"
+
+
+def _pb_ld_sql(field: int, hex_expr: str) -> str:
+    """field-keyed length-delimited payload given its HEX expression
+    (nested messages here stay far below 16 KiB → ≤2 length groups)."""
+    key = (field << 3) | 2
+    ln = f"length({hex_expr}) // 2"
+    return f"'{key:02x}' || {_pb_varint_sql(ln, 2)} || ({hex_expr})"
+
+
+def _pb_s_sql(field: int, s: str) -> str:
+    """field-keyed string (the builder's _s)."""
+    return _pb_ld_sql(field, f"lower(hex(encode({s})))")
+
+
+def _pb_value_sql(name_sql: str, value_sql: str) -> str:
+    """pb::Value — name=1, value_string=5."""
+    return f"{_pb_s_sql(1, name_sql)} || {_pb_s_sql(5, value_sql)}"
+
+
+def _cdc_protobuf_sql() -> str:
+    """DuckDB reconstruction of the exact RedoResponse wire bytes the
+    builder emits for the order-derived stream (encode_event /
+    encode_payload / encode_schema field layout, including per-column
+    repeated Value framing)."""
+    val_okey = _pb_value_sql("'O_ORDERKEY'", "CAST(k AS VARCHAR)")
+    val_prio = _pb_value_sql("'O_PRIO'", "prio")
+
+    def img(field: int) -> str:
+        # repeated Value: one length-delimited message PER column, in
+        # sorted key order (encode_payload's `for k in sorted(img)`)
+        a = _pb_ld_sql(field, "(" + val_okey + ")")
+        b = _pb_ld_sql(field, "(" + val_prio + ")")
+        return a + " || " + b
+
+    schema = (
+        _pb_s_sql(1, "'TPCH'")
+        + " || " + _pb_s_sql(2, "'ORDERS'")
+        + " || " + _pb_vi_sql(3, "18", 1)
+    )
+    # payload: op enum(1, omitted for 0=BEGIN), schema(2), rid(3),
+    # before*(4)/after*(5) by op kind, seq(7)=1, offset(8)=k*512,
+    # num(10)=varint(0) → key 0x50 + 0x00
+    payload = (
+        _pb_vi_sql(1, "opnum", 1)
+        + " || " + _pb_ld_sql(2, "(" + schema + ")")
+        + " || " + _pb_s_sql(3, "'AAAAASAAEAAAADbAAA'")
+        + " || CASE WHEN op <> 'c' THEN " + img(4) + " ELSE '' END"
+        + " || CASE WHEN op <> 'd' THEN " + img(5) + " ELSE '' END"
+        + " || " + _pb_vi_sql(7, "1", 1)
+        + " || CASE WHEN k > 0 THEN " + _pb_vi_sql(8, "k * 512", 5)
+        + " ELSE '' END"  # offset 0 is falsy — the builder omits it
+        + " || '5000'"
+    )
+    event = (
+        _pb_vi_sql(2, "k * 10", 5)
+        + " || " + _pb_vi_sql(4, "tm_us", 8)
+        + " || " + _pb_s_sql(6, "xid")
+        + " || " + _pb_s_sql(8, "'DB'")
+        + " || " + _pb_ld_sql(9, "(" + payload + ")")
+        + " || " + _pb_vi_sql(10, "k * 10 - 5", 10)
+    )
+    return (
+        """
+WITH src AS (
+    SELECT o_orderkey AS k, o_orderpriority AS prio,
+           (o_custkey % 8) || '.' || (o_custkey % 16) || '.' || o_orderkey
+               AS xid,
+           CASE o_orderstatus WHEN 'O' THEN 'c' WHEN 'P' THEN 'u'
+                ELSE 'd' END AS op,
+           CASE o_orderstatus WHEN 'O' THEN 2 WHEN 'P' THEN 3 ELSE 4 END
+               AS opnum,
+           epoch_us(o_orderdate) AS tm_us
+    FROM orders
+)
+SELECT xid AS key, """
+        + event
+        + """ AS value_hex
+FROM src
+"""
+    )
 
 
 def cdc_lob_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +516,7 @@ QUERIES = {
 
 ORACLE: dict[str, str] = {
     "cdc_json_builder": CDC_JSON_BUILDER_SQL,
+    "cdc_protobuf_builder": _cdc_protobuf_sql(),
     "cdc_json_builder_debezium": CDC_JSON_DEBEZIUM_SQL,
     "cdc_lob_reassembly": CDC_LOB_SQL,
     "multimodal_decode_table": MULTIMODAL_DECODE_TABLE_SQL,

@@ -95,3 +95,20 @@ def test_spark_protobuf_pipeline(spark):
         assert payload[7] == 9  # seq
         assert payload[8] in (77, 78)  # offset
         assert payload[10] in (1, 2)  # num
+
+
+def test_negative_int64_varint_is_twos_complement():
+    """protobuf encodes negative int64 as the two's-complement uint64
+    (10-byte varint). Regression: _varint(-5) used to loop forever
+    (Python's arithmetic shift never zeroes a negative), found when the
+    first change stream containing scn 0 produced c_scn = -5."""
+    from openlogreplicator_spark.builders.protobuf_builder import _varint
+
+    raw = _varint(-5)
+    assert len(raw) == 10
+    # decode it back: little-endian 7-bit groups
+    v = 0
+    for i, b in enumerate(raw):
+        v |= (b & 0x7F) << (7 * i)
+    assert v == (1 << 64) - 5
+    assert _varint(0) == b"\x00" and _varint(300) == b"\xac\x02"
