@@ -101,8 +101,16 @@ _PRIORITY = [  # round-4 window — see rotation note above the old list below
     "q6_forecast_revenue",
     "q8_market_share",
     "q9_product_profit",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
+    # q13/q15 (plain SQL shapes, same cast patterns as the driver-green
+    # TPC-H set) yield their slots to the two builder surfaces that
+    # JUST gained byte-exact oracles — B1's JSON envelope and B2's
+    # protobuf wire format reconstructed character-for-character by
+    # DuckDB. Builder output is the engine's user-facing contract and
+    # runs through a pandas UDF, exactly the class where a driver
+    # verdict proves what a local rerun cannot. q13/q15 stay registered
+    # and locally oracle-checked.
+    "cdc_json_builder",
+    "cdc_protobuf_builder",
 ]
 
 _PRIORITY_R3 = [  # retained for the rotation audit trail
