@@ -394,3 +394,45 @@ def test_stateful_kernel_timer_only_in_continuous_mode():
                            ttl_timeout=False))
     assert drain.timeout_ms is None, "drain mode must not arm timers"
     assert drain.exists, "open transaction stays buffered at log end"
+
+
+def test_bucketed_state_interleaves_many_xids(spark, tmp_path):
+    """The bucket-keyed state must assemble MANY transactions sharing
+    one state bucket, interleaved across micro-batches, identically to
+    the sequential reference — including open transactions parked in
+    state while bucket-mates commit around them."""
+    records = generate_redo_records(n_txns=120, seed=21, p_rollback=0.1)
+    records.sort(key=lambda r: (r["scn"], r["subscn"], r["block"], r["offset"]))
+    indir = tmp_path / "redo_many"
+    indir.mkdir()
+    third = len(records) // 3
+    for i, chunk in enumerate(
+        [records[:third], records[third: 2 * third], records[2 * third:]]
+    ):
+        _write_jsonl(str(indir / f"part-{i:03d}.json"), chunk)
+        time.sleep(0.05)
+
+    stream = read_redo_json_stream(spark, str(indir), max_files_per_trigger=1)
+    assembled = streaming_assemble(stream, ttl_timeout=False)
+    q = (
+        assembled.writeStream.format("memory")
+        .queryName("bucketed_many")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    got = [r.asDict() for r in spark.sql("select * from bucketed_many").collect()]
+    expected = assemble_transactions_py(records)
+    # 120 xids over ≤32 buckets: every bucket holds several interleaved
+    # transactions — per-xid flush correctness is what's under test
+    assert len({e["xid"] for e in expected}) > 32
+
+    def norm(events):
+        return sorted(
+            (e["xid"], e["commit_scn"], e["num"], e["op"], e["scn"],
+             tuple(sorted((e["cols"] or {}).items())))
+            for e in events
+        )
+
+    assert norm(got) == norm(expected)
