@@ -127,8 +127,14 @@ def chain_page_numbers(chains: DataFrame) -> DataFrame:
             {"lob_id": out_lob, "dba": out_dba, "page_no": out_no}
         )
 
+    # one bucket per session core (floor 32): Python-runner tasks carry
+    # a ~15-20 ms serialized launch cost each, so a fixed 256 buckets
+    # paid more in launches than it gained in balance on any tested box
+    n_buckets = max(
+        32, chains.sparkSession.sparkContext.defaultParallelism
+    )
     bucketed = chains.withColumn(
-        "_bucket", F.pmod(F.xxhash64("lob_id"), F.lit(256))
+        "_bucket", F.pmod(F.xxhash64("lob_id"), F.lit(n_buckets))
     )
     return (
         bucketed.groupBy("_bucket")
