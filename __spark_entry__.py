@@ -27,7 +27,7 @@ if _REPO_ROOT not in sys.path:
 # round 1 (now fixed), then a few representative re-verifies. Everything
 # else registers after slot 50 — still runnable, checked locally by
 # tests/test_queries_vs_duckdb.py.
-_PRIORITY = [  # round-4 window — see rotation note above the old list below
+_PRIORITY = [  # round-4 window (previous windows: git history of this list)
     # -- 5 green canaries, one per result-type family, to detect
     #    driver-side drift (per round-3 verdict guidance)
     "q1_pricing_summary",
@@ -112,99 +112,6 @@ _PRIORITY = [  # round-4 window — see rotation note above the old list below
     "cdc_json_builder",
     "cdc_protobuf_builder",
 ]
-
-_PRIORITY_R3 = [  # retained for the rotation audit trail
-    # CDC core (the engine's reason to exist)
-    "cdc_txn_assembly",
-    "cdc_txn_assembly_binary",
-    "cdc_sessionize",
-    "cdc_txn_envelope",
-    "cdc_condition_filter",
-    "cdc_unchanged_suppression",
-    "cdc_resume_filter",
-    "cdc_schema_asof_resolve",
-    "cdc_ddl_classify",
-    "cdc_metrics",
-    # LLM-pipeline: dedup
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_cluster_cc",
-    "decontaminate_ngram",
-    # text analysis
-    "text_quality_score",
-    "text_lang_id",
-    # text_token_count rotated out (map-only projection, two family-
-    # mates stay in-window) for the KDO positional-framing query — the
-    # riskiest novel semantics of this session (col#-addressed images,
-    # nulls bitmap, dictionary resolve at parse time)
-    "cdc_kdo_positional_binary",
-    "cdc_schemaless_decode",
-    # similarity / embeddings
-    "ann_cosine_topk",
-    # round-3 rotation #2: embedding_stats / embedding_normalize /
-    # text_fingerprint (map-only projections, lowest-risk of the window)
-    # move past slot 50; their slots go to this session's riskiest novel
-    # semantics — undo-pairing through the exotic assembly route and the
-    # two new schema-resolution modes — which a driver verdict proves in
-    # a way a local rerun cannot. All three displaced queries stay
-    # registered and locally oracle-checked.
-    "cdc_before_image",
-    "cdc_adaptive_schema",
-    "cdc_lob_reassembly",
-    # round-3 rotation: the 7 oracle-less queries (cdc_heartbeat,
-    # ann_lsh_bucketed, cdc_json_builder, cdc_json_builder_debezium,
-    # multimodal_decode, multimodal_features_ann, cdc_protobuf_builder)
-    # moved past slot 50 — round 1 showed the driver records them as
-    # `err: no_oracle`, burning a verification slot each. They remain
-    # registered, rows-run locally (tests/test_queries_vs_duckdb.py) and
-    # golden/recall-tested in their unit suites. Their slots go to
-    # oracle-checked round-2 families that have never had a driver
-    # verdict:
-    "cdc_scd2_history",
-    "cdc_apply_changes",
-    "text_vocab_topk",
-    "pack_training_sequences",
-    "stream_dedup_replay",
-    "join_skew_salted",
-    "text_filter_pipeline",
-    # streaming windows
-    "stream_tumbling_window",
-    # stream_sliding_window rotated out (same family as tumbling/session,
-    # both still in-window) for the new exact-substring dedup operator
-    "dedup_substring",
-    # stream_session_window rotated out (driver-green in round 1; the
-    # tumbling family-mate stays in-window) for the new OLRS1 v4
-    # typed-images query — TSTZ/interval/boolean/UROWID byte kernels
-    # end-to-end through the physical parse plane, oracle-checked
-    "cdc_typed_images_binary",
-    # round-1 reds, fixed in round 2 — must be re-verified
-    "q1_pricing_summary",
-    "q10_returned_items",
-    "proj_filter_rlike",
-    "join_broadcast_dim",
-    "join_left_semi",
-    "agg_stats",
-    "agg_rollup",
-    # agg_cube rotated out: its round-1 red was the same DECIMAL-width
-    # representation issue as agg_rollup/agg_stats (same fix, same cast
-    # pattern); the slot goes to the novel dedup_cluster_cc instead.
-    # agg_cube stays registered + locally oracle-checked after slot 50.
-    "subquery_in",
-    "subquery_scalar_avg",
-    "q18_large_orders",
-    "q7_volume_shipping",
-    "q12_late_lines_by_flag",
-    "agg_approx_distinct",
-    # new round-2 operator families (q3/topk/cdc_last_image re-verifies
-    # rotated out: green in round 1, and the 14 round-1 reds above
-    # already re-verify the same result-type cast patterns)
-    "cdc_xmltype_decode",
-    "sample_training_mix",
-]
-
 
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
