@@ -36,5 +36,10 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLE)))
 def test_rows_only_queries_run(spark, sf_dir, name):
+    # collect(), not count(): Catalyst prunes scalar UDF projections out
+    # of a count plan entirely, so count() can pass without the query's
+    # compute ever executing (how the protobuf builder's negative-varint
+    # infinite loop stayed invisible for two rounds)
     df = _QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.columns) > 0
