@@ -195,17 +195,19 @@ def test_no_driver_collect_in_operators():
             offenders.append(f"{p.name}: toPandas")
     assert offenders == [], offenders
 
-def test_decontaminate_distinct_before_join(spark, sf_dir):
-    """Contamination scan must reduce both sides to distinct grams BEFORE
-    the equi-join (partial-aggregated distinct), and never plan a
-    cartesian/nested-loop pair generation."""
+def test_decontaminate_single_explode_no_join(spark, sf_dir):
+    """Contamination scan: ONE gram explode + ONE distinct, eval
+    membership via a gram-window flag — no join at all (the previous
+    train/eval branches each re-ran the explode), no cartesian shapes,
+    no Python in the plan."""
     from openlogreplicator_spark.operators import dedup
 
     plan = _plan(dedup.decontaminate_ngram(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # distinct on each side + final count: at least 3 agg pairs
-    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1  # the single shingle explode
+    assert "count(1) windowspecdefinition(gram" in plan or "_ev" in plan
     assert "BatchEvalPython" not in plan
 
 
