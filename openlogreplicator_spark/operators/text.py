@@ -629,16 +629,22 @@ def text_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("_p").alias("passage"))
         .distinct()
     )
-    shared = (
-        passages.groupBy("passage")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("passage")
+    # rows are unique per (doc_id, passage), so a passage-window count
+    # IS the document frequency — no second aggregate consumer, no
+    # join-back, and the explode runs exactly once (a plan fork would
+    # re-run it per branch)
+    from pyspark.sql import Window
+
+    flagged = (
+        passages.repartition("passage")
+        .withColumn(
+            "_nd",
+            F.count(F.lit(1)).over(Window.partitionBy("passage")),
+        )
+        .filter(F.col("_nd") >= 2)
     )
-    return (
-        passages.join(shared, "passage")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_boiler"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boiler")
     )
 
 
