@@ -399,13 +399,17 @@ def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
         exo_mask = None
         plain = slim
 
-    # vectorized plain emission: sort by the LWN key (NaN sentinels
-    # sort last, like the sequential path's null handling), emit DML
-    # positioned before its txn's single commit, num = per-xid
-    # enumeration.
-    s = plain.sort_values(
-        ["scn", "subscn", "block", "offset"], kind="stable"
-    )
+    # vectorized plain emission: sort by the LWN key with null
+    # subscn/block/offset coalesced to 0 — the SAME convention as the
+    # sequential state machine's sort key (`r.get("subscn") or 0`), so
+    # emission order, num, and undo pairing are route-independent. The
+    # fill happens on a sort-key copy only; emitted values still come
+    # from the original Arrow table via `take`.
+    s = plain.assign(
+        subscn=plain["subscn"].fillna(0),
+        block=plain["block"].fillna(0),
+        offset=plain["offset"].fillna(0),
+    ).sort_values(["scn", "subscn", "block", "offset"], kind="stable")
     xids = s["xid"].to_numpy()
     opcs = s["opcode"].to_numpy()
     undo_m = opcs == "undo"
@@ -482,7 +486,16 @@ def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
     begin_m = opcs == "begin"
     commit_scn = dict(zip(s.loc[commit_m, "xid"], s.loc[commit_m, "scn"]))
     commit_pos = dict(zip(s.loc[commit_m, "xid"], pos[commit_m]))
-    begin_scn = dict(zip(s.loc[begin_m, "xid"], s.loc[begin_m, "scn"]))
+    begin_pos = dict(zip(s.loc[begin_m, "xid"], pos[begin_m]))
+    # begin_scn counts only when the begin precedes its commit in LWN
+    # order — the state machine snapshots begin_scn at commit time, so a
+    # (pathological) begin sorted after the commit yields null there; a
+    # late begin opens a NEW (never-committed) txn instead.
+    begin_scn = {
+        x: sc
+        for x, sc in zip(s.loc[begin_m, "xid"], s.loc[begin_m, "scn"])
+        if begin_pos[x] < commit_pos.get(x, -1)
+    }
     dml = s[dml_m]
     cpos = dml["xid"].map(commit_pos)
     emit_m = cpos.notna().to_numpy() & (
@@ -554,10 +567,24 @@ def _default_buckets(records: DataFrame) -> int:
     Arrow channel handshake), so oversubscribing buckets 4-8× the core
     count — the classic skew rule — costs more in task launches than it
     saves in balance here: at sf0.1 dropping 128 buckets to 32 removed
-    ~1.9 s from the assembly stage. Each bucket's working set (its
-    share of in-flight transactions) must still fit one executor; raise
-    `n_buckets` explicitly for skewed or memory-tight workloads."""
-    return max(32, records.sparkSession.sparkContext.defaultParallelism)
+    ~1.9 s from the assembly stage.
+
+    MEMORY ENVELOPE: the assembly kernel materializes one whole bucket
+    as an Arrow table (complete transactions per partition are required
+    for per-xid correctness), so each bucket's share of the in-flight
+    record stream must fit one Python worker — roughly
+    stream_bytes / n_buckets per task. For memory-tight or skewed
+    workloads set ``spark.olrs.assembly.buckets`` on the session (or
+    pass ``n_buckets``) to restore finer 4-8×-core bucketing; the
+    default trades that headroom for task-launch latency."""
+    sess = records.sparkSession
+    try:
+        override = sess.conf.get("spark.olrs.assembly.buckets", None)
+    except Exception:
+        override = None
+    if override:
+        return int(override)
+    return max(32, sess.sparkContext.defaultParallelism)
 
 
 def assemble_transactions(

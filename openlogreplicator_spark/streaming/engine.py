@@ -207,6 +207,22 @@ def build_pipeline(
     # the modes on one checkpoint is undefined behavior. A per-mode
     # suffix makes the two mode families physically disjoint, so any
     # caller-supplied checkpoint dir is safe under either mode.
+    #
+    # BREAKING (introduced with the suffix): a pre-suffix deployment has
+    # its Spark checkpoint directly at the bare path. Silently starting
+    # a fresh checkpoint at the suffixed path would reprocess from the
+    # start position and re-deliver already-emitted events to the sink,
+    # so a legacy layout fails loudly with migration instructions.
+    if os.path.isdir(os.path.join(checkpoint, "offsets")):
+        mode = "drain" if available_now else "continuous"
+        raise ValueError(
+            f"legacy streaming checkpoint found directly at {checkpoint!r}; "
+            f"checkpoints are now kept per trigger mode under a subdirectory. "
+            f"Move the existing checkpoint to "
+            f"{os.path.join(checkpoint, mode)!r} (if it was produced by the "
+            f"same trigger mode) or point `checkpoint` at a fresh directory "
+            f"after draining the sink."
+        )
     checkpoint = os.path.join(
         checkpoint, "drain" if available_now else "continuous"
     )

@@ -307,6 +307,16 @@ class StreamServer:
                 c_scn = req.get("c_scn")
                 if c_scn is not None:
                     c_idx = req.get("c_idx", 0)
+                    # monotone watermark (reference prune is
+                    # monotone too): a duplicate/stale CONFIRM below
+                    # the current (scn, idx) must not regress the
+                    # persisted watermark — a later restart/CONTINUE
+                    # would replay already-confirmed frames.
+                    if (c_scn, c_idx) <= (
+                        self.confirmed_scn,
+                        self.confirmed_idx,
+                    ):
+                        return None
                     dropped = 0
                     while self._queue and (
                         self._queue[0][0] < c_scn

@@ -232,3 +232,24 @@ def test_pipeline_continuous_mode_emits_and_stops(spark, redo_dir, tmp_path):
     finally:
         q.stop()
     assert not q.isActive
+
+
+def test_pipeline_rejects_legacy_checkpoint_layout(spark, redo_dir, tmp_path):
+    """Round-4 ADVICE: a pre-suffix deployment has Spark's checkpoint
+    ('offsets' dir) directly at the caller's path; silently relocating
+    to the per-mode subdirectory would replay from the start position.
+    The engine must fail loudly with migration instructions instead."""
+    import pytest
+
+    d, _ = redo_dir
+    legacy = tmp_path / "ckpt_legacy"
+    (legacy / "offsets").mkdir(parents=True)
+    with pytest.raises(ValueError, match="legacy streaming checkpoint"):
+        build_pipeline(
+            spark,
+            EngineConfig(),
+            d,
+            checkpoint=str(legacy),
+            sink="memory",
+            query_name="olr_legacy",
+        )

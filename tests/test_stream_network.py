@@ -192,3 +192,38 @@ def test_pipeline_to_network_sink_end_to_end(spark, tmp_path):
         c2.close()
     finally:
         server.stop()
+
+
+def test_confirm_watermark_is_monotone(tmp_path):
+    """Round-4 ADVICE: a duplicate/stale CONFIRM with a lower
+    (c_scn, c_idx) must not regress the confirmed watermark nor the
+    persisted checkpoint document (the reference's prune is monotone)."""
+    state_dir = str(tmp_path / "state")
+    server = StreamServer("DBM", state_dir=state_dir)
+    try:
+        for i in range(1, 4):
+            server.enqueue(100 * i, 0, f"p{i}".encode())
+        server._handle(
+            {"database": "DBM", "code": REQ_CONFIRM, "c_scn": 200, "c_idx": 0}
+        )
+        assert (server.confirmed_scn, server.confirmed_idx) == (200, 0)
+        assert [q[0] for q in server._queue] == [300]
+        # stale replay: lower scn — ignored, watermark and doc unchanged
+        server._handle(
+            {"database": "DBM", "code": REQ_CONFIRM, "c_scn": 100, "c_idx": 0}
+        )
+        assert (server.confirmed_scn, server.confirmed_idx) == (200, 0)
+        # duplicate at the watermark — also ignored
+        server._handle(
+            {"database": "DBM", "code": REQ_CONFIRM, "c_scn": 200, "c_idx": 0}
+        )
+        assert (server.confirmed_scn, server.confirmed_idx) == (200, 0)
+        doc = read_checkpoint_doc(state_dir, "DBM")
+        assert doc is not None and int(doc["scn"]) == 200
+        # a higher idx at the same scn IS an advance
+        server._handle(
+            {"database": "DBM", "code": REQ_CONFIRM, "c_scn": 200, "c_idx": 2}
+        )
+        assert (server.confirmed_scn, server.confirmed_idx) == (200, 2)
+    finally:
+        server.stop()

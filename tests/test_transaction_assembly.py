@@ -381,3 +381,67 @@ def test_vectorized_undo_pairing_matches_state_machine(spark):
         eb = e.get("before_cols") or None
         gb = g.get("before_cols") or None
         assert gb == eb, (e["xid"], e["num"], gb, eb)
+
+
+def test_null_subscn_sorts_first_like_sequential(spark):
+    """Round-4 ADVICE (medium): the vectorized plain path must coalesce
+    null subscn/block/offset to 0 for the LWN sort — the sequential
+    state machine's convention (`r.get("subscn") or 0`) — so a
+    null-subscn DML at the same scn sorts FIRST (num=0), not last."""
+    records = [
+        {"scn": 1, "xid": "ns", "opcode": "begin"},
+        # inserted in subscn-1-first order; the null must still win num=0
+        {"scn": 2, "xid": "ns", "opcode": "insert", "obj": 1, "bdba": 5,
+         "slot": 0, "subscn": 1, "cols": {"v": "subscn-1"}},
+        {"scn": 2, "xid": "ns", "opcode": "insert", "obj": 1, "bdba": 5,
+         "slot": 1, "cols": {"v": "null-subscn"}},
+        {"scn": 3, "xid": "ns", "opcode": "commit"},
+    ]
+    expected = assemble_transactions_py(records)
+    got = sorted(
+        (r.asDict() for r in
+         assemble_transactions(redo_records_df(spark, records)).collect()),
+        key=lambda e: e["num"],
+    )
+    assert _norm(got) == _norm(expected)
+    assert [(e["num"], e["cols"]["v"]) for e in got] == [
+        (0, "null-subscn"), (1, "subscn-1")
+    ]
+
+
+def test_begin_after_commit_yields_null_begin_scn(spark):
+    """Round-4 ADVICE: a single begin sorted AFTER its transaction's
+    commit must emit begin_scn=null on the vectorized route, matching
+    the state machine's commit-time snapshot (the late begin opens a
+    new, never-committed txn)."""
+    records = [
+        {"scn": 1, "xid": "lb", "opcode": "insert", "obj": 1, "bdba": 5,
+         "slot": 0, "cols": {"v": "a"}},
+        {"scn": 2, "xid": "lb", "opcode": "commit"},
+        {"scn": 3, "xid": "lb", "opcode": "begin"},
+    ]
+    expected = assemble_transactions_py(records)
+    got = [r.asDict() for r in
+           assemble_transactions(redo_records_df(spark, records)).collect()]
+    assert _norm(got) == _norm(expected)
+    assert len(got) == 1
+    assert got[0]["begin_scn"] is None
+
+
+def test_assembly_bucket_conf_override(spark):
+    """`spark.olrs.assembly.buckets` overrides the default one-bucket-
+    per-core sizing for memory-tight / skewed deployments."""
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        _default_buckets,
+    )
+
+    records = redo_records_df(
+        spark, [{"scn": 1, "xid": "b", "opcode": "begin"}]
+    )
+    base = _default_buckets(records)
+    assert base >= 32
+    spark.conf.set("spark.olrs.assembly.buckets", "128")
+    try:
+        assert _default_buckets(records) == 128
+    finally:
+        spark.conf.unset("spark.olrs.assembly.buckets")
