@@ -27,91 +27,68 @@ if _REPO_ROOT not in sys.path:
 # round 1 (now fixed), then a few representative re-verifies. Everything
 # else registers after slot 50 — still runnable, checked locally by
 # tests/test_queries_vs_duckdb.py.
-_PRIORITY = [  # round-4 window (previous windows: git history of this list)
-    # -- 5 green canaries, one per result-type family, to detect
-    #    driver-side drift (per round-3 verdict guidance)
+_PRIORITY = [  # round-5 window (previous windows: git history of this list)
+    # -- 5 green canaries, one per result-type family (drift detection)
     "q1_pricing_summary",
     "cdc_txn_assembly",
     "dedup_minhash_lsh",
     "agg_rollup",
     "stream_tumbling_window",
-    # -- re-verifies of changed code: the round-3 red (fval now DOUBLE
-    #    on both sides, fixture v4c) and the two other binary parse-
-    #    plane queries, whose image decode is being columnarized this
-    #    round — a driver verdict proves the rework, a local rerun
-    #    cannot (round 3 taught us that)
-    "cdc_typed_images_binary",
+    # -- re-verifies of CHANGED code: the assembly plain path's null-
+    #    sort and begin-after-commit conventions changed this round
+    #    (round-4 ADVICE) — every query that rides assemble_transactions
+    #    or undo pairing needs a fresh driver verdict
     "cdc_txn_assembly_binary",
     "cdc_kdo_positional_binary",
-    # -- the 42 oracled queries that have NEVER had a driver verdict
-    #    (the other 10 never-verified are rows-only and would burn a
-    #    slot each as err=no_oracle; they stay locally golden-tested).
-    #    Flagship composition first:
-    "pipeline_pretraining_corpus",
-    # CDC never-verified
-    "cdc_net_changes",
-    "cdc_partition_routing",
+    "cdc_typed_images_binary",
     "cdc_txn_split",
-    "cdc_clob_charset",
-    "cdc_gap_detect",
-    "cdc_asof_snapshot",
     "cdc_txn_stats",
-    # event analytics
-    "event_funnel",
-    "event_retention",
-    "event_transitions",
-    # text round-2/3 family
-    "text_bigram_perplexity",
-    "text_chunk_split",
-    "text_dedup_passages",
-    "text_commonness",
-    "text_token_count",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_repetition_filter",
-    "text_tfidf_topterms",
-    "text_entropy_filter",
-    # sampling / mix construction
-    "sample_dsir_weights",
-    "sample_temperature_mix",
-    "sample_group_cap",
-    "split_train_eval",
-    # dedup tail
-    "dedup_semantic",
-    "dedup_incremental",
-    "dedup_canonical_pick",
-    # embeddings / multimodal. embedding_stats / embedding_normalize
-    # (map-only projections, the lowest-risk of this window) yield
-    # their slots to the two NEW oracle-checked operators of this round:
-    # the real-codec image decode (pixel-exact vs an arithmetic oracle)
-    # and the type-system tail (LONG/LONG RAW unknown-type matrix +
-    # EXPERIMENTAL_JSON raw-LOB passthrough). Both displaced queries
-    # stay registered and locally oracle-checked.
-    "embedding_quantize",
-    "multimodal_image_stats",
-    "cdc_type_tail",
-    "multimodal_decode_table",
-    # streaming windows (registered since r1, never hit the window)
-    "stream_sliding_window",
-    "stream_session_window",
-    # relational tail
-    "window_range_interval",
-    "agg_histogram",
-    "agg_approx_quantile",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    # q13/q15 (plain SQL shapes, same cast patterns as the driver-green
-    # TPC-H set) yield their slots to the two builder surfaces that
-    # JUST gained byte-exact oracles — B1's JSON envelope and B2's
-    # protobuf wire format reconstructed character-for-character by
-    # DuckDB. Builder output is the engine's user-facing contract and
-    # runs through a pandas UDF, exactly the class where a driver
-    # verdict proves what a local rerun cannot. q13/q15 stay registered
-    # and locally oracle-checked.
+    "cdc_before_image",
+    "cdc_net_changes",
+    "cdc_sessionize",
+    "cdc_last_image",
+    # -- the 8 oracled queries that have never had a driver verdict
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "dedup_cross_source",
+    "corpus_stats_report",
+    "embedding_stats",
+    "embedding_normalize",
+    "cdc_json_builder_debezium",
+    "event_anomaly_mad",
+    # -- NEW this round: the TPC-H tail completing the 22-query suite
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q20_potential_part_promotion",
+    "q21_suppliers_kept_waiting",
+    # -- broad green re-verification (regression guard across families;
+    #    these queries all went green in r3/r4 and fill the window to 50)
+    "pipeline_pretraining_corpus",
+    "cdc_lob_reassembly",
+    "cdc_clob_charset",
+    "cdc_partition_routing",
+    "cdc_schema_asof_resolve",
+    "cdc_condition_filter",
+    "cdc_unchanged_suppression",
     "cdc_json_builder",
     "cdc_protobuf_builder",
+    "cdc_type_tail",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "dedup_cluster_cc",
+    "decontaminate_ngram",
+    "text_bigram_perplexity",
+    "text_quality_score",
+    "sample_dsir_weights",
+    "sample_training_mix",
+    "pack_training_sequences",
+    "event_funnel",
+    "stream_session_window",
+    "cdc_gap_detect",
 ]
+
 
 def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
@@ -121,6 +98,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "openlogreplicator_spark.operators.relational2",
         "openlogreplicator_spark.operators.relational3",
         "openlogreplicator_spark.operators.relational4",
+        "openlogreplicator_spark.operators.relational5",
         "openlogreplicator_spark.operators.clustering",
         "openlogreplicator_spark.operators.cdc",
         "openlogreplicator_spark.operators.dedup",
