@@ -85,8 +85,9 @@ _PRIORITY = [  # round-5 window (previous windows: git history of this list)
     "sample_training_mix",
     "pack_training_sequences",
     "event_funnel",
-    "stream_session_window",
     "cdc_gap_detect",
+    # -- NEW this round: the quantized PCA-input moment plane
+    "embedding_moments",
 ]
 
 

@@ -44,7 +44,49 @@ HEADLINE = [
     "cdc_lob_reassembly",
     "event_funnel",
     "stream_session_window",
+    "q21_suppliers_kept_waiting",
 ]
+
+
+def _stream_drain_rate(spark, sf_dir: str) -> dict:
+    """End-to-end STREAMING drain over the OLRS binary fixture — the
+    reference's headline workload (binary redo → parse → stateful
+    assembly → rendered change events → sink) as one Structured
+    Streaming AvailableNow run, reported as input records/second. The
+    reference publishes no numbers (BASELINE.md), so this is the
+    apples-to-apples throughput artifact for 'matches-or-beats
+    single-node throughput at the same data scale'."""
+    import shutil
+    import tempfile
+
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.operators.cdc import _binary_redo_dir
+    from openlogreplicator_spark.sources.binary_redo import parse_redo_files
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    redo_dir = _binary_redo_dir(spark, sf_dir)
+    n_records = parse_redo_files(spark, redo_dir).count()
+    ckpt = tempfile.mkdtemp(prefix="olrs_bench_ckpt_")
+    try:
+        t0 = time.perf_counter()
+        q = build_pipeline(
+            spark,
+            EngineConfig(),
+            redo_dir,
+            checkpoint=ckpt,
+            sink="noop",
+            query_name="olr_bench_drain",
+            available_now=True,
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "records": n_records,
+        "sec": round(dt, 3),
+        "records_per_sec": int(n_records / dt) if dt > 0 else 0,
+    }
 
 
 def main() -> None:
@@ -163,6 +205,8 @@ def main() -> None:
         ):
             noise.append(name)
 
+    drain = _stream_drain_rate(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -174,6 +218,7 @@ def main() -> None:
                 "queries": timings,
                 "plan_fingerprints": fingerprints,
                 "noise_flagged": noise,
+                "stream_drain": drain,
                 "sf": float(sf) if sf else sf_dir,
                 "n_queries": len(timings),
             }

@@ -133,8 +133,92 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_MOM_D = 8  # leading dims emitted by the oracled moment query
+
+
+def embedding_moments(spark, sf_dir: str):
+    """Driver-checkable slice of the PCA input plane: exact integer
+    moment sums over the leading ``_MOM_D`` embedding dimensions —
+    per-dim sums and the upper-triangular second-moment matrix, with
+    every element quantized to FLOOR(x*1000) so cross-engine float
+    summation order can never move the hash. ONE scan, ONE map-side-
+    combined global aggregate, zero shuffles of data rows — the same
+    partial-moment shape `fit_pca` uses (mapInPandas partials there,
+    JVM partial aggregation here), so a green driver verdict pins the
+    distributed-moment arithmetic the PCA rides on."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [
+        F.floor(F.element_at("embedding", i + 1).cast("double") * 1000)
+        .cast("bigint")
+        .alias(f"e{i}")
+        for i in range(_MOM_D)
+    ]
+    base = emb.select(*q)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"e{i}").alias(f"s_{i}") for i in range(_MOM_D)]
+    aggs += [
+        F.sum(F.col(f"e{i}") * F.col(f"e{j}")).alias(f"p_{i}_{j}")
+        for i in range(_MOM_D)
+        for j in range(i, _MOM_D)
+    ]
+    wide = base.agg(*aggs)
+    pairs = ", ".join(
+        f"'{i},{j}', p_{i}_{j}"
+        for i in range(_MOM_D)
+        for j in range(i, _MOM_D)
+    )
+    n_pairs = _MOM_D * (_MOM_D + 1) // 2
+    sums = ", ".join(f"'{i}', s_{i}" for i in range(_MOM_D))
+    # stack the wide aggregate into (kind, key, value) rows
+    return wide.selectExpr(
+        f"stack({_MOM_D + n_pairs + 1}, 'n', '-', n, "
+        + ", ".join(f"'sum', '{i}', s_{i}" for i in range(_MOM_D))
+        + ", "
+        + ", ".join(
+            f"'prod', '{i},{j}', p_{i}_{j}"
+            for i in range(_MOM_D)
+            for j in range(i, _MOM_D)
+        )
+        + ") as (kind, dims, value)"
+    )
+
+
+def _moments_sql() -> str:
+    qe = lambda i: (
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000) AS BIGINT)"
+    )
+    rows = ["SELECT 'n' AS kind, '-' AS dims, COUNT(*) AS value FROM embeddings"]
+    for i in range(_MOM_D):
+        rows.append(
+            f"SELECT 'sum', '{i}', SUM({qe(i)}) FROM embeddings"
+        )
+    for i in range(_MOM_D):
+        for j in range(i, _MOM_D):
+            rows.append(
+                f"SELECT 'prod', '{i},{j}', SUM({qe(i)} * {qe(j)}) "
+                "FROM embeddings"
+            )
+    return "\nUNION ALL\n".join(rows)
+
+
+EMBEDDING_MOMENTS_SQL = (
+    "SELECT kind, dims, CAST(value AS BIGINT) AS value FROM ("
+    + _moments_sql()
+    + ") t(kind, dims, value)"
+)
+
+
 QUERIES = {
     "embedding_pca": embedding_pca,
+    "embedding_moments": embedding_moments,
 }
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {
+    "embedding_moments": EMBEDDING_MOMENTS_SQL,
+}

@@ -363,7 +363,7 @@ def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
 
     cols_type = tbl.schema.field("cols").type
     out_schema = _arrow_out_schema(cols_type)
-    if show_incomplete or max_ops is not None:
+    if show_incomplete:
         out = _state_machine_frame(tbl.to_pandas(), show_incomplete, max_ops)
         yield from _pdf_out_batches(out, out_schema)
         return
@@ -391,6 +391,15 @@ def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
     exotic_xids = set(slim.loc[exotic_rec, "xid"])
     exotic_xids.update(commit_x[commit_x.duplicated()])
     exotic_xids.update(begin_x[begin_x.duplicated()])
+    if max_ops is not None:
+        # T4 size guard, vectorized and conservative: a plain txn's op
+        # count equals its DML record count ≤ its record count, so only
+        # xids with MORE records than the cap can possibly overflow —
+        # route those to the state machine, which applies the exact
+        # drop + skip-list semantics (over-routing is always correct,
+        # just slower; under the default multi-MB cap nothing routes).
+        vc = slim["xid"].value_counts()
+        exotic_xids.update(vc.index[vc.to_numpy() > max_ops])
 
     if exotic_xids:
         exo_mask = slim["xid"].isin(exotic_xids).to_numpy()

@@ -38,11 +38,15 @@ def generate_redo_records(
     def rec(xid: str, opcode: str, **kw) -> dict:
         nonlocal scn
         scn += rng.randint(0, 2)  # duplicate SCNs happen (subscn breaks ties)
+        # null LWN key components happen too (a record missing its
+        # subscn/block/offset sorts as 0, the state machine's
+        # convention) — generated so the fast-path/state-machine parity
+        # properties cover the null-coalescing sort on both routes
         r = {
             "scn": scn,
-            "subscn": rng.randint(0, 3),
-            "block": rng.randint(0, 1 << 20),
-            "offset": rng.randint(0, 1 << 15),
+            "subscn": None if rng.random() < 0.1 else rng.randint(0, 3),
+            "block": None if rng.random() < 0.05 else rng.randint(0, 1 << 20),
+            "offset": None if rng.random() < 0.05 else rng.randint(0, 1 << 15),
             "seq": 1,
             "xid": xid,
             "opcode": opcode,

@@ -42,7 +42,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from openlogreplicator_spark.operators.transaction_assembly import (
     ASSEMBLED_SCHEMA,
-    assemble_transactions_py,
 )
 
 _STATE_SCHEMA = T.StructType(
@@ -55,33 +54,51 @@ _STATE_SCHEMA = T.StructType(
 _TERMINAL = ("commit", "rollback")
 
 
-def _split_at_last_terminal(records: list[dict]) -> tuple[list[dict], list[dict]]:
-    """PER XID: records up to (incl.) that xid's last commit/rollback
-    are flushable; each xid's tail belongs to a still-open transaction
-    and goes back to state. The bucket holds many interleaved xids, so
-    a global split would flush (and silently drop) open transactions
-    that happen to sort before another transaction's commit."""
-    last: dict[str, int] = {}
-    for i, r in enumerate(records):
-        if r["opcode"] in _TERMINAL:
-            last[r["xid"]] = i
-    flushable: list[dict] = []
-    leftover: list[dict] = []
-    for i, r in enumerate(records):
-        if i <= last.get(r["xid"], -1):
-            flushable.append(r)
+_REC_NUM = ("scn", "subscn", "block", "offset", "bdba", "slot", "seq", "fb")
+_REC_COLUMNS = [
+    "scn", "subscn", "block", "offset", "seq", "xid", "opcode", "obj",
+    "bdba", "slot", "fb", "cols", "rows",
+]
+
+
+def _records_arrow_table(pdf: pd.DataFrame):
+    """Pandas record frame (cols/rows as list-of-pairs, numerics
+    possibly NaN-widened) → Arrow table in REDO_RECORD_SCHEMA types,
+    ready for the vectorized batch kernel. Per-value work stays in
+    Arrow's C conversion path."""
+    import pyarrow as pa
+
+    mt = pa.map_(pa.string(), pa.string())
+    types = {
+        "scn": pa.int64(), "subscn": pa.int32(), "block": pa.int64(),
+        "offset": pa.int32(), "seq": pa.int64(), "xid": pa.string(),
+        "opcode": pa.string(), "obj": pa.int64(), "bdba": pa.int64(),
+        "slot": pa.int32(), "fb": pa.int32(), "cols": mt,
+        "rows": pa.list_(mt),
+    }
+    arrays = []
+    for name in _REC_COLUMNS:
+        s = pdf[name]
+        if name in ("cols", "rows"):
+            # maps arrive as dicts (state-API pandas) or k/v pair lists
+            # (JSON-restored state) — canonicalize to pair-tuples
+            def pairs(m):
+                if isinstance(m, dict):
+                    return list(m.items())
+                return [tuple(p) for p in m]
+
+            vals = [
+                None if v is None or (isinstance(v, float) and pd.isna(v))
+                else (pairs(v) if name == "cols"
+                      else [pairs(m) for m in v])
+                for v in s.tolist()
+            ]
+            arrays.append(pa.array(vals, type=types[name]))
         else:
-            leftover.append(r)
-    return flushable, leftover
-
-
-def _sort_key(r: dict) -> tuple:
-    return (
-        r.get("scn") or 0,
-        r.get("subscn") or 0,
-        r.get("block") or 0,
-        r.get("offset") or 0,
-    )
+            arrays.append(
+                pa.array(s.to_numpy(), type=types[name], from_pandas=True)
+            )
+    return pa.Table.from_arrays(arrays, names=_REC_COLUMNS)
 
 
 def assemble_stateful(
@@ -93,69 +110,109 @@ def assemble_stateful(
 ) -> Iterable[pd.DataFrame]:
     """Per-bucket stateful kernel (wired via the xid-hash groupBy in
     :func:`streaming_assemble`; also correct keyed by raw xid — the
-    in-kernel logic is per-xid throughout)."""
+    in-kernel logic is per-xid throughout).
+
+    The bulk path is VECTORIZED: incoming frames are combined and split
+    in pandas, the flushable majority runs through the same Arrow
+    kernel as batch assembly (`_assemble_partition_arrow` — plain txns
+    never materialize per-record Python objects), and only the
+    leftover tail (open transactions awaiting their commit) converts to
+    dict records for the JSON state payload."""
+    import numpy as np
+
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        _assemble_partition_arrow,
+    )
+
     buffered: list[dict] = []
     if state.exists:
         (_, payload) = state.get
         buffered = json.loads(payload)
 
+    empty = pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
     if state.hasTimedOut:
         # incomplete-transaction policy: drop the abandoned transaction
         state.remove()
-        yield pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
+        yield empty
         return
 
-    new: list[dict] = []
-    for pdf in pdf_iter:
-        for r in pdf.to_dict("records"):
-            rec: dict[str, Any] = {}
-            for k, v in r.items():
-                if isinstance(v, float) and pd.isna(v):
-                    v = None
-                elif k in ("scn", "subscn", "block", "offset", "bdba", "slot", "seq"):
-                    v = int(v) if v is not None else None
-                elif k in ("cols",) and v is not None and not isinstance(v, dict):
-                    v = dict(v)
-                elif k == "rows" and v is not None:
-                    v = [dict(x) if not isinstance(x, dict) else x for x in v]
-                rec[k] = v
-            new.append(rec)
-    new.sort(key=_sort_key)
-
+    frames = [pdf for pdf in pdf_iter if len(pdf)]
+    if buffered:
+        frames.insert(0, pd.DataFrame(buffered, columns=_REC_COLUMNS))
+    if not frames:
+        yield empty
+        return
+    comb = pd.concat(frames, ignore_index=True, copy=False)
     # Source contract: records arrive in log order across batches (the
-    # reference's reader guarantees the same). The defensive re-sort below
-    # repairs ordering *within* what we currently hold, but a record
-    # arriving after its transaction's commit was flushed is unrecoverable
-    # — same as a redo block appearing after its LWN was confirmed.
-    combined = sorted(buffered + new, key=_sort_key)
-    flushable, leftover = _split_at_last_terminal(combined)
+    # reference's reader guarantees the same). The defensive re-sort
+    # repairs ordering *within* what we currently hold — null key parts
+    # coalesce to 0, the state machine's convention — but a record
+    # arriving after its transaction's commit was flushed is
+    # unrecoverable, same as a redo block appearing after its LWN was
+    # confirmed.
+    comb = comb.iloc[
+        np.lexsort(
+            (
+                comb["offset"].fillna(0).to_numpy(),
+                comb["block"].fillna(0).to_numpy(),
+                comb["subscn"].fillna(0).to_numpy(),
+                comb["scn"].fillna(0).to_numpy(),
+            )
+        )
+    ].reset_index(drop=True)
+    # per-xid split at the last commit/rollback: records at or before
+    # their xid's last terminal flush now; each xid's tail stays open
+    pos = np.arange(len(comb))
+    term = comb["opcode"].isin(_TERMINAL).to_numpy()
+    last_term = (
+        pd.Series(np.where(term, pos, -1))
+        .groupby(comb["xid"].to_numpy())
+        .transform("max")
+        .to_numpy()
+    )
+    flush_m = pos <= last_term
 
-    if leftover:
-        state.update((len(leftover), json.dumps(leftover)))
+    leftover = comb[~flush_m]
+    if len(leftover):
+        recs = leftover.to_dict("records")
+        for r in recs:  # JSON-safe: numpy scalars → int/None
+            for k in _REC_NUM:
+                v = r.get(k)
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    r[k] = None
+                else:
+                    r[k] = int(v)
+            for k in ("cols", "rows"):
+                v = r.get(k)
+                if isinstance(v, float) and pd.isna(v):
+                    r[k] = None
+                elif isinstance(v, np.ndarray):
+                    r[k] = v.tolist()
+        state.update((len(recs), json.dumps(recs)))
         # incomplete-transaction TTL. Generous by default: an open
-        # transaction is legitimate until its commit arrives; the timeout
-        # only reaps transactions abandoned by a crashed session (the
-        # reference keeps them until log end). Local test batches can be
-        # minutes apart under load — a short TTL here silently drops
-        # mid-flight transactions. Only registered in continuous mode:
-        # with any processing-time timer pending, Spark's
-        # shouldRunAnotherBatch forces endless zero-input micro-batches
-        # under Trigger.AvailableNow, so a drain run would never
-        # terminate.
+        # transaction is legitimate until its commit arrives; the
+        # timeout only reaps transactions abandoned by a crashed
+        # session (the reference keeps them until log end). Only
+        # registered in continuous mode: with any processing-time timer
+        # pending, Spark's shouldRunAnotherBatch forces endless
+        # zero-input micro-batches under Trigger.AvailableNow, so a
+        # drain run would never terminate.
         if ttl_timeout:
             state.setTimeoutDuration(3_600_000)
     elif state.exists:
         state.remove()
 
-    if flushable:
-        # already in emission order — do not re-sort across batch boundaries
-        events = assemble_transactions_py(
-            sorted(flushable, key=_sort_key), max_ops=max_ops
-        )
-        if events:
-            yield pd.DataFrame(events)
-            return
-    yield pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
+    emitted = False
+    if flush_m.any():
+        tbl = _records_arrow_table(comb[flush_m])
+        for batch in _assemble_partition_arrow(tbl, False, max_ops):
+            if batch.num_rows:
+                emitted = True
+                # Spark's state-API serializer converts map values via
+                # dict.items() — hand maps back as pydicts
+                yield batch.to_pandas(maps_as_pydicts="strict")
+    if not emitted:
+        yield empty
 
 
 def streaming_assemble(

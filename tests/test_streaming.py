@@ -38,7 +38,7 @@ def test_streaming_assembly_across_batches(spark, tmp_path):
     records = generate_redo_records(n_txns=12, seed=3)
     # split stream into 3 chronological files → maxFilesPerTrigger=1 gives
     # 3 micro-batches with transactions straddling the boundaries
-    records.sort(key=lambda r: (r["scn"], r["subscn"], r["block"], r["offset"]))
+    records.sort(key=lambda r: (r["scn"], r["subscn"] or 0, r["block"] or 0, r["offset"] or 0))
     indir = tmp_path / "redo_in"
     indir.mkdir()
     for i, chunk in enumerate(
@@ -402,7 +402,7 @@ def test_bucketed_state_interleaves_many_xids(spark, tmp_path):
     the sequential reference — including open transactions parked in
     state while bucket-mates commit around them."""
     records = generate_redo_records(n_txns=120, seed=21, p_rollback=0.1)
-    records.sort(key=lambda r: (r["scn"], r["subscn"], r["block"], r["offset"]))
+    records.sort(key=lambda r: (r["scn"], r["subscn"] or 0, r["block"] or 0, r["offset"] or 0))
     indir = tmp_path / "redo_many"
     indir.mkdir()
     third = len(records) // 3

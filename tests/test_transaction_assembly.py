@@ -445,3 +445,30 @@ def test_assembly_bucket_conf_override(spark):
         assert _default_buckets(records) == 128
     finally:
         spark.conf.unset("spark.olrs.assembly.buckets")
+
+
+def test_max_ops_vectorized_routing(spark):
+    """max_ops no longer forces the whole partition through the
+    sequential state machine: plain transactions within the cap emit
+    via the vectorized path, oversized ones route to the state machine
+    for the exact drop + skip-list semantics. Output must equal the
+    sequential oracle either way."""
+    records = []
+    scn = 0
+    # one plain txn with 3 ops (within cap), one with 8 (over cap)
+    for xid, n in (("small", 3), ("big", 8)):
+        records.append({"scn": (scn := scn + 1), "xid": xid, "opcode": "begin"})
+        for j in range(n):
+            records.append(
+                {"scn": (scn := scn + 1), "xid": xid, "opcode": "insert",
+                 "obj": 1, "bdba": 1, "slot": j, "cols": {"k": str(j)}}
+            )
+        records.append({"scn": (scn := scn + 1), "xid": xid, "opcode": "commit"})
+    expected = assemble_transactions_py(records, max_ops=5)
+    got = [r.asDict() for r in
+           assemble_transactions(
+               redo_records_df(spark, records), max_ops=5
+           ).collect()]
+    assert _norm(got) == _norm(expected)
+    assert {e["xid"] for e in got} == {"small"}
+    assert len(got) == 3
