@@ -375,3 +375,40 @@ def test_binary_assembly_single_parse_single_exchange(spark, sf_dir):
     assert plan.count("MapInPandas") == 1, plan[:2000]
     assert plan.count("Exchange") == 1, plan[:2000]
     assert "MapInArrow" in plan  # the assembly kernel itself
+
+
+def test_q2_min_cost_all_dims_broadcast(spark, sf_dir):
+    """q2's synthesized supply relation and every dimension join must be
+    broadcast; the only hash exchange is the per-part window min."""
+    from openlogreplicator_spark.operators import relational5
+
+    plan = _plan(relational5.q2_min_cost_supplier(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q21_no_nested_loop_single_lineitem_family(spark, sf_dir):
+    """q21's EXISTS/NOT-EXISTS collapse to one order-grouped aggregation
+    joined back to the late lines — no nested-loop or cartesian join
+    may appear, and supplier/nation ride broadcasts."""
+    from openlogreplicator_spark.operators import relational5
+
+    plan = _plan(relational5.q21_suppliers_kept_waiting(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_embedding_moments_single_global_agg(spark, sf_dir):
+    """The moment query is one scan + one map-side-combined global
+    aggregate: partial/final HashAggregate around a single-partition
+    exchange, no hash exchanges, no Python in the plan."""
+    from openlogreplicator_spark.operators import linalg
+
+    plan = _plan(linalg.embedding_moments(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
