@@ -187,9 +187,14 @@ def build_pipeline(
     available_now: bool = True,
     state_dir: str | None = None,
     network_server=None,
+    kafka_bootstrap: str | None = None,
+    kafka_topic: str = "olr.events",
 ):
     """Assemble and START the full pipeline from one config. Returns the
-    ``StreamingQuery``. ``sink`` ∈ {json, noop, memory, lake, network} —
+    ``StreamingQuery``. ``sink`` ∈ {json, noop, memory, lake, network,
+    kafka} — ``kafka`` (W2) produces the rendered (key, value) messages
+    to ``kafka_bootstrap``/``kafka_topic`` over the Kafka wire protocol
+    (streaming/kafka_wire.py, WriterKafka.cpp semantics);
     ``lake`` writes the typed change events as (owner, table)-partitioned
     parquet instead of rendered messages; ``network`` (W4) streams
     protobuf frames through ``network_server`` (a
@@ -310,6 +315,21 @@ def build_pipeline(
         # checkpoint interval (Writer.cpp checkpoint timer)
         writer = writer.trigger(
             processingTime=f"{cfg.checkpoint_interval_s} seconds"
+        )
+    if sink == "kafka":
+        # W2: rendered (key, value) messages produced over the Kafka
+        # wire protocol; kafka_bootstrap/kafka_topic configure the
+        # endpoint (WriterKafka topic + brokers)
+        from openlogreplicator_spark.streaming.pipeline import (
+            kafka_foreach_batch,
+        )
+
+        return (
+            writer.foreachBatch(
+                kafka_foreach_batch(kafka_bootstrap, kafka_topic)
+            )
+            .option("checkpointLocation", checkpoint)
+            .start()
         )
     if sink == "memory":
         return writer.format("memory").start()

@@ -116,6 +116,52 @@ def kafka_sink_options(
     }
 
 
+def kafka_foreach_batch(bootstrap: str, topic: str, batch_rows: int = 1000):
+    """W2 delivery: a foreachBatch sink producing each micro-batch to
+    Kafka over the wire protocol (streaming/kafka_wire.py). The produce
+    runs EXECUTOR-side per partition — each task opens one producer and
+    ships its rows in message sets, the distributed shape of the
+    reference's single librdkafka producer (WriterKafka.cpp:123-155;
+    key = tag bytes, value = rendered message). Delivery semantics are
+    at-least-once under Spark's checkpoint (a failed batch replays), the
+    same guarantee librdkafka acks=1 gives the reference; the acked base
+    offset plays the delivery-report confirm."""
+
+    def write(batch_df, _epoch_id) -> None:
+        def send_partition(rows) -> None:
+            from openlogreplicator_spark.streaming.kafka_wire import (
+                KafkaWireProducer,
+            )
+
+            producer = None
+            buf: list[tuple[bytes | None, bytes]] = []
+            try:
+                for r in rows:
+                    key = r["key"]
+                    buf.append(
+                        (
+                            key.encode() if key is not None else None,
+                            r["value"].encode(),
+                        )
+                    )
+                    if len(buf) >= batch_rows:
+                        producer = producer or KafkaWireProducer(
+                            bootstrap, topic
+                        )
+                        producer.send(buf)
+                        buf = []
+                if buf:
+                    producer = producer or KafkaWireProducer(bootstrap, topic)
+                    producer.send(buf)
+            finally:
+                if producer is not None:
+                    producer.close()
+
+        batch_df.select("key", "value").foreachPartition(send_partition)
+
+    return write
+
+
 def prepare_kafka_frame(df: DataFrame, tag_cols: tuple[str, ...]) -> DataFrame:
     """Project (key, value) for the Kafka sink: key = tag JSON (B5),
     value = event JSON."""

@@ -1,0 +1,59 @@
+"""W2 Kafka wire protocol: message-format v1 codec + produce/metadata
+round trips against the loopback broker (WriterKafka.cpp delivery
+contract: key = tag bytes or null, value = rendered message, acked
+offset = delivery report)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from openlogreplicator_spark.streaming.kafka_wire import (
+    KafkaWireProducer,
+    LoopbackKafkaBroker,
+    decode_message_set,
+    encode_message_set,
+)
+
+
+def test_message_set_round_trip_and_null_key():
+    msgs = [(b"tag", b"v1"), (None, b"v2"), (b"", b""), (b"k", b"\x00\xff")]
+    assert decode_message_set(encode_message_set(msgs)) == msgs
+
+
+def test_crc_corruption_detected():
+    data = bytearray(encode_message_set([(b"k", b"value")]))
+    data[-1] ^= 0xFF  # flip a value byte; stored CRC no longer matches
+    with pytest.raises(ValueError, match="CRC"):
+        decode_message_set(bytes(data))
+
+
+def test_magic_v0_rejected():
+    body = struct.pack(">bbq", 0, 0, 0)  # magic=0 (v0 has no timestamp,
+    # but the decoder checks magic before width, so this suffices)
+    import zlib
+
+    m = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
+    data = struct.pack(">qi", 0, len(m)) + m
+    with pytest.raises(ValueError, match="magic"):
+        decode_message_set(data)
+
+
+def test_producer_offsets_monotonic_and_multi_topic():
+    broker = LoopbackKafkaBroker()
+    try:
+        pa = KafkaWireProducer(broker.bootstrap, "topic.a")
+        pb = KafkaWireProducer(broker.bootstrap, "topic.b")
+        assert pa.send([(b"k", b"a1"), (None, b"a2")]) == 0
+        assert pb.send([(b"k", b"b1")]) == 0  # per-topic offsets
+        assert pa.send([(b"k", b"a3")]) == 2
+        assert [v for _, v in broker.messages("topic.a")] == [
+            b"a1", b"a2", b"a3"
+        ]
+        assert broker.messages("topic.b") == [(b"k", b"b1")]
+        assert pa.send([]) == -1  # empty set is a no-op
+        pa.close()
+        pb.close()
+    finally:
+        broker.stop()
