@@ -198,7 +198,9 @@ def build_pipeline(
     ``lake`` writes the typed change events as (owner, table)-partitioned
     parquet instead of rendered messages; ``network`` (W4) streams
     protobuf frames through ``network_server`` (a
-    :class:`~openlogreplicator_spark.streaming.stream_network.StreamServer`)
+    :class:`~openlogreplicator_spark.streaming.stream_network.StreamServer`,
+    or its W5 ZeroMQ-transport variant ``ZmqStreamServer`` — the sink is
+    transport-agnostic)
     speaking the reference's StreamClient pull protocol. With
     ``state_dir`` and no explicit ``cfg.start_scn``, startup position
     comes from the portable W7 checkpoint document

@@ -183,6 +183,25 @@ def decode_control_response(buf: bytes) -> dict:
 # --------------------------------------------------------------------------
 
 
+class _TcpFrameTransport:
+    """The StreamNetwork transport: u32-length-prefixed frames over a
+    raw socket (StreamNetwork.cpp:122-330)."""
+
+    def __init__(self, sock: socket.socket) -> None:
+        self._sock = sock
+        sock.setblocking(True)
+
+    def poll(self, timeout: float) -> bool:
+        r, _, _ = select.select([self._sock], [], [], timeout)
+        return bool(r)
+
+    def send(self, payload: bytes) -> None:
+        send_frame(self._sock, payload)
+
+    def recv(self) -> bytes | None:
+        return recv_frame(self._sock)
+
+
 class StreamServer:
     """Single-client ordered-delivery server.
 
@@ -352,38 +371,59 @@ class StreamServer:
                 except OSError:
                     pass
 
+    def _transport(self, client: socket.socket) -> "_TcpFrameTransport":
+        """Wrap an accepted socket in the session transport; the ZMQ
+        subclass swaps in the ZMTP PAIR handshake here (the reference's
+        Stream abstraction, StreamNetwork vs StreamZeroMQ)."""
+        return _TcpFrameTransport(client)
+
     def _session(self, client: socket.socket) -> None:
-        client.setblocking(False)
+        t = self._transport(client)
         while not self._stop:
             # inbound requests first (the reference polls for CONFIRM
             # while streaming, WriterStream.cpp:234-276)
-            r, _, _ = select.select([client], [], [], 0.02)
-            if r:
-                client.setblocking(True)
-                frame = recv_frame(client)
-                client.setblocking(False)
+            if t.poll(0.02):
+                frame = t.recv()
                 if frame is None:
                     return  # client went away — await reconnect
                 resp = self._handle(decode_redo_request(frame))
                 if resp is not None:
-                    client.setblocking(True)
-                    send_frame(client, resp)
-                    client.setblocking(False)
+                    t.send(resp)
             # then stream pending data frames
             with self._lock:
                 streaming = self._streaming
                 frames = list(self._queue[self._cursor:])
                 self._cursor = len(self._queue) if streaming else self._cursor
             if streaming and frames:
-                client.setblocking(True)
                 for _scn, _idx, f in frames:
-                    send_frame(client, f)
-                client.setblocking(False)
+                    t.send(f)
 
 
 # --------------------------------------------------------------------------
 # client (the consumer side of the pull protocol)
 # --------------------------------------------------------------------------
+
+
+def decode_event(frame: bytes) -> dict:
+    """RedoResponse data frame → dict (shared by the TCP and ZMQ
+    clients)."""
+    ev = {"payload": []}
+    for field, _wire, value in decode_message(frame):
+        if field == 1:
+            ev["code"] = value
+        elif field == 2:
+            ev["scn"] = value
+        elif field == 6:
+            ev["xid"] = value.decode("utf-8")
+        elif field == 8:
+            ev["db"] = value.decode("utf-8")
+        elif field == 9:
+            ev["payload"].append(value)
+        elif field == 10:
+            ev["c_scn"] = value
+        elif field == 11:
+            ev["c_idx"] = value
+    return ev
 
 
 class StreamClient:
@@ -436,23 +476,7 @@ class StreamClient:
             return None
         if frame is None:
             return None
-        ev = {"payload": []}
-        for field, _wire, value in decode_message(frame):
-            if field == 1:
-                ev["code"] = value
-            elif field == 2:
-                ev["scn"] = value
-            elif field == 6:
-                ev["xid"] = value.decode("utf-8")
-            elif field == 8:
-                ev["db"] = value.decode("utf-8")
-            elif field == 9:
-                ev["payload"].append(value)
-            elif field == 10:
-                ev["c_scn"] = value
-            elif field == 11:
-                ev["c_idx"] = value
-        return ev
+        return decode_event(frame)
 
 
 # --------------------------------------------------------------------------
@@ -487,3 +511,67 @@ def stream_network_sink(server: StreamServer):
             server.enqueue(int(row._oscn), int(row._oidx), bytes(row.value))
 
     return write
+
+
+# --------------------------------------------------------------------------
+# W5: the same WriterStream protocol over the ZeroMQ transport
+# --------------------------------------------------------------------------
+
+
+class ZmqStreamServer(StreamServer):
+    """W5 ZeroMQ delivery: identical request state machine, queue, and
+    confirm bookkeeping — only the transport differs. The reference's
+    StreamZeroMQ (src/stream/StreamZeroMQ.cpp:39-60) binds a ZMQ_PAIR
+    socket at the configured tcp:// uri and ships the same protobuf
+    payloads StreamNetwork frames with length prefixes; here each
+    payload rides one ZMTP 3.0 message (streaming/zmtp.py), so a stock
+    libzmq PAIR peer could interoperate."""
+
+    def _transport(self, client: socket.socket):
+        from openlogreplicator_spark.streaming.zmtp import ZmtpPair
+
+        return ZmtpPair(client, as_server=True)
+
+
+class ZmqStreamClient(StreamClient):
+    """Consumer peer for :class:`ZmqStreamServer` — same INFO → START/
+    CONTINUE → payloads → CONFIRM conversation over a ZMTP PAIR."""
+
+    def __init__(self, host: str, port: int, database: str) -> None:
+        from openlogreplicator_spark.streaming.zmtp import ZmtpPair
+
+        self.database = database
+        self._sock = socket.create_connection((host, port), timeout=30)
+        self._pair = ZmtpPair(self._sock, as_server=False)
+
+    def close(self) -> None:
+        self._pair.close()
+
+    def _rpc(self, payload: bytes) -> dict:
+        self._pair.send(payload)
+        frame = self._pair.recv()
+        if frame is None:
+            raise ConnectionError("server closed during rpc")
+        return decode_control_response(frame)
+
+    def confirm(self, c_scn: int, c_idx: int = 0) -> None:
+        self._pair.send(
+            encode_redo_request(
+                REQ_CONFIRM, self.database, c_scn=c_scn, c_idx=c_idx
+            )
+        )
+
+    def recv_event(self, timeout: float = 10.0) -> dict | None:
+        self._sock.settimeout(timeout)
+        try:
+            frame = self._pair.recv()
+        except (TimeoutError, OSError):
+            return None
+        finally:
+            try:
+                self._sock.settimeout(None)
+            except OSError:
+                pass
+        if frame is None:
+            return None
+        return decode_event(frame)

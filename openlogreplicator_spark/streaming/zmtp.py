@@ -1,0 +1,164 @@
+"""W5 ZeroMQ delivery transport — ZMTP 3.0 PAIR over TCP, pure Python.
+
+The reference's third stream transport (src/stream/StreamZeroMQ.cpp:
+39-60) is a ZMQ_PAIR socket carrying exactly the same WriterStream
+protocol payloads as the raw-TCP StreamNetwork transport — the Stream
+base class swaps transports under the writer. This module implements
+the documented ZMTP 3.0 wire protocol (https://rfc.zeromq.org/spec/23/)
+for the PAIR pattern with the NULL security mechanism, so the W4
+StreamServer/StreamClient state machine runs unchanged over it and a
+stock libzmq peer could interoperate.
+
+Wire layout (ZMTP 3.0):
+    greeting  = 0xFF + 8 padding + 0x7F          (signature, 10 octets)
+              | 0x03 0x00                         (version major.minor)
+              | "NULL" + 16 zero octets           (mechanism, 20 octets)
+              | as-server octet | 31 zero octets  (filler)      = 64 B
+    frame     = flags octet | size | body
+                flags bit0 MORE, bit1 LONG, bit2 COMMAND
+                size: 1 octet (short) or 8 octets BE (LONG)
+    handshake = READY command both ways, metadata "Socket-Type" = PAIR
+"""
+
+from __future__ import annotations
+
+import select
+import socket
+import struct
+
+_SIGNATURE = b"\xff" + b"\x00" * 8 + b"\x7f"
+_VERSION = b"\x03\x00"
+_MECHANISM = b"NULL" + b"\x00" * 16
+
+_FLAG_MORE = 0x01
+_FLAG_LONG = 0x02
+_FLAG_COMMAND = 0x04
+
+
+def _read_exact(sock: socket.socket, n: int) -> bytes | None:
+    out = b""
+    while len(out) < n:
+        chunk = sock.recv(n - len(out))
+        if not chunk:
+            return None
+        out += chunk
+    return out
+
+
+def _ready_command(socket_type: bytes) -> bytes:
+    # command-name: size octet + "READY"; metadata: name-size octet +
+    # name + value-size u32 BE + value
+    body = (
+        bytes([5]) + b"READY"
+        + bytes([len(b"Socket-Type")]) + b"Socket-Type"
+        + struct.pack(">I", len(socket_type)) + socket_type
+    )
+    return body
+
+
+class ZmtpPair:
+    """One connected ZMTP 3.0 PAIR peer (NULL mechanism). Presents the
+    same poll/recv/send surface as the raw-TCP frame transport, so the
+    WriterStream protocol runs unchanged on either."""
+
+    def __init__(self, sock: socket.socket, as_server: bool) -> None:
+        self._sock = sock
+        sock.setblocking(True)
+        # greeting exchange (send first — both sides may, per spec)
+        sock.sendall(
+            _SIGNATURE + _VERSION + _MECHANISM
+            + (b"\x01" if as_server else b"\x00") + b"\x00" * 31
+        )
+        greet = _read_exact(sock, 64)
+        if greet is None or greet[:10] != _SIGNATURE:
+            raise ConnectionError("ZMTP: bad greeting signature")
+        if greet[10] != 3:
+            raise ConnectionError(f"ZMTP: unsupported version {greet[10]}")
+        mech = greet[12:32].rstrip(b"\x00")
+        if mech != b"NULL":
+            raise ConnectionError(f"ZMTP: unsupported mechanism {mech!r}")
+        # READY handshake, both directions
+        self._send_frame(_FLAG_COMMAND, _ready_command(b"PAIR"))
+        flags, body = self._recv_frame()
+        if not flags & _FLAG_COMMAND or not body[1:6] == b"READY":
+            raise ConnectionError("ZMTP: expected READY")
+        peer_type = self._metadata(body).get(b"Socket-Type")
+        if peer_type != b"PAIR":
+            raise ConnectionError(f"ZMTP: peer socket type {peer_type!r}")
+
+    @staticmethod
+    def _metadata(ready_body: bytes) -> dict[bytes, bytes]:
+        out: dict[bytes, bytes] = {}
+        pos = 1 + ready_body[0]  # skip command name
+        while pos < len(ready_body):
+            nlen = ready_body[pos]
+            pos += 1
+            name = ready_body[pos: pos + nlen]
+            pos += nlen
+            (vlen,) = struct.unpack_from(">I", ready_body, pos)
+            pos += 4
+            out[name] = ready_body[pos: pos + vlen]
+            pos += vlen
+        return out
+
+    # -- framing -------------------------------------------------------
+    def _send_frame(self, flags: int, body: bytes) -> None:
+        if len(body) < 256:
+            self._sock.sendall(bytes([flags, len(body)]) + body)
+        else:
+            self._sock.sendall(
+                bytes([flags | _FLAG_LONG])
+                + struct.pack(">Q", len(body))
+                + body
+            )
+
+    def _recv_frame(self) -> tuple[int, bytes]:
+        hdr = _read_exact(self._sock, 1)
+        if hdr is None:
+            raise ConnectionError("ZMTP: peer closed")
+        flags = hdr[0]
+        if flags & _FLAG_LONG:
+            raw = _read_exact(self._sock, 8)
+            if raw is None:
+                raise ConnectionError("ZMTP: truncated long size")
+            (size,) = struct.unpack(">Q", raw)
+        else:
+            raw = _read_exact(self._sock, 1)
+            if raw is None:
+                raise ConnectionError("ZMTP: truncated size")
+            size = raw[0]
+        body = _read_exact(self._sock, size) if size else b""
+        if body is None:
+            raise ConnectionError("ZMTP: truncated body")
+        return flags, body
+
+    # -- transport surface (same as the raw-TCP frame transport) --------
+    def poll(self, timeout: float) -> bool:
+        r, _, _ = select.select([self._sock], [], [], timeout)
+        return bool(r)
+
+    def send(self, payload: bytes) -> None:
+        # the reference sends one zmq message per protocol payload
+        # (StreamZeroMQ::sendMessage, single-part)
+        self._send_frame(0, payload)
+
+    def recv(self) -> bytes | None:
+        """Next MESSAGE payload (single- or multi-part concatenated);
+        command frames are consumed transparently. None ⇒ peer closed."""
+        try:
+            parts: list[bytes] = []
+            while True:
+                flags, body = self._recv_frame()
+                if flags & _FLAG_COMMAND:
+                    continue  # heartbeat/subscribe etc. — not ours
+                parts.append(body)
+                if not flags & _FLAG_MORE:
+                    return b"".join(parts)
+        except ConnectionError:
+            return None
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass

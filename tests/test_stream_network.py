@@ -227,3 +227,47 @@ def test_confirm_watermark_is_monotone(tmp_path):
         assert (server.confirmed_scn, server.confirmed_idx) == (200, 2)
     finally:
         server.stop()
+
+
+def test_zmq_transport_handshake_confirm_continue(tmp_path):
+    """W5: the identical WriterStream conversation over the ZMTP 3.0
+    PAIR transport (StreamZeroMQ.cpp semantics) — INFO → START →
+    payloads → CONFIRM prune+persist → reconnect CONTINUE resends only
+    the unconfirmed tail."""
+    from openlogreplicator_spark.streaming.stream_network import (
+        ZmqStreamClient,
+        ZmqStreamServer,
+    )
+
+    state_dir = str(tmp_path / "state")
+    server = ZmqStreamServer("DBZ", state_dir=state_dir)
+    host, port = server.address
+    try:
+        c = ZmqStreamClient(host, port, "DBZ")
+        assert c.info()["code"] == RESP_READY
+        assert c.start(scn=0)["code"] == RESP_REPLICATE
+        for i in range(1, 4):
+            server.enqueue(100 * i, 0, f"zmq-payload-{i}".encode())
+        got = [c._pair.recv() for _ in range(3)]
+        assert got == [b"zmq-payload-1", b"zmq-payload-2", b"zmq-payload-3"]
+        c.confirm(200, 0)
+        import time
+
+        for _ in range(100):
+            if server.confirmed_scn == 200:
+                break
+            time.sleep(0.02)
+        assert server.confirmed_scn == 200
+        assert [q[0] for q in server._queue] == [300]
+        doc = read_checkpoint_doc(state_dir, "DBZ")
+        assert doc is not None and int(doc["scn"]) == 200
+        c.close()
+        # reconnect over a fresh ZMTP session: CONTINUE from the durable
+        # watermark resends only the unconfirmed tail
+        c2 = ZmqStreamClient(host, port, "DBZ")
+        assert c2.info()["code"] == RESP_REPLICATE
+        assert c2.resume(c_scn=200, c_idx=0)["code"] == RESP_REPLICATE
+        assert c2._pair.recv() == b"zmq-payload-3"
+        c2.close()
+    finally:
+        server.stop()
