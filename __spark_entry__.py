@@ -74,7 +74,7 @@ _PRIORITY = [  # round-5 window (previous windows: git history of this list)
     "cdc_json_builder",
     "cdc_protobuf_builder",
     "cdc_type_tail",
-    "dedup_exact",
+    "tokenizer_bpe_pairs",  # NEW r5: tokenizer-construction stage
     "dedup_ngram_jaccard",
     "dedup_semantic",
     "dedup_cluster_cc",
@@ -111,6 +111,7 @@ def _registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "openlogreplicator_spark.operators.lob_text",
         "openlogreplicator_spark.operators.linalg",
         "openlogreplicator_spark.operators.sampling",
+        "openlogreplicator_spark.operators.tokenizer",
         "openlogreplicator_spark.operators.pipeline",
         "openlogreplicator_spark.streaming.windows",
     ]
