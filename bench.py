@@ -66,25 +66,31 @@ def _stream_drain_rate(spark, sf_dir: str) -> dict:
 
     redo_dir = _binary_redo_dir(spark, sf_dir)
     n_records = parse_redo_files(spark, redo_dir).count()
-    ckpt = tempfile.mkdtemp(prefix="olrs_bench_ckpt_")
-    try:
-        t0 = time.perf_counter()
-        q = build_pipeline(
-            spark,
-            EngineConfig(),
-            redo_dir,
-            checkpoint=ckpt,
-            sink="noop",
-            query_name="olr_bench_drain",
-            available_now=True,
-        )
-        q.awaitTermination()
-        dt = time.perf_counter() - t0
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+    # two fresh-checkpoint runs: the first pays one-time costs (state
+    # store init, codegen); the second is the steady-state number a
+    # long-running replicator sees. Both are reported.
+    runs = []
+    for _ in range(2):
+        ckpt = tempfile.mkdtemp(prefix="olrs_bench_ckpt_")
+        try:
+            t0 = time.perf_counter()
+            q = build_pipeline(
+                spark,
+                EngineConfig(),
+                redo_dir,
+                checkpoint=ckpt,
+                sink="noop",
+                query_name="olr_bench_drain",
+                available_now=True,
+            )
+            q.awaitTermination()
+            runs.append(round(time.perf_counter() - t0, 3))
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    dt = min(runs)
     return {
         "records": n_records,
-        "sec": round(dt, 3),
+        "sec_runs": runs,
         "records_per_sec": int(n_records / dt) if dt > 0 else 0,
     }
 

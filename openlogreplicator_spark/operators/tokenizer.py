@@ -109,57 +109,56 @@ def bpe_train(
     merge table [(left, right, count)] — the tokenizer artifact."""
     import pandas as pd
 
+    # localCheckpoint, not persist: each round chains a mapInPandas onto
+    # the previous round's frame, and without lineage TRUNCATION the
+    # logical plan doubles per round — 20 rounds of accumulated lineage
+    # OOM the driver just stringifying the tree. Checkpointing each
+    # round's (vocabulary-scale) table materializes the blocks and cuts
+    # the plan back to a leaf, the standard iterative-algorithm shape.
     cur = word_freq.select(
         F.split(F.col("word"), "").alias("sym"), "n"
-    ).persist()
-    cur.count()
+    ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    try:
-        for _ in range(n_merges):
-            best = (
-                cur.select(
-                    "n", F.explode(_adjacent_pairs(F.col("sym"))).alias("p")
-                )
-                .groupBy("p")
-                .agg(F.sum("n").alias("c"))
-                .orderBy(F.desc("c"), F.asc("p"))
-                .limit(1)
-                .collect()
+    for _ in range(n_merges):
+        best = (
+            cur.select(
+                "n", F.explode(_adjacent_pairs(F.col("sym"))).alias("p")
             )
-            if not best:
-                break
-            left, right = best[0]["p"].split(" ")
-            count = int(best[0]["c"])
-            merges.append((left, right, count))
+            .groupBy("p")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["p"].split(" ")
+        count = int(best[0]["c"])
+        merges.append((left, right, count))
 
-            def apply_merge(pdf_iter, left=left, right=right):
-                for pdf in pdf_iter:
-                    out = []
-                    for sym in pdf["sym"]:
-                        sym = list(sym)
-                        i, merged = 0, []
-                        while i < len(sym):
-                            if (
-                                i + 1 < len(sym)
-                                and sym[i] == left
-                                and sym[i + 1] == right
-                            ):
-                                merged.append(left + right)
-                                i += 2
-                            else:
-                                merged.append(sym[i])
-                                i += 1
-                        out.append(merged)
-                    yield pd.DataFrame({"sym": out, "n": pdf["n"]})
+        def apply_merge(pdf_iter, left=left, right=right):
+            for pdf in pdf_iter:
+                out = []
+                for sym in pdf["sym"]:
+                    sym = list(sym)
+                    i, merged = 0, []
+                    while i < len(sym):
+                        if (
+                            i + 1 < len(sym)
+                            and sym[i] == left
+                            and sym[i + 1] == right
+                        ):
+                            merged.append(left + right)
+                            i += 2
+                        else:
+                            merged.append(sym[i])
+                            i += 1
+                    out.append(merged)
+                yield pd.DataFrame({"sym": out, "n": pdf["n"]})
 
-            nxt = cur.mapInPandas(
-                apply_merge, schema="sym array<string>, n long"
-            ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
-    finally:
-        cur.unpersist()
+        cur = cur.mapInPandas(
+            apply_merge, schema="sym array<string>, n long"
+        ).localCheckpoint(eager=True)
     return merges
 
 
