@@ -322,6 +322,11 @@ def build_pipeline(
         # W2: rendered (key, value) messages produced over the Kafka
         # wire protocol; kafka_bootstrap/kafka_topic configure the
         # endpoint (WriterKafka topic + brokers)
+        if not kafka_bootstrap:
+            raise ValueError(
+                "sink='kafka' requires kafka_bootstrap='host:port' "
+                "(the reference's bootstrap.servers property)"
+            )
         from openlogreplicator_spark.streaming.pipeline import (
             kafka_foreach_batch,
         )
