@@ -7,6 +7,8 @@ import json
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import drain
@@ -436,3 +438,60 @@ def test_bucketed_state_interleaves_many_xids(spark, tmp_path):
         )
 
     assert norm(got) == norm(expected)
+
+
+@pytest.mark.parametrize("seed,n_files", [(17, 2), (29, 4), (41, 5)])
+def test_streaming_assembly_randomized_batch_boundaries(
+    spark, tmp_path, seed, n_files
+):
+    """Vectorized streaming kernel (r5): randomized streams — exotic
+    ops, rollbacks, null LWN key parts from the generator — split at
+    arbitrary micro-batch boundaries must equal the sequential oracle,
+    whatever lands in state between batches."""
+    records = generate_redo_records(
+        n_txns=15, seed=seed, p_rollback=0.2, p_prollback=0.2, p_qmulti=0.2
+    )
+    records.sort(
+        key=lambda r: (
+            r["scn"], r["subscn"] or 0, r["block"] or 0, r["offset"] or 0
+        )
+    )
+    indir = tmp_path / f"redo_in_{seed}"
+    indir.mkdir()
+    step = max(1, len(records) // n_files)
+    for i in range(n_files):
+        chunk = records[i * step:] if i == n_files - 1 else (
+            records[i * step: (i + 1) * step]
+        )
+        _write_jsonl(str(indir / f"part-{i:03d}.json"), chunk)
+        time.sleep(0.05)
+
+    stream = read_redo_json_stream(spark, str(indir), max_files_per_trigger=1)
+    assembled = streaming_assemble(stream, ttl_timeout=False)
+    q = (
+        assembled.writeStream.format("memory")
+        .queryName(f"assembled_rand_{seed}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+    got = [
+        r.asDict()
+        for r in spark.sql(f"SELECT * FROM assembled_rand_{seed}").collect()
+    ]
+    expected = assemble_transactions_py(records)
+
+    def norm(evs):
+        return sorted(
+            (
+                e["xid"], e["commit_scn"], e["num"], e["op"], e["obj"],
+                e["bdba"], e["slot"], e["scn"],
+                tuple(sorted((e["cols"] or {}).items())),
+                tuple(sorted((e.get("before_cols") or {}).items())),
+            )
+            for e in evs
+        )
+
+    assert norm(got) == norm(expected)
+    assert len(got) > 0
