@@ -168,13 +168,7 @@ def embedding_moments(spark, sf_dir: str):
         for j in range(i, _MOM_D)
     ]
     wide = base.agg(*aggs)
-    pairs = ", ".join(
-        f"'{i},{j}', p_{i}_{j}"
-        for i in range(_MOM_D)
-        for j in range(i, _MOM_D)
-    )
     n_pairs = _MOM_D * (_MOM_D + 1) // 2
-    sums = ", ".join(f"'{i}', s_{i}" for i in range(_MOM_D))
     # stack the wide aggregate into (kind, key, value) rows
     return wide.selectExpr(
         f"stack({_MOM_D + n_pairs + 1}, 'n', '-', n, "

@@ -588,11 +588,20 @@ def _default_buckets(records: DataFrame) -> int:
     default trades that headroom for task-launch latency."""
     sess = records.sparkSession
     try:
-        override = sess.conf.get("spark.olrs.assembly.buckets", None)
+        raw = sess.conf.get("spark.olrs.assembly.buckets", None)
     except Exception:
-        override = None
-    if override:
-        return int(override)
+        raw = None
+    if raw is not None:
+        try:
+            n = int(raw)
+        except (ValueError, TypeError):
+            n = 0
+        if n <= 0:
+            raise ValueError(
+                f"spark.olrs.assembly.buckets={raw!r}: must be a "
+                "positive integer"
+            )
+        return n
     return max(32, sess.sparkContext.defaultParallelism)
 
 

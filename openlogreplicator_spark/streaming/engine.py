@@ -220,7 +220,20 @@ def build_pipeline(
     # a fresh checkpoint at the suffixed path would reprocess from the
     # start position and re-deliver already-emitted events to the sink,
     # so a legacy layout fails loudly with migration instructions.
-    if os.path.isdir(os.path.join(checkpoint, "offsets")):
+    # resolve through the Hadoop FS API so the guard also sees into
+    # hdfs:// / s3a:// / file: checkpoint locations, not just local paths
+    def _ckpt_offsets_exists() -> bool:
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(checkpoint, "offsets")
+            )
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            return bool(fs.exists(p))
+        except Exception:
+            return os.path.isdir(os.path.join(checkpoint, "offsets"))
+
+    if _ckpt_offsets_exists():
         mode = "drain" if available_now else "continuous"
         raise ValueError(
             f"legacy streaming checkpoint found directly at {checkpoint!r}; "

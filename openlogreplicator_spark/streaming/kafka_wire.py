@@ -75,17 +75,17 @@ def _rpc(sock: socket.socket, api: int, version: int, corr: int,
     return resp[4:]
 
 
-def encode_message_v1(key: bytes | None, value: bytes,
+def encode_message_v1(key: bytes | None, value: bytes | None,
                       timestamp_ms: int = 0) -> bytes:
     body = (
         struct.pack(">bbq", 1, 0, timestamp_ms)  # magic=1, attrs=0
         + _bytes(key)
-        + _bytes(value)
+        + _bytes(value)  # None ⇒ -1 length: a tombstone
     )
     return struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
 
 
-def encode_message_set(messages: list[tuple[bytes | None, bytes]],
+def encode_message_set(messages: list[tuple[bytes | None, bytes | None]],
                        timestamp_ms: int = 0) -> bytes:
     out = []
     for i, (key, value) in enumerate(messages):
@@ -117,7 +117,10 @@ def decode_message_set(data: bytes) -> list[tuple[bytes | None, bytes]]:
         p += max(klen, 0)
         (vlen,) = struct.unpack_from(">i", body, p)
         p += 4
-        value = body[p: p + vlen]
+        # vlen = -1 is a null value — a Kafka tombstone (delete marker),
+        # semantically distinct from an empty value
+        value = None if vlen < 0 else body[p: p + vlen]
+        p += max(vlen, 0)
         out.append((key, value))
     return out
 
@@ -130,8 +133,25 @@ class KafkaWireProducer:
 
     def __init__(self, bootstrap: str, topic: str, acks: int = 1,
                  timeout_ms: int = 30_000):
-        host, port = bootstrap.rsplit(":", 1)
-        self._sock = socket.create_connection((host, int(port)), timeout=30)
+        # bootstrap.servers canonical form is a comma-separated list —
+        # try each endpoint in order, like a real client's bootstrap
+        last_err: Exception | None = None
+        self._sock = None
+        for endpoint in bootstrap.split(","):
+            host, _, port = endpoint.strip().rpartition(":")
+            if not host:
+                continue
+            try:
+                self._sock = socket.create_connection(
+                    (host, int(port)), timeout=30
+                )
+                break
+            except OSError as ex:
+                last_err = ex
+        if self._sock is None:
+            raise ConnectionError(
+                f"no reachable broker in bootstrap {bootstrap!r}"
+            ) from last_err
         self._topic = topic.encode()
         self._acks = acks
         self._timeout_ms = timeout_ms

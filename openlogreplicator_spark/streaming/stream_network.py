@@ -227,6 +227,20 @@ class StreamServer:
         self._queue: list[tuple[int, int, bytes]] = []
         self.confirmed_scn = 0
         self.confirmed_idx = 0
+        # hydrate the watermark from the durable checkpoint document: a
+        # restarted server that started back at (0, 0) would let a
+        # stale CONFIRM replay regress the persisted doc below what was
+        # already confirmed (the monotone guard compares against the
+        # in-memory watermark)
+        if state_dir is not None:
+            from openlogreplicator_spark.metadata.state_documents import (
+                read_checkpoint_doc,
+            )
+
+            doc = read_checkpoint_doc(state_dir, database)
+            if doc is not None:
+                self.confirmed_scn = int(doc.get("scn", 0))
+                self.confirmed_idx = int(doc.get("idx", 0))
         self._streaming = False
         self._cursor = 0  # next queue position to send
         self._stop = False
@@ -469,11 +483,13 @@ class StreamClient:
         )
 
     def recv_event(self, timeout: float = 10.0) -> dict | None:
-        self._sock.settimeout(timeout)
-        try:
-            frame = recv_frame(self._sock)
-        except TimeoutError:
+        # poll-then-blocking-read: a timeout must never fire BETWEEN the
+        # length prefix and the body — a partially consumed frame would
+        # desynchronize every subsequent read on this stream
+        r, _, _ = select.select([self._sock], [], [], timeout)
+        if not r:
             return None
+        frame = recv_frame(self._sock)
         if frame is None:
             return None
         return decode_event(frame)
@@ -562,16 +578,12 @@ class ZmqStreamClient(StreamClient):
         )
 
     def recv_event(self, timeout: float = 10.0) -> dict | None:
-        self._sock.settimeout(timeout)
-        try:
-            frame = self._pair.recv()
-        except (TimeoutError, OSError):
+        # poll-then-blocking-read (see StreamClient.recv_event): ZMTP
+        # frames take 2-3 header reads, so a timeout mid-frame would
+        # desynchronize the stream — only the WAIT is bounded
+        if not self._pair.poll(timeout):
             return None
-        finally:
-            try:
-                self._sock.settimeout(None)
-            except OSError:
-                pass
+        frame = self._pair.recv()
         if frame is None:
             return None
         return decode_event(frame)

@@ -70,7 +70,10 @@ class ZmtpPair:
             + (b"\x01" if as_server else b"\x00") + b"\x00" * 31
         )
         greet = _read_exact(sock, 64)
-        if greet is None or greet[:10] != _SIGNATURE:
+        # only the first and last signature octets are significant —
+        # the 8 padding octets are explicitly "not significant" in the
+        # spec and stock libzmq sends 0x01 in the 9th octet
+        if greet is None or greet[0] != 0xFF or greet[9] != 0x7F:
             raise ConnectionError("ZMTP: bad greeting signature")
         if greet[10] != 3:
             raise ConnectionError(f"ZMTP: unsupported version {greet[10]}")

@@ -57,3 +57,47 @@ def test_producer_offsets_monotonic_and_multi_topic():
         pb.close()
     finally:
         broker.stop()
+
+
+def test_tombstone_and_libzmq_style_greeting():
+    """Null values (Kafka tombstones) survive the codec round trip, and
+    the ZMTP greeting accepts libzmq's non-zero padding octet."""
+    msgs = [(b"k", None), (None, None), (b"k2", b"v")]
+    assert decode_message_set(encode_message_set(msgs)) == msgs
+
+    # libzmq-style greeting: 0x01 in the 9th signature octet
+    import socket
+    import threading
+
+    from openlogreplicator_spark.streaming.zmtp import ZmtpPair
+
+    a, b = socket.socketpair()
+    try:
+        err = []
+
+        def server():
+            try:
+                ZmtpPair(a, as_server=True)
+            except Exception as ex:  # pragma: no cover
+                err.append(ex)
+
+        t = threading.Thread(target=server)
+        t.start()
+        # hand-rolled client greeting with libzmq's 0x01 padding octet
+        sig = b"\xff" + b"\x00" * 7 + b"\x01" + b"\x7f"
+        b.sendall(sig + b"\x03\x00" + b"NULL" + b"\x00" * 16 + b"\x00" * 32)
+        assert len(b.recv(64, socket.MSG_WAITALL)) == 64  # server greeting
+        # READY command with Socket-Type PAIR
+        import struct
+
+        ready = (
+            bytes([5]) + b"READY"
+            + bytes([len(b"Socket-Type")]) + b"Socket-Type"
+            + struct.pack(">I", 4) + b"PAIR"
+        )
+        b.sendall(bytes([0x04, len(ready)]) + ready)
+        t.join(timeout=5)
+        assert not err, err
+    finally:
+        a.close()
+        b.close()

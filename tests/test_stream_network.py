@@ -271,3 +271,30 @@ def test_zmq_transport_handshake_confirm_continue(tmp_path):
         c2.close()
     finally:
         server.stop()
+
+
+def test_restarted_server_hydrates_watermark_from_doc(tmp_path):
+    """Round-5 review: a restarted server must hydrate its in-memory
+    confirm watermark from the durable checkpoint document, else a
+    stale CONFIRM replay after restart regresses the doc below what was
+    already confirmed."""
+    state_dir = str(tmp_path / "state")
+    s1 = StreamServer("DBH", state_dir=state_dir)
+    try:
+        s1._handle(
+            {"database": "DBH", "code": REQ_CONFIRM, "c_scn": 200, "c_idx": 0}
+        )
+        assert int(read_checkpoint_doc(state_dir, "DBH")["scn"]) == 200
+    finally:
+        s1.stop()
+    # restart: watermark comes back from the doc, stale replay ignored
+    s2 = StreamServer("DBH", state_dir=state_dir)
+    try:
+        assert (s2.confirmed_scn, s2.confirmed_idx) == (200, 0)
+        s2._handle(
+            {"database": "DBH", "code": REQ_CONFIRM, "c_scn": 100, "c_idx": 0}
+        )
+        assert s2.confirmed_scn == 200
+        assert int(read_checkpoint_doc(state_dir, "DBH")["scn"]) == 200
+    finally:
+        s2.stop()
