@@ -34,25 +34,39 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: token count, average token length,
     punctuation ratio, stopword ratio, composite score."""
     docs = load_table(spark, sf_dir, "documents")
+    # staged split (see repetition_signals): n_tokens is referenced by
+    # four downstream expressions, and an inlined split re-evaluates per
+    # reference once a higher-order lambda blocks subexpression CSE
     words = F.split(F.trim(F.col("text")), r"\s+")
-    n_tokens = F.size(words)
+    staged = docs.select("doc_id", "lang", "text", words.alias("_w"))
+    w = F.col("_w")
+    n_tokens = F.size(w)
     n_chars = F.length("text")
     n_stop = F.size(
-        F.filter(words, lambda w: w.isin(*[F.lit(s) for s in _STOPWORDS]))
+        F.filter(w, lambda x: x.isin(*[F.lit(s) for s in _STOPWORDS]))
     )
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
-    stop_ratio = n_stop / n_tokens
-    punct_ratio = n_punct / n_chars
-    return docs.select(
+    sig = staged.select(
         "doc_id",
         "lang",
         n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round((n_chars - n_tokens + 1) / n_tokens, 6).alias("avg_token_len"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
+        n_tokens.alias("_nt"),
+        (n_stop / n_tokens).alias("_stop"),
+        (n_punct / n_chars).alias("_punct"),
+    )
+    return sig.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("_nt").alias("n_tokens"),
         F.round(
-            F.log(F.lit(1.0) + n_tokens) * (F.lit(1.0) + stop_ratio), 6
+            (F.col("n_chars") - F.col("_nt") + 1) / F.col("_nt"), 6
+        ).alias("avg_token_len"),
+        F.round(F.col("_stop"), 6).alias("stop_ratio"),
+        F.round(F.col("_punct"), 6).alias("punct_ratio"),
+        F.round(
+            F.log(F.lit(1.0) + F.col("_nt")) * (F.lit(1.0) + F.col("_stop")),
+            6,
         ).alias("quality"),
     )
 
