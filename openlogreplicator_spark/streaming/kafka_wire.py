@@ -257,6 +257,11 @@ class LoopbackKafkaBroker:
                     body = self._handle_metadata(req[pos:])
                 elif api == _API_PRODUCE:
                     body = self._handle_produce(req[pos:])
+                    # acks=0 produces get NO response on the wire —
+                    # replying would desynchronize a conformant client
+                    (acks,) = struct.unpack_from(">h", req, pos)
+                    if acks == 0:
+                        continue
                 else:
                     body = b""
                 resp = struct.pack(">i", corr) + body
