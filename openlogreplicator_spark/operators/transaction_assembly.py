@@ -134,7 +134,7 @@ def assemble_transactions_py(
     ordered = sorted(
         records,
         key=lambda r: (
-            r["scn"],
+            r.get("scn") or 0,
             r.get("subscn") or 0,
             r.get("block") or 0,
             r.get("offset") or 0,
@@ -414,11 +414,19 @@ def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
     # emission order, num, and undo pairing are route-independent. The
     # fill happens on a sort-key copy only; emitted values still come
     # from the original Arrow table via `take`.
-    s = plain.assign(
-        subscn=plain["subscn"].fillna(0),
-        block=plain["block"].fillna(0),
-        offset=plain["offset"].fillna(0),
-    ).sort_values(["scn", "subscn", "block", "offset"], kind="stable")
+    # scn sorts through a filled COPY (_scn): unlike subscn/block/offset
+    # it is also an emitted value (begin_scn/commit_scn read from this
+    # frame), so a null scn must stay null in the output
+    s = (
+        plain.assign(
+            _scn=plain["scn"].fillna(0),
+            subscn=plain["subscn"].fillna(0),
+            block=plain["block"].fillna(0),
+            offset=plain["offset"].fillna(0),
+        )
+        .sort_values(["_scn", "subscn", "block", "offset"], kind="stable")
+        .drop(columns="_scn")
+    )
     xids = s["xid"].to_numpy()
     opcs = s["opcode"].to_numpy()
     undo_m = opcs == "undo"

@@ -54,7 +54,9 @@ _STATE_SCHEMA = T.StructType(
 _TERMINAL = ("commit", "rollback")
 
 
-_REC_NUM = ("scn", "subscn", "block", "offset", "bdba", "slot", "seq", "fb")
+_REC_NUM = (
+    "scn", "subscn", "block", "offset", "obj", "bdba", "slot", "seq", "fb"
+)
 _REC_COLUMNS = [
     "scn", "subscn", "block", "offset", "seq", "xid", "opcode", "obj",
     "bdba", "slot", "fb", "cols", "rows",

@@ -231,6 +231,20 @@ def build_pipeline(
             fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
             return bool(fs.exists(p))
         except Exception:
+            # no JVM gateway (Spark Connect) — a remote-scheme path can
+            # then NOT be verified: warn instead of silently passing,
+            # because a missed legacy layout means silent re-delivery
+            if "://" in checkpoint and not checkpoint.startswith("file:"):
+                import warnings
+
+                warnings.warn(
+                    f"could not probe {checkpoint!r} for a legacy "
+                    "checkpoint layout (no JVM filesystem access); if a "
+                    "pre-suffix checkpoint exists there, move it under "
+                    "the per-mode subdirectory before starting",
+                    stacklevel=3,
+                )
+                return False
             return os.path.isdir(os.path.join(checkpoint, "offsets"))
 
     if _ckpt_offsets_exists():

@@ -50,12 +50,12 @@ def _bytes(b: bytes | None) -> bytes:
 
 
 def _read_exact(sock: socket.socket, n: int) -> bytes:
-    out = b""
-    while len(out) < n:
-        chunk = sock.recv(n - len(out))
-        if not chunk:
-            raise ConnectionError("kafka peer closed")
-        out += chunk
+    # shared read-exact helper; this protocol treats EOF as an error
+    from openlogreplicator_spark.streaming.stream_network import _recv_exact
+
+    out = _recv_exact(sock, n)
+    if out is None:
+        raise ConnectionError("kafka peer closed")
     return out
 
 
@@ -165,14 +165,64 @@ class KafkaWireProducer:
         return self._corr
 
     def _metadata(self) -> None:
+        """Topic discovery + LEADER FOLLOW: parse the Metadata v0
+        response's broker list and the topic's partition-0 leader, and
+        reconnect to the leader when it is not the bootstrap endpoint —
+        produces must go to the partition leader on a real cluster."""
         body = struct.pack(">i", 1) + _str(self._topic)
         resp = _rpc(self._sock, _API_METADATA, 0, self._next(), body)
         (n_brokers,) = struct.unpack_from(">i", resp, 0)
         if n_brokers < 1:
             raise ConnectionError("kafka metadata: no brokers")
+        pos = 4
+        brokers: dict[int, tuple[str, int]] = {}
+        for _ in range(n_brokers):
+            (node,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            (hlen,) = struct.unpack_from(">h", resp, pos)
+            pos += 2
+            host = resp[pos: pos + hlen].decode()
+            pos += hlen
+            (bport,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            brokers[node] = (host, bport)
+        (n_topics,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        leader = None
+        for _ in range(n_topics):
+            terr, tlen = struct.unpack_from(">hh", resp, pos)
+            pos += 4
+            tname = resp[pos: pos + tlen]
+            pos += tlen
+            (n_parts,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            for _ in range(n_parts):
+                _perr, pid, pleader = struct.unpack_from(">hii", resp, pos)
+                pos += 10
+                (n_repl,) = struct.unpack_from(">i", resp, pos)
+                pos += 4 + 4 * n_repl
+                (n_isr,) = struct.unpack_from(">i", resp, pos)
+                pos += 4 + 4 * n_isr
+                if tname == self._topic and pid == 0:
+                    leader = pleader
+            if tname == self._topic and terr not in (0, 5):
+                # 5 = LEADER_NOT_AVAILABLE during auto-create; anything
+                # else is a hard topic error
+                raise ConnectionError(f"kafka metadata: topic error {terr}")
+        if leader is not None and leader in brokers:
+            lhost, lport = brokers[leader]
+            peer = self._sock.getpeername()
+            if (lhost, lport) not in (peer, ("localhost", peer[1])):
+                # partition 0's leader is another broker — reconnect
+                self._sock.close()
+                self._sock = socket.create_connection(
+                    (lhost, lport), timeout=30
+                )
 
     def send(self, messages: list[tuple[bytes | None, bytes]]) -> int:
-        """Produce one message set; returns the acked base offset."""
+        """Produce one message set; returns the acked base offset
+        (-1 when acks=0: fire-and-forget sends have no response on the
+        wire, per protocol)."""
         if not messages:
             return -1
         ms = encode_message_set(messages)
@@ -185,6 +235,14 @@ class KafkaWireProducer:
             + struct.pack(">i", len(ms))
             + ms
         )
+        if self._acks == 0:
+            req = (
+                struct.pack(">hhi", _API_PRODUCE, 2, self._next())
+                + _str(_CLIENT_ID)
+                + body
+            )
+            self._sock.sendall(struct.pack(">i", len(req)) + req)
+            return -1
         resp = _rpc(self._sock, _API_PRODUCE, 2, self._next(), body)
         pos = 4  # skip topic array count
         (tlen,) = struct.unpack_from(">h", resp, pos)

@@ -35,14 +35,10 @@ _FLAG_LONG = 0x02
 _FLAG_COMMAND = 0x04
 
 
-def _read_exact(sock: socket.socket, n: int) -> bytes | None:
-    out = b""
-    while len(out) < n:
-        chunk = sock.recv(n - len(out))
-        if not chunk:
-            return None
-        out += chunk
-    return out
+# one read-exact helper for the whole streaming package (None ⇒ EOF)
+from openlogreplicator_spark.streaming.stream_network import (  # noqa: E402
+    _recv_exact as _read_exact,
+)
 
 
 def _ready_command(socket_type: bytes) -> bytes:
@@ -145,15 +141,30 @@ class ZmtpPair:
         # (StreamZeroMQ::sendMessage, single-part)
         self._send_frame(0, payload)
 
+    def _handle_command(self, body: bytes) -> None:
+        """PING → PONG (ZMTP 3.1 heartbeats, rfc 37): a libzmq peer with
+        ZMQ_HEARTBEAT_IVL set drops the connection unless its PINGs are
+        answered. PING body: name | u16 TTL | context; PONG echoes the
+        context. Other commands are ignored."""
+        name_len = body[0] if body else 0
+        name = body[1: 1 + name_len]
+        if name == b"PING":
+            context = body[1 + name_len + 2:]
+            self._send_frame(
+                _FLAG_COMMAND, bytes([4]) + b"PONG" + context
+            )
+
     def recv(self) -> bytes | None:
         """Next MESSAGE payload (single- or multi-part concatenated);
-        command frames are consumed transparently. None ⇒ peer closed."""
+        command frames are answered/consumed transparently (PING→PONG).
+        None ⇒ peer closed."""
         try:
             parts: list[bytes] = []
             while True:
                 flags, body = self._recv_frame()
                 if flags & _FLAG_COMMAND:
-                    continue  # heartbeat/subscribe etc. — not ours
+                    self._handle_command(body)
+                    continue
                 parts.append(body)
                 if not flags & _FLAG_MORE:
                     return b"".join(parts)

@@ -101,3 +101,38 @@ def test_tombstone_and_libzmq_style_greeting():
     finally:
         a.close()
         b.close()
+
+
+def test_zmtp_ping_gets_pong():
+    """A libzmq peer with heartbeats enabled sends PING commands and
+    drops the connection without a PONG — the PAIR transport must
+    answer with the echoed context (ZMTP 3.1 heartbeat, rfc 37)."""
+    import socket
+    import struct
+    import threading
+
+    from openlogreplicator_spark.streaming.zmtp import ZmtpPair
+
+    a, b = socket.socketpair()
+    try:
+        result = {}
+
+        def server():
+            pair = ZmtpPair(a, as_server=True)
+            result["msg"] = pair.recv()  # consumes PING, answers PONG
+
+        t = threading.Thread(target=server)
+        t.start()
+        peer = ZmtpPair(b, as_server=False)
+        # PING command: name | u16 TTL | context
+        ping = bytes([4]) + b"PING" + struct.pack(">H", 100) + b"ctx"
+        peer._send_frame(0x04, ping)
+        peer.send(b"after-ping")
+        flags, body = peer._recv_frame()
+        assert flags & 0x04 and body[1:5] == b"PONG"
+        assert body[5:] == b"ctx"  # echoed context
+        t.join(timeout=5)
+        assert result["msg"] == b"after-ping"
+    finally:
+        a.close()
+        b.close()

@@ -155,7 +155,7 @@ def test_pipeline_to_network_sink_end_to_end(spark, tmp_path):
         drain(q)
         events = []
         while True:
-            ev = client.recv_event(timeout=2.0)
+            ev = client.recv_event(timeout=5.0)
             if ev is None:
                 break
             events.append(ev)
@@ -183,7 +183,7 @@ def test_pipeline_to_network_sink_end_to_end(spark, tmp_path):
         assert c2.resume()["code"] == RESP_REPLICATE
         tail = []
         while True:
-            ev = c2.recv_event(timeout=2.0)
+            ev = c2.recv_event(timeout=5.0)
             if ev is None:
                 break
             tail.append(ev.get("c_scn", ev["scn"]))

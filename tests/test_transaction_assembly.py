@@ -472,3 +472,22 @@ def test_max_ops_vectorized_routing(spark):
     assert _norm(got) == _norm(expected)
     assert {e["xid"] for e in got} == {"small"}
     assert len(got) == 3
+
+
+def test_null_scn_sorts_first_and_stays_null(spark):
+    """Round-5 review: a null scn sorts as 0 (every route's convention)
+    but is EMITTED as null — commit_scn/begin_scn read from the sorted
+    frame and must not inherit the sort fill."""
+    records = [
+        {"scn": None, "xid": "nsn", "opcode": "begin"},
+        {"scn": 5, "xid": "nsn", "opcode": "insert", "obj": 1, "bdba": 2,
+         "slot": 0, "cols": {"v": "x"}},
+        {"scn": 9, "xid": "nsn", "opcode": "commit"},
+    ]
+    expected = assemble_transactions_py(records)
+    got = [r.asDict() for r in
+           assemble_transactions(redo_records_df(spark, records)).collect()]
+    assert _norm(got) == _norm(expected)
+    assert len(got) == 1
+    assert got[0]["begin_scn"] is None  # null scn begin → null, not 0
+    assert got[0]["commit_scn"] == 9
