@@ -412,3 +412,15 @@ def test_embedding_moments_single_global_agg(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_pairs_two_aggs_no_cartesian(spark, sf_dir):
+    """The round-0 BPE statistics are one corpus explode + two keyed
+    aggregations and a top-k sort — no joins at all may appear."""
+    from openlogreplicator_spark.operators import tokenizer
+
+    plan = _plan(tokenizer.tokenizer_bpe_pairs(spark, sf_dir))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 aggs
