@@ -86,33 +86,44 @@ def to_change_events(
         )
 
         chosen = select_tables(dict_obj, sel.owner, sel.table).select(
-            "obj", "owner", F.col("name").alias("table")
+            "obj",
+            F.col("owner").alias("_owner"),
+            F.col("name").alias("_table"),
         )
-        how = "left" if mode == "adaptive" else "inner"
-        dml = ev.filter(F.col("op").isin("c", "u", "d")).join(
-            F.broadcast(chosen), "obj", how
-        )
+        # ONE left join + conditional projection, never a split/union:
+        # a streaming frame has a single stateful operator upstream, and
+        # filtering it into dml/rest consumers and unioning them back
+        # duplicates that operator in the plan — Spark rejects multiple
+        # applyInPandasWithStates outright. The join is broadcast
+        # (dictionary is catalog-scale) so the single-pass form costs
+        # nothing extra.
+        is_dml = F.col("op").isin("c", "u", "d")
+        joined = ev.join(F.broadcast(chosen), "obj", "left")
         if mode == "adaptive":
             # REDO_FLAGS::ADAPTIVE_SCHEMA (Ctx.h:89; Schema.cpp:521-526):
             # objects absent from the dictionary are synthesized instead
             # of dropped
-            dml = dml.withColumn(
-                "owner",
-                F.coalesce(
-                    F.col("owner"), F.concat(F.lit("USER_"), F.col("obj"))
-                ),
-            ).withColumn(
-                "table",
-                F.coalesce(
-                    F.col("table"), F.concat(F.lit("TABLE_"), F.col("obj"))
-                ),
+            owner_e = F.coalesce(
+                F.col("_owner"), F.concat(F.lit("USER_"), F.col("obj"))
             )
-        rest = (
-            ev.filter(~F.col("op").isin("c", "u", "d"))
-            .withColumn("owner", F.lit(None).cast("string"))
-            .withColumn("table", F.lit(None).cast("string"))
+            table_e = F.coalesce(
+                F.col("_table"), F.concat(F.lit("TABLE_"), F.col("obj"))
+            )
+        else:
+            # dict mode: unselected/unknown objects never leave the scan
+            joined = joined.filter(~is_dml | F.col("_owner").isNotNull())
+            owner_e, table_e = F.col("_owner"), F.col("_table")
+        ev = (
+            joined.withColumn(
+                "owner",
+                F.when(is_dml, owner_e).cast("string"),
+            )
+            .withColumn(
+                "table",
+                F.when(is_dml, table_e).cast("string"),
+            )
+            .drop("_owner", "_table")
         )
-        ev = dml.unionByName(rest)
     else:
         ev = ev.withColumn("owner", F.lit("APP")).withColumn(
             "table", F.concat(F.lit("OBJ"), F.col("obj"))

@@ -1,0 +1,202 @@
+"""S2 online source discovery: the reference's startup conversation
+(ReplicatorOnline.cpp:84-377) against a DB-API catalog — ARCHIVELOG /
+supplemental-log gating, SCN + resetlogs capture, archived-log listing,
+SCN→sequence mapping, and the SYS.* dictionary snapshot feeding the
+pipeline's schema resolve."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from conftest import drain
+from openlogreplicator_spark.config import EngineConfig
+from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+from openlogreplicator_spark.sources.online_catalog import (
+    OnlineCatalog,
+    UnsupportedDatabaseConfig,
+    tz_offset_seconds,
+)
+from openlogreplicator_spark.sources.redo_gen import redo_records_df
+from openlogreplicator_spark.streaming.engine import build_pipeline
+
+
+def _fixture_catalog(
+    log_mode: str = "ARCHIVELOG", supp_min: str = "YES"
+) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        'CREATE TABLE "V_$DATABASE" AS SELECT'
+        f" '{log_mode}' AS LOG_MODE, '{supp_min}'"
+        " AS SUPPLEMENTAL_LOG_DATA_MIN,"
+        " 'YES' AS SUPPLEMENTAL_LOG_DATA_PK,"
+        " 'NO' AS SUPPLEMENTAL_LOG_DATA_ALL,"
+        " 'Linux x86 64-bit' AS PLATFORM_NAME,"
+        " 'ORCL' AS NAME, 5000 AS CURRENT_SCN,"
+        " '+02:00' AS DBTIMEZONE, 'PRIMARY' AS DATABASE_ROLE"
+    )
+    con.execute(
+        'CREATE TABLE "V_$TRANSPORTABLE_PLATFORM" AS SELECT'
+        " 'Linux x86 64-bit' AS PLATFORM_NAME, 'Little' AS ENDIAN_FORMAT"
+    )
+    con.execute(
+        'CREATE TABLE "V_$VERSION" AS SELECT'
+        " 'Oracle Database 19c Enterprise Edition' AS BANNER"
+    )
+    con.execute(
+        'CREATE TABLE "V_$DATABASE_INCARNATION" AS SELECT'
+        " 2 AS \"INCARNATION#\", 1000 AS \"RESETLOGS_CHANGE#\","
+        " 'CURRENT' AS STATUS, 77777 AS RESETLOGS_ID"
+    )
+    con.execute(
+        'CREATE TABLE "V_$ARCHIVED_LOG" ('
+        ' NAME VARCHAR, "SEQUENCE#" BIGINT, "FIRST_CHANGE#" BIGINT,'
+        ' "NEXT_CHANGE#" BIGINT, RESETLOGS_ID BIGINT)'
+    )
+    for seq, a, b in ((3, 1000, 2000), (4, 2000, 3500), (5, 3500, 5000)):
+        con.execute(
+            'INSERT INTO "V_$ARCHIVED_LOG" VALUES (?, ?, ?, ?, 77777)',
+            (f"/arch/redo_{seq}.arc", seq, a, b),
+        )
+    con.execute(
+        'CREATE TABLE "V_$LOG" AS SELECT'
+        ' 6 AS "SEQUENCE#", 5000 AS "FIRST_CHANGE#"'
+    )
+    # SYS.* dictionary: user OLTP owns table ORDERS(obj 77) with
+    # AMOUNT (NUMBER, PK) and NOTE (VARCHAR2, nullable)
+    con.execute(
+        'CREATE TABLE "USER$" AS SELECT 101 AS "USER#", \'OLTP\' AS NAME'
+    )
+    con.execute(
+        'CREATE TABLE "OBJ$" ('
+        ' "OBJ#" BIGINT, "DATAOBJ#" BIGINT, "OWNER#" BIGINT,'
+        ' NAME VARCHAR, "TYPE#" INT)'
+    )
+    con.execute('INSERT INTO "OBJ$" VALUES (77, 77, 101, \'ORDERS\', 2)')
+    con.execute('INSERT INTO "OBJ$" VALUES (99, 99, 101, \'AN_INDEX\', 1)')
+    con.execute(
+        'CREATE TABLE "COL$" ('
+        ' "OBJ#" BIGINT, "COL#" INT, "SEGCOL#" INT, "INTCOL#" INT,'
+        ' NAME VARCHAR, "TYPE#" INT, LENGTH INT, "PRECISION#" INT,'
+        ' SCALE INT, CHARSETID BIGINT, "NULL$" INT, PROPERTY BIGINT)'
+    )
+    con.execute(
+        'INSERT INTO "COL$" VALUES'
+        " (77, 1, 1, 1, 'AMOUNT', 2, 22, 10, 2, 0, 1, 0),"
+        " (77, 2, 2, 2, 'NOTE', 1, 100, NULL, NULL, 873, 0, 0)"
+    )
+    con.execute(
+        'CREATE TABLE "CDEF$" AS SELECT 9001 AS "CON#", 2 AS "TYPE#"'
+    )
+    con.execute(
+        'CREATE TABLE "CCOL$" AS SELECT'
+        ' 9001 AS "CON#", 1 AS "INTCOL#", 77 AS "OBJ#"'
+    )
+    return con
+
+
+def test_refuses_noarchivelog_and_missing_supplemental():
+    with pytest.raises(UnsupportedDatabaseConfig, match="ARCHIVELOG"):
+        OnlineCatalog(
+            _fixture_catalog(log_mode="NOARCHIVELOG")
+        ).database_information()
+    with pytest.raises(UnsupportedDatabaseConfig, match="SUPPLEMENTAL"):
+        OnlineCatalog(
+            _fixture_catalog(supp_min="NO")
+        ).database_information()
+
+
+def test_discovery_info_logs_and_sequence():
+    cat = OnlineCatalog(_fixture_catalog())
+    info = cat.database_information()
+    assert info.db_name == "ORCL" and info.current_scn == 5000
+    assert info.supp_log_pk and not info.supp_log_all
+    assert not info.big_endian
+    assert info.db_timezone == "+02:00"
+    assert info.resetlogs_id == 77777
+    logs = cat.archive_log_list(4, 77777)
+    assert [(x["sequence"], x["first_scn"]) for x in logs] == [
+        (4, 2000), (5, 3500)
+    ]
+    # SCN 3600 lies in sequence 5's range; the online log (seq 6)
+    # starts later
+    assert cat.sequence_from_scn(3600, 77777) == 5
+    assert cat.sequence_from_scn(5000, 77777) == 6
+    assert cat.sequence_from_scn(999, 0) is None
+
+
+def test_dictionary_snapshot_shapes(spark):
+    cat = OnlineCatalog(_fixture_catalog())
+    dict_obj, dict_cols, pos, scn, info = cat.bootstrap(spark)
+    objs = {r["obj"]: r.asDict() for r in dict_obj.collect()}
+    assert set(objs) == {77}  # TYPE#=2 tables only, not the index
+    assert objs[77]["name"] == "ORDERS" and objs[77]["scn_from"] == 5000
+    cols = sorted(
+        (r.asDict() for r in dict_cols.collect()), key=lambda c: c["intcol"]
+    )
+    assert [c["name"] for c in cols] == ["AMOUNT", "NOTE"]
+    assert cols[0]["numpk"] == 1 and cols[1]["numpk"] == 0
+    assert cols[0]["type"] == 2 and cols[1]["type"] == 1
+    assert not cols[0]["nullable"] and cols[1]["nullable"]
+    assert pos == {77: ["AMOUNT", "NOTE"]}
+    assert scn == 5000
+
+
+def test_bootstrap_feeds_pipeline_end_to_end(spark, tmp_path):
+    """Discovery → dictionary → KDO-positional pipeline: the catalog's
+    column names resolve the positional images, exactly the reference's
+    startup → schema store → Builder::processDml chain."""
+    import json
+
+    cat = OnlineCatalog(_fixture_catalog())
+    dict_obj, dict_cols, pos, start_scn, info = cat.bootstrap(spark)
+
+    d = str(tmp_path / "olrs_cat")
+    records = []
+    for k in range(1, 7):
+        xid = str(k)
+        base = start_scn + k * 100  # all redo past the discovery SCN
+        records.append(
+            {"scn": base, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
+             "xid": xid, "opcode": "begin", "obj": 0, "bdba": None,
+             "slot": None, "fb": 0, "cols": None, "rows": None}
+        )
+        records.append(
+            {"scn": base + 1, "subscn": 0, "block": 1, "offset": k,
+             "seq": 1, "xid": xid, "opcode": "insert", "obj": 77,
+             "bdba": k, "slot": 0, "fb": 0,
+             "cols": {"AMOUNT": str(k * 10), "NOTE": f"n{k}"},
+             "rows": None}
+        )
+        records.append(
+            {"scn": base + 99, "subscn": 0, "block": 0, "offset": 0,
+             "seq": 1, "xid": xid, "opcode": "commit", "obj": 0,
+             "bdba": None, "slot": None, "fb": 0, "cols": None,
+             "rows": None}
+        )
+    write_binary_redo(
+        redo_records_df(spark, records), d, n_files=2,
+        col_types={"AMOUNT": "number"}, pos_dicts=pos,
+    )
+    assert tz_offset_seconds(info.db_timezone) == 7200
+    cfg = EngineConfig(
+        pos_dictionary=pos,
+        start_scn=start_scn,
+        db_timezone_seconds=tz_offset_seconds(info.db_timezone),
+    )
+    q = build_pipeline(
+        spark, cfg, d,
+        checkpoint=str(tmp_path / "ckpt_cat"),
+        sink="memory",
+        query_name="olr_catalog",
+        dict_obj=dict_obj,
+        dict_cols=dict_cols,
+    )
+    drain(q)
+    rows = spark.sql("select * from olr_catalog").collect()
+    assert len(rows) == 6
+    for r in rows:
+        v = json.loads(r.value)
+        for p in v["payload"]:
+            # positional images resolved through the CATALOG's names
+            assert set(p["after"]) == {"AMOUNT", "NOTE"}
