@@ -27,67 +27,70 @@ if _REPO_ROOT not in sys.path:
 # round 1 (now fixed), then a few representative re-verifies. Everything
 # else registers after slot 50 — still runnable, checked locally by
 # tests/test_queries_vs_duckdb.py.
-_PRIORITY = [  # round-5 window (previous windows: git history of this list)
+_PRIORITY = [  # round-6 window (previous windows: git history of this list)
     # -- 5 green canaries, one per result-type family (drift detection)
     "q1_pricing_summary",
     "cdc_txn_assembly",
     "dedup_minhash_lsh",
     "agg_rollup",
     "stream_tumbling_window",
-    # -- re-verifies of CHANGED code: the assembly plain path's null-
-    #    sort and begin-after-commit conventions changed this round
-    #    (round-4 ADVICE) — every query that rides assemble_transactions
-    #    or undo pairing needs a fresh driver verdict
-    "cdc_txn_assembly_binary",
-    "cdc_kdo_positional_binary",
-    "cdc_typed_images_binary",
-    "cdc_txn_split",
-    "cdc_txn_stats",
-    "cdc_before_image",
-    "cdc_net_changes",
-    "cdc_sessionize",
-    "cdc_last_image",
-    # -- the 8 oracled queries that have never had a driver verdict
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "dedup_cross_source",
-    "corpus_stats_report",
-    "embedding_stats",
-    "embedding_normalize",
-    "cdc_json_builder_debezium",
-    "event_anomaly_mad",
-    # -- NEW this round: the TPC-H tail completing the 22-query suite
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_parts_supplier_relationship",
-    "q20_potential_part_promotion",
-    "q21_suppliers_kept_waiting",
-    # -- broad green re-verification (regression guard across families;
-    #    these queries all went green in r3/r4 and fill the window to 50)
-    "pipeline_pretraining_corpus",
-    "cdc_lob_reassembly",
-    "cdc_clob_charset",
-    "cdc_partition_routing",
-    "cdc_schema_asof_resolve",
-    "cdc_condition_filter",
-    "cdc_unchanged_suppression",
+    # -- CHANGED this round: REDO_THREAD toggle now in the byte-exact
+    #    builder matrix (r5 VERDICT #7)
     "cdc_json_builder",
-    "cdc_protobuf_builder",
-    "cdc_type_tail",
-    "tokenizer_bpe_pairs",  # NEW r5: tokenizer-construction stage
-    "dedup_ngram_jaccard",
-    "dedup_semantic",
-    "dedup_cluster_cc",
-    "decontaminate_ngram",
-    "text_bigram_perplexity",
-    "text_quality_score",
-    "sample_dsir_weights",
-    "sample_training_mix",
-    "pack_training_sequences",
-    "event_funnel",
-    "cdc_gap_detect",
-    # -- NEW this round: the quantized PCA-input moment plane
-    "embedding_moments",
+    # -- STALE-VERDICT ROTATION (r5 VERDICT #1): these oracled queries'
+    #    latest driver verdict is r1/r3 while their underlying code was
+    #    rewritten in r4 (single-pass Arrow assembly) / r5 (null-sort &
+    #    begin-snapshot conventions). Judge-named set first.
+    "cdc_xmltype_decode",
+    "cdc_ddl_classify",
+    "cdc_metrics",
+    "cdc_adaptive_schema",
+    "cdc_schemaless_decode",
+    "cdc_resume_filter",
+    "cdc_scd2_history",
+    "cdc_apply_changes",
+    "cdc_txn_envelope",
+    "dedup_substring",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "stream_dedup_replay",
+    "ann_cosine_topk",
+    "text_filter_pipeline",
+    "text_pii_scrub",
+    "text_repetition_filter",
+    "text_lang_id",
+    "text_vocab_topk",
+    "multimodal_image_stats",
+    "event_retention",
+    "event_transitions",
+    # -- rest of the r3-latest block
+    "agg_approx_distinct",
+    "agg_stats",
+    "join_skew_salted",
+    "join_left_semi",
+    "join_broadcast_dim",
+    "proj_filter_rlike",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_late_lines_by_flag",
+    "q18_large_orders",
+    "subquery_in",
+    "subquery_scalar_avg",
+    # -- start of the r1-only relational block (the remainder rotates
+    #    through the r7 window)
+    "join_left_anti",
+    "join_asof_attribution",
+    "join_range_window",
+    "join_shuffle_facts",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "window_rank_topn",
+    "q3_shipping_priority",
+    "q5_local_supplier",
 ]
 
 

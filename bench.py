@@ -66,11 +66,13 @@ def _stream_drain_rate(spark, sf_dir: str) -> dict:
 
     redo_dir = _binary_redo_dir(spark, sf_dir)
     n_records = parse_redo_files(spark, redo_dir).count()
-    # two fresh-checkpoint runs: the first pays one-time costs (state
-    # store init, codegen); the second is the steady-state number a
-    # long-running replicator sees. Both are reported.
+    # three fresh-checkpoint runs: the first pays one-time costs (state
+    # store init, codegen); the box's minute-scale interference waves
+    # make any single run unreliable, so the reported rate uses the
+    # MEDIAN of all runs (round-over-round comparisons need a stable
+    # central tendency, not a lucky min). All runs are reported.
     runs = []
-    for _ in range(2):
+    for _ in range(3):
         ckpt = tempfile.mkdtemp(prefix="olrs_bench_ckpt_")
         try:
             t0 = time.perf_counter()
@@ -87,7 +89,9 @@ def _stream_drain_rate(spark, sf_dir: str) -> dict:
             runs.append(round(time.perf_counter() - t0, 3))
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
-    dt = min(runs)
+    import statistics
+
+    dt = statistics.median(runs)
     return {
         "records": n_records,
         "sec_runs": runs,
@@ -170,10 +174,20 @@ def main() -> None:
             with open(path) as fh:
                 doc = json.load(fh)
             # the driver wraps the printed JSON line under "parsed"
-            doc = doc.get("parsed", doc)
+            doc = (doc.get("parsed") or {}) if isinstance(doc, dict) else {}
             prev = doc.get("queries", {})
             prev_fp = doc.get("plan_fingerprints", {})
             break
+    # round 5's printed line outgrew the driver's stdout-tail capture
+    # (BENCH_r05 parsed:null), so fingerprints now live in a side file;
+    # it is ALSO the noise-detection source for rounds whose BENCH doc
+    # failed to parse (like r5)
+    fp_path = os.path.join(REPO_ROOT, "bench_fingerprints.json")
+    if not prev_fp and os.path.exists(fp_path):
+        with open(fp_path) as fh:
+            side = json.load(fh)
+        prev_fp = side.get("plan_fingerprints", {})
+        prev = prev or side.get("queries", {})
 
     # median of three FULL PASSES over the query list, not three
     # back-to-back runs per query: this box's interference arrives in
@@ -215,6 +229,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # plan fingerprints (26 queries × 12-hex) blew the driver's stdout
+    # tail window in round 5 → side file; the printed line carries only
+    # the headline numbers, compact separators, and is the LAST line
+    with open(fp_path, "w") as fh:
+        json.dump(
+            {"plan_fingerprints": fingerprints, "queries": timings},
+            fh,
+            indent=1,
+        )
+    spark.stop()
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -222,15 +247,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "plan_fingerprints": fingerprints,
                 "noise_flagged": noise,
                 "stream_drain": drain,
                 "sf": float(sf) if sf else sf_dir,
                 "n_queries": len(timings),
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

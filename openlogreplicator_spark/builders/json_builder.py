@@ -395,6 +395,11 @@ def _header_pairs(
     db = _db_expr(fmt, full_message)
     if db is not None:
         pairs.append(("db", db))
+    if fmt.redo_thread:
+        # REDO_THREAD_FORMAT::TEXT (BuilderJson.h:346-349): "rth" after
+        # db/usr; build_events guarantees the `thread` column (lit 1 for
+        # single-instance frames that don't carry one)
+        pairs.append(("rth", F.col("thread").cast("long")))
     if fmt.add_sequences:
         pairs.append(("seq", F.col("seq")))
     if fmt.attributes:
@@ -450,6 +455,8 @@ def build_events(
     override: it replaces the dictionary PK for image shaping and keys
     the messages when no tag is configured."""
     df = events
+    if fmt.redo_thread and "thread" not in df.columns:
+        df = df.withColumn("thread", F.lit(1))
     if fmt.skip_begin:
         df = df.filter(F.col("op") != "begin")
     if fmt.skip_commit:

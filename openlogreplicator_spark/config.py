@@ -116,6 +116,11 @@ class Format:
     experimental_json: bool = False
     add_offset: bool = False   # MESSAGE_FORMAT::ADD_OFFSET
     add_sequences: bool = False
+    # REDO_THREAD_FORMAT (Format.h:91-94): TEXT emits the redo thread
+    # number as "rth" in the header (BuilderJson.h:346-349); SKIP (the
+    # reference default, False here) omits it. Single-instance sources
+    # are always thread 1; RAC sources carry per-record thread ids.
+    redo_thread: bool = False
     attributes: bool = False   # ATTRIBUTES_FORMAT — emit session attrs
     db_name: str = "DB"
 

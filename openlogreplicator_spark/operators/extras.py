@@ -62,9 +62,15 @@ def cdc_json_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle reconstructs the exact message BYTES (header field
     order, per-op payload sections, COLUMN_FORMAT::CHANGED's empty
     update before-image), so the default-format envelope is
-    hash-checked, not just golden-tested."""
+    hash-checked, not just golden-tested. redo_thread=True exercises
+    REDO_THREAD_FORMAT::TEXT (Format.h:91, BuilderJson.h:346-349) —
+    single-instance streams always carry "rth":1."""
     events = _orders_as_change_events(spark, sf_dir)
-    return build_events(events, Format(attributes=True), tag_cols=("O_ORDERKEY",))
+    return build_events(
+        events,
+        Format(attributes=True, redo_thread=True),
+        tag_cols=("O_ORDERKEY",),
+    )
 
 
 CDC_JSON_BUILDER_SQL = """
@@ -73,7 +79,7 @@ SELECT '{"O_ORDERKEY":"' || o_orderkey || '"}' AS key,
        || ',"tm":' || epoch_us(o_orderdate)
        || ',"xid":"' || (o_custkey % 8) || '.' || (o_custkey % 16) || '.'
        || o_orderkey
-       || '","db":"DB","attrs":{"OS_USER_NAME":"tpch"},"payload":[{"op":"'
+       || '","db":"DB","rth":1,"attrs":{"OS_USER_NAME":"tpch"},"payload":[{"op":"'
        || CASE o_orderstatus WHEN 'O' THEN 'c' WHEN 'P' THEN 'u'
           ELSE 'd' END
        || '","schema":{"owner":"TPCH","table":"ORDERS","obj":18},'

@@ -102,6 +102,31 @@ def test_skip_begin_commit_and_attrs(events_df):
     assert {v["payload"][0]["op"] for v in out} == {"c", "u"}
 
 
+def test_redo_thread_format(events_df):
+    """REDO_THREAD_FORMAT (Format.h:91-94): TEXT emits "rth" in the
+    header after db (BuilderJson.h:346-349), defaulting to thread 1 for
+    single-instance frames; SKIP (the default) omits the field entirely,
+    in both SHORT and FULL message shapes."""
+    default = json.loads(
+        build_events(events_df, Format()).collect()[0].value
+    )
+    assert "rth" not in default
+
+    on = build_events(events_df, Format(redo_thread=True)).collect()
+    for r in on:
+        v = json.loads(r.value)
+        assert v["rth"] == 1
+        # field order parity: rth renders after db (BuilderJson.h:346)
+        assert r.value.index('"db"') < r.value.index('"rth"')
+
+    full = json.loads(
+        build_events(
+            events_df, Format(message=MessageFormat.FULL, redo_thread=True)
+        ).collect()[0].value
+    )
+    assert full["rth"] == 1
+
+
 def test_full_message_per_transaction(events_df):
     fmt = Format(message=MessageFormat.FULL, skip_begin=True, skip_commit=True)
     rows = build_events(events_df, fmt).collect()
