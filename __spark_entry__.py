@@ -34,9 +34,11 @@ _PRIORITY = [  # round-6 window (previous windows: git history of this list)
     "dedup_minhash_lsh",
     "agg_rollup",
     "stream_tumbling_window",
-    # -- CHANGED this round: REDO_THREAD toggle now in the byte-exact
-    #    builder matrix (r5 VERDICT #7)
+    # -- NEW/CHANGED this round: REDO_THREAD toggle in the byte-exact
+    #    builder matrix (r5 VERDICT #7); reference JSON config ingestion
+    #    driving the builder toggles (r5 VERDICT #3)
     "cdc_json_builder",
+    "cdc_config_reference",
     # -- STALE-VERDICT ROTATION (r5 VERDICT #1): these oracled queries'
     #    latest driver verdict is r1/r3 while their underlying code was
     #    rewritten in r4 (single-pass Arrow assembly) / r5 (null-sort &

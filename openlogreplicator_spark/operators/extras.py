@@ -98,6 +98,81 @@ FROM orders
 """
 
 
+def cdc_config_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 reference-config ingestion, end to end: a config in the
+    reference's OpenLogReplicator.json format (OpenLogReplicator.cpp:
+    145-1247; scripts/OpenLogReplicator-example*.json) is parsed by
+    reference_config.from_reference_json — version gate, unknown-key
+    checks, numeric format-toggle decode — and the resulting Format
+    drives the JSON builder over the deterministic order-derived stream.
+    The DuckDB oracle reconstructs the exact bytes the decoded toggles
+    must produce (hex scn, decimal xid, ADD_SEQUENCES seq field,
+    ADD_OFFSET payload offset, rth, attrs, db=ALL), so a mis-decoded
+    toggle is a hash mismatch, not just a parse error."""
+    from openlogreplicator_spark.reference_config import from_reference_json
+
+    doc = {
+        "version": "1.9.0",
+        "source": [
+            {
+                "alias": "SOURCE",
+                "name": "DBNAME",
+                "reader": {"type": "offline"},
+                # message 18 = ADD_SEQUENCES|ADD_OFFSET; xid 1 = TEXT_DEC;
+                # scn 1 = TEXT_HEX; db 3 = ALL; attributes 7 = all kinds
+                "format": {
+                    "type": "json", "message": 18, "rid": 1, "xid": 1,
+                    "scn": 1, "db": 3, "redo-thread": 1, "attributes": 7,
+                },
+                "filter": {
+                    "table": [
+                        {"owner": "TPCH", "table": ".*",
+                         "key": "O_ORDERKEY", "tag": "[pk]"}
+                    ]
+                },
+            }
+        ],
+        "target": [
+            {"alias": "T", "source": "SOURCE", "writer": {"type": "discard"}}
+        ],
+    }
+    dep = from_reference_json(doc)
+    sel = dep.config.selectors[0]
+    return build_events(
+        _orders_as_change_events(spark, sf_dir),
+        dep.config.fmt,
+        tag_cols=sel.tag,
+        key_cols=sel.key,
+    )
+
+
+CDC_CONFIG_REFERENCE_SQL = """
+SELECT '{"O_ORDERKEY":"' || o_orderkey || '"}' AS key,
+       '{"scn":"0x' || lpad(lower(hex(o_orderkey * 10)), 16, '0')
+       || '","tm":' || epoch_us(o_orderdate)
+       || ',"xid":"' || (o_custkey % 8) || '.' || (o_custkey % 16) || '.'
+       || o_orderkey
+       || '","db":"DBNAME","rth":1,"seq":1,'
+       || '"attrs":{"OS_USER_NAME":"tpch"},"payload":[{"op":"'
+       || CASE o_orderstatus WHEN 'O' THEN 'c' WHEN 'P' THEN 'u'
+          ELSE 'd' END
+       || '","schema":{"owner":"TPCH","table":"ORDERS","obj":18},'
+       || '"rid":"AAAAASAAEAAAADbAAA"'
+       || CASE WHEN o_orderstatus <> 'O'
+               THEN ',"before":{' || CASE WHEN o_orderstatus = 'P' THEN ''
+                    ELSE '"O_ORDERKEY":"' || o_orderkey || '","O_PRIO":"'
+                         || o_orderpriority || '"' END || '}'
+               ELSE '' END
+       || CASE WHEN o_orderstatus <> 'F'
+               THEN ',"after":{"O_ORDERKEY":"' || o_orderkey
+                    || '","O_PRIO":"' || o_orderpriority || '"}'
+               ELSE '' END
+       || ',"offset":' || (o_orderkey * 512)
+       || '}]}' AS value
+FROM orders
+"""
+
+
 def _orders_dict_cols(spark: SparkSession) -> DataFrame:
     """Dictionary rows (DICT_COL_SCHEMA) for the synthetic ORDERS obj —
     drives schema sections + FULL_UPD/PK shaping in the builders."""
@@ -511,6 +586,7 @@ FROM src
 
 QUERIES = {
     "cdc_json_builder": cdc_json_builder,
+    "cdc_config_reference": cdc_config_reference,
     "cdc_json_builder_debezium": cdc_json_builder_debezium,
     "multimodal_decode": multimodal_decode,
     "multimodal_decode_table": multimodal_decode_table,
@@ -522,6 +598,7 @@ QUERIES = {
 
 ORACLE: dict[str, str] = {
     "cdc_json_builder": CDC_JSON_BUILDER_SQL,
+    "cdc_config_reference": CDC_CONFIG_REFERENCE_SQL,
     "cdc_protobuf_builder": _cdc_protobuf_sql(),
     "cdc_json_builder_debezium": CDC_JSON_DEBEZIUM_SQL,
     "cdc_lob_reassembly": CDC_LOB_SQL,

@@ -1,0 +1,628 @@
+"""O1 parity — ingest the reference's ``OpenLogReplicator.json`` config.
+
+The reference process is driven entirely by one JSON file
+(``src/OpenLogReplicator.cpp:145-1247``); the 9 example configs under
+``scripts/OpenLogReplicator-example*.json`` span every reader/writer/format
+combination. This module accepts that exact format and produces the
+engine's native wiring: an :class:`~openlogreplicator_spark.config.
+EngineConfig` plus the reader/writer/state/metrics surround needed to call
+``streaming.engine.build_pipeline``.
+
+Validation mirrors the reference parser's observable behavior:
+
+- schema ``version`` must match (CMakeLists.txt ``SCHEMA_VERSION 1.9.0``;
+  rejection OpenLogReplicator.cpp:199-202),
+- unknown keys are rejected at every nesting level with the same
+  allowed-key sets (``checkJsonFields`` call sites; suppressible like the
+  reference's DISABLE_CHECKS::JSON_TAGS via ``disable_checks``),
+- exactly one source and one target (cpp:459, 1068),
+- the format/message/filter value-range and mutual-exclusion rules
+  (FULL vs SKIP_BEGIN/SKIP_COMMIT, start-scn vs start-time[-rel],
+  transaction-max-mb vs memory max-mb, flags ≤ 524287, ...).
+
+Error messages reuse the reference's ``bad JSON, invalid "<key>" value``
+shape (code 30001) so a migrating user's log-scrapers keep working.
+
+Numeric format toggles map onto the repo's :class:`Format` enums; the
+few reference variants the Spark builder renders under a coarser toggle
+(nanosecond timestamps, string-wrapped unix numbers, per-message-kind
+scn/timestamp/user type bits) are accepted, validated with the
+reference's ranges, and recorded in ``ReferenceDeployment.unmodeled``
+so callers can see exactly which knobs were coalesced.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from openlogreplicator_spark.config import (
+    ColumnFormat,
+    DbFormat,
+    EngineConfig,
+    Format,
+    MessageFormat,
+    RidFormat,
+    SchemaFormat,
+    ScnFormat,
+    ScnType,
+    TableSelector,
+    TimestampFormat,
+    UnknownFormat,
+    UnknownType,
+    XidFormat,
+    debezium_preset,
+)
+
+SCHEMA_VERSION = "1.9.0"
+
+
+class ConfigurationError(ValueError):
+    """Reference ConfigurationException analog (code 30001/30001-style)."""
+
+    def __init__(self, code: int, message: str):
+        super().__init__(f"{code}: {message}")
+        self.code = code
+
+
+def _bad(key: str, value, expected: str) -> ConfigurationError:
+    return ConfigurationError(
+        30001,
+        f'bad JSON, invalid "{key}" value: {value}, expected: {expected}',
+    )
+
+
+# checkJsonFields allowed-key sets (OpenLogReplicator.cpp, per level)
+_DOCUMENT_KEYS = {
+    "dump-path", "dump-raw-data", "dump-redo-log", "log-level", "memory",
+    "metrics", "source", "state", "target", "trace", "version",
+}
+_MEMORY_KEYS = {
+    "min-mb", "max-mb", "read-buffer-max-mb", "read-buffer-min-mb",
+    "swap-mb", "swap-path", "unswap-buffer-min-mb", "write-buffer-max-mb",
+    "write-buffer-min-mb",
+}
+_METRICS_KEYS = {"type", "bind", "tag-names"}
+_STATE_KEYS = {
+    "type", "path", "interval-s", "interval-mb", "keep-checkpoints",
+    "schema-force-interval",
+}
+_SOURCE_KEYS = {
+    "alias", "arch", "arch-read-sleep-us", "arch-read-tries", "debug",
+    "filter", "flags", "format", "memory", "name", "reader",
+    "redo-read-sleep-us", "redo-verify-delay-us", "refresh-interval-us",
+    "state", "transaction-max-mb",
+}
+_READER_KEYS = {
+    "db-timezone", "disable-checks", "host-timezone", "log-archive-format",
+    "log-timezone", "password", "path-mapping", "redo-copy-path",
+    "redo-log", "server", "start-scn", "start-seq", "start-time",
+    "start-time-rel", "type", "user",
+}
+_FORMAT_KEYS = {
+    "attributes", "char", "column", "db", "flush-buffer", "interval-dts",
+    "interval-ytm", "message", "rid", "redo-thread", "schema", "scn",
+    "scn-type", "timestamp", "timestamp-metadata", "timestamp-type",
+    "timestamp-tz", "type", "unknown", "unknown-type", "user-type", "xid",
+}
+_DEBUG_KEYS = {
+    "owner", "stop-checkpoints", "stop-log-switches", "stop-transactions",
+    "table",
+}
+_FILTER_KEYS = {"dump-xid", "separator", "skip-xid", "table"}
+_TABLE_KEYS = {"condition", "key", "owner", "table", "tag"}
+_WRITER_KEYS = {
+    "append", "max-file-size", "max-message-mb", "new-line", "output",
+    "poll-interval-us", "properties", "queue-size", "timestamp-format",
+    "topic", "type", "uri", "write-buffer-flush-size",
+    # example-batch.json uses the legacy shorthand accepted by older
+    # WriterKafka configs; kept for conformance with the shipped examples
+    "brokers",
+}
+
+# MESSAGE_FORMAT bits (Format.h:76-84)
+_MSG_FULL, _MSG_ADD_SEQ, _MSG_SKIP_BEGIN, _MSG_SKIP_COMMIT, _MSG_ADD_OFFSET = (
+    1, 2, 4, 8, 16,
+)
+
+
+def _check_keys(
+    obj: dict, allowed: set, where: str, enabled: bool = True
+) -> None:
+    if not enabled:
+        return
+    for k in obj:
+        if k not in allowed:
+            raise _bad(k, obj[k], f"unknown field in {where}")
+
+
+def _uint(obj: dict, key: str, lo: int, hi: int):
+    val = obj[key]
+    if not isinstance(val, int) or isinstance(val, bool) or not (
+        lo <= val <= hi
+    ):
+        raise _bad(key, val, f"one of {{{lo} .. {hi}}}")
+    return val
+
+
+# Reference numeric values → repo enums. Approximations are recorded in
+# `unmodeled` by the caller (see module docstring).
+_TIMESTAMP_MAP = {  # TIMESTAMP_FORMAT (Format.h:117-134), 16 variants
+    0: TimestampFormat.UNIX_MICRO,   # UNIX_NANO — micro is the repo floor
+    1: TimestampFormat.UNIX_MICRO,
+    2: TimestampFormat.UNIX_MILLI,
+    3: TimestampFormat.UNIX_SEC,
+    4: TimestampFormat.UNIX_MICRO,   # *_STRING variants
+    5: TimestampFormat.UNIX_MICRO,
+    6: TimestampFormat.UNIX_MILLI,
+    7: TimestampFormat.UNIX_SEC,
+}
+_XID_MAP = {  # XID_FORMAT (Format.h:188-193)
+    0: XidFormat.TEXT_HEX,
+    1: XidFormat.TEXT,       # TEXT_DEC
+    2: XidFormat.NUMERIC,
+    3: XidFormat.TEXT,       # TEXT_REVERSED — repo debezium analog
+}
+
+
+@dataclass(frozen=True)
+class WriterSpec:
+    """Target writer (cpp:1121-1215): type + the knobs each type takes."""
+
+    type: str                      # file|discard|kafka|zeromq|network
+    topic: str = ""
+    brokers: str = ""              # kafka bootstrap (properties or shorthand)
+    uri: str = ""                  # network/zeromq endpoint
+    output: str = ""               # file sink path pattern
+    new_line: int = 1
+    append: int = 1
+    max_file_size: int = 0
+    max_message_mb: int = 100
+    properties: dict = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class ReferenceDeployment:
+    """Everything a reference JSON config wires, engine-native."""
+
+    config: EngineConfig
+    source_alias: str
+    target_alias: str
+    db_name: str
+    reader_type: str               # online|offline|batch
+    format_type: str               # json|debezium|protobuf
+    writer: WriterSpec
+    redo_logs: tuple[str, ...] = ()       # batch reader work list
+    path_mapping: tuple[str, ...] = ()
+    server: str = ""               # online reader connect string
+    user: str = ""
+    start_seq: int | None = None
+    start_time: str = ""
+    start_time_rel: int = 0
+    state_path: str = ""           # W7 state documents directory
+    metrics_bind: str = ""         # W8 Prometheus exposition endpoint
+    flags: int = 0
+    log_archive_format: str = ""
+    dump_xid: tuple[str, ...] = ()
+    unmodeled: dict = field(default_factory=dict)
+
+    def spark_sink(self) -> str:
+        """build_pipeline `sink` for this writer type (W1-W6 mapping)."""
+        return {
+            "file": "json",
+            "discard": "noop",
+            "kafka": "kafka",
+            "network": "network",
+            "zeromq": "network",   # W5 rides the W4 state machine (ZMTP)
+        }[self.writer.type]
+
+
+def _parse_format(
+    fmt_json: dict, db_name: str, check: bool
+) -> tuple[Format, str, dict]:
+    _check_keys(fmt_json, _FORMAT_KEYS, '"format"', check)
+    ftype = fmt_json.get("type")
+    if ftype not in ("json", "debezium", "protobuf"):
+        raise _bad("format", ftype, '"protobuf", "json" or "debezium"')
+
+    unmodeled: dict = {}
+    if ftype == "debezium":
+        # preset block cpp:693-708
+        fmt = debezium_preset().with_options(
+            add_sequences=True, redo_thread=True, db_name=db_name
+        )
+    else:
+        # reference defaults (cpp:676-695). The repo's Format defaults
+        # differ on rid/db (documented in config.py); the adapter speaks
+        # the REFERENCE defaults.
+        fmt = Format(
+            rid=RidFormat.SKIP,
+            db=DbFormat.DEFAULT,
+            xid=XidFormat.TEXT_HEX,
+            db_name=db_name,
+        )
+        unmodeled["timestamp-default"] = (
+            "reference default TIMESTAMP_FORMAT::UNIX_NANO renders as "
+            "UNIX_MICRO (epoch micros) in this engine"
+        )
+
+    if "db" in fmt_json:
+        val = _uint(fmt_json, "db", 0, 3)
+        fmt = fmt.with_options(
+            db=[DbFormat.DEFAULT, DbFormat.ADD_DML, DbFormat.ADD_DDL,
+                DbFormat.ALL][val]
+        )
+    if "attributes" in fmt_json:
+        val = _uint(fmt_json, "attributes", 0, 7)
+        fmt = fmt.with_options(attributes=val != 0)
+        if val not in (0, 7):
+            unmodeled["attributes"] = val  # per-kind bits → all-or-nothing
+    if "interval-dts" in fmt_json:
+        unmodeled["interval-dts"] = _uint(fmt_json, "interval-dts", 0, 10)
+    if "interval-ytm" in fmt_json:
+        unmodeled["interval-ytm"] = _uint(fmt_json, "interval-ytm", 0, 4)
+    if "message" in fmt_json:
+        val = _uint(fmt_json, "message", 0, 31)
+        if (val & _MSG_FULL) and (val & (_MSG_SKIP_BEGIN | _MSG_SKIP_COMMIT)):
+            raise _bad(
+                "message", val,
+                f"BEGIN/COMMIT flag is unset ({_MSG_SKIP_BEGIN}/"
+                f"{_MSG_SKIP_COMMIT}) together with FULL mode ({_MSG_FULL})",
+            )
+        fmt = fmt.with_options(
+            message=MessageFormat.FULL
+            if val & _MSG_FULL
+            else MessageFormat.SHORT,
+            add_sequences=bool(val & _MSG_ADD_SEQ) or fmt.add_sequences,
+            skip_begin=bool(val & _MSG_SKIP_BEGIN),
+            skip_commit=bool(val & _MSG_SKIP_COMMIT),
+            add_offset=bool(val & _MSG_ADD_OFFSET),
+        )
+    if "rid" in fmt_json:
+        val = _uint(fmt_json, "rid", 0, 1)
+        fmt = fmt.with_options(rid=RidFormat.TEXT if val else RidFormat.SKIP)
+    if "redo-thread" in fmt_json:
+        val = _uint(fmt_json, "redo-thread", 0, 1)
+        fmt = fmt.with_options(redo_thread=bool(val))
+    if "xid" in fmt_json:
+        fmt = fmt.with_options(xid=_XID_MAP[_uint(fmt_json, "xid", 0, 3)])
+    if "timestamp" in fmt_json:
+        val = _uint(fmt_json, "timestamp", 0, 15)
+        fmt = fmt.with_options(
+            timestamp=_TIMESTAMP_MAP.get(val, TimestampFormat.ISO8601)
+        )
+    if "timestamp-metadata" in fmt_json:
+        unmodeled["timestamp-metadata"] = _uint(
+            fmt_json, "timestamp-metadata", 0, 15
+        )
+    if "timestamp-tz" in fmt_json:
+        unmodeled["timestamp-tz"] = _uint(fmt_json, "timestamp-tz", 0, 11)
+    if "timestamp-type" in fmt_json:
+        unmodeled["timestamp-type"] = _uint(fmt_json, "timestamp-type", 0, 15)
+    if "user-type" in fmt_json:
+        unmodeled["user-type"] = _uint(fmt_json, "user-type", 0, 15)
+    if "char" in fmt_json:
+        unmodeled["char"] = _uint(fmt_json, "char", 0, 3)
+    if "scn" in fmt_json:
+        val = _uint(fmt_json, "scn", 0, 1)
+        fmt = fmt.with_options(scn=ScnFormat.HEX if val else ScnFormat.DEC)
+    if "scn-type" in fmt_json:
+        val = _uint(fmt_json, "scn-type", 0, 15)
+        fmt = fmt.with_options(
+            scn_type=ScnType.COMMIT_VALUE if val & 1 else ScnType.DEFAULT
+        )
+        if val & ~1:
+            unmodeled["scn-type"] = val
+    if "unknown" in fmt_json:
+        val = _uint(fmt_json, "unknown", 0, 1)
+        fmt = fmt.with_options(
+            unknown=UnknownFormat.DUMP if val else UnknownFormat.QUESTION_MARK
+        )
+    if "schema" in fmt_json:
+        val = _uint(fmt_json, "schema", 0, 7)
+        if val & 2:
+            fmt = fmt.with_options(schema=SchemaFormat.REPEATED)
+        elif val & 1:
+            fmt = fmt.with_options(schema=SchemaFormat.FULL)
+        else:
+            fmt = fmt.with_options(schema=SchemaFormat.OBJ)
+    if "column" in fmt_json:
+        val = _uint(fmt_json, "column", 0, 2)
+        fmt = fmt.with_options(
+            column=[ColumnFormat.CHANGED, ColumnFormat.FULL_INS_DEC,
+                    ColumnFormat.FULL_UPD][val]
+        )
+    if "unknown-type" in fmt_json:
+        val = _uint(fmt_json, "unknown-type", 0, 1)
+        fmt = fmt.with_options(
+            unknown_type=UnknownType.SHOW if val else UnknownType.HIDE
+        )
+    if "flush-buffer" in fmt_json:
+        unmodeled["flush-buffer"] = fmt_json["flush-buffer"]
+
+    return fmt, ftype, unmodeled
+
+
+def _parse_tag(tag: str, separator: str) -> tuple[str, ...]:
+    """SchemaElement::parseTag: '[pk]' keys by the primary key (the
+    builder's tag_expr already falls back to key columns when tag is
+    empty — exactly [pk] semantics); '[all]' keys by the full image
+    (coalesced to the same fallback here); else a separator list."""
+    if tag in ("[pk]", "[all]"):
+        return ()
+    return tuple(t for t in tag.split(separator) if t)
+
+
+def from_reference_json(source) -> ReferenceDeployment:
+    """Parse a reference ``OpenLogReplicator.json`` (path, JSON string,
+    or already-loaded dict) into a :class:`ReferenceDeployment`."""
+    if isinstance(source, dict):
+        doc = source
+    else:
+        text = source
+        if isinstance(source, (str, os.PathLike)) and os.path.exists(source):
+            size = os.stat(source).st_size
+            if size == 0:
+                raise ConfigurationError(
+                    10004, f"file: {source} - wrong size: 0"
+                )
+            with open(source) as fh:
+                text = fh.read()
+        try:
+            doc = json.loads(text)
+        except json.JSONDecodeError as e:
+            raise ConfigurationError(
+                20001, f"parse error: {e.msg} at offset {e.pos}"
+            ) from e
+
+    # reader "disable-checks" bit 1 = DISABLE_CHECKS::JSON_TAGS
+    disable_checks = 0
+    try:
+        disable_checks = int(
+            doc["source"][0]["reader"].get("disable-checks", 0)
+        )
+    except (KeyError, IndexError, TypeError, ValueError):
+        pass
+    if disable_checks > 15:
+        raise _bad("disable-checks", disable_checks, "one of {0 .. 15}")
+    check = not (disable_checks & 1)
+
+    _check_keys(doc, _DOCUMENT_KEYS, "document", check)
+
+    version = doc.get("version")
+    if version != SCHEMA_VERSION:
+        raise ConfigurationError(
+            30001,
+            f'bad JSON, invalid "version" value: {version}, '
+            f"expected: {SCHEMA_VERSION}",
+        )
+
+    memory_max_mb = 1024
+    if "memory" in doc:
+        _check_keys(doc["memory"], _MEMORY_KEYS, '"memory"', check)
+        memory_max_mb = doc["memory"].get("max-mb", 1024)
+
+    metrics_bind = ""
+    if "metrics" in doc:
+        _check_keys(doc["metrics"], _METRICS_KEYS, '"metrics"', check)
+        if doc["metrics"].get("type") != "prometheus":
+            raise _bad("type", doc["metrics"].get("type"), '"prometheus"')
+        metrics_bind = doc["metrics"].get("bind", "")
+
+    state_path = ""
+    checkpoint_interval_s = 10
+    if "state" in doc:
+        _check_keys(doc["state"], _STATE_KEYS, '"state"', check)
+        state_path = doc["state"].get("path", "checkpoint")
+        checkpoint_interval_s = doc["state"].get("interval-s", 600)
+
+    sources = doc.get("source")
+    if not isinstance(sources, list) or len(sources) != 1:
+        raise _bad(
+            "source",
+            0 if not isinstance(sources, list) else len(sources),
+            "1 element",
+        )
+    src = sources[0]
+    _check_keys(src, _SOURCE_KEYS, '"source"', check)
+    alias = src["alias"]
+    db_name = src["name"]
+
+    flags = 0
+    if "flags" in src:
+        flags = src["flags"]
+        if flags > 524287:
+            raise _bad("flags", flags, "one of {0 .. 524287}")
+    # REDO_FLAGS (Ctx.h:86-106): SCHEMALESS = 1<<1, ADAPTIVE_SCHEMA = 1<<2,
+    # EXPERIMENTAL_JSON = 1<<17
+    schema_mode = "dict"
+    if flags & (1 << 1):
+        schema_mode = "schemaless"
+    if flags & (1 << 2):
+        schema_mode = "adaptive"
+    if flags & (1 << 17):
+        fmt_experimental_json = True
+    else:
+        fmt_experimental_json = False
+
+    reader = src["reader"]
+    _check_keys(reader, _READER_KEYS, '"reader"', check)
+    reader_type = reader.get("type")
+    if reader_type not in ("online", "offline", "batch"):
+        raise _bad(
+            "type", reader_type, 'one of {"online", "offline", "batch"}'
+        )
+    if reader_type == "online":
+        for req in ("user", "password", "server"):
+            if req not in reader:
+                raise _bad(req, None, "set for online reader")
+    if reader_type == "batch" and "redo-log" not in reader:
+        raise _bad("redo-log", None, "set for batch reader")
+
+    start_scn = reader.get("start-scn")
+    start_seq = reader.get("start-seq")
+    start_time_rel = reader.get("start-time-rel", 0)
+    start_time = reader.get("start-time", "")
+    if start_time_rel and start_scn is not None:
+        raise _bad(
+            "start-time-rel", start_time_rel,
+            f'unset when "start-scn" is set ({start_scn})',
+        )
+    if start_time:
+        if start_scn is not None:
+            raise _bad(
+                "start-time", start_time,
+                f'unset when "start-scn" is set ({start_scn})',
+            )
+        if start_time_rel:
+            raise _bad(
+                "start-time", start_time,
+                f'unset when "start-time-rel" is set ({start_time_rel})',
+            )
+
+    path_mapping = tuple(reader.get("path-mapping", ()))
+    if len(path_mapping) % 2 != 0:
+        raise _bad(
+            "path-mapping", len(path_mapping), "even number of elements"
+        )
+
+    transaction_max_mb = src.get("transaction-max-mb", 1024)
+    if "transaction-max-mb" in src and transaction_max_mb > memory_max_mb:
+        raise _bad(
+            "transaction-max-mb", transaction_max_mb,
+            f'smaller than "max-mb" ({memory_max_mb})',
+        )
+
+    if "debug" in src:
+        _check_keys(src["debug"], _DEBUG_KEYS, '"debug"', check)
+
+    fmt, format_type, unmodeled = _parse_format(
+        src["format"], db_name, check
+    )
+    if fmt_experimental_json:
+        fmt = fmt.with_options(experimental_json=True)
+    if schema_mode == "schemaless" and src["format"].get("column", 0) != 0:
+        raise _bad(
+            "column", src["format"]["column"],
+            "not used when flags has set schemaless mode "
+            f"(flags: {flags})",
+        )
+
+    selectors: list[TableSelector] = []
+    skip_xid: tuple[str, ...] = ()
+    dump_xid: tuple[str, ...] = ()
+    if "filter" in src:
+        filt = src["filter"]
+        _check_keys(filt, _FILTER_KEYS, '"filter"', check)
+        separator = filt.get("separator", ",")
+        for el in filt.get("table", ()):
+            _check_keys(el, _TABLE_KEYS, '"table"', check)
+            selectors.append(
+                TableSelector(
+                    owner=el["owner"],
+                    table=el["table"],
+                    key=tuple(
+                        k for k in el.get("key", "").split(separator) if k
+                    ),
+                    tag=_parse_tag(el.get("tag", ""), separator),
+                    condition=el.get("condition", ""),
+                )
+            )
+        skip_xid = tuple(filt.get("skip-xid", ()))
+        dump_xid = tuple(filt.get("dump-xid", ()))
+    if not selectors:
+        selectors.append(TableSelector())
+
+    targets = doc.get("target")
+    if not isinstance(targets, list) or len(targets) != 1:
+        raise _bad(
+            "target",
+            0 if not isinstance(targets, list) else len(targets),
+            "1 element",
+        )
+    tgt = targets[0]
+    if tgt.get("source") != alias:
+        raise _bad(
+            "source", tgt.get("source"),
+            'value used earlier in "source" field',
+        )
+
+    writer_json = tgt["writer"]
+    _check_keys(writer_json, _WRITER_KEYS, '"writer"', check)
+    wtype = writer_json.get("type")
+    if wtype not in ("file", "kafka", "zeromq", "network", "discard"):
+        raise _bad(
+            "type", wtype,
+            'one of {"file", "kafka", "zeromq", "network", "discard"}',
+        )
+    if "poll-interval-us" in writer_json:
+        _uint(writer_json, "poll-interval-us", 100, 3_600_000_000)
+    if "queue-size" in writer_json:
+        _uint(writer_json, "queue-size", 1, 1_000_000)
+    if "new-line" in writer_json:
+        _uint(writer_json, "new-line", 0, 2)
+    if "append" in writer_json:
+        _uint(writer_json, "append", 0, 1)
+    if "max-message-mb" in writer_json:
+        _uint(writer_json, "max-message-mb", 1, 953)
+    if wtype == "file" and writer_json.get("max-file-size", 0) > 0 and not (
+        writer_json.get("output")
+    ):
+        raise _bad(
+            "output", "",
+            'to be set when "max-file-size" is set '
+            f"({writer_json['max-file-size']})",
+        )
+    if wtype == "kafka" and "topic" not in writer_json:
+        raise _bad("topic", None, "set for kafka writer")
+    if wtype in ("zeromq", "network") and "uri" not in writer_json:
+        raise _bad("uri", None, f"set for {wtype} writer")
+
+    props = dict(writer_json.get("properties", {}))
+    writer = WriterSpec(
+        type=wtype,
+        topic=writer_json.get("topic", ""),
+        brokers=props.get(
+            "bootstrap.servers", writer_json.get("brokers", "")
+        ),
+        uri=writer_json.get("uri", ""),
+        output=writer_json.get("output", ""),
+        new_line=writer_json.get("new-line", 1),
+        append=writer_json.get("append", 1),
+        max_file_size=writer_json.get("max-file-size", 0),
+        max_message_mb=writer_json.get("max-message-mb", 100),
+        properties=props,
+    )
+
+    cfg = EngineConfig(
+        fmt=fmt,
+        selectors=tuple(selectors),
+        skip_xid=skip_xid,
+        start_scn=start_scn,
+        transaction_max_mb=transaction_max_mb,
+        checkpoint_interval_s=checkpoint_interval_s,
+        schema_mode=schema_mode,
+    )
+    return ReferenceDeployment(
+        config=cfg,
+        source_alias=alias,
+        target_alias=tgt["alias"],
+        db_name=db_name,
+        reader_type=reader_type,
+        format_type=format_type,
+        writer=writer,
+        redo_logs=tuple(reader.get("redo-log", ())),
+        path_mapping=path_mapping,
+        server=reader.get("server", ""),
+        user=reader.get("user", ""),
+        start_seq=start_seq,
+        start_time=start_time,
+        start_time_rel=start_time_rel,
+        state_path=state_path,
+        metrics_bind=metrics_bind,
+        flags=flags,
+        log_archive_format=reader.get("log-archive-format", ""),
+        dump_xid=dump_xid,
+        unmodeled=unmodeled,
+    )

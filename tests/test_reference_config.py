@@ -1,0 +1,394 @@
+"""O1 parity: ingest the reference's OpenLogReplicator.json config format.
+
+Conformance corpus: the 9 example configs the reference ships
+(scripts/OpenLogReplicator-example*.json) — every reader type
+(online/offline/batch), writer type (kafka/file/network/zeromq/discard)
+and format preset (json/debezium/protobuf) the reference supports.
+Parser behavior mirrored from src/OpenLogReplicator.cpp:145-1247:
+version gate, unknown-key rejection per nesting level, single
+source/target, format value ranges, FULL-vs-SKIP message exclusion,
+start positioning exclusivity.
+"""
+
+from __future__ import annotations
+
+import copy
+import glob
+import json
+import os
+
+import pytest
+
+from openlogreplicator_spark.config import (
+    ColumnFormat,
+    DbFormat,
+    MessageFormat,
+    RidFormat,
+    SchemaFormat,
+    ScnFormat,
+    TimestampFormat,
+    XidFormat,
+)
+from openlogreplicator_spark.reference_config import (
+    ConfigurationError,
+    from_reference_json,
+)
+
+_SCRIPTS = "/root/reference/scripts"
+_EXAMPLES = sorted(glob.glob(os.path.join(_SCRIPTS, "*.json")))
+
+pytestmark = pytest.mark.skipif(
+    not _EXAMPLES, reason="reference example configs not present"
+)
+
+
+def _base() -> dict:
+    """Minimal valid config (example.json shape) for mutation tests."""
+    return {
+        "version": "1.9.0",
+        "source": [
+            {
+                "alias": "S",
+                "name": "DB",
+                "reader": {"type": "offline"},
+                "format": {"type": "json"},
+            }
+        ],
+        "target": [
+            {"alias": "T", "source": "S", "writer": {"type": "discard"}}
+        ],
+    }
+
+
+# ── conformance over all 9 shipped examples ────────────────────────────
+
+@pytest.mark.parametrize(
+    "path", _EXAMPLES, ids=[os.path.basename(p) for p in _EXAMPLES]
+)
+def test_all_reference_examples_parse(path):
+    dep = from_reference_json(path)
+    assert dep.source_alias == "SOURCE"
+    assert dep.db_name == "DBNAME"
+    assert dep.reader_type in ("online", "offline", "batch")
+    assert dep.writer.type in (
+        "file", "kafka", "zeromq", "network", "discard"
+    )
+    # every example's filter ends with the OWNER2/TAB.* pattern
+    assert len(dep.config.selectors) >= 3
+    assert dep.config.selectors[-1].owner == "OWNER2"
+    assert dep.config.selectors[-1].table == "TAB.*"
+    # the writer maps onto a build_pipeline sink
+    assert dep.spark_sink() in ("json", "noop", "kafka", "network")
+
+
+def test_example_kafka_wiring():
+    dep = from_reference_json(
+        os.path.join(_SCRIPTS, "OpenLogReplicator-example.json")
+    )
+    assert dep.reader_type == "online"
+    assert dep.server == "//host:1521/SERVICE"
+    assert dep.writer.type == "kafka"
+    assert dep.writer.topic == "TOPIC"
+    assert dep.writer.brokers == "localhost:9092"
+    assert dep.format_type == "json"
+    # reference JSON defaults: rid skipped, db omitted, hex xid
+    assert dep.config.fmt.rid == RidFormat.SKIP
+    assert dep.config.fmt.db == DbFormat.DEFAULT
+    assert dep.config.fmt.xid == XidFormat.TEXT_HEX
+    assert dep.config.fmt.db_name == "DBNAME"
+
+
+def test_example_batch_redo_list():
+    dep = from_reference_json(
+        os.path.join(_SCRIPTS, "OpenLogReplicator-example-batch.json")
+    )
+    assert dep.reader_type == "batch"
+    assert len(dep.redo_logs) == 3
+    assert dep.redo_logs[2] == "/db/otherDir"
+    assert dep.writer.brokers == "localhost:9092"  # legacy shorthand
+
+
+def test_example_debezium_preset():
+    dep = from_reference_json(
+        os.path.join(_SCRIPTS, "OpenLogReplicator-example-debezium.json")
+    )
+    fmt = dep.config.fmt
+    assert dep.format_type == "debezium"
+    assert fmt.column == ColumnFormat.FULL_UPD
+    assert fmt.schema == SchemaFormat.FULL
+    assert fmt.rid == RidFormat.TEXT
+    assert fmt.db == DbFormat.ALL
+    assert fmt.redo_thread is True          # preset forces REDO_THREAD TEXT
+    assert fmt.add_sequences is True        # MESSAGE_FORMAT::ADD_SEQUENCES
+    assert dep.writer.type == "network"
+    assert dep.writer.uri == "0.0.0.0:5000"
+
+
+def test_example_full_every_section():
+    dep = from_reference_json(
+        os.path.join(_SCRIPTS, "OpenLogReplicator-example-full.json")
+    )
+    assert dep.metrics_bind == "127.0.0.1:8080"
+    assert dep.state_path == "checkpoint"
+    assert dep.config.checkpoint_interval_s == 600
+    assert dep.config.transaction_max_mb == 1000
+    assert dep.path_mapping == ("/db/fra", "/opt/fast-recovery-area")
+    # filter with custom separator ';': a comma key string is ONE token
+    # (SchemaElement::parseKey honors the configured separator)
+    assert dep.config.selectors[0].key == ("COL1,COL2,COL3",)
+    # the condition mini-language string passes through verbatim
+    assert "[login username]" in dep.config.selectors[1].condition
+    # [pk]/[all] tags map to the key-fallback tagging path
+    assert dep.config.selectors[2].tag == ()
+    # explicit column-list tag is also split on the ';' separator, so
+    # the comma string stays one token
+    assert dep.config.selectors[4].tag == ("COL1,COL2",)
+    assert dep.config.skip_xid == (
+        "1234.ABC.12345678", "1234.0ABC.12345678", "09000D001D050000"
+    )
+    assert dep.dump_xid[0] == "1234.ABC.12345679"
+    # all-zero format block = reference defaults
+    fmt = dep.config.fmt
+    assert fmt.scn == ScnFormat.DEC
+    assert fmt.message == MessageFormat.SHORT
+    assert fmt.column == ColumnFormat.CHANGED
+    assert fmt.redo_thread is False
+    assert fmt.timestamp == TimestampFormat.UNIX_MICRO
+
+
+def test_example_offline_and_file_and_zeromq():
+    off = from_reference_json(
+        os.path.join(_SCRIPTS, "OpenLogReplicator-example-offline.json")
+    )
+    assert off.reader_type == "offline"
+    assert off.path_mapping[0] == "/db/fra"
+
+    fil = from_reference_json(
+        os.path.join(_SCRIPTS, "OpenLogReplicator-example-file.json")
+    )
+    assert fil.writer.type == "file"
+    assert fil.writer.output == "output-%t.json"
+    assert fil.writer.max_file_size == 1073741824
+    assert fil.writer.append == 0
+    assert fil.spark_sink() == "json"
+
+    zmq = from_reference_json(
+        os.path.join(_SCRIPTS, "OpenLogReplicator-example-zeromq.json")
+    )
+    assert zmq.writer.uri == "tcp://0.0.0.0:5000"
+    assert zmq.format_type == "protobuf"
+    assert zmq.spark_sink() == "network"
+
+
+# ── rejection behavior (cpp error paths) ───────────────────────────────
+
+def test_version_mismatch_rejected():
+    doc = _base()
+    doc["version"] = "1.8.5"
+    with pytest.raises(ConfigurationError, match='"version".*1.8.5'):
+        from_reference_json(doc)
+
+
+def test_unknown_keys_rejected_per_level():
+    for mutate in [
+        lambda d: d.update({"bogus-key": 1}),
+        lambda d: d["source"][0].update({"bogus": 1}),
+        lambda d: d["source"][0]["reader"].update({"bogus": 1}),
+        lambda d: d["source"][0]["format"].update({"bogus": 1}),
+        lambda d: d["target"][0]["writer"].update({"bogus": 1}),
+    ]:
+        doc = _base()
+        mutate(doc)
+        with pytest.raises(ConfigurationError, match="bogus"):
+            from_reference_json(doc)
+
+
+def test_disable_checks_suppresses_unknown_keys():
+    """DISABLE_CHECKS::JSON_TAGS (reader disable-checks bit 0) turns the
+    allowed-key validation off, like the reference."""
+    doc = _base()
+    doc["source"][0]["format"]["bogus"] = 1
+    doc["source"][0]["reader"]["disable-checks"] = 1
+    dep = from_reference_json(doc)
+    assert dep.config.fmt is not None
+
+
+def test_message_full_with_skip_rejected():
+    doc = _base()
+    doc["source"][0]["format"]["message"] = 1 | 4  # FULL + SKIP_BEGIN
+    with pytest.raises(ConfigurationError, match='"message"'):
+        from_reference_json(doc)
+
+
+def test_message_bitmask_decodes():
+    doc = _base()
+    doc["source"][0]["format"]["message"] = 2 | 4 | 8 | 16
+    fmt = from_reference_json(doc).config.fmt
+    assert fmt.message == MessageFormat.SHORT
+    assert fmt.add_sequences and fmt.skip_begin and fmt.skip_commit
+    assert fmt.add_offset
+
+
+def test_single_source_and_target_enforced():
+    doc = _base()
+    doc["source"].append(copy.deepcopy(doc["source"][0]))
+    with pytest.raises(ConfigurationError, match='"source"'):
+        from_reference_json(doc)
+    doc = _base()
+    doc["target"].append(copy.deepcopy(doc["target"][0]))
+    with pytest.raises(ConfigurationError, match='"target"'):
+        from_reference_json(doc)
+
+
+def test_target_source_alias_must_match():
+    doc = _base()
+    doc["target"][0]["source"] = "NOPE"
+    with pytest.raises(ConfigurationError, match="used earlier"):
+        from_reference_json(doc)
+
+
+def test_start_position_exclusivity():
+    doc = _base()
+    doc["source"][0]["reader"].update({"start-scn": 5, "start-time": "x"})
+    with pytest.raises(ConfigurationError, match='"start-time"'):
+        from_reference_json(doc)
+    doc = _base()
+    doc["source"][0]["reader"].update(
+        {"start-scn": 5, "start-time-rel": 60}
+    )
+    with pytest.raises(ConfigurationError, match='"start-time-rel"'):
+        from_reference_json(doc)
+
+
+def test_transaction_max_mb_vs_memory():
+    doc = _base()
+    doc["memory"] = {"min-mb": 64, "max-mb": 256}
+    doc["source"][0]["transaction-max-mb"] = 512
+    with pytest.raises(ConfigurationError, match="transaction-max-mb"):
+        from_reference_json(doc)
+
+
+def test_format_value_ranges():
+    for key, bad in [
+        ("db", 4), ("attributes", 8), ("message", 32), ("rid", 2),
+        ("redo-thread", 2), ("xid", 4), ("timestamp", 16), ("scn", 2),
+        ("schema", 8), ("column", 3), ("unknown", 2), ("unknown-type", 2),
+        ("char", 4), ("interval-dts", 11), ("interval-ytm", 5),
+    ]:
+        doc = _base()
+        doc["source"][0]["format"][key] = bad
+        with pytest.raises(ConfigurationError, match=f'"{key}"'):
+            from_reference_json(doc)
+
+
+def test_writer_requirements():
+    doc = _base()
+    doc["target"][0]["writer"] = {"type": "kafka"}  # no topic
+    with pytest.raises(ConfigurationError, match='"topic"'):
+        from_reference_json(doc)
+    doc = _base()
+    doc["target"][0]["writer"] = {"type": "network"}  # no uri
+    with pytest.raises(ConfigurationError, match='"uri"'):
+        from_reference_json(doc)
+    doc = _base()
+    doc["target"][0]["writer"] = {"type": "carrier-pigeon"}
+    with pytest.raises(ConfigurationError, match='"type"'):
+        from_reference_json(doc)
+    doc = _base()  # max-file-size without output
+    doc["target"][0]["writer"] = {"type": "file", "max-file-size": 10}
+    with pytest.raises(ConfigurationError, match='"output"'):
+        from_reference_json(doc)
+
+
+def test_odd_path_mapping_rejected():
+    doc = _base()
+    doc["source"][0]["reader"]["path-mapping"] = ["/a", "/b", "/c"]
+    with pytest.raises(ConfigurationError, match="path-mapping"):
+        from_reference_json(doc)
+
+
+def test_flags_decode_schema_modes():
+    doc = _base()
+    doc["source"][0]["flags"] = 1 << 1  # REDO_FLAGS::SCHEMALESS
+    assert from_reference_json(doc).config.schema_mode == "schemaless"
+    doc["source"][0]["flags"] = 1 << 2  # ADAPTIVE_SCHEMA
+    assert from_reference_json(doc).config.schema_mode == "adaptive"
+    doc["source"][0]["flags"] = 1 << 17  # EXPERIMENTAL_JSON
+    assert from_reference_json(doc).config.fmt.experimental_json
+    doc["source"][0]["flags"] = 524288
+    with pytest.raises(ConfigurationError, match='"flags"'):
+        from_reference_json(doc)
+    # schemaless + non-zero column format rejected (cpp:855-858)
+    doc = _base()
+    doc["source"][0]["flags"] = 1 << 1
+    doc["source"][0]["format"]["column"] = 2
+    with pytest.raises(ConfigurationError, match='"column"'):
+        from_reference_json(doc)
+
+
+# ── config-driven pipeline e2e ─────────────────────────────────────────
+
+def test_reference_config_drives_pipeline(spark, tmp_path):
+    """A reference-format BATCH config (the example-batch.json shape with
+    the redo-log list pointed at an OLRS fixture) wires the full
+    pipeline: parse → assembly → selection → builder → sink."""
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import (
+        generate_redo_records,
+        redo_records_df,
+    )
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+    from conftest import drain
+
+    d = str(tmp_path / "redo")
+    records = generate_redo_records(n_txns=12, seed=3)
+    write_binary_redo(redo_records_df(spark, records), d, n_files=2)
+
+    doc = {
+        "version": "1.9.0",
+        "source": [
+            {
+                "alias": "SOURCE",
+                "name": "DBNAME",
+                "reader": {"type": "batch", "redo-log": [d]},
+                # xid: 1 = XID_FORMAT::TEXT_DEC (matches the generator's
+                # decimal xids); rid: 1 = TEXT; message 12 = SKIP both
+                "format": {
+                    "type": "json", "rid": 1, "xid": 1, "message": 4 | 8,
+                },
+                "filter": {
+                    "table": [{"owner": ".*", "table": ".*"}],
+                },
+            }
+        ],
+        "target": [
+            {
+                "alias": "OUT",
+                "source": "SOURCE",
+                "writer": {"type": "discard"},
+            }
+        ],
+    }
+    dep = from_reference_json(doc)
+    assert dep.spark_sink() == "noop"
+    # memory sink instead of the config's discard so the test can assert
+    q = build_pipeline(
+        spark,
+        dep.config,
+        dep.redo_logs[0],
+        checkpoint=str(tmp_path / "ckpt"),
+        sink="memory",
+        query_name="olr_refcfg",
+    )
+    drain(q)
+    rows = spark.sql("select * from olr_refcfg").collect()
+    assert rows
+    committed = {
+        r["xid"] for r in records if r["opcode"] == "commit"
+    } - {r["xid"] for r in records if r["opcode"] == "rollback"}
+    for r in rows:
+        v = json.loads(r.value)
+        assert v["xid"] in committed
+        for p in v["payload"]:
+            assert p["op"] in ("c", "u", "d")  # SKIP_BEGIN/COMMIT honored
+            assert len(p["rid"]) == 18         # rid: 1 → RID_FORMAT::TEXT
