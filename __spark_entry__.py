@@ -39,6 +39,15 @@ _PRIORITY = [  # round-6 window (previous windows: git history of this list)
     #    driving the builder toggles (r5 VERDICT #3)
     "cdc_json_builder",
     "cdc_config_reference",
+    # -- rows-only → oracled upgrades (r5 VERDICT #4): first-ever driver
+    #    verdicts for these seven
+    "cdc_heartbeat",
+    "multimodal_decode",
+    "multimodal_features_ann",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "ann_pq",
+    "embedding_pca",
     # -- STALE-VERDICT ROTATION (r5 VERDICT #1): these oracled queries'
     #    latest driver verdict is r1/r3 while their underlying code was
     #    rewritten in r4 (single-pass Arrow assembly) / r5 (null-sort &

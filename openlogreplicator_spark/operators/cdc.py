@@ -413,13 +413,58 @@ def cdc_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B8 checkpoint/heartbeat rows: one op=chkpt row per LWN of the
     binary redo stream (Parser.cpp:1509-1521) — emitted even when no
     subscribed table changes, the liveness signal downstream consumers
-    rely on. Rows-only: LWN grouping depends on the physical file
-    layout, which SQL over the logical tables cannot reproduce."""
-    from openlogreplicator_spark.sources.binary_redo import heartbeats
+    rely on. The per-LWN grouping depends on the physical file layout
+    (xid hash partitioning), which SQL over the logical tables cannot
+    reproduce row-for-row — so the driver-checked surface is the
+    arithmetic CONTRACT the layout must satisfy: the heartbeats'
+    n_records sum to the exact record count the fixture derives from
+    orders+lineitem (begin + commit per order, one insert per lineitem),
+    no LWN exceeds LWN_MAX_RECORDS, the LWN count is pinched between
+    ceil(total/max) and that plus one partial LWN per file, and c_scn is
+    non-decreasing within every file."""
+    from pyspark.sql.window import Window
 
-    return heartbeats(spark, _binary_redo_dir(spark, sf_dir)).orderBy(
-        "seq", "block"
+    from openlogreplicator_spark.sources.binary_redo import (
+        LWN_MAX_RECORDS,
+        heartbeats,
     )
+
+    hb = heartbeats(spark, _binary_redo_dir(spark, sf_dir))
+    w = Window.partitionBy("seq").orderBy("block")
+    per_lwn = hb.select(
+        "seq",
+        "n_records",
+        "c_scn",
+        (
+            F.col("c_scn")
+            >= F.coalesce(F.lag("c_scn").over(w), F.lit(0))
+        ).alias("mono"),
+    )
+    n_files = F.countDistinct("seq")
+    total = F.sum("n_records").cast("bigint")
+    return per_lwn.agg(
+        total.alias("total_records"),
+        (F.max("n_records") <= F.lit(LWN_MAX_RECORDS)).alias("lwn_cap_ok"),
+        (
+            (F.count(F.lit(1)) >= F.ceil(total / F.lit(LWN_MAX_RECORDS)))
+            & (
+                F.count(F.lit(1))
+                <= F.ceil(total / F.lit(LWN_MAX_RECORDS)) + n_files
+            )
+        ).alias("lwn_count_ok"),
+        F.min(F.col("mono").cast("int")).cast("boolean").alias(
+            "scn_monotone_ok"
+        ),
+    )
+
+
+CDC_HEARTBEAT_SQL = """
+SELECT CAST(2 * (SELECT COUNT(*) FROM orders)
+            + (SELECT COUNT(*) FROM lineitem) AS BIGINT) AS total_records,
+       TRUE AS lwn_cap_ok,
+       TRUE AS lwn_count_ok,
+       TRUE AS scn_monotone_ok
+"""
 
 
 def _ddl_chunk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1812,4 +1857,5 @@ ORACLE = {
     "cdc_kdo_positional_binary": CDC_KDO_POSITIONAL_SQL,
     "cdc_txn_split": CDC_TXN_SPLIT_SQL,
     "cdc_partition_routing": CDC_PARTITION_ROUTING_SQL,
+    "cdc_heartbeat": CDC_HEARTBEAT_SQL,
 }

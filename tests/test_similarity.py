@@ -5,21 +5,28 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from openlogreplicator_spark.operators.similarity import (
+    _QUERY_MOD,
     ann_cosine_topk,
-    ann_lsh_bucketed,
+    ann_lsh_topk,
     cosine_topk,
 )
 from openlogreplicator_spark.sources.tables import load_table
 
 
+def _queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb, qs = _queries(spark, sf_dir)
     exact = {
         (r.query_id, r.neighbor_id)
         for r in ann_cosine_topk(spark, sf_dir).collect()
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in ann_lsh_bucketed(spark, sf_dir).collect()
+        for r in ann_lsh_topk(emb, qs).collect()
     }
     assert exact, "brute force returned nothing"
     recall = len(exact & approx) / len(exact)
@@ -32,15 +39,16 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF with nprobe=4/16 scans ~25% of the corpus per query; on random
     64-dim data recall must beat both random chance and the LSH floor —
     probing the nearest centroid cells concentrates true neighbors."""
-    from openlogreplicator_spark.operators.similarity import ann_ivf
+    from openlogreplicator_spark.operators.similarity import ann_ivf_topk
 
+    emb, qs = _queries(spark, sf_dir)
     exact = {
         (r.query_id, r.neighbor_id)
         for r in ann_cosine_topk(spark, sf_dir).collect()
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in ann_ivf(spark, sf_dir).collect()
+        for r in ann_ivf_topk(emb, qs).collect()
     }
     assert exact
     recall = len(exact & approx) / len(exact)
@@ -87,15 +95,16 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     exact cosine re-ranks them, so recall on random 64-dim data must be
     well above half of the exact top-5 — far above the ~1% random floor
     (ADC-only ranking measured ~0.24 here; with re-rank ~0.74)."""
-    from openlogreplicator_spark.operators.similarity import ann_pq
+    from openlogreplicator_spark.operators.similarity import ann_pq_topk
 
+    emb, qs = _queries(spark, sf_dir)
     exact = {
         (r.query_id, r.neighbor_id)
         for r in ann_cosine_topk(spark, sf_dir).collect()
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in ann_pq(spark, sf_dir).collect()
+        for r in ann_pq_topk(emb, qs).collect()
     }
     assert exact
     recall = len(exact & approx) / len(exact)
