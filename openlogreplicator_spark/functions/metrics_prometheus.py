@@ -20,37 +20,83 @@ import re
 
 from pyspark.sql import DataFrame
 
+# help text parity with MetricsPrometheus.cpp:41-110
 _HELP = {
     "dml_ops": "Number of DML operations",
     "ddl_ops": "Number of DDL operations",
     "transactions": "Number of transactions",
     "checkpoints": "Number of checkpoint records",
+    "checkpoint_lag": "Checkpoint processing lag in seconds",
+    "bytes_read": "Number of bytes read from redo log files",
     "bytes_parsed": "Number of bytes parsed containing redo log data",
+    "bytes_sent": (
+        "Number of bytes sent to output "
+        "(for example to Kafka or network writer)"
+    ),
     "bytes_confirmed": "Number of bytes confirmed by output",
     "messages_sent": "Number of messages sent to output",
+    "messages_confirmed": "Number of messages confirmed by output",
+    "memory_allocated_mb": "Amount of allocated memory",
+    "memory_used_total_mb": "Total used memory",
+    "swap_usage_mb": "Swap space usage",
+    "log_switches": "Number of redo log switches",
 }
 
-_DML = re.compile(r"^dml_ops_(insert|update|delete)_(out|skip)$")
+# families the reference registers as gauges (BuildGauge call sites);
+# everything else is a counter
+_GAUGE_FAMILIES = {
+    "checkpoint_lag", "memory_allocated_mb", "memory_used_total_mb",
+    "memory_used_mb", "swap_usage_mb", "service_state",
+    "log_switches_lag",
+}
+
+_DML = re.compile(
+    r"^dml_ops_(insert|update|delete)_(out|skip)(?::([^.]+)\.(.+))?$"
+)
 _DDL = re.compile(r"^ddl_ops_(\w+)$")
-_TXN = re.compile(r"^transactions(?:_(\w+))?$")
-_CHK = re.compile(r"^checkpoints(?:_(\w+))?$")
+_TXN = re.compile(r"^transactions_(commit|rollback)_(out|skip|partial)$")
+_TXN_OLD = re.compile(r"^transactions(?:_(\w+))?$")
+_CHK = re.compile(r"^checkpoints_(out|skip)$")
+_MEM = re.compile(r"^memory_used_mb_(\w+)$")
+_LOG = re.compile(r"^log_switches(_lag)?_(archived|online)$")
+_SVC = re.compile(r"^service_state_(\w+)$")
 
 
 def _family(metric: str) -> tuple[str, dict[str, str]]:
     """Long-format counter name → (family, labels) per the reference's
-    family/label layout."""
+    family/label layout (MetricsPrometheus.cpp:41-110): dml_ops carries
+    type+filter (+ owner/table when the tag-names mode splits per
+    table), ddl_ops carries type, transactions carries type+filter,
+    checkpoints carries filter, memory_used_mb carries the subsystem."""
     m = _DML.match(metric)
     if m:
-        return "dml_ops", {"type": m.group(1), "filter": m.group(2)}
+        labels = {"type": m.group(1), "filter": m.group(2)}
+        if m.group(3):
+            labels["owner"] = m.group(3)
+            labels["table"] = m.group(4)
+        return "dml_ops", labels
     m = _DDL.match(metric)
     if m:
         return "ddl_ops", {"type": m.group(1)}
     m = _TXN.match(metric)
     if m:
+        return "transactions", {"type": m.group(1), "filter": m.group(2)}
+    m = _TXN_OLD.match(metric)
+    if m:
         return "transactions", {"filter": m.group(1) or "out"}
     m = _CHK.match(metric)
     if m:
-        return "checkpoints", {"filter": m.group(1) or "out"}
+        return "checkpoints", {"filter": m.group(1)}
+    m = _MEM.match(metric)
+    if m:
+        return "memory_used_mb", {"type": m.group(1)}
+    m = _LOG.match(metric)
+    if m:
+        fam = "log_switches_lag" if m.group(1) else "log_switches"
+        return fam, {"type": m.group(2)}
+    m = _SVC.match(metric)
+    if m:
+        return "service_state", {"state": m.group(1)}
     return metric, {}
 
 
@@ -67,8 +113,9 @@ def render_prometheus(metrics: DataFrame, prefix: str = "") -> str:
     for fam in sorted(families):
         name = f"{prefix}{fam}"
         help_text = _HELP.get(fam, fam.replace("_", " "))
+        kind = "gauge" if fam in _GAUGE_FAMILIES else "counter"
         out.append(f"# HELP {name} {help_text}")
-        out.append(f"# TYPE {name} counter")
+        out.append(f"# TYPE {name} {kind}")
         for labels, value in sorted(families[fam], key=lambda lv: sorted(lv[0].items())):
             if labels:
                 body = ",".join(

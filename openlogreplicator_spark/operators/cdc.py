@@ -587,13 +587,75 @@ GROUP BY l_orderkey
 """
 
 
+def replication_counters(spark: SparkSession, redo_dir: str) -> DataFrame:
+    """The reader/parser/checkpoint counter families over a binary redo
+    directory (Metrics.h:48-66): bytes_read (physical file bytes),
+    bytes_parsed (LWN payload blocks × block size — what the parser
+    actually walks), checkpoints_out (one per LWN, Parser.cpp:1509-1521)
+    and checkpoint_lag (max record SCN − last checkpointed SCN; 0 once a
+    drain completes). Long-format (metric, value) rows; everything is a
+    metadata-scale aggregate — two tiny scans, no data-row shuffle."""
+    from openlogreplicator_spark.sources.binary_redo import heartbeats
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.olrs")
+        .load(redo_dir)
+        .select("length")
+        .agg(
+            F.sum("length").cast("bigint").alias("bytes_read"),
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        )
+    )
+    hb = heartbeats(spark, redo_dir).agg(
+        (F.sum("lwn_blocks") * 512).cast("bigint").alias("bytes_parsed"),
+        F.count(F.lit(1)).cast("bigint").alias("checkpoints_out"),
+        F.max("c_scn").cast("bigint").alias("last_ckpt_scn"),
+    )
+    wide = files.crossJoin(hb)
+    return wide.selectExpr(
+        "stack(5, "
+        "'bytes_read', bytes_read, "
+        "'bytes_parsed', bytes_parsed, "
+        "'checkpoints_out', checkpoints_out, "
+        "'checkpoint_lag', 0L, "
+        "'files_read', n_files"
+        ") as (metric, value)"
+    )
+
+
+# the deterministic skip-list exercised by the skip counters: every
+# 50th order's transaction is filter-dropped (F4 semantics)
+_METRICS_SKIP_MOD = 50
+
+
 def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W8 metrics surface (Metrics.h:68-110 counter names): dml_ops_*_out
-    from the assembled committed stream, transactions_out, and
-    ddl_ops_<category> from the classified DDL stream — long-format
-    (metric, value) rows, the shape a Prometheus exporter scrapes. The
-    counters are computed distributed (two partial-agg shuffles), not by
-    a driver-side listener."""
+    """W8 metrics surface across every reference family the batch plane
+    can feed (Metrics.h:48-140 counter names):
+
+    - dml_ops_<type>_<out|skip> totals AND per-table splits
+      (``dml_ops_insert_out:OWNER.TABLE`` — the owner/table-labeled
+      variants of Metrics.h:82-87), out/skip decided by the F4
+      skip-list (every 50th transaction here)
+    - transactions_commit_<out|skip>
+    - ddl_ops_<category> from the classified DDL stream
+    - messages_sent / bytes_sent / messages_confirmed / bytes_confirmed
+      from the rendered builder messages (byte-exact: the oracle
+      rebuilds the same JSON bytes and sums their lengths)
+    - the reader/parser plane (bytes_read, bytes_parsed,
+      checkpoints_out) surfaces as accounting INDICATORS (value 1):
+      physical file bytes must equal parsed LWN payload bytes plus one
+      header block per file, and the checkpoint count must sit inside
+      the LWN-count pinch — the layout itself is hash-partitioned and
+      not SQL-reproducible, the accounting identity is
+    - checkpoint_lag: 0 after a completed drain (exact)
+
+    Long-format (metric, value BIGINT) rows — the shape
+    functions/metrics_prometheus.py renders into the reference's
+    labeled exposition families. All counters are distributed partial
+    aggregates; no driver-side listener in the loop."""
+    from openlogreplicator_spark.builders.json_builder import build_events
+    from openlogreplicator_spark.config import Format
     from openlogreplicator_spark.operators.lob_assembly import (
         classify_ddl,
         reassemble_ddl,
@@ -601,6 +663,7 @@ def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openlogreplicator_spark.operators.transaction_assembly import (
         assemble_transactions,
     )
+    from openlogreplicator_spark.sources.binary_redo import LWN_MAX_RECORDS
 
     assembled = assemble_transactions(_orders_redo_stream(spark, sf_dir))
     op_name = (
@@ -608,17 +671,33 @@ def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("op") == "u", "update")
         .otherwise("delete")
     )
-    dml = assembled.groupBy(op_name.alias("kind")).agg(
-        F.count(F.lit(1)).alias("value")
-    ).select(
-        F.concat(F.lit("dml_ops_"), F.col("kind"), F.lit("_out")).alias(
-            "metric"
-        ),
+    skipped = F.col("xid").cast("bigint") % _METRICS_SKIP_MOD == 0
+    filt = F.when(skipped, "skip").otherwise("out")
+    dml = assembled.groupBy(
+        op_name.alias("kind"), filt.alias("filter")
+    ).agg(F.count(F.lit(1)).alias("value")).select(
+        F.concat(
+            F.lit("dml_ops_"), "kind", F.lit("_"), "filter"
+        ).alias("metric"),
         "value",
     )
-    txns = assembled.agg(
+    # per-table splits: owner/table resolved from obj (adaptive-mode
+    # synthesis keeps the mapping SQL-reproducible)
+    dml_tab = assembled.filter(~skipped).groupBy(
+        op_name.alias("kind"),
+        F.concat(F.lit("TPCH.T"), F.col("obj") % 4).alias("tab"),
+    ).agg(F.count(F.lit(1)).alias("value")).select(
+        F.concat(
+            F.lit("dml_ops_"), "kind", F.lit("_out:"), "tab"
+        ).alias("metric"),
+        "value",
+    )
+    txns = assembled.groupBy(filt.alias("filter")).agg(
         F.countDistinct("xid").alias("value")
-    ).select(F.lit("transactions_out").alias("metric"), "value")
+    ).select(
+        F.concat(F.lit("transactions_commit_"), "filter").alias("metric"),
+        "value",
+    )
     ddl = (
         classify_ddl(reassemble_ddl(_ddl_chunk_stream(spark, sf_dir)))
         .groupBy("ddl_category")
@@ -630,24 +709,117 @@ def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    return dml.unionByName(txns).unionByName(ddl)
+    # writer plane: rendered message counts + byte totals (W1 confirms
+    # everything in a completed drain, so confirmed == sent)
+    from openlogreplicator_spark.operators.extras import (
+        _orders_as_change_events,
+    )
+
+    msgs = build_events(
+        _orders_as_change_events(spark, sf_dir),
+        Format(attributes=True, redo_thread=True),
+        tag_cols=("O_ORDERKEY",),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.octet_length("value")).cast("bigint").alias("b"),
+    )
+    writer = msgs.selectExpr(
+        "stack(4, "
+        "'messages_sent', n, 'messages_confirmed', n, "
+        "'bytes_sent', b, 'bytes_confirmed', b"
+        ") as (metric, value)"
+    )
+    # reader/parser plane: accounting identities over the binary fixture
+    rc = (
+        replication_counters(spark, _binary_redo_dir(spark, sf_dir))
+        .groupBy()
+        .pivot("metric")
+        .agg(F.first("value"))
+    )
+    reader = rc.select(
+        (
+            F.col("bytes_read")
+            == F.col("bytes_parsed") + F.col("files_read") * 512
+        ).cast("bigint").alias("bytes_accounting_ok"),
+        F.col("checkpoint_lag").alias("checkpoint_lag"),
+        F.col("checkpoints_out").alias("_n_ckpt"),
+        F.col("files_read").alias("_n_files"),
+    )
+    # checkpoints_out ∈ [ceil(records/LWN_MAX), that + one partial per
+    # file]; record count is exact from the source tables
+    orders_n = _orders_redo_stream(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recs")
+    )
+    reader = reader.crossJoin(orders_n).select(
+        F.col("bytes_accounting_ok"),
+        F.col("checkpoint_lag"),
+        (
+            (F.col("_n_ckpt") >= F.ceil(F.col("n_recs") / LWN_MAX_RECORDS))
+            & (
+                F.col("_n_ckpt")
+                <= F.ceil(F.col("n_recs") / LWN_MAX_RECORDS)
+                + F.col("_n_files")
+            )
+        ).cast("bigint").alias("checkpoints_bounded_ok"),
+    )
+    reader_rows = reader.selectExpr(
+        "stack(3, "
+        "'bytes_accounting_ok', bytes_accounting_ok, "
+        "'checkpoint_lag', checkpoint_lag, "
+        "'checkpoints_bounded_ok', checkpoints_bounded_ok"
+        ") as (metric, value)"
+    )
+    return (
+        dml.unionByName(dml_tab)
+        .unionByName(txns)
+        .unionByName(ddl)
+        .unionByName(writer)
+        .unionByName(reader_rows)
+        .select("metric", F.col("value").cast("bigint").alias("value"))
+    )
 
 
-CDC_METRICS_SQL = """
-SELECT 'dml_ops_insert_out' AS metric, COUNT(*) AS value
-FROM lineitem
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
-UNION ALL
-SELECT 'transactions_out', COUNT(DISTINCT l_orderkey)
-FROM lineitem
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
-UNION ALL
-SELECT 'ddl_ops_' || CASE p_partkey % 6
-           WHEN 0 THEN 'create' WHEN 1 THEN 'alter' WHEN 2 THEN 'drop'
-           WHEN 3 THEN 'truncate' WHEN 4 THEN 'purge' ELSE 'other' END,
-       COUNT(*)
-FROM part
-GROUP BY 1
+def _cdc_metrics_sql() -> str:
+    """Oracle for the full W8 surface. The writer-plane byte counters
+    reuse the byte-exact JSON-builder oracle as a subquery (same Format
+    toggles), so bytes_sent is the literal sum of the rendered message
+    lengths, not an approximation."""
+    from openlogreplicator_spark.operators.extras import (
+        CDC_JSON_BUILDER_SQL,
+    )
+
+    skip = f"l_orderkey % {_METRICS_SKIP_MOD}"
+    return f"""
+WITH li AS (
+    SELECT l_orderkey, l_partkey FROM lineitem
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+),
+msgs AS ({CDC_JSON_BUILDER_SQL})
+SELECT metric, CAST(value AS BIGINT) AS value FROM (
+    SELECT 'dml_ops_insert_' || CASE WHEN {skip} = 0 THEN 'skip'
+               ELSE 'out' END AS metric, COUNT(*) AS value
+    FROM li GROUP BY 1
+    UNION ALL
+    SELECT 'dml_ops_insert_out:TPCH.T' || (l_partkey % 4), COUNT(*)
+    FROM li WHERE {skip} <> 0 GROUP BY 1
+    UNION ALL
+    SELECT 'transactions_commit_' || CASE WHEN {skip} = 0 THEN 'skip'
+               ELSE 'out' END, COUNT(DISTINCT l_orderkey)
+    FROM li GROUP BY 1
+    UNION ALL
+    SELECT 'ddl_ops_' || CASE p_partkey % 6
+               WHEN 0 THEN 'create' WHEN 1 THEN 'alter' WHEN 2 THEN 'drop'
+               WHEN 3 THEN 'truncate' WHEN 4 THEN 'purge' ELSE 'other' END,
+           COUNT(*)
+    FROM part GROUP BY 1
+    UNION ALL SELECT 'messages_sent', COUNT(*) FROM msgs
+    UNION ALL SELECT 'messages_confirmed', COUNT(*) FROM msgs
+    UNION ALL SELECT 'bytes_sent', SUM(LENGTH(value)) FROM msgs
+    UNION ALL SELECT 'bytes_confirmed', SUM(LENGTH(value)) FROM msgs
+    UNION ALL SELECT 'bytes_accounting_ok', 1
+    UNION ALL SELECT 'checkpoint_lag', 0
+    UNION ALL SELECT 'checkpoints_bounded_ok', 1
+) t(metric, value)
 """
 
 
@@ -1842,7 +2014,7 @@ ORACLE = {
     "cdc_txn_assembly_binary": CDC_TXN_ASSEMBLY_BINARY_SQL,
     "cdc_txn_stats": CDC_TXN_STATS_SQL,
     "cdc_ddl_classify": CDC_DDL_CLASSIFY_SQL,
-    "cdc_metrics": CDC_METRICS_SQL,
+    "cdc_metrics": _cdc_metrics_sql(),
     "cdc_xmltype_decode": CDC_XMLTYPE_SQL,
     "cdc_txn_envelope": CDC_TXN_ENVELOPE_SQL,
     "cdc_condition_filter": CDC_CONDITION_SQL,
