@@ -50,6 +50,76 @@ class DatabaseInfo:
     extra: dict = field(default_factory=dict)
 
 
+@dataclass(frozen=True)
+class DbIncarnation:
+    """One V$DATABASE_INCARNATION row (DbIncarnation.h fields read by
+    SQL_GET_DATABASE_INCARNATION, ReplicatorOnline.h:75-86)."""
+
+    incarnation: int
+    resetlogs_scn: int
+    prior_resetlogs_scn: int
+    status: str
+    resetlogs: int
+    prior_incarnation: int
+
+    @property
+    def current(self) -> bool:
+        return self.status == "CURRENT"
+
+
+def select_incarnation(
+    incarnations: list[DbIncarnation], old_resetlogs: int = 0
+) -> DbIncarnation | None:
+    """The reference's current-incarnation selection while loading the
+    incarnation list (ReplicatorOnline.cpp:1504-1511): a checkpointed
+    resetlogs id wins over the STATUS=CURRENT flag — after a resetlogs
+    on the source, a restarted replicator must keep reading its own
+    branch until the branch switch is performed explicitly."""
+    chosen = None
+    for oi in incarnations:
+        if old_resetlogs != 0 and oi.resetlogs == old_resetlogs:
+            return oi
+        if oi.current and chosen is None:
+            chosen = oi
+    return chosen
+
+
+def update_resetlogs(
+    incarnations: list[DbIncarnation],
+    current_resetlogs: int,
+    next_scn: int,
+) -> tuple[int, int] | None:
+    """Replicator::updateResetlogs (Replicator.cpp:626-662): when the
+    redo stream reaches ``next_scn`` and an incarnation exists whose
+    resetlogs branch STARTS at that SCN and whose prior incarnation is
+    the branch being read, the replicator hops onto the new branch —
+    sequence numbering restarts at zero. Returns (new_resetlogs, 0) on
+    a branch switch, None when the current branch simply continues;
+    raises like the reference's 10045 when the tracked resetlogs id is
+    not in the incarnation list at all."""
+    current = None
+    for oi in incarnations:
+        if oi.resetlogs == current_resetlogs:
+            current = oi
+            break
+    for oi in incarnations:
+        if (
+            current is not None
+            and oi.resetlogs_scn == next_scn
+            and current.resetlogs == current_resetlogs
+            and oi.prior_incarnation == current.incarnation
+        ):
+            return oi.resetlogs, 0
+    if not incarnations:
+        return None
+    if current is None:
+        raise RuntimeError(
+            f"10045: resetlogs ({current_resetlogs}) not found in "
+            "incarnation list"
+        )
+    return None
+
+
 class OnlineCatalog:
     """One discovery session over a DB-API connection."""
 
@@ -122,6 +192,41 @@ class OnlineCatalog:
     def current_scn(self) -> int:
         return int(self._rows('SELECT CURRENT_SCN FROM "V_$DATABASE"')[0][0])
 
+    def database_role(self) -> str:
+        """SQL_GET_DATABASE_ROLE (ReplicatorOnline.h:88-94). The
+        reference accepts exactly PRIMARY and PHYSICAL STANDBY and
+        aborts on anything else (cpp:1464-1476 → error 10038)."""
+        role = str(
+            self._rows('SELECT DATABASE_ROLE FROM "V_$DATABASE"')[0][0]
+        )
+        if role not in ("PRIMARY", "PHYSICAL STANDBY"):
+            raise UnsupportedDatabaseConfig(
+                f"10038: unknown database role: {role}"
+            )
+        return role
+
+    def incarnations(self) -> list[DbIncarnation]:
+        """SQL_GET_DATABASE_INCARNATION (ReplicatorOnline.h:75-86): the
+        full incarnation tree, feeding select_incarnation /
+        update_resetlogs branch handling."""
+        rows = self._rows(
+            'SELECT "INCARNATION#", "RESETLOGS_CHANGE#",'
+            '       "PRIOR_RESETLOGS_CHANGE#", STATUS, RESETLOGS_ID,'
+            '       "PRIOR_INCARNATION#"'
+            ' FROM "V_$DATABASE_INCARNATION"'
+        )
+        return [
+            DbIncarnation(
+                incarnation=int(r[0]),
+                resetlogs_scn=int(r[1]),
+                prior_resetlogs_scn=int(r[2] or 0),
+                status=str(r[3]),
+                resetlogs=int(r[4]),
+                prior_incarnation=int(r[5] or 0),
+            )
+            for r in rows
+        ]
+
     def archive_log_list(
         self, min_sequence: int, resetlogs_id: int
     ) -> list[dict]:
@@ -160,6 +265,36 @@ class OnlineCatalog:
         )
         v = rows[0][0] if rows else None
         return None if v is None else int(v)
+
+    def sequence_from_scn_standby(
+        self, scn: int, resetlogs_id: int
+    ) -> int | None:
+        """SQL_GET_SEQUENCE_FROM_SCN_STANDBY (ReplicatorOnline.h:
+        139-156): on a PHYSICAL STANDBY the online groups live in
+        V$STANDBY_LOG, so the sequence resolution unions that view with
+        the archived list instead of V$LOG (cpp:293-304)."""
+        rows = self._rows(
+            'SELECT MAX(SEQ) FROM ('
+            '  SELECT "SEQUENCE#" AS SEQ FROM "V_$STANDBY_LOG"'
+            '   WHERE "FIRST_CHANGE#" - 1 <= ?'
+            '  UNION'
+            '  SELECT "SEQUENCE#" FROM "V_$ARCHIVED_LOG"'
+            '   WHERE "FIRST_CHANGE#" - 1 <= ? AND RESETLOGS_ID = ?'
+            ') t(SEQ)',
+            (scn, scn, resetlogs_id),
+        )
+        v = rows[0][0] if rows else None
+        return None if v is None else int(v)
+
+    def resolve_start_sequence(
+        self, scn: int, resetlogs_id: int
+    ) -> int | None:
+        """Role-aware startup positioning: the standby resolution path
+        when DATABASE_ROLE says PHYSICAL STANDBY, the primary path
+        otherwise (cpp:286-311)."""
+        if self.database_role() == "PHYSICAL STANDBY":
+            return self.sequence_from_scn_standby(scn, resetlogs_id)
+        return self.sequence_from_scn(scn, resetlogs_id)
 
     # -- SYS.* dictionary snapshot --------------------------------------
     def dictionary_rows(

@@ -22,7 +22,9 @@ from openlogreplicator_spark.streaming.engine import build_pipeline
 
 
 def _fixture_catalog(
-    log_mode: str = "ARCHIVELOG", supp_min: str = "YES"
+    log_mode: str = "ARCHIVELOG",
+    supp_min: str = "YES",
+    role: str = "PRIMARY",
 ) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute(
@@ -33,7 +35,7 @@ def _fixture_catalog(
         " 'NO' AS SUPPLEMENTAL_LOG_DATA_ALL,"
         " 'Linux x86 64-bit' AS PLATFORM_NAME,"
         " 'ORCL' AS NAME, 5000 AS CURRENT_SCN,"
-        " '+02:00' AS DBTIMEZONE, 'PRIMARY' AS DATABASE_ROLE"
+        f" '+02:00' AS DBTIMEZONE, '{role}' AS DATABASE_ROLE"
     )
     con.execute(
         'CREATE TABLE "V_$TRANSPORTABLE_PLATFORM" AS SELECT'
@@ -43,10 +45,24 @@ def _fixture_catalog(
         'CREATE TABLE "V_$VERSION" AS SELECT'
         " 'Oracle Database 19c Enterprise Edition' AS BANNER"
     )
+    # two incarnations: branch 66666 (inc 1) was the original; a
+    # resetlogs at SCN 1000 opened branch 77777 (inc 2, CURRENT)
     con.execute(
-        'CREATE TABLE "V_$DATABASE_INCARNATION" AS SELECT'
-        " 2 AS \"INCARNATION#\", 1000 AS \"RESETLOGS_CHANGE#\","
-        " 'CURRENT' AS STATUS, 77777 AS RESETLOGS_ID"
+        'CREATE TABLE "V_$DATABASE_INCARNATION" ('
+        ' "INCARNATION#" INT, "RESETLOGS_CHANGE#" BIGINT,'
+        ' "PRIOR_RESETLOGS_CHANGE#" BIGINT, STATUS VARCHAR,'
+        ' RESETLOGS_ID BIGINT, "PRIOR_INCARNATION#" INT)'
+    )
+    con.execute(
+        'INSERT INTO "V_$DATABASE_INCARNATION" VALUES'
+        " (1, 1, 0, 'PARENT', 66666, 0),"
+        " (2, 1000, 1, 'CURRENT', 77777, 1)"
+    )
+    # standby redo groups: present whatever the role; only the standby
+    # resolution path reads them
+    con.execute(
+        'CREATE TABLE "V_$STANDBY_LOG" AS SELECT'
+        ' 7 AS "SEQUENCE#", 5200 AS "FIRST_CHANGE#"'
     )
     con.execute(
         'CREATE TABLE "V_$ARCHIVED_LOG" ('
@@ -123,6 +139,63 @@ def test_discovery_info_logs_and_sequence():
     assert cat.sequence_from_scn(3600, 77777) == 5
     assert cat.sequence_from_scn(5000, 77777) == 6
     assert cat.sequence_from_scn(999, 0) is None
+
+
+def test_database_role_and_standby_sequence_resolution():
+    """Role-aware startup positioning (ReplicatorOnline.cpp:286-311,
+    1464-1476): a PRIMARY resolves through V$LOG, a PHYSICAL STANDBY
+    through V$STANDBY_LOG — the archived list is shared. The fixture's
+    online log is seq 6 @ 5000; its standby group is seq 7 @ 5200."""
+    prim = OnlineCatalog(_fixture_catalog())
+    assert prim.database_role() == "PRIMARY"
+    assert prim.resolve_start_sequence(5000, 77777) == 6
+
+    stby = OnlineCatalog(_fixture_catalog(role="PHYSICAL STANDBY"))
+    assert stby.database_role() == "PHYSICAL STANDBY"
+    # SCN 5000 is below the standby group's first change − 1? no:
+    # 5200 − 1 ≤ 5000 is false → archived seq 5 wins on the standby
+    assert stby.resolve_start_sequence(5000, 77777) == 5
+    assert stby.resolve_start_sequence(5300, 77777) == 7
+    # an unknown role aborts like the reference's error 10038
+    with pytest.raises(UnsupportedDatabaseConfig, match="10038"):
+        OnlineCatalog(_fixture_catalog(role="SNAPSHOT STANDBY")
+                      ).database_role()
+
+
+def test_incarnation_selection_and_resetlogs_branch_switch():
+    """DbIncarnation handling (Replicator.cpp:626-662 +
+    ReplicatorOnline.cpp:1504-1511): checkpointed-resetlogs selection
+    beats the CURRENT flag, and the branch switch fires exactly when
+    the next SCN equals a child branch's resetlogs SCN."""
+    from openlogreplicator_spark.sources.online_catalog import (
+        select_incarnation,
+        update_resetlogs,
+    )
+
+    cat = OnlineCatalog(_fixture_catalog())
+    incs = cat.incarnations()
+    assert len(incs) == 2
+
+    # fresh start: CURRENT flag wins → branch 77777
+    assert select_incarnation(incs).resetlogs == 77777
+    # restart with a checkpoint that tracked the OLD branch: the
+    # checkpointed id wins over CURRENT
+    assert select_incarnation(incs, old_resetlogs=66666).resetlogs == 66666
+
+    # reading branch 66666 and reaching the resetlogs SCN of its child
+    # (1000, prior incarnation 1) → hop to 77777, sequence restarts at 0
+    assert update_resetlogs(incs, 66666, next_scn=1000) == (77777, 0)
+    # same branch, any other SCN → keep reading
+    assert update_resetlogs(incs, 66666, next_scn=999) is None
+    # already on the child branch at its own start SCN: prior
+    # incarnation doesn't match → no switch
+    assert update_resetlogs(incs, 77777, next_scn=1000) is None
+    # a tracked resetlogs id absent from the list is the reference's
+    # hard error 10045
+    with pytest.raises(RuntimeError, match="10045"):
+        update_resetlogs(incs, 55555, next_scn=999)
+    # no incarnation rows at all: nothing to do (cpp:657-660)
+    assert update_resetlogs([], 55555, next_scn=999) is None
 
 
 def test_dictionary_snapshot_shapes(spark):
