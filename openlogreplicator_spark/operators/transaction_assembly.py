@@ -347,34 +347,25 @@ def _pdf_out_batches(out: pd.DataFrame, out_schema):
     ).to_batches()
 
 
-def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
-    """Partition kernel over an Arrow table: the column-image payload
-    (`cols`/`rows` maps) NEVER materializes as Python objects on the
-    plain path — routing and emission are decided on a slim pandas view
-    of the key columns, and the payload rides through with a C-level
-    ``take``. Measured at sf0.1 the Arrow↔pandas map conversion was the
-    single largest cost of assembly (~60%); this removes it for the
-    plain majority. The exotic tail (and the show_incomplete/max_ops
-    configurations, which need global per-txn state) still converts its
-    few rows to Python for the sequential state machine."""
+# the routing/emission decision columns — everything the planner needs,
+# none of the payload (`cols`/`rows` maps dominate the byte volume)
+_SLIM_COLS = [
+    "xid", "opcode", "scn", "subscn", "block", "offset", "fb",
+    "bdba", "slot", "obj",
+]
+
+
+def _plan_plain(slim: "pd.DataFrame", rows_present, max_ops):
+    """The route-and-emit PLAN over the slim key columns only: exotic
+    detection, the LWN-order sort, vectorized undo pairing, and the
+    per-emitted-row metadata. Returns ``(exo_mask, emit)`` where
+    ``exo_mask`` is a per-global-row boolean (or None) and ``emit`` is
+    the emitted-DML frame (index = global row ids in the input table;
+    slim columns plus op/num/begin_scn/commit_scn/before_src). Both the
+    in-memory and the spilled emission paths consume this one plan, so
+    routing semantics cannot diverge between them."""
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
-    cols_type = tbl.schema.field("cols").type
-    out_schema = _arrow_out_schema(cols_type)
-    if show_incomplete:
-        out = _state_machine_frame(tbl.to_pandas(), show_incomplete, max_ops)
-        yield from _pdf_out_batches(out, out_schema)
-        return
-
-    slim = tbl.select(
-        ["xid", "opcode", "scn", "subscn", "block", "offset", "fb",
-         "bdba", "slot"]
-    ).to_pandas()
-    rows_present = pc.is_valid(
-        tbl.column("rows").combine_chunks()
-    ).to_numpy(zero_copy_only=False)
     opc = slim["opcode"]
     # 5.1 undo vectors are FAST-capable: in real redo every update
     # carries its before image as the paired undo vector of the same
@@ -519,63 +510,301 @@ def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
         pos[dml_m] < cpos.fillna(-1).to_numpy()
     )
     dml = dml[emit_m]
-    if len(dml):
+    emit = dml.assign(
+        op=dml["opcode"].map(_OP_MAP),
+        num=dml.groupby("xid", sort=False).cumcount(),
+        begin_scn=dml["xid"].map(begin_scn),
+        commit_scn=dml["xid"].map(commit_scn),
+        before_src=(
+            before_src.loc[dml.index]
+            if before_src is not None
+            else pd.Series(-1, index=dml.index, dtype="int64")
+        ),
+    )
+    return exo_mask, emit
+
+
+def _empty_maps(k: int, cols_type):
+    import numpy as np
+    import pyarrow as pa
+
+    return pa.MapArray.from_arrays(
+        pa.array(np.zeros(k + 1, dtype=np.int32)),
+        pa.array([], type=cols_type.key_type),
+        pa.array([], type=cols_type.item_type),
+    ).cast(cols_type)
+
+
+def _emit_table(emit: "pd.DataFrame", cols_arr, before_arr, out_schema):
+    """emitted-row metadata (slim columns + plan columns) + the two
+    payload arrays → one output Arrow table. Scalars come from the slim
+    plan frame, so the payload table is only touched by `take`."""
+    import pyarrow as pa
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(emit["xid"], type=pa.string()),
+            pa.array(
+                pd.array(emit["begin_scn"], dtype="Int64"), from_pandas=True
+            ),
+            pa.array(emit["commit_scn"], type=pa.int64()),
+            pa.array(emit["num"].to_numpy(), type=pa.int64()),
+            pa.array(emit["op"], type=pa.string()),
+            pa.array(pd.array(emit["obj"], dtype="Int64"), from_pandas=True),
+            pa.array(pd.array(emit["bdba"], dtype="Int64"), from_pandas=True),
+            pa.array(pd.array(emit["slot"], dtype="Int32"), from_pandas=True),
+            pa.array(pd.array(emit["scn"], dtype="Int64"), from_pandas=True),
+            cols_arr,
+            before_arr,
+            _empty_maps(len(emit), cols_arr.type),
+        ],
+        schema=out_schema,
+    )
+
+
+def _assemble_partition_arrow(tbl, show_incomplete: bool, max_ops):
+    """Partition kernel over an in-memory Arrow table: the column-image
+    payload (`cols`/`rows` maps) NEVER materializes as Python objects on
+    the plain path — routing and emission are decided on a slim pandas
+    view of the key columns (_plan_plain), and the payload rides through
+    with a C-level ``take``. Measured at sf0.1 the Arrow↔pandas map
+    conversion was the single largest cost of assembly (~60%); this
+    removes it for the plain majority. The exotic tail (and the
+    show_incomplete/max_ops configurations, which need global per-txn
+    state) still converts its few rows to Python for the sequential
+    state machine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols_type = tbl.schema.field("cols").type
+    out_schema = _arrow_out_schema(cols_type)
+    if show_incomplete:
+        out = _state_machine_frame(tbl.to_pandas(), show_incomplete, max_ops)
+        yield from _pdf_out_batches(out, out_schema)
+        return
+
+    slim = tbl.select(_SLIM_COLS).to_pandas()
+    rows_present = pc.is_valid(
+        tbl.column("rows").combine_chunks()
+    ).to_numpy(zero_copy_only=False)
+    exo_mask, emit = _plan_plain(slim, rows_present, max_ops)
+
+    if len(emit):
         # original row positions in tbl survive the filters/sort via the
         # slim frame's RangeIndex
-        take_idx = pa.array(dml.index.to_numpy(), type=pa.int64())
-
-        def tk(name):
-            return tbl.column(name).take(take_idx).combine_chunks()
-
-        k = len(dml)
-        if before_src is not None:
-            bidx = before_src.loc[dml.index].to_numpy()
-            before_arr = (
-                tbl.column("cols")
-                .take(
-                    pa.array(
-                        [int(i) if i >= 0 else None for i in bidx],
-                        type=pa.int64(),
-                    )
-                )
-                .combine_chunks()
-            )
-        else:
-            before_arr = pa.nulls(k, type=cols_type)
-        empty_maps = pa.MapArray.from_arrays(
-            pa.array(np.zeros(k + 1, dtype=np.int32)),
-            pa.array([], type=cols_type.key_type),
-            pa.array([], type=cols_type.item_type),
-        ).cast(cols_type)
-        plain_tbl = pa.Table.from_arrays(
-            [
-                tk("xid"),
+        take_idx = pa.array(emit.index.to_numpy(), type=pa.int64())
+        cols_arr = tbl.column("cols").take(take_idx).combine_chunks()
+        bidx = emit["before_src"].to_numpy()
+        before_arr = (
+            tbl.column("cols")
+            .take(
                 pa.array(
-                    pd.array(dml["xid"].map(begin_scn), dtype="Int64"),
-                    from_pandas=True,
-                ),
-                pa.array(dml["xid"].map(commit_scn), type=pa.int64()),
-                pa.array(
-                    dml.groupby("xid", sort=False).cumcount().to_numpy(),
+                    [int(i) if i >= 0 else None for i in bidx],
                     type=pa.int64(),
-                ),
-                pa.array(dml["opcode"].map(_OP_MAP), type=pa.string()),
-                tk("obj"),
-                tk("bdba"),
-                tk("slot"),
-                tk("scn"),
-                tk("cols"),
-                before_arr,
-                empty_maps,
-            ],
-            schema=out_schema,
+                )
+            )
+            .combine_chunks()
         )
-        yield from plain_tbl.to_batches()
+        yield from _emit_table(
+            emit, cols_arr, before_arr, out_schema
+        ).to_batches()
 
     if exo_mask is not None and exo_mask.any():
         exo_pdf = tbl.filter(pa.array(exo_mask)).to_pandas()
         out = _state_machine_frame(exo_pdf, show_incomplete, max_ops)
         yield from _pdf_out_batches(out, out_schema)
+
+
+def _assemble_spilled(path: str, slim_batches, show_incomplete, max_ops):
+    """Emission over a DISK-staGED bucket (the reference's T10
+    swap-to-disk, Spark-shaped): the payload batches live in an Arrow
+    IPC file with random access; memory holds only the slim key columns
+    (plus per-batch working sets). The plan is computed once over the
+    slim frame — identical code to the in-memory path — then each
+    spilled batch is loaded, its emitted rows' payload taken, and
+    before-images gathered from their source batches through a small
+    LRU of loaded batches (undo and its DML are adjacent in the
+    mapper's stream, so the pairing batch is almost always the same or
+    a neighboring one). The exotic tail alone is materialized for the
+    sequential state machine."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    reader = pa.ipc.open_file(path)
+    n_batches = reader.num_record_batches
+    lengths = [len(slim_batches[i]) for i in range(n_batches)]
+    starts = np.concatenate(([0], np.cumsum(lengths)))
+
+    if show_incomplete:
+        # debug mode needs full per-txn state — accept the full read
+        tbl = reader.read_all()
+        out = _state_machine_frame(tbl.to_pandas(), show_incomplete, max_ops)
+        yield from _pdf_out_batches(
+            out, _arrow_out_schema(tbl.schema.field("cols").type)
+        )
+        return
+
+    slim_tbl = pa.Table.from_batches(slim_batches)
+    cols_type = reader.schema.field("cols").type
+    out_schema = _arrow_out_schema(cols_type)
+    slim = slim_tbl.select(_SLIM_COLS).to_pandas()
+    rows_present = slim_tbl.column("_rows_present").combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    exo_mask, emit = _plan_plain(slim, rows_present, max_ops)
+
+    cache: dict[int, "pa.RecordBatch"] = {}
+
+    def load(b: int):
+        if b in cache:
+            return cache[b]
+        if len(cache) >= 8:
+            cache.pop(next(iter(cache)))
+        batch = reader.get_batch(b)
+        cache[b] = batch
+        return batch
+
+    def payload(batch):
+        return batch.column(batch.schema.get_field_index("cols"))
+
+    if len(emit):
+        g = emit.index.to_numpy()
+        ebid = np.searchsorted(starts, g, side="right") - 1
+        src = emit["before_src"].to_numpy()
+        for b in np.unique(ebid):
+            m = ebid == b
+            sub = emit[m]
+            local = pa.array(g[m] - starts[b], type=pa.int64())
+            cols_arr = payload(load(int(b))).take(local)
+            # before-images: gather per source batch, then permute back
+            bsrc = src[m]
+            have = bsrc >= 0
+            if have.any():
+                sbid = np.searchsorted(starts, bsrc[have], side="right") - 1
+                chunks, perm = [], np.full(len(bsrc), -1, dtype=np.int64)
+                cur = 0
+                rows_have = np.nonzero(have)[0]
+                for sb in np.unique(sbid):
+                    mm = sbid == sb
+                    offs = bsrc[have][mm] - starts[sb]
+                    chunks.append(
+                        payload(load(int(sb))).take(
+                            pa.array(offs, type=pa.int64())
+                        )
+                    )
+                    perm[rows_have[mm]] = np.arange(cur, cur + mm.sum())
+                    cur += int(mm.sum())
+                combined = pa.concat_arrays(
+                    [c.combine_chunks() if hasattr(c, "combine_chunks")
+                     else c for c in chunks]
+                )
+                before_arr = combined.take(
+                    pa.array(
+                        [int(i) if i >= 0 else None for i in perm],
+                        type=pa.int64(),
+                    )
+                )
+            else:
+                before_arr = pa.nulls(len(sub), type=cols_type)
+            yield from _emit_table(
+                sub, cols_arr, before_arr, out_schema
+            ).to_batches()
+
+    if exo_mask is not None and exo_mask.any():
+        exo_tabs = []
+        for b in range(n_batches):
+            seg = exo_mask[starts[b]: starts[b + 1]]
+            if seg.any():
+                exo_tabs.append(
+                    reader.get_batch(b).filter(pa.array(seg))
+                )
+        if exo_tabs:
+            exo_pdf = pa.Table.from_batches(exo_tabs).to_pandas()
+            out = _state_machine_frame(exo_pdf, show_incomplete, max_ops)
+            yield from _pdf_out_batches(out, out_schema)
+
+
+def _slim_batch(b):
+    """One payload record batch → its slim decision batch (key columns
+    + the rows-validity flag)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arrays = [
+        b.column(b.schema.get_field_index(c)) for c in _SLIM_COLS
+    ]
+    arrays.append(
+        pc.is_valid(b.column(b.schema.get_field_index("rows")))
+    )
+    return pa.RecordBatch.from_arrays(
+        arrays, names=[*_SLIM_COLS, "_rows_present"]
+    )
+
+
+def _assemble_stream(batches, show_incomplete, max_ops, spill_mb: int):
+    """Streaming pass over a bucket's record batches with a memory
+    budget: a bucket within budget assembles exactly as before (one
+    in-memory Arrow table); a bucket that outgrows ``spill_mb`` stages
+    its payload batches to a local Arrow IPC file and assembles through
+    `_assemble_spilled`, holding only the slim key columns in memory —
+    the hot-bucket OOM becomes disk I/O instead (reference T10
+    swap-to-disk). Threshold via spark.olrs.assembly.spillThresholdMb."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    budget = spill_mb << 20
+    mem, nbytes = [], 0
+    slim_batches: list = []
+    writer = None
+    path = None
+    try:
+        for b in batches:
+            if writer is None:
+                mem.append(b)
+                # get_total_buffer_size, NOT .nbytes: the slice-aware
+                # nbytes walk SEGFAULTS on the map-typed batches Spark's
+                # mapInArrow delivers (reproduced on pyspark 4.1/pyarrow
+                # in-tree; buffer-size sum is safe and errs high, which
+                # only spills earlier)
+                nbytes += b.get_total_buffer_size()
+                if nbytes > budget:
+                    fd, path = tempfile.mkstemp(
+                        prefix="olrs_asm_spill_", suffix=".arrow"
+                    )
+                    os.close(fd)
+                    writer = pa.ipc.new_file(path, b.schema)
+                    for x in mem:
+                        writer.write_batch(x)
+                        slim_batches.append(_slim_batch(x))
+                    mem = []
+            else:
+                writer.write_batch(b)
+                slim_batches.append(_slim_batch(b))
+        if writer is None:
+            if not mem:
+                return
+            tbl = pa.Table.from_batches(mem)
+            if tbl.num_rows:
+                yield from _assemble_partition_arrow(
+                    tbl, show_incomplete, max_ops
+                )
+            return
+        writer.close()
+        writer = None
+        yield from _assemble_spilled(
+            path, slim_batches, show_incomplete, max_ops
+        )
+    finally:
+        if writer is not None:
+            writer.close()
+        if path is not None:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
 
 def _default_buckets(records: DataFrame) -> int:
@@ -586,14 +815,14 @@ def _default_buckets(records: DataFrame) -> int:
     saves in balance here: at sf0.1 dropping 128 buckets to 32 removed
     ~1.9 s from the assembly stage.
 
-    MEMORY ENVELOPE: the assembly kernel materializes one whole bucket
-    as an Arrow table (complete transactions per partition are required
-    for per-xid correctness), so each bucket's share of the in-flight
-    record stream must fit one Python worker — roughly
-    stream_bytes / n_buckets per task. For memory-tight or skewed
-    workloads set ``spark.olrs.assembly.buckets`` on the session (or
-    pass ``n_buckets``) to restore finer 4-8×-core bucketing; the
-    default trades that headroom for task-launch latency."""
+    MEMORY ENVELOPE: a bucket within ``spark.olrs.assembly.
+    spillThresholdMb`` (default 256) assembles from one in-memory Arrow
+    table; a hotter bucket stages its payload to a local Arrow IPC file
+    and holds only the slim key columns in memory (`_assemble_stream` —
+    reference T10 swap-to-disk), so a skewed bucket degrades to disk
+    I/O instead of a Python-worker OOM. ``spark.olrs.assembly.buckets``
+    (or ``n_buckets``) still tunes the parallelism/launch-latency
+    trade."""
     sess = records.sparkSession
     try:
         raw = sess.conf.get("spark.olrs.assembly.buckets", None)
@@ -650,17 +879,19 @@ def assemble_transactions(
     """
     if n_buckets is None:
         n_buckets = _default_buckets(records)
+    try:
+        spill_mb = int(
+            records.sparkSession.conf.get(
+                "spark.olrs.assembly.spillThresholdMb", "256"
+            )
+        )
+    except Exception:
+        spill_mb = 256
 
     def kernel(batches):
-        import pyarrow as pa
-
-        blist = list(batches)
-        if not blist:
-            return
-        tbl = pa.Table.from_batches(blist)
-        if tbl.num_rows == 0:
-            return
-        yield from _assemble_partition_arrow(tbl, show_incomplete, max_ops)
+        yield from _assemble_stream(
+            batches, show_incomplete, max_ops, spill_mb
+        )
 
     # ONE xid-hash shuffle, ONE consumer: the upstream (possibly the
     # whole binary parse plane) executes exactly once, the payload
