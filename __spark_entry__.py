@@ -48,6 +48,7 @@ _PRIORITY = [  # round-6 window (previous windows: git history of this list)
     "ann_ivf",
     "ann_pq",
     "embedding_pca",
+    "tokenizer_bpe_train",
     # -- STALE-VERDICT ROTATION (r5 VERDICT #1): these oracled queries'
     #    latest driver verdict is r1/r3 while their underlying code was
     #    rewritten in r4 (single-pass Arrow assembly) / r5 (null-sort &

@@ -197,15 +197,116 @@ def bpe_train_py(
 
 
 def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The trained merge table as a DataFrame (rows-only query: the
-    merge loop is iterative and not SQL-expressible; parity-tested
-    against the sequential reference implementation)."""
+    """The trained merge table as a DataFrame. Oracled EXACTLY: the
+    DuckDB side replays the full iterative merge loop in one recursive
+    CTE (single-row state carrying the vocabulary as a list; per step a
+    LATERAL argmax over the pair statistics and a window-function
+    island-parity pass that reproduces the published algorithm's
+    left-to-right non-overlapping merge — overlapping runs like 'aaaa'
+    included). Also parity-tested against the sequential reference
+    implementation (bpe_train_py)."""
     wf = _word_freq(load_table(spark, sf_dir, "documents"))
     merges = bpe_train(wf, n_merges=_TOPK)
     return spark.createDataFrame(
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank int, left string, right string, count long",
     )
+
+
+# the recursive-CTE BPE trainer. State = ONE row per step holding the
+# whole (vocabulary-scale) word table as a LIST of (w, n) structs, with
+# symbols joined by chr(31). Per step:
+#  - `best`: adjacent-pair statistics over every symbol position
+#    (overlapping positions counted, like the published algorithm) →
+#    argmax by (count desc, "l r" asc — the trainer's tie-break);
+#  - `merged`: the merge applied with EXACT left-to-right
+#    non-overlapping semantics: candidate positions are grouped into
+#    consecutive-run islands and a position is merged iff its offset in
+#    the island is even (provably equal to the sequential scan), then
+#    identical re-symbolized words re-aggregate.
+# Recursion stops after _TOPK merges or when no pair remains (the
+# LATERAL argmax returns no row).
+TOKENIZER_BPE_TRAIN_SQL = f"""
+WITH RECURSIVE wf AS (
+    SELECT word, COUNT(*)::BIGINT AS n FROM (
+        SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS word
+        FROM documents
+    ) WHERE word <> '' GROUP BY word
+),
+state(step, vocab, l, r, c) AS (
+    SELECT 0,
+           (SELECT LIST(struct_pack(
+                w := array_to_string(
+                    list_transform(generate_series(1, length(word)),
+                                   i -> word[i]), chr(31)),
+                n := n)) FROM wf),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    UNION ALL
+    SELECT step + 1, merged.vocab, best.l, best.r, best.c
+    FROM state,
+    LATERAL (
+        SELECT sym[i] AS l, sym[i + 1] AS r, SUM(n)::BIGINT AS c
+        FROM (SELECT string_split(u.w, chr(31)) AS sym, u.n
+              FROM UNNEST(state.vocab) AS t(u)) sw,
+             UNNEST(generate_series(1, len(sym) - 1)) AS g(i)
+        GROUP BY 1, 2
+        ORDER BY c DESC, l || ' ' || r ASC
+        LIMIT 1
+    ) best,
+    LATERAL (
+        SELECT LIST(struct_pack(w := w2, n := n2)) AS vocab
+        FROM (
+            SELECT new_w AS w2, SUM(n)::BIGINT AS n2 FROM (
+                SELECT wid, ANY_VALUE(n) AS n,
+                       STRING_AGG(out_sym, chr(31) ORDER BY i) AS new_w
+                FROM (
+                    SELECT wid, n, i,
+                           CASE WHEN taken THEN best.l || best.r
+                                WHEN COALESCE(LAG(taken) OVER (
+                                    PARTITION BY wid ORDER BY i), FALSE)
+                                    THEN NULL
+                                ELSE s END AS out_sym
+                    FROM (
+                        SELECT wid, n, i, s,
+                               cand AND ((i - MAX(CASE WHEN island_start
+                                   THEN i END) OVER (
+                                   PARTITION BY wid ORDER BY i)) % 2 = 0)
+                                   AS taken
+                        FROM (
+                            SELECT wid, n, i, sym[i] AS s, cand,
+                                   cand AND NOT COALESCE(
+                                       LAG(cand) OVER (
+                                           PARTITION BY wid ORDER BY i),
+                                       FALSE) AS island_start
+                            FROM (
+                                SELECT u.w AS wid, u.n AS n,
+                                       string_split(u.w, chr(31)) AS sym,
+                                       g.i AS i,
+                                       g.i < len(string_split(u.w, chr(31)))
+                                       AND string_split(u.w, chr(31))[g.i]
+                                           = best.l
+                                       AND string_split(u.w, chr(31))[g.i+1]
+                                           = best.r AS cand
+                                FROM UNNEST(state.vocab) AS t(u),
+                                     UNNEST(generate_series(1,
+                                        len(string_split(u.w, chr(31)))))
+                                        AS g(i)
+                            )
+                        )
+                    )
+                ) t_out
+                WHERE out_sym IS NOT NULL
+                GROUP BY wid
+            )
+            GROUP BY new_w
+        )
+    ) merged
+    WHERE step < {_TOPK}
+)
+SELECT (step - 1)::INT AS rank, l AS left, r AS right, c AS count
+FROM state WHERE step >= 1
+"""
 
 
 QUERIES = {
@@ -215,4 +316,5 @@ QUERIES = {
 
 ORACLE = {
     "tokenizer_bpe_pairs": TOKENIZER_BPE_PAIRS_SQL,
+    "tokenizer_bpe_train": TOKENIZER_BPE_TRAIN_SQL,
 }
