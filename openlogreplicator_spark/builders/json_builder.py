@@ -99,12 +99,14 @@ def _shape_unknown(img: Column, fmt: Format) -> Column:
     )
 
 
-def scn_expr(fmt: Format, col: str = "scn") -> Column:
+def scn_expr(fmt: Format, col: str = "scn", apply_type: bool = True) -> Column:
     # SCN_TYPE::COMMIT_VALUE (BuilderJson.h:241-248): the header scn is
-    # the transaction's commit/checkpoint SCN, not the op's record SCN
+    # the transaction's commit/checkpoint SCN, not the op's record SCN.
+    # apply_type=False for the b_scn/e_scn fields, which always show
+    # their own SCN (BuilderJson.h:255-278).
     base = (
         F.coalesce(F.col("c_scn"), F.col(col))
-        if fmt.scn_type == ScnType.COMMIT_VALUE
+        if apply_type and fmt.scn_type == ScnType.COMMIT_VALUE
         else F.col(col)
     )
     if fmt.scn == ScnFormat.HEX:
@@ -130,17 +132,60 @@ def xid_expr(fmt: Format, col: str = "xid") -> Column:
     return F.col(col)
 
 
+def tm_field_name(fmt: Format) -> str:
+    """BuilderJson.h:104: the numeric UNIX variants emit under "tm",
+    every string-rendered variant (UNIX_*_STRING, ISO8601*) under
+    "tms"."""
+    tf = fmt.timestamp
+    if tf in (
+        TimestampFormat.UNIX_NANO,
+        TimestampFormat.UNIX_MICRO,
+        TimestampFormat.UNIX_MILLI,
+        TimestampFormat.UNIX_SEC,
+    ):
+        return "tm"
+    return "tms"
+
+
 def tm_expr(fmt: Format, col: str = "tm") -> Column:
-    # NTZ parquet timestamps arrive as TIMESTAMP_NTZ; unix_* need TIMESTAMP
-    # (session TZ is UTC, so the cast is value-preserving)
+    """The full 16-variant appendTimestamp matrix (BuilderJson.h:
+    104-231). NTZ parquet timestamps arrive as TIMESTAMP_NTZ; unix_*
+    need TIMESTAMP (session TZ is UTC, so the cast is
+    value-preserving)."""
     c = F.col(col).cast("timestamp")
-    if fmt.timestamp == TimestampFormat.ISO8601:
-        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
-    if fmt.timestamp == TimestampFormat.UNIX_MILLI:
-        return (F.unix_micros(c) / 1000).cast("long")
-    if fmt.timestamp == TimestampFormat.UNIX_SEC:
+    tf = fmt.timestamp
+    micros = F.unix_micros(c)
+    if tf == TimestampFormat.UNIX_NANO:
+        return micros * 1000
+    if tf == TimestampFormat.UNIX_MICRO:
+        return micros
+    if tf == TimestampFormat.UNIX_MILLI:
+        return (micros / 1000).cast("long")
+    if tf == TimestampFormat.UNIX_SEC:
         return F.unix_timestamp(c)
-    return F.unix_micros(c)
+    if tf == TimestampFormat.UNIX_NANO_STRING:
+        return (micros * 1000).cast("string")
+    if tf == TimestampFormat.UNIX_MICRO_STRING:
+        return micros.cast("string")
+    if tf == TimestampFormat.UNIX_MILLI_STRING:
+        return (micros / 1000).cast("long").cast("string")
+    if tf == TimestampFormat.UNIX_STRING:
+        return F.unix_timestamp(c).cast("string")
+    if tf == TimestampFormat.ISO8601_NANO_TZ:
+        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'000Z'")
+    if tf == TimestampFormat.ISO8601_MICRO_TZ:
+        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    if tf == TimestampFormat.ISO8601_MILLI_TZ:
+        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    if tf == TimestampFormat.ISO8601_TZ:
+        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    if tf == TimestampFormat.ISO8601_NANO:
+        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'000'")
+    if tf == TimestampFormat.ISO8601_MICRO:
+        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    if tf == TimestampFormat.ISO8601_MILLI:
+        return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS")
+    return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")  # bare ISO8601
 
 
 def _materialize_all(img: Column, all_cols: Column) -> Column:
@@ -387,14 +432,32 @@ def _header_pairs(
     """(name, expr) header fields — the single source of truth for both
     the header struct and the FULL-path unpacking, so a new toggle can't
     silently drop out of one of them."""
-    pairs = [
-        ("scn", scn_expr(fmt)),
-        ("tm", tm_expr(fmt)),
-        ("xid", xid_expr(fmt)),
-    ]
+    scn_name = "scns" if fmt.scn == ScnFormat.HEX else "scn"
+    pairs = [(scn_name, scn_expr(fmt))]
+    if fmt.scn_begin:
+        # SCN_TYPE::BEGIN (BuilderJson.h:255-266): the transaction's
+        # begin SCN; frames without a begin_scn column omit the field
+        # (build_events injects a null column)
+        pairs.append(
+            (f"b_{scn_name}", scn_expr(fmt, "begin_scn", apply_type=False))
+        )
+    if fmt.scn_commit:
+        # SCN_TYPE::COMMIT (BuilderJson.h:268-278): the commit SCN
+        pairs.append(
+            (f"e_{scn_name}", scn_expr(fmt, "c_scn", apply_type=False))
+        )
+    pairs.append((tm_field_name(fmt), tm_expr(fmt)))
+    pairs.append(("xid", xid_expr(fmt)))
     db = _db_expr(fmt, full_message)
     if db is not None:
         pairs.append(("db", db))
+    if fmt.show_user:
+        # USER_TYPE (BuilderJson.h:336-343): the session login user
+        # from the transaction attributes; a missing attribute omits
+        # the field exactly like the reference's attributes->find miss
+        pairs.append(
+            ("usr", F.element_at(F.col("attrs"), F.lit("LOGIN_USER_NAME")))
+        )
     if fmt.redo_thread:
         # REDO_THREAD_FORMAT::TEXT (BuilderJson.h:346-349): "rth" after
         # db/usr; build_events guarantees the `thread` column (lit 1 for
@@ -457,6 +520,10 @@ def build_events(
     df = events
     if fmt.redo_thread and "thread" not in df.columns:
         df = df.withColumn("thread", F.lit(1))
+    if fmt.scn_begin and "begin_scn" not in df.columns:
+        df = df.withColumn("begin_scn", F.lit(None).cast("long"))
+    if fmt.scn_commit and "c_scn" not in df.columns:
+        df = df.withColumn("c_scn", F.lit(None).cast("long"))
     if fmt.skip_begin:
         df = df.filter(F.col("op") != "begin")
     if fmt.skip_commit:

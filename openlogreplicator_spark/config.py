@@ -24,10 +24,34 @@ class XidFormat(Enum):
 
 
 class TimestampFormat(Enum):
-    UNIX_MICRO = "unix_micro"   # TIMESTAMP_FORMAT::UNIX_MICRO
+    """TIMESTAMP_FORMAT (Format.h:117-134) — the full 16-variant matrix
+    of BuilderJson::appendTimestamp (BuilderJson.h:104-231). The four
+    plain UNIX variants emit a NUMBER under "tm"; the *_STRING and
+    ISO8601* variants emit a STRING under "tms" (the reference renames
+    the field, BuilderJson.h:104 fieldn/fields). _TZ = UTC 'Z' suffix;
+    fidelity note: the reference's metadata clock is second-resolution
+    and zero-pads the sub-second digits — this engine renders the true
+    sub-second value at the same digit count."""
+
+    UNIX_NANO = "unix_nano"
+    UNIX_MICRO = "unix_micro"
     UNIX_MILLI = "unix_milli"
     UNIX_SEC = "unix"
-    ISO8601 = "iso8601"         # TIMESTAMP_FORMAT::ISO8601 (UTC, 'Z' suffix)
+    UNIX_NANO_STRING = "unix_nano_string"
+    UNIX_MICRO_STRING = "unix_micro_string"
+    UNIX_MILLI_STRING = "unix_milli_string"
+    UNIX_STRING = "unix_string"
+    ISO8601_NANO_TZ = "iso8601_nano_tz"
+    ISO8601_MICRO_TZ = "iso8601_micro_tz"
+    ISO8601_MILLI_TZ = "iso8601_milli_tz"
+    ISO8601_TZ = "iso8601_tz"
+    ISO8601_NANO = "iso8601_nano"
+    ISO8601_MICRO = "iso8601_micro"
+    ISO8601_MILLI = "iso8601_milli"
+    # bare ISO8601: no timezone suffix, no fraction (Format.h value 15).
+    # (Historical alias: before r6 the repo's ISO8601 rendered what the
+    # reference calls ISO8601_MICRO_TZ.)
+    ISO8601 = "iso8601"
 
 
 class MessageFormat(Enum):
@@ -87,7 +111,10 @@ class DbFormat(Enum):
 class ScnType(Enum):
     """SCN_TYPE::COMMIT_VALUE (Format.h:101-108, BuilderJson.h:241-248):
     the header scn renders as the transaction's commit (checkpoint) SCN
-    instead of the op's own record SCN."""
+    instead of the op's own record SCN. The BEGIN/COMMIT bits of the
+    same reference bitmask are separate Format booleans
+    (``scn_begin``/``scn_commit`` — extra b_scn/e_scn header fields,
+    BuilderJson.h:255-278)."""
 
     DEFAULT = "op"
     COMMIT_VALUE = "commit"
@@ -122,6 +149,17 @@ class Format:
     # are always thread 1; RAC sources carry per-record thread ids.
     redo_thread: bool = False
     attributes: bool = False   # ATTRIBUTES_FORMAT — emit session attrs
+    # SCN_TYPE::BEGIN / ::COMMIT bits (Format.h:101-108): extra header
+    # fields b_scn / e_scn (b_scns/e_scns under SCN_FORMAT::TEXT_HEX),
+    # BuilderJson.h:255-278. b_scn reads the events' begin_scn column
+    # (absent → field omitted); e_scn reads c_scn (the commit SCN).
+    scn_begin: bool = False
+    scn_commit: bool = False
+    # USER_TYPE (Format.h:110-117): emit "usr" (the session's login
+    # user, BuilderJson.h:336-343) after db in the header; sourced from
+    # the transaction attributes' LOGIN_USER_NAME (absent → omitted,
+    # like the reference's attributes->find miss)
+    show_user: bool = False
     db_name: str = "DB"
 
     def with_options(self, **kw) -> "Format":
@@ -146,6 +184,12 @@ def debezium_preset() -> Format:
         # defaults already are those values; stated here for parity
         rid=RidFormat.TEXT,
         db=DbFormat.ALL,
+        # ▲ r6: the block's SCN_TYPE::DEBEZIUM (BEGIN|DML|COMMIT) and
+        # USER_TYPE::DEBEZIUM (OpenLogReplicator.cpp:702-707) — b_scn /
+        # e_scn header fields and the usr login-user field
+        scn_begin=True,
+        scn_commit=True,
+        show_user=True,
     )
 
 

@@ -148,8 +148,8 @@ def cdc_config_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_CONFIG_REFERENCE_SQL = """
 SELECT '{"O_ORDERKEY":"' || o_orderkey || '"}' AS key,
-       '{"scn":"0x' || lpad(lower(hex(o_orderkey * 10)), 16, '0')
-       || '","tm":' || epoch_us(o_orderdate)
+       '{"scns":"0x' || lpad(lower(hex(o_orderkey * 10)), 16, '0')
+       || '","tm":' || epoch_ns(o_orderdate)
        || ',"xid":"' || (o_custkey % 8) || '.' || (o_custkey % 16) || '.'
        || o_orderkey
        || '","db":"DBNAME","rth":1,"seq":1,'
@@ -223,7 +223,8 @@ WITH src AS (
     FROM src
 )
 SELECT xid AS key,
-       '{{"scn":' || (k * 10) || ',"tm":' || tm_ms || ',"xid":"' || xid
+       '{{"scn":' || (k * 10) || ',"e_scn":' || (k * 10 - 5)
+       || ',"tm":' || tm_ms || ',"xid":"' || xid
        || '","db":"DB","payload":[{{"op":"' || op || '",'
        || '{_DBZ_SCHEMA_BLOCK}'
        || ',"rid":"AAAAASAAEAAAADbAAA"'

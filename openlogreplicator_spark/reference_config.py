@@ -148,15 +148,23 @@ def _uint(obj: dict, key: str, lo: int, hi: int):
 
 # Reference numeric values → repo enums. Approximations are recorded in
 # `unmodeled` by the caller (see module docstring).
-_TIMESTAMP_MAP = {  # TIMESTAMP_FORMAT (Format.h:117-134), 16 variants
-    0: TimestampFormat.UNIX_MICRO,   # UNIX_NANO — micro is the repo floor
+_TIMESTAMP_MAP = {  # TIMESTAMP_FORMAT (Format.h:117-134) — exact, 0..15
+    0: TimestampFormat.UNIX_NANO,
     1: TimestampFormat.UNIX_MICRO,
     2: TimestampFormat.UNIX_MILLI,
     3: TimestampFormat.UNIX_SEC,
-    4: TimestampFormat.UNIX_MICRO,   # *_STRING variants
-    5: TimestampFormat.UNIX_MICRO,
-    6: TimestampFormat.UNIX_MILLI,
-    7: TimestampFormat.UNIX_SEC,
+    4: TimestampFormat.UNIX_NANO_STRING,
+    5: TimestampFormat.UNIX_MICRO_STRING,
+    6: TimestampFormat.UNIX_MILLI_STRING,
+    7: TimestampFormat.UNIX_STRING,
+    8: TimestampFormat.ISO8601_NANO_TZ,
+    9: TimestampFormat.ISO8601_MICRO_TZ,
+    10: TimestampFormat.ISO8601_MILLI_TZ,
+    11: TimestampFormat.ISO8601_TZ,
+    12: TimestampFormat.ISO8601_NANO,
+    13: TimestampFormat.ISO8601_MICRO,
+    14: TimestampFormat.ISO8601_MILLI,
+    15: TimestampFormat.ISO8601,
 }
 _XID_MAP = {  # XID_FORMAT (Format.h:188-193)
     0: XidFormat.TEXT_HEX,
@@ -228,7 +236,7 @@ def _parse_format(
 
     unmodeled: dict = {}
     if ftype == "debezium":
-        # preset block cpp:693-708
+        # preset block cpp:693-708 (scn/user bits are in the repo preset)
         fmt = debezium_preset().with_options(
             add_sequences=True, redo_thread=True, db_name=db_name
         )
@@ -240,11 +248,8 @@ def _parse_format(
             rid=RidFormat.SKIP,
             db=DbFormat.DEFAULT,
             xid=XidFormat.TEXT_HEX,
+            timestamp=TimestampFormat.UNIX_NANO,  # the reference default
             db_name=db_name,
-        )
-        unmodeled["timestamp-default"] = (
-            "reference default TIMESTAMP_FORMAT::UNIX_NANO renders as "
-            "UNIX_MICRO (epoch micros) in this engine"
         )
 
     if "db" in fmt_json:
@@ -289,9 +294,7 @@ def _parse_format(
         fmt = fmt.with_options(xid=_XID_MAP[_uint(fmt_json, "xid", 0, 3)])
     if "timestamp" in fmt_json:
         val = _uint(fmt_json, "timestamp", 0, 15)
-        fmt = fmt.with_options(
-            timestamp=_TIMESTAMP_MAP.get(val, TimestampFormat.ISO8601)
-        )
+        fmt = fmt.with_options(timestamp=_TIMESTAMP_MAP[val])
     if "timestamp-metadata" in fmt_json:
         unmodeled["timestamp-metadata"] = _uint(
             fmt_json, "timestamp-metadata", 0, 15
@@ -301,19 +304,27 @@ def _parse_format(
     if "timestamp-type" in fmt_json:
         unmodeled["timestamp-type"] = _uint(fmt_json, "timestamp-type", 0, 15)
     if "user-type" in fmt_json:
-        unmodeled["user-type"] = _uint(fmt_json, "user-type", 0, 15)
+        # USER_TYPE (Format.h:110-117): any set bit emits usr; the
+        # per-message-kind bits collapse to emit-everywhere
+        val = _uint(fmt_json, "user-type", 0, 15)
+        fmt = fmt.with_options(show_user=val != 0)
+        if val not in (0, 15):
+            unmodeled["user-type"] = val
     if "char" in fmt_json:
         unmodeled["char"] = _uint(fmt_json, "char", 0, 3)
     if "scn" in fmt_json:
         val = _uint(fmt_json, "scn", 0, 1)
         fmt = fmt.with_options(scn=ScnFormat.HEX if val else ScnFormat.DEC)
     if "scn-type" in fmt_json:
+        # SCN_TYPE bits (Format.h:101-108): COMMIT_VALUE=1 (scn shows
+        # the commit SCN), BEGIN=2 (b_scn), DML=4 (per-op scn in FULL
+        # envelopes — SHORT messages always carry it), COMMIT=8 (e_scn)
         val = _uint(fmt_json, "scn-type", 0, 15)
         fmt = fmt.with_options(
-            scn_type=ScnType.COMMIT_VALUE if val & 1 else ScnType.DEFAULT
+            scn_type=ScnType.COMMIT_VALUE if val & 1 else ScnType.DEFAULT,
+            scn_begin=bool(val & 2),
+            scn_commit=bool(val & 8),
         )
-        if val & ~1:
-            unmodeled["scn-type"] = val
     if "unknown" in fmt_json:
         val = _uint(fmt_json, "unknown", 0, 1)
         fmt = fmt.with_options(

@@ -6,6 +6,7 @@ import datetime
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from openlogreplicator_spark.config import (
     ColumnFormat,
@@ -75,7 +76,10 @@ def test_scn_hex_and_xid_formats(events_df):
     fmt = Format(scn=ScnFormat.HEX, xid=XidFormat.NUMERIC)
     out = build_events(events_df, fmt)
     v = json.loads(out.collect()[0].value)
-    assert v["scn"].startswith("0x00000000000003e")
+    # SCN_FORMAT::TEXT_HEX renames the field scn → scns
+    # (BuilderJson.h:240-252)
+    assert "scn" not in v
+    assert v["scns"].startswith("0x00000000000003e")
     assert v["xid"] == (3 << 48) + (7 << 32) + 42
 
     hexfmt = Format(xid=XidFormat.TEXT_HEX)
@@ -84,16 +88,72 @@ def test_scn_hex_and_xid_formats(events_df):
 
 
 def test_timestamp_formats(events_df):
-    for tf, expect in [
+    """The full 16-variant TIMESTAMP_FORMAT matrix (Format.h:117-134,
+    BuilderJson.h:104-231): numeric UNIX variants under "tm", every
+    string-rendered variant under "tms" (the reference's field
+    rename)."""
+    numeric = [
+        (TimestampFormat.UNIX_NANO, 1704110400000000000),
         (TimestampFormat.UNIX_MICRO, 1704110400000000),
         (TimestampFormat.UNIX_MILLI, 1704110400000),
         (TimestampFormat.UNIX_SEC, 1704110400),
-        (TimestampFormat.ISO8601, "2024-01-01T12:00:00.000000Z"),
-    ]:
+    ]
+    strings = [
+        (TimestampFormat.UNIX_NANO_STRING, "1704110400000000000"),
+        (TimestampFormat.UNIX_MICRO_STRING, "1704110400000000"),
+        (TimestampFormat.UNIX_MILLI_STRING, "1704110400000"),
+        (TimestampFormat.UNIX_STRING, "1704110400"),
+        (TimestampFormat.ISO8601_NANO_TZ, "2024-01-01T12:00:00.000000000Z"),
+        (TimestampFormat.ISO8601_MICRO_TZ, "2024-01-01T12:00:00.000000Z"),
+        (TimestampFormat.ISO8601_MILLI_TZ, "2024-01-01T12:00:00.000Z"),
+        (TimestampFormat.ISO8601_TZ, "2024-01-01T12:00:00Z"),
+        (TimestampFormat.ISO8601_NANO, "2024-01-01T12:00:00.000000000"),
+        (TimestampFormat.ISO8601_MICRO, "2024-01-01T12:00:00.000000"),
+        (TimestampFormat.ISO8601_MILLI, "2024-01-01T12:00:00.000"),
+        (TimestampFormat.ISO8601, "2024-01-01T12:00:00"),
+    ]
+    for tf, expect in numeric:
         v = json.loads(
             build_events(events_df, Format(timestamp=tf)).collect()[0].value
         )
         assert v["tm"] == expect, tf
+        assert "tms" not in v
+    for tf, expect in strings:
+        v = json.loads(
+            build_events(events_df, Format(timestamp=tf)).collect()[0].value
+        )
+        assert v["tms"] == expect, tf
+        assert "tm" not in v
+
+
+def test_scn_type_bits_and_user(events_df):
+    """SCN_TYPE::BEGIN/COMMIT bits add b_scn/e_scn (b_scns/e_scns under
+    TEXT_HEX); USER_TYPE emits usr from the attributes' LOGIN_USER_NAME
+    and omits the field when the attribute is absent — the reference's
+    attributes->find miss (BuilderJson.h:255-278, 336-343)."""
+    fmt = Format(scn_begin=True, scn_commit=True, show_user=True)
+    vals = [json.loads(r.value) for r in build_events(events_df, fmt).collect()]
+    for v in vals:
+        assert v["e_scn"] == 1000      # the fixture's c_scn
+        assert "b_scn" not in v        # null begin_scn → omitted
+        assert "usr" not in v          # no LOGIN_USER_NAME attribute
+
+    # a frame that carries begin_scn and the login attribute emits both
+    enriched = events_df.selectExpr(
+        "*",
+        "CAST(999 AS BIGINT) AS begin_scn",
+    ).withColumn(
+        "attrs",
+        F.create_map(F.lit("LOGIN_USER_NAME"), F.lit("SCOTT")),
+    )
+    v = json.loads(build_events(enriched, fmt).collect()[0].value)
+    assert v["b_scn"] == 999 and v["e_scn"] == 1000
+    assert v["usr"] == "SCOTT"
+
+    hexfmt = Format(scn=ScnFormat.HEX, scn_commit=True)
+    vh = json.loads(build_events(events_df, hexfmt).collect()[0].value)
+    assert vh["e_scns"].startswith("0x")
+    assert "e_scn" not in vh
 
 
 def test_skip_begin_commit_and_attrs(events_df):
@@ -149,6 +209,11 @@ def test_debezium_preset_shape(events_df):
     ops = {v["payload"][0]["op"] for v in out}
     assert ops == {"c", "u"}          # begin/commit skipped
     assert all(isinstance(v["tm"], int) for v in out)  # ms timestamps
+    # ▲ r6 SCN_TYPE::DEBEZIUM + USER_TYPE::DEBEZIUM in the preset:
+    # e_scn present, b_scn/usr omitted on this fixture (no begin_scn
+    # column / no LOGIN_USER_NAME attribute)
+    assert all(v["e_scn"] == 1000 for v in out)
+    assert all("usr" not in v for v in out)
 
 
 # --- dictionary-driven surfaces: schema sections + column-format modes ----

@@ -153,7 +153,7 @@ def test_example_full_every_section():
     assert fmt.message == MessageFormat.SHORT
     assert fmt.column == ColumnFormat.CHANGED
     assert fmt.redo_thread is False
-    assert fmt.timestamp == TimestampFormat.UNIX_MICRO
+    assert fmt.timestamp == TimestampFormat.UNIX_NANO  # value 0, exact
 
 
 def test_example_offline_and_file_and_zeromq():
