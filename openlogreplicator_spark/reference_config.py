@@ -292,13 +292,25 @@ def _parse_format(
         fmt = fmt.with_options(redo_thread=bool(val))
     if "xid" in fmt_json:
         fmt = fmt.with_options(xid=_XID_MAP[_uint(fmt_json, "xid", 0, 3)])
+    # header timestamps render per timestampMetadataFormat in the
+    # reference (appendTimestamp, BuilderJson.h:109); the "timestamp"
+    # key controls COLUMN-value rendering, which this engine's parse
+    # plane has already decoded to canonical strings — accepted,
+    # validated, recorded
+    if "timestamp-metadata" in fmt_json:
+        val = _uint(fmt_json, "timestamp-metadata", 0, 15)
+        fmt = fmt.with_options(timestamp=_TIMESTAMP_MAP[val])
     if "timestamp" in fmt_json:
         val = _uint(fmt_json, "timestamp", 0, 15)
-        fmt = fmt.with_options(timestamp=_TIMESTAMP_MAP[val])
-    if "timestamp-metadata" in fmt_json:
-        unmodeled["timestamp-metadata"] = _uint(
-            fmt_json, "timestamp-metadata", 0, 15
-        )
+        if "timestamp-metadata" not in fmt_json:
+            # most deployments set only "timestamp"; honor it for the
+            # header too rather than silently ignoring the knob
+            fmt = fmt.with_options(timestamp=_TIMESTAMP_MAP[val])
+        if val != 0:
+            unmodeled["timestamp-columns"] = (
+                "column timestamp values are canonical strings in this "
+                f"engine (requested variant {val})"
+            )
     if "timestamp-tz" in fmt_json:
         unmodeled["timestamp-tz"] = _uint(fmt_json, "timestamp-tz", 0, 11)
     if "timestamp-type" in fmt_json:
