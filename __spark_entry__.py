@@ -38,6 +38,7 @@ _PRIORITY = [  # round-6 window (previous windows: git history of this list)
     #    builder matrix (r5 VERDICT #7); reference JSON config ingestion
     #    driving the builder toggles (r5 VERDICT #3)
     "cdc_json_builder",
+    "cdc_json_builder_debezium",  # bytes changed r6: preset adds e_scn
     "cdc_config_reference",
     # -- rows-only → oracled upgrades (r5 VERDICT #4): first-ever driver
     #    verdicts for these seven
