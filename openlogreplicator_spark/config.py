@@ -233,3 +233,11 @@ class EngineConfig:
     # TIME ZONE decode — the reference reads metadata->dbTimezone from
     # V$/config; threads into the parse plane's TSLTZ kernel
     db_timezone_seconds: int = 2 * 3600
+    # INTERVAL_DTS_FORMAT / INTERVAL_YTM_FORMAT (Format.h:54-74) —
+    # rendering of INTERVAL column values, applied in the parse plane's
+    # interval kernels (decode_interval_ds/_ym implement all 11+5
+    # reference variants). Engine defaults keep the human-readable
+    # forms; the reference's numeric defaults (UNIX_NANO / MONTHS) come
+    # through reference_config.from_reference_json.
+    interval_dts: str = "iso8601_space"
+    interval_ytm: str = "string_ym_dash"

@@ -166,6 +166,15 @@ _TIMESTAMP_MAP = {  # TIMESTAMP_FORMAT (Format.h:117-134) — exact, 0..15
     14: TimestampFormat.ISO8601_MILLI,
     15: TimestampFormat.ISO8601,
 }
+_INTERVAL_DTS_MAP = [  # INTERVAL_DTS_FORMAT (Format.h:54-66), 0..10
+    "unix_nano", "unix_micro", "unix_milli", "unix",
+    "unix_nano_string", "unix_micro_string", "unix_milli_string",
+    "unix_string", "iso8601_space", "iso8601_comma", "iso8601_dash",
+]
+_INTERVAL_YTM_MAP = [  # INTERVAL_YTM_FORMAT (Format.h:68-74), 0..4
+    "months", "months_string", "string_ym_space", "string_ym_comma",
+    "string_ym_dash",
+]
 _XID_MAP = {  # XID_FORMAT (Format.h:188-193)
     0: XidFormat.TEXT_HEX,
     1: XidFormat.TEXT,       # TEXT_DEC
@@ -264,9 +273,9 @@ def _parse_format(
         if val not in (0, 7):
             unmodeled["attributes"] = val  # per-kind bits → all-or-nothing
     if "interval-dts" in fmt_json:
-        unmodeled["interval-dts"] = _uint(fmt_json, "interval-dts", 0, 10)
+        _uint(fmt_json, "interval-dts", 0, 10)
     if "interval-ytm" in fmt_json:
-        unmodeled["interval-ytm"] = _uint(fmt_json, "interval-ytm", 0, 4)
+        _uint(fmt_json, "interval-ytm", 0, 4)
     if "message" in fmt_json:
         val = _uint(fmt_json, "message", 0, 31)
         if (val & _MSG_FULL) and (val & (_MSG_SKIP_BEGIN | _MSG_SKIP_COMMIT)):
@@ -618,6 +627,25 @@ def from_reference_json(source) -> ReferenceDeployment:
         properties=props,
     )
 
+    # INTERVAL_DTS/YTM rendering: reference defaults are the numeric
+    # forms (UNIX_NANO / MONTHS, cpp:680-681); the debezium preset
+    # forces ISO8601_COMMA / STRING_YM_DASH (cpp:696-697)
+    fmt_json = src["format"]
+    if format_type == "debezium":
+        dts_default, ytm_default = "iso8601_comma", "string_ym_dash"
+    else:
+        dts_default, ytm_default = "unix_nano", "months"
+    interval_dts = (
+        _INTERVAL_DTS_MAP[fmt_json["interval-dts"]]
+        if "interval-dts" in fmt_json
+        else dts_default
+    )
+    interval_ytm = (
+        _INTERVAL_YTM_MAP[fmt_json["interval-ytm"]]
+        if "interval-ytm" in fmt_json
+        else ytm_default
+    )
+
     cfg = EngineConfig(
         fmt=fmt,
         selectors=tuple(selectors),
@@ -626,6 +654,8 @@ def from_reference_json(source) -> ReferenceDeployment:
         transaction_max_mb=transaction_max_mb,
         checkpoint_interval_s=checkpoint_interval_s,
         schema_mode=schema_mode,
+        interval_dts=interval_dts,
+        interval_ytm=interval_ytm,
     )
     return ReferenceDeployment(
         config=cfg,

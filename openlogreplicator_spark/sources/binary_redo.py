@@ -78,10 +78,28 @@ from __future__ import annotations
 
 import os
 import struct
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 
 from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
+
+
+class DecodeOpts(NamedTuple):
+    """Decode-plane options riding the existing db_tz parameter slots:
+    (db_tz, interval_dts, interval_ytm). Everywhere a plain int is
+    still accepted (normalized by _opts) so the historical
+    db_tz-threading call sites keep working; the interval fields select
+    the INTERVAL_DTS_FORMAT / INTERVAL_YTM_FORMAT rendering variants
+    (Format.h:54-74, kernels functions/oracle_types.py)."""
+
+    db_tz: int
+    interval_dts: str = "iso8601_space"
+    interval_ytm: str = "string_ym_dash"
+
+
+def _opts(o) -> "DecodeOpts":
+    return o if isinstance(o, DecodeOpts) else DecodeOpts(db_tz=int(o))
 from openlogreplicator_spark.functions.oracle_types import (
     DB_TIMEZONE_SECONDS as DB_TZ_DEFAULT,
     charset_decode,
@@ -518,15 +536,15 @@ def _dec_value_raw(
     if vtype == TYPE_TSTZ:
         return decode_timestamp_tz(payload)
     if vtype == TYPE_IYM:
-        return decode_interval_ym(payload)
+        return decode_interval_ym(payload, _opts(db_tz).interval_ytm)
     if vtype == TYPE_IDS:
-        return decode_interval_ds(payload)
+        return decode_interval_ds(payload, _opts(db_tz).interval_dts)
     if vtype == TYPE_BOOL:
         return decode_boolean(payload)
     if vtype == TYPE_UROWID:
         return decode_urowid(payload)
     if vtype == TYPE_TSLTZ:
-        return decode_timestamp_ltz(payload, db_tz)
+        return decode_timestamp_ltz(payload, _opts(db_tz).db_tz)
     if vtype == TYPE_BFLOAT:
         return repr(decode_binary_float(payload))
     return payload.decode("utf-8")
@@ -1112,6 +1130,8 @@ def parse_redo_files(
     in_dir: str,
     dictionary: dict | None = None,
     db_tz_seconds: int = DB_TZ_DEFAULT,
+    interval_dts: str = "iso8601_space",
+    interval_ytm: str = "string_ym_dash",
 ) -> DataFrame:
     """Directory of OLRS1 files → REDO_RECORD_SCHEMA DataFrame. One task
     per file via the binaryFile source; validation + parse run on the
@@ -1120,9 +1140,13 @@ def parse_redo_files(
     schema-registry resolve the reference performs in Builder::processDml).
     ``db_tz_seconds`` is the database timezone for TIMESTAMP WITH LOCAL
     TIME ZONE decode — the reference reads metadata->dbTimezone; here it
-    threads from EngineConfig into the parse tasks."""
+    threads from EngineConfig into the parse tasks. ``interval_dts`` /
+    ``interval_ytm`` select the INTERVAL_DTS_FORMAT / INTERVAL_YTM_FORMAT
+    rendering variants (Format.h:54-74)."""
+    opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm)
+
     def kernel(batches):
-        return _record_frames(batches, dictionary, db_tz_seconds)
+        return _record_frames(batches, dictionary, opts)
 
     return _binary_files(spark, in_dir).mapInPandas(
         kernel, schema=REDO_RECORD_SCHEMA
@@ -1135,15 +1159,19 @@ def parse_redo_stream(
     max_files_per_trigger: int | None = None,
     dictionary: dict | None = None,
     db_tz_seconds: int = DB_TZ_DEFAULT,
+    interval_dts: str = "iso8601_space",
+    interval_ytm: str = "string_ym_dash",
 ) -> DataFrame:
     """Streaming variant of :func:`parse_redo_files`: the reference's
     online mode (S1 reader thread tailing redo + S4 scheduler) as a
     Structured Streaming source — new OLRS files are discovered in
     order, parsed on executors, and feed the stateful assembly.
-    ``dictionary`` and ``db_tz_seconds`` behave as in the batch
-    reader."""
+    ``dictionary``, ``db_tz_seconds`` and the interval format selectors
+    behave as in the batch reader."""
+    opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm)
+
     def kernel(batches):
-        return _record_frames(batches, dictionary, db_tz_seconds)
+        return _record_frames(batches, dictionary, opts)
 
     return _binary_files_stream(
         spark, in_dir, max_files_per_trigger

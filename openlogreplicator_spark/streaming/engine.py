@@ -285,6 +285,8 @@ def build_pipeline(
         spark, in_dir, max_files_per_trigger,
         dictionary=cfg.pos_dictionary,
         db_tz_seconds=cfg.db_timezone_seconds,
+        interval_dts=cfg.interval_dts,
+        interval_ytm=cfg.interval_ytm,
     )
     if start_scn is not None:
         # O3/F9 startup positioning: everything at or below the

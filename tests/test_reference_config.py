@@ -307,6 +307,73 @@ def test_odd_path_mapping_rejected():
         from_reference_json(doc)
 
 
+def test_interval_formats_decode():
+    """INTERVAL_DTS/YTM (Format.h:54-74): exact variant mapping, the
+    reference's numeric defaults for json type, and the debezium
+    preset's ISO8601_COMMA/STRING_YM_DASH block."""
+    doc = _base()
+    dep = from_reference_json(doc)
+    assert dep.config.interval_dts == "unix_nano"   # reference default
+    assert dep.config.interval_ytm == "months"
+
+    doc = _base()
+    doc["source"][0]["format"].update({"interval-dts": 9, "interval-ytm": 2})
+    dep = from_reference_json(doc)
+    assert dep.config.interval_dts == "iso8601_comma"
+    assert dep.config.interval_ytm == "string_ym_space"
+
+    dbz = _base()
+    dbz["source"][0]["format"] = {"type": "debezium"}
+    dep = from_reference_json(dbz)
+    assert dep.config.interval_dts == "iso8601_comma"
+    assert dep.config.interval_ytm == "string_ym_dash"
+
+
+def test_interval_formats_reach_the_parse_plane(spark, tmp_path):
+    """The decoded interval COLUMN values render per the configured
+    variants end-to-end (parse plane, not a post-hoc rewrite)."""
+    from openlogreplicator_spark.sources.binary_redo import (
+        parse_redo_files,
+        write_binary_redo,
+    )
+    from openlogreplicator_spark.sources.redo_gen import redo_records_df
+
+    d = str(tmp_path / "redo_iv")
+    records = [
+        {"scn": 10, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
+         "xid": "1", "opcode": "begin", "obj": 0, "bdba": None,
+         "slot": None, "fb": 0, "cols": None, "rows": None},
+        {"scn": 11, "subscn": 0, "block": 1, "offset": 1, "seq": 1,
+         "xid": "1", "opcode": "insert", "obj": 7, "bdba": 1, "slot": 0,
+         "fb": 0, "cols": {"IV_YM": "2-3", "IV_DS": "1 02:03:04.500000000"},
+         "rows": None},
+        {"scn": 12, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
+         "xid": "1", "opcode": "commit", "obj": 0, "bdba": None,
+         "slot": None, "fb": 0, "cols": None, "rows": None},
+    ]
+    write_binary_redo(
+        redo_records_df(spark, records), d, n_files=1,
+        col_types={"IV_YM": "interval_ym", "IV_DS": "interval_ds"},
+    )
+    row = (
+        parse_redo_files(spark, d, interval_dts="unix_milli",
+                         interval_ytm="months")
+        .filter("opcode = 'insert'").collect()[0]
+    )
+    assert row.cols["IV_YM"] == "27"              # 2y3m → months
+    # 1d 02:03:04.5 → half-up ms total
+    assert row.cols["IV_DS"] == str(
+        ((24 + 2) * 3600 + 3 * 60 + 4) * 1000 + 500
+    )
+    # defaults keep the human-readable forms
+    row2 = (
+        parse_redo_files(spark, d)
+        .filter("opcode = 'insert'").collect()[0]
+    )
+    assert row2.cols["IV_YM"] == "2-3"
+    assert row2.cols["IV_DS"].startswith("1 02:03:04.5")
+
+
 def test_flags_decode_schema_modes():
     doc = _base()
     doc["source"][0]["flags"] = 1 << 1  # REDO_FLAGS::SCHEMALESS
