@@ -241,3 +241,6 @@ class EngineConfig:
     # through reference_config.from_reference_json.
     interval_dts: str = "iso8601_space"
     interval_ytm: str = "string_ym_dash"
+    # CHAR_FORMAT (Format.h:42-46): "default" | "nomapping" | "hex" —
+    # charset translation mode of the parse plane's text kernels
+    char_format: str = "default"

@@ -332,7 +332,10 @@ def _parse_format(
         if val not in (0, 15):
             unmodeled["user-type"] = val
     if "char" in fmt_json:
-        unmodeled["char"] = _uint(fmt_json, "char", 0, 3)
+        # CHAR_FORMAT bits (Format.h:42-46): HEX dominates the visible
+        # rendering (Builder.h:1129/1184); NOMAPPING alone passes bytes
+        # through untranslated
+        _uint(fmt_json, "char", 0, 3)
     if "scn" in fmt_json:
         val = _uint(fmt_json, "scn", 0, 1)
         fmt = fmt.with_options(scn=ScnFormat.HEX if val else ScnFormat.DEC)
@@ -645,6 +648,10 @@ def from_reference_json(source) -> ReferenceDeployment:
         if "interval-ytm" in fmt_json
         else ytm_default
     )
+    char_val = fmt_json.get("char", 0)
+    char_format = (
+        "hex" if char_val & 2 else "nomapping" if char_val & 1 else "default"
+    )
 
     cfg = EngineConfig(
         fmt=fmt,
@@ -656,6 +663,7 @@ def from_reference_json(source) -> ReferenceDeployment:
         schema_mode=schema_mode,
         interval_dts=interval_dts,
         interval_ytm=interval_ytm,
+        char_format=char_format,
     )
     return ReferenceDeployment(
         config=cfg,

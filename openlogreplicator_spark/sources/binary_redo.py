@@ -85,21 +85,6 @@ from pyspark.sql import DataFrame, SparkSession
 from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
 
 
-class DecodeOpts(NamedTuple):
-    """Decode-plane options riding the existing db_tz parameter slots:
-    (db_tz, interval_dts, interval_ytm). Everywhere a plain int is
-    still accepted (normalized by _opts) so the historical
-    db_tz-threading call sites keep working; the interval fields select
-    the INTERVAL_DTS_FORMAT / INTERVAL_YTM_FORMAT rendering variants
-    (Format.h:54-74, kernels functions/oracle_types.py)."""
-
-    db_tz: int
-    interval_dts: str = "iso8601_space"
-    interval_ytm: str = "string_ym_dash"
-
-
-def _opts(o) -> "DecodeOpts":
-    return o if isinstance(o, DecodeOpts) else DecodeOpts(db_tz=int(o))
 from openlogreplicator_spark.functions.oracle_types import (
     DB_TIMEZONE_SECONDS as DB_TZ_DEFAULT,
     charset_decode,
@@ -126,6 +111,28 @@ from openlogreplicator_spark.functions.oracle_types import (
     encode_timestamp_tz,
     encode_urowid,
 )
+
+
+class DecodeOpts(NamedTuple):
+    """Decode-plane options riding the existing db_tz parameter slots:
+    (db_tz, interval_dts, interval_ytm). Everywhere a plain int is
+    still accepted (normalized by _opts) so the historical
+    db_tz-threading call sites keep working; the interval fields select
+    the INTERVAL_DTS_FORMAT / INTERVAL_YTM_FORMAT rendering variants
+    (Format.h:54-74, kernels functions/oracle_types.py)."""
+
+    db_tz: int
+    interval_dts: str = "iso8601_space"
+    interval_ytm: str = "string_ym_dash"
+    # CHAR_FORMAT (Format.h:42-46 bits; consumers Builder.h:1089-1184):
+    # "default" translates per charset; "nomapping" passes bytes
+    # through untranslated; "hex" dumps hex (dominates when both bits
+    # are set, like the reference's isCharFormatHex branch)
+    char_format: str = "default"
+
+
+def _opts(o) -> "DecodeOpts":
+    return o if isinstance(o, DecodeOpts) else DecodeOpts(db_tz=int(o))
 
 BLOCK_SIZE = 512
 PAYLOAD = BLOCK_SIZE - 16
@@ -528,7 +535,10 @@ def _dec_value_raw(
     if vtype == TYPE_TS:
         return decode_timestamp(payload)
     if vtype == TYPE_CSTEXT:
-        return charset_decode(payload[1:], CHARSET_TABLE[payload[0]])
+        return charset_decode(
+            payload[1:], CHARSET_TABLE[payload[0]],
+            _opts(db_tz).char_format,
+        )
     if vtype == TYPE_BDOUBLE:
         return repr(decode_binary_double(payload))
     if vtype == TYPE_RAW:
@@ -1132,6 +1142,7 @@ def parse_redo_files(
     db_tz_seconds: int = DB_TZ_DEFAULT,
     interval_dts: str = "iso8601_space",
     interval_ytm: str = "string_ym_dash",
+    char_format: str = "default",
 ) -> DataFrame:
     """Directory of OLRS1 files → REDO_RECORD_SCHEMA DataFrame. One task
     per file via the binaryFile source; validation + parse run on the
@@ -1143,7 +1154,8 @@ def parse_redo_files(
     threads from EngineConfig into the parse tasks. ``interval_dts`` /
     ``interval_ytm`` select the INTERVAL_DTS_FORMAT / INTERVAL_YTM_FORMAT
     rendering variants (Format.h:54-74)."""
-    opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm)
+    opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm,
+                      char_format)
 
     def kernel(batches):
         return _record_frames(batches, dictionary, opts)
@@ -1161,6 +1173,7 @@ def parse_redo_stream(
     db_tz_seconds: int = DB_TZ_DEFAULT,
     interval_dts: str = "iso8601_space",
     interval_ytm: str = "string_ym_dash",
+    char_format: str = "default",
 ) -> DataFrame:
     """Streaming variant of :func:`parse_redo_files`: the reference's
     online mode (S1 reader thread tailing redo + S4 scheduler) as a
@@ -1168,7 +1181,8 @@ def parse_redo_stream(
     order, parsed on executors, and feed the stateful assembly.
     ``dictionary``, ``db_tz_seconds`` and the interval format selectors
     behave as in the batch reader."""
-    opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm)
+    opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm,
+                      char_format)
 
     def kernel(batches):
         return _record_frames(batches, dictionary, opts)

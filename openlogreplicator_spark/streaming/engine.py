@@ -287,6 +287,7 @@ def build_pipeline(
         db_tz_seconds=cfg.db_timezone_seconds,
         interval_dts=cfg.interval_dts,
         interval_ytm=cfg.interval_ytm,
+        char_format=cfg.char_format,
     )
     if start_scn is not None:
         # O3/F9 startup positioning: everything at or below the

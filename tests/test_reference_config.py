@@ -374,6 +374,55 @@ def test_interval_formats_reach_the_parse_plane(spark, tmp_path):
     assert row2.cols["IV_DS"].startswith("1 02:03:04.5")
 
 
+def test_char_format_decodes():
+    """CHAR_FORMAT bits (Format.h:42-46): HEX dominates, NOMAPPING alone
+    passes bytes through, default translates per charset."""
+    for val, expect in [(0, "default"), (1, "nomapping"), (2, "hex"),
+                        (3, "hex")]:
+        doc = _base()
+        doc["source"][0]["format"]["char"] = val
+        assert from_reference_json(doc).config.char_format == expect
+
+
+def test_char_format_reaches_the_parse_plane(spark, tmp_path):
+    """hex / nomapping charset modes apply inside the binary parse
+    (Builder.h:1089-1184 semantics): the same JA16SJIS bytes render as
+    translated text, raw hex, or latin-1 passthrough."""
+    from openlogreplicator_spark.sources.binary_redo import (
+        parse_redo_files,
+        write_binary_redo,
+    )
+    from openlogreplicator_spark.sources.redo_gen import redo_records_df
+
+    d = str(tmp_path / "redo_cs")
+    records = [
+        {"scn": 10, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
+         "xid": "1", "opcode": "begin", "obj": 0, "bdba": None,
+         "slot": None, "fb": 0, "cols": None, "rows": None},
+        {"scn": 11, "subscn": 0, "block": 1, "offset": 1, "seq": 1,
+         "xid": "1", "opcode": "insert", "obj": 7, "bdba": 1, "slot": 0,
+         "fb": 0, "cols": {"TXT": "カナ"}, "rows": None},
+        {"scn": 12, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
+         "xid": "1", "opcode": "commit", "obj": 0, "bdba": None,
+         "slot": None, "fb": 0, "cols": None, "rows": None},
+    ]
+    write_binary_redo(
+        redo_records_df(spark, records), d, n_files=1,
+        col_types={"TXT": "varchar2:JA16SJIS"},
+    )
+
+    def txt(mode):
+        return (
+            parse_redo_files(spark, d, char_format=mode)
+            .filter("opcode = 'insert'").collect()[0].cols["TXT"]
+        )
+
+    sjis = "カナ".encode("shift_jis")
+    assert txt("default") == "カナ"
+    assert txt("hex") == sjis.hex()
+    assert txt("nomapping") == sjis.decode("latin-1")
+
+
 def test_flags_decode_schema_modes():
     doc = _base()
     doc["source"][0]["flags"] = 1 << 1  # REDO_FLAGS::SCHEMALESS
