@@ -147,12 +147,13 @@ def tm_field_name(fmt: Format) -> str:
     return "tms"
 
 
-def tm_expr(fmt: Format, col: str = "tm") -> Column:
+def tm_expr(fmt: Format, col="tm") -> Column:
     """The full 16-variant appendTimestamp matrix (BuilderJson.h:
-    104-231). NTZ parquet timestamps arrive as TIMESTAMP_NTZ; unix_*
-    need TIMESTAMP (session TZ is UTC, so the cast is
-    value-preserving)."""
-    c = F.col(col).cast("timestamp")
+    104-231). ``col`` is a column name or a prebuilt Column (the
+    COMMIT_VALUE coalesce). NTZ parquet timestamps arrive as
+    TIMESTAMP_NTZ; unix_* need TIMESTAMP (session TZ is UTC, so the
+    cast is value-preserving)."""
+    c = (col if isinstance(col, Column) else F.col(col)).cast("timestamp")
     tf = fmt.timestamp
     micros = F.unix_micros(c)
     if tf == TimestampFormat.UNIX_NANO:
@@ -446,7 +447,21 @@ def _header_pairs(
         pairs.append(
             (f"e_{scn_name}", scn_expr(fmt, "c_scn", apply_type=False))
         )
-    pairs.append((tm_field_name(fmt), tm_expr(fmt)))
+    tm_name = tm_field_name(fmt)
+    # TIMESTAMP_TYPE::COMMIT_VALUE (BuilderJson.h:280-283): tm shows the
+    # commit timestamp
+    tm_src = (
+        F.coalesce(F.col("e_tm"), F.col("tm"))
+        if fmt.tm_commit_value
+        else "tm"
+    )
+    pairs.append((tm_name, tm_expr(fmt, tm_src)))
+    if fmt.tm_begin:
+        # TIMESTAMP_TYPE::BEGIN (BuilderJson.h:286-287)
+        pairs.append((f"b_{tm_name}", tm_expr(fmt, "b_tm")))
+    if fmt.tm_commit:
+        # TIMESTAMP_TYPE::COMMIT (BuilderJson.h:288-289)
+        pairs.append((f"e_{tm_name}", tm_expr(fmt, "e_tm")))
     pairs.append(("xid", xid_expr(fmt)))
     db = _db_expr(fmt, full_message)
     if db is not None:
@@ -524,6 +539,11 @@ def build_events(
         df = df.withColumn("begin_scn", F.lit(None).cast("long"))
     if fmt.scn_commit and "c_scn" not in df.columns:
         df = df.withColumn("c_scn", F.lit(None).cast("long"))
+    if (fmt.tm_begin or fmt.tm_commit or fmt.tm_commit_value):
+        if "b_tm" not in df.columns:
+            df = df.withColumn("b_tm", F.lit(None).cast("timestamp"))
+        if "e_tm" not in df.columns:
+            df = df.withColumn("e_tm", F.lit(None).cast("timestamp"))
     if fmt.skip_begin:
         df = df.filter(F.col("op") != "begin")
     if fmt.skip_commit:

@@ -160,6 +160,15 @@ class Format:
     # the transaction attributes' LOGIN_USER_NAME (absent → omitted,
     # like the reference's attributes->find miss)
     show_user: bool = False
+    # TIMESTAMP_TYPE bits (Format.h:92-99, emission BuilderJson.h:
+    # 280-290): COMMIT_VALUE renders the header tm from the commit
+    # timestamp (events' e_tm column, falling back to tm); BEGIN/COMMIT
+    # add b_tm / e_tm fields (b_tms/e_tms for string-rendered variants)
+    # reading the events' b_tm / e_tm columns — absent columns omit the
+    # fields
+    tm_commit_value: bool = False
+    tm_begin: bool = False
+    tm_commit: bool = False
     db_name: str = "DB"
 
     def with_options(self, **kw) -> "Format":
@@ -190,6 +199,9 @@ def debezium_preset() -> Format:
         scn_begin=True,
         scn_commit=True,
         show_user=True,
+        # TIMESTAMP_TYPE::DEBEZIUM = BEGIN | DML | COMMIT
+        tm_begin=True,
+        tm_commit=True,
     )
 
 

@@ -323,7 +323,15 @@ def _parse_format(
     if "timestamp-tz" in fmt_json:
         unmodeled["timestamp-tz"] = _uint(fmt_json, "timestamp-tz", 0, 11)
     if "timestamp-type" in fmt_json:
-        unmodeled["timestamp-type"] = _uint(fmt_json, "timestamp-type", 0, 15)
+        # TIMESTAMP_TYPE bits (Format.h:92-99): COMMIT_VALUE=1, BEGIN=2,
+        # DML=4 (per-op tm inside FULL envelopes — SHORT always carries
+        # it), COMMIT=8
+        val = _uint(fmt_json, "timestamp-type", 0, 15)
+        fmt = fmt.with_options(
+            tm_commit_value=bool(val & 1),
+            tm_begin=bool(val & 2),
+            tm_commit=bool(val & 8),
+        )
     if "user-type" in fmt_json:
         # USER_TYPE (Format.h:110-117): any set bit emits usr; the
         # per-message-kind bits collapse to emit-everywhere

@@ -147,6 +147,10 @@ def to_change_events(
         # timestamp is scn-correlated, so scn-as-micros is the
         # deterministic stand-in
         F.timestamp_micros(F.col("commit_scn")).alias("tm"),
+        # TIMESTAMP_TYPE begin/commit sources (b_tm/e_tm header fields):
+        # scn-correlated like tm
+        F.timestamp_micros(F.col("begin_scn")).alias("b_tm"),
+        F.timestamp_micros(F.col("commit_scn")).alias("e_tm"),
         F.lit(1).cast("long").alias("seq"),
         "xid",
         F.lit(cfg.fmt.db_name).alias("db"),

@@ -156,6 +156,37 @@ def test_scn_type_bits_and_user(events_df):
     assert "e_scn" not in vh
 
 
+def test_timestamp_type_bits(events_df):
+    """TIMESTAMP_TYPE bits (Format.h:92-99, BuilderJson.h:280-290):
+    COMMIT_VALUE renders tm from the commit timestamp; BEGIN/COMMIT add
+    b_tm/e_tm (name-shifted to b_tms/e_tms for string variants);
+    missing source columns omit the fields."""
+    import datetime
+
+    fmt = Format(tm_begin=True, tm_commit=True)
+    v = json.loads(build_events(events_df, fmt).collect()[0].value)
+    assert "b_tm" not in v and "e_tm" not in v  # no b_tm/e_tm columns
+
+    enriched = events_df.withColumn(
+        "b_tm", F.lit(datetime.datetime(2024, 1, 1, 11, 0, 0))
+    ).withColumn("e_tm", F.lit(datetime.datetime(2024, 1, 1, 13, 0, 0)))
+    v = json.loads(build_events(enriched, fmt).collect()[0].value)
+    assert v["b_tm"] == 1704106800000000
+    assert v["e_tm"] == 1704114000000000
+    assert v["tm"] == 1704110400000000  # op timestamp, not commit-value
+
+    cv = Format(tm_commit_value=True)
+    v = json.loads(build_events(enriched, cv).collect()[0].value)
+    assert v["tm"] == 1704114000000000  # the commit timestamp
+
+    iso = Format(
+        timestamp=TimestampFormat.ISO8601_TZ, tm_begin=True, tm_commit=True
+    )
+    v = json.loads(build_events(enriched, iso).collect()[0].value)
+    assert v["b_tms"] == "2024-01-01T11:00:00Z"
+    assert v["e_tms"] == "2024-01-01T13:00:00Z"
+
+
 def test_skip_begin_commit_and_attrs(events_df):
     fmt = Format(skip_begin=True, skip_commit=True, attributes=True)
     out = [json.loads(r.value) for r in build_events(events_df, fmt).collect()]

@@ -374,6 +374,20 @@ def test_interval_formats_reach_the_parse_plane(spark, tmp_path):
     assert row2.cols["IV_DS"].startswith("1 02:03:04.5")
 
 
+def test_timestamp_type_bits_decode():
+    """TIMESTAMP_TYPE (Format.h:92-99): COMMIT_VALUE=1, BEGIN=2,
+    COMMIT=8; the debezium preset carries BEGIN|DML|COMMIT."""
+    doc = _base()
+    doc["source"][0]["format"]["timestamp-type"] = 1 | 2 | 8
+    fmt = from_reference_json(doc).config.fmt
+    assert fmt.tm_commit_value and fmt.tm_begin and fmt.tm_commit
+
+    dbz = _base()
+    dbz["source"][0]["format"] = {"type": "debezium"}
+    fmt = from_reference_json(dbz).config.fmt
+    assert fmt.tm_begin and fmt.tm_commit and not fmt.tm_commit_value
+
+
 def test_char_format_decodes():
     """CHAR_FORMAT bits (Format.h:42-46): HEX dominates, NOMAPPING alone
     passes bytes through, default translates per charset."""
