@@ -480,8 +480,26 @@ def _header_pairs(
         pairs.append(("rth", F.col("thread").cast("long")))
     if fmt.add_sequences:
         pairs.append(("seq", F.col("seq")))
-    if fmt.attributes:
-        pairs.append(("attrs", F.col("attrs")))
+    bits = 7 if fmt.attributes is True else int(fmt.attributes or 0)
+    if bits:
+        # ATTRIBUTES_FORMAT bits: per-message-kind attrs emission
+        # (BuilderJson.cpp:465 begin, :519-637 DML/DDL, :494 commit);
+        # a FULL envelope is stamped at begin time → BEGIN bit
+        if full_message:
+            if bits & 1:
+                pairs.append(("attrs", F.col("attrs")))
+        else:
+            kinds = []
+            if bits & 1:
+                kinds.append(F.col("op") == "begin")
+            if bits & 2:
+                kinds.append(F.col("op").isin("c", "u", "d", "ddl"))
+            if bits & 4:
+                kinds.append(F.col("op") == "commit")
+            cond = kinds[0]
+            for k in kinds[1:]:
+                cond = cond | k
+            pairs.append(("attrs", F.when(cond, F.col("attrs"))))
     return pairs
 
 

@@ -148,7 +148,16 @@ class Format:
     # reference default, False here) omits it. Single-instance sources
     # are always thread 1; RAC sources carry per-record thread ids.
     redo_thread: bool = False
-    attributes: bool = False   # ATTRIBUTES_FORMAT — emit session attrs
+    # ATTRIBUTES_FORMAT (Format.h:28-33) — which message KINDS carry the
+    # session-attribute map: bit0 begin, bit1 DML/DDL, bit2 commit
+    # (BuilderJson.cpp:465,494,519-637). True = all kinds (7). A FULL
+    # envelope carries attrs iff the BEGIN bit is set, matching the
+    # reference's single begin-time header. Fidelity note (like the
+    # RidFormat/DbFormat defaults): this engine emits scn/tm on EVERY
+    # short message — the reference's `first || isScnTypeDml()` gate
+    # would omit them from non-begin messages by default; here each
+    # message is self-describing by design.
+    attributes: int | bool = 0
     # SCN_TYPE::BEGIN / ::COMMIT bits (Format.h:101-108): extra header
     # fields b_scn / e_scn (b_scns/e_scns under SCN_FORMAT::TEXT_HEX),
     # BuilderJson.h:255-278. b_scn reads the events' begin_scn column

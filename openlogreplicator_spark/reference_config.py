@@ -268,10 +268,10 @@ def _parse_format(
                 DbFormat.ALL][val]
         )
     if "attributes" in fmt_json:
-        val = _uint(fmt_json, "attributes", 0, 7)
-        fmt = fmt.with_options(attributes=val != 0)
-        if val not in (0, 7):
-            unmodeled["attributes"] = val  # per-kind bits → all-or-nothing
+        # the bitmask maps directly (begin=1, dml=2, commit=4)
+        fmt = fmt.with_options(
+            attributes=_uint(fmt_json, "attributes", 0, 7)
+        )
     if "interval-dts" in fmt_json:
         _uint(fmt_json, "interval-dts", 0, 10)
     if "interval-ytm" in fmt_json:

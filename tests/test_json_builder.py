@@ -193,6 +193,48 @@ def test_skip_begin_commit_and_attrs(events_df):
     assert {v["payload"][0]["op"] for v in out} == {"c", "u"}
 
 
+def test_attributes_format_bits(events_df):
+    """ATTRIBUTES_FORMAT bits (Format.h:28-33): attrs ride only the
+    selected message kinds — begin (bit0, BuilderJson.cpp:465), DML
+    (bit1, :519-637), commit (bit2, :494); a FULL envelope carries them
+    iff the BEGIN bit is set (stamped at begin time)."""
+    def by_op(fmt):
+        return {
+            json.loads(r.value)["payload"][0]["op"]: json.loads(r.value)
+            for r in build_events(events_df, fmt).collect()
+        }
+
+    begin_only = by_op(Format(attributes=1))
+    assert begin_only["begin"]["attrs"] == {"OS_USER_NAME": "app"}
+    assert "attrs" not in begin_only["c"]
+    assert "attrs" not in begin_only["commit"]
+
+    dml_only = by_op(Format(attributes=2))
+    assert "attrs" not in dml_only["begin"]
+    assert "attrs" in dml_only["c"] and "attrs" in dml_only["u"]
+
+    commit_only = by_op(Format(attributes=4))
+    assert "attrs" not in commit_only["begin"]
+    assert "attrs" in commit_only["commit"]
+
+    all_kinds = by_op(Format(attributes=True))
+    assert all("attrs" in v for v in all_kinds.values())
+
+    # FULL envelope: BEGIN bit controls the single txn-level attrs
+    full_on = json.loads(
+        build_events(
+            events_df, Format(message=MessageFormat.FULL, attributes=1)
+        ).collect()[0].value
+    )
+    assert full_on["attrs"] == {"OS_USER_NAME": "app"}
+    full_off = json.loads(
+        build_events(
+            events_df, Format(message=MessageFormat.FULL, attributes=4)
+        ).collect()[0].value
+    )
+    assert "attrs" not in full_off
+
+
 def test_redo_thread_format(events_df):
     """REDO_THREAD_FORMAT (Format.h:91-94): TEXT emits "rth" in the
     header after db (BuilderJson.h:346-349), defaulting to thread 1 for
