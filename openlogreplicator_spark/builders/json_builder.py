@@ -466,13 +466,32 @@ def _header_pairs(
     db = _db_expr(fmt, full_message)
     if db is not None:
         pairs.append(("db", db))
-    if fmt.show_user:
+    usr_bits = 15 if fmt.show_user is True else int(fmt.show_user or 0)
+    if usr_bits:
         # USER_TYPE (BuilderJson.h:336-343): the session login user
-        # from the transaction attributes; a missing attribute omits
-        # the field exactly like the reference's attributes->find miss
-        pairs.append(
-            ("usr", F.element_at(F.col("attrs"), F.lit("LOGIN_USER_NAME")))
-        )
+        # from the transaction attributes, gated per message kind
+        # (begin=1, dml=2, commit=4, ddl=8 — the showUser argument at
+        # each appendHeader call site); a missing attribute omits the
+        # field exactly like the reference's attributes->find miss
+        usr = F.element_at(F.col("attrs"), F.lit("LOGIN_USER_NAME"))
+        if full_message:
+            usr = usr if usr_bits & 1 else None
+        elif usr_bits != 15:
+            kinds = []
+            if usr_bits & 1:
+                kinds.append(F.col("op") == "begin")
+            if usr_bits & 2:
+                kinds.append(F.col("op").isin("c", "u", "d"))
+            if usr_bits & 4:
+                kinds.append(F.col("op") == "commit")
+            if usr_bits & 8:
+                kinds.append(F.col("op") == "ddl")
+            cond = kinds[0]
+            for k in kinds[1:]:
+                cond = cond | k
+            usr = F.when(cond, usr)
+        if usr is not None:
+            pairs.append(("usr", usr))
     if fmt.redo_thread:
         # REDO_THREAD_FORMAT::TEXT (BuilderJson.h:346-349): "rth" after
         # db/usr; build_events guarantees the `thread` column (lit 1 for

@@ -165,10 +165,13 @@ class Format:
     scn_begin: bool = False
     scn_commit: bool = False
     # USER_TYPE (Format.h:110-117): emit "usr" (the session's login
-    # user, BuilderJson.h:336-343) after db in the header; sourced from
-    # the transaction attributes' LOGIN_USER_NAME (absent → omitted,
-    # like the reference's attributes->find miss)
-    show_user: bool = False
+    # user, BuilderJson.h:336-343) after db in the header — per message
+    # KIND bitmask: begin=1, dml=2, commit=4, ddl=8 (the appendHeader
+    # showUser argument at each call site); True = all kinds. Sourced
+    # from the transaction attributes' LOGIN_USER_NAME (absent →
+    # omitted, like the reference's attributes->find miss). A FULL
+    # envelope carries usr iff the BEGIN bit is set.
+    show_user: int | bool = 0
     # TIMESTAMP_TYPE bits (Format.h:92-99, emission BuilderJson.h:
     # 280-290): COMMIT_VALUE renders the header tm from the commit
     # timestamp (events' e_tm column, falling back to tm); BEGIN/COMMIT

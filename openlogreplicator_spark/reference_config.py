@@ -333,12 +333,11 @@ def _parse_format(
             tm_commit=bool(val & 8),
         )
     if "user-type" in fmt_json:
-        # USER_TYPE (Format.h:110-117): any set bit emits usr; the
-        # per-message-kind bits collapse to emit-everywhere
-        val = _uint(fmt_json, "user-type", 0, 15)
-        fmt = fmt.with_options(show_user=val != 0)
-        if val not in (0, 15):
-            unmodeled["user-type"] = val
+        # USER_TYPE bitmask maps directly (begin=1, dml=2, commit=4,
+        # ddl=8)
+        fmt = fmt.with_options(
+            show_user=_uint(fmt_json, "user-type", 0, 15)
+        )
     if "char" in fmt_json:
         # CHAR_FORMAT bits (Format.h:42-46): HEX dominates the visible
         # rendering (Builder.h:1129/1184); NOMAPPING alone passes bytes

@@ -156,6 +156,36 @@ def test_scn_type_bits_and_user(events_df):
     assert "e_scn" not in vh
 
 
+def test_user_type_bits(events_df):
+    """USER_TYPE per-kind bits (Format.h:110-117; the showUser argument
+    at each appendHeader call site): usr rides only the selected
+    message kinds."""
+    enriched = events_df.withColumn(
+        "attrs", F.create_map(F.lit("LOGIN_USER_NAME"), F.lit("SCOTT"))
+    )
+
+    def by_op(fmt):
+        return {
+            json.loads(r.value)["payload"][0]["op"]: json.loads(r.value)
+            for r in build_events(enriched, fmt).collect()
+        }
+
+    begin_only = by_op(Format(show_user=1))
+    assert begin_only["begin"]["usr"] == "SCOTT"
+    assert "usr" not in begin_only["c"] and "usr" not in begin_only["commit"]
+
+    dml_only = by_op(Format(show_user=2))
+    assert "usr" not in dml_only["begin"]
+    assert dml_only["c"]["usr"] == "SCOTT"
+
+    commit_only = by_op(Format(show_user=4))
+    assert commit_only["commit"]["usr"] == "SCOTT"
+    assert "usr" not in commit_only["c"]
+
+    all_kinds = by_op(Format(show_user=True))
+    assert all(v["usr"] == "SCOTT" for v in all_kinds.values())
+
+
 def test_timestamp_type_bits(events_df):
     """TIMESTAMP_TYPE bits (Format.h:92-99, BuilderJson.h:280-290):
     COMMIT_VALUE renders tm from the commit timestamp; BEGIN/COMMIT add
