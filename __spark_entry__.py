@@ -27,83 +27,68 @@ if _REPO_ROOT not in sys.path:
 # round 1 (now fixed), then a few representative re-verifies. Everything
 # else registers after slot 50 — still runnable, checked locally by
 # tests/test_queries_vs_duckdb.py.
-_PRIORITY = [  # round-6 window (previous windows: git history of this list)
+_PRIORITY = [  # round-7 window (previous windows: git history of this list)
     # -- 5 green canaries, one per result-type family (drift detection)
     "q1_pricing_summary",
     "cdc_txn_assembly",
     "dedup_minhash_lsh",
     "agg_rollup",
     "stream_tumbling_window",
-    # -- NEW/CHANGED this round: REDO_THREAD toggle in the byte-exact
-    #    builder matrix (r5 VERDICT #7); reference JSON config ingestion
-    #    driving the builder toggles (r5 VERDICT #3)
-    "cdc_json_builder",
-    "cdc_json_builder_debezium",  # bytes changed r6: preset adds e_scn
-    "cdc_config_reference",
-    # -- rows-only → oracled upgrades (r5 VERDICT #4): first-ever driver
-    #    verdicts for these seven
-    "cdc_heartbeat",
-    "multimodal_decode",
-    "multimodal_features_ann",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "ann_pq",
-    "embedding_pca",
-    "tokenizer_bpe_train",
-    # -- STALE-VERDICT ROTATION (r5 VERDICT #1): these oracled queries'
-    #    latest driver verdict is r1/r3 while their underlying code was
-    #    rewritten in r4 (single-pass Arrow assembly) / r5 (null-sort &
-    #    begin-snapshot conventions). Judge-named set first.
-    "cdc_xmltype_decode",
-    "cdc_ddl_classify",
-    "cdc_metrics",
-    "cdc_adaptive_schema",
-    "cdc_schemaless_decode",
-    "cdc_resume_filter",
-    "cdc_scd2_history",
-    "cdc_apply_changes",
-    "cdc_txn_envelope",
-    "dedup_substring",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "stream_dedup_replay",
-    "ann_cosine_topk",
-    "text_filter_pipeline",
-    "text_pii_scrub",
-    "text_repetition_filter",
-    "text_lang_id",
-    "text_vocab_topk",
-    "multimodal_image_stats",
-    "event_retention",
-    "event_transitions",
-    # -- rest of the r3-latest block
-    "agg_approx_distinct",
-    "agg_stats",
-    "join_skew_salted",
-    "join_left_semi",
-    "join_broadcast_dim",
-    "proj_filter_rlike",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q12_late_lines_by_flag",
-    "q18_large_orders",
-    "subquery_in",
-    "subquery_scalar_avg",
-    # -- start of the r1-only relational block (the remainder rotates
-    #    through the r7 window)
-    "join_left_anti",
+    # -- THE standing red (r1 hash mismatch, never re-windowed — r6
+    #    VERDICT #1). Passes the local DuckDB mirror; slot 6 so the
+    #    driver finally re-verdicts it.
+    "agg_cube",
+    # -- STALE-VERDICT ROTATION (r6 VERDICT #1): every remaining query
+    #    whose latest driver verdict is r1 (34) or r3 (subquery_scalar_avg).
+    #    After this window no oracled query's verdict predates r4.
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_statistical",
+    "array_explode_wordcount",
+    "distinct_pairs",
+    "higher_order_array_funcs",
     "join_asof_attribution",
+    "join_left_anti",
     "join_range_window",
     "join_shuffle_facts",
+    "map_funcs",
+    "pivot_status_by_priority",
+    "q14_promo_share",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "scalar_datetime_funcs",
+    "scalar_json_funcs",
+    "scalar_math_funcs",
+    "scalar_null_handling",
+    "scalar_string_funcs",
     "setop_except",
     "setop_intersect",
     "setop_union",
-    "scalar_string_funcs",
-    "scalar_datetime_funcs",
+    "subquery_exists_correlated",
+    "subquery_scalar_avg",
+    "topk_orders",
+    "window_distribution",
+    "window_lag_lead",
     "window_rank_topn",
-    "q3_shipping_priority",
-    "q5_local_supplier",
+    "window_running_sum",
+    # -- CHANGED/RE-CONTRACTED this round (r6 VERDICT #2/#3/#6/#4):
+    #    ann_pq plan rewritten to a map-side mapInArrow ADC scan; ANN
+    #    recall bounds tightened; reference-config flag/memory wiring;
+    #    pipeline regression watch; builder goldens extended.
+    "ann_pq",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "ann_cosine_topk",
+    "cdc_config_reference",
+    "cdc_json_builder",
+    "cdc_json_builder_debezium",
+    "cdc_metrics",
+    "pipeline_pretraining_corpus",
+    "stream_dedup_replay",
 ]
 
 
