@@ -211,10 +211,13 @@ def _recall_contract(
     query set, and emit (n_queries, recall_ok) where the oracle returns
     the exact query count and literal TRUE. Sketch/bucket contents
     differ across engines, so the recall bound — not the neighbor ids —
-    is the portable surface; the bound sits at ~half the measured mean
-    (lsh .74 / ivf .58 / pq .80 at sf0.01) so machine-level float
-    reorderings can never flip the verdict while a broken candidate
-    generator (recall → ~k/N) always does."""
+    is the portable surface; each bound sits at ~0.8× the measured
+    sf0.01 mean (lsh .74 / ivf .58 / pq .80 → bounds .59/.46/.64,
+    tightened r7 per the r6 verdict) — wide enough that float
+    reorderings and per-round testdata regeneration can't flip the
+    verdict, tight enough that a candidate generator losing even a
+    quarter of its recall goes red (a broken one, recall → ~k/N,
+    always does)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0)
     approx = approx_fn(emb, queries).select(
@@ -250,9 +253,9 @@ FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN under the recall contract: sign-LSH band buckets
     generate candidates (an equi-join, never all-pairs), exact cosine
-    ranks them, and the emitted row asserts mean recall ≥ 0.4 vs the
-    in-plan brute force (measured ~0.74)."""
-    return _recall_contract(spark, sf_dir, ann_lsh_topk, 0.4)
+    ranks them, and the emitted row asserts mean recall ≥ 0.59 vs the
+    in-plan brute force (measured ~0.74 at sf0.01)."""
+    return _recall_contract(spark, sf_dir, ann_lsh_topk, 0.59)
 
 
 # IVF sizing: nlist ≈ sqrt(N) at scale (16 at test scale); nprobe trades
@@ -374,8 +377,9 @@ def ann_ivf_topk(
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN under the recall contract: distributed-Lloyd inverted
     lists, nprobe/nlist of the corpus touched per query, mean recall
-    asserted ≥ 0.3 vs the in-plan brute force (measured ~0.58)."""
-    return _recall_contract(spark, sf_dir, ann_ivf_topk, 0.3)
+    asserted ≥ 0.46 vs the in-plan brute force (measured ~0.58 at
+    sf0.01)."""
+    return _recall_contract(spark, sf_dir, ann_ivf_topk, 0.46)
 
 
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,6 +629,100 @@ def _pq_encode_udf(books):
     return enc
 
 
+def _pq_adc_shortlist(
+    emb: DataFrame, queries: DataFrame, books, k: int
+) -> DataFrame:
+    """MAP-SIDE ADC scan → per-query shortlist of k×_PQ_REFINE
+    candidates.
+
+    The scale-critical shape (the r6 plan shuffled |corpus|×|queries|
+    pairs into one partition per query_id — a guaranteed hot-partition
+    OOM at 100×): the per-query m×ksub distance tables (kilobytes each)
+    are built once from the query vectors and BROADCAST; a single
+    ``mapInArrow`` pass over the encoded-corpus partitions scores every
+    (row, query) pair by table lookup and keeps a per-partition
+    top-(k·refine) heap per query; only those per-partition shortlists
+    (≤ partitions × |Q| × k·refine rows — shortlist-scale, never
+    corpus-scale) are shuffled for the global top-k. Same partial-TopK
+    discipline as :func:`cosine_topk`. The query-set collect is the
+    same model-scale materialization the old plan's
+    ``broadcast(queries)`` implied."""
+    import numpy as np
+
+    m, ksub, d = books.shape
+    keep = k * _PQ_REFINE
+    qrows = queries.select("vec_id", "embedding").collect()
+    qids = np.asarray([r.vec_id for r in qrows], dtype=np.int64)
+    tabs = np.empty((len(qrows), m, ksub), dtype=np.float64)
+    for i, r in enumerate(qrows):
+        qv = np.asarray(r.embedding, dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        for s in range(m):
+            diff = books[s] - qv[s * d:(s + 1) * d]
+            tabs[i, s] = (diff ** 2).sum(1)
+    bc = emb.sparkSession.sparkContext.broadcast((qids, tabs))
+    corpus = emb.select(
+        "vec_id", _pq_encode_udf(books)("embedding").alias("codes")
+    )
+
+    def adc_scan(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        q_ids, q_tabs = bc.value
+        n_q = len(q_ids)
+        sub_ix = np.arange(m)
+        # running per-query shortlist across this partition's batches
+        run_ids = [np.empty(0, dtype=np.int64) for _ in range(n_q)]
+        run_d = [np.empty(0, dtype=np.float64) for _ in range(n_q)]
+        for batch in batches:
+            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            if not len(vid):
+                continue
+            codes = np.asarray(
+                batch.column("codes").flatten(), dtype=np.int64
+            ).reshape(len(vid), m)
+            # (n_q, n): ADC lookup-sum for every (query, row) pair
+            adist = q_tabs[:, sub_ix[None, :], codes].sum(axis=2)
+            adist[q_ids[:, None] == vid[None, :]] = np.inf  # self
+            for qi in range(n_q):
+                ids = np.concatenate([run_ids[qi], vid])
+                ds = np.concatenate([run_d[qi], adist[qi]])
+                if len(ids) > keep:
+                    # deterministic boundary: (adist, neighbor_id) order
+                    order = np.lexsort((ids, ds))[:keep]
+                    ids, ds = ids[order], ds[order]
+                run_ids[qi], run_d[qi] = ids, ds
+        out_q, out_n, out_d = [], [], []
+        for qi in range(n_q):
+            fin = np.isfinite(run_d[qi])
+            out_q.append(np.full(int(fin.sum()), q_ids[qi], dtype=np.int64))
+            out_n.append(run_ids[qi][fin])
+            out_d.append(run_d[qi][fin])
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_n), type=pa.int64()),
+                    pa.array(np.concatenate(out_d), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "adist"],
+            )
+
+    scored = corpus.mapInArrow(
+        adc_scan, "query_id bigint, neighbor_id bigint, adist double"
+    )
+    # global top-k over the per-partition shortlists only
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= keep)
+        .drop("arank")
+    )
+
+
 def ann_pq_topk(
     emb: DataFrame, queries: DataFrame, k: int = _TOP_K
 ) -> DataFrame:
@@ -636,51 +734,11 @@ def ann_pq_topk(
     cosine against the raw vectors — the standard IVFADC+R refinement
     (Jégou et al. §V): quantization distortion decides *candidates*, not
     final ranks, so recall recovers while the exact math touches only
-    O(queries × k × refine) rows instead of the corpus."""
-    import numpy as np
-
+    O(queries × k × refine) rows instead of the corpus. The ADC scan is
+    map-side (:func:`_pq_adc_shortlist`): broadcast distance tables,
+    per-partition partial top-k, shortlist-scale shuffle only."""
     books = pq_fit(emb)
-    m, ksub, d = books.shape
-    corpus = emb.select(
-        "vec_id", _pq_encode_udf(books)("embedding").alias("codes")
-    )
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    pairs = corpus.crossJoin(F.broadcast(q)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-
-    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        qv = np.asarray(pdf["q_emb"].iloc[0], dtype=np.float64)
-        qv = qv / np.linalg.norm(qv)
-        tab = np.empty((m, ksub))
-        for s in range(m):
-            diff = books[s] - qv[s * d:(s + 1) * d]
-            tab[s] = (diff ** 2).sum(1)
-        codes = np.vstack(
-            [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
-        )
-        adist = tab[np.arange(m)[None, :], codes].sum(1)
-        return pd.DataFrame(
-            {
-                "query_id": pdf["query_id"],
-                "neighbor_id": pdf["vec_id"],
-                "adist": adist,
-            }
-        )
-
-    scored = pairs.groupBy("query_id").applyInPandas(
-        score, "query_id bigint, neighbor_id bigint, adist double"
-    )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id")
-    )
-    shortlist = (
-        scored.withColumn("arank", F.row_number().over(w_adc))
-        .filter(F.col("arank") <= k * _PQ_REFINE)
-        .drop("arank")
-    )
+    shortlist = _pq_adc_shortlist(emb, queries, books, k)
     # exact re-rank: the shortlist is tiny (queries × k × refine), so it
     # broadcasts against the raw-vector table — no corpus-sized shuffle
     nb = emb.select(
@@ -723,9 +781,10 @@ def ann_pq_topk(
 
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC ANN under the recall contract: compressed-domain lookup
-    scan + exact re-rank of the k×refine shortlist, mean recall
-    asserted ≥ 0.4 vs the in-plan brute force (measured ~0.80)."""
-    return _recall_contract(spark, sf_dir, ann_pq_topk, 0.4)
+    scan (map-side, broadcast distance tables) + exact re-rank of the
+    k×refine shortlist, mean recall asserted ≥ 0.64 vs the in-plan
+    brute force (measured ~0.80 at sf0.01)."""
+    return _recall_contract(spark, sf_dir, ann_pq_topk, 0.64)
 
 
 _SEM_K = 8      # anchor count; grow ~N/target_cluster_size at scale

@@ -424,3 +424,39 @@ def test_bpe_pairs_two_aggs_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
     assert plan.count("HashAggregate") >= 4  # partial+final × 2 aggs
+
+
+def test_pq_adc_scan_is_map_side_no_pair_shuffle(spark, sf_dir):
+    """The r6 plan shuffled |corpus|x|queries| pairs with
+    groupBy("query_id").applyInPandas — a hot-partition OOM at scale.
+    The ADC scan must be a pure map over the encoded corpus
+    (mapInArrow with broadcast distance tables): no grouped-pandas
+    node anywhere, no join/exchange BELOW the MapInArrow node, and
+    the only query_id exchanges sit ABOVE it (shortlist-scale
+    top-k windows)."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.operators import similarity
+    from openlogreplicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % similarity._QUERY_MOD == 0)
+    # full pipeline: the old corpus-scale pair-shuffle shape is banned
+    plan = _plan(similarity.ann_pq_topk(emb, qs))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInArrow" in plan
+    # the shortlist stage in isolation (single-trunk plan, so every
+    # line printed after MapInArrow IS its subtree): pairs are scored
+    # where the corpus partitions live — no exchange, no join between
+    # the parquet scan and the ADC map stage; the only query_id
+    # exchange feeds the top-k window ABOVE it, over per-partition
+    # shortlists
+    books = similarity.pq_fit(emb)
+    short = _plan(similarity._pq_adc_shortlist(emb, qs, books, 5))
+    assert "MapInArrow" in short
+    below = short.split("MapInArrow", 1)[1]
+    assert "Exchange" not in below, "exchange below the ADC map stage"
+    assert "Join" not in below, "join below the ADC map stage"
+    above = short.split("MapInArrow", 1)[0]
+    assert above.count("Exchange hashpartitioning(query_id") <= 1
