@@ -268,3 +268,26 @@ class EngineConfig:
     # CHAR_FORMAT (Format.h:42-46): "default" | "nomapping" | "hex" —
     # charset translation mode of the parse plane's text kernels
     char_format: str = "default"
+    # REDO_FLAGS presentation bits (Ctx.h:91-102), each wired to the
+    # engine knob that already implements the behavior:
+    show_ddl: bool = False                  # bit 5: emit op='ddl' messages
+    #                                         (Builder.cpp:1755 gate)
+    show_hidden_columns: bool = False       # bit 6 ┐ column-visibility
+    show_guard_columns: bool = False        # bit 7 │ projection at the
+    show_nested_columns: bool = False       # bit 8 │ dictionary
+    show_unused_columns: bool = False       # bit 9 ┘ (Builder.cpp:106-113)
+    show_incomplete_transactions: bool = False  # bit 10 (Parser.cpp:585)
+    show_system_transactions: bool = False  # bit 11: system-table DML
+    #                                         emitted too (Builder.cpp:773)
+    show_checkpoint: bool = False           # bit 12: op='chkpt' heartbeats
+    #                                         reach the sink (Writer.cpp:296)
+    experimental_xmltype: bool = False      # bit 16: XMLTYPE decode + the
+    #                                         hidden-xmltype-column
+    #                                         visibility carve-out
+    #                                         (Schema.cpp:487,780)
+    # reference "memory" element (OpenLogReplicator.cpp): max-mb bounds the
+    # assembly working set → forwarded to
+    # spark.olrs.assembly.spillThresholdMb; swap-path is where oversized
+    # buckets stage their Arrow IPC payload (T10 swap-to-disk analog)
+    memory_max_mb: int | None = None
+    memory_swap_path: str = ""

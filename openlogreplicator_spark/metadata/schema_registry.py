@@ -58,11 +58,17 @@ def visible_columns(
     show_guard: bool = False,
     show_nested: bool = False,
     show_unused: bool = False,
+    xmltype_visible: bool = False,
 ) -> DataFrame:
     """F8 column-visibility projection (Builder.cpp:106-113): hidden /
     guard / nested / unused columns are excluded from decode unless the
     matching SHOW_* flag is set. Applied at the catalog, so invisible
-    columns never enter the decode plan at all."""
+    columns never enter the decode plan at all.
+
+    ``xmltype_visible`` is the EXPERIMENTAL_XMLTYPE carve-out
+    (Schema.cpp:780): with the flag, a HIDDEN column of SysCol type 58
+    (XMLTYPE) is treated as visible — the hidden bit is ignored for
+    xmltype columns only; guard/nested/unused still apply."""
     mask = 0
     if not show_hidden:
         mask |= COL_PROP_HIDDEN
@@ -72,8 +78,13 @@ def visible_columns(
         mask |= COL_PROP_NESTED
     if not show_unused:
         mask |= COL_PROP_UNUSED
+    mask_col = F.lit(mask)
+    if xmltype_visible and "type" in dict_col.columns:
+        mask_col = F.when(
+            F.col("type") == 58, F.lit(mask & ~COL_PROP_HIDDEN)
+        ).otherwise(F.lit(mask))
     return dict_col.filter(
-        F.coalesce(F.col("property"), F.lit(0)).bitwiseAND(F.lit(mask)) == 0
+        F.coalesce(F.col("property"), F.lit(0)).bitwiseAND(mask_col) == 0
     )
 
 

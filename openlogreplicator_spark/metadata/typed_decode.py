@@ -57,18 +57,31 @@ def typed_image(
     columns: list[dict],
     image_col: str = "after",
     hidden_ok: bool = False,
+    xml_ctx: tuple[dict, dict] | None = None,
 ) -> DataFrame:
     """Project the string map image into typed columns for one table.
 
     ``columns``: dictionary rows as dicts with keys name/type/precision/
     scale/property (the collected DICT_COL_SCHEMA subset for one obj,
-    already filtered through visible_columns unless hidden_ok)."""
+    already filtered through visible_columns unless hidden_ok).
+
+    ``xml_ctx``: (tag_names, attr_names) dictionaries enabling binary
+    XMLTYPE decode of type-58 columns — the EXPERIMENTAL_XMLTYPE bit
+    (Ctx.h:101; Schema.cpp:487 builds the XmlCtx only under the flag).
+    Without it, XMLTYPE images pass through as the undecoded hex the
+    byte kernels produced, matching the reference's flag-off behavior."""
     exprs: list[Column] = []
     for c in sorted(columns, key=lambda c: c.get("col", 0)):
         raw = F.element_at(F.col(image_col), F.lit(c["name"]))
         cast = _cast_for(c["type"], c.get("precision"), c.get("scale"))
         if c["type"] == 23:
             val = F.unhex(raw)
+        elif c["type"] == 58 and xml_ctx is not None:
+            from openlogreplicator_spark.functions.xmltype import (
+                xmltype_decode_udf,
+            )
+
+            val = xmltype_decode_udf(*xml_ctx)(F.unhex(raw))
         else:
             val = raw.cast(cast)
         exprs.append(val.alias(c["name"]))

@@ -742,7 +742,9 @@ def _slim_batch(b):
     )
 
 
-def _assemble_stream(batches, show_incomplete, max_ops, spill_mb: int):
+def _assemble_stream(
+    batches, show_incomplete, max_ops, spill_mb: int, swap_dir=None
+):
     """Streaming pass over a bucket's record batches with a memory
     budget: a bucket within budget assembles exactly as before (one
     in-memory Arrow table); a bucket that outgrows ``spill_mb`` stages
@@ -771,8 +773,12 @@ def _assemble_stream(batches, show_incomplete, max_ops, spill_mb: int):
                 # only spills earlier)
                 nbytes += b.get_total_buffer_size()
                 if nbytes > budget:
+                    # swap_dir is the reference "memory" swap-path
+                    # (forwarded via spark.olrs.assembly.swapPath);
+                    # default None = the node's tmp
                     fd, path = tempfile.mkstemp(
-                        prefix="olrs_asm_spill_", suffix=".arrow"
+                        prefix="olrs_asm_spill_", suffix=".arrow",
+                        dir=swap_dir,
                     )
                     os.close(fd)
                     writer = pa.ipc.new_file(path, b.schema)
@@ -887,10 +893,16 @@ def assemble_transactions(
         )
     except Exception:
         spill_mb = 256
+    try:
+        swap_dir = records.sparkSession.conf.get(
+            "spark.olrs.assembly.swapPath", ""
+        ) or None
+    except Exception:
+        swap_dir = None
 
     def kernel(batches):
         yield from _assemble_stream(
-            batches, show_incomplete, max_ops, spill_mb
+            batches, show_incomplete, max_ops, spill_mb, swap_dir
         )
 
     # ONE xid-hash shuffle, ONE consumer: the upstream (possibly the

@@ -441,9 +441,13 @@ def from_reference_json(source) -> ReferenceDeployment:
         )
 
     memory_max_mb = 1024
+    memory_present = False
+    memory_swap_path = ""
     if "memory" in doc:
         _check_keys(doc["memory"], _MEMORY_KEYS, '"memory"', check)
         memory_max_mb = doc["memory"].get("max-mb", 1024)
+        memory_present = True
+        memory_swap_path = doc["memory"].get("swap-path", "")
 
     metrics_bind = ""
     if "metrics" in doc:
@@ -476,17 +480,29 @@ def from_reference_json(source) -> ReferenceDeployment:
         flags = src["flags"]
         if flags > 524287:
             raise _bad("flags", flags, "one of {0 .. 524287}")
-    # REDO_FLAGS (Ctx.h:86-106): SCHEMALESS = 1<<1, ADAPTIVE_SCHEMA = 1<<2,
-    # EXPERIMENTAL_JSON = 1<<17
+    # REDO_FLAGS (Ctx.h:86-106): every bit the engine has a knob for is
+    # forwarded; ARCH_ONLY/DIRECT_DISABLE/IGNORE_DATA_ERRORS/
+    # CHECKPOINT_KEEP/VERIFY_SCHEMA/RAW_COLUMN_DATA (bits 0,3,4,13-15)
+    # and EXPERIMENTAL_NOT_NULL_MISSING (18) describe reader/runtime
+    # behavior Spark supplies or that has no analog — accepted,
+    # recorded in `flags`, intentionally not wired.
     schema_mode = "dict"
-    if flags & (1 << 1):
+    if flags & (1 << 1):          # SCHEMALESS
         schema_mode = "schemaless"
-    if flags & (1 << 2):
+    if flags & (1 << 2):          # ADAPTIVE_SCHEMA
         schema_mode = "adaptive"
-    if flags & (1 << 17):
-        fmt_experimental_json = True
-    else:
-        fmt_experimental_json = False
+    fmt_experimental_json = bool(flags & (1 << 17))  # EXPERIMENTAL_JSON
+    flag_kwargs = dict(
+        show_ddl=bool(flags & (1 << 5)),
+        show_hidden_columns=bool(flags & (1 << 6)),
+        show_guard_columns=bool(flags & (1 << 7)),
+        show_nested_columns=bool(flags & (1 << 8)),
+        show_unused_columns=bool(flags & (1 << 9)),
+        show_incomplete_transactions=bool(flags & (1 << 10)),
+        show_system_transactions=bool(flags & (1 << 11)),
+        show_checkpoint=bool(flags & (1 << 12)),
+        experimental_xmltype=bool(flags & (1 << 16)),
+    )
 
     reader = src["reader"]
     _check_keys(reader, _READER_KEYS, '"reader"', check)
@@ -671,6 +687,9 @@ def from_reference_json(source) -> ReferenceDeployment:
         interval_dts=interval_dts,
         interval_ytm=interval_ytm,
         char_format=char_format,
+        memory_max_mb=memory_max_mb if memory_present else None,
+        memory_swap_path=memory_swap_path,
+        **flag_kwargs,
     )
     return ReferenceDeployment(
         config=cfg,

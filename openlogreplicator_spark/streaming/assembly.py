@@ -109,6 +109,7 @@ def assemble_stateful(
     state: GroupState,
     max_ops: int | None = None,
     ttl_timeout: bool = True,
+    show_incomplete: bool = False,
 ) -> Iterable[pd.DataFrame]:
     """Per-bucket stateful kernel (wired via the xid-hash groupBy in
     :func:`streaming_assemble`; also correct keyed by raw xid — the
@@ -133,8 +134,22 @@ def assemble_stateful(
 
     empty = pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
     if state.hasTimedOut:
-        # incomplete-transaction policy: drop the abandoned transaction
+        # incomplete-transaction policy: by default the abandoned
+        # transaction drops whole; with SHOW_INCOMPLETE_TRANSACTIONS
+        # (REDO_FLAGS bit 10, Parser.cpp:585) its buffered ops are
+        # emitted with a null commit_scn before state clears
         state.remove()
+        if show_incomplete and buffered:
+            tbl = _records_arrow_table(
+                pd.DataFrame(buffered, columns=_REC_COLUMNS)
+            )
+            emitted = False
+            for batch in _assemble_partition_arrow(tbl, True, max_ops):
+                if batch.num_rows:
+                    emitted = True
+                    yield batch.to_pandas(maps_as_pydicts="strict")
+            if emitted:
+                return
         yield empty
         return
 
@@ -207,7 +222,7 @@ def assemble_stateful(
     emitted = False
     if flush_m.any():
         tbl = _records_arrow_table(comb[flush_m])
-        for batch in _assemble_partition_arrow(tbl, False, max_ops):
+        for batch in _assemble_partition_arrow(tbl, show_incomplete, max_ops):
             if batch.num_rows:
                 emitted = True
                 # Spark's state-API serializer converts map values via
@@ -221,12 +236,16 @@ def streaming_assemble(
     redo_stream: DataFrame,
     max_ops: int | None = None,
     ttl_timeout: bool = True,
+    show_incomplete: bool = False,
 ) -> DataFrame:
     """Wire the stateful kernel onto a streaming redo-record DataFrame.
     ``max_ops`` is the T4 transaction size guard (Transaction.h size
     cap): a transaction exceeding it is dropped whole, as the reference
     does when `transaction-max-mb` overflows. Threaded via a closure so
-    it serializes with the function to the executors.
+    it serializes with the function to the executors. ``show_incomplete``
+    is REDO_FLAGS::SHOW_INCOMPLETE_TRANSACTIONS (Ctx.h:96,
+    Parser.cpp:585): transactions whose begin predates the stream are
+    emitted instead of dropped.
 
     ``ttl_timeout`` selects the abandoned-transaction reaper (a
     processing-time timer per open xid). It must be False for
@@ -243,7 +262,12 @@ def streaming_assemble(
 
     def kernel(key, pdf_iter, state):
         return assemble_stateful(
-            key, pdf_iter, state, max_ops=max_ops, ttl_timeout=ttl_timeout
+            key,
+            pdf_iter,
+            state,
+            max_ops=max_ops,
+            ttl_timeout=ttl_timeout,
+            show_incomplete=show_incomplete,
         )
 
     # xid-hash buckets (not raw xid): one Python invocation per bucket

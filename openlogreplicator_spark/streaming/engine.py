@@ -85,7 +85,16 @@ def to_change_events(
             select_tables,
         )
 
-        chosen = select_tables(dict_obj, sel.owner, sel.table).select(
+        chosen = select_tables(dict_obj, sel.owner, sel.table)
+        if getattr(cfg, "show_system_transactions", False):
+            # REDO_FLAGS::SHOW_SYSTEM_TRANSACTIONS (Ctx.h:98;
+            # Builder.cpp:773 `|| SHOW_SYSTEM_TRANSACTIONS`): DML on
+            # system (SYS-owned dictionary) tables is emitted too, even
+            # when the selector doesn't match them
+            chosen = chosen.unionByName(
+                dict_obj.filter(F.col("owner") == "SYS")
+            ).dropDuplicates(["obj"])
+        chosen = chosen.select(
             "obj",
             F.col("owner").alias("_owner"),
             F.col("name").alias("_table"),
@@ -276,6 +285,39 @@ def build_pipeline(
         checkpoint, "drain" if available_now else "continuous"
     )
 
+    # reference "memory" element → the T10 spill knobs the batch and
+    # hot-bucket kernels read (transaction_assembly.py): max-mb bounds
+    # the in-memory working set before a bucket stages to disk,
+    # swap-path is where the Arrow IPC payload goes
+    if getattr(cfg, "memory_max_mb", None) is not None:
+        spark.conf.set(
+            "spark.olrs.assembly.spillThresholdMb", str(cfg.memory_max_mb)
+        )
+    if getattr(cfg, "memory_swap_path", ""):
+        spark.conf.set(
+            "spark.olrs.assembly.swapPath", cfg.memory_swap_path
+        )
+    # REDO_FLAGS::SHOW_CHECKPOINT (Ctx.h:99; Writer.cpp:296): checkpoint
+    # heartbeat messages reach the sink only under the flag
+    with_heartbeats = with_heartbeats or getattr(
+        cfg, "show_checkpoint", False
+    )
+    # bits 6-9 column-visibility projection at the dictionary, with the
+    # EXPERIMENTAL_XMLTYPE hidden-column carve-out (schema_registry.py)
+    if dict_cols is not None and "property" in dict_cols.columns:
+        from openlogreplicator_spark.metadata.schema_registry import (
+            visible_columns,
+        )
+
+        dict_cols = visible_columns(
+            dict_cols,
+            show_hidden=getattr(cfg, "show_hidden_columns", False),
+            show_guard=getattr(cfg, "show_guard_columns", False),
+            show_nested=getattr(cfg, "show_nested_columns", False),
+            show_unused=getattr(cfg, "show_unused_columns", False),
+            xmltype_visible=getattr(cfg, "experimental_xmltype", False),
+        )
+
     start_scn = cfg.start_scn
     if start_scn is None and state_dir is not None:
         from openlogreplicator_spark.metadata.state_documents import (
@@ -308,9 +350,16 @@ def build_pipeline(
     # drain runs must not register processing-time timers (see
     # streaming_assemble: a pending timer blocks AvailableNow termination)
     assembled = streaming_assemble(
-        redo, max_ops=max_ops, ttl_timeout=not available_now
+        redo,
+        max_ops=max_ops,
+        ttl_timeout=not available_now,
+        show_incomplete=getattr(cfg, "show_incomplete_transactions", False),
     )
     events = to_change_events(assembled, cfg, dict_obj)
+    if not getattr(cfg, "show_ddl", False):
+        # REDO_FLAGS::SHOW_DDL (Ctx.h:91; Builder.cpp:1755): DDL
+        # messages are suppressed unless the flag is set
+        events = events.filter(F.col("op") != "ddl")
     sel = cfg.selectors[0] if cfg.selectors else TableSelector()
     if sel.condition:
         events = events.filter(compile_condition(sel.condition))

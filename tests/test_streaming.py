@@ -495,3 +495,33 @@ def test_streaming_assembly_randomized_batch_boundaries(
 
     assert norm(got) == norm(expected)
     assert len(got) > 0
+
+
+def test_stateful_kernel_ttl_emits_incomplete_when_flagged():
+    """REDO_FLAGS::SHOW_INCOMPLETE_TRANSACTIONS (bit 10, Parser.cpp:585)
+    through the streaming reaper: a timed-out transaction's buffered ops
+    are EMITTED with a null commit_scn instead of dropped whole."""
+    import pandas as pd
+
+    from openlogreplicator_spark.streaming.assembly import assemble_stateful
+
+    buffered = json.dumps(
+        [
+            {"scn": 1, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
+             "xid": "9.9.9", "opcode": "begin", "obj": 0, "bdba": None,
+             "slot": None, "fb": 0, "cols": None, "rows": None},
+            {"scn": 2, "subscn": 0, "block": 1, "offset": 0, "seq": 1,
+             "xid": "9.9.9", "opcode": "insert", "obj": 7, "bdba": 3,
+             "slot": 4, "fb": 0, "cols": {"A": "1"}, "rows": None},
+        ]
+    )
+    state = _FakeGroupState(payload=buffered, timed_out=True)
+    out = list(
+        assemble_stateful(("9.9.9",), iter([]), state, show_incomplete=True)
+    )
+    assert state.removed
+    rows = [r for p in out for _, r in p.iterrows()]
+    assert len(rows) == 1
+    assert rows[0]["xid"] == "9.9.9"
+    assert rows[0]["op"] == "c"
+    assert rows[0]["commit_scn"] is None or pd.isna(rows[0]["commit_scn"])
