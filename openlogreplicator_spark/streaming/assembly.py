@@ -128,9 +128,15 @@ def assemble_stateful(
     )
 
     buffered: list[dict] = []
+    skip_xids: set = set()
     if state.exists:
         (_, payload) = state.get
-        buffered = json.loads(payload)
+        doc = json.loads(payload)
+        if isinstance(doc, dict):
+            buffered = doc.get("recs", [])
+            skip_xids = set(doc.get("skip", ()))
+        else:  # legacy bare-list payload
+            buffered = doc
 
     empty = pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
     if state.hasTimedOut:
@@ -160,6 +166,19 @@ def assemble_stateful(
         yield empty
         return
     comb = pd.concat(frames, ignore_index=True, copy=False)
+    if skip_xids:
+        # T4-skiplisted xids (oversized, dropped at the buffering cap —
+        # see below): their remaining records drop on arrival; a
+        # terminal record retires the skiplist entry so a reused xid
+        # (TransactionBuffer xid-reuse) starts clean
+        in_skip = comb["xid"].isin(skip_xids)
+        if in_skip.any():
+            skip_xids -= set(
+                comb.loc[
+                    in_skip & comb["opcode"].isin(_TERMINAL), "xid"
+                ]
+            )
+            comb = comb[~in_skip].reset_index(drop=True)
     # Source contract: records arrive in log order across batches (the
     # reference's reader guarantees the same). The defensive re-sort
     # repairs ordering *within* what we currently hold — null key parts
@@ -190,7 +209,20 @@ def assemble_stateful(
     flush_m = pos <= last_term
 
     leftover = comb[~flush_m]
-    if len(leftover):
+    if max_ops is not None and len(leftover):
+        # T4 size guard APPLIED WHILE BUFFERING (Transaction.h size cap:
+        # the reference drops an oversized transaction the moment it
+        # exceeds transaction-max-mb, not at commit). Without this, one
+        # runaway transaction grows the bucket's state payload without
+        # bound — the streaming analog of the batch hot-bucket problem.
+        # The dropped xid goes on the in-state skiplist so its remaining
+        # records (and eventual commit) drop on arrival.
+        counts = leftover.groupby("xid")["xid"].transform("size")
+        oversized = counts > max_ops
+        if oversized.any():
+            skip_xids |= set(leftover.loc[oversized, "xid"])
+            leftover = leftover[~oversized]
+    if len(leftover) or skip_xids:
         recs = leftover.to_dict("records")
         for r in recs:  # JSON-safe: numpy scalars → int/None
             for k in _REC_NUM:
@@ -205,7 +237,12 @@ def assemble_stateful(
                     r[k] = None
                 elif isinstance(v, np.ndarray):
                     r[k] = v.tolist()
-        state.update((len(recs), json.dumps(recs)))
+        state.update(
+            (
+                len(recs),
+                json.dumps({"recs": recs, "skip": sorted(skip_xids)}),
+            )
+        )
         # incomplete-transaction TTL. Generous by default: an open
         # transaction is legitimate until its commit arrives; the
         # timeout only reaps transactions abandoned by a crashed

@@ -532,3 +532,81 @@ def test_unknown_type_hide_and_show(events_df, spark):
     dump = images(Format(unknown_type=UnknownType.SHOW,
                          unknown=UnknownFormat.DUMP))
     assert dump["after"]["V"] == "78"  # 'x' → hex
+
+
+def test_full_header_every_toggle_on_golden(events_df, spark):
+    """ONE golden pinning the complete header byte-surface with every
+    header toggle on, in both the numeric and string render families —
+    any future field rename (the r6 scns/tms/e_scn episode) must trip
+    exactly this test (r6 VERDICT #8)."""
+    bt = datetime.datetime(2024, 1, 1, 11, 0, 0)
+    et = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    enriched = (
+        events_df.filter(F.col("op") != "u")
+        .selectExpr("*", "CAST(999 AS BIGINT) AS begin_scn")
+        .withColumn("b_tm", F.lit(bt))
+        .withColumn("e_tm", F.lit(et))
+        .withColumn("thread", F.lit(2))
+        .withColumn(
+            "attrs",
+            F.create_map(
+                F.lit("OS_USER_NAME"), F.lit("app"),
+                F.lit("LOGIN_USER_NAME"), F.lit("SCOTT"),
+            ),
+        )
+    )
+    fmt_num = Format(
+        message=MessageFormat.FULL,
+        scn_begin=True, scn_commit=True,
+        show_user=True, attributes=True, redo_thread=True,
+        tm_begin=True, tm_commit=True, tm_commit_value=True,
+        add_offset=True, add_sequences=True,
+    )
+    v = json.loads(build_events(enriched, fmt_num).collect()[0].value)
+    assert v == {
+        "attrs": {"LOGIN_USER_NAME": "SCOTT", "OS_USER_NAME": "app"},
+        "b_scn": 999,
+        "b_tm": 1704106800000000,
+        "db": "DB",
+        "e_scn": 1000,
+        "e_tm": 1704110400000000,
+        "payload": [
+            {"offset": 100, "op": "begin", "schema": {}},
+            {"after": {"ID": "1", "V": "x"}, "offset": 110, "op": "c",
+             "rid": "AAAB8dAAEAAAADbAAA",
+             "schema": {"obj": 5001, "owner": "USR", "table": "T1"}},
+            {"offset": 130, "op": "commit", "schema": {}},
+        ],
+        "rth": 2,
+        "scn": 1001,
+        "seq": 1,
+        "tm": 1704110400000000,  # COMMIT_VALUE: header tm = e_tm
+        "usr": "SCOTT",
+        "xid": "3.7.42",
+    }
+
+    fmt_str = fmt_num.with_options(
+        scn=ScnFormat.HEX, timestamp=TimestampFormat.ISO8601_NANO_TZ
+    )
+    v2 = json.loads(build_events(enriched, fmt_str).collect()[0].value)
+    assert v2 == {
+        "attrs": {"LOGIN_USER_NAME": "SCOTT", "OS_USER_NAME": "app"},
+        "b_scns": "0x00000000000003e7",
+        "b_tms": "2024-01-01T11:00:00.000000000Z",
+        "db": "DB",
+        "e_scns": "0x00000000000003e8",
+        "e_tms": "2024-01-01T12:00:00.000000000Z",
+        "payload": [
+            {"offset": 100, "op": "begin", "schema": {}},
+            {"after": {"ID": "1", "V": "x"}, "offset": 110, "op": "c",
+             "rid": "AAAB8dAAEAAAADbAAA",
+             "schema": {"obj": 5001, "owner": "USR", "table": "T1"}},
+            {"offset": 130, "op": "commit", "schema": {}},
+        ],
+        "rth": 2,
+        "scns": "0x00000000000003e9",
+        "seq": 1,
+        "tms": "2024-01-01T12:00:00.000000000Z",
+        "usr": "SCOTT",
+        "xid": "3.7.42",
+    }

@@ -525,3 +525,49 @@ def test_stateful_kernel_ttl_emits_incomplete_when_flagged():
     assert rows[0]["xid"] == "9.9.9"
     assert rows[0]["op"] == "c"
     assert rows[0]["commit_scn"] is None or pd.isna(rows[0]["commit_scn"])
+
+
+def test_stateful_kernel_buffering_size_guard_bounds_state():
+    """T4 applied WHILE BUFFERING (streaming hot-bucket bound, r6
+    VERDICT #7): an open transaction exceeding max_ops drops out of the
+    state payload immediately and is skiplisted, so one runaway
+    transaction cannot grow a bucket's state without bound; its eventual
+    commit emits nothing and retires the skiplist entry."""
+    import pandas as pd
+
+    from openlogreplicator_spark.streaming.assembly import assemble_stateful
+
+    def rec(scn, opcode, **kw):
+        base = {"scn": scn, "subscn": 0, "block": scn, "offset": 0,
+                "seq": 1, "xid": "7.7.7", "opcode": opcode, "obj": 5,
+                "bdba": scn, "slot": 1, "fb": 0, "cols": None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    big = pd.DataFrame(
+        [rec(1, "begin")] +
+        [rec(2 + i, "insert", cols={"A": str(i)}) for i in range(6)]
+    )
+    state = _FakeGroupState()
+    out = list(
+        assemble_stateful(("7.7.7",), iter([big]), state, max_ops=3)
+    )
+    assert sum(len(p) for p in out) == 0
+    assert state.exists, "skiplist entry must persist in state"
+    _, payload = state.get
+    doc = json.loads(payload)
+    assert doc["recs"] == []
+    assert doc["skip"] == ["7.7.7"]
+
+    # more records for the skiplisted xid drop on arrival; the terminal
+    # retires the entry and clears state
+    tail = pd.DataFrame(
+        [rec(20, "insert", cols={"A": "x"}), rec(21, "commit")]
+    )
+    state2 = _FakeGroupState(payload=payload)
+    out2 = list(
+        assemble_stateful(("7.7.7",), iter([tail]), state2, max_ops=3)
+    )
+    assert sum(len(p) for p in out2) == 0, "oversized txn never emits"
+    assert state2.removed, "retired skiplist leaves no state behind"
