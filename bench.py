@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_cluster_cc",
     "decontaminate_ngram",
     "ann_cosine_topk",
+    "ann_pq",  # r7: map-side ADC scan — track the rewritten plan
     "text_quality_score",
     "cdc_txn_assembly",
     "cdc_txn_assembly_binary",
