@@ -49,6 +49,28 @@ HEADLINE = [
 ]
 
 
+def plan_fingerprint(df) -> str:
+    """Hash of the optimized logical plan with volatile tokens
+    (expression ids, lambda-variable counters, temp paths, object
+    addresses) canonicalized — two runs of the same code produce the
+    same fingerprint, so a timing swing with an UNCHANGED fingerprint
+    is machine noise, not a plan change. Stability is test-pinned
+    (tests/test_plans.py): the lambda-variable counter (`lambda x_7#`)
+    is a session-global allocator, so missing it made most
+    higher-order-function plans churn every run and silently disabled
+    the noise detector for them (found r7)."""
+    import hashlib
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = re.sub(r"#\d+[L]?", "#", plan)
+    plan = re.sub(r"\blambda ([A-Za-z]+)_\d+", r"lambda \1_", plan)
+    plan = re.sub(r"@[0-9a-f]+", "@", plan)
+    plan = re.sub(r"/tmp/\S+", "/tmp/_", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=_", plan)
+    return hashlib.sha256(plan.encode()).hexdigest()[:12]
+
+
 def _stream_drain_rate(spark, sf_dir: str) -> dict:
     """End-to-end STREAMING drain over the OLRS binary fixture — the
     reference's headline workload (binary redo → parse → stateful
@@ -150,22 +172,7 @@ def main() -> None:
     if os.environ.get("BENCH_ALL"):
         names = sorted(registry)
 
-    import hashlib
-    import re
     import statistics
-
-    def plan_fingerprint(df) -> str:
-        """Hash of the optimized logical plan with volatile tokens
-        (expression ids, temp paths, object addresses) canonicalized —
-        two runs of the same code produce the same fingerprint, so a
-        timing swing with an UNCHANGED fingerprint is machine noise,
-        not a plan change."""
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        plan = re.sub(r"#\d+[L]?", "#", plan)
-        plan = re.sub(r"@[0-9a-f]+", "@", plan)
-        plan = re.sub(r"/tmp/\S+", "/tmp/_", plan)
-        plan = re.sub(r"plan_id=\d+", "plan_id=_", plan)
-        return hashlib.sha256(plan.encode()).hexdigest()[:12]
 
     prev: dict = {}
     prev_fp: dict = {}

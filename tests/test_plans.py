@@ -460,3 +460,26 @@ def test_pq_adc_scan_is_map_side_no_pair_shuffle(spark, sf_dir):
     assert "Join" not in below, "join below the ADC map stage"
     above = short.split("MapInArrow", 1)[0]
     assert above.count("Exchange hashpartitioning(query_id") <= 1
+
+
+def test_plan_fingerprint_is_stable_for_lambda_plans(spark, sf_dir):
+    """The noise detector's plan fingerprint must be deterministic or it
+    silently stops flagging machine noise. Spark's lambda-variable
+    namer (`lambda x_7#`) is a session-global counter — two builds of
+    the same higher-order-function query get different variable names,
+    which the r6 canonicalizer missed (every zip_with/aggregate plan
+    churned per run). Pin: same query built twice → same fingerprint,
+    and a genuinely different plan → different fingerprint."""
+    from pyspark.sql import functions as F
+
+    from bench import plan_fingerprint
+    from openlogreplicator_spark.operators import similarity
+    from openlogreplicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % similarity._QUERY_MOD == 0)
+    a = plan_fingerprint(similarity.cosine_topk(emb, qs))
+    b = plan_fingerprint(similarity.cosine_topk(emb, qs))
+    assert a == b, "lambda-counter churn is back in the fingerprint"
+    c = plan_fingerprint(similarity.cosine_topk(emb, qs, k=3))
+    assert c != a, "fingerprint blind to a real plan change"
