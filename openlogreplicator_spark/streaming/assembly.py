@@ -209,19 +209,32 @@ def assemble_stateful(
     flush_m = pos <= last_term
 
     leftover = comb[~flush_m]
-    if max_ops is not None and len(leftover):
+    if max_ops is not None:
         # T4 size guard APPLIED WHILE BUFFERING (Transaction.h size cap:
-        # the reference drops an oversized transaction the moment it
-        # exceeds transaction-max-mb, not at commit). Without this, one
-        # runaway transaction grows the bucket's state payload without
-        # bound — the streaming analog of the batch hot-bucket problem.
-        # The dropped xid goes on the in-state skiplist so its remaining
-        # records (and eventual commit) drop on arrival.
-        counts = leftover.groupby("xid")["xid"].transform("size")
-        oversized = counts > max_ops
-        if oversized.any():
-            skip_xids |= set(leftover.loc[oversized, "xid"])
-            leftover = leftover[~oversized]
+        # the reference drops an oversized transaction the moment its
+        # BUFFERED redo exceeds transaction-max-mb, not at commit).
+        # Without this, one runaway transaction grows the bucket's state
+        # payload without bound — the streaming analog of the batch
+        # hot-bucket problem. The cap counts GROSS buffered records
+        # (the reference's own unit is buffered bytes, ~one chunk per
+        # record), and — for batch-boundary invariance — the SAME gross
+        # rule gates the flush path: a transaction over the cap never
+        # emits whether it arrived in one micro-batch or across many.
+        # A dropped open xid goes on the in-state skiplist so its
+        # remaining records (and eventual terminal) drop on arrival.
+        if len(leftover):
+            counts = leftover.groupby("xid")["xid"].transform("size")
+            oversized = counts > max_ops
+            if oversized.any():
+                skip_xids |= set(leftover.loc[oversized, "xid"])
+                leftover = leftover[~oversized]
+        if flush_m.any():
+            fl = comb[flush_m]
+            fcounts = fl.groupby("xid")["xid"].transform("size")
+            if (fcounts > max_ops).any():
+                # terminal already present: drop whole, no skiplist
+                drop = fl.loc[fcounts > max_ops].index
+                flush_m[drop] = False
     if len(leftover) or skip_xids:
         recs = leftover.to_dict("records")
         for r in recs:  # JSON-safe: numpy scalars → int/None

@@ -571,3 +571,81 @@ def test_stateful_kernel_buffering_size_guard_bounds_state():
     )
     assert sum(len(p) for p in out2) == 0, "oversized txn never emits"
     assert state2.removed, "retired skiplist leaves no state behind"
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_buffering_size_guard_invariant_to_batch_boundaries(seed):
+    """The buffering-time T4 guard (r7) must be batch-boundary-INVARIANT:
+    however a stream is split into micro-batches, an oversized
+    transaction never emits (dropped at the buffering cap or at
+    assembly) and every other committed transaction emits exactly as
+    the sequential oracle says. Kernel-level: random splits driven
+    through _FakeGroupState so state round-trips between every batch."""
+    import random
+
+    import pandas as pd
+
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions_py,
+    )
+    from openlogreplicator_spark.streaming.assembly import (
+        _REC_COLUMNS,
+        assemble_stateful,
+    )
+
+    rng = random.Random(seed)
+    max_ops = 7
+    records = generate_redo_records(
+        n_txns=14, max_ops=12, seed=seed, p_rollback=0.1, p_prollback=0.1,
+        p_qmulti=0.1,
+    )
+    records.sort(
+        key=lambda r: (
+            r["scn"], r["subscn"] or 0, r["block"] or 0, r["offset"] or 0
+        )
+    )
+    # random micro-batch split points, state round-tripped between them
+    cuts = sorted(
+        rng.sample(range(1, len(records)), k=min(6, len(records) - 1))
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(records)]:
+        batches.append(records[prev:c])
+        prev = c
+    state = _FakeGroupState()
+    got = []
+    for chunk in batches:
+        pdf = pd.DataFrame(chunk)[list(_REC_COLUMNS)]
+        payload = state._payload
+        state = _FakeGroupState(payload=payload)
+        for out in assemble_stateful(
+            ("bucket",), iter([pdf]), state, max_ops=max_ops,
+            ttl_timeout=False,
+        ):
+            got.extend(out.to_dict("records"))
+    # the streaming guard is the reference's GROSS buffered-size cap
+    # (uniform at buffer and flush → boundary-invariant), composed with
+    # the assembly kernel's net-ops cap
+    gross = {}
+    for r in records:
+        gross[r["xid"]] = gross.get(r["xid"], 0) + 1
+    expected = [
+        e
+        for e in assemble_transactions_py(records, max_ops=max_ops)
+        if gross[e["xid"]] <= max_ops
+    ]
+
+    def norm(evs):
+        return sorted(
+            (
+                e["xid"], e["num"], e["op"], e["obj"],
+                tuple(sorted((e["cols"] or {}).items())),
+            )
+            for e in evs
+        )
+
+    assert norm(got) == norm(expected)
+    assert len(got) > 0, "degenerate stream: nothing under the cap"
+    # the generator at max_ops=9 produces at least one txn over the cap
+    all_emitted = assemble_transactions_py(records, max_ops=None)
+    assert len(all_emitted) > len(expected), "no oversized txn generated"
