@@ -134,3 +134,58 @@ def test_forced_spill_matches_sequential(spark):
             assert norm(got) == norm(expected), f"seed {seed}"
     finally:
         spark.conf.unset("spark.olrs.assembly.spillThresholdMb")
+
+
+def test_forced_spill_honors_swap_path(spark, tmp_path):
+    """The reference "memory" element's swap-path (wired through
+    spark.olrs.assembly.swapPath, r7): spilled Arrow IPC staging files
+    must land in the configured directory, and the output must be
+    unchanged. Observation is race-free: a writable swap dir gives
+    output identical to the in-memory route, and a NONEXISTENT swap dir
+    makes the spill path fail loudly — proof the staging files really
+    target the configured directory."""
+    import os
+
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions,
+    )
+    from openlogreplicator_spark.sources.redo_gen import (
+        generate_redo_records,
+        redo_records_df,
+    )
+
+    records = generate_redo_records(n_txns=12, seed=11)
+    df = redo_records_df(spark, records)
+    baseline = sorted(
+        (r["xid"], r["num"], r["op"]) for r in assemble_transactions(df).collect()
+    )
+
+    writable = tmp_path / "swap_ok"
+    writable.mkdir()
+    spark.conf.set("spark.olrs.assembly.spillThresholdMb", "0")
+    spark.conf.set("spark.olrs.assembly.swapPath", str(writable))
+    try:
+        got = sorted(
+            (r["xid"], r["num"], r["op"])
+            for r in assemble_transactions(df).collect()
+        )
+        assert got == baseline
+
+        # a NONEXISTENT swap dir must fail mkstemp inside the kernel —
+        # the root-proof observation that staging really targets the
+        # configured directory (permission bits don't bind root)
+        spark.conf.set(
+            "spark.olrs.assembly.swapPath", str(tmp_path / "no_such_dir")
+        )
+        try:
+            assemble_transactions(df).collect()
+            raised = False
+        except Exception:
+            raised = True
+        assert raised, (
+            "spill staging ignored the configured swap-path (no failure "
+            "on a nonexistent dir means files went elsewhere)"
+        )
+    finally:
+        spark.conf.unset("spark.olrs.assembly.spillThresholdMb")
+        spark.conf.unset("spark.olrs.assembly.swapPath")
