@@ -86,7 +86,8 @@ _PRIORITY = [  # round-7 window (previous windows: git history of this list)
     "cdc_config_reference",
     "cdc_json_builder",
     "cdc_json_builder_debezium",
-    "cdc_metrics",
+    "cdc_protobuf_builder",  # bytes changed r7: code=PAYLOAD on every
+    #                          message (BuilderProtobuf.h:98 parity)
     "pipeline_pretraining_corpus",
     "stream_dedup_replay",
 ]

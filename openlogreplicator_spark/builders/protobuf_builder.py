@@ -122,14 +122,27 @@ def encode_payload(op: dict[str, Any]) -> bytes:
 
 
 def encode_event(ev: dict[str, Any]) -> bytes:
-    """pb::RedoResponse with one Payload — scn=2, tm=4, xid=6, db=8,
-    payload=9 (code stays at its proto3 default and is omitted, like the
-    reference's data messages where only WriterStream control replies set
-    it)."""
-    out = _vi(2, int(ev["scn"])) if ev.get("scn") is not None else b""
-    if ev.get("tm_micros") is not None:
+    """pb::RedoResponse with one Payload — code=1 (always PAYLOAD=5 on
+    data messages, BuilderProtobuf.h:98), scn=2 / scns=3, tm=4 / tms=5,
+    xid=6 / xidn=7, db=8, payload=9, c_scn=10, c_idx=11.
+
+    The oneof alternates come pre-rendered by build_protobuf_events when
+    a Format is supplied (appendHeader parity, BuilderProtobuf.h:95-190):
+    ``scns`` (16 lowercase hex, no 0x — numToString), ``tms`` (string
+    unix or bare ISO8601+Z), ``xidn`` (packed 64-bit)."""
+    out = _vi(1, 5)  # ResponseCode::PAYLOAD
+    if ev.get("scns") is not None:
+        out += _s(3, ev["scns"])
+    elif ev.get("scn") is not None:
+        out += _vi(2, int(ev["scn"]))
+    if ev.get("tms") is not None:
+        out += _s(5, ev["tms"])
+    elif ev.get("tm_micros") is not None:
         out += _vi(4, int(ev["tm_micros"]))
-    out += _s(6, ev.get("xid"))
+    if ev.get("xidn") is not None:
+        out += _vi(7, int(ev["xidn"]))
+    else:
+        out += _s(6, ev.get("xid"))
     out += _s(8, ev.get("db"))
     out += _ld(9, encode_payload(ev))
     if ev.get("c_scn"):
@@ -140,21 +153,92 @@ def encode_event(ev: dict[str, Any]) -> bytes:
 
 
 def build_protobuf_events(
-    events: DataFrame, extra_cols: tuple[str, ...] = ()
+    events: DataFrame, extra_cols: tuple[str, ...] = (), fmt=None
 ) -> DataFrame:
     """CHANGE_EVENT_SCHEMA rows → (key, value binary) protobuf messages.
     ``extra_cols`` pass through unencoded (e.g. the network sink's
-    ordering watermark), preserving row order."""
+    ordering watermark), preserving row order.
+
+    ``fmt`` (a :class:`~openlogreplicator_spark.config.Format`) enables
+    the reference's protobuf header toggles (BuilderProtobuf.h:95-190):
+    SCN_FORMAT::TEXT_HEX → ``scns`` (16 hex chars, unprefixed —
+    numToString), XID_FORMAT hex/numeric → rendered ``xid`` / packed
+    ``xidn``, and the TIMESTAMP_FORMAT switch — numeric UNIX variants
+    scale the SECOND-resolution epoch into ``tm`` (the reference's
+    toEpoch truncation), UNIX_*_STRING render it into ``tms``, bare
+    ISO8601 renders "YYYY-MM-DDTHH:MM:SSZ" into ``tms``, and every
+    other ISO variant emits NO timestamp (the reference's `default:
+    break`). Without ``fmt`` the legacy self-describing header is kept:
+    decimal scn, true-microsecond tm, text xid."""
+    from openlogreplicator_spark.config import ScnFormat, XidFormat
+    from openlogreplicator_spark.config import TimestampFormat as TF
+
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    scns = null_s
+    tms = null_s
+    xidn = null_l
+    xid_out = F.col("xid")
+    tm_micros = F.unix_micros(F.col("tm").cast("timestamp"))
+    if fmt is not None:
+        if fmt.scn == ScnFormat.HEX:
+            scns = F.lpad(F.lower(F.hex(F.col("scn"))), 16, "0")
+        sec = F.unix_timestamp(F.col("tm").cast("timestamp"))
+        num_scale = {
+            TF.UNIX_NANO: 1_000_000_000,
+            TF.UNIX_MICRO: 1_000_000,
+            TF.UNIX_MILLI: 1_000,
+            TF.UNIX_SEC: 1,
+        }
+        str_scale = {
+            TF.UNIX_NANO_STRING: 1_000_000_000,
+            TF.UNIX_MICRO_STRING: 1_000_000,
+            TF.UNIX_MILLI_STRING: 1_000,
+            TF.UNIX_STRING: 1,
+        }
+        if fmt.timestamp in num_scale:
+            tm_micros = sec * num_scale[fmt.timestamp]
+        elif fmt.timestamp in str_scale:
+            tm_micros = null_l
+            tms = (sec * str_scale[fmt.timestamp]).cast("string")
+        elif fmt.timestamp == TF.ISO8601:
+            tm_micros = null_l
+            tms = F.date_format(
+                F.col("tm").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            )
+        else:  # other ISO variants: reference emits no timestamp
+            tm_micros = null_l
+        if fmt.xid == XidFormat.NUMERIC:
+            parts = F.split(F.col("xid"), r"\.")
+            xidn = (
+                F.shiftleft(F.element_at(parts, 1).cast("long"), 48)
+                + F.shiftleft(F.element_at(parts, 2).cast("long"), 32)
+                + F.element_at(parts, 3).cast("long")
+            )
+            xid_out = null_s
+        elif fmt.xid == XidFormat.TEXT_HEX:
+            parts = F.split(F.col("xid"), r"\.")
+            xid_out = F.concat(
+                F.lit("0x"),
+                F.lpad(F.lower(F.hex(F.element_at(parts, 1).cast("long"))), 4, "0"),
+                F.lit("."),
+                F.lpad(F.lower(F.hex(F.element_at(parts, 2).cast("long"))), 3, "0"),
+                F.lit("."),
+                F.lpad(F.lower(F.hex(F.element_at(parts, 3).cast("long"))), 8, "0"),
+            )
     prepared = events.select(
         *extra_cols,
         F.col("xid").alias("key"),
         F.struct(
             "scn",
+            scns.alias("scns"),
             "c_scn",
             "c_idx",
-            F.unix_micros(F.col("tm").cast("timestamp")).alias("tm_micros"),
+            tm_micros.alias("tm_micros"),
+            tms.alias("tms"),
             "seq",
-            "xid",
+            xid_out.alias("xid"),
+            xidn.alias("xidn"),
             "db",
             "op",
             "owner",
@@ -183,8 +267,12 @@ def build_protobuf_events(
                 elif not isinstance(v, dict):
                     d[img] = dict(v)
             for f in ("scn", "c_scn", "c_idx", "tm_micros", "seq", "obj",
-                      "num", "offset"):
+                      "num", "offset", "xidn"):
                 if d.get(f) is not None and pd.isna(d[f]):
+                    d[f] = None
+            for f in ("scns", "tms", "xid"):
+                v = d.get(f)
+                if isinstance(v, float) and pd.isna(v):
                     d[f] = None
             out.append(encode_event(d))
         return pd.Series(out)

@@ -474,7 +474,9 @@ def _cdc_protobuf_sql() -> str:
         + " || '5000'"
     )
     event = (
-        _pb_vi_sql(2, "k * 10", 5)
+        "'0805' || "  # code=1 varint ResponseCode::PAYLOAD (=5) on every
+        # data message (BuilderProtobuf.h:98)
+        + _pb_vi_sql(2, "k * 10", 5)
         + " || " + _pb_vi_sql(4, "tm_us", 8)
         + " || " + _pb_s_sql(6, "xid")
         + " || " + _pb_s_sql(8, "'DB'")

@@ -18,13 +18,15 @@ from openlogreplicator_spark.event_model import CHANGE_EVENT_SCHEMA
 
 
 def test_wire_format_golden():
+    # code=PAYLOAD(5) → field1 varint 0x08 0x05 (BuilderProtobuf.h:98);
     # scn=1 → field2 varint: tag 0x10, value 0x01; tm → field4 varint 0x20
     raw = encode_event(
         {"scn": 1, "tm_micros": 2, "xid": "a.b.c", "db": "D", "op": "c",
          "owner": "U", "table": "T", "obj": 7, "rid": "r",
          "before": None, "after": {"K": "v"}}
     )
-    assert raw.startswith(bytes([0x10, 0x01, 0x20, 0x02]))
+    assert raw.startswith(bytes([0x08, 0x05, 0x10, 0x01, 0x20, 0x02]))
+    assert dict((f, v) for f, _, v in decode_message(raw))[1] == 5
     fields = dict((f, v) for f, _, v in decode_message(raw))
     assert fields[2] == 1 and fields[4] == 2
     assert fields[6] == b"a.b.c" and fields[8] == b"D"
@@ -60,7 +62,8 @@ def test_varint_multibyte_and_repeated_before():
          "before": {"A": "1", "B": "2"}, "after": {"A": "9"}}
     )
     fields = decode_message(raw)
-    assert fields[0] == (2, 0, 300)  # 300 needs two varint bytes
+    assert fields[0] == (1, 0, 5)    # ResponseCode::PAYLOAD, always first
+    assert fields[1] == (2, 0, 300)  # 300 needs two varint bytes
     payload_msg = [v for f, _, v in fields if f == 9][0]
     befores = [v for f, _, v in decode_message(payload_msg) if f == 4]
     assert len(befores) == 2  # repeated Value, sorted by column name
@@ -112,3 +115,60 @@ def test_negative_int64_varint_is_twos_complement():
         v |= (b & 0x7F) << (7 * i)
     assert v == (1 << 64) - 5
     assert _varint(0) == b"\x00" and _varint(300) == b"\xac\x02"
+
+
+def test_header_toggles_reach_protobuf_wire(spark):
+    """appendHeader parity (BuilderProtobuf.h:95-190): SCN_FORMAT HEX →
+    scns (field 3, 16 unprefixed hex — numToString), XID_FORMAT NUMERIC
+    → xidn (field 7, packed 64-bit), TEXT_HEX → zero-padded
+    0x%04x.%03x.%08x (unlike the JSON render), and the TIMESTAMP_FORMAT
+    switch: numeric UNIX scales the SECOND-truncated epoch into tm,
+    UNIX_*_STRING renders it into tms, bare ISO8601 renders
+    'YYYY-MM-DDTHH:MM:SSZ' into tms, and the other ISO variants emit NO
+    timestamp at all (the reference's `default: break`)."""
+    from openlogreplicator_spark.config import (
+        Format,
+        ScnFormat,
+        TimestampFormat,
+        XidFormat,
+    )
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    rows = [
+        (4095, 1000, 3, ts, 9, "3.7.42", "DB", "c", "USR", "T1", 5001,
+         "rid1", None, {"ID": "1"}, {}, 1, 77),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+    def one(fmt):
+        r = build_protobuf_events(df, fmt=fmt).collect()[0]
+        return dict((f, v) for f, _, v in decode_message(bytes(r.value)))
+
+    hexed = one(Format(scn=ScnFormat.HEX))
+    assert hexed[3] == b"0000000000000fff"  # scns, no 0x prefix
+    assert 2 not in hexed
+
+    packed = one(Format(xid=XidFormat.NUMERIC))
+    assert packed[7] == (3 << 48) | (7 << 32) | 42  # xidn
+    assert 6 not in packed
+
+    xh = one(Format(xid=XidFormat.TEXT_HEX))
+    assert xh[6] == b"0x0003.007.0000002a"  # setw-padded, protobuf form
+
+    sec = one(Format(timestamp=TimestampFormat.UNIX_MILLI))
+    assert sec[4] == 1704110400 * 1000  # SECOND truncation, then scaled
+    unix_s = one(Format(timestamp=TimestampFormat.UNIX_STRING))
+    assert unix_s[5] == b"1704110400" and 4 not in unix_s
+    iso = one(Format(timestamp=TimestampFormat.ISO8601))
+    assert iso[5] == b"2024-01-01T12:00:00Z"
+    none_tm = one(Format(timestamp=TimestampFormat.ISO8601_MICRO_TZ))
+    assert 4 not in none_tm and 5 not in none_tm
+
+    # no fmt → legacy self-describing header: true-microsecond tm
+    legacy = dict(
+        (f, v)
+        for f, _, v in decode_message(
+            bytes(build_protobuf_events(df).collect()[0].value)
+        )
+    )
+    assert legacy[4] == 1704110400123456
