@@ -382,7 +382,7 @@ def build_pipeline(
                 processingTime=f"{cfg.checkpoint_interval_s} seconds"
             )
         return (
-            writer.foreachBatch(stream_network_sink(network_server))
+            writer.foreachBatch(stream_network_sink(network_server, fmt=cfg.fmt))
             .option("checkpointLocation", checkpoint)
             .start()
         )

@@ -500,7 +500,7 @@ class StreamClient:
 # --------------------------------------------------------------------------
 
 
-def stream_network_sink(server: StreamServer):
+def stream_network_sink(server: StreamServer, fmt=None):
     """foreachBatch writer: CHANGE_EVENT_SCHEMA micro-batches →
     protobuf-framed messages on the server's queue, in (c_scn, xid, num)
     emission order. Encoding runs distributed (Arrow pandas UDF); only
@@ -521,7 +521,7 @@ def stream_network_sink(server: StreamServer):
             .orderBy("_oscn", "xid", "_oidx")
         )
         encoded = build_protobuf_events(
-            prepared, extra_cols=("_oscn", "_oidx")
+            prepared, extra_cols=("_oscn", "_oidx"), fmt=fmt
         )
         for row in encoded.toLocalIterator():
             server.enqueue(int(row._oscn), int(row._oidx), bytes(row.value))
