@@ -86,3 +86,17 @@ def test_window_is_at_least_fifty_registered_oracled_queries():
     assert not missing, f"window names missing from queries(): {missing}"
     unoracled = [n for n in names if n not in o]
     assert not unoracled, f"window entries without an oracle: {unoracled}"
+
+
+def test_no_query_is_forever_unverdicted():
+    """Every registered query must either already have SOME driver
+    verdict (any round) or sit in the current window so it gets one next
+    round — catches the round-1 failure mode where queries registered
+    past slot 50 shipped without a CORRECTNESS verdict forever."""
+    seen = set(_latest_verdicts())
+    window = set(entry._PRIORITY[:WINDOW])
+    never = sorted(set(entry.queries()) - seen - window)
+    assert not never, (
+        f"queries with no driver verdict ever and no slot in the current "
+        f"window: {never}"
+    )
