@@ -240,6 +240,9 @@ class EngineConfig:
     selectors: tuple[TableSelector, ...] = (TableSelector(),)
     skip_xid: tuple[str, ...] = ()       # F4 skip-list
     start_scn: int | None = None         # O3 startup positioning
+    # O3 sequence positioning (Replicator.cpp:123-125): the reader
+    # starts at this redo-log sequence; lower sequences never enter
+    start_seq: int | None = None
     transaction_max_mb: int = 1024       # T4 size guard
     checkpoint_interval_s: int = 10
     # schema resolution mode (SURVEY §1.3; REDO_FLAGS, Ctx.h:88-89):

@@ -224,6 +224,33 @@ class ReferenceDeployment:
     dump_xid: tuple[str, ...] = ()
     unmodeled: dict = field(default_factory=dict)
 
+    def resolve_start_scn(self, catalog=None) -> int | None:
+        """O3 effective start SCN. ``start-scn`` wins outright;
+        ``start-time`` / ``start-time-rel`` resolve via
+        TIMESTAMP_TO_SCN on a live catalog — the reference only
+        supports time positioning on the ONLINE connection
+        (ReplicatorOnline::positionReader, cpp:236-273), so asking for
+        it without a catalog is a configuration error here too."""
+        if self.config.start_scn is not None:
+            return self.config.start_scn
+        if self.start_time:
+            if catalog is None:
+                raise ConfigurationError(
+                    10024,
+                    "start-time positioning requires an online catalog "
+                    "(reference: ReplicatorOnline::positionReader only)",
+                )
+            return catalog.scn_from_time(self.start_time)
+        if self.start_time_rel:
+            if catalog is None:
+                raise ConfigurationError(
+                    10026,
+                    "start-time-rel positioning requires an online "
+                    "catalog",
+                )
+            return catalog.scn_from_time_relative(self.start_time_rel)
+        return None
+
     def spark_sink(self) -> str:
         """build_pipeline `sink` for this writer type (W1-W6 mapping)."""
         return {
@@ -681,6 +708,7 @@ def from_reference_json(source) -> ReferenceDeployment:
         selectors=tuple(selectors),
         skip_xid=skip_xid,
         start_scn=start_scn,
+        start_seq=start_seq,
         transaction_max_mb=transaction_max_mb,
         checkpoint_interval_s=checkpoint_interval_s,
         schema_mode=schema_mode,

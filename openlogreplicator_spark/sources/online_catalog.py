@@ -296,6 +296,46 @@ class OnlineCatalog:
             return self.sequence_from_scn_standby(scn, resetlogs_id)
         return self.sequence_from_scn(scn, resetlogs_id)
 
+    def scn_from_time(self, start_time: str) -> int:
+        """SQL_GET_SCN_FROM_TIME (ReplicatorOnline.h:114-115;
+        positionReader cpp:236-254): resolve a wall-clock 'start-time'
+        to the SCN via TIMESTAMP_TO_SCN. Standby databases reject time
+        positioning (BootException 10024); an unresolvable time is
+        10025."""
+        if self.database_role() == "PHYSICAL STANDBY":
+            raise UnsupportedDatabaseConfig(
+                "10024: can't position by time for standby database"
+            )
+        rows = self._rows(
+            "SELECT TIMESTAMP_TO_SCN("
+            "TO_DATE(?, 'YYYY-MM-DD HH24:MI:SS')) FROM DUAL",
+            (start_time,),
+        )
+        if not rows or rows[0][0] is None:
+            raise UnsupportedDatabaseConfig(
+                f"10025: can't find scn for: {start_time}"
+            )
+        return int(rows[0][0])
+
+    def scn_from_time_relative(self, seconds: int) -> int:
+        """SQL_GET_SCN_FROM_TIME_RELATIVE (ReplicatorOnline.h:117-118;
+        cpp:255-273): 'start-time-rel' seconds before now → SCN.
+        Standby rejects (10026); unresolvable is 10025."""
+        if self.database_role() == "PHYSICAL STANDBY":
+            raise UnsupportedDatabaseConfig(
+                "10026: can't position by relative time for standby "
+                "database"
+            )
+        rows = self._rows(
+            "SELECT TIMESTAMP_TO_SCN(SYSDATE - (?/24/3600)) FROM DUAL",
+            (seconds,),
+        )
+        if not rows or rows[0][0] is None:
+            raise UnsupportedDatabaseConfig(
+                f"10025: can't find scn for time-rel: {seconds}"
+            )
+        return int(rows[0][0])
+
     # -- SYS.* dictionary snapshot --------------------------------------
     def dictionary_rows(
         self, snapshot_scn: int, owner_like: str = "%"

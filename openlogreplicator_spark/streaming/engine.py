@@ -339,6 +339,12 @@ def build_pipeline(
         # O3/F9 startup positioning: everything at or below the
         # checkpointed SCN was already confirmed by the writer
         redo = redo.filter(F.col("scn") > start_scn)
+    if getattr(cfg, "start_seq", None) is not None:
+        # O3 sequence positioning (Replicator.cpp:123-125): the reader
+        # starts at the configured redo-log sequence. Expressed as a
+        # predicate on the per-record sequence; at scale the same
+        # predicate prunes whole files when seq partitions the layout.
+        redo = redo.filter(F.col("seq") >= cfg.start_seq)
     if cfg.skip_xid:
         redo = redo.filter(~F.col("xid").isin(*list(cfg.skip_xid)))
     # T4 size guard: the reference caps transactions by bytes

@@ -273,3 +273,112 @@ def test_bootstrap_feeds_pipeline_end_to_end(spark, tmp_path):
         for p in v["payload"]:
             # positional images resolved through the CATALOG's names
             assert set(p["after"]) == {"AMOUNT", "NOTE"}
+
+
+def _with_time_functions(con):
+    """Give the DuckDB double the Oracle pieces time positioning needs:
+    a DUAL with an epoch-days SYSDATE, TO_DATE(str, fmt) → epoch days,
+    and TIMESTAMP_TO_SCN(days) — here days × 100 so SCNs are easy to
+    predict."""
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def to_date(s: str, fmt: str) -> float:
+        return (
+            datetime.datetime.strptime(s, "%Y-%m-%d %H:%M:%S") - epoch
+        ).total_seconds() / 86400.0
+
+    def ts_to_scn(days: float) -> int:
+        return int(days * 100)
+
+    con.create_function("TO_DATE", to_date)
+    con.create_function("TIMESTAMP_TO_SCN", ts_to_scn)
+    con.execute("CREATE TABLE DUAL AS SELECT 20000.0 AS SYSDATE")
+    return con
+
+
+def test_scn_from_time_positioning():
+    """start-time / start-time-rel → SCN through the catalog
+    (ReplicatorOnline::positionReader cpp:236-273): TIMESTAMP_TO_SCN
+    resolution on PRIMARY, BootException 10024/10026 on standby, and
+    ReferenceDeployment.resolve_start_scn wiring both paths."""
+    from openlogreplicator_spark.reference_config import (
+        ConfigurationError,
+        from_reference_json,
+    )
+
+    cat = OnlineCatalog(_with_time_functions(_fixture_catalog()))
+    # 2024-01-02 00:00:00 = 19724 epoch days → scn 1972400
+    assert cat.scn_from_time("2024-01-02 00:00:00") == 1972400
+    # SYSDATE 20000 days − 8640 s (=0.1 day) → 19999.9 days → 1999990
+    assert cat.scn_from_time_relative(8640) == 1999990
+
+    stand = OnlineCatalog(
+        _with_time_functions(_fixture_catalog(role="PHYSICAL STANDBY"))
+    )
+    with pytest.raises(UnsupportedDatabaseConfig, match="10024"):
+        stand.scn_from_time("2024-01-02 00:00:00")
+    with pytest.raises(UnsupportedDatabaseConfig, match="10026"):
+        stand.scn_from_time_relative(60)
+
+    doc = {
+        "version": "1.9.0",
+        "source": [
+            {
+                "alias": "S", "name": "DB",
+                "reader": {
+                    "type": "online", "user": "u", "password": "p",
+                    "server": "s", "start-time": "2024-01-02 00:00:00",
+                },
+                "format": {"type": "json"},
+            }
+        ],
+        "target": [
+            {"alias": "T", "source": "S", "writer": {"type": "discard"}}
+        ],
+    }
+    dep = from_reference_json(doc)
+    assert dep.resolve_start_scn(cat) == 1972400
+    with pytest.raises(ConfigurationError):
+        dep.resolve_start_scn()  # time positioning is online-only
+    doc["source"][0]["reader"]["start-time"] = ""
+    doc["source"][0]["reader"]["start-time-rel"] = 8640
+    dep2 = from_reference_json(doc)
+    assert dep2.resolve_start_scn(cat) == 1999990
+    doc["source"][0]["reader"]["start-time-rel"] = 0
+    doc["source"][0]["reader"]["start-scn"] = 777
+    dep3 = from_reference_json(doc)
+    assert dep3.resolve_start_scn() == 777
+
+
+def test_start_sequence_positions_pipeline(spark, tmp_path):
+    """O3 sequence positioning (Replicator.cpp:123-125) through
+    build_pipeline: with start-seq set to the second redo file's
+    sequence, records from sequence 1 never enter the pipeline."""
+    import json as _json
+
+    from openlogreplicator_spark.sources.redo_gen import (
+        generate_redo_records,
+    )
+
+    d = str(tmp_path / "redo_seq")
+    records = generate_redo_records(n_txns=10, seed=21)
+    write_binary_redo(redo_records_df(spark, records), d, n_files=2)
+
+    def run(cfg, name):
+        q = build_pipeline(
+            spark, cfg, d,
+            checkpoint=str(tmp_path / f"ckpt_{name}"),
+            sink="memory", query_name=f"olr_seq_{name}",
+        )
+        drain(q)
+        out = set()
+        for r in spark.sql(f"select * from olr_seq_{name}").collect():
+            out.add(_json.loads(r.value)["xid"])
+        return out
+
+    all_x = run(EngineConfig(), "all")
+    tail_x = run(EngineConfig(start_seq=2), "tail")
+    assert tail_x < all_x, "start-seq must drop sequence-1 transactions"
+    assert tail_x, "sequence-2 transactions must still emit"
