@@ -224,6 +224,24 @@ class ReferenceDeployment:
     dump_xid: tuple[str, ...] = ()
     unmodeled: dict = field(default_factory=dict)
 
+    def dump_xid_records(self, spark, in_dir):
+        """``filter.dump-xid`` diagnostics: the raw parsed records of
+        the listed transactions, as the reference traces a matching
+        transaction's full redo when it commits (Transaction.cpp dump
+        path driven by the filter's dumpXidList). Returns the
+        record-level frame so the caller can route it wherever traces
+        go; empty dump-xid returns an empty frame."""
+        from pyspark.sql import functions as F
+
+        from openlogreplicator_spark.sources.binary_redo import (
+            parse_redo_files,
+        )
+
+        recs = parse_redo_files(spark, in_dir)
+        if not self.dump_xid:
+            return recs.filter(F.lit(False))
+        return recs.filter(F.col("xid").isin(list(self.dump_xid)))
+
     def resolve_start_scn(self, catalog=None) -> int | None:
         """O3 effective start SCN. ``start-scn`` wins outright;
         ``start-time`` / ``start-time-rel`` resolve via

@@ -768,3 +768,35 @@ def test_memory_element_reaches_spill_conf(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dump_xid_records(spark, tmp_path):
+    """filter.dump-xid diagnostics: the deployment yields the listed
+    transactions' raw parsed records (the reference traces a matching
+    transaction's redo on commit); others never appear, and an empty
+    list yields an empty frame."""
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import (
+        generate_redo_records,
+        redo_records_df,
+    )
+
+    d = str(tmp_path / "redo_dump")
+    records = generate_redo_records(n_txns=8, seed=13)
+    write_binary_redo(redo_records_df(spark, records), d, n_files=1)
+    target = records[0]["xid"]
+
+    doc = _base()
+    doc["source"][0]["reader"] = {"type": "batch", "redo-log": [d]}
+    doc["source"][0]["filter"] = {
+        "table": [{"owner": ".*", "table": ".*"}],
+        "dump-xid": [target],
+    }
+    dep = from_reference_json(doc)
+    assert dep.dump_xid == (target,)
+    got = {r.xid for r in dep.dump_xid_records(spark, d).collect()}
+    assert got == {target}
+
+    doc["source"][0]["filter"].pop("dump-xid")
+    empty = from_reference_json(doc)
+    assert empty.dump_xid_records(spark, d).count() == 0
