@@ -170,7 +170,12 @@ def assemble_stateful(
         # T4-skiplisted xids (oversized, dropped at the buffering cap —
         # see below): their remaining records drop on arrival; a
         # terminal record retires the skiplist entry so a reused xid
-        # (TransactionBuffer xid-reuse) starts clean
+        # (TransactionBuffer xid-reuse) starts clean — the reference
+        # drops the Transaction OBJECT, so a later reuse of the xid is a
+        # fresh transaction. (The batch kernel's in-partition skiplist
+        # never retires; the difference is only observable for an xid
+        # reused after an oversize drop, which the reference handles as
+        # here.)
         in_skip = comb["xid"].isin(skip_xids)
         if in_skip.any():
             skip_xids -= set(
