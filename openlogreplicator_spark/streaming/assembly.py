@@ -227,13 +227,16 @@ def assemble_stateful(
         # emits whether it arrived in one micro-batch or across many.
         # A dropped open xid goes on the in-state skiplist so its
         # remaining records (and eventual terminal) drop on arrival.
-        if len(leftover):
+        # a transaction can only exceed the cap if its frame has more
+        # rows than the cap, so the per-xid counting is skipped on the
+        # hot path (typical micro-batches are far below max_ops)
+        if len(leftover) > max_ops:
             counts = leftover.groupby("xid")["xid"].transform("size")
             oversized = counts > max_ops
             if oversized.any():
                 skip_xids |= set(leftover.loc[oversized, "xid"])
                 leftover = leftover[~oversized]
-        if flush_m.any():
+        if int(flush_m.sum()) > max_ops:
             fl = comb[flush_m]
             fcounts = fl.groupby("xid")["xid"].transform("size")
             if (fcounts > max_ops).any():
