@@ -213,6 +213,7 @@ def build_pipeline(
     network_server=None,
     kafka_bootstrap: str | None = None,
     kafka_topic: str = "olr.events",
+    max_message_mb: int | None = None,
 ):
     """Assemble and START the full pipeline from one config. Returns the
     ``StreamingQuery``. ``sink`` ∈ {json, noop, memory, lake, network,
@@ -399,17 +400,47 @@ def build_pipeline(
             F.when(F.col("op").isin("c", "u", "d"), 1).otherwise(0)
         ).alias("dml_out"),
     )
-    messages = build_events(
-        events,
-        cfg.fmt,
-        tag_cols=sel.tag,
-        dict_cols=dict_cols,
-        key_cols=sel.key,
+    # T6 big-transaction split (writer "max-message-mb",
+    # Transaction.cpp:518-538): the byte cap converts at the same
+    # conservative ~512 B/op ratio as the T4 guard
+    max_ops_per_message = (
+        max_message_mb * (1024 * 1024 // 512) if max_message_mb else None
     )
-    if with_heartbeats:
-        messages = messages.unionByName(heartbeat_messages(spark, in_dir))
 
-    writer = messages.writeStream.queryName(query_name)
+    def _build(ev_df: DataFrame) -> DataFrame:
+        return build_events(
+            ev_df,
+            cfg.fmt,
+            tag_cols=sel.tag,
+            dict_cols=dict_cols,
+            key_cols=sel.key,
+            max_ops_per_message=max_ops_per_message,
+        )
+
+    from openlogreplicator_spark.config import MessageFormat
+
+    # FULL envelopes aggregate per transaction, which a streaming plan
+    # can't run in append mode without a watermark. Stateful assembly
+    # emits a committed transaction WHOLLY within one micro-batch, so
+    # per-micro-batch batch-semantics building (foreachBatch) is exact —
+    # the same grouping the reference's Builder does per flushed
+    # transaction.
+    full_batch_build = cfg.fmt.message == MessageFormat.FULL
+    if full_batch_build and with_heartbeats:
+        raise ValueError(
+            "chkpt heartbeats can't union into the per-batch-built FULL "
+            "envelope stream; use the SHORT message format with "
+            "SHOW_CHECKPOINT"
+        )
+    if not full_batch_build:
+        messages = _build(events)
+        if with_heartbeats:
+            messages = messages.unionByName(
+                heartbeat_messages(spark, in_dir)
+            )
+        writer = messages.writeStream.queryName(query_name)
+    else:
+        writer = events.writeStream.queryName(query_name)
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
@@ -431,9 +462,40 @@ def build_pipeline(
             kafka_foreach_batch,
         )
 
+        produce = kafka_foreach_batch(kafka_bootstrap, kafka_topic)
+        fb = (
+            (lambda df, bid: produce(_build(df), bid))
+            if full_batch_build
+            else produce
+        )
+        return (
+            writer.foreachBatch(fb)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+    if full_batch_build:
+        if sink == "memory":
+            raise ValueError(
+                "FULL message format streams through per-batch building "
+                "(foreachBatch), which Spark's memory sink cannot host — "
+                "use sink='json' with an out_dir (tests read the files)"
+            )
+        if sink == "noop":
+            return (
+                writer.foreachBatch(
+                    lambda df, _bid: _build(df)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
         return (
             writer.foreachBatch(
-                kafka_foreach_batch(kafka_bootstrap, kafka_topic)
+                lambda df, _bid: _build(df)
+                .write.mode("append")
+                .json(out_dir)
             )
             .option("checkpointLocation", checkpoint)
             .start()

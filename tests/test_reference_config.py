@@ -800,3 +800,55 @@ def test_dump_xid_records(spark, tmp_path):
     doc["source"][0]["filter"].pop("dump-xid")
     empty = from_reference_json(doc)
     assert empty.dump_xid_records(spark, d).count() == 0
+
+
+def test_max_message_mb_drives_t6_split(spark, tmp_path):
+    """Writer "max-message-mb" → the T6 big-transaction split
+    (Transaction.cpp:518-538): a FULL-format transaction whose payload
+    exceeds the byte cap (converted at the T4 ~512 B/op ratio) emits as
+    multiple 'xid:part'-keyed messages; without the cap it is one
+    message."""
+    from openlogreplicator_spark.config import (
+        EngineConfig,
+        Format,
+        MessageFormat,
+    )
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import redo_records_df
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+    from conftest import drain
+
+    def rec(scn, opcode, **kw):
+        base = {"scn": scn, "subscn": 0, "block": scn, "offset": 0,
+                "seq": 1, "xid": "5.5.5", "opcode": opcode, "obj": 9,
+                "bdba": scn, "slot": 1, "fb": 0, "cols": None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    n_ops = 2500  # > 1 MB / 512 B = 2048 ops → must split at 1 MB
+    records = (
+        [rec(1, "begin")]
+        + [rec(2 + i, "insert", cols={"A": str(i)}) for i in range(n_ops)]
+        + [rec(2 + n_ops, "commit")]
+    )
+    d = str(tmp_path / "redo_big")
+    write_binary_redo(redo_records_df(spark, records), d, n_files=1)
+    cfg = EngineConfig(fmt=Format(message=MessageFormat.FULL))
+
+    def keys(name, **kw):
+        out = str(tmp_path / f"out_{name}")
+        q = build_pipeline(
+            spark, cfg, d,
+            checkpoint=str(tmp_path / f"ckpt_{name}"),
+            out_dir=out,
+            sink="json", query_name=f"olr_split_{name}", **kw,
+        )
+        drain(q)
+        return [r.key for r in spark.read.json(out).collect()]
+
+    whole = keys("whole")
+    assert len(whole) == 1 and whole[0] == "5.5.5"
+    parts = keys("split", max_message_mb=1)
+    assert len(parts) == 2  # 2502 ops at a 2048-op cap
+    assert all(k.startswith("5.5.5:") for k in parts)
