@@ -269,6 +269,25 @@ class ReferenceDeployment:
             return catalog.scn_from_time_relative(self.start_time_rel)
         return None
 
+    def pipeline_kwargs(self) -> dict:
+        """Everything the writer spec contributes to ``build_pipeline``,
+        so migration is literally ``build_pipeline(spark, dep.config,
+        redo_dir, checkpoint, **dep.pipeline_kwargs())``: the sink
+        mapping, Kafka endpoint, the T6 ``max-message-mb`` cap, and the
+        file writer's output directory when one is configured."""
+        kw: dict = {
+            "sink": self.spark_sink(),
+            "max_message_mb": self.writer.max_message_mb,
+        }
+        if self.writer.type == "kafka":
+            kw["kafka_bootstrap"] = self.writer.brokers
+            kw["kafka_topic"] = self.writer.topic or "olr.events"
+        if self.writer.type == "file" and self.writer.output:
+            out_dir = os.path.dirname(self.writer.output)
+            if out_dir:
+                kw["out_dir"] = out_dir
+        return kw
+
     def spark_sink(self) -> str:
         """build_pipeline `sink` for this writer type (W1-W6 mapping)."""
         return {

@@ -852,3 +852,25 @@ def test_max_message_mb_drives_t6_split(spark, tmp_path):
     parts = keys("split", max_message_mb=1)
     assert len(parts) == 2  # 2502 ops at a 2048-op cap
     assert all(k.startswith("5.5.5:") for k in parts)
+
+
+def test_pipeline_kwargs_one_call_migration():
+    """dep.pipeline_kwargs() carries the writer spec into build_pipeline
+    — sink mapping, Kafka endpoint, the T6 byte cap, file output dir."""
+    kafka = from_reference_json(
+        os.path.join(_SCRIPTS, "OpenLogReplicator-example.json")
+    )
+    kw = kafka.pipeline_kwargs()
+    assert kw["sink"] == "kafka"
+    assert kw["kafka_bootstrap"] == "localhost:9092"
+    assert kw["kafka_topic"] == "TOPIC"
+    assert kw["max_message_mb"] == 100
+
+    fil = from_reference_json(
+        os.path.join(_SCRIPTS, "OpenLogReplicator-example-file.json")
+    )
+    kw = fil.pipeline_kwargs()
+    assert kw["sink"] == "json"
+    assert "kafka_bootstrap" not in kw
+    # example-file's output has no directory component → caller supplies
+    assert "out_dir" not in kw
