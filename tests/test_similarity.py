@@ -152,3 +152,58 @@ def test_semantic_dedup_hot_cluster_cap(spark):
         emb, k=1, tau=tau, cap=cap
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "row_number" in plan and "_rk" in plan
+
+
+def test_pq_adc_shortlist_matches_numpy_replay(spark):
+    """The map-side ADC scan (r7) is deterministic and exact against a
+    direct numpy replay: same codes, same per-query distance tables,
+    same (adist, neighbor_id) ordering at the shortlist boundary —
+    regardless of how the corpus is partitioned."""
+    import numpy as np
+
+    from openlogreplicator_spark.operators.similarity import (
+        _pq_adc_shortlist,
+        _pq_encode_udf,
+        pq_fit,
+    )
+
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((40, 64)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)  # uneven partitions exercise the partial merge
+    queries = emb.filter("vec_id % 20 = 0")  # ids 0, 20
+    books = pq_fit(emb)
+    m, ksub, d = books.shape
+    k = 3
+    keep = k * 8  # _PQ_REFINE
+
+    got = {
+        (r.query_id, r.neighbor_id, round(r.adist, 9))
+        for r in _pq_adc_shortlist(emb, queries, books, k).collect()
+    }
+
+    # numpy replay: encode every vector, build tables, rank exactly
+    codes = np.vstack(
+        [
+            np.asarray(r.codes, dtype=np.int64)
+            for r in emb.orderBy("vec_id")
+            .select("vec_id", _pq_encode_udf(books)("embedding").alias("codes"))
+            .collect()
+        ]
+    )
+    expected = set()
+    for qid in (0, 20):
+        qv = vecs[qid].astype(np.float64)
+        qv = qv / np.linalg.norm(qv)
+        tab = np.empty((m, ksub))
+        for s in range(m):
+            tab[s] = ((books[s] - qv[s * d:(s + 1) * d]) ** 2).sum(1)
+        adist = tab[np.arange(m)[None, :], codes].sum(1)
+        adist[qid] = np.inf
+        order = np.lexsort((np.arange(40), adist))[:keep]
+        for nid in order:
+            if np.isfinite(adist[nid]):
+                expected.add((qid, int(nid), round(float(adist[nid]), 9)))
+    assert got == expected
