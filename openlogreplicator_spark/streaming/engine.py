@@ -417,15 +417,18 @@ def build_pipeline(
             max_ops_per_message=max_ops_per_message,
         )
 
-    from openlogreplicator_spark.config import MessageFormat
+    from openlogreplicator_spark.config import MessageFormat, SchemaFormat
 
-    # FULL envelopes aggregate per transaction, which a streaming plan
-    # can't run in append mode without a watermark. Stateful assembly
+    # FULL envelopes aggregate per transaction and SCHEMA_FORMAT::FULL
+    # marks each transaction-table's first op with a row_number window —
+    # neither runs on a streaming plan in append mode. Stateful assembly
     # emits a committed transaction WHOLLY within one micro-batch, so
     # per-micro-batch batch-semantics building (foreachBatch) is exact —
     # the same grouping the reference's Builder does per flushed
     # transaction.
-    full_batch_build = cfg.fmt.message == MessageFormat.FULL
+    full_batch_build = cfg.fmt.message == MessageFormat.FULL or (
+        cfg.fmt.schema == SchemaFormat.FULL and dict_cols is not None
+    )
     if full_batch_build and with_heartbeats:
         raise ValueError(
             "chkpt heartbeats can't union into the per-batch-built FULL "

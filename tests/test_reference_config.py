@@ -874,3 +874,67 @@ def test_pipeline_kwargs_one_call_migration():
     assert "kafka_bootstrap" not in kw
     # example-file's output has no directory component → caller supplies
     assert "out_dir" not in kw
+
+
+def test_hidden_column_flag_changes_message_output(spark, tmp_path):
+    """Bit 6 end-to-end THROUGH the message surface: with a hidden
+    column in the dictionary and SCHEMA_FORMAT::FULL descriptors, the
+    column name appears in the emitted JSON only when REDO_FLAGS
+    SHOW_HIDDEN_COLUMNS (flags 64) is set — the r6 'silently accepted
+    and dropped' scenario, closed."""
+    from conftest import drain
+    from openlogreplicator_spark.event_model import DICT_COL_SCHEMA
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import (
+        generate_redo_records,
+        redo_records_df,
+    )
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    d = str(tmp_path / "redo_hidden")
+    records = generate_redo_records(n_txns=6, seed=9, n_objs=2)
+    write_binary_redo(redo_records_df(spark, records), d, n_files=1)
+    objs = sorted({r["obj"] for r in records if r["obj"]})
+    dict_obj = spark.createDataFrame(
+        [(o, "APP", f"T{o}") for o in objs],
+        "obj long, owner string, name string",
+    )
+    dict_cols = spark.createDataFrame(
+        [
+            (o, c, c, c, n, 1, 10, None, None, 0, True, pk, prop, 0)
+            for o in objs
+            for c, n, pk, prop in (
+                (1, "c1", 1, 0),
+                (2, "c2", 0, 0),
+                (3, "SECRET", 0, 1),  # HIDDEN property bit
+            )
+        ],
+        DICT_COL_SCHEMA,
+    )
+
+    def payload_schema_cols(flags: int, name: str) -> set:
+        doc = _base()
+        doc["source"][0]["reader"] = {"type": "batch", "redo-log": [d]}
+        doc["source"][0]["format"]["schema"] = 1  # SCHEMA_FORMAT::FULL
+        doc["source"][0]["flags"] = flags
+        dep = from_reference_json(doc)
+        out = str(tmp_path / f"out_h_{name}")
+        q = build_pipeline(
+            spark, dep.config, d,
+            checkpoint=str(tmp_path / f"ckpt_h_{name}"),
+            out_dir=out,
+            sink="json", query_name=f"olr_hidden_{name}",
+            dict_obj=dict_obj, dict_cols=dict_cols,
+        )
+        drain(q)
+        cols = set()
+        for r in spark.read.json(out).collect():
+            for p in json.loads(r.value)["payload"]:
+                for c in (p.get("schema") or {}).get("columns", []) or []:
+                    cols.add(c.get("name"))
+        return cols
+
+    base_cols = payload_schema_cols(0, "off")
+    assert "c1" in base_cols and "SECRET" not in base_cols
+    shown = payload_schema_cols(1 << 6, "on")
+    assert "SECRET" in shown
