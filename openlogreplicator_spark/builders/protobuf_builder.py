@@ -165,7 +165,13 @@ def build_protobuf_events(
     numToString), XID_FORMAT hex/numeric → rendered ``xid`` / packed
     ``xidn``, and the TIMESTAMP_FORMAT switch — numeric UNIX variants
     scale the SECOND-resolution epoch into ``tm`` (the reference's
-    toEpoch truncation), UNIX_*_STRING render it into ``tms``, bare
+    toEpoch truncation; fidelity note: the reference's clock is
+    second-resolution in BOTH builders — this repo's JSON builder
+    deliberately renders true sub-second values (config.py's
+    TimestampFormat note), while the protobuf side follows the
+    reference's time_t arithmetic exactly, so the same deployment sees
+    sub-second tm under JSON and second-truncated tm under protobuf),
+    UNIX_*_STRING render it into ``tms``, bare
     ISO8601 renders "YYYY-MM-DDTHH:MM:SSZ" into ``tms``, and every
     other ISO variant emits NO timestamp (the reference's `default:
     break`). Without ``fmt`` the legacy self-describing header is kept:
@@ -217,14 +223,15 @@ def build_protobuf_events(
             )
             xid_out = null_s
         elif fmt.xid == XidFormat.TEXT_HEX:
+            # format_string pads like the reference's setw but never
+            # truncates a wider value (lpad would corrupt e.g. a 4-hex
+            # slt into 3 characters)
             parts = F.split(F.col("xid"), r"\.")
-            xid_out = F.concat(
-                F.lit("0x"),
-                F.lpad(F.lower(F.hex(F.element_at(parts, 1).cast("long"))), 4, "0"),
-                F.lit("."),
-                F.lpad(F.lower(F.hex(F.element_at(parts, 2).cast("long"))), 3, "0"),
-                F.lit("."),
-                F.lpad(F.lower(F.hex(F.element_at(parts, 3).cast("long"))), 8, "0"),
+            xid_out = F.format_string(
+                "0x%04x.%03x.%08x",
+                F.element_at(parts, 1).cast("long"),
+                F.element_at(parts, 2).cast("long"),
+                F.element_at(parts, 3).cast("long"),
             )
     prepared = events.select(
         *extra_cols,

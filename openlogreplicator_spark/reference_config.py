@@ -283,9 +283,10 @@ class ReferenceDeployment:
             kw["kafka_bootstrap"] = self.writer.brokers
             kw["kafka_topic"] = self.writer.topic or "olr.events"
         if self.writer.type == "file" and self.writer.output:
-            out_dir = os.path.dirname(self.writer.output)
-            if out_dir:
-                kw["out_dir"] = out_dir
+            # the reference writes the named file relative to its cwd;
+            # a bare filename therefore maps to the current directory —
+            # never omit out_dir or the json sink fails on a null path
+            kw["out_dir"] = os.path.dirname(self.writer.output) or "."
         return kw
 
     def spark_sink(self) -> str:
@@ -539,6 +540,16 @@ def from_reference_json(source) -> ReferenceDeployment:
     alias = src["alias"]
     db_name = src["name"]
 
+    if "memory" in src:
+        # the reference's source-level allowed-key list includes
+        # "memory" but OpenLogReplicator.cpp:248 reads the element at
+        # the DOCUMENT level only — mirror that exactly, and record the
+        # ignored element so the drop is visible instead of silent
+        _check_keys(src["memory"], _MEMORY_KEYS, '"memory"', check)
+        unmodeled_src_memory = dict(src["memory"])
+    else:
+        unmodeled_src_memory = None
+
     flags = 0
     if "flags" in src:
         flags = src["flags"]
@@ -776,5 +787,12 @@ def from_reference_json(source) -> ReferenceDeployment:
         flags=flags,
         log_archive_format=reader.get("log-archive-format", ""),
         dump_xid=dump_xid,
-        unmodeled=unmodeled,
+        unmodeled={
+            **unmodeled,
+            **(
+                {"source-memory-ignored": unmodeled_src_memory}
+                if unmodeled_src_memory is not None
+                else {}
+            ),
+        },
     )

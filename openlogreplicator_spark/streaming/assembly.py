@@ -166,24 +166,6 @@ def assemble_stateful(
         yield empty
         return
     comb = pd.concat(frames, ignore_index=True, copy=False)
-    if skip_xids:
-        # T4-skiplisted xids (oversized, dropped at the buffering cap —
-        # see below): their remaining records drop on arrival; a
-        # terminal record retires the skiplist entry so a reused xid
-        # (TransactionBuffer xid-reuse) starts clean — the reference
-        # drops the Transaction OBJECT, so a later reuse of the xid is a
-        # fresh transaction. (The batch kernel's in-partition skiplist
-        # never retires; the difference is only observable for an xid
-        # reused after an oversize drop, which the reference handles as
-        # here.)
-        in_skip = comb["xid"].isin(skip_xids)
-        if in_skip.any():
-            skip_xids -= set(
-                comb.loc[
-                    in_skip & comb["opcode"].isin(_TERMINAL), "xid"
-                ]
-            )
-            comb = comb[~in_skip].reset_index(drop=True)
     # Source contract: records arrive in log order across batches (the
     # reference's reader guarantees the same). The defensive re-sort
     # repairs ordering *within* what we currently hold — null key parts
@@ -201,6 +183,31 @@ def assemble_stateful(
             )
         )
     ].reset_index(drop=True)
+    if skip_xids:
+        # T4-skiplisted xids (oversized, dropped at the buffering cap —
+        # see below): a skiplisted xid's records drop up to AND
+        # INCLUDING its first terminal, which retires the skiplist
+        # entry — rows AFTER that terminal belong to a REUSED xid and
+        # start a fresh transaction, the reference's semantics (it
+        # drops the Transaction OBJECT; a later reuse of the xid is a
+        # new object). (The batch kernel's in-partition skiplist never
+        # retires; the difference is only observable for an xid reused
+        # after an oversize drop, which the reference handles as here.)
+        in_skip = comb["xid"].isin(skip_xids).to_numpy()
+        if in_skip.any():
+            pos0 = np.arange(len(comb))
+            term0 = comb["opcode"].isin(_TERMINAL).to_numpy()
+            first_term = (
+                pd.Series(
+                    np.where(in_skip & term0, pos0, len(comb))
+                )
+                .groupby(comb["xid"].to_numpy())
+                .transform("min")
+                .to_numpy()
+            )
+            skip_xids -= set(comb.loc[in_skip & term0, "xid"])
+            drop = in_skip & (pos0 <= first_term)
+            comb = comb[~drop].reset_index(drop=True)
     # per-xid split at the last commit/rollback: records at or before
     # their xid's last terminal flush now; each xid's tail stays open
     pos = np.arange(len(comb))
@@ -238,10 +245,22 @@ def assemble_stateful(
                 leftover = leftover[~oversized]
         if int(flush_m.sum()) > max_ops:
             fl = comb[flush_m]
-            fcounts = fl.groupby("xid")["xid"].transform("size")
+            # count per TRANSACTION, not per xid: a reused xid can close
+            # several distinct transactions inside one micro-batch, and
+            # grouping them jointly would drop under-cap transactions
+            # (breaking the batch-boundary invariance this rule exists
+            # for). Segment id = number of PRIOR terminals of the xid.
+            t_fl = fl["opcode"].isin(_TERMINAL)
+            seg = (
+                t_fl.groupby(fl["xid"].to_numpy()).cumsum()
+                - t_fl.astype(int)
+            )
+            fcounts = fl.groupby(
+                [fl["xid"].to_numpy(), seg.to_numpy()]
+            )["xid"].transform("size")
             if (fcounts > max_ops).any():
                 # terminal already present: drop whole, no skiplist
-                drop = fl.loc[fcounts > max_ops].index
+                drop = fl.loc[(fcounts > max_ops).to_numpy()].index
                 flush_m[drop] = False
     if len(leftover) or skip_xids:
         recs = leftover.to_dict("records")
@@ -280,7 +299,12 @@ def assemble_stateful(
     emitted = False
     if flush_m.any():
         tbl = _records_arrow_table(comb[flush_m])
-        for batch in _assemble_partition_arrow(tbl, show_incomplete, max_ops):
+        # the flush set holds only terminated transactions, so the
+        # incomplete-transaction flag cannot change its output — pass
+        # False to keep the vectorized Arrow route (show_incomplete=True
+        # forces the whole table through the sequential state machine);
+        # the flag's real effect lives on the timeout path above
+        for batch in _assemble_partition_arrow(tbl, False, max_ops):
             if batch.num_rows:
                 emitted = True
                 # Spark's state-API serializer converts map values via

@@ -370,6 +370,17 @@ def build_pipeline(
     sel = cfg.selectors[0] if cfg.selectors else TableSelector()
     if sel.condition:
         events = events.filter(compile_condition(sel.condition))
+    if sink in ("lake", "network") and (
+        with_heartbeats or getattr(cfg, "show_checkpoint", False)
+    ):
+        # these sinks consume the EVENT stream (typed rows / protobuf
+        # frames), which chkpt heartbeat MESSAGES cannot union into —
+        # fail loudly rather than silently dropping the configured flag
+        # (Writer.cpp:296 parity holds on the message sinks)
+        raise ValueError(
+            f"chkpt heartbeats (SHOW_CHECKPOINT) are not expressible on "
+            f"the {sink!r} sink; use a message sink (json/kafka/file)"
+        )
     if sink == "lake":
         from openlogreplicator_spark.streaming.sinks import write_lake_sink
 
@@ -494,11 +505,17 @@ def build_pipeline(
                 .option("checkpointLocation", checkpoint)
                 .start()
             )
+        # exactly-once under retries: each micro-batch OVERWRITES its
+        # own batchId-keyed subdirectory, so a batch replayed after a
+        # failure-before-offset-commit rewrites the same files instead
+        # of appending duplicates (the streaming file sink's
+        # _spark_metadata manifest gives the non-FULL path the same
+        # guarantee). Read the tree with recursiveFileLookup.
         return (
             writer.foreachBatch(
-                lambda df, _bid: _build(df)
-                .write.mode("append")
-                .json(out_dir)
+                lambda df, bid: _build(df)
+                .write.mode("overwrite")
+                .json(os.path.join(out_dir, f"batch-{bid}"))
             )
             .option("checkpointLocation", checkpoint)
             .start()

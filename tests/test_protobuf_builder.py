@@ -154,6 +154,17 @@ def test_header_toggles_reach_protobuf_wire(spark):
 
     xh = one(Format(xid=XidFormat.TEXT_HEX))
     assert xh[6] == b"0x0003.007.0000002a"  # setw-padded, protobuf form
+    # pad-but-never-truncate: a 4-hex slt must render in full (setw
+    # widens; lpad would have corrupted it to 3 chars)
+    wide = spark.createDataFrame(
+        [(4095, 1000, 3, ts, 9, "3.4096.42", "DB", "c", "USR", "T1",
+          5001, "rid1", None, {"ID": "1"}, {}, 1, 77)],
+        CHANGE_EVENT_SCHEMA,
+    )
+    r = build_protobuf_events(wide, fmt=Format(xid=XidFormat.TEXT_HEX)).collect()[0]
+    assert dict(
+        (f, v) for f, _, v in decode_message(bytes(r.value))
+    )[6] == b"0x0003.1000.0000002a"
 
     sec = one(Format(timestamp=TimestampFormat.UNIX_MILLI))
     assert sec[4] == 1704110400 * 1000  # SECOND truncation, then scaled

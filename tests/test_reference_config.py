@@ -845,7 +845,12 @@ def test_max_message_mb_drives_t6_split(spark, tmp_path):
             sink="json", query_name=f"olr_split_{name}", **kw,
         )
         drain(q)
-        return [r.key for r in spark.read.json(out).collect()]
+        return [
+            r.key
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .json(out)
+            .collect()
+        ]
 
     whole = keys("whole")
     assert len(whole) == 1 and whole[0] == "5.5.5"
@@ -872,8 +877,9 @@ def test_pipeline_kwargs_one_call_migration():
     kw = fil.pipeline_kwargs()
     assert kw["sink"] == "json"
     assert "kafka_bootstrap" not in kw
-    # example-file's output has no directory component → caller supplies
-    assert "out_dir" not in kw
+    # example-file's output is a bare filename → the reference writes
+    # relative to its cwd, so out_dir maps to "."
+    assert kw["out_dir"] == "."
 
 
 def test_hidden_column_flag_changes_message_output(spark, tmp_path):
@@ -928,7 +934,8 @@ def test_hidden_column_flag_changes_message_output(spark, tmp_path):
         )
         drain(q)
         cols = set()
-        for r in spark.read.json(out).collect():
+        reader = spark.read.option("recursiveFileLookup", "true")
+        for r in reader.json(out).collect():
             for p in json.loads(r.value)["payload"]:
                 for c in (p.get("schema") or {}).get("columns", []) or []:
                     cols.add(c.get("name"))
@@ -938,3 +945,19 @@ def test_hidden_column_flag_changes_message_output(spark, tmp_path):
     assert "c1" in base_cols and "SECRET" not in base_cols
     shown = payload_schema_cols(1 << 6, "on")
     assert "SECRET" in shown
+
+
+def test_source_level_memory_recorded_not_silently_dropped():
+    """The reference ACCEPTS "memory" as a source key but reads the
+    element at the document level only (OpenLogReplicator.cpp:248) —
+    mirror that, and surface the ignored element in `unmodeled` so the
+    drop is visible."""
+    doc = _base()
+    doc["source"][0]["memory"] = {"max-mb": 512}
+    dep = from_reference_json(doc)
+    assert dep.config.memory_max_mb is None  # doc-level only
+    assert dep.unmodeled["source-memory-ignored"] == {"max-mb": 512}
+    # unknown keys inside it are still validated like the real element
+    doc["source"][0]["memory"] = {"bogus": 1}
+    with pytest.raises(ConfigurationError, match="bogus"):
+        from_reference_json(doc)

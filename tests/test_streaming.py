@@ -649,3 +649,86 @@ def test_buffering_size_guard_invariant_to_batch_boundaries(seed):
     # the generator at max_ops=9 produces at least one txn over the cap
     all_emitted = assemble_transactions_py(records, max_ops=None)
     assert len(all_emitted) > len(expected), "no oversized txn generated"
+
+
+def test_skiplisted_xid_reuse_in_same_batch_survives():
+    """Review finding (r7): after an oversize drop, the skiplisted xid's
+    terminal and a REUSE of the same xid may arrive in one micro-batch —
+    only rows up to and including the first terminal may drop; the
+    reused transaction is a fresh object (reference semantics) and must
+    emit."""
+    import pandas as pd
+
+    from openlogreplicator_spark.streaming.assembly import assemble_stateful
+
+    def rec(scn, opcode, xid="7.7.7", **kw):
+        base = {"scn": scn, "subscn": 0, "block": scn, "offset": 0,
+                "seq": 1, "xid": xid, "opcode": opcode, "obj": 5,
+                "bdba": scn, "slot": 1, "fb": 0, "cols": None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    # batch 1: oversize the open txn → dropped + skiplisted
+    big = pd.DataFrame(
+        [rec(1, "begin")] +
+        [rec(2 + i, "insert", cols={"A": str(i)}) for i in range(6)]
+    )
+    state = _FakeGroupState()
+    list(assemble_stateful(("b",), iter([big]), state, max_ops=3))
+    _, payload = state.get
+    assert json.loads(payload)["skip"] == ["7.7.7"]
+
+    # batch 2: the old txn's rollback, THEN a reuse of the xid that
+    # commits — all in one batch
+    tail = pd.DataFrame(
+        [
+            rec(20, "insert", cols={"A": "old"}),
+            rec(21, "rollback"),
+            rec(22, "begin"),
+            rec(23, "insert", cols={"A": "new"}),
+            rec(24, "commit"),
+        ]
+    )
+    state2 = _FakeGroupState(payload=payload)
+    got = []
+    for out in assemble_stateful(("b",), iter([tail]), state2, max_ops=3):
+        got.extend(out.to_dict("records"))
+    assert len(got) == 1, "the reused xid's fresh transaction must emit"
+    assert got[0]["cols"] == {"A": "new"}
+    assert state2.removed, "skiplist retired, nothing left in state"
+
+
+def test_flush_cap_counts_per_transaction_not_per_xid():
+    """Review finding (r7): two DISTINCT under-cap transactions reusing
+    one xid inside a single micro-batch must BOTH emit — the gross cap
+    segments at terminals, never jointly across reuses."""
+    import pandas as pd
+
+    from openlogreplicator_spark.streaming.assembly import assemble_stateful
+
+    def rec(scn, opcode, **kw):
+        base = {"scn": scn, "subscn": 0, "block": scn, "offset": 0,
+                "seq": 1, "xid": "8.8.8", "opcode": opcode, "obj": 5,
+                "bdba": scn, "slot": 1, "fb": 0, "cols": None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    # two txns of 4 gross records each (cap 5): jointly 8 > cap, each
+    # under it
+    batch = pd.DataFrame(
+        [rec(1, "begin"),
+         rec(2, "insert", cols={"A": "t1a"}),
+         rec(3, "insert", cols={"A": "t1b"}),
+         rec(4, "commit"),
+         rec(5, "begin"),
+         rec(6, "insert", cols={"A": "t2a"}),
+         rec(7, "insert", cols={"A": "t2b"}),
+         rec(8, "commit")]
+    )
+    state = _FakeGroupState()
+    got = []
+    for out in assemble_stateful(("b",), iter([batch]), state, max_ops=5):
+        got.extend(out.to_dict("records"))
+    assert sorted(r["cols"]["A"] for r in got) == ["t1a", "t1b", "t2a", "t2b"]
