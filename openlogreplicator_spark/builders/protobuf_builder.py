@@ -227,11 +227,16 @@ def build_protobuf_events(
             # truncates a wider value (lpad would corrupt e.g. a 4-hex
             # slt into 3 characters)
             parts = F.split(F.col("xid"), r"\.")
-            xid_out = F.format_string(
-                "0x%04x.%03x.%08x",
-                F.element_at(parts, 1).cast("long"),
-                F.element_at(parts, 2).cast("long"),
-                F.element_at(parts, 3).cast("long"),
+            # guard the null xid: format_string renders null args as the
+            # literal 'null' instead of propagating NULL
+            xid_out = F.when(
+                F.col("xid").isNotNull(),
+                F.format_string(
+                    "0x%04x.%03x.%08x",
+                    F.element_at(parts, 1).cast("long"),
+                    F.element_at(parts, 2).cast("long"),
+                    F.element_at(parts, 3).cast("long"),
+                ),
             )
     prepared = events.select(
         *extra_cols,

@@ -543,10 +543,10 @@ def from_reference_json(source) -> ReferenceDeployment:
     if "memory" in src:
         # the reference's source-level allowed-key list includes
         # "memory" but OpenLogReplicator.cpp:248 reads the element at
-        # the DOCUMENT level only — mirror that exactly, and record the
-        # ignored element so the drop is visible instead of silent
-        _check_keys(src["memory"], _MEMORY_KEYS, '"memory"', check)
-        unmodeled_src_memory = dict(src["memory"])
+        # the DOCUMENT level only — it never key-checks what it never
+        # reads, so neither do we; record the ignored element verbatim
+        # so the drop is visible instead of silent
+        unmodeled_src_memory = src["memory"]
     else:
         unmodeled_src_memory = None
 

@@ -370,16 +370,14 @@ def build_pipeline(
     sel = cfg.selectors[0] if cfg.selectors else TableSelector()
     if sel.condition:
         events = events.filter(compile_condition(sel.condition))
-    if sink in ("lake", "network") and (
-        with_heartbeats or getattr(cfg, "show_checkpoint", False)
-    ):
-        # these sinks consume the EVENT stream (typed rows / protobuf
-        # frames), which chkpt heartbeat MESSAGES cannot union into —
-        # fail loudly rather than silently dropping the configured flag
-        # (Writer.cpp:296 parity holds on the message sinks)
+    if sink == "lake" and with_heartbeats:
+        # the lake sink persists TYPED DML rows, which chkpt heartbeat
+        # rows cannot join — fail loudly rather than silently dropping
+        # the configured SHOW_CHECKPOINT flag
         raise ValueError(
-            f"chkpt heartbeats (SHOW_CHECKPOINT) are not expressible on "
-            f"the {sink!r} sink; use a message sink (json/kafka/file)"
+            "chkpt heartbeats (SHOW_CHECKPOINT) are not expressible on "
+            "the 'lake' sink; use a message sink (json/kafka) or "
+            "'network'"
         )
     if sink == "lake":
         from openlogreplicator_spark.streaming.sinks import write_lake_sink
@@ -391,6 +389,36 @@ def build_pipeline(
         from openlogreplicator_spark.streaming.stream_network import (
             stream_network_sink,
         )
+
+        if with_heartbeats:
+            # the reference's network writer DOES carry checkpoints:
+            # BuilderProtobuf::processCheckpoint (cpp:312-333) emits a
+            # RedoResponse whose payload is {op=CHKPT, seq, offset} —
+            # union chkpt rows shaped as change events; the protobuf
+            # encoder renders op 'chkpt' as enum 6 with the same fields
+            hb = heartbeat_stream(spark, in_dir)
+            chk = hb.select(
+                F.col("c_scn").cast("long").alias("scn"),
+                F.col("c_scn").cast("long").alias("c_scn"),
+                F.lit(0).cast("long").alias("c_idx"),
+                F.timestamp_micros(F.col("ts_us")).alias("tm"),
+                F.lit(None).cast("timestamp").alias("b_tm"),
+                F.lit(None).cast("timestamp").alias("e_tm"),
+                F.col("seq").cast("long").alias("seq"),
+                F.lit(None).cast("string").alias("xid"),
+                F.lit(cfg.fmt.db_name).alias("db"),
+                F.lit("chkpt").alias("op"),
+                F.lit(None).cast("string").alias("owner"),
+                F.lit(None).cast("string").alias("table"),
+                F.lit(None).cast("long").alias("obj"),
+                F.lit(None).cast("string").alias("rid"),
+                F.lit(None).cast("map<string,string>").alias("before"),
+                F.lit(None).cast("map<string,string>").alias("after"),
+                F.lit(None).cast("map<string,string>").alias("attrs"),
+                F.lit(0).cast("long").alias("num"),
+                (F.col("block") * 512).cast("long").alias("offset"),
+            )
+            events = events.unionByName(chk)
 
         writer = events.writeStream.queryName(query_name)
         if available_now:

@@ -957,7 +957,13 @@ def test_source_level_memory_recorded_not_silently_dropped():
     dep = from_reference_json(doc)
     assert dep.config.memory_max_mb is None  # doc-level only
     assert dep.unmodeled["source-memory-ignored"] == {"max-mb": 512}
-    # unknown keys inside it are still validated like the real element
+    # the reference never key-checks elements it never reads — neither
+    # do we: any content (even non-dict) passes and is recorded verbatim
     doc["source"][0]["memory"] = {"bogus": 1}
-    with pytest.raises(ConfigurationError, match="bogus"):
-        from_reference_json(doc)
+    assert from_reference_json(doc).unmodeled[
+        "source-memory-ignored"
+    ] == {"bogus": 1}
+    doc["source"][0]["memory"] = 512
+    assert from_reference_json(doc).unmodeled[
+        "source-memory-ignored"
+    ] == 512

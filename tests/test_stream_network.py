@@ -298,3 +298,48 @@ def test_restarted_server_hydrates_watermark_from_doc(tmp_path):
         assert int(read_checkpoint_doc(state_dir, "DBH")["scn"]) == 200
     finally:
         s2.stop()
+
+
+def test_network_sink_carries_chkpt_frames(spark, tmp_path):
+    """BuilderProtobuf::processCheckpoint parity (cpp:312-333): with
+    SHOW_CHECKPOINT, the network pipeline's protobuf frames include
+    CHKPT-op payloads carrying seq and offset."""
+    from conftest import drain
+    from openlogreplicator_spark.builders.protobuf_builder import (
+        decode_message,
+    )
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import (
+        generate_redo_records,
+        redo_records_df,
+    )
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    d = str(tmp_path / "redo_net_hb")
+    write_binary_redo(
+        redo_records_df(spark, generate_redo_records(n_txns=4, seed=3)),
+        d, n_files=1,
+    )
+
+    captured = []
+
+    class _Capture:
+        def enqueue(self, scn, idx, frame):
+            captured.append(bytes(frame))
+
+    cfg = EngineConfig(show_checkpoint=True)
+    q = build_pipeline(
+        spark, cfg, d,
+        checkpoint=str(tmp_path / "ckpt_net_hb"),
+        sink="network", query_name="olr_net_hb",
+        network_server=_Capture(),
+    )
+    drain(q)
+    ops = []
+    for frame in captured:
+        top = dict((f, v) for f, _, v in decode_message(frame))
+        payload = dict((f, v) for f, _, v in decode_message(top[9]))
+        ops.append(payload.get(1, 0))
+    assert 6 in ops, "no CHKPT payload reached the network sink"
+    assert any(o in (2, 3, 4) for o in ops), "DML frames must still flow"
