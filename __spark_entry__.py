@@ -27,69 +27,69 @@ if _REPO_ROOT not in sys.path:
 # round 1 (now fixed), then a few representative re-verifies. Everything
 # else registers after slot 50 — still runnable, checked locally by
 # tests/test_queries_vs_duckdb.py.
-_PRIORITY = [  # round-7 window (previous windows: git history of this list)
+_PRIORITY = [  # round-8 window (previous windows: git history of this list)
     # -- 5 green canaries, one per result-type family (drift detection)
     "q1_pricing_summary",
     "cdc_txn_assembly",
     "dedup_minhash_lsh",
     "agg_rollup",
     "stream_tumbling_window",
-    # -- THE standing red (r1 hash mismatch, never re-windowed — r6
-    #    VERDICT #1). Passes the local DuckDB mirror; slot 6 so the
-    #    driver finally re-verdicts it.
-    "agg_cube",
-    # -- STALE-VERDICT ROTATION (r6 VERDICT #1): every remaining query
-    #    whose latest driver verdict is r1 (34) or r3 (subquery_scalar_avg).
-    #    After this window no oracled query's verdict predates r4.
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_statistical",
-    "array_explode_wordcount",
-    "distinct_pairs",
-    "higher_order_array_funcs",
-    "join_asof_attribution",
-    "join_left_anti",
-    "join_range_window",
-    "join_shuffle_facts",
-    "map_funcs",
-    "pivot_status_by_priority",
-    "q14_promo_share",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "scalar_datetime_funcs",
-    "scalar_json_funcs",
-    "scalar_math_funcs",
-    "scalar_null_handling",
-    "scalar_string_funcs",
-    "setop_except",
-    "setop_intersect",
-    "setop_union",
-    "subquery_exists_correlated",
-    "subquery_scalar_avg",
-    "topk_orders",
-    "window_distribution",
-    "window_lag_lead",
-    "window_rank_topn",
-    "window_running_sum",
-    # -- CHANGED/RE-CONTRACTED this round (r6 VERDICT #2/#3/#6/#4):
-    #    ann_pq plan rewritten to a map-side mapInArrow ADC scan; ANN
-    #    recall bounds tightened; reference-config flag/memory wiring;
-    #    pipeline regression watch; builder goldens extended.
-    "ann_pq",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "ann_cosine_topk",
-    "cdc_config_reference",
-    "cdc_json_builder",
-    "cdc_json_builder_debezium",
-    "cdc_protobuf_builder",  # bytes changed r7: code=PAYLOAD on every
-    #                          message (BuilderProtobuf.h:98 parity)
-    "pipeline_pretraining_corpus",
-    "stream_dedup_replay",
+    # -- NEW/CHANGED this round (r7 VERDICT #2/#7): the T6 split is now
+    #    byte-true (greedy rendered-byte packing, Builder.h:167 /
+    #    Transaction.cpp:519-538) in BOTH builders; the protobuf FULL
+    #    envelope + split is a new byte-exact wire-oracle query, and
+    #    cdc_txn_split re-verifies the count-capped path post-refactor.
+    "cdc_protobuf_builder_full",
+    "cdc_txn_split",
+    # -- STALE-VERDICT ROTATION (r7 VERDICT #1): the 23 queries whose
+    #    latest driver verdict is r4, then 20 of the 41 r5-latest (the
+    #    cdc parse-plane set, dedup_cluster_cc/ngram, TPC-H stragglers,
+    #    tokenizer_bpe_pairs). The remaining 20 r5-latest rotate in r9;
+    #    after r9 no verdict predates r6.
+    "agg_approx_quantile",
+    "agg_histogram",
+    "cdc_asof_snapshot",
+    "dedup_canonical_pick",
+    "dedup_incremental",
+    "embedding_quantize",
+    "multimodal_decode_table",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_group_cap",
+    "sample_temperature_mix",
+    "split_train_eval",
+    "stream_session_window",
+    "stream_sliding_window",
+    "text_chunk_split",
+    "text_commonness",
+    "text_dedup_passages",
+    "text_entropy_filter",
+    "text_fingerprint",
+    "text_tfidf_topterms",
+    "text_token_count",
+    "window_range_interval",
+    # r5-latest block
+    "cdc_txn_assembly_binary",
+    "cdc_kdo_positional_binary",
+    "cdc_typed_images_binary",
+    "cdc_before_image",
+    "cdc_clob_charset",
+    "cdc_lob_reassembly",
+    "cdc_schema_asof_resolve",
+    "cdc_gap_detect",
+    "cdc_condition_filter",
+    "cdc_unchanged_suppression",
+    "dedup_cluster_cc",
+    "dedup_ngram_jaccard",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q20_potential_part_promotion",
+    "q21_suppliers_kept_waiting",
+    "tokenizer_bpe_pairs",
 ]
 
 

@@ -555,12 +555,18 @@ def build_events(
     max_ops_per_message: int | None = None,
     dict_cols: DataFrame | None = None,
     key_cols: tuple[str, ...] = (),
+    max_message_bytes: int | None = None,
 ) -> DataFrame:
     """CHANGE_EVENT_SCHEMA rows → (key, value) JSON messages.
 
-    ``max_ops_per_message`` is the T6 big-transaction split
-    (Transaction.cpp:518-538): a FULL-format transaction whose payload
-    exceeds the cap is emitted as multiple messages keyed 'xid:part'.
+    ``max_message_bytes`` is the T6 big-transaction split on RENDERED
+    bytes — the reference's actual ``max-message-mb`` contract
+    (Builder.h:167, Transaction.cpp:519-538 splits when the builder's
+    accumulated rendered size would cross the cap): a FULL-format
+    transaction is emitted as greedily byte-packed messages keyed
+    'xid:part'; no multi-op message exceeds the cap unless a SINGLE op
+    renders past it alone. ``max_ops_per_message`` is the legacy
+    op-count cap, used only when no byte cap is given.
 
     ``dict_cols`` (DICT_COL_SCHEMA rows) enables the dictionary-driven
     surfaces: SCHEMA_FORMAT FULL/REPEATED column descriptors,
@@ -641,60 +647,87 @@ def build_events(
             F.struct(*header_fields(fmt, full_message=True)).alias("hdr"),
             payload_struct(fmt, with_dict).alias("p"),
         )
+        if max_message_bytes:
+            # byte-true T6 split: per-op rendered size (+1 for the array
+            # separator) rides the collect so the greedy fold sees it
+            per_event = per_event.withColumn(
+                "sz", (F.octet_length(F.to_json("p")) + 1).cast("long")
+            )
+        else:
+            per_event = per_event.withColumn("sz", F.lit(0).cast("long"))
         grouped = per_event.groupBy("xid").agg(
             F.min_by("hdr", "num").alias("hdr"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("num", "p")),
-                    # maps inside the payload struct aren't orderable —
-                    # compare on the emission index alone
-                    lambda l, r: F.when(l.num < r.num, -1)
-                    .when(l.num > r.num, 1)
-                    .otherwise(0),
-                ),
-                lambda s: s.p,
-            ).alias("payload"),
+            F.array_sort(
+                F.collect_list(F.struct("num", "p", "sz")),
+                # maps inside the payload struct aren't orderable —
+                # compare on the emission index alone
+                lambda l, r: F.when(l.num < r.num, -1)
+                .when(l.num > r.num, 1)
+                .otherwise(0),
+            ).alias("items"),
         )
-        if max_ops_per_message:
-            cap = max_ops_per_message
-            n_parts = F.ceil(F.size("payload") / cap).cast("int")
-            parts = F.transform(
-                F.sequence(F.lit(0), n_parts - 1),
-                lambda i: F.struct(
-                    i.alias("part"),
-                    F.slice("payload", i * cap + 1, cap).alias("chunk"),
-                ),
-            )
-            grouped = grouped.select(
-                "xid", "hdr", F.explode(parts).alias("pc")
-            ).select(
-                "xid",
-                "hdr",
-                F.col("pc.part").alias("part"),
-                F.col("pc.chunk").alias("payload"),
-            )
-            value = F.to_json(
-                F.struct(
-                    *[
-                        F.col(f"hdr.{n}").alias(n)
-                        for n in _header_names(fmt, full_message=True)
-                    ],
-                    F.col("part").alias("part"),
-                    F.col("payload").alias("payload"),
-                )
-            )
-            return grouped.select(
-                F.concat_ws(":", "xid", "part").alias("key"), value.alias("value")
-            )
-        value = F.to_json(
+        hdr_names = _header_names(fmt, full_message=True)
+        split_value = F.to_json(
             F.struct(
-                *[F.col(f"hdr.{n}").alias(n)
-                  for n in _header_names(fmt, full_message=True)],
+                *[F.col(f"hdr.{n}").alias(n) for n in hdr_names],
+                F.col("part").alias("part"),
                 F.col("payload").alias("payload"),
             )
         )
-        return grouped.select(
-            F.col("xid").alias("key"), value.alias("value")
+        if max_message_bytes:
+            from openlogreplicator_spark.builders.split import (
+                chunk_by_parts,
+                greedy_parts,
+            )
+
+            # envelope bytes every part repeats: the rendered header
+            # plus the ',"part":NNN,"payload":[]' framing (≤24 octets)
+            hdr_sz = (
+                F.octet_length(
+                    F.to_json(
+                        F.struct(
+                            *[F.col(f"hdr.{n}").alias(n) for n in hdr_names]
+                        )
+                    )
+                )
+                + F.lit(24)
+            )
+            parts = greedy_parts(F.col("items"), max_message_bytes, hdr_sz)
+            chunks = chunk_by_parts(F.col("items"), parts)
+        elif max_ops_per_message:
+            cap = max_ops_per_message
+            payload = F.transform(F.col("items"), lambda s: s["p"])
+            n_parts = F.ceil(F.size("items") / cap).cast("int")
+            chunks = F.transform(
+                F.sequence(F.lit(0), n_parts - 1),
+                lambda i: F.struct(
+                    i.alias("part"),
+                    F.slice(payload, i * cap + 1, cap).alias("chunk"),
+                ),
+            )
+        else:
+            value = F.to_json(
+                F.struct(
+                    *[F.col(f"hdr.{n}").alias(n) for n in hdr_names],
+                    F.transform(F.col("items"), lambda s: s["p"]).alias(
+                        "payload"
+                    ),
+                )
+            )
+            return grouped.select(
+                F.col("xid").alias("key"), value.alias("value")
+            )
+        exploded = grouped.select(
+            "xid", "hdr", F.explode(chunks).alias("pc")
+        ).select(
+            "xid",
+            "hdr",
+            F.col("pc.part").alias("part"),
+            F.col("pc.chunk").alias("payload"),
+        )
+        return exploded.select(
+            F.concat_ws(":", "xid", "part").alias("key"),
+            split_value.alias("value"),
         )
 
     value = F.to_json(

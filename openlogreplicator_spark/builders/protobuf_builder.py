@@ -121,15 +121,16 @@ def encode_payload(op: dict[str, Any]) -> bytes:
     return out
 
 
-def encode_event(ev: dict[str, Any]) -> bytes:
-    """pb::RedoResponse with one Payload — code=1 (always PAYLOAD=5 on
-    data messages, BuilderProtobuf.h:98), scn=2 / scns=3, tm=4 / tms=5,
-    xid=6 / xidn=7, db=8, payload=9, c_scn=10, c_idx=11.
+def encode_header(ev: dict[str, Any]) -> bytes:
+    """pb::RedoResponse header prefix — code=1 (always PAYLOAD=5 on data
+    messages, BuilderProtobuf.h:98), scn=2 / scns=3, tm=4 / tms=5,
+    xid=6 / xidn=7, db=8 (everything the reference's appendHeader writes
+    before the payloads, BuilderProtobuf.h:95-190).
 
     The oneof alternates come pre-rendered by build_protobuf_events when
-    a Format is supplied (appendHeader parity, BuilderProtobuf.h:95-190):
-    ``scns`` (16 lowercase hex, no 0x — numToString), ``tms`` (string
-    unix or bare ISO8601+Z), ``xidn`` (packed 64-bit)."""
+    a Format is supplied: ``scns`` (16 lowercase hex, no 0x —
+    numToString), ``tms`` (string unix or bare ISO8601+Z), ``xidn``
+    (packed 64-bit)."""
     out = _vi(1, 5)  # ResponseCode::PAYLOAD
     if ev.get("scns") is not None:
         out += _s(3, ev["scns"])
@@ -144,7 +145,13 @@ def encode_event(ev: dict[str, Any]) -> bytes:
     else:
         out += _s(6, ev.get("xid"))
     out += _s(8, ev.get("db"))
-    out += _ld(9, encode_payload(ev))
+    return out
+
+
+def encode_suffix(ev: dict[str, Any]) -> bytes:
+    """Trailing RedoResponse fields after the payloads — c_scn=10,
+    c_idx=11 (proto3 omits falsy values)."""
+    out = b""
     if ev.get("c_scn"):
         out += _vi(10, int(ev["c_scn"]))
     if ev.get("c_idx"):
@@ -152,12 +159,47 @@ def encode_event(ev: dict[str, Any]) -> bytes:
     return out
 
 
+def encode_event(ev: dict[str, Any]) -> bytes:
+    """pb::RedoResponse with one Payload: header ‖ payload=9 ‖ suffix."""
+    return encode_header(ev) + _ld(9, encode_payload(ev)) + encode_suffix(ev)
+
+
+def _normalize_record(d: dict[str, Any]) -> dict[str, Any]:
+    """Arrow→pandas cleanup shared by the encoder UDFs: map columns
+    arrive as list-of-(k,v) tuples, absent numerics as NaN floats."""
+    for img in ("before", "after"):
+        v = d.get(img)
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            d[img] = None
+        elif not isinstance(v, dict):
+            d[img] = dict(v)
+    for f in ("scn", "c_scn", "c_idx", "tm_micros", "seq", "obj",
+              "num", "offset", "xidn"):
+        if d.get(f) is not None and pd.isna(d[f]):
+            d[f] = None
+    for f in ("scns", "tms", "xid"):
+        v = d.get(f)
+        if isinstance(v, float) and pd.isna(v):
+            d[f] = None
+    return d
+
+
 def build_protobuf_events(
-    events: DataFrame, extra_cols: tuple[str, ...] = (), fmt=None
+    events: DataFrame,
+    extra_cols: tuple[str, ...] = (),
+    fmt=None,
+    max_message_bytes: int | None = None,
 ) -> DataFrame:
     """CHANGE_EVENT_SCHEMA rows → (key, value binary) protobuf messages.
     ``extra_cols`` pass through unencoded (e.g. the network sink's
     ordering watermark), preserving row order.
+
+    With ``fmt.message == MessageFormat.FULL`` one RedoResponse carries
+    the whole transaction as repeated Payload entries (field 9), built
+    through the same appendHeader path (BuilderProtobuf.h:95-190);
+    ``max_message_bytes`` then applies the byte-true T6 split
+    (Builder.h:167, Transaction.cpp:519-538): greedy packing of encoded
+    Payload wire bytes against the cap, messages keyed 'xid:part'.
 
     ``fmt`` (a :class:`~openlogreplicator_spark.config.Format`) enables
     the reference's protobuf header toggles (BuilderProtobuf.h:95-190):
@@ -238,6 +280,100 @@ def build_protobuf_events(
                     F.element_at(parts, 3).cast("long"),
                 ),
             )
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from openlogreplicator_spark.config import MessageFormat
+
+    if fmt is not None and fmt.message == MessageFormat.FULL:
+        from openlogreplicator_spark.builders.split import (
+            chunk_by_parts,
+            greedy_parts,
+        )
+
+        hdr_struct = F.struct(
+            "scn",
+            scns.alias("scns"),
+            "c_scn",
+            "c_idx",
+            tm_micros.alias("tm_micros"),
+            tms.alias("tms"),
+            xid_out.alias("xid"),
+            xidn.alias("xidn"),
+            "db",
+        )
+        op_struct = F.struct(
+            "op", "owner", "table", "obj", "rid", "before", "after",
+            "seq", "offset", "num",
+        )
+
+        @pandas_udf("binary")
+        def enc_op(col: "pd.DataFrame") -> "pd.Series":
+            # one framed `payload` entry (field 9) per op
+            return pd.Series(
+                [
+                    _ld(9, encode_payload(_normalize_record(d)))
+                    for d in col.to_dict("records")
+                ]
+            )
+
+        @pandas_udf("prefix binary, suffix binary")
+        def enc_env(col: "pd.DataFrame") -> "pd.DataFrame":
+            recs = [_normalize_record(d) for d in col.to_dict("records")]
+            return pd.DataFrame(
+                {
+                    "prefix": [encode_header(d) for d in recs],
+                    "suffix": [encode_suffix(d) for d in recs],
+                }
+            )
+
+        per_event = events.select(
+            *extra_cols,
+            "xid",
+            "num",
+            hdr_struct.alias("hdr"),
+            enc_op(op_struct).alias("p"),
+        ).withColumn("sz", F.octet_length("p").cast("long"))
+        aggs = [
+            F.min_by("hdr", "num").alias("hdr"),
+            F.array_sort(
+                F.collect_list(F.struct("num", "p", "sz")),
+                lambda l, r: F.when(l["num"] < r["num"], -1)
+                .when(l["num"] > r["num"], 1)
+                .otherwise(0),
+            ).alias("items"),
+        ] + [F.min(c).alias(c) for c in extra_cols]
+        grouped = per_event.groupBy("xid").agg(*aggs).withColumn(
+            "env", enc_env("hdr")
+        )
+        hdr_sz = F.octet_length("env.prefix") + F.octet_length("env.suffix")
+
+        def concat_ops(chunk):
+            return F.aggregate(chunk, F.lit(b""), lambda a, x: F.concat(a, x))
+        if max_message_bytes:
+            parts = greedy_parts(F.col("items"), max_message_bytes, hdr_sz)
+            chunks = chunk_by_parts(F.col("items"), parts)
+            exploded = grouped.select(
+                *extra_cols, "xid", "env", F.explode(chunks).alias("pc")
+            )
+            return exploded.select(
+                *extra_cols,
+                F.concat_ws(":", "xid", "pc.part").alias("key"),
+                F.concat(
+                    F.col("env.prefix"),
+                    concat_ops(F.col("pc.chunk")),
+                    F.col("env.suffix"),
+                ).alias("value"),
+            )
+        return grouped.select(
+            *extra_cols,
+            F.col("xid").alias("key"),
+            F.concat(
+                F.col("env.prefix"),
+                concat_ops(F.transform("items", lambda s: s["p"])),
+                F.col("env.suffix"),
+            ).alias("value"),
+        )
+
     prepared = events.select(
         *extra_cols,
         F.col("xid").alias("key"),
@@ -264,30 +400,16 @@ def build_protobuf_events(
         ).alias("ev"),
     )
 
-    from pyspark.sql.pandas.functions import pandas_udf
-
     @pandas_udf("binary")
     def enc(col: "pd.DataFrame") -> "pd.Series":
         # a StructType argument arrives as a pandas DataFrame (one column
         # per struct field); maps arrive as list-of-(k,v) tuples
-        out = []
-        for d in col.to_dict("records"):
-            for img in ("before", "after"):
-                v = d.get(img)
-                if v is None or (isinstance(v, float) and pd.isna(v)):
-                    d[img] = None
-                elif not isinstance(v, dict):
-                    d[img] = dict(v)
-            for f in ("scn", "c_scn", "c_idx", "tm_micros", "seq", "obj",
-                      "num", "offset", "xidn"):
-                if d.get(f) is not None and pd.isna(d[f]):
-                    d[f] = None
-            for f in ("scns", "tms", "xid"):
-                v = d.get(f)
-                if isinstance(v, float) and pd.isna(v):
-                    d[f] = None
-            out.append(encode_event(d))
-        return pd.Series(out)
+        return pd.Series(
+            [
+                encode_event(_normalize_record(d))
+                for d in col.to_dict("records")
+            ]
+        )
 
     return prepared.select(
         *extra_cols, "key", enc("ev").alias("value")

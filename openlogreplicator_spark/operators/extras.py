@@ -504,6 +504,149 @@ FROM src
     )
 
 
+def cdc_protobuf_builder_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2+T6: protobuf MESSAGE_FORMAT::FULL envelopes — one RedoResponse
+    per transaction with repeated Payload entries (BuilderProtobuf.h:
+    95-190) — under the byte-true ``max-message-mb`` split
+    (Builder.h:167; Transaction.cpp:519-538 closes a message when the
+    accumulated rendered bytes would cross the cap). lineitem rows
+    become multi-op transactions keyed by orderkey; a 400-byte cap
+    forces real splits. The oracle rebuilds the exact wire bytes AND
+    replays the greedy byte packing with a recursive CTE, so the hash
+    pins both the envelope framing and the split boundaries."""
+    from pyspark.sql import Window
+
+    from openlogreplicator_spark.builders.protobuf_builder import (
+        build_protobuf_events,
+    )
+    from openlogreplicator_spark.config import MessageFormat
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # the synthetic lineitem does NOT key on (orderkey, linenumber) —
+    # order by the full rendered projection so row_number ties can only
+    # fall between byte-identical ops (any tiebreak yields the same
+    # message bytes on both sides of the oracle)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    events = li.select(
+        (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).alias("scn"),
+        (F.col("l_orderkey") * 1000 + 999).alias("c_scn"),
+        F.lit(0).cast("long").alias("c_idx"),
+        F.col("l_shipdate").alias("tm"),
+        F.lit(1).cast("long").alias("seq"),
+        F.col("l_orderkey").cast("string").alias("xid"),
+        F.lit("DB").alias("db"),
+        F.lit("c").alias("op"),
+        F.lit("TPCH").alias("owner"),
+        F.lit("LINEITEM").alias("table"),
+        F.lit(19).cast("long").alias("obj"),
+        F.lit("AAAAATAAEAAAADbAAA").alias("rid"),
+        F.lit(None).cast("map<string,string>").alias("before"),
+        # variable-length value (the synthetic lineitem has no comment
+        # column) so the byte packer sees uneven op sizes
+        F.create_map(
+            F.lit("L_CMT"),
+            F.concat(
+                F.repeat(F.lit("ab"), F.col("l_quantity").cast("int") % 13),
+                F.col("l_returnflag"),
+            ),
+            F.lit("L_QTY"), F.col("l_quantity").cast("bigint").cast("string"),
+        ).alias("after"),
+        (F.row_number().over(w) - 1).cast("long").alias("num"),
+        (F.col("l_linenumber") * 512).cast("long").alias("offset"),
+    )
+    msgs = build_protobuf_events(
+        events, fmt=Format(message=MessageFormat.FULL),
+        max_message_bytes=400,
+    )
+    return msgs.select("key", F.lower(F.hex("value")).alias("value_hex"))
+
+
+def _cdc_protobuf_full_sql(cap: int = 400) -> str:
+    """DuckDB reconstruction of the FULL-envelope wire bytes plus the
+    greedy byte-true split: per-op framed Payload hex (field 9), header
+    prefix/suffix hex from the first-op fields, then a recursive CTE
+    carrying (part, running bytes) op-by-op — exactly greedy_parts'
+    fold, anchored at header bytes per part."""
+    val_cmt = _pb_value_sql("'L_CMT'", "cmt")
+    val_qty = _pb_value_sql("'L_QTY'", "qty")
+    schema = (
+        _pb_s_sql(1, "'TPCH'")
+        + " || " + _pb_s_sql(2, "'LINEITEM'")
+        + " || " + _pb_vi_sql(3, "19", 1)
+    )
+    payload = (
+        _pb_vi_sql(1, "2", 1)  # op 'c' → INSERT(2)
+        + " || " + _pb_ld_sql(2, "(" + schema + ")")
+        + " || " + _pb_s_sql(3, "'AAAAATAAEAAAADbAAA'")
+        + " || " + _pb_ld_sql(5, "(" + val_cmt + ")")  # sorted after keys
+        + " || " + _pb_ld_sql(5, "(" + val_qty + ")")
+        + " || " + _pb_vi_sql(7, "1", 1)  # seq
+        + " || " + _pb_vi_sql(8, "ln * 512", 3)  # offset > 0 always
+        + " || " + _pb_vi_sql(10, "rn - 1", 1)  # num
+    )
+    prefix = (
+        "'0805' || "  # code=1 → ResponseCode::PAYLOAD
+        + _pb_vi_sql(2, "okey * 1000 + first_ln", 5)  # first-op scn
+        + " || " + _pb_vi_sql(4, "tm_us", 8)
+        + " || " + _pb_s_sql(6, "xid")
+        + " || " + _pb_s_sql(8, "'DB'")
+    )
+    suffix = _pb_vi_sql(10, "okey * 1000 + 999", 5)  # c_scn; c_idx 0 omitted
+    return f"""
+WITH RECURSIVE src AS (
+    SELECT CAST(l_orderkey AS VARCHAR) AS xid,
+           l_orderkey AS okey,
+           l_linenumber AS ln,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_quantity,
+                                       l_returnflag, l_shipdate) AS rn,
+           repeat('ab', CAST(l_quantity AS INT) % 13) || l_returnflag AS cmt,
+           CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS qty,
+           l_shipdate AS sd
+    FROM lineitem
+),
+ops AS (
+    SELECT xid, okey, rn,
+           {_pb_ld_sql(9, "(" + payload + ")")} AS op_hex
+    FROM src
+),
+sized AS (
+    SELECT xid, okey, rn, op_hex, length(op_hex) // 2 AS sz FROM ops
+),
+hdr AS (
+    SELECT xid, okey,
+           {prefix} AS prefix,
+           {suffix} AS suffix
+    FROM (
+        SELECT xid, okey, ln AS first_ln, epoch_us(sd) AS tm_us
+        FROM src WHERE rn = 1
+    )
+),
+hsz AS (
+    SELECT xid, (length(prefix) + length(suffix)) // 2 AS hb FROM hdr
+),
+g AS (
+    SELECT s.xid, s.rn, s.op_hex, h.hb,
+           0 AS part, h.hb + s.sz AS bytes
+    FROM sized s JOIN hsz h USING (xid) WHERE s.rn = 1
+    UNION ALL
+    SELECT o.xid, o.rn, o.op_hex, g.hb,
+           CASE WHEN g.bytes + o.sz > {cap}
+                THEN g.part + 1 ELSE g.part END,
+           CASE WHEN g.bytes + o.sz > {cap}
+                THEN g.hb + o.sz ELSE g.bytes + o.sz END
+    FROM g JOIN sized o ON o.xid = g.xid AND o.rn = g.rn + 1
+)
+SELECT g.xid || ':' || CAST(g.part AS VARCHAR) AS key,
+       h.prefix || string_agg(g.op_hex, '' ORDER BY g.rn) || h.suffix
+           AS value_hex
+FROM g JOIN hdr h ON h.xid = g.xid
+GROUP BY g.xid, g.part, h.prefix, h.suffix
+"""
+
+
 def cdc_lob_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 end-to-end against a SQL oracle — through the LOB-INDEX path:
     each document's text is shredded into out-of-row chunks addressed by
@@ -713,12 +856,14 @@ QUERIES = {
     "multimodal_features_ann": multimodal_features_ann,
     "cdc_lob_reassembly": cdc_lob_reassembly,
     "cdc_protobuf_builder": cdc_protobuf_builder,
+    "cdc_protobuf_builder_full": cdc_protobuf_builder_full,
 }
 
 ORACLE: dict[str, str] = {
     "cdc_json_builder": CDC_JSON_BUILDER_SQL,
     "cdc_config_reference": CDC_CONFIG_REFERENCE_SQL,
     "cdc_protobuf_builder": _cdc_protobuf_sql(),
+    "cdc_protobuf_builder_full": _cdc_protobuf_full_sql(),
     "cdc_json_builder_debezium": CDC_JSON_DEBEZIUM_SQL,
     "cdc_lob_reassembly": CDC_LOB_SQL,
     "multimodal_decode_table": MULTIMODAL_DECODE_TABLE_SQL,

@@ -440,10 +440,12 @@ def build_pipeline(
         ).alias("dml_out"),
     )
     # T6 big-transaction split (writer "max-message-mb",
-    # Transaction.cpp:518-538): the byte cap converts at the same
-    # conservative ~512 B/op ratio as the T4 guard
-    max_ops_per_message = (
-        max_message_mb * (1024 * 1024 // 512) if max_message_mb else None
+    # Transaction.cpp:519-538): byte-true — the builder greedily packs
+    # RENDERED message bytes against the cap (Builder.h:167; the Kafka
+    # writer sets message.max.bytes from the same value,
+    # WriterKafka.cpp:63-64)
+    max_message_bytes = (
+        max_message_mb * 1024 * 1024 if max_message_mb else None
     )
 
     def _build(ev_df: DataFrame) -> DataFrame:
@@ -453,7 +455,7 @@ def build_pipeline(
             tag_cols=sel.tag,
             dict_cols=dict_cols,
             key_cols=sel.key,
-            max_ops_per_message=max_ops_per_message,
+            max_message_bytes=max_message_bytes,
         )
 
     from openlogreplicator_spark.config import MessageFormat, SchemaFormat

@@ -610,3 +610,42 @@ def test_full_header_every_toggle_on_golden(events_df, spark):
         "usr": "SCOTT",
         "xid": "3.7.42",
     }
+
+
+def test_byte_true_split_oversized_lob_op(spark):
+    """T6 byte-true ``max-message-mb`` split (Builder.h:167;
+    Transaction.cpp:519-538 splits on the builder's accumulated RENDERED
+    bytes): a ~5 MiB LOB-bearing op under a 1 MiB cap must occupy a part
+    of its OWN, no multi-op message may exceed the cap (the reference's
+    single unavoidable overshoot is one op alone rendering past it), and
+    emission order plus total op count survive the split."""
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    cap = 1024 * 1024
+    rows = []
+    for i in range(10):
+        val = "L" * (5 * cap) if i == 4 else "v" * 200
+        rows.append(
+            (2000 + i, 1999, 0, ts, 1, "9.1.7", "DB", "c", "USR", "T1",
+             5001, "AAAB8dAAEAAAADbAAA", None, {"ID": str(i), "V": val},
+             {}, i, 100 + i)
+        )
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    out = build_events(
+        df, Format(message=MessageFormat.FULL), max_message_bytes=cap
+    ).collect()
+    parsed = sorted(
+        ((json.loads(r.value), r.key, len(r.value.encode("utf-8")))
+         for r in out),
+        key=lambda vks: vks[0]["part"],
+    )
+    assert [k for _, k, _ in parsed] == [
+        f"9.1.7:{v['part']}" for v, _, _ in parsed
+    ]
+    ids = [p["after"]["ID"] for v, _, _ in parsed for p in v["payload"]]
+    assert ids == [str(i) for i in range(10)]  # order + completeness
+    for v, _, size in parsed:
+        if len(v["payload"]) > 1:
+            assert size <= cap  # multi-op messages never exceed the cap
+        if any(p["after"]["ID"] == "4" for p in v["payload"]):
+            # the oversized op rides ALONE (and necessarily over-cap)
+            assert len(v["payload"]) == 1 and size > cap

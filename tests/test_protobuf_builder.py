@@ -183,3 +183,63 @@ def test_header_toggles_reach_protobuf_wire(spark):
         )
     )
     assert legacy[4] == 1704110400123456
+
+
+def test_full_envelope_and_byte_true_split(spark):
+    """MESSAGE_FORMAT::FULL through the protobuf builder: one
+    RedoResponse per transaction carrying repeated Payload entries
+    (field 9) via the same appendHeader path (BuilderProtobuf.h:95-190),
+    and the byte-true T6 split (Builder.h:167): greedy wire-byte packing
+    against max_message_bytes, 'xid:part' keys, no multi-payload message
+    over the cap — verified with the independent wire parser."""
+    from openlogreplicator_spark.config import Format, MessageFormat
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1002 + i, 1000, 3, ts, 9, "3.7.42", "DB", "c", "USR", "T1",
+         5001, "rid1", None,
+         {"ID": str(i), "V": "w" * (4000 if i == 2 else 150)}, {},
+         i, 77 + i)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    fmt = Format(message=MessageFormat.FULL)
+
+    # no cap: ONE message, header from the first op, 6 payload entries
+    whole = build_protobuf_events(df, fmt=fmt).collect()
+    assert len(whole) == 1 and whole[0].key == "3.7.42"
+    triples = decode_message(bytes(whole[0].value))
+    assert [f for f, _, _ in triples] == [1, 2, 4, 6, 8] + [9] * 6 + [10, 11]
+    fields = dict((f, v) for f, _, v in triples)
+    assert fields[1] == 5  # ResponseCode::PAYLOAD on data messages
+    assert fields[2] == 1002  # first-op scn heads the envelope
+    assert fields[6] == b"3.7.42"
+    nums = [
+        dict((f, v) for f, _, v in decode_message(p)).get(10, 0)
+        for f, _, p in triples
+        if f == 9
+    ]
+    assert nums == [0, 1, 2, 3, 4, 5]  # emission order inside the array
+
+    # 1 KiB cap: the ~4 KiB op rides alone; other messages stay ≤ cap
+    cap = 1024
+    split = build_protobuf_events(
+        df, fmt=fmt, max_message_bytes=cap
+    ).collect()
+    seen = []
+    for r in sorted(split, key=lambda r: int(r.key.split(":")[1])):
+        assert r.key.startswith("3.7.42:")
+        triples = decode_message(bytes(r.value))
+        pls = [p for f, _, p in triples if f == 9]
+        if len(pls) > 1:
+            assert len(r.value) <= cap
+        for p in pls:
+            seen.append(
+                dict((f, v) for f, _, v in decode_message(p)).get(10, 0)
+            )
+        if any(
+            dict((f, v) for f, _, v in decode_message(p)).get(10) == 2
+            for p in pls
+        ):
+            assert len(pls) == 1 and len(r.value) > cap
+    assert seen == [0, 1, 2, 3, 4, 5]

@@ -804,10 +804,10 @@ def test_dump_xid_records(spark, tmp_path):
 
 def test_max_message_mb_drives_t6_split(spark, tmp_path):
     """Writer "max-message-mb" → the T6 big-transaction split
-    (Transaction.cpp:518-538): a FULL-format transaction whose payload
-    exceeds the byte cap (converted at the T4 ~512 B/op ratio) emits as
-    multiple 'xid:part'-keyed messages; without the cap it is one
-    message."""
+    (Transaction.cpp:519-538): a FULL-format transaction whose RENDERED
+    payload exceeds the byte cap (Builder.h:167) emits as multiple
+    'xid:part'-keyed messages, each at most the cap; without the cap it
+    is one message."""
     from openlogreplicator_spark.config import (
         EngineConfig,
         Format,
@@ -826,10 +826,13 @@ def test_max_message_mb_drives_t6_split(spark, tmp_path):
         base.update(kw)
         return base
 
-    n_ops = 2500  # > 1 MB / 512 B = 2048 ops → must split at 1 MB
+    n_ops = 2500  # ~1 KiB rendered each → ~2.5 MiB ⇒ ≥3 parts at 1 MiB
     records = (
         [rec(1, "begin")]
-        + [rec(2 + i, "insert", cols={"A": str(i)}) for i in range(n_ops)]
+        + [
+            rec(2 + i, "insert", cols={"A": "v" * 1000})
+            for i in range(n_ops)
+        ]
         + [rec(2 + n_ops, "commit")]
     )
     d = str(tmp_path / "redo_big")
@@ -855,7 +858,8 @@ def test_max_message_mb_drives_t6_split(spark, tmp_path):
     whole = keys("whole")
     assert len(whole) == 1 and whole[0] == "5.5.5"
     parts = keys("split", max_message_mb=1)
-    assert len(parts) == 2  # 2502 ops at a 2048-op cap
+    # ~2.5 MiB of rendered ops under a 1 MiB cap → 3 byte-packed parts
+    assert len(parts) == 3
     assert all(k.startswith("5.5.5:") for k in parts)
 
 
