@@ -22,12 +22,17 @@ Reference mapping:
 - state store (RocksDB)  = swap-to-disk     (MemoryManager.cpp)
 - checkpoint dir         = state files      (Writer.cpp:362-400)
 
-State is a compact JSON payload of not-yet-committed records. At scale
-the state store shards by bucket across the cluster and spills via
-RocksDB — the same oldest-inactive-first pressure valve the reference
-hand-rolls. NOTE: the bucket count is part of the state key space —
-changing it (or moving between xid- and bucket-keyed checkpoints)
-requires a fresh checkpoint, like any stateful-operator key change.
+State is an Arrow IPC stream of the not-yet-committed records (typed
+REDO_RECORD columns; the T4 skiplist rides as schema metadata) in a
+BinaryType state column: one vectorized serialize per bucket per
+micro-batch instead of the earlier per-row JSON stringify/parse, which
+the r7 drain decomposition showed dominating the stateful overhead. At
+scale the state store shards by bucket across the cluster and spills
+via RocksDB — the same oldest-inactive-first pressure valve the
+reference hand-rolls. NOTE: the bucket count is part of the state key
+space, and the payload encoding is part of the state schema — changing
+either (or moving between xid- and bucket-keyed checkpoints) requires
+a fresh checkpoint, like any stateful-operator schema change.
 """
 
 from __future__ import annotations
@@ -47,16 +52,13 @@ from openlogreplicator_spark.operators.transaction_assembly import (
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_buffered", T.IntegerType()),
-        T.StructField("payload", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
     ]
 )
 
 _TERMINAL = ("commit", "rollback")
 
 
-_REC_NUM = (
-    "scn", "subscn", "block", "offset", "obj", "bdba", "slot", "seq", "fb"
-)
 _REC_COLUMNS = [
     "scn", "subscn", "block", "offset", "seq", "xid", "opcode", "obj",
     "bdba", "slot", "fb", "cols", "rows",
@@ -82,8 +84,8 @@ def _records_arrow_table(pdf: pd.DataFrame):
     for name in _REC_COLUMNS:
         s = pdf[name]
         if name in ("cols", "rows"):
-            # maps arrive as dicts (state-API pandas) or k/v pair lists
-            # (JSON-restored state) — canonicalize to pair-tuples
+            # maps arrive as dicts (state-API and IPC-restored pandas)
+            # or k/v pair lists — canonicalize to pair-tuples
             def pairs(m):
                 if isinstance(m, dict):
                     return list(m.items())
@@ -103,6 +105,32 @@ def _records_arrow_table(pdf: pd.DataFrame):
     return pa.Table.from_arrays(arrays, names=_REC_COLUMNS)
 
 
+def _encode_state(leftover: pd.DataFrame, skip_xids: set) -> bytes:
+    """Leftover open-transaction records + skiplist → one Arrow IPC
+    stream (skiplist as schema metadata). One vectorized serialize;
+    no per-row Python."""
+    import pyarrow as pa
+
+    tbl = _records_arrow_table(leftover)
+    tbl = tbl.replace_schema_metadata(
+        {b"skip": json.dumps(sorted(skip_xids)).encode()}
+    )
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as writer:
+        writer.write_table(tbl)
+    return sink.getvalue().to_pybytes()
+
+
+def _decode_state(payload: bytes):
+    """Inverse of :func:`_encode_state` → (Arrow table, skiplist)."""
+    import pyarrow as pa
+
+    tbl = pa.ipc.open_stream(pa.py_buffer(payload)).read_all()
+    meta = tbl.schema.metadata or {}
+    skip = set(json.loads(meta.get(b"skip", b"[]")))
+    return tbl, skip
+
+
 def assemble_stateful(
     key: tuple,
     pdf_iter: Iterable[pd.DataFrame],
@@ -118,25 +146,20 @@ def assemble_stateful(
     The bulk path is VECTORIZED: incoming frames are combined and split
     in pandas, the flushable majority runs through the same Arrow
     kernel as batch assembly (`_assemble_partition_arrow` — plain txns
-    never materialize per-record Python objects), and only the
-    leftover tail (open transactions awaiting their commit) converts to
-    dict records for the JSON state payload."""
+    never materialize per-record Python objects), and the leftover tail
+    (open transactions awaiting their commit) serializes to the Arrow
+    IPC state payload in one pass."""
     import numpy as np
 
     from openlogreplicator_spark.operators.transaction_assembly import (
         _assemble_partition_arrow,
     )
 
-    buffered: list[dict] = []
+    buffered_tbl = None
     skip_xids: set = set()
     if state.exists:
         (_, payload) = state.get
-        doc = json.loads(payload)
-        if isinstance(doc, dict):
-            buffered = doc.get("recs", [])
-            skip_xids = set(doc.get("skip", ()))
-        else:  # legacy bare-list payload
-            buffered = doc
+        buffered_tbl, skip_xids = _decode_state(bytes(payload))
 
     empty = pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
     if state.hasTimedOut:
@@ -145,12 +168,12 @@ def assemble_stateful(
         # (REDO_FLAGS bit 10, Parser.cpp:585) its buffered ops are
         # emitted with a null commit_scn before state clears
         state.remove()
-        if show_incomplete and buffered:
-            tbl = _records_arrow_table(
-                pd.DataFrame(buffered, columns=_REC_COLUMNS)
-            )
+        if show_incomplete and buffered_tbl is not None \
+                and buffered_tbl.num_rows:
             emitted = False
-            for batch in _assemble_partition_arrow(tbl, True, max_ops):
+            for batch in _assemble_partition_arrow(
+                buffered_tbl, True, max_ops
+            ):
                 if batch.num_rows:
                     emitted = True
                     yield batch.to_pandas(maps_as_pydicts="strict")
@@ -160,8 +183,10 @@ def assemble_stateful(
         return
 
     frames = [pdf for pdf in pdf_iter if len(pdf)]
-    if buffered:
-        frames.insert(0, pd.DataFrame(buffered, columns=_REC_COLUMNS))
+    if buffered_tbl is not None and buffered_tbl.num_rows:
+        frames.insert(
+            0, buffered_tbl.to_pandas(maps_as_pydicts="strict")
+        )
     if not frames:
         yield empty
         return
@@ -263,25 +288,8 @@ def assemble_stateful(
                 drop = fl.loc[(fcounts > max_ops).to_numpy()].index
                 flush_m[drop] = False
     if len(leftover) or skip_xids:
-        recs = leftover.to_dict("records")
-        for r in recs:  # JSON-safe: numpy scalars → int/None
-            for k in _REC_NUM:
-                v = r.get(k)
-                if v is None or (isinstance(v, float) and pd.isna(v)):
-                    r[k] = None
-                else:
-                    r[k] = int(v)
-            for k in ("cols", "rows"):
-                v = r.get(k)
-                if isinstance(v, float) and pd.isna(v):
-                    r[k] = None
-                elif isinstance(v, np.ndarray):
-                    r[k] = v.tolist()
         state.update(
-            (
-                len(recs),
-                json.dumps({"recs": recs, "skip": sorted(skip_xids)}),
-            )
+            (len(leftover), _encode_state(leftover, skip_xids))
         )
         # incomplete-transaction TTL. Generous by default: an open
         # transaction is legitimate until its commit arrives; the

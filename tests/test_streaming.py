@@ -333,7 +333,10 @@ class _FakeGroupState:
 
     @property
     def get(self):
-        return (len(json.loads(self._payload)), self._payload)
+        from openlogreplicator_spark.streaming.assembly import _decode_state
+
+        tbl, _ = _decode_state(bytes(self._payload))
+        return (tbl.num_rows, self._payload)
 
     def update(self, value):
         self._payload = value[1]
@@ -346,6 +349,20 @@ class _FakeGroupState:
         if self.hasTimedOut is None:  # pragma: no cover - guard parity
             raise RuntimeError("timeout not configured")
         self.timeout_ms = ms
+
+
+def _state_payload(recs, skip=()):
+    """Build an Arrow-IPC state payload the way the kernel does."""
+    import pandas as pd
+
+    from openlogreplicator_spark.streaming.assembly import (
+        _REC_COLUMNS,
+        _encode_state,
+    )
+
+    return _encode_state(
+        pd.DataFrame(recs, columns=_REC_COLUMNS), set(skip)
+    )
 
 
 def _open_txn_pdf():
@@ -368,7 +385,7 @@ def test_stateful_kernel_ttl_reaps_abandoned_txn():
     buffered ops whole and clears state (continuous-mode reaper)."""
     from openlogreplicator_spark.streaming.assembly import assemble_stateful
 
-    buffered = json.dumps(
+    buffered = _state_payload(
         [{"scn": 1, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
           "xid": "9.9.9", "opcode": "begin", "obj": 0, "bdba": None,
           "slot": None, "fb": 0, "cols": None, "rows": None}]
@@ -505,7 +522,7 @@ def test_stateful_kernel_ttl_emits_incomplete_when_flagged():
 
     from openlogreplicator_spark.streaming.assembly import assemble_stateful
 
-    buffered = json.dumps(
+    buffered = _state_payload(
         [
             {"scn": 1, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
              "xid": "9.9.9", "opcode": "begin", "obj": 0, "bdba": None,
@@ -555,10 +572,12 @@ def test_stateful_kernel_buffering_size_guard_bounds_state():
     )
     assert sum(len(p) for p in out) == 0
     assert state.exists, "skiplist entry must persist in state"
+    from openlogreplicator_spark.streaming.assembly import _decode_state
+
     _, payload = state.get
-    doc = json.loads(payload)
-    assert doc["recs"] == []
-    assert doc["skip"] == ["7.7.7"]
+    tbl, skip = _decode_state(bytes(payload))
+    assert tbl.num_rows == 0
+    assert skip == {"7.7.7"}
 
     # more records for the skiplisted xid drop on arrival; the terminal
     # retires the entry and clears state
@@ -622,6 +641,13 @@ def test_buffering_size_guard_invariant_to_batch_boundaries(seed):
             ("bucket",), iter([pdf]), state, max_ops=max_ops,
             ttl_timeout=False,
         ):
+            if len(out):
+                # dtype pin (r7 VERDICT #4): the state round-trip must
+                # not widen the emitted numeric columns — a silent
+                # pandas dtype change here is a correctness bug
+                assert str(out["scn"].dtype) == "int64"
+                assert str(out["commit_scn"].dtype) == "int64"
+                assert str(out["num"].dtype) == "int64"
             got.extend(out.to_dict("records"))
     # the streaming guard is the reference's GROSS buffered-size cap
     # (uniform at buffer and flush → boundary-invariant), composed with
@@ -675,9 +701,11 @@ def test_skiplisted_xid_reuse_in_same_batch_survives():
         [rec(2 + i, "insert", cols={"A": str(i)}) for i in range(6)]
     )
     state = _FakeGroupState()
+    from openlogreplicator_spark.streaming.assembly import _decode_state
+
     list(assemble_stateful(("b",), iter([big]), state, max_ops=3))
     _, payload = state.get
-    assert json.loads(payload)["skip"] == ["7.7.7"]
+    assert _decode_state(bytes(payload))[1] == {"7.7.7"}
 
     # batch 2: the old txn's rollback, THEN a reuse of the xid that
     # commits — all in one batch
