@@ -71,6 +71,35 @@ def plan_fingerprint(df) -> str:
     return hashlib.sha256(plan.encode()).hexdigest()[:12]
 
 
+def _drain_signature(progresses) -> str:
+    """Invariant signature of a drain run — the streaming analog of
+    plan_fingerprint (r7 VERDICT #6): per-data-batch input rows, state
+    rows updated/total, and sink output rows. Two runs of the same
+    pipeline over the same fixture produce the same signature, so a
+    drain-rate swing with an UNCHANGED signature is machine noise.
+    Zero-input scheduler ticks are excluded (their count varies run to
+    run under AvailableNow)."""
+    import hashlib
+
+    rows = []
+    for p in progresses:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        sink_rows = (d.get("sink") or {}).get("numOutputRows") or 0
+        if not d.get("numInputRows") and sink_rows <= 0:
+            continue
+        st = (d.get("stateOperators") or [{}])[0]
+        rows.append(
+            (
+                d.get("batchId"),
+                d.get("numInputRows"),
+                st.get("numRowsUpdated"),
+                st.get("numRowsTotal"),
+                sink_rows,
+            )
+        )
+    return hashlib.sha256(json.dumps(rows).encode()).hexdigest()[:12]
+
+
 def _stream_drain_rate(spark, sf_dir: str) -> dict:
     """End-to-end STREAMING drain over the OLRS binary fixture — the
     reference's headline workload (binary redo → parse → stateful
@@ -95,6 +124,7 @@ def _stream_drain_rate(spark, sf_dir: str) -> dict:
     # MEDIAN of all runs (round-over-round comparisons need a stable
     # central tendency, not a lucky min). All runs are reported.
     runs = []
+    sigs = []
     for _ in range(3):
         ckpt = tempfile.mkdtemp(prefix="olrs_bench_ckpt_")
         try:
@@ -110,6 +140,7 @@ def _stream_drain_rate(spark, sf_dir: str) -> dict:
             )
             q.awaitTermination()
             runs.append(round(time.perf_counter() - t0, 3))
+            sigs.append(_drain_signature(q.recentProgress))
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
     import statistics
@@ -119,6 +150,10 @@ def _stream_drain_rate(spark, sf_dir: str) -> dict:
         "records": n_records,
         "sec_runs": runs,
         "records_per_sec": int(n_records / dt) if dt > 0 else 0,
+        # run-invariant pipeline signature: compare across ROUNDS the
+        # way plan fingerprints compare for queries
+        "signature": sigs[0],
+        "signature_stable": len(set(sigs)) == 1,
     }
 
 
@@ -191,11 +226,14 @@ def main() -> None:
     # it is ALSO the noise-detection source for rounds whose BENCH doc
     # failed to parse (like r5)
     fp_path = os.path.join(REPO_ROOT, "bench_fingerprints.json")
-    if not prev_fp and os.path.exists(fp_path):
+    prev_drain: dict = {}
+    if os.path.exists(fp_path):
         with open(fp_path) as fh:
             side = json.load(fh)
-        prev_fp = side.get("plan_fingerprints", {})
-        prev = prev or side.get("queries", {})
+        if not prev_fp:
+            prev_fp = side.get("plan_fingerprints", {})
+            prev = prev or side.get("queries", {})
+        prev_drain = side.get("stream_drain", {})
 
     # median of three FULL PASSES over the query list, not three
     # back-to-back runs per query: this box's interference arrives in
@@ -234,6 +272,17 @@ def main() -> None:
             noise.append(name)
 
     drain = _stream_drain_rate(spark, sf_dir)
+    # drain noise detection (r7 VERDICT #6): a >25% rate move on an
+    # UNCHANGED pipeline signature is the box's interference, not a
+    # regression — same rule as the query fingerprints
+    if (
+        prev_drain.get("signature") == drain["signature"]
+        and prev_drain.get("records_per_sec", 0) > 0
+        and abs(drain["records_per_sec"] - prev_drain["records_per_sec"])
+        / prev_drain["records_per_sec"]
+        > 0.25
+    ):
+        noise.append("stream_drain")
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -242,7 +291,14 @@ def main() -> None:
     # the headline numbers, compact separators, and is the LAST line
     with open(fp_path, "w") as fh:
         json.dump(
-            {"plan_fingerprints": fingerprints, "queries": timings},
+            {
+                "plan_fingerprints": fingerprints,
+                "queries": timings,
+                "stream_drain": {
+                    "signature": drain["signature"],
+                    "records_per_sec": drain["records_per_sec"],
+                },
+            },
             fh,
             indent=1,
         )
