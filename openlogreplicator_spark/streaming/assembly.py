@@ -38,7 +38,7 @@ a fresh checkpoint, like any stateful-operator schema change.
 from __future__ import annotations
 
 import json
-from typing import Any, Iterable
+from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame

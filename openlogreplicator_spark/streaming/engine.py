@@ -428,7 +428,17 @@ def build_pipeline(
                 processingTime=f"{cfg.checkpoint_interval_s} seconds"
             )
         return (
-            writer.foreachBatch(stream_network_sink(network_server, fmt=cfg.fmt))
+            writer.foreachBatch(
+                stream_network_sink(
+                    network_server,
+                    fmt=cfg.fmt,
+                    max_message_bytes=(
+                        max_message_mb * 1024 * 1024
+                        if max_message_mb
+                        else None
+                    ),
+                )
+            )
             .option("checkpointLocation", checkpoint)
             .start()
         )

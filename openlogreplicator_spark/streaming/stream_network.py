@@ -500,13 +500,18 @@ class StreamClient:
 # --------------------------------------------------------------------------
 
 
-def stream_network_sink(server: StreamServer, fmt=None):
+def stream_network_sink(server: StreamServer, fmt=None,
+                        max_message_bytes: int | None = None):
     """foreachBatch writer: CHANGE_EVENT_SCHEMA micro-batches →
     protobuf-framed messages on the server's queue, in (c_scn, xid, num)
     emission order. Encoding runs distributed (Arrow pandas UDF); only
     the framed bytes of the batch funnel to the driver, because network
     delivery IS one ordered socket — the reference writer has the
-    identical single-threaded funnel (WriterQueue → Stream)."""
+    identical single-threaded funnel (WriterQueue → Stream).
+    ``max_message_bytes`` is the writer's ``max-message-mb`` byte cap;
+    it only applies under ``fmt.message == FULL`` (per-event messages
+    are one-op by construction, matching the reference where only
+    multi-op envelopes can grow past the cap)."""
     from openlogreplicator_spark.builders.protobuf_builder import (
         build_protobuf_events,
     )
@@ -521,8 +526,26 @@ def stream_network_sink(server: StreamServer, fmt=None):
             .orderBy("_oscn", "xid", "_oidx")
         )
         encoded = build_protobuf_events(
-            prepared, extra_cols=("_oscn", "_oidx"), fmt=fmt
+            prepared, extra_cols=("_oscn", "_oidx"), fmt=fmt,
+            max_message_bytes=max_message_bytes,
         )
+        from openlogreplicator_spark.config import MessageFormat
+
+        if fmt is not None and fmt.message == MessageFormat.FULL:
+            # the FULL envelope's groupBy(xid) discards the pre-encode
+            # sort; restore writer-queue order — commit scn, then the
+            # split part index within the transaction (parsed from the
+            # 'xid:part' key; a capless FULL key has no ':' → 0)
+            encoded = encoded.orderBy(
+                "_oscn",
+                "_oidx",
+                F.coalesce(
+                    F.element_at(F.split(F.col("key"), ":"), -1).cast(
+                        "long"
+                    ),
+                    F.lit(0),
+                ),
+            )
         for row in encoded.toLocalIterator():
             server.enqueue(int(row._oscn), int(row._oidx), bytes(row.value))
 

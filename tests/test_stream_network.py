@@ -343,3 +343,83 @@ def test_network_sink_carries_chkpt_frames(spark, tmp_path):
         ops.append(payload.get(1, 0))
     assert 6 in ops, "no CHKPT payload reached the network sink"
     assert any(o in (2, 3, 4) for o in ops), "DML frames must still flow"
+
+
+def test_network_sink_full_envelopes_byte_split(spark, tmp_path):
+    """W4 under MESSAGE_FORMAT::FULL + max-message-mb: the sink ships
+    multi-op RedoResponse envelopes through the protobuf FULL path
+    (BuilderProtobuf.h:95-190) and the byte-true T6 split — a
+    transaction rendering over the cap arrives as several envelopes,
+    each under the cap unless a single op is, in commit-scn/part
+    order."""
+    from openlogreplicator_spark.config import MessageFormat
+    from openlogreplicator_spark.sources.redo_gen import redo_records_df
+
+    def rec(scn, opcode, xid="5.5.5", **kw):
+        base = {"scn": scn, "subscn": 0, "block": scn, "offset": 0,
+                "seq": 1, "xid": xid, "opcode": opcode, "obj": 9,
+                "bdba": scn, "slot": 1, "fb": 0, "cols": None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    # one big txn (~1.5 MiB rendered at ~2 KB/op) + one small one
+    n_big = 800
+    records = (
+        [rec(1, "begin")]
+        + [rec(2 + i, "insert", cols={"A": "v" * 2000})
+           for i in range(n_big)]
+        + [rec(2 + n_big, "commit")]
+        + [rec(9000, "begin", xid="6.6.6"),
+           rec(9001, "insert", xid="6.6.6", cols={"A": "tiny"}),
+           rec(9002, "commit", xid="6.6.6")]
+    )
+    redo_dir = str(tmp_path / "redo_full")
+    write_binary_redo(redo_records_df(spark, records), redo_dir, n_files=1)
+    cap_mb = 1
+    cfg = EngineConfig(
+        fmt=Format(db_name="FDB", message=MessageFormat.FULL,
+                   skip_begin=True, skip_commit=True)
+    )
+    state_dir = str(tmp_path / "state")
+    server = StreamServer("FDB", state_dir=state_dir)
+    host, port = server.address
+    try:
+        client = StreamClient(host, port, "FDB")
+        assert client.start(scn=0)["code"] == RESP_REPLICATE
+        q = build_pipeline(
+            spark, cfg, redo_dir,
+            checkpoint=str(tmp_path / "ckpt_full"),
+            sink="network",
+            network_server=server,
+            max_message_mb=cap_mb,
+        )
+        drain(q)
+        events = []
+        while True:
+            ev = client.recv_event(timeout=5.0)
+            if ev is None:
+                break
+            events.append(ev)
+        client.close()
+    finally:
+        server.stop()
+
+    big = [e for e in events if len(e["payload"]) > 1]
+    assert big, "multi-op FULL envelopes must arrive"
+    # the big transaction split into >1 envelope; total ops preserved
+    assert sum(len(e["payload"]) for e in events) == n_big + 1
+    assert sum(len(e["payload"]) for e in big) >= n_big
+    assert len(big) >= 2, "the over-cap transaction must split"
+    # parts arrive in order: payload op nums concatenate monotonically
+    from openlogreplicator_spark.builders.protobuf_builder import (
+        decode_message,
+    )
+
+    nums = [
+        dict((f, v) for f, _, v in decode_message(p)).get(10, 0)
+        for e in events
+        if len(e["payload"]) > 1
+        for p in e["payload"]
+    ]
+    assert nums == sorted(nums)
