@@ -87,18 +87,88 @@ def encode_value(name: str, value: str | None) -> bytes:
     return _s(1, name) + (_s(5, value) if value is not None else b"")
 
 
+# SysCol COLTYPE code → pb::ColumnType enum (OraProtoBuf.proto:37-56,
+# switch in BuilderProtobuf.h:234-318)
+_PB_COLTYPE = {
+    1: 1,    # VARCHAR → VARCHAR2
+    2: 2,    # NUMBER
+    8: 3,    # LONG
+    12: 4,   # DATE
+    23: 5,   # RAW
+    24: 6,   # LONG_RAW
+    96: 7,   # CHAR
+    100: 8,  # FLOAT → BINARY_FLOAT
+    101: 9,  # DOUBLE → BINARY_DOUBLE
+    112: 10,  # CLOB
+    113: 11,  # BLOB
+    180: 12,  # TIMESTAMP
+    181: 13,  # TIMESTAMP_WITH_TZ
+    182: 14,  # INTERVAL_YEAR_TO_MONTH
+    183: 15,  # INTERVAL_DAY_TO_SECOND
+    208: 16,  # UROWID
+    231: 17,  # TIMESTAMP_WITH_LOCAL_TZ
+}
+# pb enums whose reference case also sets length (BuilderProtobuf.h)
+_PB_WITH_LENGTH = {1, 5, 7, 12, 13, 14, 15, 16, 17}
+
+
+def encode_column_desc(c: dict[str, Any]) -> bytes:
+    """pb::Column — name=1, type=2, length=3, precision=4, scale=5,
+    nullable=6 (proto3: zero/false values are omitted on the wire).
+    NUMBER carries precision+scale, the string/time/raw families carry
+    length, exactly the reference's per-type switch
+    (BuilderProtobuf.h:234-318); unmapped type codes → UNKNOWN(0)."""
+    out = _s(1, c.get("name"))
+    t = _PB_COLTYPE.get(int(c.get("type") or 0), 0)
+    if t:
+        out += _vi(2, t)
+    if t in _PB_WITH_LENGTH and c.get("length"):
+        out += _vi(3, int(c["length"]))
+    if t == 2:  # NUMBER
+        if c.get("precision"):
+            out += _vi(4, int(c["precision"]))
+        if c.get("scale"):
+            out += _vi(5, int(c["scale"]))
+    if c.get("nullable"):
+        out += _vi(6, 1)
+    return out
+
+
 def encode_schema(op: dict[str, Any]) -> bytes:
-    """pb::Schema — owner=1, name=2, obj=3."""
+    """pb::Schema — owner=1, name=2, obj=3, repeated column=6 (the
+    SCHEMA_FORMAT::FULL descriptors; REPEATED re-emits them per op).
+    Fidelity note: the reference's loop calls ``add_column()`` ONCE and
+    then overwrites that single Column message per iteration
+    (BuilderProtobuf.h:225-226), so its wire output carries only the
+    LAST column's descriptor — an upstream defect; this builder emits
+    one Column entry per column, the proto's evident intent and the
+    JSON builder's behavior."""
     out = _s(1, op.get("owner"))
     out += _s(2, op.get("table"))
     if op.get("obj") is not None:
         out += _vi(3, int(op["obj"]))
+    for c in op.get("schema_cols") or ():
+        out += _ld(6, encode_column_desc(c))
     return out
 
 
-def encode_payload(op: dict[str, Any]) -> bytes:
+def encode_payload(
+    op: dict[str, Any],
+    *,
+    legacy: bool = True,
+    add_sequences: bool = False,
+    rid_skip: bool = False,
+) -> bytes:
     """pb::Payload — op enum=1, schema=2, rid=3, before*=4, after*=5,
-    ddl=6, num=10."""
+    ddl=6, seq=7, offset=8, redo=9, num=10.
+
+    ``legacy`` (no Format supplied) keeps the original self-describing
+    encoding: rid/seq/offset/num always present. With a Format the
+    reference's exact field discipline applies (BuilderProtobuf.{h,cpp}):
+    DML payloads carry NO seq/offset (those are CHKPT-payload fields,
+    processCheckpoint:326-331, together with the ``redo`` bool), ``num``
+    only under MESSAGE_FORMAT::ADD_SEQUENCES (appendRowid,
+    BuilderProtobuf.h:82-83), ``rid`` only when RID_FORMAT != SKIP."""
     out = b""
     opcode = OP_ENUM.get(op.get("op") or "", None)
     if opcode:  # proto3 omits the 0 (BEGIN) default
@@ -106,17 +176,21 @@ def encode_payload(op: dict[str, Any]) -> bytes:
     schema = encode_schema(op)
     if schema:
         out += _ld(2, schema)
-    out += _s(3, op.get("rid"))
+    if not rid_skip:
+        out += _s(3, op.get("rid"))
     for fnum, img in ((4, op.get("before")), (5, op.get("after"))):
         for k in sorted(img or {}):
             out += _ld(fnum, encode_value(k, img[k]))
     if op.get("ddl") is not None:
         out += _s(6, op["ddl"])
-    if op.get("seq"):
+    is_chkpt = op.get("op") == "chkpt"
+    if (legacy or is_chkpt) and op.get("seq"):
         out += _vi(7, int(op["seq"]))
-    if op.get("offset"):
+    if (legacy or is_chkpt) and op.get("offset"):
         out += _vi(8, int(op["offset"]))
-    if op.get("num") is not None:
+    if is_chkpt and op.get("redo"):
+        out += _vi(9, 1)
+    if (legacy or add_sequences) and op.get("num") is not None:
         out += _vi(10, int(op["num"]))
     return out
 
@@ -159,9 +233,27 @@ def encode_suffix(ev: dict[str, Any]) -> bytes:
     return out
 
 
-def encode_event(ev: dict[str, Any]) -> bytes:
+def encode_event(
+    ev: dict[str, Any],
+    *,
+    legacy: bool = True,
+    add_sequences: bool = False,
+    rid_skip: bool = False,
+) -> bytes:
     """pb::RedoResponse with one Payload: header ‖ payload=9 ‖ suffix."""
-    return encode_header(ev) + _ld(9, encode_payload(ev)) + encode_suffix(ev)
+    return (
+        encode_header(ev)
+        + _ld(
+            9,
+            encode_payload(
+                ev,
+                legacy=legacy,
+                add_sequences=add_sequences,
+                rid_skip=rid_skip,
+            ),
+        )
+        + encode_suffix(ev)
+    )
 
 
 def _normalize_record(d: dict[str, Any]) -> dict[str, Any]:
@@ -181,6 +273,13 @@ def _normalize_record(d: dict[str, Any]) -> dict[str, Any]:
         v = d.get(f)
         if isinstance(v, float) and pd.isna(v):
             d[f] = None
+    sc = d.get("schema_cols")
+    if sc is None or (isinstance(sc, float) and pd.isna(sc)):
+        d["schema_cols"] = None
+    else:  # Arrow list<struct> → make each descriptor a plain dict
+        d["schema_cols"] = [
+            c if isinstance(c, dict) else dict(c) for c in sc
+        ]
     return d
 
 
@@ -189,6 +288,7 @@ def build_protobuf_events(
     extra_cols: tuple[str, ...] = (),
     fmt=None,
     max_message_bytes: int | None = None,
+    dict_cols: DataFrame | None = None,
 ) -> DataFrame:
     """CHANGE_EVENT_SCHEMA rows → (key, value binary) protobuf messages.
     ``extra_cols`` pass through unencoded (e.g. the network sink's
@@ -200,6 +300,13 @@ def build_protobuf_events(
     ``max_message_bytes`` then applies the byte-true T6 split
     (Builder.h:167, Transaction.cpp:519-538): greedy packing of encoded
     Payload wire bytes against the cap, messages keyed 'xid:part'.
+
+    ``dict_cols`` (DICT_COL_SCHEMA rows) + ``fmt.schema`` FULL/REPEATED
+    render pb::Schema column descriptors (repeated Column field 6,
+    BuilderProtobuf.h:218-322): FULL once per (transaction, table) —
+    the JSON builder's convention for the reference's per-builder
+    `tables` memo — REPEATED on every op. The dictionary broadcasts
+    (catalog-scale) onto the event stream keyed by obj.
 
     ``fmt`` (a :class:`~openlogreplicator_spark.config.Format`) enables
     the reference's protobuf header toggles (BuilderProtobuf.h:95-190):
@@ -218,9 +325,12 @@ def build_protobuf_events(
     other ISO variant emits NO timestamp (the reference's `default:
     break`). Without ``fmt`` the legacy self-describing header is kept:
     decimal scn, true-microsecond tm, text xid."""
-    from openlogreplicator_spark.config import ScnFormat, XidFormat
+    from openlogreplicator_spark.config import RidFormat, ScnFormat, XidFormat
     from openlogreplicator_spark.config import TimestampFormat as TF
 
+    legacy = fmt is None
+    add_seqs = False if fmt is None else bool(fmt.add_sequences)
+    rid_skip = fmt is not None and fmt.rid == RidFormat.SKIP
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("long")
     scns = null_s
@@ -282,7 +392,43 @@ def build_protobuf_events(
             )
     from pyspark.sql.pandas.functions import pandas_udf
 
-    from openlogreplicator_spark.config import MessageFormat
+    from openlogreplicator_spark.config import MessageFormat, SchemaFormat
+
+    _COLS_T = (
+        "array<struct<col:int,name:string,type:int,length:int,"
+        "precision:int,scale:int,nullable:boolean>>"
+    )
+    with_schema = (
+        dict_cols is not None
+        and fmt is not None
+        and fmt.schema in (SchemaFormat.FULL, SchemaFormat.REPEATED)
+    )
+    if with_schema:
+        meta = dict_cols.groupBy("obj").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "col", "name", "type", "length", "precision",
+                        "scale", "nullable",
+                    )
+                )
+            ).alias("_all_cols")
+        )
+        events = events.join(F.broadcast(meta), "obj", "left")
+        if fmt.schema == SchemaFormat.FULL:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("xid", "obj").orderBy("num")
+            events = events.withColumn(
+                "schema_cols",
+                F.when(F.row_number().over(w) == 1, F.col("_all_cols")),
+            ).drop("_all_cols")
+        else:
+            events = events.withColumnRenamed("_all_cols", "schema_cols")
+    else:
+        events = events.withColumn(
+            "schema_cols", F.lit(None).cast(_COLS_T)
+        )
 
     if fmt is not None and fmt.message == MessageFormat.FULL:
         from openlogreplicator_spark.builders.split import (
@@ -303,7 +449,7 @@ def build_protobuf_events(
         )
         op_struct = F.struct(
             "op", "owner", "table", "obj", "rid", "before", "after",
-            "seq", "offset", "num",
+            "seq", "offset", "num", "schema_cols",
         )
 
         @pandas_udf("binary")
@@ -311,7 +457,15 @@ def build_protobuf_events(
             # one framed `payload` entry (field 9) per op
             return pd.Series(
                 [
-                    _ld(9, encode_payload(_normalize_record(d)))
+                    _ld(
+                        9,
+                        encode_payload(
+                            _normalize_record(d),
+                            legacy=False,
+                            add_sequences=add_seqs,
+                            rid_skip=rid_skip,
+                        ),
+                    )
                     for d in col.to_dict("records")
                 ]
             )
@@ -397,6 +551,7 @@ def build_protobuf_events(
             "after",
             "num",
             "offset",
+            "schema_cols",
         ).alias("ev"),
     )
 
@@ -406,7 +561,12 @@ def build_protobuf_events(
         # per struct field); maps arrive as list-of-(k,v) tuples
         return pd.Series(
             [
-                encode_event(_normalize_record(d))
+                encode_event(
+                    _normalize_record(d),
+                    legacy=legacy,
+                    add_sequences=add_seqs,
+                    rid_skip=rid_skip,
+                )
                 for d in col.to_dict("records")
             ]
         )

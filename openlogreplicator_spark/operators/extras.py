@@ -557,7 +557,8 @@ def cdc_protobuf_builder_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_linenumber") * 512).cast("long").alias("offset"),
     )
     msgs = build_protobuf_events(
-        events, fmt=Format(message=MessageFormat.FULL),
+        events,
+        fmt=Format(message=MessageFormat.FULL, add_sequences=True),
         max_message_bytes=400,
     )
     return msgs.select("key", F.lower(F.hex("value")).alias("value_hex"))
@@ -582,9 +583,9 @@ def _cdc_protobuf_full_sql(cap: int = 400) -> str:
         + " || " + _pb_s_sql(3, "'AAAAATAAEAAAADbAAA'")
         + " || " + _pb_ld_sql(5, "(" + val_cmt + ")")  # sorted after keys
         + " || " + _pb_ld_sql(5, "(" + val_qty + ")")
-        + " || " + _pb_vi_sql(7, "1", 1)  # seq
-        + " || " + _pb_vi_sql(8, "ln * 512", 3)  # offset > 0 always
-        + " || " + _pb_vi_sql(10, "rn - 1", 1)  # num
+        + " || " + _pb_vi_sql(10, "rn - 1", 1)  # num (ADD_SEQUENCES);
+        # DML payloads carry no seq/offset under a Format — those are
+        # CHKPT-only fields (BuilderProtobuf.cpp:326-331)
     )
     prefix = (
         "'0805' || "  # code=1 → ResponseCode::PAYLOAD

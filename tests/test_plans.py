@@ -483,3 +483,35 @@ def test_plan_fingerprint_is_stable_for_lambda_plans(spark, sf_dir):
     assert a == b, "lambda-counter churn is back in the fingerprint"
     c = plan_fingerprint(similarity.cosine_topk(emb, qs, k=3))
     assert c != a, "fingerprint blind to a real plan change"
+
+
+def test_protobuf_full_envelope_single_exchange_map_side_encode(spark):
+    """The protobuf FULL path (r8) must encode each op MAP-SIDE (the
+    ArrowEvalPython for enc_op sits below the xid exchange, so only
+    already-encoded bytes shuffle) and group with exactly ONE exchange —
+    the same single-shuffle budget as the JSON FULL envelope; the
+    greedy byte packer itself is a Catalyst fold, adding no exchange."""
+    import datetime
+
+    from openlogreplicator_spark.builders.protobuf_builder import (
+        build_protobuf_events,
+    )
+    from openlogreplicator_spark.config import Format, MessageFormat
+    from openlogreplicator_spark.event_model import CHANGE_EVENT_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, 0, ts, 1, "1.1.1", "DB", "c", "U", "T", 5, "r", None,
+          {"A": "x"}, {}, 0, 1)],
+        CHANGE_EVENT_SCHEMA,
+    )
+    out = build_protobuf_events(
+        df, fmt=Format(message=MessageFormat.FULL), max_message_bytes=100
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # op encoding below the exchange: the Python eval node must appear
+    # AFTER (deeper than) the exchange in the single-trunk plan text
+    below = plan.split("Exchange", 1)[1]
+    assert "ArrowEvalPython" in below or "BatchEvalPython" in below, plan
+    assert "CartesianProduct" not in plan

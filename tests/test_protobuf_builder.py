@@ -203,7 +203,7 @@ def test_full_envelope_and_byte_true_split(spark):
         for i in range(6)
     ]
     df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
-    fmt = Format(message=MessageFormat.FULL)
+    fmt = Format(message=MessageFormat.FULL, add_sequences=True)
 
     # no cap: ONE message, header from the first op, 6 payload entries
     whole = build_protobuf_events(df, fmt=fmt).collect()
@@ -243,3 +243,70 @@ def test_full_envelope_and_byte_true_split(spark):
         ):
             assert len(pls) == 1 and len(r.value) > cap
     assert seen == [0, 1, 2, 3, 4, 5]
+
+
+def test_schema_full_and_repeated_column_descriptors(spark):
+    """SCHEMA_FORMAT FULL/REPEATED through the protobuf builder
+    (BuilderProtobuf.h:218-322): pb::Schema carries repeated Column
+    descriptors (name=1, type=2, length=3, precision=4, scale=5,
+    nullable=6) — NUMBER with precision/scale, VARCHAR2 with length,
+    unknown type codes as UNKNOWN(0). FULL emits them once per
+    (transaction, table) first op; REPEATED on every op. (The
+    reference's own loop overwrites a single add_column() slot — an
+    upstream defect documented in encode_schema; this builder emits
+    every column.)"""
+    from openlogreplicator_spark.config import Format, SchemaFormat
+    from openlogreplicator_spark.event_model import DICT_COL_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1002 + i, 1000, 3, ts, 9, "3.7.42", "DB", "c", "USR", "T1",
+         5001, "rid1", None, {"ID": str(i)}, {}, i, 77 + i)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    dict_rows = [
+        (5001, 0, 0, 0, "ID", 2, 22, 10, 0, 873, False, 1, 0, 0),
+        (5001, 1, 1, 1, "V", 1, 40, 0, 0, 873, True, 0, 0, 0),
+        (5001, 2, 2, 2, "X", 999, 8, 0, 0, 873, True, 0, 0, 0),
+    ]
+    dcols = spark.createDataFrame(dict_rows, DICT_COL_SCHEMA)
+
+    def schemas(fmt):
+        out = build_protobuf_events(df, fmt=fmt, dict_cols=dcols)
+        per_op = []
+        for r in sorted(out.collect(), key=lambda r: bytes(r.value)):
+            fields = decode_message(bytes(r.value))
+            pay = [v for f, _, v in fields if f == 9]
+            assert len(pay) == 1
+            sch = dict(
+                (f, v) for f, _, v in decode_message(pay[0])
+            )[2]
+            cols = [v for f, _, v in decode_message(sch) if f == 6]
+            per_op.append(cols)
+        return per_op
+
+    full = schemas(Format(schema=SchemaFormat.FULL))
+    with_cols = [c for c in full if c]
+    assert len(with_cols) == 1, "FULL: descriptors once per txn+table"
+    cols = with_cols[0]
+    assert len(cols) == 3
+    decoded = [
+        dict((f, v) for f, _, v in decode_message(c)) for c in cols
+    ]
+    by_name = {d[1]: d for d in decoded}
+    # NUMBER(10,0) PK: type=2, precision=4 present, no length, not null
+    assert by_name[b"ID"][2] == 2 and by_name[b"ID"][4] == 10
+    assert 3 not in by_name[b"ID"] and 6 not in by_name[b"ID"]
+    # VARCHAR2(40) nullable: type=1, length=40, nullable=1
+    assert by_name[b"V"][2] == 1 and by_name[b"V"][3] == 40
+    assert by_name[b"V"][6] == 1
+    # unmapped type code → UNKNOWN(0): proto3 omits the 0 enum
+    assert 2 not in by_name[b"X"] and 3 not in by_name[b"X"]
+
+    rep = schemas(Format(schema=SchemaFormat.REPEATED))
+    assert all(len(c) == 3 for c in rep), "REPEATED: every op"
+
+    # default OBJ mode: no descriptors at all
+    plain = schemas(Format())
+    assert all(c == [] for c in plain)

@@ -379,7 +379,7 @@ def test_network_sink_full_envelopes_byte_split(spark, tmp_path):
     cap_mb = 1
     cfg = EngineConfig(
         fmt=Format(db_name="FDB", message=MessageFormat.FULL,
-                   skip_begin=True, skip_commit=True)
+                   add_sequences=True, skip_begin=True, skip_commit=True)
     )
     state_dir = str(tmp_path / "state")
     server = StreamServer("FDB", state_dir=state_dir)

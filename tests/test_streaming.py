@@ -271,7 +271,16 @@ def test_observe_and_listener_metrics(spark, tmp_path):
             .start()
         )
         drain(q)
-        time.sleep(1)  # listener delivery is async
+        # listener delivery is async — poll with a deadline (a fixed 1 s
+        # sleep flaked when the box ran concurrent suites)
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if any(
+                p.get("observedMetrics", {}).get("olr_metrics")
+                for p in listener.progress
+            ):
+                break
+            time.sleep(0.2)
     finally:
         listener.detach(spark)
     observed_metrics = [
