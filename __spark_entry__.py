@@ -41,6 +41,9 @@ _PRIORITY = [  # round-8 window (previous windows: git history of this list)
     #    cdc_txn_split re-verifies the count-capped path post-refactor.
     "cdc_protobuf_builder_full",
     "cdc_txn_split",
+    "cdc_json_builder_debezium",  # bytes changed r8: preset xid is now
+    #   XID_FORMAT::TEXT_REVERSED (OpenLogReplicator.cpp:707 parity);
+    #   cdc_gap_detect gave up its slot (rotates r9)
     # -- STALE-VERDICT ROTATION (r7 VERDICT #1): the 23 queries whose
     #    latest driver verdict is r4, then 20 of the 41 r5-latest (the
     #    cdc parse-plane set, dedup_cluster_cc/ngram, TPC-H stragglers,
@@ -77,7 +80,6 @@ _PRIORITY = [  # round-8 window (previous windows: git history of this list)
     "cdc_clob_charset",
     "cdc_lob_reassembly",
     "cdc_schema_asof_resolve",
-    "cdc_gap_detect",
     "cdc_condition_filter",
     "cdc_unchanged_suppression",
     "dedup_cluster_cc",

@@ -129,7 +129,23 @@ def xid_expr(fmt: Format, col: str = "xid") -> Column:
             F.lower(F.hex(slt)), F.lit("."),
             F.lower(F.hex(sqn)),
         )
+    if fmt.xid == XidFormat.TEXT_REVERSED:
+        return reversed_hex16(F.shiftleft(usn, 48) + F.shiftleft(slt, 32) + sqn)
     return F.col(col)
+
+
+def reversed_hex16(packed: Column) -> Column:
+    """appendHex16Reversed (BuilderJson.h:630-663): hex16 of the packed
+    64-bit xid with the byte PAIRS shuffled — output bytes in big-endian
+    positions 1,0,3,2,7,6,5,4 (each byte's own nibbles in normal order).
+    This is the Debezium preset's xid rendering."""
+    h = F.lpad(F.lower(F.hex(packed)), 16, "0")
+    return F.concat(
+        F.substring(h, 3, 2), F.substring(h, 1, 2),
+        F.substring(h, 7, 2), F.substring(h, 5, 2),
+        F.substring(h, 15, 2), F.substring(h, 13, 2),
+        F.substring(h, 11, 2), F.substring(h, 9, 2),
+    )
 
 
 def tm_field_name(fmt: Format) -> str:

@@ -390,6 +390,20 @@ def build_protobuf_events(
                     F.element_at(parts, 3).cast("long"),
                 ),
             )
+        elif fmt.xid == XidFormat.TEXT_REVERSED:
+            # BuilderProtobuf.h:182-185: plain zero-padded hex16 of the
+            # packed 64-bit xid (the JSON builder's byte-pair shuffle is
+            # a BuilderJson-only rendering)
+            parts = F.split(F.col("xid"), r"\.")
+            packed = (
+                F.shiftleft(F.element_at(parts, 1).cast("long"), 48)
+                + F.shiftleft(F.element_at(parts, 2).cast("long"), 32)
+                + F.element_at(parts, 3).cast("long")
+            )
+            xid_out = F.when(
+                F.col("xid").isNotNull(),
+                F.lpad(F.lower(F.hex(packed)), 16, "0"),
+            )
     from pyspark.sql.pandas.functions import pandas_udf
 
     from openlogreplicator_spark.config import MessageFormat, SchemaFormat

@@ -21,6 +21,11 @@ class XidFormat(Enum):
     TEXT = "text"       # usn.slt.sqn decimal text (XID_FORMAT::TEXT_DEC)
     TEXT_HEX = "hex"    # 0xusn.slt.sqn hex (XID_FORMAT::TEXT_HEX)
     NUMERIC = "numeric"  # packed 64-bit (XID_FORMAT::DEC)
+    # XID_FORMAT::TEXT_REVERSED (Format.h:195-200) — the Debezium
+    # preset's format: JSON renders the packed 64-bit xid as hex16 with
+    # byte pairs shuffled (appendHex16Reversed, BuilderJson.h:630-663);
+    # protobuf renders plain zero-padded hex16 (BuilderProtobuf.h:182)
+    TEXT_REVERSED = "reversed"
 
 
 class TimestampFormat(Enum):
@@ -197,7 +202,8 @@ def debezium_preset() -> Format:
         column=ColumnFormat.FULL_UPD,
         schema=SchemaFormat.FULL,
         timestamp=TimestampFormat.UNIX_MILLI,
-        xid=XidFormat.TEXT,
+        # OpenLogReplicator.cpp:707 — the preset forces TEXT_REVERSED
+        xid=XidFormat.TEXT_REVERSED,
         skip_begin=True,
         skip_commit=True,
         # the reference debezium block also forces ridFormat=TEXT and

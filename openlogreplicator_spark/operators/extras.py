@@ -213,18 +213,32 @@ WITH src AS (
     SELECT o_orderkey AS k, o_orderpriority AS prio,
            (o_custkey % 8) || '.' || (o_custkey % 16) || '.' || o_orderkey
                AS xid,
+           -- XID_FORMAT::TEXT_REVERSED (the debezium preset,
+           -- OpenLogReplicator.cpp:707): hex16 of the packed xid with
+           -- byte pairs shuffled (appendHex16Reversed byte order
+           -- 1,0,3,2,7,6,5,4)
+           printf('%016x',
+                  (CAST(o_custkey % 8 AS BIGINT) << 48)
+                  + (CAST(o_custkey % 16 AS BIGINT) << 32)
+                  + o_orderkey) AS xh,
            CASE o_orderstatus WHEN 'O' THEN 'c' WHEN 'P' THEN 'u'
                 ELSE 'd' END AS op,
            epoch_ms(o_orderdate) AS tm_ms
     FROM orders
+), rev AS (
+    SELECT *,
+           substr(xh,3,2) || substr(xh,1,2) || substr(xh,7,2)
+           || substr(xh,5,2) || substr(xh,15,2) || substr(xh,13,2)
+           || substr(xh,11,2) || substr(xh,9,2) AS rxid
+    FROM src
 ), img AS (
     SELECT *, '"O_ORDERKEY":"' || k || '","O_PRIO":"' || prio
               || '","O_NOTE":null' AS full_img
-    FROM src
+    FROM rev
 )
 SELECT xid AS key,
        '{{"scn":' || (k * 10) || ',"e_scn":' || (k * 10 - 5)
-       || ',"tm":' || tm_ms || ',"xid":"' || xid
+       || ',"tm":' || tm_ms || ',"xid":"' || rxid
        || '","db":"DB","payload":[{{"op":"' || op || '",'
        || '{_DBZ_SCHEMA_BLOCK}'
        || ',"rid":"AAAAASAAEAAAADbAAA"'

@@ -179,7 +179,7 @@ _XID_MAP = {  # XID_FORMAT (Format.h:188-193)
     0: XidFormat.TEXT_HEX,
     1: XidFormat.TEXT,       # TEXT_DEC
     2: XidFormat.NUMERIC,
-    3: XidFormat.TEXT,       # TEXT_REVERSED — repo debezium analog
+    3: XidFormat.TEXT_REVERSED,
 }
 
 

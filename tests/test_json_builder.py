@@ -649,3 +649,20 @@ def test_byte_true_split_oversized_lob_op(spark):
         if any(p["after"]["ID"] == "4" for p in v["payload"]):
             # the oversized op rides ALONE (and necessarily over-cap)
             assert len(v["payload"]) == 1 and size > cap
+
+
+def test_xid_text_reversed_render(events_df):
+    """XID_FORMAT::TEXT_REVERSED (the debezium preset's xid,
+    OpenLogReplicator.cpp:707): hex16 of the packed 64-bit xid with
+    byte pairs shuffled per appendHex16Reversed (BuilderJson.h:630-663)
+    — output bytes in big-endian positions 1,0,3,2,7,6,5,4."""
+    out = build_events(events_df, Format(xid=XidFormat.TEXT_REVERSED))
+    v = json.loads(out.collect()[0].value)
+    packed = (3 << 48) | (7 << 32) | 42  # xid 3.7.42
+    h = "%016x" % packed
+    expected = (h[2:4] + h[0:2] + h[6:8] + h[4:6]
+                + h[14:16] + h[12:14] + h[10:12] + h[8:10])
+    assert v["xid"] == expected
+    # the debezium preset itself uses this rendering
+    dbz = build_events(events_df, debezium_preset()).collect()
+    assert json.loads(dbz[0].value)["xid"] == expected

@@ -310,3 +310,25 @@ def test_schema_full_and_repeated_column_descriptors(spark):
     # default OBJ mode: no descriptors at all
     plain = schemas(Format())
     assert all(c == [] for c in plain)
+
+
+def test_xid_text_reversed_protobuf_is_plain_hex16(spark):
+    """XID_FORMAT::TEXT_REVERSED on the protobuf wire is PLAIN
+    zero-padded hex16 of the packed xid (BuilderProtobuf.h:182-185,
+    ostringstream setw(16) — no byte-pair shuffle; the shuffle is a
+    BuilderJson-only rendering)."""
+    from openlogreplicator_spark.config import Format, XidFormat
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(4095, 1000, 3, ts, 9, "3.7.42", "DB", "c", "USR", "T1", 5001,
+          "rid1", None, {"ID": "1"}, {}, 1, 77)],
+        CHANGE_EVENT_SCHEMA,
+    )
+    r = build_protobuf_events(
+        df, fmt=Format(xid=XidFormat.TEXT_REVERSED)
+    ).collect()[0]
+    fields = dict((f, v) for f, _, v in decode_message(bytes(r.value)))
+    packed = (3 << 48) | (7 << 32) | 42
+    assert fields[6] == ("%016x" % packed).encode()
+    assert 7 not in fields  # not the packed-numeric oneof
