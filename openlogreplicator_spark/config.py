@@ -200,7 +200,9 @@ def debezium_preset() -> Format:
     """
     return Format(
         column=ColumnFormat.FULL_UPD,
-        schema=SchemaFormat.FULL,
+        # SCHEMA_FORMAT::ALL = FULL|REPEATED|OBJ (Format.h:110-116):
+        # column descriptors on EVERY message, not once per table
+        schema=SchemaFormat.REPEATED,
         timestamp=TimestampFormat.UNIX_MILLI,
         # OpenLogReplicator.cpp:707 — the preset forces TEXT_REVERSED
         xid=XidFormat.TEXT_REVERSED,

@@ -427,8 +427,16 @@ def _parse_format(
             unknown=UnknownFormat.DUMP if val else UnknownFormat.QUESTION_MARK
         )
     if "schema" in fmt_json:
+        # SCHEMA_FORMAT bitmask (Format.h:110-116): FULL=1 gates the
+        # column descriptors entirely; REPEATED=2 only disables the
+        # once-per-table memo WHEN FULL is set (isSchemaFormatRepeated
+        # is read solely inside the isSchemaFormatFull branch,
+        # BuilderProtobuf.h:218-223 / BuilderJson) — REPEATED alone
+        # emits no descriptors. OBJ=4 is accepted; this repo emits the
+        # obj field unconditionally (self-describing default, like the
+        # rid/db notes in config.py).
         val = _uint(fmt_json, "schema", 0, 7)
-        if val & 2:
+        if (val & 1) and (val & 2):
             fmt = fmt.with_options(schema=SchemaFormat.REPEATED)
         elif val & 1:
             fmt = fmt.with_options(schema=SchemaFormat.FULL)

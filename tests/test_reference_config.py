@@ -115,7 +115,8 @@ def test_example_debezium_preset():
     fmt = dep.config.fmt
     assert dep.format_type == "debezium"
     assert fmt.column == ColumnFormat.FULL_UPD
-    assert fmt.schema == SchemaFormat.FULL
+    # SCHEMA_FORMAT::ALL includes REPEATED (descriptors every message)
+    assert fmt.schema == SchemaFormat.REPEATED
     assert fmt.rid == RidFormat.TEXT
     assert fmt.db == DbFormat.ALL
     assert fmt.redo_thread is True          # preset forces REDO_THREAD TEXT
@@ -971,3 +972,34 @@ def test_source_level_memory_recorded_not_silently_dropped():
     assert from_reference_json(doc).unmodeled[
         "source-memory-ignored"
     ] == 512
+
+
+def test_schema_bitmask_repeated_requires_full():
+    """SCHEMA_FORMAT decode (Format.h:110-116): REPEATED (2) only
+    modifies FULL (1) — isSchemaFormatRepeated is read solely inside
+    the isSchemaFormatFull branch, so "schema": 2 alone must NOT turn
+    on per-op descriptors (regression: the adapter mapped any val&2 to
+    REPEATED)."""
+    from openlogreplicator_spark.config import SchemaFormat
+
+    def decode(v):
+        doc = {
+            "version": "1.9.0",
+            "source": [{
+                "alias": "S", "name": "D",
+                "reader": {"type": "offline"},
+                "format": {"type": "json", "schema": v},
+                "filter": {"table": [{"owner": "U", "table": ".*"}]},
+            }],
+            "target": [{"alias": "T", "source": "S",
+                        "writer": {"type": "discard"}}],
+        }
+        return from_reference_json(doc).config.fmt.schema
+
+    assert decode(0) == SchemaFormat.OBJ
+    assert decode(1) == SchemaFormat.FULL
+    assert decode(2) == SchemaFormat.OBJ      # REPEATED without FULL
+    assert decode(3) == SchemaFormat.REPEATED
+    assert decode(4) == SchemaFormat.OBJ      # OBJ bit only
+    assert decode(5) == SchemaFormat.FULL
+    assert decode(7) == SchemaFormat.REPEATED  # ALL
