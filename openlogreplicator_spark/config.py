@@ -276,6 +276,13 @@ class EngineConfig:
     # through reference_config.from_reference_json.
     interval_dts: str = "iso8601_space"
     interval_ytm: str = "string_ym_dash"
+    # TIMESTAMP_TZ_FORMAT (Format.h:31-44) — TSTZ column-value
+    # rendering; all 12 reference variants live in
+    # oracle_types.decode_timestamp_tz. Engine default keeps the
+    # canonical human-readable form; the reference's default
+    # (UNIX_NANO_STRING, OpenLogReplicator.cpp:688) comes through
+    # reference_config.from_reference_json.
+    timestamp_tz: str = "iso8601_nano"
     # CHAR_FORMAT (Format.h:42-46): "default" | "nomapping" | "hex" —
     # charset translation mode of the parse plane's text kernels
     char_format: str = "default"

@@ -167,17 +167,92 @@ def decode_timestamp(b: bytes | None) -> str | None:
     return f"{base}.{nanos:09d}"
 
 
-def decode_timestamp_tz(b: bytes | None) -> str | None:
-    """13-byte TIMESTAMP WITH TIME ZONE (offset form) →
-    'YYYY-MM-DD HH:MM:SS.fffffffff +HH:MM'."""
+def _days_from_civil(y: int, m: int, d: int) -> int:
+    """Proleptic-Gregorian days since 1970-01-01 (Howard Hinnant's
+    civil_from_days inverse) — pure integers, valid for any year, so
+    BC dates don't hit Python datetime's year-1 floor."""
+    y -= m <= 2
+    era = (y if y >= 0 else y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _civil_from_days(z: int) -> tuple:
+    era = (z + 719468 if z + 719468 >= 0 else z + 719468 - 146096) // 146097
+    doe = z + 719468 - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + (3 if mp < 10 else -9)
+    return y + (m <= 2), m, d
+
+
+def _iso_from_epoch(epoch: int, t_sep: bool) -> str:
+    days, rem = divmod(epoch, 86400)
+    y, mo, d = _civil_from_days(days)
+    sep = "T" if t_sep else " "
+    return (
+        f"{y:04d}-{mo:02d}-{d:02d}{sep}"
+        f"{rem // 3600:02d}:{(rem % 3600) // 60:02d}:{rem % 60:02d}"
+    )
+
+
+def decode_timestamp_tz(
+    b: bytes | None, fmt: str = "iso8601_nano"
+) -> str | None:
+    """13-byte TIMESTAMP WITH TIME ZONE (offset form) rendered per
+    TIMESTAMP_TZ_FORMAT (Format.h:31-44; BuilderJson::columnTimestampTz,
+    BuilderJson.cpp:281-450): the four UNIX_*_STRING variants emit
+    '<scaled-epoch>,<tz>' (half-up rounding like the reference), the
+    ISO8601*_TZ variants 'YYYY-MM-DDTHH:MM:SS[.f]Z <tz>', the bare
+    ISO8601* variants 'YYYY-MM-DD HH:MM:SS[.f] <tz>'. The default
+    iso8601_nano is this engine's canonical form (byte-identical to the
+    pre-matrix rendering). Fidelity note: region-stored TSTZ values
+    would render the region NAME in the reference via its generated
+    src/locales timezone table — this engine covers the offset form;
+    the tz component is always '±HH:MM'."""
     if b is None or len(b) < 13:
         return None
     b = bytes(b)
-    ts = decode_timestamp(b[:11])
     tzh = b[11] - 20
     tzm = b[12] - 60
     sign = "+" if (tzh > 0 or (tzh == 0 and tzm >= 0)) else "-"
-    return f"{ts} {sign}{abs(tzh):02d}:{abs(tzm):02d}"
+    tz = f"{sign}{abs(tzh):02d}:{abs(tzm):02d}"
+    if fmt == "iso8601_nano":
+        return f"{decode_timestamp(b[:11])} {tz}"
+    year = (b[0] - 100) * 100 + (b[1] - 100)
+    frac = struct.unpack(">I", b[7:11])[0]
+    epoch = (
+        _days_from_civil(year, b[2], b[3]) * 86400
+        + (b[4] - 1) * 3600 + (b[5] - 1) * 60 + (b[6] - 1)
+    )
+    if fmt == "unix_nano_string":
+        return f"{epoch * 10**9 + frac},{tz}"
+    if fmt == "unix_micro_string":
+        return f"{epoch * 10**6 + (frac + 500) // 1000},{tz}"
+    if fmt == "unix_milli_string":
+        return f"{epoch * 1000 + (frac + 500_000) // 10**6},{tz}"
+    if fmt == "unix_string":
+        return f"{epoch + (frac + 500_000_000) // 10**9},{tz}"
+    t_sep = fmt.endswith("_tz")
+    digits = (9 if "nano" in fmt else 6 if "micro" in fmt
+              else 3 if "milli" in fmt else 0)
+    if digits:
+        scale = 10 ** (9 - digits)
+        f2 = frac if digits == 9 else (frac + scale // 2) // scale
+        if f2 >= 10**digits:
+            f2 -= 10**digits
+            epoch += 1
+        body = f"{_iso_from_epoch(epoch, t_sep)}.{f2:0{digits}d}"
+    else:
+        if frac >= 500_000_000:
+            epoch += 1
+        body = _iso_from_epoch(epoch, t_sep)
+    return f"{body}Z {tz}" if t_sep else f"{body} {tz}"
 
 
 # INTERVAL render variants (Format.h:54-74; render loops

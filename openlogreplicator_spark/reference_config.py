@@ -171,6 +171,12 @@ _INTERVAL_DTS_MAP = [  # INTERVAL_DTS_FORMAT (Format.h:54-66), 0..10
     "unix_nano_string", "unix_micro_string", "unix_milli_string",
     "unix_string", "iso8601_space", "iso8601_comma", "iso8601_dash",
 ]
+_TSTZ_MAP = [  # TIMESTAMP_TZ_FORMAT (Format.h:31-44), 0..11
+    "unix_nano_string", "unix_micro_string", "unix_milli_string",
+    "unix_string", "iso8601_nano_tz", "iso8601_micro_tz",
+    "iso8601_milli_tz", "iso8601_tz", "iso8601_nano", "iso8601_micro",
+    "iso8601_milli", "iso8601",
+]
 _INTERVAL_YTM_MAP = [  # INTERVAL_YTM_FORMAT (Format.h:68-74), 0..4
     "months", "months_string", "string_ym_space", "string_ym_comma",
     "string_ym_dash",
@@ -386,7 +392,7 @@ def _parse_format(
                 f"engine (requested variant {val})"
             )
     if "timestamp-tz" in fmt_json:
-        unmodeled["timestamp-tz"] = _uint(fmt_json, "timestamp-tz", 0, 11)
+        _uint(fmt_json, "timestamp-tz", 0, 11)  # wired below via cfg
     if "timestamp-type" in fmt_json:
         # TIMESTAMP_TYPE bits (Format.h:92-99): COMMIT_VALUE=1, BEGIN=2,
         # DML=4 (per-op tm inside FULL envelopes — SHORT always carries
@@ -754,6 +760,8 @@ def from_reference_json(source) -> ReferenceDeployment:
         if "interval-ytm" in fmt_json
         else ytm_default
     )
+    # TIMESTAMP_TZ_FORMAT: reference default UNIX_NANO_STRING (cpp:688)
+    timestamp_tz = _TSTZ_MAP[fmt_json.get("timestamp-tz", 0)]
     char_val = fmt_json.get("char", 0)
     char_format = (
         "hex" if char_val & 2 else "nomapping" if char_val & 1 else "default"
@@ -770,6 +778,7 @@ def from_reference_json(source) -> ReferenceDeployment:
         schema_mode=schema_mode,
         interval_dts=interval_dts,
         interval_ytm=interval_ytm,
+        timestamp_tz=timestamp_tz,
         char_format=char_format,
         memory_max_mb=memory_max_mb if memory_present else None,
         memory_swap_path=memory_swap_path,

@@ -129,6 +129,9 @@ class DecodeOpts(NamedTuple):
     # through untranslated; "hex" dumps hex (dominates when both bits
     # are set, like the reference's isCharFormatHex branch)
     char_format: str = "default"
+    # TIMESTAMP_TZ_FORMAT (Format.h:31-44) — TSTZ column rendering;
+    # "iso8601_nano" is this engine's canonical (pre-matrix) default
+    timestamp_tz: str = "iso8601_nano"
 
 
 def _opts(o) -> "DecodeOpts":
@@ -544,7 +547,7 @@ def _dec_value_raw(
     if vtype == TYPE_RAW:
         return payload.hex()
     if vtype == TYPE_TSTZ:
-        return decode_timestamp_tz(payload)
+        return decode_timestamp_tz(payload, _opts(db_tz).timestamp_tz)
     if vtype == TYPE_IYM:
         return decode_interval_ym(payload, _opts(db_tz).interval_ytm)
     if vtype == TYPE_IDS:
@@ -1143,6 +1146,7 @@ def parse_redo_files(
     interval_dts: str = "iso8601_space",
     interval_ytm: str = "string_ym_dash",
     char_format: str = "default",
+    timestamp_tz: str = "iso8601_nano",
 ) -> DataFrame:
     """Directory of OLRS1 files → REDO_RECORD_SCHEMA DataFrame. One task
     per file via the binaryFile source; validation + parse run on the
@@ -1155,7 +1159,7 @@ def parse_redo_files(
     ``interval_ytm`` select the INTERVAL_DTS_FORMAT / INTERVAL_YTM_FORMAT
     rendering variants (Format.h:54-74)."""
     opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm,
-                      char_format)
+                      char_format, timestamp_tz)
 
     def kernel(batches):
         return _record_frames(batches, dictionary, opts)
@@ -1174,6 +1178,7 @@ def parse_redo_stream(
     interval_dts: str = "iso8601_space",
     interval_ytm: str = "string_ym_dash",
     char_format: str = "default",
+    timestamp_tz: str = "iso8601_nano",
 ) -> DataFrame:
     """Streaming variant of :func:`parse_redo_files`: the reference's
     online mode (S1 reader thread tailing redo + S4 scheduler) as a
@@ -1182,7 +1187,7 @@ def parse_redo_stream(
     ``dictionary``, ``db_tz_seconds`` and the interval format selectors
     behave as in the batch reader."""
     opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm,
-                      char_format)
+                      char_format, timestamp_tz)
 
     def kernel(batches):
         return _record_frames(batches, dictionary, opts)

@@ -335,6 +335,7 @@ def build_pipeline(
         interval_dts=cfg.interval_dts,
         interval_ytm=cfg.interval_ytm,
         char_format=cfg.char_format,
+        timestamp_tz=cfg.timestamp_tz,
     )
     if start_scn is not None:
         # O3/F9 startup positioning: everything at or below the

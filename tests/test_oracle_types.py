@@ -356,3 +356,66 @@ def test_timestamp_ltz_kernel():
     # 7-byte form (no fraction) is legal; other sizes are columnUnknown
     assert decode_timestamp_ltz(b[:7]) == "2024-06-01 10:00:00.000000000"
     assert decode_timestamp_ltz(b[:9]) is None
+
+
+def test_timestamp_tz_format_matrix():
+    """TIMESTAMP_TZ_FORMAT (Format.h:31-44) — all 12 variants of
+    BuilderJson::columnTimestampTz (BuilderJson.cpp:281-450): scaled
+    epoch with half-up rounding + ',tz' for the UNIX_*_STRING forms,
+    'T'-separated + 'Z tz' for ISO*_TZ, space-separated + ' tz' for the
+    bare ISO forms; rounding carries into the seconds."""
+    import calendar
+    import struct as _struct
+
+    from openlogreplicator_spark.functions.oracle_types import (
+        decode_timestamp_tz,
+    )
+
+    def tsz(frac, tzh=21, tzm=90):  # +01:30
+        return bytes(
+            [120, 124, 4, 5, 20, 35, 39]
+        ) + _struct.pack(">I", frac) + bytes([tzh, tzm])
+
+    epoch = calendar.timegm((2024, 4, 5, 19, 34, 38, 0, 0, 0))
+    b = tsz(123456789)
+    # canonical default unchanged (pre-matrix byte compatibility)
+    assert decode_timestamp_tz(b) == "2024-04-05 19:34:38.123456789 +01:30"
+    assert decode_timestamp_tz(b, "unix_nano_string") == (
+        f"{epoch * 10**9 + 123456789},+01:30"
+    )
+    assert decode_timestamp_tz(b, "unix_micro_string") == (
+        f"{epoch * 10**6 + 123457},+01:30"
+    )
+    assert decode_timestamp_tz(b, "unix_milli_string") == (
+        f"{epoch * 1000 + 123},+01:30"
+    )
+    assert decode_timestamp_tz(b, "unix_string") == f"{epoch},+01:30"
+    assert decode_timestamp_tz(b, "iso8601_nano_tz") == (
+        "2024-04-05T19:34:38.123456789Z +01:30"
+    )
+    assert decode_timestamp_tz(b, "iso8601_micro_tz") == (
+        "2024-04-05T19:34:38.123457Z +01:30"
+    )
+    assert decode_timestamp_tz(b, "iso8601_milli_tz") == (
+        "2024-04-05T19:34:38.123Z +01:30"
+    )
+    assert decode_timestamp_tz(b, "iso8601_tz") == (
+        "2024-04-05T19:34:38Z +01:30"
+    )
+    assert decode_timestamp_tz(b, "iso8601_micro") == (
+        "2024-04-05 19:34:38.123457 +01:30"
+    )
+    assert decode_timestamp_tz(b, "iso8601") == "2024-04-05 19:34:38 +01:30"
+    # negative offset renders '-HH:MM'
+    assert decode_timestamp_tz(
+        tsz(0, tzh=15, tzm=60), "iso8601"
+    ).endswith(" -05:00")
+
+    # half-up rounding carries into the seconds (the reference's
+    # fraction-overflow ++timestamp branches)
+    hi = tsz(999_999_999)
+    assert decode_timestamp_tz(hi, "iso8601_micro_tz") == (
+        "2024-04-05T19:34:39.000000Z +01:30"
+    )
+    assert decode_timestamp_tz(hi, "iso8601") == "2024-04-05 19:34:39 +01:30"
+    assert decode_timestamp_tz(hi, "unix_string") == f"{epoch + 1},+01:30"

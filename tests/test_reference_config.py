@@ -1003,3 +1003,23 @@ def test_schema_bitmask_repeated_requires_full():
     assert decode(4) == SchemaFormat.OBJ      # OBJ bit only
     assert decode(5) == SchemaFormat.FULL
     assert decode(7) == SchemaFormat.REPEATED  # ALL
+
+
+def test_timestamp_tz_knob_wires_to_engine():
+    """"timestamp-tz" (TIMESTAMP_TZ_FORMAT, Format.h:31-44) now WIRES
+    to the parse plane's TSTZ kernel instead of being recorded
+    unmodeled; absent, the reference default UNIX_NANO_STRING
+    (cpp:688) applies."""
+    doc = _base()
+    doc["source"][0]["format"]["timestamp-tz"] = 7  # ISO8601_TZ
+    dep = from_reference_json(doc)
+    assert dep.config.timestamp_tz == "iso8601_tz"
+    assert "timestamp-tz" not in dep.unmodeled
+
+    dep0 = from_reference_json(_base())
+    assert dep0.config.timestamp_tz == "unix_nano_string"
+
+    doc = _base()
+    doc["source"][0]["format"]["timestamp-tz"] = 12
+    with pytest.raises(ConfigurationError, match="timestamp-tz"):
+        from_reference_json(doc)
