@@ -283,6 +283,10 @@ class EngineConfig:
     # (UNIX_NANO_STRING, OpenLogReplicator.cpp:688) comes through
     # reference_config.from_reference_json.
     timestamp_tz: str = "iso8601_nano"
+    # TIMESTAMP_FORMAT applied to column VALUES in the parse plane
+    # (the header tm is Format.timestamp in the builders); canonical
+    # default, reference default UNIX_NANO via the config adapter
+    timestamp_column: str = "iso8601_nano"
     # CHAR_FORMAT (Format.h:42-46): "default" | "nomapping" | "hex" —
     # charset translation mode of the parse plane's text kernels
     char_format: str = "default"

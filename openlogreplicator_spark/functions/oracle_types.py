@@ -157,14 +157,53 @@ def decode_date(b: bytes | None) -> str | None:
     )
 
 
-def decode_timestamp(b: bytes | None) -> str | None:
-    """11-byte TIMESTAMP → 'YYYY-MM-DD HH:MM:SS.fffffffff' (nanos)."""
+def decode_timestamp(
+    b: bytes | None, fmt: str = "iso8601_nano"
+) -> str | None:
+    """11-byte TIMESTAMP rendered per TIMESTAMP_FORMAT —
+    BuilderJson::columnTimestamp's full 16-variant matrix
+    (BuilderJson.cpp:104-278): UNIX-scaled epochs with half-up
+    rounding, 'T'-separated ISO8601*_TZ forms with the Z suffix,
+    space-separated bare ISO forms. The default iso8601_nano is this
+    engine's canonical form (byte-identical to the pre-matrix
+    rendering). Fidelity note: the plain UNIX variants differ from
+    their *_STRING twins only in JSON quoting, which this engine's
+    string-image pipeline applies uniformly — both map to the same
+    digit text (same convention as the interval kernels)."""
     if b is None or len(b) < 7:
         return None
     b = bytes(b)
-    base = decode_date(b[:7])
-    nanos = struct.unpack(">I", b[7:11])[0] if len(b) >= 11 else 0
-    return f"{base}.{nanos:09d}"
+    frac = struct.unpack(">I", b[7:11])[0] if len(b) >= 11 else 0
+    if fmt == "iso8601_nano":
+        return f"{decode_date(b[:7])}.{frac:09d}"
+    year = (b[0] - 100) * 100 + (b[1] - 100)
+    epoch = (
+        _days_from_civil(year, b[2], b[3]) * 86400
+        + (b[4] - 1) * 3600 + (b[5] - 1) * 60 + (b[6] - 1)
+    )
+    if fmt in ("unix_nano", "unix_nano_string"):
+        return str(epoch * 10**9 + frac)
+    if fmt in ("unix_micro", "unix_micro_string"):
+        return str(epoch * 10**6 + (frac + 500) // 1000)
+    if fmt in ("unix_milli", "unix_milli_string"):
+        return str(epoch * 1000 + (frac + 500_000) // 10**6)
+    if fmt in ("unix", "unix_string"):
+        return str(epoch + (frac + 500_000_000) // 10**9)
+    t_sep = fmt.endswith("_tz")
+    digits = (9 if "nano" in fmt else 6 if "micro" in fmt
+              else 3 if "milli" in fmt else 0)
+    if digits:
+        scale = 10 ** (9 - digits)
+        f2 = frac if digits == 9 else (frac + scale // 2) // scale
+        if f2 >= 10**digits:
+            f2 -= 10**digits
+            epoch += 1
+        body = f"{_iso_from_epoch(epoch, t_sep)}.{f2:0{digits}d}"
+    else:
+        if frac >= 500_000_000:
+            epoch += 1
+        body = _iso_from_epoch(epoch, t_sep)
+    return f"{body}Z" if t_sep else body
 
 
 def _days_from_civil(y: int, m: int, d: int) -> int:

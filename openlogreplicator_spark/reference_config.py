@@ -171,6 +171,13 @@ _INTERVAL_DTS_MAP = [  # INTERVAL_DTS_FORMAT (Format.h:54-66), 0..10
     "unix_nano_string", "unix_micro_string", "unix_milli_string",
     "unix_string", "iso8601_space", "iso8601_comma", "iso8601_dash",
 ]
+_TS_COL_MAP = [  # TIMESTAMP_FORMAT for column values, 0..15
+    "unix_nano", "unix_micro", "unix_milli", "unix",
+    "unix_nano_string", "unix_micro_string", "unix_milli_string",
+    "unix_string", "iso8601_nano_tz", "iso8601_micro_tz",
+    "iso8601_milli_tz", "iso8601_tz", "iso8601_nano", "iso8601_micro",
+    "iso8601_milli", "iso8601",
+]
 _TSTZ_MAP = [  # TIMESTAMP_TZ_FORMAT (Format.h:31-44), 0..11
     "unix_nano_string", "unix_micro_string", "unix_milli_string",
     "unix_string", "iso8601_nano_tz", "iso8601_micro_tz",
@@ -386,11 +393,7 @@ def _parse_format(
             # most deployments set only "timestamp"; honor it for the
             # header too rather than silently ignoring the knob
             fmt = fmt.with_options(timestamp=_TIMESTAMP_MAP[val])
-        if val != 0:
-            unmodeled["timestamp-columns"] = (
-                "column timestamp values are canonical strings in this "
-                f"engine (requested variant {val})"
-            )
+        # column-value rendering is wired below via cfg.timestamp_column
     if "timestamp-tz" in fmt_json:
         _uint(fmt_json, "timestamp-tz", 0, 11)  # wired below via cfg
     if "timestamp-type" in fmt_json:
@@ -762,6 +765,8 @@ def from_reference_json(source) -> ReferenceDeployment:
     )
     # TIMESTAMP_TZ_FORMAT: reference default UNIX_NANO_STRING (cpp:688)
     timestamp_tz = _TSTZ_MAP[fmt_json.get("timestamp-tz", 0)]
+    # TIMESTAMP_FORMAT for column values: reference default UNIX_NANO
+    timestamp_column = _TS_COL_MAP[fmt_json.get("timestamp", 0)]
     char_val = fmt_json.get("char", 0)
     char_format = (
         "hex" if char_val & 2 else "nomapping" if char_val & 1 else "default"
@@ -779,6 +784,7 @@ def from_reference_json(source) -> ReferenceDeployment:
         interval_dts=interval_dts,
         interval_ytm=interval_ytm,
         timestamp_tz=timestamp_tz,
+        timestamp_column=timestamp_column,
         char_format=char_format,
         memory_max_mb=memory_max_mb if memory_present else None,
         memory_swap_path=memory_swap_path,

@@ -132,6 +132,9 @@ class DecodeOpts(NamedTuple):
     # TIMESTAMP_TZ_FORMAT (Format.h:31-44) — TSTZ column rendering;
     # "iso8601_nano" is this engine's canonical (pre-matrix) default
     timestamp_tz: str = "iso8601_nano"
+    # TIMESTAMP_FORMAT for COLUMN values (Format.h:117-134; the header
+    # tm uses Format.timestamp via the builders) — same canonical default
+    timestamp_column: str = "iso8601_nano"
 
 
 def _opts(o) -> "DecodeOpts":
@@ -536,7 +539,7 @@ def _dec_value_raw(
     if vtype == TYPE_DATE:
         return decode_date(payload)
     if vtype == TYPE_TS:
-        return decode_timestamp(payload)
+        return decode_timestamp(payload, _opts(db_tz).timestamp_column)
     if vtype == TYPE_CSTEXT:
         return charset_decode(
             payload[1:], CHARSET_TABLE[payload[0]],
@@ -1147,6 +1150,7 @@ def parse_redo_files(
     interval_ytm: str = "string_ym_dash",
     char_format: str = "default",
     timestamp_tz: str = "iso8601_nano",
+    timestamp_column: str = "iso8601_nano",
 ) -> DataFrame:
     """Directory of OLRS1 files → REDO_RECORD_SCHEMA DataFrame. One task
     per file via the binaryFile source; validation + parse run on the
@@ -1159,7 +1163,7 @@ def parse_redo_files(
     ``interval_ytm`` select the INTERVAL_DTS_FORMAT / INTERVAL_YTM_FORMAT
     rendering variants (Format.h:54-74)."""
     opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm,
-                      char_format, timestamp_tz)
+                      char_format, timestamp_tz, timestamp_column)
 
     def kernel(batches):
         return _record_frames(batches, dictionary, opts)
@@ -1179,6 +1183,7 @@ def parse_redo_stream(
     interval_ytm: str = "string_ym_dash",
     char_format: str = "default",
     timestamp_tz: str = "iso8601_nano",
+    timestamp_column: str = "iso8601_nano",
 ) -> DataFrame:
     """Streaming variant of :func:`parse_redo_files`: the reference's
     online mode (S1 reader thread tailing redo + S4 scheduler) as a
@@ -1187,7 +1192,7 @@ def parse_redo_stream(
     ``dictionary``, ``db_tz_seconds`` and the interval format selectors
     behave as in the batch reader."""
     opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm,
-                      char_format, timestamp_tz)
+                      char_format, timestamp_tz, timestamp_column)
 
     def kernel(batches):
         return _record_frames(batches, dictionary, opts)

@@ -336,6 +336,7 @@ def build_pipeline(
         interval_ytm=cfg.interval_ytm,
         char_format=cfg.char_format,
         timestamp_tz=cfg.timestamp_tz,
+        timestamp_column=cfg.timestamp_column,
     )
     if start_scn is not None:
         # O3/F9 startup positioning: everything at or below the
