@@ -12,8 +12,11 @@ Reference semantics mirrored:
            h/m/s                 (src/builder/Builder.cpp:210-252)
 - TIMESTAMP 11-byte DATE + big-endian nanoseconds
                                  (src/builder/Builder.cpp:210-252)
-- TIMESTAMP WITH TZ 13-byte, offset form tzh+20/tzm+60
-                                 (src/builder/Builder.cpp:272-353)
+- TIMESTAMP WITH TZ 13-byte: offset form tzh+20/tzm+60 when data[11]
+           in [5,36], else 16-bit region key -> IANA name via the
+           public timeZoneMap, 'TZ?' fallback
+                                 (src/builder/Builder.cpp:272-353;
+                                  src/locales/Locales.cpp:40-640)
 - INTERVAL YM 5-byte excess-2^31 years + excess-60 months
                                  (src/builder/Builder.cpp:354-434)
 - INTERVAL DS 11-byte excess-2^31 days/nanos + excess-60 h/m/s
@@ -33,6 +36,17 @@ import datetime as _dt
 import struct
 
 import pandas as pd
+
+from openlogreplicator_spark.functions.tz_map import TIMEZONE_MAP, TZ_UNKNOWN
+
+# region NAME -> a 16-bit key that decodes back to it (first-wins, like
+# the reference's map construction); used only by the fixture encoder.
+_TZ_NAME_TO_KEY: dict[str, int] = {}
+for _k, _v in TIMEZONE_MAP.items():
+    _TZ_NAME_TO_KEY.setdefault(_v, _k)
+# an on-disk key the reference's map does not contain → renders "TZ?"
+_TZ_KEY_UNKNOWN = 0xFFFE
+assert _TZ_KEY_UNKNOWN not in TIMEZONE_MAP
 
 # ---------------------------------------------------------------------------
 # scalar (pure-Python) kernels — used directly and inside the pandas UDFs
@@ -250,17 +264,22 @@ def decode_timestamp_tz(
     ISO8601*_TZ variants 'YYYY-MM-DDTHH:MM:SS[.f]Z <tz>', the bare
     ISO8601* variants 'YYYY-MM-DD HH:MM:SS[.f] <tz>'. The default
     iso8601_nano is this engine's canonical form (byte-identical to the
-    pre-matrix rendering). Fidelity note: region-stored TSTZ values
-    would render the region NAME in the reference via its generated
-    src/locales timezone table — this engine covers the offset form;
-    the tz component is always '±HH:MM'."""
+    pre-matrix rendering). The tz component follows the reference's
+    offset-vs-region branch (Builder.cpp:304-339): data[11] in [5,36]
+    is the '±HH:MM' offset form; anything else is a region key
+    (data[11]<<8 | data[12]) resolved through the public timeZoneMap
+    (Locales.cpp:40-640) to an IANA name, with the reference's 'TZ?'
+    fallback for keys the map lacks."""
     if b is None or len(b) < 13:
         return None
     b = bytes(b)
-    tzh = b[11] - 20
-    tzm = b[12] - 60
-    sign = "+" if (tzh > 0 or (tzh == 0 and tzm >= 0)) else "-"
-    tz = f"{sign}{abs(tzh):02d}:{abs(tzm):02d}"
+    if 5 <= b[11] <= 36:
+        tzh = b[11] - 20
+        tzm = b[12] - 60
+        sign = "+" if (tzh > 0 or (tzh == 0 and tzm >= 0)) else "-"
+        tz = f"{sign}{abs(tzh):02d}:{abs(tzm):02d}"
+    else:
+        tz = TIMEZONE_MAP.get((b[11] << 8) | b[12], TZ_UNKNOWN)
     if fmt == "iso8601_nano":
         return f"{decode_timestamp(b[:11])} {tz}"
     year = (b[0] - 100) * 100 + (b[1] - 100)
@@ -478,12 +497,22 @@ def encode_timestamp_ltz(
 
 def encode_timestamp_tz(s: str) -> bytes:
     """Inverse of decode_timestamp_tz: 'YYYY-MM-DD HH:MM:SS.fffffffff
-    ±HH:MM' → the 13-byte offset form (11-byte TIMESTAMP + excess-20
-    hour / excess-60 minute offset bytes, Builder.cpp:272-353)."""
+    <tz>' → the 13-byte image (Builder.cpp:272-353). A '±HH:MM' suffix
+    encodes the offset form (excess-20 hour / excess-60 minute bytes);
+    an IANA region name encodes its 16-bit timeZoneMap key; the 'TZ?'
+    suffix encodes a key absent from the map (the decoder's unknown-key
+    fallback path)."""
     ts, off = s.rsplit(" ", 1)
-    sign = -1 if off[0] == "-" else 1
-    tzh, tzm = (int(x) for x in off[1:].split(":"))
-    return encode_timestamp(ts) + bytes([sign * tzh + 20, sign * tzm + 60])
+    if off[0] in "+-":
+        sign = -1 if off[0] == "-" else 1
+        tzh, tzm = (int(x) for x in off[1:].split(":"))
+        return encode_timestamp(ts) + bytes(
+            [sign * tzh + 20, sign * tzm + 60]
+        )
+    key = (
+        _TZ_KEY_UNKNOWN if off == TZ_UNKNOWN else _TZ_NAME_TO_KEY[off]
+    )
+    return encode_timestamp(ts) + bytes([key >> 8, key & 0xFF])
 
 
 def encode_interval_ym(s: str) -> bytes:

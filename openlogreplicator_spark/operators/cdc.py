@@ -1405,11 +1405,21 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
 
 
 
+# eight region names spanning the timeZoneMap (Locales.cpp:40-640);
+# indexed by (o_orderkey DIV 5) % 8 in both the fixture and the oracle
+_TSTZ_REGIONS = [
+    "Africa/Abidjan", "America/New_York", "America/Sao_Paulo",
+    "Asia/Tokyo", "Asia/Kolkata", "Australia/Sydney",
+    "Europe/Warsaw", "UTC",
+]
+
+
 def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
-    """OLRS1 v4 fixture exercising the remaining scalar byte images:
-    TIMESTAMP WITH TZ, INTERVAL YTM/DTS, BOOLEAN, UROWID — one
-    transaction per order, deterministic values derived arithmetically
-    from the order columns so a SQL oracle can re-render them exactly."""
+    """OLRS1 v5 fixture exercising the remaining scalar byte images:
+    TIMESTAMP WITH TZ (offset, region-key and unknown-key forms),
+    INTERVAL YTM/DTS, BOOLEAN, UROWID — one transaction per order,
+    deterministic values derived arithmetically from the order columns
+    so a SQL oracle can re-render them exactly."""
     import tempfile
 
     from openlogreplicator_spark.functions.oracle_types import rowid_expr
@@ -1417,7 +1427,7 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
 
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        "olrs_typed_images_v4c",
+        "olrs_typed_images_v5",
         os.path.basename(os.path.normpath(sf_dir))
         + "-" + _source_stamp(sf_dir, "orders"),
     )
@@ -1429,13 +1439,30 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
     c = F.col("o_custkey")
     nanos = (k * c) % 1000000000
     tzh = k % 29 - 14
+    # TSTZ tz suffix cycles through the reference's three render paths
+    # (Builder.cpp:304-339): offset form (modes 0-2), a region key that
+    # resolves through the timeZoneMap to an IANA name (mode 3), and a
+    # key absent from the map -> the 'TZ?' fallback (mode 4).
+    region = F.element_at(
+        F.array(*[F.lit(n) for n in _TSTZ_REGIONS]),
+        F.expr("CAST(o_orderkey DIV 5 % 8 AS INT) + 1"),
+    )
+    tz_suffix = (
+        F.when(k % 5 == 3, F.concat(F.lit(" "), region))
+        .when(k % 5 == 4, F.lit(" TZ?"))
+        .otherwise(
+            F.concat(
+                F.when(tzh >= 0, F.lit(" +")).otherwise(F.lit(" -")),
+                F.lpad(F.abs(tzh).cast("string"), 2, "0"),
+                F.lit(":00"),
+            )
+        )
+    )
     tstz = F.concat(
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
         F.lit("."),
         F.lpad(nanos.cast("string"), 9, "0"),
-        F.when(tzh >= 0, F.lit(" +")).otherwise(F.lit(" -")),
-        F.lpad(F.abs(tzh).cast("string"), 2, "0"),
-        F.lit(":00"),
+        tz_suffix,
     )
     months = c % 61 - 30
     m_abs = F.abs(months)
@@ -1551,8 +1578,9 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
 
 def cdc_typed_images_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The long tail of Builder.cpp's scalar decode surface, end to end
-    through physical bytes: TIMESTAMP WITH TZ (13-byte offset form,
-    Builder.cpp:272-353), INTERVAL YEAR TO MONTH / DAY TO SECOND
+    through physical bytes: TIMESTAMP WITH TZ (13-byte; offset, region
+    timeZoneMap-name and unknown-key 'TZ?' forms, Builder.cpp:272-353 +
+    Locales.cpp:40-640), INTERVAL YEAR TO MONTH / DAY TO SECOND
     (Builder.cpp:354-590), BOOLEAN (Builder.cpp:591-600) and UROWID
     (Builder.cpp:601-613 / RowId.h:114-131) images are encoded into
     OLRS1 v4 files, validated + walked by the parse plane, decoded by
@@ -1601,6 +1629,8 @@ def _rowid_text_sql(data_obj: str, afn: str, block: str, slot: str) -> str:
     return " || ".join(parts)
 
 
+_TSTZ_REGIONS_SQL = "[" + ", ".join(f"'{n}'" for n in _TSTZ_REGIONS) + "]"
+
 CDC_TYPED_IMAGES_SQL = f"""
 WITH base AS (
     SELECT o_orderkey AS k, o_custkey AS c, o_orderdate, o_orderstatus,
@@ -1613,8 +1643,14 @@ SELECT k AS order_xid,
        'c' AS op,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.'
            || lpad(CAST((k * c) % 1000000000 AS VARCHAR), 9, '0')
-           || CASE WHEN k % 29 - 14 >= 0 THEN ' +' ELSE ' -' END
-           || lpad(CAST(abs(k % 29 - 14) AS VARCHAR), 2, '0') || ':00'
+           || CASE
+                WHEN k % 5 = 3 THEN ' ' || list_extract(
+                    {_TSTZ_REGIONS_SQL}, CAST(k // 5 % 8 AS INT) + 1)
+                WHEN k % 5 = 4 THEN ' TZ?'
+                ELSE CASE WHEN k % 29 - 14 >= 0 THEN ' +' ELSE ' -' END
+                    || lpad(CAST(abs(k % 29 - 14) AS VARCHAR), 2, '0')
+                    || ':00'
+              END
            AS tstz,
        CASE WHEN c % 61 - 30 < 0 THEN '-' ELSE '' END
            || CAST(abs(c % 61 - 30) // 12 AS VARCHAR) || '-'

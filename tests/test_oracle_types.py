@@ -419,3 +419,84 @@ def test_timestamp_tz_format_matrix():
     )
     assert decode_timestamp_tz(hi, "iso8601") == "2024-04-05 19:34:39 +01:30"
     assert decode_timestamp_tz(hi, "unix_string") == f"{epoch + 1},+01:30"
+
+
+def test_timestamp_tz_region_form():
+    """Region-stored TSTZ (Builder.cpp:304-339): data[11] outside
+    [5,36] means bytes 11..12 are a 16-bit key into the reference's
+    timeZoneMap (Locales.cpp:40-640) -> IANA name; unknown keys render
+    the reference's 'TZ?' fallback. The name substitutes for the offset
+    in every TIMESTAMP_TZ_FORMAT variant."""
+    import calendar
+    import struct as _struct
+
+    from openlogreplicator_spark.functions.oracle_types import (
+        decode_timestamp_tz,
+        encode_timestamp_tz,
+    )
+
+    def tsz(key):
+        return (
+            bytes([120, 124, 4, 5, 20, 35, 39])
+            + _struct.pack(">I", 123456789)
+            + bytes([key >> 8, key & 0xFF])
+        )
+
+    epoch = calendar.timegm((2024, 4, 5, 19, 34, 38, 0, 0, 0))
+    # keys hand-read from Locales.cpp:40-640
+    assert decode_timestamp_tz(tsz(0x80A8)) == (
+        "2024-04-05 19:34:38.123456789 Africa/Abidjan"
+    )
+    assert decode_timestamp_tz(tsz(0x842C)) == (
+        "2024-04-05 19:34:38.123456789 Asia/Tokyo"
+    )
+    assert decode_timestamp_tz(tsz(0xD004)) == (
+        "2024-04-05 19:34:38.123456789 UTC"
+    )
+    # region name flows through the format variants unchanged
+    assert decode_timestamp_tz(tsz(0x842C), "unix_nano_string") == (
+        f"{epoch * 10**9 + 123456789},Asia/Tokyo"
+    )
+    assert decode_timestamp_tz(tsz(0x842C), "iso8601_micro_tz") == (
+        "2024-04-05T19:34:38.123457Z Asia/Tokyo"
+    )
+    assert decode_timestamp_tz(tsz(0x842C), "iso8601") == (
+        "2024-04-05 19:34:38 Asia/Tokyo"
+    )
+    # unknown key -> the reference's "TZ?" fallback
+    assert decode_timestamp_tz(tsz(0xFFFE)) == (
+        "2024-04-05 19:34:38.123456789 TZ?"
+    )
+    assert decode_timestamp_tz(tsz(0xBEEF), "unix_string") == (
+        f"{epoch},TZ?"
+    )
+    # boundary: data[11]=5 and 36 are offset form, 4 and 37 are region
+    base = bytes([120, 124, 4, 5, 20, 35, 39]) + _struct.pack(">I", 0)
+    assert decode_timestamp_tz(base + bytes([5, 60])) == (
+        "2024-04-05 19:34:38.000000000 -15:00"
+    )
+    assert decode_timestamp_tz(base + bytes([36, 60])) == (
+        "2024-04-05 19:34:38.000000000 +16:00"
+    )
+    assert decode_timestamp_tz(base + bytes([4, 60])).endswith(" TZ?")
+    assert decode_timestamp_tz(base + bytes([37, 60])).endswith(" TZ?")
+    # fixture encoder round-trips all three forms
+    for s in (
+        "2024-04-05 19:34:38.123456789 Europe/Warsaw",
+        "2024-04-05 19:34:38.123456789 TZ?",
+        "2024-04-05 19:34:38.123456789 +05:30",
+    ):
+        assert decode_timestamp_tz(encode_timestamp_tz(s)) == s
+
+
+def test_timezone_map_integrity():
+    """The extracted map matches the reference's construction: 595
+    unique keys (first occurrence wins on the 2 exact duplicates), no
+    key's high byte inside the offset range [5,36]."""
+    from openlogreplicator_spark.functions.tz_map import TIMEZONE_MAP
+
+    assert len(TIMEZONE_MAP) == 595
+    assert all(not (5 <= (k >> 8) <= 36) for k in TIMEZONE_MAP)
+    assert TIMEZONE_MAP[0x80A8] == "Africa/Abidjan"
+    assert TIMEZONE_MAP[0x88B8] == "Africa/Asmera"
+    assert TIMEZONE_MAP[0x80B8] == "Africa/Asmara"
