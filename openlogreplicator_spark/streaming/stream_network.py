@@ -511,11 +511,24 @@ def stream_network_sink(server: StreamServer, fmt=None,
     ``max_message_bytes`` is the writer's ``max-message-mb`` byte cap;
     it only applies under ``fmt.message == FULL`` (per-event messages
     are one-op by construction, matching the reference where only
-    multi-op envelopes can grow past the cap)."""
+    multi-op envelopes can grow past the cap).
+
+    The queue watermark idx is a per-scn monotone message counter
+    assigned here, in final emission order — the reference's
+    ``msg->lwnIdx = lwnIdx++`` with reset on scn change (Builder.h:324,
+    Builder.cpp:701). It must be unique per message within a scn: FULL
+    envelopes collapse a whole transaction's ``num`` range to one
+    aggregate, and two transactions committing at the same scn restart
+    ``num`` at 0 — reusing those as the idx would make CONTINUE's skip
+    loop (scn==c_scn and idx<=c_idx) drop committed messages a
+    reconnecting client never received. The counter lives in the
+    closure so it stays monotone across micro-batches."""
     from openlogreplicator_spark.builders.protobuf_builder import (
         build_protobuf_events,
     )
     from pyspark.sql import functions as F
+
+    wm = {"scn": None, "idx": -1}  # last enqueued (scn, idx)
 
     def write(batch_df, batch_id: int) -> None:
         prepared = (
@@ -547,7 +560,12 @@ def stream_network_sink(server: StreamServer, fmt=None,
                 ),
             )
         for row in encoded.toLocalIterator():
-            server.enqueue(int(row._oscn), int(row._oidx), bytes(row.value))
+            scn = int(row._oscn)
+            if scn == wm["scn"]:
+                wm["idx"] += 1
+            else:
+                wm["scn"], wm["idx"] = scn, 0
+            server.enqueue(scn, wm["idx"], bytes(row.value))
 
     return write
 

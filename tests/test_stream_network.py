@@ -402,6 +402,48 @@ def test_network_sink_full_envelopes_byte_split(spark, tmp_path):
                 break
             events.append(ev)
         client.close()
+
+        # watermark regression (r8 ADVICE): every queued message carries
+        # a DISTINCT monotone idx within its scn — FULL split parts share
+        # one commit scn, and with idx=min(num)=0 for all parts a
+        # CONTINUE at (scn, 0) would skip parts the client never received
+        # (the reference's msg->lwnIdx = lwnIdx++ is per-message,
+        # Builder.h:324)
+        with server._lock:
+            keys = [(s, i) for s, i, _ in server._queue]
+        assert len(keys) == len(set(keys)), "duplicate (scn, idx) marks"
+        per_scn = {}
+        for s, i in keys:
+            per_scn.setdefault(s, []).append(i)
+        for s, idxs in per_scn.items():
+            assert idxs == list(range(len(idxs))), (s, idxs)
+        big_scn = max(per_scn, key=lambda s: len(per_scn[s]))
+        n_parts = len(per_scn[big_scn])
+        assert n_parts >= 2
+        # a reconnecting client that confirmed only part 0 of the split
+        # must be resent the other n_parts-1 envelopes at the same scn
+        c2 = StreamClient(host, port, "FDB")
+        try:
+            assert (
+                c2.resume(c_scn=big_scn, c_idx=0)["code"] == RESP_REPLICATE
+            )
+            resent = []
+            while True:
+                ev = c2.recv_event(timeout=5.0)
+                if ev is None:
+                    break
+                resent.append(ev)
+            n_resent = sum(
+                1
+                for e in resent
+                if len(e.get("payload", [])) > 1
+            )
+            assert n_resent == n_parts - 1, (
+                f"resume skipped split parts: got {n_resent} of "
+                f"{n_parts - 1} unconfirmed envelopes at scn {big_scn}"
+            )
+        finally:
+            c2.close()
     finally:
         server.stop()
 
