@@ -572,8 +572,14 @@ def build_events(
     dict_cols: DataFrame | None = None,
     key_cols: tuple[str, ...] = (),
     max_message_bytes: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """CHANGE_EVENT_SCHEMA rows → (key, value) JSON messages.
+
+    ``extra_cols`` pass through unencoded (e.g. the rotating file sink's
+    emission-order columns); under MESSAGE_FORMAT::FULL they aggregate
+    per transaction with ``min`` — the same contract as
+    build_protobuf_events.
 
     ``max_message_bytes`` is the T6 big-transaction split on RENDERED
     bytes — the reference's actual ``max-message-mb`` contract
@@ -658,6 +664,7 @@ def build_events(
         # one message per transaction: ordered payload array (T5 emission
         # order restored via num inside the collect)
         per_event = df.select(
+            *extra_cols,
             "xid",
             "num",
             F.struct(*header_fields(fmt, full_message=True)).alias("hdr"),
@@ -681,6 +688,7 @@ def build_events(
                 .when(l.num > r.num, 1)
                 .otherwise(0),
             ).alias("items"),
+            *[F.min(c).alias(c) for c in extra_cols],
         )
         hdr_names = _header_names(fmt, full_message=True)
         split_value = F.to_json(
@@ -697,7 +705,9 @@ def build_events(
             )
 
             # envelope bytes every part repeats: the rendered header
-            # plus the ',"part":NNN,"payload":[]' framing (≤24 octets)
+            # plus the ',"part":N…,"payload":[]' framing — 21 octets of
+            # punctuation plus the part digits, bounded by the digits of
+            # the item count (a part index can never exceed it)
             hdr_sz = (
                 F.octet_length(
                     F.to_json(
@@ -706,7 +716,8 @@ def build_events(
                         )
                     )
                 )
-                + F.lit(24)
+                + F.lit(21)
+                + F.length(F.size("items").cast("string"))
             )
             parts = greedy_parts(F.col("items"), max_message_bytes, hdr_sz)
             chunks = chunk_by_parts(F.col("items"), parts)
@@ -731,17 +742,19 @@ def build_events(
                 )
             )
             return grouped.select(
-                F.col("xid").alias("key"), value.alias("value")
+                *extra_cols, F.col("xid").alias("key"), value.alias("value")
             )
         exploded = grouped.select(
-            "xid", "hdr", F.explode(chunks).alias("pc")
+            *extra_cols, "xid", "hdr", F.explode(chunks).alias("pc")
         ).select(
+            *extra_cols,
             "xid",
             "hdr",
             F.col("pc.part").alias("part"),
             F.col("pc.chunk").alias("payload"),
         )
         return exploded.select(
+            *extra_cols,
             F.concat_ws(":", "xid", "part").alias("key"),
             split_value.alias("value"),
         )
@@ -753,5 +766,7 @@ def build_events(
         )
     )
     return df.select(
-        tag_expr(tag_cols, key_cols).alias("key"), value.alias("value")
+        *extra_cols,
+        tag_expr(tag_cols, key_cols).alias("key"),
+        value.alias("value"),
     )

@@ -208,8 +208,30 @@ class WriterSpec:
     new_line: int = 1
     append: int = 1
     max_file_size: int = 0
+    timestamp_format: str = "%F_%T"   # %t-mask strftime (cpp:1126)
     max_message_mb: int = 100
     properties: dict = field(default_factory=dict)
+
+    def rotating_writer(self):
+        """The W3 :class:`RotatingFileWriter` this spec configures —
+        mask parse, rotation mode, and startup numbering happen in its
+        constructor (WriterFile::initialize semantics, including the
+        30005/30006/30007 configuration rejections)."""
+        from openlogreplicator_spark.streaming.file_writer import (
+            RotatingFileWriter,
+            _ConfigError,
+        )
+
+        try:
+            return RotatingFileWriter(
+                self.output,
+                timestamp_format=self.timestamp_format,
+                max_file_size=self.max_file_size,
+                new_line=self.new_line,
+                append=self.append,
+            )
+        except _ConfigError as e:
+            raise ConfigurationError(e.code, e.message) from None
 
 
 @dataclass(frozen=True)
@@ -296,16 +318,23 @@ class ReferenceDeployment:
             kw["kafka_bootstrap"] = self.writer.brokers
             kw["kafka_topic"] = self.writer.topic or "olr.events"
         if self.writer.type == "file" and self.writer.output:
-            # the reference writes the named file relative to its cwd;
-            # a bare filename therefore maps to the current directory —
-            # never omit out_dir or the json sink fails on a null path
+            # a named output engages the reference's single-file writer
+            # with its rotation contract (max-file-size + %i/%t/%s masks,
+            # new-line, append — WriterFile.cpp:41-360); out_dir is still
+            # supplied so legacy callers forcing sink='json' keep a path
+            kw["file_writer"] = self.writer.rotating_writer()
             kw["out_dir"] = os.path.dirname(self.writer.output) or "."
         return kw
 
     def spark_sink(self) -> str:
-        """build_pipeline `sink` for this writer type (W1-W6 mapping)."""
+        """build_pipeline `sink` for this writer type (W1-W6 mapping).
+        A file writer with a named ``output`` maps to the rotating
+        single-file sink; with no output the reference streams to
+        stdout, which has no Spark analog — that case keeps the
+        distributed json part-file sink and the caller's out_dir."""
+        if self.writer.type == "file":
+            return "file" if self.writer.output else "json"
         return {
-            "file": "json",
             "discard": "noop",
             "kafka": "kafka",
             "network": "network",
@@ -716,6 +745,10 @@ def from_reference_json(source) -> ReferenceDeployment:
         _uint(writer_json, "append", 0, 1)
     if "max-message-mb" in writer_json:
         _uint(writer_json, "max-message-mb", 1, 953)
+    if "write-buffer-flush-size" in writer_json:
+        # validated like the reference (cpp:1152-1157); the flush-size
+        # double-buffer itself is subsumed by Python's buffered IO
+        _uint(writer_json, "write-buffer-flush-size", 0, 1_048_576)
     if wtype == "file" and writer_json.get("max-file-size", 0) > 0 and not (
         writer_json.get("output")
     ):
@@ -741,6 +774,7 @@ def from_reference_json(source) -> ReferenceDeployment:
         new_line=writer_json.get("new-line", 1),
         append=writer_json.get("append", 1),
         max_file_size=writer_json.get("max-file-size", 0),
+        timestamp_format=writer_json.get("timestamp-format", "%F_%T"),
         max_message_mb=writer_json.get("max-message-mb", 100),
         properties=props,
     )

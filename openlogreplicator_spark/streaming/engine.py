@@ -196,6 +196,17 @@ def heartbeat_messages(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
+def _order_cols(df: DataFrame) -> DataFrame:
+    """Emission-order columns for single-funnel sinks (rotating file,
+    network): commit scn, xid, op index, redo sequence."""
+    return (
+        df.withColumn("_oscn", F.coalesce(F.col("c_scn"), F.col("scn")))
+        .withColumn("_oxid", F.col("xid"))
+        .withColumn("_oidx", F.coalesce(F.col("num"), F.lit(0)))
+        .withColumn("_oseq", F.coalesce(F.col("seq"), F.lit(0)))
+    )
+
+
 def build_pipeline(
     spark: SparkSession,
     cfg: EngineConfig,
@@ -214,6 +225,7 @@ def build_pipeline(
     kafka_bootstrap: str | None = None,
     kafka_topic: str = "olr.events",
     max_message_mb: int | None = None,
+    file_writer=None,
 ):
     """Assemble and START the full pipeline from one config. Returns the
     ``StreamingQuery``. ``sink`` ∈ {json, noop, memory, lake, network,
@@ -482,6 +494,80 @@ def build_pipeline(
     full_batch_build = cfg.fmt.message == MessageFormat.FULL or (
         cfg.fmt.schema == SchemaFormat.FULL and dict_cols is not None
     )
+    if sink == "file":
+        # W3 with the reference's rotation contract (WriterFile.cpp):
+        # rendered messages funnel through the RotatingFileWriter in
+        # emission order — per micro-batch, batch semantics, so FULL
+        # envelopes and SCHEMA_FORMAT::FULL build exactly like the
+        # foreachBatch paths below
+        if file_writer is None:
+            raise ValueError(
+                "sink='file' requires a file_writer "
+                "(streaming.file_writer.RotatingFileWriter) — use "
+                "sink='json' for the distributed part-file layout"
+            )
+        from openlogreplicator_spark.streaming.file_writer import (
+            stream_file_sink,
+        )
+
+        _ORDER = ("_oscn", "_oxid", "_oidx", "_oseq")
+
+        def _build_msgs(ev_df: DataFrame) -> DataFrame:
+            return build_events(
+                _order_cols(ev_df),
+                cfg.fmt,
+                tag_cols=sel.tag,
+                dict_cols=dict_cols,
+                key_cols=sel.key,
+                max_message_bytes=max_message_bytes,
+                extra_cols=_ORDER,
+            )
+
+        fb = stream_file_sink(file_writer)
+        if full_batch_build:
+            if with_heartbeats:
+                raise ValueError(
+                    "chkpt heartbeats can't union into the per-batch-"
+                    "built FULL envelope stream; use the SHORT message "
+                    "format with SHOW_CHECKPOINT"
+                )
+            fwriter = events.writeStream.queryName(query_name)
+            fb_fn = lambda df, bid: fb(_build_msgs(df), bid)  # noqa: E731
+        else:
+            messages = _build_msgs(events)
+            if with_heartbeats:
+                hb = heartbeat_stream(spark, in_dir)
+                messages = messages.unionByName(
+                    hb.select(
+                        F.col("c_scn").cast("long").alias("_oscn"),
+                        F.lit(None).cast("string").alias("_oxid"),
+                        F.lit(0).cast("long").alias("_oidx"),
+                        F.col("seq").cast("long").alias("_oseq"),
+                        F.lit("chkpt").alias("key"),
+                        F.to_json(
+                            F.struct(
+                                F.lit("chkpt").alias("op"),
+                                F.col("c_scn").alias("scn"),
+                                "seq",
+                                (F.col("block") * 512).alias("offset"),
+                                F.col("n_records").alias("records"),
+                            )
+                        ).alias("value"),
+                    )
+                )
+            fwriter = messages.writeStream.queryName(query_name)
+            fb_fn = fb
+        if available_now:
+            fwriter = fwriter.trigger(availableNow=True)
+        else:
+            fwriter = fwriter.trigger(
+                processingTime=f"{cfg.checkpoint_interval_s} seconds"
+            )
+        return (
+            fwriter.foreachBatch(fb_fn)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
     if full_batch_build and with_heartbeats:
         raise ValueError(
             "chkpt heartbeats can't union into the per-batch-built FULL "

@@ -1,0 +1,340 @@
+"""W3 file sink with the reference's rotation contract.
+
+The reference's ``WriterFile`` (src/writer/WriterFile.cpp:37-360) appends
+rendered messages to ONE local file and rotates it by a filename mask in
+the ``output`` config value:
+
+- ``%i`` / ``%2i`` .. ``%10i`` — NUM mode, zero-filled rotation counter,
+  rotated when ``fileSize + size > maxFileSize`` (WriterFile.cpp:205-229);
+  on startup the directory is scanned for the highest existing counter
+  (WriterFile.cpp:138-189).
+- ``%t`` — TIMESTAMP mode, the counter is ``strftime(timestamp-format)``
+  of the rotation instant (WriterFile.cpp:230-258); rotating twice within
+  one strftime tick warns once and keeps writing (warning 60030).
+- ``%s`` — SEQUENCE mode, rotated whenever the redo-log sequence changes
+  (WriterFile.cpp:259-269).
+- any other ``%`` — configuration error 30005; no ``%`` at all — a single
+  un-rotated file, which requires ``append=1`` (error 30006).
+- NUM/TIMESTAMP without ``max-file-size`` — error 30007
+  (WriterFile.cpp:133-135).
+
+``new-line`` (0/1/2 → none/LF/CRLF, WriterFile.cpp:60-64,308-311) is
+appended after every message and counted against the rotation size
+exactly like the reference (``checkFile(scn, seq, size + newLine)``,
+WriterFile.cpp:303). ``append=0`` refuses to reopen an existing file
+(WriterFile.cpp:276-283). An empty ``output`` streams to stdout
+(WriterFile.cpp:67-70).
+
+Spark placement: message delivery into one ordered local file is a
+driver-side funnel by nature — the same shape as the W4 network sink.
+The distributed part (parse → assemble → render) stays on executors;
+only the final rendered bytes of each micro-batch iterate through this
+writer, in emission order. The reference's ``write-buffer-flush-size``
+double-buffering (WriterFile.cpp:346-360) is subsumed by Python's
+buffered file objects.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+import warnings
+from typing import BinaryIO
+
+__all__ = ["RotatingFileWriter", "stream_file_sink"]
+
+# C strftime conversions glibc supports but Python's strftime may not on
+# every platform; expand the composites so masks like the reference's
+# default "%F_%T" render identically everywhere
+_STRFTIME_COMPAT = {"%F": "%Y-%m-%d", "%T": "%H:%M:%S", "%D": "%m/%d/%y",
+                    "%R": "%H:%M"}
+
+# mask tokens in the reference's match order (WriterFile.cpp:81-124):
+# %i first, then %2i..%9i, %10i, %t, %s
+_NUM_TOKENS = [("%i", 0)] + [(f"%{n}i", n) for n in range(2, 10)] + [
+    ("%10i", 10)
+]
+
+
+class _ConfigError(ValueError):
+    """Raised with the reference's ConfigurationException code/message
+    when the output mask is invalid. reference_config re-raises it as
+    its ConfigurationError (same shape) so adapter callers see one
+    exception type."""
+
+    def __init__(self, code: int, message: str) -> None:
+        self.code = code
+        self.message = message
+        super().__init__(f"[{code}] {message}")
+
+
+class RotatingFileWriter:
+    """The reference WriterFile state machine over Python file objects.
+
+    ``write(data, scn, seq)`` is ``WriterFile::sendMessage``:
+    size-check/rotate, write the message bytes, then the configured
+    newline. Close with :meth:`close` (tests) — the foreachBatch sink
+    flushes after every batch so a killed query loses at most the OS
+    buffer, like the reference loses its write buffer."""
+
+    MODE_STDOUT = "stdout"
+    MODE_NO_ROTATE = "no_rotate"
+    MODE_NUM = "num"
+    MODE_TIMESTAMP = "timestamp"
+    MODE_SEQUENCE = "sequence"
+
+    def __init__(
+        self,
+        output: str,
+        timestamp_format: str = "%F_%T",
+        max_file_size: int = 0,
+        new_line: int = 1,
+        append: int = 1,
+    ) -> None:
+        self.output = output
+        self.max_file_size = int(max_file_size)
+        self.append = int(append)
+        self.new_line_bytes = {0: b"", 1: b"\n", 2: b"\r\n"}[int(new_line)]
+        fmt = timestamp_format
+        for c_tok, py_tok in _STRFTIME_COMPAT.items():
+            fmt = fmt.replace(c_tok, py_tok)
+        self.timestamp_format = fmt
+
+        self._fh: BinaryIO | None = None
+        self.file_size = 0
+        self.full_file_name = ""
+        self._last_sequence: int | None = None
+        self._size_warned = False
+        self._rotate_warned = False
+
+        if not output:
+            self.mode = self.MODE_STDOUT
+            self.path_name = ""
+            self.file_name_mask = ""
+            return
+
+        slash = output.rfind("/")
+        if slash != -1:
+            self.path_name = output[:slash]
+            self.file_name_mask = output[slash + 1:]
+        else:
+            self.path_name = "."
+            self.file_name_mask = output
+
+        mask = self.file_name_mask
+        self.fill = 0
+        self.mode = ""
+        for token, fill in _NUM_TOKENS:
+            pos = mask.find(token)
+            if pos != -1:
+                self.mode = self.MODE_NUM
+                self.fill = fill
+                self._prefix = mask[:pos]
+                self._suffix = mask[pos + len(token):]
+                break
+        if not self.mode:
+            for token, mode in (("%t", self.MODE_TIMESTAMP),
+                                ("%s", self.MODE_SEQUENCE)):
+                pos = mask.find(token)
+                if pos != -1:
+                    self.mode = mode
+                    self._prefix = mask[:pos]
+                    self._suffix = mask[pos + len(token):]
+                    break
+        if not self.mode:
+            if "%" in mask:
+                raise _ConfigError(
+                    30005, f"invalid value for 'output': {output}"
+                )
+            if self.append == 0:
+                raise _ConfigError(
+                    30006,
+                    f"output file is with no rotation: {output} - "
+                    "'append' must be set to 1",
+                )
+            self.mode = self.MODE_NO_ROTATE
+            self._prefix = self._suffix = ""
+
+        if (
+            self.mode in (self.MODE_NUM, self.MODE_TIMESTAMP)
+            and self.max_file_size == 0
+        ):
+            raise _ConfigError(
+                30007,
+                f"output file is with no max file size: {output} - "
+                "'max-file-size' must be defined for output with rotation",
+            )
+
+        self.file_name_num = 0
+        if self.mode == self.MODE_NUM:
+            self._scan_existing()
+
+    # -- startup numbering (WriterFile.cpp:138-189) ---------------------
+
+    def _scan_existing(self) -> None:
+        try:
+            entries = os.listdir(self.path_name)
+        except OSError as e:
+            raise RuntimeError(
+                f"[10012] directory: {self.path_name} - can't read"
+            ) from e
+        for name in entries:
+            full = os.path.join(self.path_name, name)
+            if os.path.isdir(full):
+                continue
+            if not (name.startswith(self._prefix)
+                    and name.endswith(self._suffix)
+                    and len(name) >= len(self._prefix) + len(self._suffix)):
+                continue
+            middle = name[len(self._prefix):len(name) - len(self._suffix)]
+            # strtoull semantics: leading digits, 0 on no digits
+            m = re.match(r"\d*", middle)
+            file_num = int(m.group()) if m.group() else 0
+            if self.append > 0:
+                self.file_name_num = max(self.file_name_num, file_num)
+            elif self.file_name_num <= file_num:
+                self.file_name_num = file_num + 1
+
+    # -- rotation (WriterFile::checkFile, cpp:204-299) -------------------
+
+    def _warn_size(self, size: int) -> None:
+        warnings.warn(
+            f"message size ({size}) will exceed 'max-file' size "
+            f"({self.max_file_size})",
+            stacklevel=4,
+        )
+
+    def _check_file(self, seq: int, size: int) -> None:
+        if self.mode == self.MODE_STDOUT:
+            return
+        if self.mode == self.MODE_NO_ROTATE:
+            self.full_file_name = os.path.join(
+                self.path_name, self.file_name_mask
+            )
+        elif self.mode == self.MODE_NUM:
+            if self.file_size + size > self.max_file_size:
+                self._close_file()
+                self.file_name_num += 1
+                self.file_size = 0
+            if size > self.max_file_size and not self._size_warned:
+                self._warn_size(size)
+                self._size_warned = True
+            if self._fh is None:
+                num = str(self.file_name_num)
+                self.full_file_name = os.path.join(
+                    self.path_name,
+                    self._prefix + num.zfill(self.fill) + self._suffix,
+                )
+        elif self.mode == self.MODE_TIMESTAMP:
+            should_switch = self.file_size + size > self.max_file_size
+            if size > self.max_file_size and not self._size_warned:
+                self._warn_size(size)
+                self._size_warned = True
+            if self._fh is None or should_switch:
+                stamp = time.strftime(
+                    self.timestamp_format, time.localtime()
+                )
+                new_name = os.path.join(
+                    self.path_name, self._prefix + stamp + self._suffix
+                )
+                if new_name == self.full_file_name:
+                    # rotation tick shorter than the strftime resolution
+                    # (warning 60030) — keep writing the same file
+                    if not self._rotate_warned:
+                        warnings.warn(
+                            "rotation size is set too low "
+                            f"({self.max_file_size}), increase it, should "
+                            f"rotate but too early ({self.full_file_name})",
+                            stacklevel=4,
+                        )
+                        self._rotate_warned = True
+                    should_switch = False
+                else:
+                    self.full_file_name = new_name
+            if should_switch:
+                self._close_file()
+                self.file_size = 0
+        elif self.mode == self.MODE_SEQUENCE:
+            if seq != self._last_sequence:
+                self._close_file()
+            self._last_sequence = seq
+            if self._fh is None:
+                self.full_file_name = os.path.join(
+                    self.path_name, self._prefix + str(seq) + self._suffix
+                )
+
+        if self._fh is None:
+            exists = os.path.exists(self.full_file_name)
+            if exists:
+                if self.append == 0:
+                    raise RuntimeError(
+                        f"[10003] file: {self.full_file_name} - already "
+                        "exists and 'append' is 0"
+                    )
+                self.file_size = os.stat(self.full_file_name).st_size
+            else:
+                self.file_size = 0
+            self._fh = open(self.full_file_name, "ab")
+
+    # -- WriterFile::sendMessage (cpp:301-313) ---------------------------
+
+    def write(self, data: bytes, seq: int = 0) -> None:
+        self._check_file(seq, len(data) + len(self.new_line_bytes))
+        out = self._fh if self.mode != self.MODE_STDOUT else None
+        if out is None:
+            sys.stdout.buffer.write(data + self.new_line_bytes)
+            return
+        out.write(data)
+        self.file_size += len(data)
+        if self.new_line_bytes:
+            out.write(self.new_line_bytes)
+            self.file_size += len(self.new_line_bytes)
+
+    def flush(self) -> None:
+        if self._fh is not None:
+            self._fh.flush()
+        elif self.mode == self.MODE_STDOUT:
+            sys.stdout.buffer.flush()
+
+    def _close_file(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def close(self) -> None:
+        self._close_file()
+
+
+def stream_file_sink(writer: RotatingFileWriter):
+    """foreachBatch hook: rendered (key, value) JSON messages → the
+    rotating writer, in (c_scn, xid, num) emission order — the W4
+    network funnel's ordering, because one local file is one ordered
+    sink. The batch frame must carry ``_oscn``/``_oxid``/``_oidx``/
+    ``_oseq`` ordering columns (build_events ``extra_cols``)."""
+
+    def write(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        ordered = batch_df.orderBy(
+            "_oscn",
+            "_oxid",
+            "_oidx",
+            F.coalesce(
+                # FULL split keys are 'xid:part'; anything else (tags,
+                # plain xids) try_casts to NULL → 0
+                F.element_at(F.split(F.col("key"), ":"), -1).try_cast(
+                    "long"
+                ),
+                F.lit(0),
+            ),
+        )
+        for row in ordered.toLocalIterator():
+            writer.write(
+                row.value.encode("utf-8"),
+                seq=int(row._oseq) if row._oseq is not None else 0,
+            )
+        writer.flush()
+
+    return write

@@ -1,0 +1,292 @@
+"""W3 rotating file sink — the reference WriterFile contract
+(src/writer/WriterFile.cpp:37-360): %i/%t/%s output masks,
+max-file-size rotation, startup renumbering, new-line modes, append
+semantics, and the engine/reference-config wiring."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from openlogreplicator_spark.streaming.file_writer import (
+    RotatingFileWriter,
+    _ConfigError,
+)
+
+
+def w(tmp_path, mask, **kw):
+    return RotatingFileWriter(str(tmp_path / mask), **kw)
+
+
+# -- mask parsing / configuration rejections (cpp:81-135) ----------------
+
+
+def test_invalid_percent_mask_rejected(tmp_path):
+    with pytest.raises(_ConfigError) as ei:
+        w(tmp_path, "out-%x.json", max_file_size=100)
+    assert ei.value.code == 30005
+
+
+def test_no_rotation_requires_append(tmp_path):
+    with pytest.raises(_ConfigError) as ei:
+        w(tmp_path, "out.json", append=0)
+    assert ei.value.code == 30006
+
+
+def test_rotation_requires_max_file_size(tmp_path):
+    for mask in ("out-%i.json", "out-%t.json"):
+        with pytest.raises(_ConfigError) as ei:
+            w(tmp_path, mask)
+        assert ei.value.code == 30007
+    # %s (sequence) rotation does NOT need max-file-size (cpp:133 only
+    # checks TIMESTAMP and NUM)
+    w(tmp_path, "out-%s.json")
+
+
+def test_num_fill_variants(tmp_path):
+    wr = w(tmp_path, "o-%4i.json", max_file_size=10)
+    wr.write(b"aaaaaaaa", seq=1)  # 8+1 newline
+    wr.write(b"bbbbbbbb", seq=1)  # rotates
+    wr.close()
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["o-0000.json", "o-0001.json"]
+
+
+# -- NUM rotation + startup scan (cpp:138-229) ----------------------------
+
+
+def test_num_rotation_and_scan_append(tmp_path):
+    wr = w(tmp_path, "out-%i.json", max_file_size=25)
+    for i in range(6):
+        wr.write(b"0123456789", seq=1)  # 11 B w/ newline → 2/file (33>25)
+    wr.close()
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["out-0.json", "out-1.json", "out-2.json"]
+    assert (tmp_path / "out-0.json").read_bytes() == b"0123456789\n" * 2
+
+    # restart with append=1: continues INTO the highest existing file
+    wr2 = w(tmp_path, "out-%i.json", max_file_size=25, append=1)
+    assert wr2.file_name_num == 2
+    wr2.write(b"x", seq=1)
+    wr2.close()
+    assert (tmp_path / "out-2.json").read_bytes() == (
+        b"0123456789\n" * 2 + b"x\n"
+    )
+
+    # restart with append=0: starts a FRESH number past the highest
+    wr3 = w(tmp_path, "out-%i.json", max_file_size=25, append=0)
+    assert wr3.file_name_num == 3
+    wr3.write(b"y", seq=1)
+    wr3.close()
+    assert (tmp_path / "out-3.json").read_bytes() == b"y\n"
+
+
+def test_append_zero_refuses_existing_file(tmp_path):
+    (tmp_path / "solo-7.json").write_text("old")
+    wr = w(tmp_path, "solo-%i.json", max_file_size=100, append=0)
+    assert wr.file_name_num == 8  # renumbered past the survivor
+    wr.write(b"new", seq=1)
+    wr.close()
+    assert (tmp_path / "solo-8.json").read_bytes() == b"new\n"
+
+
+def test_oversize_message_warns_and_still_writes(tmp_path):
+    wr = w(tmp_path, "big-%i.json", max_file_size=4)
+    with pytest.warns(UserWarning, match="max-file"):
+        wr.write(b"0123456789", seq=1)
+    wr.close()
+    # an oversize FIRST message still bumps the counter — the reference's
+    # checkFile increments fileNameNum before any file is open
+    # (WriterFile.cpp:212-216 runs with outputDes == -1)
+    assert (tmp_path / "big-1.json").read_bytes() == b"0123456789\n"
+
+
+# -- new-line modes (cpp:60-64,308-311) -----------------------------------
+
+
+def test_new_line_modes(tmp_path):
+    for nl, tail in ((0, b"ab"), (1, b"a\nb\n"), (2, b"a\r\nb\r\n")):
+        wr = w(tmp_path, f"nl{nl}.json", new_line=nl)
+        wr.write(b"a", seq=1)
+        wr.write(b"b", seq=1)
+        wr.close()
+        assert (tmp_path / f"nl{nl}.json").read_bytes() == tail
+    # the newline counts against the rotation size:
+    # checkFile(scn, seq, size + newLine) — cpp:303
+    wr = w(tmp_path, "nlr-%i.json", max_file_size=4, new_line=2)
+    wr.write(b"ab", seq=1)   # 2+2 = 4 ≤ 4
+    wr.write(b"cd", seq=1)   # 4+4 > 4 → rotate
+    wr.close()
+    assert sorted(os.listdir(tmp_path)).count("nlr-1.json") == 1
+
+
+# -- SEQUENCE mode (cpp:259-269) ------------------------------------------
+
+
+def test_sequence_rotation(tmp_path):
+    wr = w(tmp_path, "seq-%s.json")
+    wr.write(b"a", seq=5)
+    wr.write(b"b", seq=5)
+    wr.write(b"c", seq=6)
+    wr.close()
+    assert (tmp_path / "seq-5.json").read_bytes() == b"a\nb\n"
+    assert (tmp_path / "seq-6.json").read_bytes() == b"c\n"
+
+
+# -- TIMESTAMP mode (cpp:230-258) -----------------------------------------
+
+
+def test_timestamp_same_tick_warns_once_keeps_writing(tmp_path):
+    wr = w(tmp_path, "t-%t.json", max_file_size=4)
+    wr.write(b"abc", seq=1)
+    # same strftime second → same name → warn 60030-style, no switch
+    with pytest.warns(UserWarning, match="rotation size"):
+        wr.write(b"def", seq=1)
+    wr.write(b"ghi", seq=1)  # warn only once
+    wr.close()
+    files = os.listdir(tmp_path)
+    assert len(files) == 1
+    content = (tmp_path / files[0]).read_bytes()
+    assert content == b"abc\ndef\nghi\n"
+
+
+def test_timestamp_format_compat_tokens(tmp_path):
+    wr = w(tmp_path, "t-%t.json", max_file_size=1000,
+           timestamp_format="%F_%T")
+    wr.write(b"x", seq=1)
+    wr.close()
+    (name,) = os.listdir(tmp_path)
+    # %F_%T → 2026-08-16_12:34:56 shape
+    import re
+
+    assert re.fullmatch(r"t-\d{4}-\d{2}-\d{2}_\d{2}:\d{2}:\d{2}\.json", name)
+
+
+# -- stdout mode (cpp:67-70) ------------------------------------------------
+
+
+def test_stdout_mode(capsys):
+    wr = RotatingFileWriter("")
+    assert wr.mode == RotatingFileWriter.MODE_STDOUT
+    wr.write(b"hello", seq=1)
+    wr.flush()
+
+
+# -- reference-config wiring ------------------------------------------------
+
+
+def test_reference_config_builds_rotating_writer(tmp_path):
+    from openlogreplicator_spark.reference_config import (
+        ConfigurationError,
+        from_reference_json,
+    )
+
+    def cfg(writer_extra):
+        return {
+            "version": "1.9.0",
+            "source": [{
+                "alias": "S", "name": "DB",
+                "reader": {"type": "offline"},
+                "format": {"type": "json"},
+            }],
+            "target": [{
+                "alias": "T", "source": "S",
+                "writer": {"type": "file", **writer_extra},
+            }],
+        }
+
+    dep = from_reference_json(
+        cfg({"output": str(tmp_path / "o-%i.json"),
+             "max-file-size": 1000, "new-line": 2, "append": 1})
+    )
+    assert dep.spark_sink() == "file"
+    kw = dep.pipeline_kwargs()
+    fw = kw["file_writer"]
+    assert fw.mode == RotatingFileWriter.MODE_NUM
+    assert fw.new_line_bytes == b"\r\n"
+    assert kw["out_dir"] == str(tmp_path)
+
+    # mask/size rejections surface as ConfigurationError with the
+    # reference's code
+    dep_bad = from_reference_json(
+        cfg({"output": str(tmp_path / "o-%i.json")})
+    )
+    with pytest.raises(ConfigurationError) as ei:
+        dep_bad.pipeline_kwargs()
+    assert ei.value.code == 30007
+
+    # no output → stdout in the reference; maps to the distributed json
+    # sink here (documented)
+    dep_plain = from_reference_json(cfg({}))
+    assert dep_plain.spark_sink() == "json"
+    assert "file_writer" not in dep_plain.pipeline_kwargs()
+
+    # write-buffer-flush-size is range-validated like cpp:1152-1157
+    with pytest.raises(ConfigurationError):
+        from_reference_json(
+            cfg({"write-buffer-flush-size": 2_000_000})
+        )
+
+
+# -- e2e: pipeline → rotating file sink -------------------------------------
+
+
+def test_pipeline_file_sink_rotation_e2e(spark, tmp_path):
+    """build_pipeline(sink='file') drains the binary fixture into a
+    NUM-rotated single-file layout: every file but the last stays under
+    max-file-size (unless one message alone exceeds it), names follow
+    the mask, content is newline-delimited JSON in emission order."""
+    from conftest import drain
+    from openlogreplicator_spark.config import EngineConfig, Format
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import redo_records_df
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    def rec(scn, opcode, xid="5.5.5", **kw):
+        base = {"scn": scn, "subscn": 0, "block": scn, "offset": 0,
+                "seq": 1, "xid": xid, "opcode": opcode, "obj": 9,
+                "bdba": scn, "slot": 1, "fb": 0, "cols": None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    records = [rec(1, "begin")] + [
+        rec(2 + i, "insert", cols={"A": f"v{i:04d}"}) for i in range(40)
+    ] + [rec(50, "commit")]
+    redo_dir = str(tmp_path / "redo")
+    write_binary_redo(redo_records_df(spark, records), redo_dir, n_files=1)
+
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    cap = 2048
+    fw = RotatingFileWriter(
+        str(out_dir / "olr-%3i.json"), max_file_size=cap
+    )
+    cfg = EngineConfig(fmt=Format(skip_begin=True, skip_commit=True))
+    q = build_pipeline(
+        spark, cfg, redo_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        sink="file", file_writer=fw, query_name="olr_file_rot",
+    )
+    drain(q)
+    fw.close()
+
+    files = sorted(glob.glob(str(out_dir / "olr-*.json")))
+    assert len(files) >= 2, "expected rotation under the byte cap"
+    assert all(
+        os.path.basename(f).startswith("olr-")
+        and len(os.path.basename(f)) == len("olr-000.json")
+        for f in files
+    )
+    rows = []
+    for f in files[:-1]:
+        assert os.path.getsize(f) <= cap
+    for f in files:
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    assert len(rows) == 40
+    scns = [r["scn"] for r in rows]
+    assert scns == sorted(scns), "emission order must survive rotation"

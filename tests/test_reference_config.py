@@ -78,7 +78,7 @@ def test_all_reference_examples_parse(path):
     assert dep.config.selectors[-1].owner == "OWNER2"
     assert dep.config.selectors[-1].table == "TAB.*"
     # the writer maps onto a build_pipeline sink
-    assert dep.spark_sink() in ("json", "noop", "kafka", "network")
+    assert dep.spark_sink() in ("json", "file", "noop", "kafka", "network")
 
 
 def test_example_kafka_wiring():
@@ -171,7 +171,8 @@ def test_example_offline_and_file_and_zeromq():
     assert fil.writer.output == "output-%t.json"
     assert fil.writer.max_file_size == 1073741824
     assert fil.writer.append == 0
-    assert fil.spark_sink() == "json"
+    # a named output engages the W3 rotating single-file sink
+    assert fil.spark_sink() == "file"
 
     zmq = from_reference_json(
         os.path.join(_SCRIPTS, "OpenLogReplicator-example-zeromq.json")
@@ -880,11 +881,17 @@ def test_pipeline_kwargs_one_call_migration():
         os.path.join(_SCRIPTS, "OpenLogReplicator-example-file.json")
     )
     kw = fil.pipeline_kwargs()
-    assert kw["sink"] == "json"
+    assert kw["sink"] == "file"
     assert "kafka_bootstrap" not in kw
     # example-file's output is a bare filename → the reference writes
     # relative to its cwd, so out_dir maps to "."
     assert kw["out_dir"] == "."
+    # …and the named output configures the rotating writer itself:
+    # output-%t.json + 1 GiB max-file-size → TIMESTAMP rotation
+    fw = kw["file_writer"]
+    assert fw.mode == "timestamp"
+    assert fw.max_file_size == 1073741824
+    assert fw.append == 0
 
 
 def test_hidden_column_flag_changes_message_output(spark, tmp_path):
