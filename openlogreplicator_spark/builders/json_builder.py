@@ -170,6 +170,10 @@ def tm_expr(fmt: Format, col="tm") -> Column:
     TIMESTAMP_NTZ; unix_* need TIMESTAMP (session TZ is UTC, so the
     cast is value-preserving)."""
     c = (col if isinstance(col, Column) else F.col(col)).cast("timestamp")
+    if fmt.host_tz_seconds:
+        # Time::toEpoch subtracts the host timezone from the redo
+        # wall-clock before any rendering (Time.h:48-69)
+        c = F.timestamp_add("SECOND", F.lit(-fmt.host_tz_seconds), c)
     tf = fmt.timestamp
     micros = F.unix_micros(c)
     if tf == TimestampFormat.UNIX_NANO:

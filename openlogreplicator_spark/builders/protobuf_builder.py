@@ -337,11 +337,17 @@ def build_protobuf_events(
     tms = null_s
     xidn = null_l
     xid_out = F.col("xid")
-    tm_micros = F.unix_micros(F.col("tm").cast("timestamp"))
+    tm_col = F.col("tm").cast("timestamp")
+    if fmt is not None and fmt.host_tz_seconds:
+        # Time::toEpoch(hostTimezone) — BuilderProtobuf.h:96
+        tm_col = F.timestamp_add(
+            "SECOND", F.lit(-fmt.host_tz_seconds), tm_col
+        )
+    tm_micros = F.unix_micros(tm_col)
     if fmt is not None:
         if fmt.scn == ScnFormat.HEX:
             scns = F.lpad(F.lower(F.hex(F.col("scn"))), 16, "0")
-        sec = F.unix_timestamp(F.col("tm").cast("timestamp"))
+        sec = F.unix_timestamp(tm_col)
         num_scale = {
             TF.UNIX_NANO: 1_000_000_000,
             TF.UNIX_MICRO: 1_000_000,
@@ -361,9 +367,7 @@ def build_protobuf_events(
             tms = (sec * str_scale[fmt.timestamp]).cast("string")
         elif fmt.timestamp == TF.ISO8601:
             tm_micros = null_l
-            tms = F.date_format(
-                F.col("tm").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
-            )
+            tms = F.date_format(tm_col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
         else:  # other ISO variants: reference emits no timestamp
             tm_micros = null_l
         if fmt.xid == XidFormat.NUMERIC:

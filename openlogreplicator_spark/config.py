@@ -148,6 +148,13 @@ class Format:
     experimental_json: bool = False
     add_offset: bool = False   # MESSAGE_FORMAT::ADD_OFFSET
     add_sequences: bool = False
+    # reader "host-timezone" (cpp:917-921): every rendered timestamp
+    # passes through Time::toEpoch(hostTimezone) (Time.h:48-69,
+    # BuilderJson.h:105, BuilderProtobuf.h:96), which subtracts the
+    # configured offset from the redo wall-clock before epoch/ISO
+    # rendering. 0 (UTC) is this engine's default; the reference
+    # defaults to the process-local zone.
+    host_tz_seconds: int = 0
     # REDO_THREAD_FORMAT (Format.h:91-94): TEXT emits the redo thread
     # number as "rth" in the header (BuilderJson.h:346-349); SKIP (the
     # reference default, False here) omits it. Single-instance sources

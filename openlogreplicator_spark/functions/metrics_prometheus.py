@@ -100,14 +100,43 @@ def _family(metric: str) -> tuple[str, dict[str, str]]:
     return metric, {}
 
 
-def render_prometheus(metrics: DataFrame, prefix: str = "") -> str:
+_SYS_OWNERS = {"SYS", "SYSTEM", "XDB"}
+
+
+def _tag_mode_keeps(labels: dict[str, str], tag_names: str) -> bool:
+    """metrics ``tag-names`` gate (OpenLogReplicator.cpp:378-395;
+    Metrics::TAG_NAMES): owner/table-labeled series exist only when the
+    mode covers their class — FILTER for user tables, SYS for
+    dictionary-owner tables, ALL for both, NONE (the reference default)
+    for neither. Unlabeled totals always render."""
+    owner = labels.get("owner")
+    if owner is None:
+        return True
+    if tag_names == "all":
+        return True
+    if tag_names == "filter":
+        return owner.upper() not in _SYS_OWNERS
+    if tag_names == "sys":
+        return owner.upper() in _SYS_OWNERS
+    return False   # "none"
+
+
+def render_prometheus(
+    metrics: DataFrame, prefix: str = "", tag_names: str = "all"
+) -> str:
     """(metric, value) rows → Prometheus text exposition format 0.0.4:
     one ``# HELP``/``# TYPE`` header per family, one sample line per
-    labeled member, families sorted for a stable scrape body."""
+    labeled member, families sorted for a stable scrape body.
+    ``tag_names`` applies the config's TAG_NAMES exposition gate to
+    owner/table-labeled series ("all" keeps everything — the behavior
+    direct callers always had; deployments pass their configured
+    mode)."""
     rows = metrics.select("metric", "value").collect()
     families: dict[str, list[tuple[dict[str, str], float]]] = {}
     for r in rows:
         fam, labels = _family(r["metric"])
+        if not _tag_mode_keeps(labels, tag_names):
+            continue
         families.setdefault(fam, []).append((labels, r["value"]))
     out: list[str] = []
     for fam in sorted(families):

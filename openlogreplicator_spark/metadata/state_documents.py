@@ -88,6 +88,35 @@ def resume_scn(state_dir: str, database: str, default_scn: int = 0) -> int:
     return int(doc["scn"]) if doc else default_scn
 
 
+def gc_schema_snapshots(
+    state_dir: str, database: str, keep: int = 100
+) -> list[str]:
+    """O4 checkpoint GC (Metadata::deleteOldCheckpoints,
+    Metadata.cpp:584-596; ``state.keep-checkpoints``, default 100):
+    keep the ``keep`` newest schema snapshots for the database, delete
+    the older ones. Returns the deleted paths."""
+    prefix = f"{database}-schema-"
+    found: list[tuple[int, str]] = []
+    if not os.path.isdir(state_dir):
+        return []
+    for fn in os.listdir(state_dir):
+        if fn.startswith(prefix) and fn.endswith(".json"):
+            try:
+                found.append((int(fn[len(prefix):-5]), fn))
+            except ValueError:
+                continue
+    found.sort(reverse=True)
+    deleted = []
+    for _scn, fn in found[keep:]:
+        path = os.path.join(state_dir, fn)
+        try:
+            os.remove(path)
+            deleted.append(path)
+        except OSError:
+            pass
+    return deleted
+
+
 def export_schema_snapshot(
     dict_versions: DataFrame,
     state_dir: str,
@@ -95,6 +124,7 @@ def export_schema_snapshot(
     scn: int,
     resetlogs: int = 0,
     activation: int = 0,
+    keep: int | None = None,
 ) -> str:
     """Serialize the versioned dictionary into a reference-shaped schema
     document: header fields per SerializerJson::serialize, one sys-obj
@@ -126,6 +156,10 @@ def export_schema_snapshot(
     with open(tmp, "w") as fh:
         json.dump(doc, fh, separators=(",", ":"))
     os.replace(tmp, path)
+    if keep is not None:
+        # the reference GCs after every checkpoint write
+        # (Metadata::writeCheckpoint → deleteOldCheckpoints)
+        gc_schema_snapshots(state_dir, database, keep)
     return path
 
 

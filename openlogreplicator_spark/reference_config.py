@@ -146,6 +146,76 @@ def _uint(obj: dict, key: str, lo: int, hi: int):
     return val
 
 
+# Data::parseTimezone's named-zone shorthand table (Data.cpp:53-112) —
+# plain public POSIX/Olson aliases mapped to fixed offsets
+_TZ_ALIASES = {
+    "Etc/GMT-14": "-14:00", "Etc/GMT-13": "-13:00", "Etc/GMT-12": "-12:00",
+    "Etc/GMT-11": "-11:00", "HST": "-10:00", "Etc/GMT-10": "-10:00",
+    "Etc/GMT-9": "-09:00", "PST": "-08:00", "PST8PDT": "-08:00",
+    "Etc/GMT-8": "-08:00", "MST": "-07:00", "MST7MDT": "-07:00",
+    "Etc/GMT-7": "-07:00", "CST": "-06:00", "CST6CDT": "-06:00",
+    "Etc/GMT-6": "-06:00", "EST": "-05:00", "EST5EDT": "-05:00",
+    "Etc/GMT-5": "-05:00", "Etc/GMT-4": "-04:00", "Etc/GMT-3": "-03:00",
+    "Etc/GMT-2": "-02:00", "Etc/GMT-1": "-01:00", "GMT": "+00:00",
+    "Etc/GMT": "+00:00", "Greenwich": "+00:00", "Etc/Greenwich": "+00:00",
+    "GMT0": "+00:00", "Etc/GMT0": "+00:00", "GMT+0": "+00:00",
+    "Etc/GMT-0": "+00:00", "Etc/GMT+0": "+00:00", "UTC": "+00:00",
+    "Etc/UTC": "+00:00", "UCT": "+00:00", "Etc/UCT": "+00:00",
+    "Universal": "+00:00", "Etc/Universal": "+00:00", "WET": "+00:00",
+    "MET": "+01:00", "CET": "+01:00", "Etc/GMT+1": "+01:00",
+    "EET": "+02:00", "Etc/GMT+2": "+02:00", "Etc/GMT+3": "+03:00",
+    "Etc/GMT+4": "+04:00", "Etc/GMT+5": "+05:00", "Etc/GMT+6": "+06:00",
+    "Etc/GMT+7": "+07:00", "PRC": "+08:00", "ROC": "+08:00",
+    "Etc/GMT+8": "+08:00", "Etc/GMT+9": "+09:00", "Etc/GMT+10": "+10:00",
+    "Etc/GMT+11": "+11:00", "Etc/GMT+12": "+12:00",
+}
+
+
+def parse_timezone(value: str) -> int | None:
+    """``db-timezone``/``host-timezone``/``log-timezone`` string →
+    signed offset seconds, or None when unparseable (the caller raises
+    the reference's 30001). Accepts the alias table plus ``±H:MM`` /
+    ``±HH:MM`` (Data::parseTimezone, Data.cpp:53-139).
+
+    Fidelity note: the reference's digit arithmetic is defective for
+    the shorthand forms it accepts — the minute pair is scaled
+    digit-wise (``'+05:30'`` → 18180 s instead of 19800) and the
+    tens-of-hours digit is subtracted (``'+12:00'`` → −28800). This
+    port computes the evident intent: ``sign·(hh·3600 + mm·60)``.
+    Documented as a config-plane divergence in COVERAGE.md."""
+    s = _TZ_ALIASES.get(value, value)
+    if len(s) == 5:
+        ok = s[1].isdigit() and s[2] == ":" and s[3].isdigit() and \
+            s[4].isdigit()
+        if not ok:
+            return None
+        out = int(s[1]) * 3600 + int(s[3:5]) * 60
+    elif len(s) == 6:
+        ok = s[1].isdigit() and s[2].isdigit() and s[3] == ":" and \
+            s[4].isdigit() and s[5].isdigit()
+        if not ok:
+            return None
+        out = int(s[1:3]) * 3600 + int(s[4:6]) * 60
+    else:
+        return None
+    if s[0] == "-":
+        return -out
+    if s[0] != "+":
+        return None
+    return out
+
+
+def _tz_field(obj: dict, key: str) -> int | None:
+    """Parse a timezone key, rejecting like cpp:911-925."""
+    if key not in obj:
+        return None
+    value = obj[key]
+    parsed = parse_timezone(value) if isinstance(value, str) else None
+    if parsed is None:
+        raise _bad(key, value, 'value: {"+/-HH:MM"}')
+    return parsed
+
+
 # Reference numeric values → repo enums. Approximations are recorded in
 # `unmodeled` by the caller (see module docstring).
 _TIMESTAMP_MAP = {  # TIMESTAMP_FORMAT (Format.h:117-134) — exact, 0..15
@@ -253,7 +323,9 @@ class ReferenceDeployment:
     start_time: str = ""
     start_time_rel: int = 0
     state_path: str = ""           # W7 state documents directory
+    state_keep_checkpoints: int = 100   # checkpoint GC depth (O4)
     metrics_bind: str = ""         # W8 Prometheus exposition endpoint
+    metrics_tag_names: str = "none"    # TAG_NAMES exposition mode
     flags: int = 0
     log_archive_format: str = ""
     dump_xid: tuple[str, ...] = ()
@@ -553,26 +625,73 @@ def from_reference_json(source) -> ReferenceDeployment:
 
     memory_max_mb = 1024
     memory_present = False
+    # accepted-key discipline (r8 VERDICT): every key below either
+    # drives behavior, rejects with the reference's error, or is
+    # validated and RECORDED here — never silently dropped
+    tuning_unmodeled: dict = {}
+
+    # document-level diagnostics (cpp:204-235): redo-dump tracing and
+    # logging verbosity — log-plane only, validated with the
+    # reference's ranges, recorded
+    if "dump-redo-log" in doc:
+        _uint(doc, "dump-redo-log", 0, 2)
+        if doc["dump-redo-log"] > 0 and "dump-raw-data" in doc:
+            _uint(doc, "dump-raw-data", 0, 1)
+    if "log-level" in doc:
+        _uint(doc, "log-level", 0, 4)
+    if "trace" in doc:
+        _uint(doc, "trace", 0, 1_048_575)
+    for k in ("dump-redo-log", "dump-raw-data", "dump-path",
+              "log-level", "trace"):
+        if k in doc:
+            tuning_unmodeled[k] = doc[k]
+
     memory_swap_path = ""
     if "memory" in doc:
         _check_keys(doc["memory"], _MEMORY_KEYS, '"memory"', check)
         memory_max_mb = doc["memory"].get("max-mb", 1024)
         memory_present = True
         memory_swap_path = doc["memory"].get("swap-path", "")
+        # the remaining memory element keys are allocator tuning the
+        # Spark executor-memory model subsumes — recorded, not wired
+        mem_tuning = {
+            k: v for k, v in doc["memory"].items()
+            if k not in ("max-mb", "swap-path")
+        }
+        if mem_tuning:
+            tuning_unmodeled["memory-tuning"] = mem_tuning
 
     metrics_bind = ""
+    metrics_tag_names = "none"
     if "metrics" in doc:
         _check_keys(doc["metrics"], _METRICS_KEYS, '"metrics"', check)
         if doc["metrics"].get("type") != "prometheus":
             raise _bad("type", doc["metrics"].get("type"), '"prometheus"')
         metrics_bind = doc["metrics"].get("bind", "")
+        # TAG_NAMES (cpp:378-395): which counter families carry
+        # owner/table labels in the exposition
+        metrics_tag_names = doc["metrics"].get("tag-names", "none")
+        if metrics_tag_names not in ("none", "filter", "sys", "all"):
+            raise _bad(
+                "tag-names", metrics_tag_names,
+                'one of {"all", "filter", "none", "sys"}',
+            )
 
     state_path = ""
     checkpoint_interval_s = 10
+    state_keep_checkpoints = 100   # ctx->checkpointKeep default
     if "state" in doc:
         _check_keys(doc["state"], _STATE_KEYS, '"state"', check)
         state_path = doc["state"].get("path", "checkpoint")
         checkpoint_interval_s = doc["state"].get("interval-s", 600)
+        # checkpoint GC depth (cpp:450-451; Metadata.cpp:584-596)
+        state_keep_checkpoints = doc["state"].get("keep-checkpoints", 100)
+        # byte-cadence and schema-rewrite-cadence knobs pace the
+        # reference's own checkpoint writer thread; Spark's checkpoint
+        # cadence is the trigger interval (interval-s) — recorded
+        for k in ("interval-mb", "schema-force-interval"):
+            if k in doc["state"]:
+                tuning_unmodeled[f"state-{k}"] = doc["state"][k]
 
     sources = doc.get("source")
     if not isinstance(sources, list) or len(sources) != 1:
@@ -625,6 +744,30 @@ def from_reference_json(source) -> ReferenceDeployment:
         experimental_xmltype=bool(flags & (1 << 16)),
     )
 
+    # source-level reader pacing (cpp:887-907): poll/sleep/retry tuning
+    # for the reference's reader threads — Spark's trigger scheduling
+    # subsumes the cadence; validated (arch-read-tries range per
+    # cpp:895-899), recorded
+    if "arch-read-tries" in src:
+        _uint(src, "arch-read-tries", 1, 1_000_000_000)
+    for k in ("arch-read-sleep-us", "arch-read-tries",
+              "redo-read-sleep-us", "redo-verify-delay-us",
+              "refresh-interval-us"):
+        if k in src:
+            tuning_unmodeled[k] = src[k]
+    # archived-log discovery strategy (cpp:936-950): "path" (directory
+    # scan — this engine's S4 scheduler) vs "online"/"online-keep"
+    # (V$ARCHIVED_LOG via the live connection); value-checked with the
+    # reference's set, recorded — the online catalog models discovery
+    # through its own query surface
+    if "arch" in src:
+        if src["arch"] not in ("path", "online", "online-keep"):
+            raise _bad(
+                "arch", src["arch"],
+                'one of {"path", "online", "online-keep"}',
+            )
+        tuning_unmodeled["arch"] = src["arch"]
+
     reader = src["reader"]
     _check_keys(reader, _READER_KEYS, '"reader"', check)
     reader_type = reader.get("type")
@@ -632,6 +775,21 @@ def from_reference_json(source) -> ReferenceDeployment:
         raise _bad(
             "type", reader_type, 'one of {"online", "offline", "batch"}'
         )
+    # reader timezones (cpp:911-925): db-timezone drives TSLTZ decode
+    # (wired into EngineConfig.db_timezone_seconds → the parse plane);
+    # host-timezone drives every rendered timestamp's toEpoch shift
+    # (wired into Format.host_tz_seconds → both builders);
+    # log-timezone only shifts the reference's own log-line clock —
+    # validated, recorded
+    db_timezone_seconds = _tz_field(reader, "db-timezone")
+    host_timezone_seconds = _tz_field(reader, "host-timezone")
+    log_timezone_seconds = _tz_field(reader, "log-timezone")
+    if log_timezone_seconds is not None:
+        tuning_unmodeled["log-timezone"] = reader["log-timezone"]
+    if "redo-copy-path" in reader:
+        # raw-redo archival copy (cpp:908-909) — a reader-thread
+        # diagnostic duplicating input bytes; recorded
+        tuning_unmodeled["redo-copy-path"] = reader["redo-copy-path"]
     if reader_type == "online":
         for req in ("user", "password", "server"):
             if req not in reader:
@@ -675,12 +833,29 @@ def from_reference_json(source) -> ReferenceDeployment:
 
     if "debug" in src:
         _check_keys(src["debug"], _DEBUG_KEYS, '"debug"', check)
+        # test-harness stop triggers (Parser.cpp:835-843,1524): halt
+        # after N checkpoints/log-switches/transactions, or when the
+        # named owner.table is touched — instrumentation for the
+        # reference's own test suite; validated, recorded
+        dbg = src["debug"]
+        for k in ("stop-checkpoints", "stop-log-switches",
+                  "stop-transactions"):
+            if k in dbg:
+                _uint(dbg, k, 0, 2**63 - 1)
+        if ("owner" in dbg) != ("table" in dbg):
+            raise _bad(
+                "owner" if "table" in dbg else "table", None,
+                'both "owner" and "table" set together',
+            )
+        tuning_unmodeled["debug"] = dict(dbg)
 
     fmt, format_type, unmodeled = _parse_format(
         src["format"], db_name, check
     )
     if fmt_experimental_json:
         fmt = fmt.with_options(experimental_json=True)
+    if host_timezone_seconds is not None:
+        fmt = fmt.with_options(host_tz_seconds=host_timezone_seconds)
     if schema_mode == "schemaless" and src["format"].get("column", 0) != 0:
         raise _bad(
             "column", src["format"]["column"],
@@ -822,6 +997,11 @@ def from_reference_json(source) -> ReferenceDeployment:
         char_format=char_format,
         memory_max_mb=memory_max_mb if memory_present else None,
         memory_swap_path=memory_swap_path,
+        **(
+            {"db_timezone_seconds": db_timezone_seconds}
+            if db_timezone_seconds is not None
+            else {}
+        ),
         **flag_kwargs,
     )
     return ReferenceDeployment(
@@ -840,12 +1020,15 @@ def from_reference_json(source) -> ReferenceDeployment:
         start_time=start_time,
         start_time_rel=start_time_rel,
         state_path=state_path,
+        state_keep_checkpoints=state_keep_checkpoints,
         metrics_bind=metrics_bind,
+        metrics_tag_names=metrics_tag_names,
         flags=flags,
         log_archive_format=reader.get("log-archive-format", ""),
         dump_xid=dump_xid,
         unmodeled={
             **unmodeled,
+            **tuning_unmodeled,
             **(
                 {"source-memory-ignored": unmodeled_src_memory}
                 if unmodeled_src_memory is not None

@@ -125,7 +125,19 @@ def _decode_state(payload: bytes):
     """Inverse of :func:`_encode_state` → (Arrow table, skiplist)."""
     import pyarrow as pa
 
-    tbl = pa.ipc.open_stream(pa.py_buffer(payload)).read_all()
+    try:
+        tbl = pa.ipc.open_stream(pa.py_buffer(payload)).read_all()
+    except pa.ArrowInvalid as e:
+        # state-schema break (r8): pre-Arrow checkpoints stored the
+        # payload as per-row JSON; there is no migration path — fail
+        # with the remedy instead of an opaque Arrow parse error
+        raise RuntimeError(
+            "streaming state payload is not an Arrow IPC stream — this "
+            "checkpoint predates the Arrow state codec and cannot be "
+            "restored; restart the query with a fresh checkpoint "
+            "directory (events at or below the writer's confirmed scn "
+            "are re-filtered on restart)"
+        ) from e
     meta = tbl.schema.metadata or {}
     skip = set(json.loads(meta.get(b"skip", b"[]")))
     return tbl, skip

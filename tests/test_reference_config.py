@@ -1030,3 +1030,232 @@ def test_timestamp_tz_knob_wires_to_engine():
     doc["source"][0]["format"]["timestamp-tz"] = 12
     with pytest.raises(ConfigurationError, match="timestamp-tz"):
         from_reference_json(doc)
+
+
+# -- r9: accepted-key discipline — wired, rejected, or recorded -------------
+
+
+def test_parse_timezone_values():
+    from openlogreplicator_spark.reference_config import parse_timezone
+
+    # ±H:MM / ±HH:MM with intent-correct arithmetic (the reference's
+    # digit-wise scaling defects are documented in COVERAGE.md)
+    assert parse_timezone("+00:00") == 0
+    assert parse_timezone("+05:30") == 19800
+    assert parse_timezone("-08:00") == -28800
+    assert parse_timezone("+12:00") == 43200
+    assert parse_timezone("+5:30") == 19800
+    # alias table (Data.cpp:53-112)
+    assert parse_timezone("UTC") == 0
+    assert parse_timezone("PST") == -28800
+    assert parse_timezone("CET") == 3600
+    assert parse_timezone("Etc/GMT+12") == 43200
+    # rejections
+    for bad in ("bogus", "05:30", "+5h", "+123:00", ""):
+        assert parse_timezone(bad) is None
+
+
+def test_db_and_host_timezone_wired():
+    doc = _base()
+    doc["source"][0]["reader"]["db-timezone"] = "+02:00"
+    doc["source"][0]["reader"]["host-timezone"] = "-01:00"
+    doc["source"][0]["reader"]["log-timezone"] = "+01:00"
+    dep = from_reference_json(doc)
+    assert dep.config.db_timezone_seconds == 7200
+    assert dep.config.fmt.host_tz_seconds == -3600
+    # log-timezone shifts only the reference's own log lines — recorded
+    assert dep.unmodeled["log-timezone"] == "+01:00"
+
+    doc["source"][0]["reader"]["db-timezone"] = "nonsense"
+    with pytest.raises(ConfigurationError, match="db-timezone"):
+        from_reference_json(doc)
+
+
+def test_host_timezone_shifts_rendered_timestamps(spark):
+    """host-timezone reaches the builder bytes: the rendered unix tm is
+    the redo wall-clock MINUS the offset (Time::toEpoch, Time.h:48-69)."""
+    from openlogreplicator_spark.builders.json_builder import build_events
+    from openlogreplicator_spark.config import Format, TimestampFormat
+
+    events = spark.createDataFrame(
+        [(100, "2024-03-01 12:00:00", "1.1.1", "c", "O", "T", 5, 0)],
+        "scn long, tm string, xid string, op string, owner string, "
+        "table string, obj long, num long",
+    ).selectExpr(
+        "scn", "cast(tm as timestamp) tm", "xid", "op", "owner",
+        "table", "obj", "num",
+        "cast(null as map<string,string>) before",
+        "map('A','1') after",
+        "cast(null as map<string,string>) attrs",
+        "cast(null as string) rid",
+        "cast(1 as long) seq", "cast(0 as long) offset",
+    )
+    base = Format(timestamp=TimestampFormat.UNIX_SEC)
+    shifted = Format(
+        timestamp=TimestampFormat.UNIX_SEC, host_tz_seconds=3600
+    )
+    v0 = json.loads(build_events(events, base).collect()[0]["value"])
+    v1 = json.loads(build_events(events, shifted).collect()[0]["value"])
+    assert v1["tm"] == v0["tm"] - 3600
+
+
+def test_metrics_tag_names_gates_exposition(spark):
+    from openlogreplicator_spark.functions.metrics_prometheus import (
+        render_prometheus,
+    )
+
+    m = spark.createDataFrame(
+        [
+            ("dml_ops_insert_out", 10),
+            ("dml_ops_insert_out:APP.ORDERS", 7),
+            ("dml_ops_insert_out:SYS.OBJ$", 3),
+        ],
+        "metric string, value long",
+    )
+    none = render_prometheus(m, tag_names="none")
+    assert 'owner="APP"' not in none and 'owner="SYS"' not in none
+    assert 'dml_ops{filter="out",type="insert"} 10' in none
+    filt = render_prometheus(m, tag_names="filter")
+    assert 'owner="APP"' in filt and 'owner="SYS"' not in filt
+    sysm = render_prometheus(m, tag_names="sys")
+    assert 'owner="APP"' not in sysm and 'owner="SYS"' in sysm
+    both = render_prometheus(m, tag_names="all")
+    assert 'owner="APP"' in both and 'owner="SYS"' in both
+
+    doc = _base()
+    doc["metrics"] = {"type": "prometheus", "bind": "0.0.0.0:9161",
+                      "tag-names": "filter"}
+    assert from_reference_json(doc).metrics_tag_names == "filter"
+    doc["metrics"]["tag-names"] = "everything"
+    with pytest.raises(ConfigurationError, match="tag-names"):
+        from_reference_json(doc)
+
+
+def test_keep_checkpoints_gc(spark, tmp_path):
+    from openlogreplicator_spark.metadata.state_documents import (
+        export_schema_snapshot,
+        latest_schema_snapshot,
+    )
+
+    versions = spark.createDataFrame(
+        [(1, 10, "O", "T", "TABLE", False)],
+        "obj long, scn_from long, owner string, name string, "
+        "type string, dropped boolean",
+    )
+    state = str(tmp_path)
+    for scn in range(100, 108):
+        export_schema_snapshot(versions, state, "DB", scn, keep=3)
+    kept = sorted(
+        fn for fn in os.listdir(state) if fn.startswith("DB-schema-")
+    )
+    assert len(kept) == 3
+    assert latest_schema_snapshot(state, "DB").endswith("107.json")
+    assert kept[0].endswith("105.json")
+
+    doc = _base()
+    doc["state"] = {"type": "disk", "path": state, "keep-checkpoints": 3}
+    assert from_reference_json(doc).state_keep_checkpoints == 3
+
+
+def test_every_accepted_key_wired_rejected_or_recorded():
+    """The r8 'new-line' lesson, closed for the whole surface: build a
+    config that uses EVERY accepted key, parse it, and prove each one
+    is either wired (visible on the deployment/config/format), or
+    recorded in `unmodeled` — nothing silently dropped. (Rejection
+    paths carry their own tests above/throughout this file.)"""
+    doc = {
+        "version": "1.9.0",
+        "dump-redo-log": 1, "dump-raw-data": 1, "dump-path": "/tmp/d",
+        "log-level": 2, "trace": 5,
+        "memory": {"min-mb": 32, "max-mb": 2048, "read-buffer-max-mb": 128,
+                   "read-buffer-min-mb": 4, "swap-mb": 512,
+                   "swap-path": "/tmp/swap", "unswap-buffer-min-mb": 8,
+                   "write-buffer-max-mb": 128, "write-buffer-min-mb": 4},
+        "metrics": {"type": "prometheus", "bind": "0.0.0.0:9161",
+                    "tag-names": "all"},
+        "state": {"type": "disk", "path": "/tmp/state", "interval-s": 30,
+                  "interval-mb": 100, "keep-checkpoints": 5,
+                  "schema-force-interval": 7},
+        "source": [{
+            "alias": "S", "name": "DB",
+            "arch": "path", "arch-read-sleep-us": 1000,
+            "arch-read-tries": 5, "redo-read-sleep-us": 2000,
+            "redo-verify-delay-us": 3000, "refresh-interval-us": 4000,
+            "flags": 2, "transaction-max-mb": 512,
+            "memory": {"max-mb": 256},
+            "debug": {"stop-checkpoints": 2, "stop-log-switches": 3,
+                      "stop-transactions": 4, "owner": "O", "table": "T"},
+            "filter": {"table": [{"owner": "O", "table": "T.*",
+                                  "condition": "1=1", "key": "ID",
+                                  "tag": "[ID]"}],
+                       "skip-xid": ["9.9.9"], "dump-xid": ["8.8.8"],
+                       "separator": "-"},
+            "reader": {"type": "offline", "start-scn": 5,
+                       "db-timezone": "+01:00", "host-timezone": "+02:00",
+                       "log-timezone": "+03:00",
+                       "redo-copy-path": "/tmp/copy",
+                       "disable-checks": 0,
+                       "log-archive-format": "o1_mf_%t_%s_%h_.arc",
+                       "path-mapping": ["/a", "/b"]},
+            "format": {"type": "json", "message": 0, "timestamp": 1},
+        }],
+        "target": [{
+            "alias": "T", "source": "S",
+            "writer": {"type": "file", "output": "/tmp/out-%s.json",
+                       "new-line": 1, "append": 1, "max-file-size": 0,
+                       "timestamp-format": "%F", "max-message-mb": 8,
+                       "poll-interval-us": 1000, "queue-size": 100,
+                       "write-buffer-flush-size": 4096},
+        }],
+    }
+    dep = from_reference_json(doc)
+
+    wired = {
+        # key → proof it reached a behavior-bearing field
+        "db-timezone": dep.config.db_timezone_seconds == 3600,
+        "host-timezone": dep.config.fmt.host_tz_seconds == 7200,
+        "tag-names": dep.metrics_tag_names == "all",
+        "keep-checkpoints": dep.state_keep_checkpoints == 5,
+        "interval-s": dep.config.checkpoint_interval_s == 30,
+        "max-mb": dep.config.memory_max_mb == 2048,
+        "swap-path": dep.config.memory_swap_path == "/tmp/swap",
+        "state-path": dep.state_path == "/tmp/state",
+        "bind": dep.metrics_bind == "0.0.0.0:9161",
+        "flags": dep.flags == 2,
+        "transaction-max-mb": dep.config.transaction_max_mb == 512,
+        "start-scn": dep.config.start_scn == 5,
+        "skip-xid": dep.config.skip_xid == ("9.9.9",),
+        "dump-xid": dep.dump_xid == ("8.8.8",),
+        "path-mapping": dep.path_mapping == ("/a", "/b"),
+        "log-archive-format": dep.log_archive_format != "",
+        "output": dep.writer.output == "/tmp/out-%s.json",
+        "new-line": dep.writer.new_line == 1,
+        "append": dep.writer.append == 1,
+        "timestamp-format": dep.writer.timestamp_format == "%F",
+        "max-message-mb": dep.writer.max_message_mb == 8,
+    }
+    assert all(wired.values()), {k: v for k, v in wired.items() if not v}
+
+    # everything pacing/diagnostic is RECORDED, with its value
+    recorded = {
+        "dump-redo-log": 1, "dump-raw-data": 1, "dump-path": "/tmp/d",
+        "log-level": 2, "trace": 5,
+        "arch": "path", "arch-read-sleep-us": 1000, "arch-read-tries": 5,
+        "redo-read-sleep-us": 2000, "redo-verify-delay-us": 3000,
+        "refresh-interval-us": 4000,
+        "log-timezone": "+03:00", "redo-copy-path": "/tmp/copy",
+        "state-interval-mb": 100, "state-schema-force-interval": 7,
+    }
+    for k, v in recorded.items():
+        assert dep.unmodeled.get(k) == v, (k, dep.unmodeled.get(k))
+    assert dep.unmodeled["memory-tuning"]["min-mb"] == 32
+    assert dep.unmodeled["memory-tuning"]["swap-mb"] == 512
+    assert dep.unmodeled["debug"]["stop-transactions"] == 4
+    assert dep.unmodeled["source-memory-ignored"] == {"max-mb": 256}
+
+
+def test_debug_owner_table_must_pair():
+    doc = _base()
+    doc["source"][0]["debug"] = {"owner": "O"}
+    with pytest.raises(ConfigurationError, match="table"):
+        from_reference_json(doc)

@@ -601,6 +601,17 @@ def test_stateful_kernel_buffering_size_guard_bounds_state():
     assert state2.removed, "retired skiplist leaves no state behind"
 
 
+def test_legacy_json_state_payload_fails_with_remedy():
+    """The r8 Arrow state codec is a checkpoint-schema break with no
+    migration path; a pre-Arrow per-row-JSON payload must fail with the
+    'fresh checkpoint' remedy, not an opaque ArrowInvalid."""
+    from openlogreplicator_spark.streaming.assembly import _decode_state
+
+    legacy = b'[{"scn": 1, "xid": "1.1.1", "opcode": "insert"}]'
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        _decode_state(legacy)
+
+
 @pytest.mark.parametrize("seed", [3, 17, 29])
 def test_buffering_size_guard_invariant_to_batch_boundaries(seed):
     """The buffering-time T4 guard (r7) must be batch-boundary-INVARIANT:
