@@ -27,71 +27,66 @@ if _REPO_ROOT not in sys.path:
 # round 1 (now fixed), then a few representative re-verifies. Everything
 # else registers after slot 50 — still runnable, checked locally by
 # tests/test_queries_vs_duckdb.py.
-_PRIORITY = [  # round-8 window (previous windows: git history of this list)
+_PRIORITY = [  # round-9 window (previous windows: git history of this list)
     # -- 5 green canaries, one per result-type family (drift detection)
     "q1_pricing_summary",
     "cdc_txn_assembly",
     "dedup_minhash_lsh",
     "agg_rollup",
     "stream_tumbling_window",
-    # -- NEW/CHANGED this round (r7 VERDICT #2/#7): the T6 split is now
-    #    byte-true (greedy rendered-byte packing, Builder.h:167 /
-    #    Transaction.cpp:519-538) in BOTH builders; the protobuf FULL
-    #    envelope + split is a new byte-exact wire-oracle query, and
-    #    cdc_txn_split re-verifies the count-capped path post-refactor.
-    "cdc_protobuf_builder_full",
-    "cdc_txn_split",
-    "cdc_json_builder_debezium",  # bytes changed r8: preset xid is now
-    #   XID_FORMAT::TEXT_REVERSED (OpenLogReplicator.cpp:707 parity);
-    #   cdc_gap_detect gave up its slot (rotates r9)
-    # -- STALE-VERDICT ROTATION (r7 VERDICT #1): the 23 queries whose
-    #    latest driver verdict is r4, then 20 of the 41 r5-latest (the
-    #    cdc parse-plane set, dedup_cluster_cc/ngram, TPC-H stragglers,
-    #    tokenizer_bpe_pairs). The remaining 20 r5-latest rotate in r9;
-    #    after r9 no verdict predates r6.
-    "agg_approx_quantile",
-    "agg_histogram",
-    "cdc_asof_snapshot",
-    "dedup_canonical_pick",
-    "dedup_incremental",
-    "embedding_quantize",
-    "multimodal_decode_table",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "sample_group_cap",
-    "sample_temperature_mix",
-    "split_train_eval",
-    "stream_session_window",
-    "stream_sliding_window",
-    "text_chunk_split",
-    "text_commonness",
-    "text_dedup_passages",
-    "text_entropy_filter",
-    "text_fingerprint",
-    "text_tfidf_topterms",
-    "text_token_count",
-    "window_range_interval",
-    # r5-latest block
-    "cdc_txn_assembly_binary",
-    "cdc_kdo_positional_binary",
+    # -- BYTES CHANGED since its last verdict: the TSTZ region-form
+    #    decode (timeZoneMap + "TZ?" fallback, Builder.cpp:304-339)
+    #    landed after the r8 driver run and changed the typed-images
+    #    fixture to v5 (offset/region/unknown cycling) — re-window.
     "cdc_typed_images_binary",
-    "cdc_before_image",
-    "cdc_clob_charset",
-    "cdc_lob_reassembly",
-    "cdc_schema_asof_resolve",
-    "cdc_condition_filter",
-    "cdc_unchanged_suppression",
-    "dedup_cluster_cc",
-    "dedup_ngram_jaccard",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_relationship",
-    "q20_potential_part_promotion",
-    "q21_suppliers_kept_waiting",
-    "tokenizer_bpe_pairs",
+    # -- STALE-VERDICT ROTATION (r8 VERDICT #3): ALL 21 remaining
+    #    r5-latest queries; after this round no verdict predates r6.
+    "cdc_gap_detect",
+    "cdc_last_image",
+    "cdc_net_changes",
+    "cdc_partition_routing",
+    "cdc_sessionize",
+    "cdc_txn_stats",
+    "cdc_type_tail",
+    "corpus_stats_report",
+    "decontaminate_ngram",
+    "dedup_cross_source",
+    "dedup_semantic",
+    "embedding_moments",
+    "embedding_normalize",
+    "embedding_stats",
+    "event_anomaly_mad",
+    "event_funnel",
+    "pack_training_sequences",
+    "sample_dsir_weights",
+    "sample_training_mix",
+    "text_bigram_perplexity",
+    "text_quality_score",
+    # -- oldest r6-latest block: 23 of 37 (CDC/dedup/multimodal/text
+    #    first; the 14 relational/simple-text stragglers rotate r10)
+    "cdc_adaptive_schema",
+    "cdc_apply_changes",
+    "cdc_ddl_classify",
+    "cdc_heartbeat",
+    "cdc_metrics",
+    "cdc_resume_filter",
+    "cdc_scd2_history",
+    "cdc_schemaless_decode",
+    "cdc_txn_envelope",
+    "cdc_xmltype_decode",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_substring",
+    "embedding_pca",
+    "event_retention",
+    "event_transitions",
+    "multimodal_decode",
+    "multimodal_features_ann",
+    "multimodal_image_stats",
+    "text_lang_id",
+    "text_pii_scrub",
+    "tokenizer_bpe_train",
 ]
 
 

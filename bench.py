@@ -272,6 +272,16 @@ def main() -> None:
             noise.append(name)
 
     drain = _stream_drain_rate(spark, sf_dir)
+    # r8 VERDICT #7: the signature must be stable across the two runs of
+    # THIS invocation before any cross-round comparison is meaningful —
+    # an unstable signature means the drain pipeline itself is
+    # nondeterministic and every rate delta is unattributable
+    assert drain["signature_stable"], (
+        "drain invariant signature differed between back-to-back runs: "
+        f"{drain['signature']} — the streaming pipeline emitted "
+        "different per-batch row/state counts over the same fixture; "
+        "fix the nondeterminism before trusting drain rates"
+    )
     # drain noise detection (r7 VERDICT #6): a >25% rate move on an
     # UNCHANGED pipeline signature is the box's interference, not a
     # regression — same rule as the query fingerprints

@@ -332,3 +332,85 @@ def test_xid_text_reversed_protobuf_is_plain_hex16(spark):
     packed = (3 << 48) | (7 << 32) | 42
     assert fields[6] == ("%016x" % packed).encode()
     assert 7 not in fields  # not the packed-numeric oneof
+
+
+def test_full_envelope_with_descriptors_hand_derived_golden(spark):
+    """Byte-literal golden derived BY HAND from OraProtoBuf.proto field
+    numbers (Value proto:80-89, Column proto:91-98, Schema proto:100-109,
+    Payload proto:111-122, RedoResponse proto:143-158) — the expected
+    bytes below are assembled from raw key/length/value octets written
+    out from the proto spec, NOT from this repo's encoder or decoder, so
+    an encoder/decoder shared bug cannot satisfy this test.
+
+    One committed INSERT on APP.ORD (obj 77) with a single NUMBER(10,2)
+    column descriptor under MESSAGE_FORMAT::FULL + SCHEMA_FORMAT::FULL."""
+    from openlogreplicator_spark.config import (
+        Format,
+        MessageFormat,
+        SchemaFormat,
+    )
+
+    events = spark.createDataFrame(
+        [(100, "2024-03-01 12:00:00", "1.2.3", "c", "APP", "ORD", 77, 0,
+          150)],
+        "scn long, tm string, xid string, op string, owner string, "
+        "table string, obj long, num long, c_scn long",
+    ).selectExpr(
+        "scn", "cast(tm as timestamp) tm", "xid", "op", "owner", "table",
+        "obj", "num", "c_scn",
+        "cast(0 as long) c_idx", "'FDB' db",
+        "cast(null as map<string,string>) before",
+        "map('ID','7') after",
+        "cast(null as string) rid",
+        "cast(1 as long) seq", "cast(0 as long) offset",
+    )
+    dict_cols = spark.createDataFrame(
+        [(77, 1, "ID", 2, 0, 10, 2, False, 1)],
+        "obj long, col int, name string, type int, length int, "
+        "precision int, scale int, nullable boolean, numpk int",
+    )
+    fmt = Format(message=MessageFormat.FULL, schema=SchemaFormat.FULL)
+    (row,) = build_protobuf_events(
+        events, fmt=fmt, dict_cols=dict_cols
+    ).collect()
+
+    # --- hand-assembled expectation ------------------------------------
+    # wire key = (field << 3) | wire_type; varints little-endian 7-bit.
+    column = (                     # Column (proto:91-98)
+        b"\x0a\x02ID"              # 1:name LEN "ID"         (1<<3|2=0x0a)
+        b"\x10\x02"                # 2:type  VARINT 2=NUMBER (2<<3|0=0x10)
+        b"\x20\x0a"                # 4:precision VARINT 10   (4<<3|0=0x20)
+        b"\x28\x02"                # 5:scale VARINT 2        (5<<3|0=0x28)
+    )                              # 3:length omitted (NUMBER), 6:nullable
+    #                                omitted (false is proto3 default)
+    schema = (                     # Schema (proto:100-109)
+        b"\x0a\x03APP"             # 1:owner LEN "APP"
+        b"\x12\x03ORD"             # 2:name  LEN "ORD"       (2<<3|2=0x12)
+        b"\x18\x4d"                # 3:obj   VARINT 77       (3<<3|0=0x18)
+        + b"\x32" + bytes([len(column)]) + column   # 6:column (6<<3|2)
+    )
+    value = (                      # Value (proto:80-89)
+        b"\x0a\x02ID"              # 1:name LEN "ID"
+        b"\x2a\x017"               # 5:value_string LEN "7"  (5<<3|2=0x2a)
+    )
+    payload = (                    # Payload (proto:111-122)
+        b"\x08\x02"                # 1:op VARINT 2=INSERT    (1<<3|0=0x08)
+        + b"\x12" + bytes([len(schema)]) + schema   # 2:schema (2<<3|2)
+        + b"\x2a" + bytes([len(value)]) + value     # 5:after  (5<<3|2)
+    )                              # rid empty → omitted; no seq/offset on
+    #                                DML; num=0 omitted (no ADD_SEQUENCES)
+    # 2024-03-01T12:00:00Z = 1709294400 s → 1709294400000000 µs, varint:
+    tm_varint = b"\x80\xa0\x9d\xec\x81\xd3\x84\x03"
+    assert sum(
+        (b & 0x7F) << (7 * i) for i, b in enumerate(tm_varint)
+    ) == 1709294400000000  # the varint itself is hand-checked too
+    expected = (                   # RedoResponse (proto:143-158)
+        b"\x08\x05"                # 1:code VARINT 5=PAYLOAD
+        b"\x10\x64"                # 2:scn  VARINT 100       (2<<3|0=0x10)
+        + b"\x20" + tm_varint      # 4:tm   VARINT µs        (4<<3|0=0x20)
+        + b"\x32\x051.2.3"         # 6:xid  LEN "1.2.3"      (6<<3|2=0x32)
+        + b"\x42\x03FDB"           # 8:db   LEN "FDB"        (8<<3|2=0x42)
+        + b"\x4a" + bytes([len(payload)]) + payload  # 9:payload (9<<3|2)
+        + b"\x50\x96\x01"          # 10:c_scn VARINT 150     (10<<3|0)
+    )                              # 11:c_idx omitted (0)
+    assert bytes(row.value) == expected
