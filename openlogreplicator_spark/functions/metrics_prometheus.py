@@ -103,26 +103,38 @@ def _family(metric: str) -> tuple[str, dict[str, str]]:
 _SYS_OWNERS = {"SYS", "SYSTEM", "XDB"}
 
 
-def _tag_mode_keeps(labels: dict[str, str], tag_names: str) -> bool:
+def _tag_mode_keeps(
+    labels: dict[str, str], tag_names: str,
+    sys_owners: frozenset | set = frozenset(_SYS_OWNERS),
+) -> bool:
     """metrics ``tag-names`` gate (OpenLogReplicator.cpp:378-395;
     Metrics::TAG_NAMES): owner/table-labeled series exist only when the
     mode covers their class — FILTER for user tables, SYS for
-    dictionary-owner tables, ALL for both, NONE (the reference default)
-    for neither. Unlabeled totals always render."""
+    system tables, ALL for both, NONE (the reference default) for
+    neither. Unlabeled totals always render.
+
+    Fidelity note: the reference classifies by the table's dictionary
+    OPTIONS::SYSTEM_TABLE flag; the rendering plane here sees only the
+    metric name, so the class is approximated by owner — SYS/SYSTEM/XDB
+    cover the dictionary tables the reference actually marks system
+    (SYS.OBJ$ family, SYS.CCOL$/CDEF$/…, XDB.XDB$TTSET). A user table
+    created inside those schemas would be misclassified; pass a
+    narrower/wider ``sys_owners`` when the caller has the dictionary."""
     owner = labels.get("owner")
     if owner is None:
         return True
     if tag_names == "all":
         return True
     if tag_names == "filter":
-        return owner.upper() not in _SYS_OWNERS
+        return owner.upper() not in sys_owners
     if tag_names == "sys":
-        return owner.upper() in _SYS_OWNERS
+        return owner.upper() in sys_owners
     return False   # "none"
 
 
 def render_prometheus(
-    metrics: DataFrame, prefix: str = "", tag_names: str = "all"
+    metrics: DataFrame, prefix: str = "", tag_names: str = "all",
+    sys_owners: frozenset | set = frozenset(_SYS_OWNERS),
 ) -> str:
     """(metric, value) rows → Prometheus text exposition format 0.0.4:
     one ``# HELP``/``# TYPE`` header per family, one sample line per
@@ -135,7 +147,7 @@ def render_prometheus(
     families: dict[str, list[tuple[dict[str, str], float]]] = {}
     for r in rows:
         fam, labels = _family(r["metric"])
-        if not _tag_mode_keeps(labels, tag_names):
+        if not _tag_mode_keeps(labels, tag_names, sys_owners):
             continue
         families.setdefault(fam, []).append((labels, r["value"]))
     out: list[str] = []

@@ -684,8 +684,13 @@ def from_reference_json(source) -> ReferenceDeployment:
         _check_keys(doc["state"], _STATE_KEYS, '"state"', check)
         state_path = doc["state"].get("path", "checkpoint")
         checkpoint_interval_s = doc["state"].get("interval-s", 600)
-        # checkpoint GC depth (cpp:450-451; Metadata.cpp:584-596)
-        state_keep_checkpoints = doc["state"].get("keep-checkpoints", 100)
+        # checkpoint GC depth (cpp:450-451; Metadata.cpp:584-596);
+        # getJsonFieldU64 semantics — non-uint rejects
+        state_keep_checkpoints = (
+            _uint(doc["state"], "keep-checkpoints", 0, 2**63 - 1)
+            if "keep-checkpoints" in doc["state"]
+            else 100
+        )
         # byte-cadence and schema-rewrite-cadence knobs pace the
         # reference's own checkpoint writer thread; Spark's checkpoint
         # cadence is the trigger interval (interval-s) — recorded
@@ -842,7 +847,12 @@ def from_reference_json(source) -> ReferenceDeployment:
                   "stop-transactions"):
             if k in dbg:
                 _uint(dbg, k, 0, 2**63 - 1)
-        if ("owner" in dbg) != ("table" in dbg):
+        # the owner/table pair is read (and its absence rejected) only
+        # when SCHEMALESS is off — under schemaless the reference never
+        # touches the pair (cpp:593-597 guards on the flag)
+        if schema_mode != "schemaless" and (
+            ("owner" in dbg) != ("table" in dbg)
+        ):
             raise _bad(
                 "owner" if "table" in dbg else "table", None,
                 'both "owner" and "table" set together',

@@ -178,11 +178,26 @@ def to_change_events(
     )
 
 
-def heartbeat_messages(spark: SparkSession, in_dir: str) -> DataFrame:
+def heartbeat_messages(
+    spark: SparkSession, in_dir: str, with_order_cols: bool = False
+) -> DataFrame:
     """B8 chkpt rows rendered as (key, value) messages, union-compatible
-    with the builder output (BuilderJson::processCheckpoint shape)."""
+    with the builder output (BuilderJson::processCheckpoint shape).
+    ``with_order_cols`` prefixes the single-funnel sinks' emission-order
+    columns so the frame unions with extra_cols-built messages."""
     hb = heartbeat_stream(spark, in_dir)
+    order = (
+        [
+            F.col("c_scn").cast("long").alias("_oscn"),
+            F.lit(None).cast("string").alias("_oxid"),
+            F.lit(0).cast("long").alias("_oidx"),
+            F.col("seq").cast("long").alias("_oseq"),
+        ]
+        if with_order_cols
+        else []
+    )
     return hb.select(
+        *order,
         F.lit("chkpt").alias("key"),
         F.to_json(
             F.struct(
@@ -536,24 +551,8 @@ def build_pipeline(
         else:
             messages = _build_msgs(events)
             if with_heartbeats:
-                hb = heartbeat_stream(spark, in_dir)
                 messages = messages.unionByName(
-                    hb.select(
-                        F.col("c_scn").cast("long").alias("_oscn"),
-                        F.lit(None).cast("string").alias("_oxid"),
-                        F.lit(0).cast("long").alias("_oidx"),
-                        F.col("seq").cast("long").alias("_oseq"),
-                        F.lit("chkpt").alias("key"),
-                        F.to_json(
-                            F.struct(
-                                F.lit("chkpt").alias("op"),
-                                F.col("c_scn").alias("scn"),
-                                "seq",
-                                (F.col("block") * 512).alias("offset"),
-                                F.col("n_records").alias("records"),
-                            )
-                        ).alias("value"),
-                    )
+                    heartbeat_messages(spark, in_dir, with_order_cols=True)
                 )
             fwriter = messages.writeStream.queryName(query_name)
             fb_fn = fb

@@ -529,8 +529,19 @@ def stream_network_sink(server: StreamServer, fmt=None,
     from pyspark.sql import functions as F
 
     wm = {"scn": None, "idx": -1}  # last enqueued (scn, idx)
+    # replay idempotency: a foreachBatch retry (failure after enqueue,
+    # before the offset commit) must re-enqueue the SAME (scn, idx)
+    # pairs, or CONTINUE's skip loop can no longer dedup the duplicate
+    # frames — snapshot the counter at each batch start and restore it
+    # when the same batch_id comes around again
+    batch_start: dict[int, dict] = {}
 
     def write(batch_df, batch_id: int) -> None:
+        if batch_id in batch_start:
+            wm.update(batch_start[batch_id])
+        else:
+            batch_start.clear()   # only the latest batch can replay
+            batch_start[batch_id] = dict(wm)
         prepared = (
             batch_df.withColumn(
                 "_oscn", F.coalesce(F.col("c_scn"), F.col("scn"))
@@ -553,7 +564,9 @@ def stream_network_sink(server: StreamServer, fmt=None,
                 "_oscn",
                 "_oidx",
                 F.coalesce(
-                    F.element_at(F.split(F.col("key"), ":"), -1).cast(
+                    # capless FULL keys are the raw xid ('1.1.1') —
+                    # try_cast, not cast: ANSI mode would throw on them
+                    F.element_at(F.split(F.col("key"), ":"), -1).try_cast(
                         "long"
                     ),
                     F.lit(0),

@@ -1259,3 +1259,21 @@ def test_debug_owner_table_must_pair():
     doc["source"][0]["debug"] = {"owner": "O"}
     with pytest.raises(ConfigurationError, match="table"):
         from_reference_json(doc)
+
+
+def test_keep_checkpoints_rejects_non_uint():
+    doc = _base()
+    doc["state"] = {"type": "disk", "path": "/tmp/s",
+                    "keep-checkpoints": "50"}
+    with pytest.raises(ConfigurationError, match="keep-checkpoints"):
+        from_reference_json(doc)
+
+
+def test_debug_owner_without_table_ok_under_schemaless():
+    """cpp:593 reads the debug owner/table pair only when SCHEMALESS is
+    off — a schemaless config with a lone owner must parse."""
+    doc = _base()
+    doc["source"][0]["flags"] = 2  # REDO_FLAGS::SCHEMALESS
+    doc["source"][0]["debug"] = {"owner": "O"}
+    dep = from_reference_json(doc)
+    assert dep.unmodeled["debug"] == {"owner": "O"}

@@ -465,3 +465,72 @@ def test_network_sink_full_envelopes_byte_split(spark, tmp_path):
         for p in e["payload"]
     ]
     assert nums == sorted(nums)
+
+
+class _EnqStub:
+    """enqueue-recording stand-in for StreamServer (no sockets)."""
+
+    def __init__(self) -> None:
+        self.calls: list[tuple[int, int]] = []
+
+    def enqueue(self, scn: int, idx: int, frame: bytes) -> None:
+        self.calls.append((scn, idx))
+
+
+def _events_df(spark, n=4, scn0=100):
+    rows = [
+        (scn0, scn0 + 10, f"{i}", "1.1.1", "c", "O", "T", 9, i,
+         "2024-01-01 00:00:00")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "scn long, c_scn long, k string, xid string, op string, "
+        "owner string, table string, obj long, num long, tm string",
+    ).selectExpr(
+        "scn", "c_scn", "xid", "op", "owner", "table", "obj", "num",
+        "cast(tm as timestamp) tm", "cast(0 as long) c_idx", "'DB' db",
+        "cast(null as map<string,string>) before",
+        "map('A', k) after", "cast(null as string) rid",
+        "cast(1 as long) seq", "cast(0 as long) offset",
+    )
+
+
+def test_sink_replay_same_batch_reuses_watermarks(spark):
+    """foreachBatch replay idempotency: re-running the SAME batch_id
+    (failure after enqueue, before the offset commit) must re-enqueue
+    identical (scn, idx) pairs so a reconnecting client's CONTINUE can
+    dedup the duplicates; a NEW batch_id continues the counter."""
+    from openlogreplicator_spark.streaming.stream_network import (
+        stream_network_sink,
+    )
+
+    srv = _EnqStub()
+    write = stream_network_sink(srv)
+    df = _events_df(spark, n=3)
+    write(df, 0)
+    first = list(srv.calls)
+    assert [i for _, i in first] == [0, 1, 2]
+    write(df, 0)   # replay of batch 0
+    assert srv.calls[3:] == first, "replay must reuse the same idx"
+    write(_events_df(spark, n=2, scn0=100), 1)  # same commit scn, new batch
+    assert [i for _, i in srv.calls[6:]] == [3, 4], (
+        "a new batch at the same scn continues the per-scn counter"
+    )
+
+
+def test_capless_full_network_sink_orders_without_ansi_crash(spark):
+    """MESSAGE_FORMAT::FULL with NO max-message-mb: the envelope key is
+    the raw xid ('1.1.1'); the emission-order sort must try_cast it, not
+    cast it — ANSI mode throws CAST_INVALID_INPUT on the plain cast."""
+    from openlogreplicator_spark.config import Format, MessageFormat
+    from openlogreplicator_spark.streaming.stream_network import (
+        stream_network_sink,
+    )
+
+    srv = _EnqStub()
+    write = stream_network_sink(
+        srv, fmt=Format(db_name="DB", message=MessageFormat.FULL)
+    )
+    write(_events_df(spark, n=3), 0)   # crashed before the try_cast fix
+    assert srv.calls == [(110, 0)], "one capless FULL envelope per txn"
