@@ -59,6 +59,10 @@ ASSEMBLED_SCHEMA = T.StructType(
             "before_cols", T.MapType(T.StringType(), T.StringType())
         ),
         T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        # the op's redo-log sequence (REDO_RECORD_SCHEMA seq) — the
+        # reference's msg->sequence, which the file sink's %s mask
+        # rotates on (WriterFile.cpp:259-269)
+        T.StructField("seq", T.LongType()),
     ]
 )
 
@@ -179,6 +183,7 @@ def assemble_transactions_py(
                         "cols": o["cols"],
                         "before_cols": o.get("before_cols"),
                         "attrs": dict(t["attrs"]),
+                        "seq": o.get("seq"),
                     }
                 )
             txns.pop(xid, None)
@@ -233,6 +238,7 @@ def assemble_transactions_py(
                         "slot": (r.get("slot") or 0) + j,
                         "scn": r["scn"],
                         "cols": row,
+                        "seq": r.get("seq"),
                     }
                 )
         elif opc in _OP_MAP:
@@ -255,6 +261,7 @@ def assemble_transactions_py(
                     "cols": cols,
                     "before_cols": undo,
                     "fb": r.get("fb") or 0,
+                    "seq": r.get("seq"),
                 }
             )
         if max_ops is not None and len(t["ops"]) > max_ops:
@@ -278,6 +285,7 @@ def assemble_transactions_py(
                         "cols": o["cols"],
                         "before_cols": o.get("before_cols"),
                         "attrs": dict(t["attrs"]),
+                        "seq": o.get("seq"),
                     }
                 )
     return out
@@ -302,7 +310,8 @@ def _state_machine_frame(
             r["rows"] = None
         else:
             r["rows"] = [_norm_map(x) for x in rows]
-        for k in ("scn", "subscn", "block", "offset", "bdba", "slot"):
+        for k in ("scn", "subscn", "block", "offset", "bdba", "slot",
+                  "seq"):
             v = r.get(k)
             if isinstance(v, float):
                 r[k] = None if pd.isna(v) else int(v)
@@ -333,6 +342,7 @@ def _arrow_out_schema(cols_type):
             ("cols", cols_type),
             ("before_cols", cols_type),
             ("attrs", cols_type),
+            ("seq", pa.int64()),
         ]
     )
 
@@ -351,7 +361,7 @@ def _pdf_out_batches(out: pd.DataFrame, out_schema):
 # none of the payload (`cols`/`rows` maps dominate the byte volume)
 _SLIM_COLS = [
     "xid", "opcode", "scn", "subscn", "block", "offset", "fb",
-    "bdba", "slot", "obj",
+    "bdba", "slot", "obj", "seq",
 ]
 
 
@@ -557,6 +567,7 @@ def _emit_table(emit: "pd.DataFrame", cols_arr, before_arr, out_schema):
             cols_arr,
             before_arr,
             _empty_maps(len(emit), cols_arr.type),
+            pa.array(pd.array(emit["seq"], dtype="Int64"), from_pandas=True),
         ],
         schema=out_schema,
     )

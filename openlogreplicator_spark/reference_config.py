@@ -392,8 +392,12 @@ class ReferenceDeployment:
         if self.writer.type == "file" and self.writer.output:
             # a named output engages the reference's single-file writer
             # with its rotation contract (max-file-size + %i/%t/%s masks,
-            # new-line, append — WriterFile.cpp:41-360); out_dir is still
-            # supplied so legacy callers forcing sink='json' keep a path
+            # new-line, append — WriterFile.cpp:41-360). Constructing it
+            # here IS the reference's WriterFile::initialize moment:
+            # mask validation and the NUM-mode directory scan run now,
+            # and their 30005/30006/30007/10012 failures surface at
+            # wiring time exactly like the reference's startup. out_dir
+            # is still supplied for callers that override the sink
             kw["file_writer"] = self.writer.rotating_writer()
             kw["out_dir"] = os.path.dirname(self.writer.output) or "."
         return kw
@@ -678,7 +682,7 @@ def from_reference_json(source) -> ReferenceDeployment:
             )
 
     state_path = ""
-    checkpoint_interval_s = 10
+    checkpoint_interval_s = 600    # ctx->checkpointIntervalS (Ctx.h:206)
     state_keep_checkpoints = 100   # ctx->checkpointKeep default
     if "state" in doc:
         _check_keys(doc["state"], _STATE_KEYS, '"state"', check)

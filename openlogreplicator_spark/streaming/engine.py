@@ -160,7 +160,9 @@ def to_change_events(
         # scn-correlated like tm
         F.timestamp_micros(F.col("begin_scn")).alias("b_tm"),
         F.timestamp_micros(F.col("commit_scn")).alias("e_tm"),
-        F.lit(1).cast("long").alias("seq"),
+        # the op's redo-log sequence, carried through assembly — drives
+        # the file sink's %s SEQUENCE rotation (WriterFile.cpp:259-269)
+        F.coalesce(F.col("seq"), F.lit(1)).cast("long").alias("seq"),
         "xid",
         F.lit(cfg.fmt.db_name).alias("db"),
         "op",
@@ -538,7 +540,12 @@ def build_pipeline(
                 extra_cols=_ORDER,
             )
 
-        fb = stream_file_sink(file_writer)
+        fb = stream_file_sink(
+            file_writer,
+            # replay-idempotency sidecar rides the query's checkpoint:
+            # batch ids are only meaningful within one offset log
+            state_path=os.path.join(checkpoint, "olrs-file-sink-batch"),
+        )
         if full_batch_build:
             if with_heartbeats:
                 raise ValueError(

@@ -106,7 +106,6 @@ class RotatingFileWriter:
         self.file_size = 0
         self.full_file_name = ""
         self._last_sequence: int | None = None
-        self._size_warned = False
         self._rotate_warned = False
 
         if not output:
@@ -218,9 +217,10 @@ class RotatingFileWriter:
                 self._close_file()
                 self.file_name_num += 1
                 self.file_size = 0
-            if size > self.max_file_size and not self._size_warned:
+            if size > self.max_file_size:
+                # warning 60029 fires per oversized message — the
+                # reference has no once-guard here (only 60030 does)
                 self._warn_size(size)
-                self._size_warned = True
             if self._fh is None:
                 num = str(self.file_name_num)
                 self.full_file_name = os.path.join(
@@ -229,9 +229,8 @@ class RotatingFileWriter:
                 )
         elif self.mode == self.MODE_TIMESTAMP:
             should_switch = self.file_size + size > self.max_file_size
-            if size > self.max_file_size and not self._size_warned:
+            if size > self.max_file_size:
                 self._warn_size(size)
-                self._size_warned = True
             if self._fh is None or should_switch:
                 stamp = time.strftime(
                     self.timestamp_format, time.localtime()
@@ -307,34 +306,55 @@ class RotatingFileWriter:
         self._close_file()
 
 
-def stream_file_sink(writer: RotatingFileWriter):
+def stream_file_sink(writer: RotatingFileWriter, state_path: str | None = None):
     """foreachBatch hook: rendered (key, value) JSON messages → the
     rotating writer, in (c_scn, xid, num) emission order — the W4
     network funnel's ordering, because one local file is one ordered
     sink. The batch frame must carry ``_oscn``/``_oxid``/``_oidx``/
-    ``_oseq`` ordering columns (build_events ``extra_cols``)."""
+    ``_oseq`` ordering columns (build_events ``extra_cols``).
+
+    Replay idempotency: the last fully-written batch id persists in a
+    sidecar under ``state_path`` (written AFTER the flush), and any
+    batch at or below it — an in-process foreachBatch retry or a
+    post-restart replay of a batch whose offsets never committed — is
+    skipped whole instead of appended twice. ``state_path`` must be
+    scoped to the STREAMING CHECKPOINT (batch ids are only meaningful
+    within one checkpoint's offset log — the engine passes a file under
+    the query's checkpoint dir); a fresh checkpoint therefore starts a
+    fresh sidecar and re-delivers, exactly like the json sink. A crash
+    strictly between appending part of a batch and the sidecar write
+    can still duplicate that partial batch on replay; the reference's
+    writer has the same window between ``sendMessage`` and its
+    confirm-checkpoint flush (Writer.cpp:130-140)."""
+    side = state_path
+    done = {"bid": None}
+    if side is not None and os.path.exists(side):
+        try:
+            with open(side) as fh:
+                done["bid"] = int(fh.read().strip())
+        except (OSError, ValueError):
+            done["bid"] = None
 
     def write(batch_df, batch_id: int) -> None:
-        from pyspark.sql import functions as F
-
-        ordered = batch_df.orderBy(
-            "_oscn",
-            "_oxid",
-            "_oidx",
-            F.coalesce(
-                # FULL split keys are 'xid:part'; anything else (tags,
-                # plain xids) try_casts to NULL → 0
-                F.element_at(F.split(F.col("key"), ":"), -1).try_cast(
-                    "long"
-                ),
-                F.lit(0),
-            ),
+        from openlogreplicator_spark.streaming.stream_network import (
+            order_encoded_messages,
         )
+
+        if done["bid"] is not None and batch_id <= done["bid"]:
+            return   # already durable — replayed batch, don't re-append
+        ordered = order_encoded_messages(batch_df)
         for row in ordered.toLocalIterator():
             writer.write(
                 row.value.encode("utf-8"),
                 seq=int(row._oseq) if row._oseq is not None else 0,
             )
         writer.flush()
+        done["bid"] = batch_id
+        if side is not None:
+            os.makedirs(os.path.dirname(side) or ".", exist_ok=True)
+            tmp = side + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(batch_id))
+            os.replace(tmp, side)
 
     return write

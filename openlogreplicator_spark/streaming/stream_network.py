@@ -500,6 +500,28 @@ class StreamClient:
 # --------------------------------------------------------------------------
 
 
+def order_encoded_messages(df):
+    """THE emission-order contract for single-funnel sinks (network
+    file), over encoded (key, value) frames carrying ``_oscn`` /
+    ``_oxid`` / ``_oidx`` order columns: commit scn; xid NULLS LAST —
+    a chkpt message (null xid) follows the data messages at its scn,
+    matching the reference's builder-queue order where the checkpoint
+    record trails the LWN's records; op index; then the FULL split
+    part parsed from the 'xid:part' key (try_cast, because a capless
+    FULL key is the raw xid and ANSI cast would throw)."""
+    from pyspark.sql import functions as F
+
+    return df.orderBy(
+        "_oscn",
+        F.col("_oxid").asc_nulls_last(),
+        "_oidx",
+        F.coalesce(
+            F.element_at(F.split(F.col("key"), ":"), -1).try_cast("long"),
+            F.lit(0),
+        ),
+    )
+
+
 def stream_network_sink(server: StreamServer, fmt=None,
                         max_message_bytes: int | None = None):
     """foreachBatch writer: CHANGE_EVENT_SCHEMA micro-batches →
@@ -546,32 +568,15 @@ def stream_network_sink(server: StreamServer, fmt=None,
             batch_df.withColumn(
                 "_oscn", F.coalesce(F.col("c_scn"), F.col("scn"))
             )
+            .withColumn("_oxid", F.col("xid"))
             .withColumn("_oidx", F.coalesce(F.col("num"), F.lit(0)))
-            .orderBy("_oscn", "xid", "_oidx")
         )
-        encoded = build_protobuf_events(
-            prepared, extra_cols=("_oscn", "_oidx"), fmt=fmt,
-            max_message_bytes=max_message_bytes,
-        )
-        from openlogreplicator_spark.config import MessageFormat
-
-        if fmt is not None and fmt.message == MessageFormat.FULL:
-            # the FULL envelope's groupBy(xid) discards the pre-encode
-            # sort; restore writer-queue order — commit scn, then the
-            # split part index within the transaction (parsed from the
-            # 'xid:part' key; a capless FULL key has no ':' → 0)
-            encoded = encoded.orderBy(
-                "_oscn",
-                "_oidx",
-                F.coalesce(
-                    # capless FULL keys are the raw xid ('1.1.1') —
-                    # try_cast, not cast: ANSI mode would throw on them
-                    F.element_at(F.split(F.col("key"), ":"), -1).try_cast(
-                        "long"
-                    ),
-                    F.lit(0),
-                ),
+        encoded = order_encoded_messages(
+            build_protobuf_events(
+                prepared, extra_cols=("_oscn", "_oxid", "_oidx"), fmt=fmt,
+                max_message_bytes=max_message_bytes,
             )
+        )
         for row in encoded.toLocalIterator():
             scn = int(row._oscn)
             if scn == wm["scn"]:

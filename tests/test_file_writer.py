@@ -290,3 +290,59 @@ def test_pipeline_file_sink_rotation_e2e(spark, tmp_path):
     assert len(rows) == 40
     scns = [r["scn"] for r in rows]
     assert scns == sorted(scns), "emission order must survive rotation"
+
+
+def test_pipeline_sequence_mask_rotates_on_real_seq(spark, tmp_path):
+    """%s SEQUENCE rotation end-to-end: the per-record redo seq (the
+    OLRS1 file header sequence) now rides through assembly
+    (ASSEMBLED_SCHEMA.seq) into the change events, so a log switch
+    between transactions rotates the output file
+    (WriterFile.cpp:259-269) — previously every event carried the
+    hardcoded seq 1 and %s never rotated."""
+    from conftest import drain
+    from openlogreplicator_spark.config import EngineConfig, Format
+    from openlogreplicator_spark.sources.binary_redo import encode_redo_file
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    def rec(scn, opcode, xid, **kw):
+        base = {"scn": scn, "subscn": 0, "block": scn, "offset": 0,
+                "xid": xid, "opcode": opcode, "obj": 9,
+                "bdba": scn, "slot": 1, "fb": 0, "cols": None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    seq3 = (
+        [rec(1, "begin", "1.1.1")]
+        + [rec(2 + i, "insert", "1.1.1", cols={"A": str(i)})
+           for i in range(4)]
+        + [rec(10, "commit", "1.1.1")]
+    )
+    seq4 = (
+        [rec(100, "begin", "2.2.2")]
+        + [rec(101 + i, "insert", "2.2.2", cols={"A": str(i)})
+           for i in range(3)]
+        + [rec(110, "commit", "2.2.2")]
+    )
+    redo_dir = tmp_path / "redo"
+    redo_dir.mkdir()
+    for seq, recs in ((3, seq3), (4, seq4)):
+        (redo_dir / f"redo_{seq:04d}.olrs").write_bytes(
+            encode_redo_file(recs, sequence=seq)
+        )
+
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    fw = RotatingFileWriter(str(out_dir / "olr-%s.json"))
+    q = build_pipeline(
+        spark, EngineConfig(fmt=Format(skip_begin=True, skip_commit=True)),
+        str(redo_dir), checkpoint=str(tmp_path / "ckpt"),
+        sink="file", file_writer=fw, query_name="olr_seq_rot",
+    )
+    drain(q)
+    fw.close()
+    names = sorted(os.listdir(out_dir))
+    assert names == ["olr-3.json", "olr-4.json"]
+    n3 = sum(1 for _l in open(out_dir / "olr-3.json") if _l.strip())
+    n4 = sum(1 for _l in open(out_dir / "olr-4.json") if _l.strip())
+    assert (n3, n4) == (4, 3)

@@ -645,8 +645,10 @@ def test_show_system_transactions_admits_sys_dml(spark):
 
     assembled = spark.createDataFrame(
         [
-            ("1.1.1", 10, 20, 0, "c", 101, 1, 1, 11, {"A": "1"}, None, None),
-            ("1.1.2", 10, 21, 0, "c", 999, 1, 1, 12, {"B": "2"}, None, None),
+            ("1.1.1", 10, 20, 0, "c", 101, 1, 1, 11, {"A": "1"}, None,
+             None, 1),
+            ("1.1.2", 10, 21, 0, "c", 999, 1, 1, 12, {"B": "2"}, None,
+             None, 1),
         ],
         ASSEMBLED_SCHEMA,
     )
