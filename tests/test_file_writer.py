@@ -346,3 +346,64 @@ def test_pipeline_sequence_mask_rotates_on_real_seq(spark, tmp_path):
     n3 = sum(1 for _l in open(out_dir / "olr-3.json") if _l.strip())
     n4 = sum(1 for _l in open(out_dir / "olr-4.json") if _l.strip())
     assert (n3, n4) == (4, 3)
+
+
+def test_rotation_invariants_property(tmp_path):
+    """Property: across arbitrary message/rotation interleavings, the
+    NUM-mode writer (a) never loses or reorders a byte — concatenating
+    the rotated files in counter order reproduces the exact message
+    stream — and (b) never lets a file exceed max-file-size unless a
+    single message alone does."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        msgs=st.lists(
+            st.binary(min_size=0, max_size=40), min_size=1, max_size=60
+        ),
+        cap=st.integers(min_value=1, max_value=64),
+        new_line=st.sampled_from([0, 1, 2]),
+    )
+    def run(msgs, cap, new_line):
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            wr = RotatingFileWriter(
+                os.path.join(d, "p-%i.json"),
+                max_file_size=cap,
+                new_line=new_line,
+            )
+            import warnings as w
+
+            with w.catch_warnings():
+                w.simplefilter("ignore")
+                for m in msgs:
+                    wr.write(m, seq=1)
+            wr.close()
+            nl = {0: b"", 1: b"\n", 2: b"\r\n"}[new_line]
+            files = sorted(
+                os.listdir(d),
+                key=lambda n: int(n[2:-5]),
+            )
+            blob = b"".join(
+                open(os.path.join(d, f), "rb").read() for f in files
+            )
+            assert blob == b"".join(m + nl for m in msgs)
+            for f in files:
+                size = os.path.getsize(os.path.join(d, f))
+                if size > cap:
+                    # only a single over-cap message may exceed the cap,
+                    # and then it must be alone in its file
+                    with open(os.path.join(d, f), "rb") as fh:
+                        content = fh.read()
+                    assert any(
+                        content == m + nl and len(m) + len(nl) > cap
+                        for m in msgs
+                    ), (f, size, cap)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    run()
