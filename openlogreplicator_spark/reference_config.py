@@ -326,6 +326,9 @@ class ReferenceDeployment:
     state_keep_checkpoints: int = 100   # checkpoint GC depth (O4)
     metrics_bind: str = ""         # W8 Prometheus exposition endpoint
     metrics_tag_names: str = "none"    # TAG_NAMES exposition mode
+    dump_redo_log: int = 0         # 0/1/2 — LogMiner-style dump mode
+    dump_raw_data: int = 0         # '## H:' raw header lines
+    dump_path: str = "."           # ctx->dumpPath default (Ctx.h:227)
     flags: int = 0
     log_archive_format: str = ""
     dump_xid: tuple[str, ...] = ()
@@ -348,6 +351,40 @@ class ReferenceDeployment:
         if not self.dump_xid:
             return recs.filter(F.lit(False))
         return recs.filter(F.col("xid").isin(list(self.dump_xid)))
+
+    def write_redo_dumps(self, in_dir: str) -> list[str]:
+        """``dump-redo-log`` diagnostics (Parser.cpp:143-201, 1272):
+        with mode > 0, every input OLRS1 file is rendered into the
+        LogMiner-compatible dump text at ``<dump-path>/<sequence>.olr``
+        — the reference's exact naming; ``dump-raw-data`` adds the
+        ``## H:`` raw header lines. Returns the written paths (empty
+        when the mode is 0). Driver-side by design: this is the same
+        single-stream bisection diagnostic the reference's reader
+        thread writes."""
+        import glob as _glob
+        import struct as _struct
+
+        if self.dump_redo_log == 0:
+            return []
+        from openlogreplicator_spark.sources.binary_redo import (
+            dump_redo_log,
+        )
+
+        os.makedirs(self.dump_path, exist_ok=True)
+        written: list[str] = []
+        for path in sorted(_glob.glob(os.path.join(in_dir, "*.olrs"))):
+            with open(path, "rb") as fh:
+                data = fh.read()
+            (sequence,) = _struct.unpack_from("<I", data, 12)
+            out_path = os.path.join(self.dump_path, f"{sequence}.olr")
+            with open(out_path, "w") as fh:
+                fh.write(
+                    dump_redo_log(
+                        data, path, raw=self.dump_raw_data > 0
+                    )
+                )
+            written.append(out_path)
+        return written
 
     def resolve_start_scn(self, catalog=None) -> int | None:
         """O3 effective start SCN. ``start-scn`` wins outright;
@@ -634,19 +671,24 @@ def from_reference_json(source) -> ReferenceDeployment:
     # validated and RECORDED here — never silently dropped
     tuning_unmodeled: dict = {}
 
-    # document-level diagnostics (cpp:204-235): redo-dump tracing and
-    # logging verbosity — log-plane only, validated with the
-    # reference's ranges, recorded
+    # document-level diagnostics (cpp:204-235): the redo-dump knobs are
+    # WIRED (ReferenceDeployment.write_redo_dumps renders the LogMiner-
+    # style dump per input file, Parser.cpp:1272 naming); log-level and
+    # trace shift only the reference's own logger — validated, recorded
+    dump_redo = 0
+    dump_raw = 0
+    dump_path = "."
     if "dump-redo-log" in doc:
-        _uint(doc, "dump-redo-log", 0, 2)
-        if doc["dump-redo-log"] > 0 and "dump-raw-data" in doc:
-            _uint(doc, "dump-raw-data", 0, 1)
+        dump_redo = _uint(doc, "dump-redo-log", 0, 2)
+        if dump_redo > 0:
+            if "dump-raw-data" in doc:
+                dump_raw = _uint(doc, "dump-raw-data", 0, 1)
+            dump_path = doc.get("dump-path", ".")
     if "log-level" in doc:
         _uint(doc, "log-level", 0, 4)
     if "trace" in doc:
         _uint(doc, "trace", 0, 1_048_575)
-    for k in ("dump-redo-log", "dump-raw-data", "dump-path",
-              "log-level", "trace"):
+    for k in ("log-level", "trace"):
         if k in doc:
             tuning_unmodeled[k] = doc[k]
 
@@ -1037,6 +1079,9 @@ def from_reference_json(source) -> ReferenceDeployment:
         state_keep_checkpoints=state_keep_checkpoints,
         metrics_bind=metrics_bind,
         metrics_tag_names=metrics_tag_names,
+        dump_redo_log=dump_redo,
+        dump_raw_data=dump_raw,
+        dump_path=dump_path,
         flags=flags,
         log_archive_format=reader.get("log-archive-format", ""),
         dump_xid=dump_xid,

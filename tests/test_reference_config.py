@@ -1235,12 +1235,14 @@ def test_every_accepted_key_wired_rejected_or_recorded():
         "append": dep.writer.append == 1,
         "timestamp-format": dep.writer.timestamp_format == "%F",
         "max-message-mb": dep.writer.max_message_mb == 8,
+        "dump-redo-log": dep.dump_redo_log == 1,
+        "dump-raw-data": dep.dump_raw_data == 1,
+        "dump-path": dep.dump_path == "/tmp/d",
     }
     assert all(wired.values()), {k: v for k, v in wired.items() if not v}
 
     # everything pacing/diagnostic is RECORDED, with its value
     recorded = {
-        "dump-redo-log": 1, "dump-raw-data": 1, "dump-path": "/tmp/d",
         "log-level": 2, "trace": 5,
         "arch": "path", "arch-read-sleep-us": 1000, "arch-read-tries": 5,
         "redo-read-sleep-us": 2000, "redo-verify-delay-us": 3000,
@@ -1279,3 +1281,54 @@ def test_debug_owner_without_table_ok_under_schemaless():
     doc["source"][0]["debug"] = {"owner": "O"}
     dep = from_reference_json(doc)
     assert dep.unmodeled["debug"] == {"owner": "O"}
+
+
+def test_dump_redo_log_writes_reference_named_dumps(spark, tmp_path):
+    """dump-redo-log is WIRED: write_redo_dumps renders each input
+    OLRS1 file into <dump-path>/<sequence>.olr (Parser.cpp:1272 naming)
+    with the LogMiner-style record/vector layout; dump-raw-data adds
+    the '## H:' raw header lines."""
+    from openlogreplicator_spark.sources.binary_redo import (
+        encode_redo_file,
+    )
+
+    recs = [
+        {"scn": 1, "subscn": 0, "block": 1, "offset": 0, "xid": "1.1.1",
+         "opcode": "begin", "obj": 9, "bdba": 1, "slot": 1, "fb": 0,
+         "cols": None, "rows": None},
+        {"scn": 2, "subscn": 0, "block": 2, "offset": 0, "xid": "1.1.1",
+         "opcode": "insert", "obj": 9, "bdba": 2, "slot": 1, "fb": 0,
+         "cols": {"A": "1"}, "rows": None},
+        {"scn": 3, "subscn": 0, "block": 3, "offset": 0, "xid": "1.1.1",
+         "opcode": "commit", "obj": 9, "bdba": 3, "slot": 1, "fb": 0,
+         "cols": None, "rows": None},
+    ]
+    redo_dir = tmp_path / "redo"
+    redo_dir.mkdir()
+    (redo_dir / "redo_0007.olrs").write_bytes(
+        encode_redo_file(recs, sequence=7)
+    )
+    dump_dir = tmp_path / "dumps"
+
+    doc = _base()
+    doc["dump-redo-log"] = 1
+    doc["dump-path"] = str(dump_dir)
+    dep = from_reference_json(doc)
+    (path,) = dep.write_redo_dumps(str(redo_dir))
+    assert os.path.basename(path) == "7.olr"
+    text = open(path).read()
+    assert "REDO RECORD - Thread:1" in text
+    assert "XID:1.1.1" in text
+    assert 'col A = "1"' in text
+    assert "## H:" not in text
+
+    doc["dump-raw-data"] = 1
+    raw_text = open(
+        from_reference_json(doc).write_redo_dumps(str(redo_dir))[0]
+    ).read()
+    assert "## H:" in raw_text
+
+    # mode 0 (default): no dumps
+    assert from_reference_json(_base()).write_redo_dumps(
+        str(redo_dir)
+    ) == []
