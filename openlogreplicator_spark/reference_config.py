@@ -329,6 +329,7 @@ class ReferenceDeployment:
     dump_redo_log: int = 0         # 0/1/2 — LogMiner-style dump mode
     dump_raw_data: int = 0         # '## H:' raw header lines
     dump_path: str = "."           # ctx->dumpPath default (Ctx.h:227)
+    redo_copy_path: str = ""       # raw-redo archival copy dir
     flags: int = 0
     log_archive_format: str = ""
     dump_xid: tuple[str, ...] = ()
@@ -383,6 +384,34 @@ class ReferenceDeployment:
                         data, path, raw=self.dump_raw_data > 0
                     )
                 )
+            written.append(out_path)
+        return written
+
+    def copy_redo_files(self, in_dir: str) -> list[str]:
+        """``redo-copy-path`` (Reader.cpp:74-76, 226-244): archive every
+        redo file read, named ``<redo-copy-path>/<db>_<sequence>.arc``
+        — the reference's exact naming. The target directory must exist
+        (the reference throws 10012 at startup otherwise). Returns the
+        written paths; empty when the key is unset."""
+        import glob as _glob
+        import struct as _struct
+
+        if not self.redo_copy_path:
+            return []
+        if not os.path.isdir(self.redo_copy_path):
+            raise RuntimeError(
+                f"[10012] directory: {self.redo_copy_path} - can't read"
+            )
+        written: list[str] = []
+        for path in sorted(_glob.glob(os.path.join(in_dir, "*.olrs"))):
+            with open(path, "rb") as fh:
+                data = fh.read()
+            (sequence,) = _struct.unpack_from("<I", data, 12)
+            out_path = os.path.join(
+                self.redo_copy_path, f"{self.db_name}_{sequence}.arc"
+            )
+            with open(out_path, "wb") as fh:
+                fh.write(data)
             written.append(out_path)
         return written
 
@@ -837,10 +866,6 @@ def from_reference_json(source) -> ReferenceDeployment:
     log_timezone_seconds = _tz_field(reader, "log-timezone")
     if log_timezone_seconds is not None:
         tuning_unmodeled["log-timezone"] = reader["log-timezone"]
-    if "redo-copy-path" in reader:
-        # raw-redo archival copy (cpp:908-909) — a reader-thread
-        # diagnostic duplicating input bytes; recorded
-        tuning_unmodeled["redo-copy-path"] = reader["redo-copy-path"]
     if reader_type == "online":
         for req in ("user", "password", "server"):
             if req not in reader:
@@ -1082,6 +1107,7 @@ def from_reference_json(source) -> ReferenceDeployment:
         dump_redo_log=dump_redo,
         dump_raw_data=dump_raw,
         dump_path=dump_path,
+        redo_copy_path=reader.get("redo-copy-path", ""),
         flags=flags,
         log_archive_format=reader.get("log-archive-format", ""),
         dump_xid=dump_xid,

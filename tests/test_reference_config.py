@@ -1238,6 +1238,7 @@ def test_every_accepted_key_wired_rejected_or_recorded():
         "dump-redo-log": dep.dump_redo_log == 1,
         "dump-raw-data": dep.dump_raw_data == 1,
         "dump-path": dep.dump_path == "/tmp/d",
+        "redo-copy-path": dep.redo_copy_path == "/tmp/copy",
     }
     assert all(wired.values()), {k: v for k, v in wired.items() if not v}
 
@@ -1247,7 +1248,7 @@ def test_every_accepted_key_wired_rejected_or_recorded():
         "arch": "path", "arch-read-sleep-us": 1000, "arch-read-tries": 5,
         "redo-read-sleep-us": 2000, "redo-verify-delay-us": 3000,
         "refresh-interval-us": 4000,
-        "log-timezone": "+03:00", "redo-copy-path": "/tmp/copy",
+        "log-timezone": "+03:00",
         "state-interval-mb": 100, "state-schema-force-interval": 7,
     }
     for k, v in recorded.items():
@@ -1330,5 +1331,42 @@ def test_dump_redo_log_writes_reference_named_dumps(spark, tmp_path):
 
     # mode 0 (default): no dumps
     assert from_reference_json(_base()).write_redo_dumps(
+        str(redo_dir)
+    ) == []
+
+
+def test_redo_copy_path_archives_with_reference_naming(spark, tmp_path):
+    """redo-copy-path is WIRED: copy_redo_files archives each input
+    file byte-identically as <dir>/<db>_<sequence>.arc
+    (Reader.cpp:239); a missing directory fails with the reference's
+    10012 instead of being created."""
+    from openlogreplicator_spark.sources.binary_redo import (
+        encode_redo_file,
+    )
+
+    recs = [
+        {"scn": 1, "subscn": 0, "block": 1, "offset": 0, "xid": "1.1.1",
+         "opcode": "begin", "obj": 9, "bdba": 1, "slot": 1, "fb": 0,
+         "cols": None, "rows": None},
+        {"scn": 2, "subscn": 0, "block": 2, "offset": 0, "xid": "1.1.1",
+         "opcode": "commit", "obj": 9, "bdba": 2, "slot": 1, "fb": 0,
+         "cols": None, "rows": None},
+    ]
+    redo_dir = tmp_path / "redo"
+    redo_dir.mkdir()
+    data = encode_redo_file(recs, sequence=9)
+    (redo_dir / "redo_0009.olrs").write_bytes(data)
+
+    copy_dir = tmp_path / "arc"
+    doc = _base()
+    doc["source"][0]["reader"]["redo-copy-path"] = str(copy_dir)
+    dep = from_reference_json(doc)
+    with pytest.raises(RuntimeError, match="10012"):
+        dep.copy_redo_files(str(redo_dir))
+    copy_dir.mkdir()
+    (path,) = dep.copy_redo_files(str(redo_dir))
+    assert os.path.basename(path) == "DB_9.arc"
+    assert open(path, "rb").read() == data
+    assert from_reference_json(_base()).copy_redo_files(
         str(redo_dir)
     ) == []
