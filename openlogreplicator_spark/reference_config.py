@@ -466,6 +466,12 @@ class ReferenceDeployment:
             # is still supplied for callers that override the sink
             kw["file_writer"] = self.writer.rotating_writer()
             kw["out_dir"] = os.path.dirname(self.writer.output) or "."
+            if self.format_type == "protobuf":
+                # any format pairs with any writer: protobuf-format file
+                # deployments write protobuf-framed messages into the
+                # rotated file (newline-delimited under the default
+                # new-line=1)
+                kw["payload_format"] = "protobuf"
         return kw
 
     def spark_sink(self) -> str:

@@ -243,6 +243,7 @@ def build_pipeline(
     kafka_topic: str = "olr.events",
     max_message_mb: int | None = None,
     file_writer=None,
+    payload_format: str = "json",
 ):
     """Assemble and START the full pipeline from one config. Returns the
     ``StreamingQuery``. ``sink`` ∈ {json, noop, memory, lake, network,
@@ -529,16 +530,34 @@ def build_pipeline(
 
         _ORDER = ("_oscn", "_oxid", "_oidx", "_oseq")
 
-        def _build_msgs(ev_df: DataFrame) -> DataFrame:
-            return build_events(
-                _order_cols(ev_df),
-                cfg.fmt,
-                tag_cols=sel.tag,
-                dict_cols=dict_cols,
-                key_cols=sel.key,
-                max_message_bytes=max_message_bytes,
-                extra_cols=_ORDER,
+        if payload_format == "protobuf":
+            # the reference pairs any format with any writer: a
+            # protobuf-format file deployment writes protobuf-framed
+            # messages newline-delimited (new-line default 1) into the
+            # rotated file — same builder the network sink uses
+            from openlogreplicator_spark.builders.protobuf_builder import (
+                build_protobuf_events,
             )
+
+            def _build_msgs(ev_df: DataFrame) -> DataFrame:
+                return build_protobuf_events(
+                    _order_cols(ev_df),
+                    fmt=cfg.fmt,
+                    extra_cols=_ORDER,
+                    max_message_bytes=max_message_bytes,
+                    dict_cols=dict_cols,
+                )
+        else:
+            def _build_msgs(ev_df: DataFrame) -> DataFrame:
+                return build_events(
+                    _order_cols(ev_df),
+                    cfg.fmt,
+                    tag_cols=sel.tag,
+                    dict_cols=dict_cols,
+                    key_cols=sel.key,
+                    max_message_bytes=max_message_bytes,
+                    extra_cols=_ORDER,
+                )
 
         fb = stream_file_sink(
             file_writer,

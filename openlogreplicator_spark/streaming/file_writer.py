@@ -344,8 +344,12 @@ def stream_file_sink(writer: RotatingFileWriter, state_path: str | None = None):
             return   # already durable — replayed batch, don't re-append
         ordered = order_encoded_messages(batch_df)
         for row in ordered.toLocalIterator():
+            value = row.value
+            # json builder yields strings, protobuf builder raw bytes
+            data = value.encode("utf-8") if isinstance(value, str) \
+                else bytes(value)
             writer.write(
-                row.value.encode("utf-8"),
+                data,
                 seq=int(row._oseq) if row._oseq is not None else 0,
             )
         writer.flush()

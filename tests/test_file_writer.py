@@ -407,3 +407,66 @@ def test_rotation_invariants_property(tmp_path):
             shutil.rmtree(d, ignore_errors=True)
 
     run()
+
+
+def test_pipeline_file_sink_protobuf_payload(spark, tmp_path):
+    """format=protobuf + writer=file: the rotated file carries
+    protobuf-framed RedoResponse messages (the reference pairs any
+    format with any writer; WriterFile writes whatever the builder
+    renders). new-line=0 keeps the frames contiguous; each decodes with
+    the independent wire parser."""
+    from conftest import drain
+    from openlogreplicator_spark.builders.protobuf_builder import (
+        decode_message,
+    )
+    from openlogreplicator_spark.config import EngineConfig, Format
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import redo_records_df
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    def rec(scn, opcode, **kw):
+        base = {"scn": scn, "subscn": 0, "block": scn, "offset": 0,
+                "seq": 1, "xid": "5.5.5", "opcode": opcode, "obj": 9,
+                "bdba": scn, "slot": 1, "fb": 0, "cols": None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    records = [rec(1, "begin")] + [
+        rec(2 + i, "insert", cols={"A": f"v{i}"}) for i in range(5)
+    ] + [rec(20, "commit")]
+    redo_dir = str(tmp_path / "redo")
+    write_binary_redo(redo_records_df(spark, records), redo_dir, n_files=1)
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    # MESSAGE_FORMAT::FULL → ONE envelope per transaction, so the
+    # single output frame is parseable without length prefixes
+    fw = RotatingFileWriter(str(out_dir / "olr.pb"), new_line=0)
+    cfg = EngineConfig(
+        fmt=Format(db_name="PDB", skip_begin=True, skip_commit=True)
+    )
+    from openlogreplicator_spark.config import MessageFormat
+
+    cfg = EngineConfig(
+        fmt=Format(db_name="PDB", message=MessageFormat.FULL,
+                   skip_begin=True, skip_commit=True)
+    )
+    q = build_pipeline(
+        spark, cfg, redo_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        sink="file", file_writer=fw, payload_format="protobuf",
+        query_name="olr_file_pb",
+    )
+    drain(q)
+    fw.close()
+    frame = (out_dir / "olr.pb").read_bytes()
+    fields = {}
+    payloads = []
+    for f, _w, v in decode_message(frame):
+        if f == 9:
+            payloads.append(v)
+        else:
+            fields[f] = v
+    assert fields[1] == 5            # code = PAYLOAD
+    assert fields[8] == b"PDB"       # db
+    assert len(payloads) == 5        # the 5 inserts, one envelope
