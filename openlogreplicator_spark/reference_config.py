@@ -466,12 +466,14 @@ class ReferenceDeployment:
             # is still supplied for callers that override the sink
             kw["file_writer"] = self.writer.rotating_writer()
             kw["out_dir"] = os.path.dirname(self.writer.output) or "."
-            if self.format_type == "protobuf":
-                # any format pairs with any writer: protobuf-format file
-                # deployments write protobuf-framed messages into the
-                # rotated file (newline-delimited under the default
-                # new-line=1)
-                kw["payload_format"] = "protobuf"
+        # any format pairs with any writer (the reference's builder is
+        # orthogonal to its writer): the payload format follows the
+        # source format element — protobuf deployments ship
+        # protobuf-framed messages through file/kafka/network sinks,
+        # json/debezium ship the json builder's bytes
+        kw["payload_format"] = (
+            "protobuf" if self.format_type == "protobuf" else "json"
+        )
         return kw
 
     def spark_sink(self) -> str:

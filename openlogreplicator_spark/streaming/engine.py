@@ -243,7 +243,7 @@ def build_pipeline(
     kafka_topic: str = "olr.events",
     max_message_mb: int | None = None,
     file_writer=None,
-    payload_format: str = "json",
+    payload_format: str | None = None,
 ):
     """Assemble and START the full pipeline from one config. Returns the
     ``StreamingQuery``. ``sink`` ∈ {json, noop, memory, lake, network,
@@ -459,16 +459,36 @@ def build_pipeline(
             writer = writer.trigger(
                 processingTime=f"{cfg.checkpoint_interval_s} seconds"
             )
+        net_cap = max_message_mb * 1024 * 1024 if max_message_mb else None
+        net_encoder = None
+        if payload_format == "json":
+            # WriterStream ships the BUILDER's bytes
+            # (WriterStream.cpp:294-299): a json-format network
+            # deployment streams the json builder's rendered messages.
+            # chkpt rows (when unioned above) ride the generic payload
+            # shape rather than processCheckpoint's dedicated one.
+            _net_sel = cfg.selectors[0] if cfg.selectors else (
+                TableSelector()
+            )
+
+            def net_encoder(prepared):  # noqa: F811
+                return build_events(
+                    prepared,
+                    cfg.fmt,
+                    tag_cols=_net_sel.tag,
+                    dict_cols=dict_cols,
+                    key_cols=_net_sel.key,
+                    max_message_bytes=net_cap,
+                    extra_cols=("_oscn", "_oxid", "_oidx"),
+                )
+
         return (
             writer.foreachBatch(
                 stream_network_sink(
                     network_server,
                     fmt=cfg.fmt,
-                    max_message_bytes=(
-                        max_message_mb * 1024 * 1024
-                        if max_message_mb
-                        else None
-                    ),
+                    max_message_bytes=net_cap,
+                    encoder=net_encoder,
                 )
             )
             .option("checkpointLocation", checkpoint)
@@ -530,7 +550,7 @@ def build_pipeline(
 
         _ORDER = ("_oscn", "_oxid", "_oidx", "_oseq")
 
-        if payload_format == "protobuf":
+        if (payload_format or "json") == "protobuf":
             # the reference pairs any format with any writer: a
             # protobuf-format file deployment writes protobuf-framed
             # messages newline-delimited (new-line default 1) into the
@@ -630,6 +650,45 @@ def build_pipeline(
         )
 
         produce = kafka_foreach_batch(kafka_bootstrap, kafka_topic)
+        if payload_format == "protobuf":
+            # WriterKafka produces whatever the builder renders
+            # (WriterKafka.cpp:123-155); a protobuf-format deployment
+            # ships protobuf RedoResponse values keyed by xid (the
+            # protobuf builder's key discipline — tags are a
+            # json-builder projection)
+            if with_heartbeats:
+                raise ValueError(
+                    "chkpt heartbeats are not wired on the protobuf "
+                    "kafka path; use the json format or the network "
+                    "sink for SHOW_CHECKPOINT"
+                )
+            from openlogreplicator_spark.builders.protobuf_builder import (
+                build_protobuf_events,
+            )
+
+            pb_writer = events.writeStream.queryName(query_name)
+            pb_writer = (
+                pb_writer.trigger(availableNow=True)
+                if available_now
+                else pb_writer.trigger(
+                    processingTime=f"{cfg.checkpoint_interval_s} seconds"
+                )
+            )
+            return (
+                pb_writer.foreachBatch(
+                    lambda df, bid: produce(
+                        build_protobuf_events(
+                            df,
+                            fmt=cfg.fmt,
+                            max_message_bytes=max_message_bytes,
+                            dict_cols=dict_cols,
+                        ),
+                        bid,
+                    )
+                )
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
         fb = (
             (lambda df, bid: produce(_build(df), bid))
             if full_batch_build

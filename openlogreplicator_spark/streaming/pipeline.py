@@ -138,10 +138,14 @@ def kafka_foreach_batch(bootstrap: str, topic: str, batch_rows: int = 1000):
             try:
                 for r in rows:
                     key = r["key"]
+                    value = r["value"]
                     buf.append(
                         (
-                            key.encode() if key is not None else None,
-                            r["value"].encode(),
+                            key.encode() if isinstance(key, str) else (
+                                bytes(key) if key is not None else None
+                            ),
+                            value.encode() if isinstance(value, str)
+                            else bytes(value),
                         )
                     )
                     if len(buf) >= batch_rows:

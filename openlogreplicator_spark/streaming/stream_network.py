@@ -523,10 +523,19 @@ def order_encoded_messages(df):
 
 
 def stream_network_sink(server: StreamServer, fmt=None,
-                        max_message_bytes: int | None = None):
+                        max_message_bytes: int | None = None,
+                        encoder=None):
     """foreachBatch writer: CHANGE_EVENT_SCHEMA micro-batches →
-    protobuf-framed messages on the server's queue, in (c_scn, xid, num)
-    emission order. Encoding runs distributed (Arrow pandas UDF); only
+    builder-rendered messages on the server's queue, in (c_scn, xid,
+    num) emission order. The reference's WriterStream ships the
+    BUILDER's raw bytes (WriterStream.cpp:294-299), so the payload
+    format follows the configured builder: the default ``encoder``
+    renders protobuf RedoResponse frames; a json-format deployment
+    passes an encoder producing the json builder's (key, value)
+    messages and the same frames carry JSON bytes. ``encoder`` takes
+    the order-column-prepared events frame and must return a
+    (key, value, _oscn, _oxid, _oidx) frame.
+    Encoding runs distributed (Arrow pandas UDF); only
     the framed bytes of the batch funnel to the driver, because network
     delivery IS one ordered socket — the reference writer has the
     identical single-threaded funnel (WriterQueue → Stream).
@@ -571,19 +580,24 @@ def stream_network_sink(server: StreamServer, fmt=None,
             .withColumn("_oxid", F.col("xid"))
             .withColumn("_oidx", F.coalesce(F.col("num"), F.lit(0)))
         )
-        encoded = order_encoded_messages(
-            build_protobuf_events(
+        if encoder is not None:
+            rendered = encoder(prepared)
+        else:
+            rendered = build_protobuf_events(
                 prepared, extra_cols=("_oscn", "_oxid", "_oidx"), fmt=fmt,
                 max_message_bytes=max_message_bytes,
             )
-        )
+        encoded = order_encoded_messages(rendered)
         for row in encoded.toLocalIterator():
             scn = int(row._oscn)
             if scn == wm["scn"]:
                 wm["idx"] += 1
             else:
                 wm["scn"], wm["idx"] = scn, 0
-            server.enqueue(scn, wm["idx"], bytes(row.value))
+            value = row.value
+            data = value.encode("utf-8") if isinstance(value, str) \
+                else bytes(value)
+            server.enqueue(scn, wm["idx"], data)
 
     return write
 

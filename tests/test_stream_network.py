@@ -534,3 +534,84 @@ def test_capless_full_network_sink_orders_without_ansi_crash(spark):
     )
     write(_events_df(spark, n=3), 0)   # crashed before the try_cast fix
     assert srv.calls == [(110, 0)], "one capless FULL envelope per txn"
+
+
+def test_network_sink_json_payload_frames(spark):
+    """WriterStream ships the BUILDER's bytes (WriterStream.cpp:294-299)
+    — a json-format network deployment's data frames carry the json
+    builder's rendered messages, not protobuf envelopes."""
+    import json as _json
+
+    from openlogreplicator_spark.config import Format
+    from openlogreplicator_spark.builders.json_builder import build_events
+    from openlogreplicator_spark.streaming.stream_network import (
+        stream_network_sink,
+    )
+
+    class _Cap:
+        def __init__(self):
+            self.frames = []
+
+        def enqueue(self, scn, idx, frame):
+            self.frames.append((scn, idx, frame))
+
+    srv = _Cap()
+    fmt = Format(db_name="JDB")
+
+    def encoder(prepared):
+        return build_events(
+            prepared, fmt, extra_cols=("_oscn", "_oxid", "_oidx")
+        )
+
+    write = stream_network_sink(srv, fmt=fmt, encoder=encoder)
+    write(_events_df(spark, n=2), 0)
+    assert len(srv.frames) == 2
+    for scn, idx, frame in srv.frames:
+        doc = _json.loads(frame.decode("utf-8"))
+        assert doc["db"] == "JDB"
+        assert doc["payload"][0]["op"] == "c"
+
+
+def test_pipeline_kafka_protobuf_payload(spark, tmp_path):
+    """format=protobuf + writer=kafka: produced values are protobuf
+    RedoResponse frames (WriterKafka ships builder bytes)."""
+    from openlogreplicator_spark.builders.protobuf_builder import (
+        decode_message,
+    )
+    from openlogreplicator_spark.sources.redo_gen import redo_records_df
+    from openlogreplicator_spark.streaming.kafka_wire import (
+        LoopbackKafkaBroker,
+    )
+
+    def rec(scn, opcode, **kw):
+        base = {"scn": scn, "subscn": 0, "block": scn, "offset": 0,
+                "seq": 1, "xid": "5.5.5", "opcode": opcode, "obj": 9,
+                "bdba": scn, "slot": 1, "fb": 0, "cols": None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    records = [rec(1, "begin")] + [
+        rec(2 + i, "insert", cols={"A": f"v{i}"}) for i in range(3)
+    ] + [rec(10, "commit")]
+    redo_dir = str(tmp_path / "redo")
+    write_binary_redo(redo_records_df(spark, records), redo_dir, n_files=1)
+    broker = LoopbackKafkaBroker()
+    try:
+        cfg = EngineConfig(
+            fmt=Format(db_name="KPB", skip_begin=True, skip_commit=True)
+        )
+        q = build_pipeline(
+            spark, cfg, redo_dir,
+            checkpoint=str(tmp_path / "ckpt"),
+            sink="kafka", kafka_bootstrap=broker.bootstrap,
+            kafka_topic="olr.pb", payload_format="protobuf",
+        )
+        drain(q)
+        msgs = broker.messages("olr.pb")
+        assert len(msgs) == 3
+        for _key, value in msgs:
+            fields = dict((f, v) for f, _w, v in decode_message(value))
+            assert fields[8] == b"KPB"
+    finally:
+        broker.stop()
