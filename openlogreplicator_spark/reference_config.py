@@ -474,6 +474,21 @@ class ReferenceDeployment:
         kw["payload_format"] = (
             "protobuf" if self.format_type == "protobuf" else "json"
         )
+        if (
+            self.format_type == "protobuf"
+            and self.writer.type == "file"
+            and not self.writer.output
+        ):
+            # no output = stdout in the reference (raw protobuf frames
+            # to the terminal); the distributed json part-file sink this
+            # case otherwise maps to cannot carry protobuf bytes — fail
+            # loudly rather than write the wrong format silently
+            raise ValueError(
+                "protobuf format with an output-less file writer maps "
+                "to the reference's stdout stream, which has no Spark "
+                'analog; set writer "output" to engage the single-file '
+                "sink (protobuf frames), or use the network/kafka sink"
+            )
         return kw
 
     def spark_sink(self) -> str:

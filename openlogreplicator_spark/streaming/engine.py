@@ -422,6 +422,20 @@ def build_pipeline(
             stream_network_sink,
         )
 
+        from openlogreplicator_spark.config import MessageFormat as _MF
+
+        if with_heartbeats and cfg.fmt.message == _MF.FULL:
+            # FULL envelopes groupBy(xid); the NULL-xid chkpt rows would
+            # collapse into ONE merged message at the minimum scn,
+            # breaking per-checkpoint emission AND the chkpt-trails-its-
+            # data ordering — fail loudly (same rule as the json sink's
+            # FULL+heartbeat restriction)
+            raise ValueError(
+                "chkpt heartbeats can't ride FULL envelopes on the "
+                "network sink (NULL-xid rows would merge into one "
+                "message); use the SHORT message format with "
+                "SHOW_CHECKPOINT"
+            )
         if with_heartbeats:
             # the reference's network writer DOES carry checkpoints:
             # BuilderProtobuf::processCheckpoint (cpp:312-333) emits a
@@ -467,17 +481,13 @@ def build_pipeline(
             # deployment streams the json builder's rendered messages.
             # chkpt rows (when unioned above) ride the generic payload
             # shape rather than processCheckpoint's dedicated one.
-            _net_sel = cfg.selectors[0] if cfg.selectors else (
-                TableSelector()
-            )
-
             def net_encoder(prepared):  # noqa: F811
                 return build_events(
                     prepared,
                     cfg.fmt,
-                    tag_cols=_net_sel.tag,
+                    tag_cols=sel.tag,
                     dict_cols=dict_cols,
-                    key_cols=_net_sel.key,
+                    key_cols=sel.key,
                     max_message_bytes=net_cap,
                     extra_cols=("_oscn", "_oxid", "_oidx"),
                 )
@@ -550,6 +560,16 @@ def build_pipeline(
 
         _ORDER = ("_oscn", "_oxid", "_oidx", "_oseq")
 
+        if (payload_format or "json") == "protobuf" and with_heartbeats:
+            # the heartbeat union renders JSON text — interleaving it
+            # into a protobuf byte stream would hand consumers
+            # unparseable frames; fail loudly (same rule as the
+            # protobuf kafka path)
+            raise ValueError(
+                "chkpt heartbeats are not wired on the protobuf file "
+                "path; use the json format or the network sink for "
+                "SHOW_CHECKPOINT"
+            )
         if (payload_format or "json") == "protobuf":
             # the reference pairs any format with any writer: a
             # protobuf-format file deployment writes protobuf-framed
@@ -619,6 +639,55 @@ def build_pipeline(
             "envelope stream; use the SHORT message format with "
             "SHOW_CHECKPOINT"
         )
+    if sink == "kafka" and payload_format == "protobuf":
+        # WriterKafka produces whatever the builder renders
+        # (WriterKafka.cpp:123-155); a protobuf-format deployment ships
+        # protobuf RedoResponse values keyed by xid (the protobuf
+        # builder's key discipline — tags are a json-builder
+        # projection). Hoisted above the shared json build so no unused
+        # json plan is constructed.
+        if not kafka_bootstrap:
+            raise ValueError(
+                "sink='kafka' requires kafka_bootstrap='host:port' "
+                "(the reference's bootstrap.servers property)"
+            )
+        if with_heartbeats:
+            raise ValueError(
+                "chkpt heartbeats are not wired on the protobuf kafka "
+                "path; use the json format or the network sink for "
+                "SHOW_CHECKPOINT"
+            )
+        from openlogreplicator_spark.builders.protobuf_builder import (
+            build_protobuf_events,
+        )
+        from openlogreplicator_spark.streaming.pipeline import (
+            kafka_foreach_batch,
+        )
+
+        produce = kafka_foreach_batch(kafka_bootstrap, kafka_topic)
+        pb_writer = events.writeStream.queryName(query_name)
+        pb_writer = (
+            pb_writer.trigger(availableNow=True)
+            if available_now
+            else pb_writer.trigger(
+                processingTime=f"{cfg.checkpoint_interval_s} seconds"
+            )
+        )
+        return (
+            pb_writer.foreachBatch(
+                lambda df, bid: produce(
+                    build_protobuf_events(
+                        df,
+                        fmt=cfg.fmt,
+                        max_message_bytes=max_message_bytes,
+                        dict_cols=dict_cols,
+                    ),
+                    bid,
+                )
+            )
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
     if not full_batch_build:
         messages = _build(events)
         if with_heartbeats:
@@ -650,45 +719,6 @@ def build_pipeline(
         )
 
         produce = kafka_foreach_batch(kafka_bootstrap, kafka_topic)
-        if payload_format == "protobuf":
-            # WriterKafka produces whatever the builder renders
-            # (WriterKafka.cpp:123-155); a protobuf-format deployment
-            # ships protobuf RedoResponse values keyed by xid (the
-            # protobuf builder's key discipline — tags are a
-            # json-builder projection)
-            if with_heartbeats:
-                raise ValueError(
-                    "chkpt heartbeats are not wired on the protobuf "
-                    "kafka path; use the json format or the network "
-                    "sink for SHOW_CHECKPOINT"
-                )
-            from openlogreplicator_spark.builders.protobuf_builder import (
-                build_protobuf_events,
-            )
-
-            pb_writer = events.writeStream.queryName(query_name)
-            pb_writer = (
-                pb_writer.trigger(availableNow=True)
-                if available_now
-                else pb_writer.trigger(
-                    processingTime=f"{cfg.checkpoint_interval_s} seconds"
-                )
-            )
-            return (
-                pb_writer.foreachBatch(
-                    lambda df, bid: produce(
-                        build_protobuf_events(
-                            df,
-                            fmt=cfg.fmt,
-                            max_message_bytes=max_message_bytes,
-                            dict_cols=dict_cols,
-                        ),
-                        bid,
-                    )
-                )
-                .option("checkpointLocation", checkpoint)
-                .start()
-            )
         fb = (
             (lambda df, bid: produce(_build(df), bid))
             if full_batch_build

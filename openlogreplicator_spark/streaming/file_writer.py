@@ -338,18 +338,15 @@ def stream_file_sink(writer: RotatingFileWriter, state_path: str | None = None):
     def write(batch_df, batch_id: int) -> None:
         from openlogreplicator_spark.streaming.stream_network import (
             order_encoded_messages,
+            to_bytes,
         )
 
         if done["bid"] is not None and batch_id <= done["bid"]:
             return   # already durable — replayed batch, don't re-append
         ordered = order_encoded_messages(batch_df)
         for row in ordered.toLocalIterator():
-            value = row.value
-            # json builder yields strings, protobuf builder raw bytes
-            data = value.encode("utf-8") if isinstance(value, str) \
-                else bytes(value)
             writer.write(
-                data,
+                to_bytes(row.value),
                 seq=int(row._oseq) if row._oseq is not None else 0,
             )
         writer.flush()

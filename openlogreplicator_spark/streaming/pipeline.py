@@ -136,18 +136,11 @@ def kafka_foreach_batch(bootstrap: str, topic: str, batch_rows: int = 1000):
             producer = None
             buf: list[tuple[bytes | None, bytes]] = []
             try:
+                from openlogreplicator_spark.streaming.stream_network \
+                    import to_bytes
+
                 for r in rows:
-                    key = r["key"]
-                    value = r["value"]
-                    buf.append(
-                        (
-                            key.encode() if isinstance(key, str) else (
-                                bytes(key) if key is not None else None
-                            ),
-                            value.encode() if isinstance(value, str)
-                            else bytes(value),
-                        )
-                    )
+                    buf.append((to_bytes(r["key"]), to_bytes(r["value"])))
                     if len(buf) >= batch_rows:
                         producer = producer or KafkaWireProducer(
                             bootstrap, topic

@@ -500,6 +500,17 @@ class StreamClient:
 # --------------------------------------------------------------------------
 
 
+def to_bytes(value) -> bytes | None:
+    """Builder value → wire bytes: the json builder renders strings,
+    the protobuf builder raw bytes; keys may be None. One helper so
+    every funnel sink normalizes identically."""
+    if value is None:
+        return None
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    return bytes(value)
+
+
 def order_encoded_messages(df):
     """THE emission-order contract for single-funnel sinks (network
     file), over encoded (key, value) frames carrying ``_oscn`` /
@@ -559,7 +570,7 @@ def stream_network_sink(server: StreamServer, fmt=None,
     )
     from pyspark.sql import functions as F
 
-    wm = {"scn": None, "idx": -1}  # last enqueued (scn, idx)
+    wm = {"scn": None, "idx": -1, "seeded": False}
     # replay idempotency: a foreachBatch retry (failure after enqueue,
     # before the offset commit) must re-enqueue the SAME (scn, idx)
     # pairs, or CONTINUE's skip loop can no longer dedup the duplicate
@@ -568,6 +579,17 @@ def stream_network_sink(server: StreamServer, fmt=None,
     batch_start: dict[int, dict] = {}
 
     def write(batch_df, batch_id: int) -> None:
+        if not wm["seeded"]:
+            # a RESTARTED pipeline gets a fresh closure; seed the
+            # counter from the server's durable confirmed watermark so
+            # a replayed batch's messages at the confirmed scn continue
+            # ABOVE c_idx — starting back at 0 would let CONTINUE's
+            # skip loop drop frames the client never received
+            c_scn = getattr(server, "confirmed_scn", 0) or 0
+            if c_scn:
+                wm["scn"] = c_scn
+                wm["idx"] = getattr(server, "confirmed_idx", 0) or 0
+            wm["seeded"] = True
         if batch_id in batch_start:
             wm.update(batch_start[batch_id])
         else:
@@ -594,10 +616,7 @@ def stream_network_sink(server: StreamServer, fmt=None,
                 wm["idx"] += 1
             else:
                 wm["scn"], wm["idx"] = scn, 0
-            value = row.value
-            data = value.encode("utf-8") if isinstance(value, str) \
-                else bytes(value)
-            server.enqueue(scn, wm["idx"], data)
+            server.enqueue(scn, wm["idx"], to_bytes(row.value))
 
     return write
 

@@ -442,9 +442,6 @@ def test_pipeline_file_sink_protobuf_payload(spark, tmp_path):
     # MESSAGE_FORMAT::FULL → ONE envelope per transaction, so the
     # single output frame is parseable without length prefixes
     fw = RotatingFileWriter(str(out_dir / "olr.pb"), new_line=0)
-    cfg = EngineConfig(
-        fmt=Format(db_name="PDB", skip_begin=True, skip_commit=True)
-    )
     from openlogreplicator_spark.config import MessageFormat
 
     cfg = EngineConfig(

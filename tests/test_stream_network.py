@@ -615,3 +615,21 @@ def test_pipeline_kafka_protobuf_payload(spark, tmp_path):
             assert fields[8] == b"KPB"
     finally:
         broker.stop()
+
+
+def test_restarted_sink_seeds_counter_from_confirmed_watermark(spark):
+    """A restarted pipeline builds a FRESH sink closure; its per-scn
+    counter must seed from the server's durable confirmed watermark so
+    a replayed batch's messages at the confirmed scn continue ABOVE
+    c_idx — restarting at 0 would let CONTINUE skip frames the client
+    never received."""
+    from openlogreplicator_spark.streaming.stream_network import (
+        stream_network_sink,
+    )
+
+    srv = _EnqStub()
+    srv.confirmed_scn = 100
+    srv.confirmed_idx = 2
+    write = stream_network_sink(srv)   # fresh closure, as after restart
+    write(_events_df(spark, n=2, scn0=90), 0)  # c_scn = 100
+    assert srv.calls == [(100, 3), (100, 4)]
