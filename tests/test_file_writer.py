@@ -467,3 +467,52 @@ def test_pipeline_file_sink_protobuf_payload(spark, tmp_path):
     assert fields[1] == 5            # code = PAYLOAD
     assert fields[8] == b"PDB"       # db
     assert len(payloads) == 5        # the 5 inserts, one envelope
+
+
+def test_pipeline_file_sink_restart_no_duplicates(spark, tmp_path):
+    """Restarting the drained pipeline on the SAME checkpoint (fresh
+    writer object, as after a process restart) appends nothing: Spark's
+    offset log yields no new batches, the batch-id sidecar guards any
+    replayed one, and NUM renumbering continues instead of rewriting."""
+    from conftest import drain
+    from openlogreplicator_spark.config import EngineConfig, Format
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import redo_records_df
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    def rec(scn, opcode, **kw):
+        base = {"scn": scn, "subscn": 0, "block": scn, "offset": 0,
+                "seq": 1, "xid": "5.5.5", "opcode": opcode, "obj": 9,
+                "bdba": scn, "slot": 1, "fb": 0, "cols": None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    records = [rec(1, "begin")] + [
+        rec(2 + i, "insert", cols={"A": f"v{i}"}) for i in range(6)
+    ] + [rec(20, "commit")]
+    redo_dir = str(tmp_path / "redo")
+    write_binary_redo(redo_records_df(spark, records), redo_dir, n_files=1)
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    cfg = EngineConfig(fmt=Format(skip_begin=True, skip_commit=True))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        fw = RotatingFileWriter(str(out_dir / "o-%i.json"),
+                                max_file_size=10_000)
+        q = build_pipeline(
+            spark, cfg, redo_dir, checkpoint=ckpt,
+            sink="file", file_writer=fw, query_name="olr_file_restart",
+        )
+        drain(q)
+        fw.close()
+
+    run()
+    snapshot = {
+        f: (out_dir / f).read_bytes() for f in os.listdir(out_dir)
+    }
+    assert sum(v.count(b"\n") for v in snapshot.values()) == 6
+    run()   # restart: fresh writer + sink closure, same checkpoint
+    after = {f: (out_dir / f).read_bytes() for f in os.listdir(out_dir)}
+    assert after == snapshot, "restart on a drained checkpoint must be a no-op"
