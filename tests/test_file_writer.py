@@ -139,13 +139,28 @@ def test_sequence_rotation(tmp_path):
 # -- TIMESTAMP mode (cpp:230-258) -----------------------------------------
 
 
-def test_timestamp_same_tick_warns_once_keeps_writing(tmp_path):
+def test_timestamp_same_tick_warns_once_keeps_writing(
+    tmp_path, monkeypatch
+):
+    # pin the clock: a real second boundary between writes would rotate
+    # instead of warn, making the assertion time-sensitive
+    import time as _time
+
+    frozen = _time.localtime()
+    monkeypatch.setattr(
+        "openlogreplicator_spark.streaming.file_writer.time.localtime",
+        lambda *a: frozen,
+    )
     wr = w(tmp_path, "t-%t.json", max_file_size=4)
     wr.write(b"abc", seq=1)
     # same strftime second → same name → warn 60030-style, no switch
     with pytest.warns(UserWarning, match="rotation size"):
         wr.write(b"def", seq=1)
-    wr.write(b"ghi", seq=1)  # warn only once
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")   # the 60030 warning fires only once
+        wr.write(b"ghi", seq=1)
     wr.close()
     files = os.listdir(tmp_path)
     assert len(files) == 1
