@@ -482,12 +482,14 @@ class ReferenceDeployment:
             # no output = stdout in the reference (raw protobuf frames
             # to the terminal); the distributed json part-file sink this
             # case otherwise maps to cannot carry protobuf bytes — fail
-            # loudly rather than write the wrong format silently
-            raise ValueError(
+            # loudly (numbered, like every config rejection) rather
+            # than write the wrong format silently
+            raise ConfigurationError(
+                30001,
                 "protobuf format with an output-less file writer maps "
                 "to the reference's stdout stream, which has no Spark "
                 'analog; set writer "output" to engage the single-file '
-                "sink (protobuf frames), or use the network/kafka sink"
+                "sink (protobuf frames), or use the network/kafka sink",
             )
         return kw
 

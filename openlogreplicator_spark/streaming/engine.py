@@ -639,56 +639,19 @@ def build_pipeline(
             "envelope stream; use the SHORT message format with "
             "SHOW_CHECKPOINT"
         )
-    if sink == "kafka" and payload_format == "protobuf":
-        # WriterKafka produces whatever the builder renders
-        # (WriterKafka.cpp:123-155); a protobuf-format deployment ships
-        # protobuf RedoResponse values keyed by xid (the protobuf
-        # builder's key discipline — tags are a json-builder
-        # projection). Hoisted above the shared json build so no unused
-        # json plan is constructed.
-        if not kafka_bootstrap:
-            raise ValueError(
-                "sink='kafka' requires kafka_bootstrap='host:port' "
-                "(the reference's bootstrap.servers property)"
-            )
-        if with_heartbeats:
-            raise ValueError(
-                "chkpt heartbeats are not wired on the protobuf kafka "
-                "path; use the json format or the network sink for "
-                "SHOW_CHECKPOINT"
-            )
-        from openlogreplicator_spark.builders.protobuf_builder import (
-            build_protobuf_events,
+    if payload_format == "protobuf" and sink not in (
+        "kafka", "network", "file", "noop"
+    ):
+        # fail-loudly rule: no silent json bytes where protobuf frames
+        # were configured (the json/memory sinks render json only)
+        raise ValueError(
+            f"sink={sink!r} cannot carry protobuf payloads; use the "
+            "file (with output mask), kafka, or network sink"
         )
-        from openlogreplicator_spark.streaming.pipeline import (
-            kafka_foreach_batch,
-        )
-
-        produce = kafka_foreach_batch(kafka_bootstrap, kafka_topic)
-        pb_writer = events.writeStream.queryName(query_name)
-        pb_writer = (
-            pb_writer.trigger(availableNow=True)
-            if available_now
-            else pb_writer.trigger(
-                processingTime=f"{cfg.checkpoint_interval_s} seconds"
-            )
-        )
-        return (
-            pb_writer.foreachBatch(
-                lambda df, bid: produce(
-                    build_protobuf_events(
-                        df,
-                        fmt=cfg.fmt,
-                        max_message_bytes=max_message_bytes,
-                        dict_cols=dict_cols,
-                    ),
-                    bid,
-                )
-            )
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-    if not full_batch_build:
+    # protobuf-format kafka builds per batch with the protobuf builder —
+    # skip constructing the unused json message plan
+    kafka_pb = sink == "kafka" and payload_format == "protobuf"
+    if not full_batch_build and not kafka_pb:
         messages = _build(events)
         if with_heartbeats:
             messages = messages.unionByName(
@@ -719,11 +682,34 @@ def build_pipeline(
         )
 
         produce = kafka_foreach_batch(kafka_bootstrap, kafka_topic)
-        fb = (
-            (lambda df, bid: produce(_build(df), bid))
-            if full_batch_build
-            else produce
-        )
+        if kafka_pb:
+            # WriterKafka produces whatever the builder renders
+            # (WriterKafka.cpp:123-155): protobuf RedoResponse values
+            # keyed by xid (the protobuf builder's key discipline —
+            # tags are a json-builder projection)
+            if with_heartbeats:
+                raise ValueError(
+                    "chkpt heartbeats are not wired on the protobuf "
+                    "kafka path; use the json format or the network "
+                    "sink for SHOW_CHECKPOINT"
+                )
+            from openlogreplicator_spark.builders.protobuf_builder import (
+                build_protobuf_events,
+            )
+
+            fb = lambda df, bid: produce(  # noqa: E731
+                build_protobuf_events(
+                    df,
+                    fmt=cfg.fmt,
+                    max_message_bytes=max_message_bytes,
+                    dict_cols=dict_cols,
+                ),
+                bid,
+            )
+        elif full_batch_build:
+            fb = lambda df, bid: produce(_build(df), bid)  # noqa: E731
+        else:
+            fb = produce
         return (
             writer.foreachBatch(fb)
             .option("checkpointLocation", checkpoint)

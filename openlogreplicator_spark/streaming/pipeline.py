@@ -140,7 +140,15 @@ def kafka_foreach_batch(bootstrap: str, topic: str, batch_rows: int = 1000):
                     import to_bytes
 
                 for r in rows:
-                    buf.append((to_bytes(r["key"]), to_bytes(r["value"])))
+                    value = to_bytes(r["value"])
+                    if value is None:
+                        # a null value would ship as a Kafka tombstone
+                        # (a delete marker) — that's a builder bug, not
+                        # a message; fail the batch loudly
+                        raise ValueError(
+                            "null message value reached the kafka sink"
+                        )
+                    buf.append((to_bytes(r["key"]), value))
                     if len(buf) >= batch_rows:
                         producer = producer or KafkaWireProducer(
                             bootstrap, topic

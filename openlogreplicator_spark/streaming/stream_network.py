@@ -584,7 +584,16 @@ def stream_network_sink(server: StreamServer, fmt=None,
             # counter from the server's durable confirmed watermark so
             # a replayed batch's messages at the confirmed scn continue
             # ABOVE c_idx — starting back at 0 would let CONTINUE's
-            # skip loop drop frames the client never received
+            # skip loop drop frames the client never received.
+            # Guarantee scope: restart resumes via the W7 state doc's
+            # confirmed scn (the F9 filter re-emits everything above
+            # it in the original order), so re-emitted messages get
+            # their ORIGINAL (scn, idx) numbering. Messages delivered
+            # but unconfirmed before the crash are re-sent — the
+            # reference's identical at-least-once window between
+            # sendMessage and the confirm checkpoint (Writer.cpp:
+            # 130-140); within one run the batch-id snapshot below
+            # keeps replays byte- and idx-exact
             c_scn = getattr(server, "confirmed_scn", 0) or 0
             if c_scn:
                 wm["scn"] = c_scn
