@@ -531,3 +531,54 @@ def test_pipeline_file_sink_restart_no_duplicates(spark, tmp_path):
     run()   # restart: fresh writer + sink closure, same checkpoint
     after = {f: (out_dir / f).read_bytes() for f in os.listdir(out_dir)}
     assert after == snapshot, "restart on a drained checkpoint must be a no-op"
+
+
+def test_pipeline_timestamp_mask_e2e(spark, tmp_path):
+    """%t TIMESTAMP rotation through build_pipeline: with a cap far
+    above the batch size nothing rotates — one strftime-named file
+    holds the whole drain in emission order."""
+    import re as _re
+
+    from conftest import drain
+    from openlogreplicator_spark.config import EngineConfig, Format
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import redo_records_df
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    def rec(scn, opcode, **kw):
+        base = {"scn": scn, "subscn": 0, "block": scn, "offset": 0,
+                "seq": 1, "xid": "5.5.5", "opcode": opcode, "obj": 9,
+                "bdba": scn, "slot": 1, "fb": 0, "cols": None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    records = [rec(1, "begin")] + [
+        rec(2 + i, "insert", cols={"A": f"v{i}"}) for i in range(8)
+    ] + [rec(20, "commit")]
+    redo_dir = str(tmp_path / "redo")
+    write_binary_redo(redo_records_df(spark, records), redo_dir, n_files=1)
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    fw = RotatingFileWriter(
+        str(out_dir / "olr-%t.json"), max_file_size=1 << 20
+    )
+    q = build_pipeline(
+        spark, EngineConfig(fmt=Format(skip_begin=True, skip_commit=True)),
+        redo_dir, checkpoint=str(tmp_path / "ckpt"),
+        sink="file", file_writer=fw, query_name="olr_ts_rot",
+    )
+    drain(q)
+    fw.close()
+    (name,) = os.listdir(out_dir)
+    assert _re.fullmatch(
+        r"olr-\d{4}-\d{2}-\d{2}_\d{2}:\d{2}:\d{2}\.json", name
+    )
+    lines = [
+        json.loads(line)
+        for line in open(out_dir / name)
+        if line.strip()
+    ]
+    assert len(lines) == 8
+    scns = [r["scn"] for r in lines]
+    assert scns == sorted(scns)
