@@ -387,6 +387,28 @@ class ReferenceDeployment:
             written.append(out_path)
         return written
 
+    def export_schema(
+        self, dict_versions, scn: int, resetlogs: int = 0,
+        activation: int = 0,
+    ) -> str:
+        """W7 schema checkpoint through the deployment's state wiring:
+        writes the snapshot under ``state.path`` and applies the
+        configured ``keep-checkpoints`` GC depth
+        (Metadata::writeCheckpoint → deleteOldCheckpoints)."""
+        from openlogreplicator_spark.metadata.state_documents import (
+            export_schema_snapshot,
+        )
+
+        return export_schema_snapshot(
+            dict_versions,
+            self.state_path or "checkpoint",
+            self.db_name,
+            scn,
+            resetlogs=resetlogs,
+            activation=activation,
+            keep=self.state_keep_checkpoints,
+        )
+
     def copy_redo_files(self, in_dir: str) -> list[str]:
         """``redo-copy-path`` (Reader.cpp:74-76, 226-244): archive every
         redo file read, named ``<redo-copy-path>/<db>_<sequence>.arc``

@@ -1370,3 +1370,23 @@ def test_redo_copy_path_archives_with_reference_naming(spark, tmp_path):
     assert from_reference_json(_base()).copy_redo_files(
         str(redo_dir)
     ) == []
+
+
+def test_deployment_export_schema_applies_keep(spark, tmp_path):
+    """ReferenceDeployment.export_schema writes through state.path and
+    applies the configured keep-checkpoints GC depth."""
+    versions = spark.createDataFrame(
+        [(1, 10, "O", "T", "TABLE", False)],
+        "obj long, scn_from long, owner string, name string, "
+        "type string, dropped boolean",
+    )
+    doc = _base()
+    doc["state"] = {"type": "disk", "path": str(tmp_path),
+                    "keep-checkpoints": 2}
+    dep = from_reference_json(doc)
+    for scn in (100, 101, 102, 103):
+        dep.export_schema(versions, scn)
+    kept = sorted(
+        fn for fn in os.listdir(tmp_path) if fn.startswith("DB-schema-")
+    )
+    assert kept == ["DB-schema-102.json", "DB-schema-103.json"]
