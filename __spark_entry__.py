@@ -27,66 +27,67 @@ if _REPO_ROOT not in sys.path:
 # round 1 (now fixed), then a few representative re-verifies. Everything
 # else registers after slot 50 — still runnable, checked locally by
 # tests/test_queries_vs_duckdb.py.
-_PRIORITY = [  # round-9 window (previous windows: git history of this list)
+_PRIORITY = [  # round-10 window (previous windows: git history of this list)
     # -- 5 green canaries, one per result-type family (drift detection)
     "q1_pricing_summary",
     "cdc_txn_assembly",
     "dedup_minhash_lsh",
     "agg_rollup",
     "stream_tumbling_window",
-    # -- BYTES CHANGED since its last verdict: the TSTZ region-form
-    #    decode (timeZoneMap + "TZ?" fallback, Builder.cpp:304-339)
-    #    landed after the r8 driver run and changed the typed-images
-    #    fixture to v5 (offset/region/unknown cycling) — re-window.
+    # -- BYTES CHANGED since the r9 verdict: the typed-images fixture
+    #    moved to v6 — corrupt byte images (month 99, hour byte 0,
+    #    mantissa >99, truncated TSTZ, …) on every k%11==0 order now
+    #    exercise the columnUnknown guards end-to-end (r9 VERDICT #1);
+    #    cdc_type_tail re-windowed with it per the same prescription.
     "cdc_typed_images_binary",
-    # -- STALE-VERDICT ROTATION (r8 VERDICT #3): ALL 21 remaining
-    #    r5-latest queries; after this round no verdict predates r6.
-    "cdc_gap_detect",
-    "cdc_last_image",
-    "cdc_net_changes",
-    "cdc_partition_routing",
-    "cdc_sessionize",
-    "cdc_txn_stats",
     "cdc_type_tail",
-    "corpus_stats_report",
-    "decontaminate_ngram",
-    "dedup_cross_source",
-    "dedup_semantic",
-    "embedding_moments",
-    "embedding_normalize",
-    "embedding_stats",
-    "event_anomaly_mad",
-    "event_funnel",
-    "pack_training_sequences",
-    "sample_dsir_weights",
-    "sample_training_mix",
-    "text_bigram_perplexity",
-    "text_quality_score",
-    # -- oldest r6-latest block: 23 of 37 (CDC/dedup/multimodal/text
-    #    first; the 14 relational/simple-text stragglers rotate r10)
-    "cdc_adaptive_schema",
-    "cdc_apply_changes",
-    "cdc_ddl_classify",
-    "cdc_heartbeat",
-    "cdc_metrics",
-    "cdc_resume_filter",
-    "cdc_scd2_history",
-    "cdc_schemaless_decode",
-    "cdc_txn_envelope",
-    "cdc_xmltype_decode",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_substring",
-    "embedding_pca",
-    "event_retention",
-    "event_transitions",
-    "multimodal_decode",
-    "multimodal_features_ann",
-    "multimodal_image_stats",
-    "text_lang_id",
-    "text_pii_scrub",
-    "tokenizer_bpe_train",
+    # -- STALE-VERDICT ROTATION (r9 VERDICT #2): all 14 remaining
+    #    r6-latest queries; after this round no verdict predates r7.
+    "agg_approx_distinct",
+    "agg_stats",
+    "join_broadcast_dim",
+    "join_left_semi",
+    "join_skew_salted",
+    "proj_filter_rlike",
+    "q10_returned_items",
+    "q12_late_lines_by_flag",
+    "q18_large_orders",
+    "q7_volume_shipping",
+    "subquery_in",
+    "text_filter_pipeline",
+    "text_repetition_filter",
+    "text_vocab_topk",
+    # -- oldest r7-latest block: 29 of 44 (novel operators first; the
+    #    15 scalar/setop/subquery stragglers rotate r11)
+    "ann_cosine_topk",
+    "ann_ivf",
+    "ann_lsh_bucketed",
+    "ann_pq",
+    "cdc_config_reference",
+    "cdc_json_builder",
+    "cdc_protobuf_builder",
+    "pipeline_pretraining_corpus",
+    "stream_dedup_replay",
+    "join_asof_attribution",
+    "join_range_window",
+    "join_shuffle_facts",
+    "join_left_anti",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_statistical",
+    "window_distribution",
+    "window_lag_lead",
+    "window_rank_topn",
+    "window_running_sum",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q14_promo_share",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
+    "topk_orders",
 ]
 
 

@@ -260,6 +260,12 @@ class EngineConfig:
     start_seq: int | None = None
     transaction_max_mb: int = 1024       # T4 size guard
     checkpoint_interval_s: int = 10
+    # byte cadence of the portable W7 checkpoint document
+    # (state.interval-mb, Ctx.h:207 default 500; pacing semantics
+    # Metadata::writeCheckpoint, Metadata.cpp:421-424): the funnel
+    # sinks advance the doc when EITHER interval_s elapsed OR this many
+    # MB of rendered message bytes were written since the last doc
+    checkpoint_interval_mb: int = 500
     # schema resolution mode (SURVEY §1.3; REDO_FLAGS, Ctx.h:88-89):
     #   "dict"       dictionary-backed — unknown objects are dropped
     #   "adaptive"   unknown objects synthesized as USER_<obj>/TABLE_<obj>

@@ -59,17 +59,48 @@ assert _TZ_KEY_UNKNOWN not in TIMEZONE_MAP
 _D2 = tuple(f"{i:02d}" for i in range(101))
 
 
-def decode_number(b: bytes | None) -> str | None:
-    """Oracle NUMBER → canonical decimal string."""
+def column_unknown(b: bytes, unknown: str = "question") -> str:
+    """Malformed-byte fallback render — the reference's columnUnknown
+    (Builder.h:395-405): every typed decode validates its component
+    ranges and routes out-of-range images here instead of emitting a
+    plausible-looking wrong value. UNKNOWN_FORMAT (Format.h:177-180)
+    selects the render: QUESTION_MARK → '?'; DUMP → the original byte
+    image as lowercase hex (this engine's established DUMP convention,
+    matching the builder-level UNKNOWN_TYPE shaping in
+    json_builder._shape_unknown — the reference renders '?' and logs
+    the hex dump as warning 60002; here the dump IS the value so it
+    survives the distributed plan without a side-channel log)."""
+    if unknown == "dump":
+        return bytes(b).hex()
+    return "?"
+
+
+def decode_number(b: bytes | None, unknown: str = "question") -> str | None:
+    """Oracle NUMBER → canonical decimal string.
+
+    Malformed images (a lone non-zero header byte, or any mantissa byte
+    outside the base-100 digit range) route to :func:`column_unknown`
+    instead of rendering garbage — the reference validates the header
+    (parseNumber's else-branch, Builder.h:552-568; a corrupt header
+    throws 50009 and kills the replication; this engine renders the
+    unknown fallback so one torn value cannot stop the stream) and its
+    digit arithmetic assumes bytes in range (map10 indexing,
+    Builder.h:436-468 — out-of-range bytes are UB there, '?' here)."""
     if b is None or len(b) == 0:
         return None
     b = bytes(b)
     if b == b"\x80":
         return "0"
     b0 = b[0]
+    if len(b) == 1:
+        # parseNumber else-branch: digits==0 renders '0'; any other
+        # lone header is the 50009 error path (Builder.h:552-568)
+        return "0" if b0 == 0 else column_unknown(b, unknown)
     d2 = _D2
     if b0 & 0x80:  # positive: exponent = (b0 & 0x7f) - 65, digits = byte-1
         exp = (b0 & 0x7F) - 65
+        if any(x < 1 or x > 100 for x in b[1:]):
+            return column_unknown(b, unknown)
         ds = [d2[x - 1] for x in b[1:]]
         sign = ""
     else:  # negative: exponent = 62 - b0, digits = 101-byte, 0x66 terminator
@@ -77,6 +108,8 @@ def decode_number(b: bytes | None) -> str | None:
         payload = b[1:]
         if payload and payload[-1] == 0x66:
             payload = payload[:-1]
+        if any(x < 2 or x > 101 for x in payload):
+            return column_unknown(b, unknown)
         ds = [d2[101 - x] for x in payload]
         sign = "-"
     if not ds:
@@ -159,11 +192,30 @@ def encode_timestamp(s: str) -> bytes:
     return encode_date(s[:19]) + struct.pack(">I", nanos)
 
 
-def decode_date(b: bytes | None) -> str | None:
-    """7-byte Oracle DATE → 'YYYY-MM-DD HH:MM:SS' (keeps time of day)."""
-    if b is None or len(b) < 7:
+def _dt_components_valid(b: bytes) -> bool:
+    """The reference's date/time component range check
+    (Builder.cpp:242-246 / 340-344): month 0..11, day 0..30, hour
+    0..23, minute/second 0..59 after the excess adjustments. A byte
+    outside its range means a torn/corrupt image — render unknown, not
+    a plausible wrong date."""
+    return (
+        1 <= b[2] <= 12
+        and 1 <= b[3] <= 31
+        and 1 <= b[4] <= 24
+        and 1 <= b[5] <= 60
+        and 1 <= b[6] <= 60
+    )
+
+
+def decode_date(b: bytes | None, unknown: str = "question") -> str | None:
+    """7-byte Oracle DATE → 'YYYY-MM-DD HH:MM:SS' (keeps time of day).
+    Size/component violations render per UNKNOWN_FORMAT
+    (Builder.cpp:211-246 columnUnknown routes)."""
+    if b is None or len(b) == 0:
         return None
     b = bytes(b)
+    if len(b) not in (7, 11) or not _dt_components_valid(b):
+        return column_unknown(b, unknown)
     year = (b[0] - 100) * 100 + (b[1] - 100)
     return (
         f"{year:04d}-{b[2]:02d}-{b[3]:02d} "
@@ -172,7 +224,7 @@ def decode_date(b: bytes | None) -> str | None:
 
 
 def decode_timestamp(
-    b: bytes | None, fmt: str = "iso8601_nano"
+    b: bytes | None, fmt: str = "iso8601_nano", unknown: str = "question"
 ) -> str | None:
     """11-byte TIMESTAMP rendered per TIMESTAMP_FORMAT —
     BuilderJson::columnTimestamp's full 16-variant matrix
@@ -183,11 +235,21 @@ def decode_timestamp(
     rendering). Fidelity note: the plain UNIX variants differ from
     their *_STRING twins only in JSON quoting, which this engine's
     string-image pipeline applies uniformly — both map to the same
-    digit text (same convention as the interval kernels)."""
-    if b is None or len(b) < 7:
+    digit text (same convention as the interval kernels). Size 7/11 and
+    the component ranges are validated like the reference
+    (Builder.cpp:211-246); a >999999999 fraction is likewise the
+    corrupt-image signal (Builder.cpp:242-246) — both render per
+    UNKNOWN_FORMAT."""
+    if b is None or len(b) == 0:
         return None
     b = bytes(b)
     frac = struct.unpack(">I", b[7:11])[0] if len(b) >= 11 else 0
+    if (
+        len(b) not in (7, 11)
+        or not _dt_components_valid(b)
+        or frac > 999_999_999
+    ):
+        return column_unknown(b, unknown)
     if fmt == "iso8601_nano":
         return f"{decode_date(b[:7])}.{frac:09d}"
     year = (b[0] - 100) * 100 + (b[1] - 100)
@@ -255,7 +317,7 @@ def _iso_from_epoch(epoch: int, t_sep: bool) -> str:
 
 
 def decode_timestamp_tz(
-    b: bytes | None, fmt: str = "iso8601_nano"
+    b: bytes | None, fmt: str = "iso8601_nano", unknown: str = "question"
 ) -> str | None:
     """13-byte TIMESTAMP WITH TIME ZONE (offset form) rendered per
     TIMESTAMP_TZ_FORMAT (Format.h:31-44; BuilderJson::columnTimestampTz,
@@ -269,10 +331,21 @@ def decode_timestamp_tz(
     is the '±HH:MM' offset form; anything else is a region key
     (data[11]<<8 | data[12]) resolved through the public timeZoneMap
     (Locales.cpp:40-640) to an IANA name, with the reference's 'TZ?'
-    fallback for keys the map lacks."""
-    if b is None or len(b) < 13:
+    fallback for keys the map lacks.
+
+    Malformed images render per UNKNOWN_FORMAT: component ranges follow
+    Builder.cpp:340-344 (the reference checks second/minute/hour/day/
+    month but — faithfully — NOT the fraction for TSTZ); only the
+    13-byte form is accepted. The reference's size test admits 9 bytes
+    too (Builder.cpp:274) but then unconditionally reads the tz bytes
+    at data[11]/data[12] — past the end of a 9-byte image, i.e.
+    undefined behavior with no output to match — so a truncated image
+    routes to the unknown render here."""
+    if b is None or len(b) == 0:
         return None
     b = bytes(b)
+    if len(b) != 13 or not _dt_components_valid(b):
+        return column_unknown(b, unknown)
     if 5 <= b[11] <= 36:
         tzh = b[11] - 20
         tzm = b[12] - 60
@@ -323,15 +396,22 @@ _DTS_SEP = {"iso8601_space": " ", "iso8601_comma": ",", "iso8601_dash": "-"}
 
 
 def decode_interval_ym(
-    b: bytes | None, fmt: str = "string_ym_dash"
+    b: bytes | None, fmt: str = "string_ym_dash", unknown: str = "question"
 ) -> str | None:
     """5-byte INTERVAL YEAR TO MONTH → text per INTERVAL_YTM_FORMAT:
     'months' (total month count, Builder.cpp:386-401) or
-    'string_ym_{space,comma,dash}' ('Y<sep>M', Builder.cpp:403-430)."""
-    if b is None or len(b) < 5:
+    'string_ym_{space,comma,dash}' ('Y<sep>M', Builder.cpp:403-430).
+    Malformed images render per UNKNOWN_FORMAT with the reference's
+    guards (Builder.cpp:355-368): size 5, month byte in [49,71]
+    (excess-60 month in [-11,11]), |years| ≤ 999999999."""
+    if b is None or len(b) == 0:
         return None
     b = bytes(b)
+    if len(b) != 5 or b[4] < 49 or b[4] > 71:
+        return column_unknown(b, unknown)
     years = struct.unpack(">i", struct.pack(">I", struct.unpack(">I", b[:4])[0] ^ 0x80000000))[0]
+    if abs(years) > 999_999_999:
+        return column_unknown(b, unknown)
     months = b[4] - 60
     total = years * 12 + months
     sign = "-" if total < 0 else ""
@@ -342,20 +422,32 @@ def decode_interval_ym(
 
 
 def decode_interval_ds(
-    b: bytes | None, fmt: str = "iso8601_space"
+    b: bytes | None, fmt: str = "iso8601_space", unknown: str = "question"
 ) -> str | None:
     """11-byte INTERVAL DAY TO SECOND → text per INTERVAL_DTS_FORMAT:
     'iso8601_{space,comma,dash}' ('D<sep>HH:MM:SS.fffffffff',
     Builder.cpp:491-533) or 'unix[_nano|_micro|_milli]' (total duration
-    scaled with half-up rounding, Builder.cpp:535-557)."""
-    if b is None or len(b) < 11:
+    scaled with half-up rounding, Builder.cpp:535-557). Malformed
+    images render per UNKNOWN_FORMAT with the reference's guards
+    (Builder.cpp:436-460): size 11, hour byte in [37,83], minute/second
+    bytes in [1,119], |days| and |nanos| ≤ 999999999."""
+    if b is None or len(b) == 0:
         return None
     b = bytes(b)
+    if (
+        len(b) != 11
+        or b[4] < 37 or b[4] > 83
+        or b[5] < 1 or b[5] > 119
+        or b[6] < 1 or b[6] > 119
+    ):
+        return column_unknown(b, unknown)
     days = struct.unpack(">i", struct.pack(">I", struct.unpack(">I", b[:4])[0] ^ 0x80000000))[0]
     hours = b[4] - 60
     minutes = b[5] - 60
     seconds = b[6] - 60
     nanos = struct.unpack(">i", struct.pack(">I", struct.unpack(">I", b[7:11])[0] ^ 0x80000000))[0]
+    if abs(days) > 999_999_999 or abs(nanos) > 999_999_999:
+        return column_unknown(b, unknown)
     total_ns = (((days * 24 + hours) * 60 + minutes) * 60 + seconds) * 10**9 + nanos
     sign = "-" if total_ns < 0 else ""
     total_ns = abs(total_ns)
@@ -420,8 +512,11 @@ def rowid_expr(data_obj, afn, block, slot):
 
 def decode_binary_float(b: bytes | None) -> float | None:
     """Oracle BINARY_FLOAT: MSB set → positive (clear it); else negative
-    (invert all bits)."""
-    if b is None or len(b) < 4:
+    (invert all bits). None for any size other than 4 — the reference's
+    columnUnknown route (Builder.cpp:258-263); the parse-plane
+    dispatcher renders the unknown fallback (float-typed, so the '?'/
+    hex text cannot come from this kernel)."""
+    if b is None or len(b) != 4:
         return None
     b = bytes(b)
     if b[0] & 0x80:
@@ -432,7 +527,9 @@ def decode_binary_float(b: bytes | None) -> float | None:
 
 
 def decode_binary_double(b: bytes | None) -> float | None:
-    if b is None or len(b) < 8:
+    """None for any size other than 8 — the reference's columnUnknown
+    route (Builder.cpp:265-270); the dispatcher renders the fallback."""
+    if b is None or len(b) != 8:
         return None
     b = bytes(b)
     if b[0] & 0x80:
@@ -463,18 +560,26 @@ DB_TIMEZONE_SECONDS = 2 * 3600
 
 
 def decode_timestamp_ltz(
-    b: bytes | None, db_tz_seconds: int = DB_TIMEZONE_SECONDS
+    b: bytes | None, db_tz_seconds: int = DB_TIMEZONE_SECONDS,
+    unknown: str = "question",
 ) -> str | None:
     """7/11-byte TIMESTAMP WITH LOCAL TIME ZONE: the stored wall clock
     is in the DATABASE timezone; the emitted value is the UTC instant
-    (Builder.cpp:167-208 — valuesToEpoch(metadata->dbTimezone))."""
-    if b is None or len(b) not in (7, 11):
+    (Builder.cpp:167-208 — valuesToEpoch(metadata->dbTimezone)).
+    Malformed images render per UNKNOWN_FORMAT with the reference's
+    guards (Builder.cpp:168-198): size 7/11, component ranges,
+    fraction ≤ 999999999."""
+    if b is None or len(b) == 0:
         return None
     b = bytes(b)
-    wall = decode_date(b[:7])
-    if wall is None:
-        return None
     nanos = struct.unpack(">I", b[7:11])[0] if len(b) == 11 else 0
+    if (
+        len(b) not in (7, 11)
+        or not _dt_components_valid(b)
+        or nanos > 999_999_999
+    ):
+        return column_unknown(b, unknown)
+    wall = decode_date(b[:7])
     dt = _dt.datetime.strptime(wall, "%Y-%m-%d %H:%M:%S") - _dt.timedelta(
         seconds=db_tz_seconds
     )
@@ -545,12 +650,15 @@ def encode_interval_ds(s: str) -> bytes:
     )
 
 
-def decode_boolean(b: bytes | None) -> str | None:
+def decode_boolean(b: bytes | None, unknown: str = "question") -> str | None:
     """1-byte Oracle BOOLEAN (type 252) → '0'/'1' — the reference renders
     the byte through its digit map and emits a bare number
-    (Builder.cpp:591-600 map10)."""
-    if b is None or len(b) != 1 or b[0] > 1:
+    (Builder.cpp:591-600 map10). Anything but a single 0/1 byte is the
+    reference's columnUnknown route (Builder.cpp:597)."""
+    if b is None or len(b) == 0:
         return None
+    if len(b) != 1 or b[0] > 1:
+        return column_unknown(b, unknown)
     return str(b[0])
 
 
@@ -558,13 +666,17 @@ def encode_boolean(s: str) -> bytes:
     return bytes([int(s)])
 
 
-def decode_urowid(b: bytes | None) -> str | None:
+def decode_urowid(b: bytes | None, unknown: str = "question") -> str | None:
     """13-byte UROWID (leading 0x01 physical-rowid marker) → 18-char
     ROWID text. Field layout per RowId::decodeFromHex (RowId.h:114-131):
     dataObj(4 BE) | slot(2 BE) | afn(2 BE) | dba-low-22-bits(4 BE);
-    render joins afn back above the block bits (Builder.cpp:601-613)."""
-    if b is None or len(b) != 13 or b[0] != 0x01:
+    render joins afn back above the block bits (Builder.cpp:601-613).
+    A wrong size or marker byte is the reference's columnUnknown route
+    (Builder.cpp:607)."""
+    if b is None or len(b) == 0:
         return None
+    if len(b) != 13 or b[0] != 0x01:
+        return column_unknown(b, unknown)
     b = bytes(b)
     data_obj = struct.unpack(">I", b[1:5])[0]
     slot = struct.unpack(">H", b[5:7])[0]

@@ -1415,19 +1415,28 @@ _TSTZ_REGIONS = [
 
 
 def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
-    """OLRS1 v5 fixture exercising the remaining scalar byte images:
+    """OLRS1 v6 fixture exercising the remaining scalar byte images:
     TIMESTAMP WITH TZ (offset, region-key and unknown-key forms),
-    INTERVAL YTM/DTS, BOOLEAN, UROWID — one transaction per order,
-    deterministic values derived arithmetically from the order columns
-    so a SQL oracle can re-render them exactly."""
+    INTERVAL YTM/DTS, BOOLEAN, UROWID, NUMBER, TIMESTAMP — one
+    transaction per order, deterministic values derived arithmetically
+    from the order columns so a SQL oracle can re-render them exactly.
+    v6 plants CORRUPT byte images on every k%11==0 order (month byte
+    99, hour byte 0, mantissa digit >99, truncated TSTZ, out-of-range
+    interval/boolean/urowid bytes) so the decode plane's columnUnknown
+    guards (Builder.cpp:169-613) are exercised end-to-end — those rows
+    must render the UNKNOWN_FORMAT '?' fallback, never a plausible
+    wrong value."""
     import tempfile
 
     from openlogreplicator_spark.functions.oracle_types import rowid_expr
-    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.binary_redo import (
+        CORRUPT_SENTINEL,
+        write_binary_redo,
+    )
 
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        "olrs_typed_images_v5",
+        "olrs_typed_images_v6",
         os.path.basename(os.path.normpath(sf_dir))
         + "-" + _source_stamp(sf_dir, "orders"),
     )
@@ -1522,6 +1531,46 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
     # it to the identical 4 bytes (shortest-roundtrip property), the
     # decoder emits repr(float64-widened)
     fval = F.col("o_totalprice").cast("float").cast("string")
+    # NUMBER (integer-valued, so canonical text is identical in both
+    # engines) and TIMESTAMP complete the fixture's kernel coverage
+    num = ((k * 37) % 100000 - 50000).cast("string")
+    ts = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("."),
+        F.lpad(((k * 31) % 1000000000).cast("string"), 9, "0"),
+    )
+
+    # Corrupt byte images (planted verbatim via the '!CORRUPT!<hex>'
+    # encoder sentinel) — each hits a distinct columnUnknown guard:
+    corrupt = k % 11 == 0
+    alt = k % 22 == 0
+
+    def corr(canonical, a_hex, b_hex):
+        pick = F.when(alt, F.lit(CORRUPT_SENTINEL + a_hex)).otherwise(
+            F.lit(CORRUPT_SENTINEL + b_hex)
+        )
+        return F.when(corrupt, pick).otherwise(canonical)
+
+    # month byte 99 / hour byte 0 (Builder.cpp:242 range check)
+    ts = corr(ts, "787c630515242800000000", "787c040500242800000000")
+    # truncated 9-byte image / month 99 (Builder.cpp:274/342)
+    tstz = corr(tstz, "787c0405152428143c",
+                "787c630515242800000000143c")
+    # mantissa digit 254 / lone non-zero header (parseNumber 50009 path)
+    num = corr(num, "c2ff02", "c1")
+    # month byte 200 ∉ [49,71] (Builder.cpp:356)
+    iym = corr(iym, "80000001c8", "80000001f0")
+    # minute byte 0 ∉ [1,119] (Builder.cpp:437)
+    ids = corr(ids, "800000013c003c80000001", "800000013c003c80000001")
+    # boolean byte 5 / two-byte image (Builder.cpp:597)
+    flag = corr(flag, "05", "0100")
+    # wrong marker byte / short image (Builder.cpp:607)
+    urid = corr(urid, "02" + "00" * 12, "01" + "00" * 9)
+    # month byte 99 in the LTZ wall clock (Builder.cpp:198)
+    ltz = corr(ltz, "787c630515242800000000", "787c040500242800000000")
+    # 3-byte BINARY_FLOAT (Builder.cpp:262) — renders '?', which the
+    # query's try_cast(double) nulls, matching the oracle's NULL
+    fval = corr(fval, "c0ffee", "c0")
 
     def frame(scn, opcode, cols):
         return orders.select(
@@ -1549,6 +1598,8 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
         F.lit("o_urowid"), urid,
         F.lit("o_ltz"), ltz,
         F.lit("o_float"), fval,
+        F.lit("o_num"), num,
+        F.lit("o_ts"), ts,
     )
     redo = (
         frame(k * 1000, "begin", no_cols)
@@ -1571,6 +1622,8 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
             "o_urowid": "urowid",
             "o_ltz": "timestamp_ltz",
             "o_float": "binary_float",
+            "o_num": "number",
+            "o_ts": "timestamp",
         },
     )
     return _publish_fixture(staging, out_dir)
@@ -1583,10 +1636,13 @@ def cdc_typed_images_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Locales.cpp:40-640), INTERVAL YEAR TO MONTH / DAY TO SECOND
     (Builder.cpp:354-590), BOOLEAN (Builder.cpp:591-600) and UROWID
     (Builder.cpp:601-613 / RowId.h:114-131) images are encoded into
-    OLRS1 v4 files, validated + walked by the parse plane, decoded by
+    OLRS1 v6 files, validated + walked by the parse plane, decoded by
     the byte kernels inside the record walk, assembled per transaction,
     and checked against a SQL oracle that re-renders every value from
-    the order columns."""
+    the order columns. Every k%11==0 order carries CORRUPT byte images
+    (month 99, hour byte 0, mantissa >99, truncated TSTZ, …): the
+    columnUnknown guards (Builder.cpp:169-613) must render those as the
+    UNKNOWN_FORMAT '?' fallback, which the oracle pins per row."""
     from openlogreplicator_spark.operators.transaction_assembly import (
         assemble_transactions,
     )
@@ -1608,8 +1664,13 @@ def cdc_typed_images_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # image as a repr string, but hashing a string against the
         # oracle's DOUBLE depends on two engines' float formatters
         # coinciding. Casting to double makes both engines hash the
-        # same 64-bit value through the same conversion path.
-        F.element_at("cols", F.lit("o_float")).cast("double").alias("fval"),
+        # same 64-bit value through the same conversion path. try_cast:
+        # corrupt-image rows render '?' (columnUnknown), which must
+        # null out, not throw, under ANSI.
+        F.element_at("cols", F.lit("o_float"))
+        .try_cast("double").alias("fval"),
+        F.element_at("cols", F.lit("o_num")).alias("num"),
+        F.element_at("cols", F.lit("o_ts")).alias("ts"),
     )
 
 
@@ -1637,10 +1698,9 @@ WITH base AS (
            o_totalprice,
            (o_orderkey % 2001 - 1000) * 987654321987 AS tot
     FROM orders
-)
-SELECT k AS order_xid,
-       k * 1000 + 1 AS scn,
-       'c' AS op,
+),
+vals AS (
+SELECT k,
        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.'
            || lpad(CAST((k * c) % 1000000000 AS VARCHAR), 9, '0')
            || CASE
@@ -1668,8 +1728,28 @@ SELECT k AS order_xid,
        {_rowid_text_sql('c', 'k % 512', 'k % 4194304', 'k % 2048')} AS urid,
        strftime(o_orderdate - INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') || '.'
            || lpad(CAST((k * 7919) % 1000000000 AS VARCHAR), 9, '0') AS ltz,
-       CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS fval
+       CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS fval,
+       CAST((k * 37) % 100000 - 50000 AS VARCHAR) AS num,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.'
+           || lpad(CAST((k * 31) % 1000000000 AS VARCHAR), 9, '0') AS ts
 FROM base
+)
+-- k%11=0 orders carry corrupt byte images in the fixture: the decode
+-- plane's columnUnknown guards render the UNKNOWN_FORMAT '?' fallback
+-- ('?' try_casts to NULL for the DOUBLE column)
+SELECT k AS order_xid,
+       k * 1000 + 1 AS scn,
+       'c' AS op,
+       CASE WHEN k % 11 = 0 THEN '?' ELSE tstz END AS tstz,
+       CASE WHEN k % 11 = 0 THEN '?' ELSE iym END AS iym,
+       CASE WHEN k % 11 = 0 THEN '?' ELSE ids END AS ids,
+       CASE WHEN k % 11 = 0 THEN '?' ELSE flag END AS flag,
+       CASE WHEN k % 11 = 0 THEN '?' ELSE urid END AS urid,
+       CASE WHEN k % 11 = 0 THEN '?' ELSE ltz END AS ltz,
+       CASE WHEN k % 11 = 0 THEN NULL ELSE fval END AS fval,
+       CASE WHEN k % 11 = 0 THEN '?' ELSE num END AS num,
+       CASE WHEN k % 11 = 0 THEN '?' ELSE ts END AS ts
+FROM vals
 """
 
 

@@ -801,11 +801,21 @@ def from_reference_json(source) -> ReferenceDeployment:
 
     state_path = ""
     checkpoint_interval_s = 600    # ctx->checkpointIntervalS (Ctx.h:206)
+    checkpoint_interval_mb = 500   # ctx->checkpointIntervalMb (Ctx.h:207)
     state_keep_checkpoints = 100   # ctx->checkpointKeep default
     if "state" in doc:
         _check_keys(doc["state"], _STATE_KEYS, '"state"', check)
         state_path = doc["state"].get("path", "checkpoint")
         checkpoint_interval_s = doc["state"].get("interval-s", 600)
+        # byte cadence of the checkpoint document (cpp:447-448;
+        # Metadata::writeCheckpoint pacing, Metadata.cpp:421-424): the
+        # doc also advances when the funnel sinks' rendered-byte
+        # counters cross this threshold — wired to stream_file_sink
+        checkpoint_interval_mb = (
+            _uint(doc["state"], "interval-mb", 0, 2**63 - 1)
+            if "interval-mb" in doc["state"]
+            else 500
+        )
         # checkpoint GC depth (cpp:450-451; Metadata.cpp:584-596);
         # getJsonFieldU64 semantics — non-uint rejects
         state_keep_checkpoints = (
@@ -813,12 +823,13 @@ def from_reference_json(source) -> ReferenceDeployment:
             if "keep-checkpoints" in doc["state"]
             else 100
         )
-        # byte-cadence and schema-rewrite-cadence knobs pace the
-        # reference's own checkpoint writer thread; Spark's checkpoint
-        # cadence is the trigger interval (interval-s) — recorded
-        for k in ("interval-mb", "schema-force-interval"):
-            if k in doc["state"]:
-                tuning_unmodeled[f"state-{k}"] = doc["state"][k]
+        # the schema-rewrite cadence paces the reference's own
+        # checkpoint writer thread; the registry table versions schema
+        # on change instead — recorded
+        if "schema-force-interval" in doc["state"]:
+            tuning_unmodeled["state-schema-force-interval"] = (
+                doc["state"]["schema-force-interval"]
+            )
 
     sources = doc.get("source")
     if not isinstance(sources, list) or len(sources) != 1:
@@ -1117,6 +1128,7 @@ def from_reference_json(source) -> ReferenceDeployment:
         start_seq=start_seq,
         transaction_max_mb=transaction_max_mb,
         checkpoint_interval_s=checkpoint_interval_s,
+        checkpoint_interval_mb=checkpoint_interval_mb,
         schema_mode=schema_mode,
         interval_dts=interval_dts,
         interval_ytm=interval_ytm,

@@ -88,6 +88,7 @@ from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
 from openlogreplicator_spark.functions.oracle_types import (
     DB_TIMEZONE_SECONDS as DB_TZ_DEFAULT,
     charset_decode,
+    column_unknown,
     decode_binary_double,
     decode_binary_float,
     decode_boolean,
@@ -135,6 +136,10 @@ class DecodeOpts(NamedTuple):
     # TIMESTAMP_FORMAT for COLUMN values (Format.h:117-134; the header
     # tm uses Format.timestamp via the builders) — same canonical default
     timestamp_column: str = "iso8601_nano"
+    # UNKNOWN_FORMAT (Format.h:177-180) — malformed-byte fallback render
+    # of the typed kernels (columnUnknown, Builder.h:395-405):
+    # "question" → '?', "dump" → the byte image as hex
+    unknown: str = "question"
 
 
 def _opts(o) -> "DecodeOpts":
@@ -252,8 +257,21 @@ def _enc_str(s: str) -> bytes:
     return struct.pack("<H", len(b)) + b
 
 
+CORRUPT_SENTINEL = "!CORRUPT!"
+
+
 def _enc_value(v: str, vtype: int, cs_idx: int = 0) -> bytes:
-    """v2+ typed value: canonical string → Oracle byte image + tag."""
+    """v2+ typed value: canonical string → Oracle byte image + tag.
+
+    A value of the form '!CORRUPT!<hex>' writes the raw hex bytes as
+    the image under the column's type tag — the fixture's way of
+    planting torn/out-of-range byte images (month 99, hour byte 0,
+    mantissa digit >99, truncated TSTZ, …) so the decode plane's
+    columnUnknown guards are exercised end-to-end, like a corrupt redo
+    block replayed through the reference."""
+    if v.startswith(CORRUPT_SENTINEL):
+        payload = bytes.fromhex(v[len(CORRUPT_SENTINEL):])
+        return struct.pack("<HB", len(payload), vtype) + payload
     if vtype == TYPE_NUMBER:
         payload = encode_number(v)
     elif vtype == TYPE_DATE:
@@ -534,35 +552,40 @@ def _dec_value_raw(
     OpCode decoders run."""
     vtype = tagged[0]
     payload = tagged[1:]
+    o = _opts(db_tz)
+    unk = o.unknown
     if vtype == TYPE_NUMBER:
-        return decode_number(payload)
+        return decode_number(payload, unk)
     if vtype == TYPE_DATE:
-        return decode_date(payload)
+        return decode_date(payload, unk)
     if vtype == TYPE_TS:
-        return decode_timestamp(payload, _opts(db_tz).timestamp_column)
+        return decode_timestamp(payload, o.timestamp_column, unk)
     if vtype == TYPE_CSTEXT:
         return charset_decode(
-            payload[1:], CHARSET_TABLE[payload[0]],
-            _opts(db_tz).char_format,
+            payload[1:], CHARSET_TABLE[payload[0]], o.char_format
         )
     if vtype == TYPE_BDOUBLE:
-        return repr(decode_binary_double(payload))
+        v = decode_binary_double(payload)
+        # float-typed columnUnknown route (Builder.cpp:265-270): the
+        # kernel cannot carry the '?'/hex text in a float return
+        return column_unknown(payload, unk) if v is None else repr(v)
     if vtype == TYPE_RAW:
         return payload.hex()
     if vtype == TYPE_TSTZ:
-        return decode_timestamp_tz(payload, _opts(db_tz).timestamp_tz)
+        return decode_timestamp_tz(payload, o.timestamp_tz, unk)
     if vtype == TYPE_IYM:
-        return decode_interval_ym(payload, _opts(db_tz).interval_ytm)
+        return decode_interval_ym(payload, o.interval_ytm, unk)
     if vtype == TYPE_IDS:
-        return decode_interval_ds(payload, _opts(db_tz).interval_dts)
+        return decode_interval_ds(payload, o.interval_dts, unk)
     if vtype == TYPE_BOOL:
-        return decode_boolean(payload)
+        return decode_boolean(payload, unk)
     if vtype == TYPE_UROWID:
-        return decode_urowid(payload)
+        return decode_urowid(payload, unk)
     if vtype == TYPE_TSLTZ:
-        return decode_timestamp_ltz(payload, _opts(db_tz).db_tz)
+        return decode_timestamp_ltz(payload, o.db_tz, unk)
     if vtype == TYPE_BFLOAT:
-        return repr(decode_binary_float(payload))
+        v = decode_binary_float(payload)
+        return column_unknown(payload, unk) if v is None else repr(v)
     return payload.decode("utf-8")
 
 
@@ -646,6 +669,20 @@ def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
     by_type: dict[int, list[bytes]] = {}
     for t in uniq:
         by_type.setdefault(t[0], []).append(t)
+    def _dt_valid_mask(a):
+        # vectorized twin of oracle_types._dt_components_valid
+        # (Builder.cpp:242-246): a invalid component routes the image to
+        # the scalar kernel, whose guard renders the UNKNOWN_FORMAT
+        # fallback — the fast path must not format a plausible-looking
+        # wrong date from corrupt bytes
+        return (
+            (a[:, 2] >= 1) & (a[:, 2] <= 12)
+            & (a[:, 3] >= 1) & (a[:, 3] <= 31)
+            & (a[:, 4] >= 1) & (a[:, 4] <= 24)
+            & (a[:, 5] >= 1) & (a[:, 5] <= 60)
+            & (a[:, 6] >= 1) & (a[:, 6] <= 60)
+        )
+
     for vtype, items in by_type.items():
         n = len(items)
         if vtype == TYPE_DATE and n > 16 and len(items[0]) == 8 and all(
@@ -653,12 +690,24 @@ def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
         ):
             a = np.frombuffer(b"".join(items), np.uint8).reshape(n, 8)[:, 1:]
             strs = _np_strings(_fmt_datetime14(_date_composites(a)))
-            out.update(zip(items, strs))
+            valid = _dt_valid_mask(a)
+            out.update(
+                (t, s) if ok else (t, _dec_value_raw(t, version, db_tz))
+                for t, s, ok in zip(items, strs, valid.tolist())
+            )
         elif vtype == TYPE_TS and n > 16 and all(len(x) == 12 for x in items):
             a = np.frombuffer(b"".join(items), np.uint8).reshape(n, 12)[:, 1:]
             m = _fmt_datetime14(_date_composites(a), extra_cols=10)
             _nano_digits(m, a, 19)
-            out.update(zip(items, _np_strings(m)))
+            x = a.astype("int64")
+            nanos = (
+                (x[:, 7] << 24) | (x[:, 8] << 16) | (x[:, 9] << 8) | x[:, 10]
+            )
+            valid = _dt_valid_mask(a) & (nanos <= 999_999_999)
+            out.update(
+                (t, s) if ok else (t, _dec_value_raw(t, version, db_tz))
+                for t, s, ok in zip(items, _np_strings(m), valid.tolist())
+            )
         elif vtype == TYPE_BDOUBLE and n > 16 and all(
             len(x) == 9 for x in items
         ):
@@ -1151,6 +1200,7 @@ def parse_redo_files(
     char_format: str = "default",
     timestamp_tz: str = "iso8601_nano",
     timestamp_column: str = "iso8601_nano",
+    unknown_format: str = "question",
 ) -> DataFrame:
     """Directory of OLRS1 files → REDO_RECORD_SCHEMA DataFrame. One task
     per file via the binaryFile source; validation + parse run on the
@@ -1163,7 +1213,8 @@ def parse_redo_files(
     ``interval_ytm`` select the INTERVAL_DTS_FORMAT / INTERVAL_YTM_FORMAT
     rendering variants (Format.h:54-74)."""
     opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm,
-                      char_format, timestamp_tz, timestamp_column)
+                      char_format, timestamp_tz, timestamp_column,
+                      unknown_format)
 
     def kernel(batches):
         return _record_frames(batches, dictionary, opts)
@@ -1184,6 +1235,7 @@ def parse_redo_stream(
     char_format: str = "default",
     timestamp_tz: str = "iso8601_nano",
     timestamp_column: str = "iso8601_nano",
+    unknown_format: str = "question",
 ) -> DataFrame:
     """Streaming variant of :func:`parse_redo_files`: the reference's
     online mode (S1 reader thread tailing redo + S4 scheduler) as a
@@ -1192,7 +1244,8 @@ def parse_redo_stream(
     ``dictionary``, ``db_tz_seconds`` and the interval format selectors
     behave as in the batch reader."""
     opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm,
-                      char_format, timestamp_tz, timestamp_column)
+                      char_format, timestamp_tz, timestamp_column,
+                      unknown_format)
 
     def kernel(batches):
         return _record_frames(batches, dictionary, opts)

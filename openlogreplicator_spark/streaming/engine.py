@@ -367,6 +367,10 @@ def build_pipeline(
         char_format=cfg.char_format,
         timestamp_tz=cfg.timestamp_tz,
         timestamp_column=cfg.timestamp_column,
+        # UNKNOWN_FORMAT reaches the parse-plane kernels too: a torn/
+        # corrupt typed image renders '?' (or its hex dump) instead of
+        # a plausible wrong value (columnUnknown, Builder.h:395-405)
+        unknown_format=cfg.fmt.unknown.value,
     )
     if start_scn is not None:
         # O3/F9 startup positioning: everything at or below the
@@ -604,6 +608,13 @@ def build_pipeline(
             # replay-idempotency sidecar rides the query's checkpoint:
             # batch ids are only meaningful within one offset log
             state_path=os.path.join(checkpoint, "olrs-file-sink-batch"),
+            # W7 checkpoint document advances on the reference's pacing:
+            # interval-s elapsed OR interval-mb of rendered bytes
+            # through the funnel (Metadata.cpp:421-424)
+            state_dir=state_dir,
+            database=cfg.fmt.db_name,
+            interval_s=cfg.checkpoint_interval_s,
+            interval_mb=cfg.checkpoint_interval_mb,
         )
         if full_batch_build:
             if with_heartbeats:

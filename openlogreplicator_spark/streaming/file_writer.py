@@ -306,7 +306,14 @@ class RotatingFileWriter:
         self._close_file()
 
 
-def stream_file_sink(writer: RotatingFileWriter, state_path: str | None = None):
+def stream_file_sink(
+    writer: RotatingFileWriter,
+    state_path: str | None = None,
+    state_dir: str | None = None,
+    database: str = "DB",
+    interval_s: int = 600,
+    interval_mb: int = 500,
+):
     """foreachBatch hook: rendered (key, value) JSON messages → the
     rotating writer, in (c_scn, xid, num) emission order — the W4
     network funnel's ordering, because one local file is one ordered
@@ -325,7 +332,17 @@ def stream_file_sink(writer: RotatingFileWriter, state_path: str | None = None):
     strictly between appending part of a batch and the sidecar write
     can still duplicate that partial batch on replay; the reference's
     writer has the same window between ``sendMessage`` and its
-    confirm-checkpoint flush (Writer.cpp:130-140)."""
+    confirm-checkpoint flush (Writer.cpp:130-140).
+
+    With a ``state_dir``, the portable W7 checkpoint document advances
+    with the reference's pacing (Metadata::writeCheckpoint,
+    Metadata.cpp:421-424): the first checkpoint is forced, after that
+    the doc is rewritten when EITHER ``interval_s`` elapsed OR
+    ``interval_mb`` of rendered message bytes went through this funnel
+    since the last doc — ``state.interval-mb`` wired to the byte
+    counter that already drives rotation."""
+    import time
+
     side = state_path
     done = {"bid": None}
     if side is not None and os.path.exists(side):
@@ -334,6 +351,37 @@ def stream_file_sink(writer: RotatingFileWriter, state_path: str | None = None):
                 done["bid"] = int(fh.read().strip())
         except (OSError, ValueError):
             done["bid"] = None
+    # checkpoint-doc pacing state (driver-side funnel: plain locals)
+    pace = {"bytes": 0, "doc_bytes": 0, "doc_time": None, "doc_scn": None}
+
+    def _maybe_checkpoint_doc(hi_scn) -> None:
+        if state_dir is None or hi_scn is None:
+            return
+        if pace["doc_scn"] is not None and hi_scn <= pace["doc_scn"]:
+            return  # nothing confirmed beyond the last doc
+        now = time.monotonic()
+        force = pace["doc_time"] is None  # force first checkpoint
+        due_time = (
+            pace["doc_time"] is not None
+            and now - pace["doc_time"] >= interval_s
+        )
+        due_bytes = (
+            (pace["bytes"] - pace["doc_bytes"]) // (1024 * 1024)
+            >= interval_mb
+        )
+        if not (force or due_time or due_bytes):
+            return
+        from openlogreplicator_spark.metadata.state_documents import (
+            read_checkpoint_doc,
+            write_checkpoint_doc,
+        )
+
+        prev = read_checkpoint_doc(state_dir, database)
+        if prev is None or int(prev["scn"]) < int(hi_scn):
+            write_checkpoint_doc(state_dir, database, scn=int(hi_scn))
+        pace["doc_bytes"] = pace["bytes"]
+        pace["doc_time"] = now
+        pace["doc_scn"] = hi_scn
 
     def write(batch_df, batch_id: int) -> None:
         from openlogreplicator_spark.streaming.stream_network import (
@@ -344,11 +392,17 @@ def stream_file_sink(writer: RotatingFileWriter, state_path: str | None = None):
         if done["bid"] is not None and batch_id <= done["bid"]:
             return   # already durable — replayed batch, don't re-append
         ordered = order_encoded_messages(batch_df)
+        hi_scn = None
         for row in ordered.toLocalIterator():
+            data = to_bytes(row.value)
             writer.write(
-                to_bytes(row.value),
+                data,
                 seq=int(row._oseq) if row._oseq is not None else 0,
             )
+            pace["bytes"] += len(data)
+            scn = getattr(row, "_oscn", None)
+            if scn is not None and (hi_scn is None or scn > hi_scn):
+                hi_scn = scn
         writer.flush()
         done["bid"] = batch_id
         if side is not None:
@@ -357,5 +411,6 @@ def stream_file_sink(writer: RotatingFileWriter, state_path: str | None = None):
             with open(tmp, "w") as fh:
                 fh.write(str(batch_id))
             os.replace(tmp, side)
+        _maybe_checkpoint_doc(hi_scn)
 
     return write

@@ -582,3 +582,51 @@ def test_pipeline_timestamp_mask_e2e(spark, tmp_path):
     assert len(lines) == 8
     scns = [r["scn"] for r in lines]
     assert scns == sorted(scns)
+
+
+def test_interval_mb_byte_paced_checkpoint_doc(spark, tmp_path):
+    """state.interval-mb wired (Metadata::writeCheckpoint pacing,
+    Metadata.cpp:421-424): the W7 checkpoint document advances when the
+    funnel's rendered-byte counter crosses the threshold, even though
+    interval-s has not elapsed. First checkpoint is forced; a batch
+    below both thresholds leaves the doc untouched."""
+    from openlogreplicator_spark.metadata.state_documents import (
+        read_checkpoint_doc,
+    )
+    from openlogreplicator_spark.streaming.file_writer import (
+        RotatingFileWriter,
+        stream_file_sink,
+    )
+
+    out = tmp_path / "out.json"
+    state = str(tmp_path / "state")
+    wr = RotatingFileWriter(str(out))
+    fb = stream_file_sink(
+        wr,
+        state_path=str(tmp_path / "sidecar"),
+        state_dir=state,
+        database="DB",
+        interval_s=10_000,   # time cadence never fires in this test
+        interval_mb=1,       # byte cadence: 1 MiB
+    )
+
+    def batch(scn: int, payload: str, n: int = 1):
+        return spark.createDataFrame(
+            [(f"x{i}", payload, scn, f"x{i}", i, 1) for i in range(n)],
+            "key string, value string, _oscn long, _oxid string, "
+            "_oidx long, _oseq long",
+        )
+
+    # batch 0: small — FIRST checkpoint is forced (Writer.cpp:369-370)
+    fb(batch(100, "a" * 10), 0)
+    assert read_checkpoint_doc(state, "DB")["scn"] == 100
+    # batch 1: small, scn advances — neither cadence due → doc holds
+    fb(batch(200, "b" * 10), 1)
+    assert read_checkpoint_doc(state, "DB")["scn"] == 100
+    # batch 2: pushes the byte counter past 1 MiB → doc advances
+    fb(batch(300, "c" * (600 * 1024), n=2), 2)
+    assert read_checkpoint_doc(state, "DB")["scn"] == 300
+    # batch 3: small again — counter reset at the doc write → holds
+    fb(batch(400, "d" * 10), 3)
+    assert read_checkpoint_doc(state, "DB")["scn"] == 300
+    wr.close()

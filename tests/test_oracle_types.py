@@ -314,7 +314,8 @@ def test_v4_image_kernels_round_trip():
         assert decode_interval_ds(encode_interval_ds(s)) == s
     assert decode_boolean(encode_boolean("0")) == "0"
     assert decode_boolean(encode_boolean("1")) == "1"
-    assert decode_boolean(b"\x02") is None  # reference: columnUnknown
+    # reference: columnUnknown route renders the UNKNOWN_FORMAT value
+    assert decode_boolean(b"\x02") == "?"
 
     t = rowid_to_text(91234, 7, 12345, 42)
     assert decode_urowid(encode_urowid(t)) == t
@@ -355,7 +356,7 @@ def test_timestamp_ltz_kernel():
     assert decode_timestamp_ltz(b) == "2024-06-01 10:00:00.000000000"
     # 7-byte form (no fraction) is legal; other sizes are columnUnknown
     assert decode_timestamp_ltz(b[:7]) == "2024-06-01 10:00:00.000000000"
-    assert decode_timestamp_ltz(b[:9]) is None
+    assert decode_timestamp_ltz(b[:9]) == "?"
 
 
 def test_timestamp_tz_format_matrix():
@@ -500,3 +501,149 @@ def test_timezone_map_integrity():
     assert TIMEZONE_MAP[0x80A8] == "Africa/Abidjan"
     assert TIMEZONE_MAP[0x88B8] == "Africa/Asmera"
     assert TIMEZONE_MAP[0x80B8] == "Africa/Asmara"
+
+
+def test_column_unknown_malformed_matrix():
+    """The 15 columnUnknown guard sites of Builder.cpp, ported into the
+    typed kernels: every malformed byte class renders the UNKNOWN_FORMAT
+    fallback ('?' by default, hex under DUMP) instead of a
+    plausible-looking wrong value (Builder.cpp:169-613 guard sites;
+    render Builder.h:395-405 / Format.h:177-180)."""
+    import struct as _struct
+
+    from openlogreplicator_spark.functions.oracle_types import (
+        column_unknown,
+        decode_boolean,
+        decode_date,
+        decode_interval_ds,
+        decode_interval_ym,
+        decode_number,
+        decode_timestamp,
+        decode_timestamp_ltz,
+        decode_timestamp_tz,
+        decode_urowid,
+        encode_timestamp,
+        encode_timestamp_tz,
+    )
+
+    # DATE/TIMESTAMP (Builder.cpp:213 size, :242 component ranges)
+    ok = encode_timestamp("2024-03-05 10:11:12.000000123")
+    assert decode_timestamp(ok) == "2024-03-05 10:11:12.000000123"
+    month99 = ok[:2] + bytes([99]) + ok[3:]
+    assert decode_timestamp(month99) == "?"          # the r9 '1916-99-01' probe
+    hour0 = ok[:4] + bytes([0]) + ok[5:]
+    assert decode_timestamp(hour0) == "?"            # hour byte 0 → hour -1
+    day32 = ok[:3] + bytes([33]) + ok[4:]
+    assert decode_timestamp(day32) == "?"
+    assert decode_timestamp(ok[:9]) == "?"           # size ∉ {7, 11}
+    assert decode_timestamp(ok[:7] + b"\x3b\x9a\xca\x00") == "?"  # frac 10^9
+    assert decode_date(ok[:6]) == "?"
+    assert decode_date(ok[:2] + bytes([13]) + ok[3:7]) == "?"
+
+    # TIMESTAMP WITH TZ (Builder.cpp:274 size, :342 component ranges —
+    # no fraction guard, faithfully)
+    tz_ok = encode_timestamp_tz("2024-03-05 10:11:12.000000123 +05:30")
+    assert decode_timestamp_tz(tz_ok[:9]) == "?"     # truncated image
+    assert decode_timestamp_tz(tz_ok[:2] + bytes([99]) + tz_ok[3:]) == "?"
+    assert decode_timestamp_tz(tz_ok[:4] + bytes([0]) + tz_ok[5:]) == "?"
+
+    # TIMESTAMP WITH LOCAL TZ (Builder.cpp:169 size, :198 ranges+frac)
+    ltz_ok = ok  # same 11-byte layout
+    assert decode_timestamp_ltz(ltz_ok[:2] + bytes([99]) + ltz_ok[3:]) == "?"
+    assert decode_timestamp_ltz(ltz_ok[:8]) == "?"
+
+    # NUMBER (parseNumber 50009 path Builder.h:552-568; digit-range UB)
+    assert decode_number(bytes([0xC2, 0xFF, 0x02])) == "?"   # mantissa 254
+    assert decode_number(bytes([0xC2, 0x00, 0x02])) == "?"   # mantissa byte 0
+    assert decode_number(bytes([0xC1])) == "?"               # lone header
+    assert decode_number(bytes([0x3E, 0x01])) == "?"         # neg digit 100
+    assert decode_number(b"\x00") == "0"                     # digits==0 → '0'
+    assert decode_number(b"\x80") == "0"
+
+    # INTERVAL YTM (Builder.cpp:356 size/month byte, :368 magnitude)
+    assert decode_interval_ym(bytes([128, 0, 0, 1, 48])) == "?"
+    assert decode_interval_ym(bytes([128, 0, 0, 1, 72])) == "?"
+    assert decode_interval_ym(bytes([128, 0, 0, 1])) == "?"
+    big_y = _struct.pack(">I", 0x80000000 + 1_000_000_000) + bytes([61])
+    assert decode_interval_ym(big_y) == "?"
+
+    # INTERVAL DTS (Builder.cpp:437 size/h/m/s bytes, :457 magnitudes)
+    ids_ok = bytes([128, 0, 0, 1, 61, 62, 63, 128, 0, 0, 1])
+    assert decode_interval_ds(ids_ok) is not None
+    assert decode_interval_ds(ids_ok[:4] + bytes([36]) + ids_ok[5:]) == "?"
+    assert decode_interval_ds(ids_ok[:5] + bytes([0]) + ids_ok[6:]) == "?"
+    assert decode_interval_ds(ids_ok[:6] + bytes([120]) + ids_ok[7:]) == "?"
+    assert decode_interval_ds(ids_ok[:10]) == "?"
+    big_d = _struct.pack(">I", 0x80000000 + 1_000_000_000) + ids_ok[4:]
+    assert decode_interval_ds(big_d) == "?"
+
+    # BOOLEAN / UROWID (Builder.cpp:597 / :607)
+    assert decode_boolean(b"\x02") == "?"
+    assert decode_boolean(b"\x01\x00") == "?"
+    assert decode_urowid(b"\x02" + bytes(12)) == "?"
+    assert decode_urowid(b"\x01" + bytes(10)) == "?"
+
+    # UNKNOWN_FORMAT::DUMP renders the byte image as hex — the engine's
+    # established DUMP convention (json_builder._shape_unknown)
+    assert decode_timestamp(month99, unknown="dump") == month99.hex()
+    assert decode_number(bytes([0xC1]), unknown="dump") == "c1"
+    assert column_unknown(b"\x01\x02", "dump") == "0102"
+    assert column_unknown(b"\x01\x02") == "?"
+
+
+def test_column_unknown_through_parse_plane():
+    """Corrupt images planted via the fixture's '!CORRUPT!<hex>'
+    sentinel flow through _enc_value → _dec_value_raw and the
+    vectorized _batch_decode fast paths, rendering the fallback."""
+    from openlogreplicator_spark.functions.oracle_types import (
+        encode_timestamp,
+    )
+    from openlogreplicator_spark.sources.binary_redo import (
+        CORRUPT_SENTINEL,
+        DB_TZ_DEFAULT,
+        TYPE_BFLOAT,
+        TYPE_BOOL,
+        TYPE_DATE,
+        TYPE_NUMBER,
+        TYPE_TS,
+        TYPE_TSTZ,
+        _batch_decode,
+        _dec_value_raw,
+        _enc_value,
+    )
+
+    def img(vtype, hexpayload):
+        enc = _enc_value(CORRUPT_SENTINEL + hexpayload, vtype)
+        # strip the u16 length prefix → tagged bytes as the walk sees them
+        return enc[2:]
+
+    ok = encode_timestamp("2024-03-05 10:11:12.000000123")
+    month99 = (ok[:2] + bytes([99]) + ok[3:]).hex()
+    assert _dec_value_raw(img(TYPE_TS, month99), 5, DB_TZ_DEFAULT) == "?"
+    assert _dec_value_raw(img(TYPE_NUMBER, "c2ff02"), 5, DB_TZ_DEFAULT) == "?"
+    assert _dec_value_raw(img(TYPE_TSTZ, ok[:9].hex()), 5, DB_TZ_DEFAULT) == "?"
+    assert _dec_value_raw(img(TYPE_BOOL, "05"), 5, DB_TZ_DEFAULT) == "?"
+    assert _dec_value_raw(img(TYPE_BFLOAT, "c0ffee"), 5, DB_TZ_DEFAULT) == "?"
+
+    # vectorized fast path: >16 same-size TS images, some corrupt —
+    # the validity mask must route corrupt rows to the fallback
+    goods = [
+        bytes([TYPE_TS]) + encode_timestamp(f"2024-03-{d:02d} 10:11:12.5")
+        for d in range(1, 25)
+    ]
+    bad_ts = bytes([TYPE_TS]) + ok[:2] + bytes([99]) + ok[3:]
+    bad_hour = bytes([TYPE_TS]) + ok[:4] + bytes([0]) + ok[5:]
+    out = _batch_decode(goods + [bad_ts, bad_hour], 5, DB_TZ_DEFAULT)
+    assert out[bad_ts] == "?"
+    assert out[bad_hour] == "?"
+    assert out[goods[0]] == "2024-03-01 10:11:12.500000000"
+
+    # DATE fast path (8-byte tagged images)
+    dgoods = [
+        bytes([TYPE_DATE]) + encode_timestamp(f"2024-03-{d:02d} 10:11:12")[:7]
+        for d in range(1, 25)
+    ]
+    bad_date = bytes([TYPE_DATE]) + ok[:2] + bytes([99]) + ok[3:7]
+    dout = _batch_decode(dgoods + [bad_date], 5, DB_TZ_DEFAULT)
+    assert dout[bad_date] == "?"
+    assert dout[dgoods[0]] == "2024-03-01 10:11:12"

@@ -1219,6 +1219,7 @@ def test_every_accepted_key_wired_rejected_or_recorded():
         "tag-names": dep.metrics_tag_names == "all",
         "keep-checkpoints": dep.state_keep_checkpoints == 5,
         "interval-s": dep.config.checkpoint_interval_s == 30,
+        "interval-mb": dep.config.checkpoint_interval_mb == 100,
         "max-mb": dep.config.memory_max_mb == 2048,
         "swap-path": dep.config.memory_swap_path == "/tmp/swap",
         "state-path": dep.state_path == "/tmp/state",
@@ -1249,7 +1250,7 @@ def test_every_accepted_key_wired_rejected_or_recorded():
         "redo-read-sleep-us": 2000, "redo-verify-delay-us": 3000,
         "refresh-interval-us": 4000,
         "log-timezone": "+03:00",
-        "state-interval-mb": 100, "state-schema-force-interval": 7,
+        "state-schema-force-interval": 7,
     }
     for k, v in recorded.items():
         assert dep.unmodeled.get(k) == v, (k, dep.unmodeled.get(k))
@@ -1390,3 +1391,174 @@ def test_deployment_export_schema_applies_keep(spark, tmp_path):
         fn for fn in os.listdir(tmp_path) if fn.startswith("DB-schema-")
     )
     assert kept == ["DB-schema-102.json", "DB-schema-103.json"]
+
+
+# ── deployment matrix: all 9 example configs e2e to their real sink ─────
+
+
+@pytest.mark.parametrize(
+    "path", _EXAMPLES, ids=[os.path.basename(p) for p in _EXAMPLES]
+)
+def test_deployment_matrix_e2e(spark, tmp_path, path):
+    """Every shipped example config drives build_pipeline end to end
+    against its REAL sink class on the binary fixture: the rotating
+    file writer (mask naming), the loopback Kafka broker (key/value
+    wire messages), the TCP/ZMTP stream servers (frames received,
+    CONFIRM advances the watermark), and the discard sink. Migration
+    is literally ``build_pipeline(spark, dep.config, redo, ckpt,
+    **dep.pipeline_kwargs())`` — only endpoints/paths are localized."""
+    from conftest import drain
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import (
+        generate_redo_records,
+        redo_records_df,
+    )
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    doc = json.load(open(path))
+    writer = doc["target"][0]["writer"]
+    reader = doc["source"][0]["reader"]
+    # localize filesystem side effects into tmp_path
+    if "redo-copy-path" in reader:
+        copy_dir = tmp_path / "redo-copy"
+        copy_dir.mkdir()
+        reader["redo-copy-path"] = str(copy_dir)
+    if "state" in doc:
+        doc["state"]["path"] = str(tmp_path / "refstate")
+    if writer["type"] == "file":
+        out_dir = tmp_path / "out"
+        out_dir.mkdir()
+        writer["output"] = str(out_dir / os.path.basename(writer["output"]))
+    dep = from_reference_json(doc)
+
+    redo = str(tmp_path / "redo")
+    write_binary_redo(
+        redo_records_df(spark, generate_redo_records(n_txns=5, seed=11)),
+        redo, n_files=1,
+    )
+
+    kw = dep.pipeline_kwargs()
+    broker = server = None
+    try:
+        if kw["sink"] == "kafka":
+            from openlogreplicator_spark.streaming.kafka_wire import (
+                LoopbackKafkaBroker,
+            )
+
+            broker = LoopbackKafkaBroker()
+            kw["kafka_bootstrap"] = broker.bootstrap
+        elif kw["sink"] == "network":
+            from openlogreplicator_spark.streaming.stream_network import (
+                StreamClient,
+                StreamServer,
+                ZmqStreamClient,
+                ZmqStreamServer,
+                decode_event,
+                recv_frame,
+            )
+
+            srv_cls = (
+                ZmqStreamServer
+                if dep.writer.type == "zeromq"
+                else StreamServer
+            )
+            server = srv_cls(dep.config.fmt.db_name)
+            kw["network_server"] = server
+            host, port = server.address
+            cli_cls = (
+                ZmqStreamClient
+                if dep.writer.type == "zeromq"
+                else StreamClient
+            )
+            client = cli_cls(host, port, dep.config.fmt.db_name)
+            client.start(scn=0)
+
+        q = build_pipeline(
+            spark, dep.config, redo,
+            checkpoint=str(tmp_path / "ckpt"),
+            query_name=f"olr_matrix_{os.path.basename(path)[:-5]}",
+            **kw,
+        )
+        drain(q)
+
+        if kw["sink"] == "noop":
+            return  # discard: draining without error IS the contract
+        if kw["sink"] == "kafka":
+            got = broker.messages(kw.get("kafka_topic", "olr.events"))
+            assert got, "no messages reached the loopback broker"
+            for _k, v in got:
+                msg = json.loads(v)
+                assert "payload" in msg or "op" in msg
+            return
+        if kw["sink"] == "file":
+            files = [
+                f for f in os.listdir(os.path.dirname(dep.writer.output))
+                if not f.endswith(".tmp")
+            ]
+            assert files, "rotating file sink produced no output"
+            mask_base = os.path.basename(dep.writer.output)
+            if "%t" in mask_base:
+                # TIMESTAMP mask: names are mask with %t expanded —
+                # prefix/suffix around the mask survive verbatim
+                pre, post = mask_base.split("%t")
+                assert all(
+                    f.startswith(pre) and f.endswith(post) for f in files
+                ), files
+            first = os.path.join(
+                os.path.dirname(dep.writer.output), sorted(files)[0]
+            )
+            with open(first, "rb") as fh:
+                line = fh.readline().strip()
+            json.loads(line)
+            return
+        # network / zeromq: frames reached the client; CONFIRM advances
+        frames = []
+        if dep.writer.type == "zeromq":
+            import select as _select
+
+            while True:
+                r, _, _ = _select.select([client._pair._sock], [], [], 5.0)
+                if not r:
+                    break
+                frames.append(client._pair.recv())
+                if len(frames) >= 200:
+                    break
+        else:
+            while True:
+                ev = None
+                import select as _select
+
+                r, _, _ = _select.select([client._sock], [], [], 5.0)
+                if not r:
+                    break
+                frame = recv_frame(client._sock)
+                if frame is None:
+                    break
+                frames.append(frame)
+        assert frames, "no frames reached the stream client"
+        if kw["payload_format"] == "protobuf":
+            evs = [decode_event(f) for f in frames]
+            assert all(e["db"] == dep.config.fmt.db_name for e in evs)
+            scns = [e.get("c_scn", e.get("scn", 0)) for e in evs]
+            assert scns == sorted(scns)
+            hi = max(scns)
+        else:
+            # debezium/json format over the network: frames are the
+            # json builder's rendered bytes (WriterStream.cpp:294-299)
+            for f in frames:
+                json.loads(f)
+            hi = 10**9
+        client.confirm(hi, 10**9)
+        import time as _time
+
+        for _ in range(100):
+            if server.confirmed_scn >= hi:
+                break
+            _time.sleep(0.02)
+        assert server.confirmed_scn >= hi  # CONFIRM advanced the watermark
+        client.close()
+    finally:
+        if broker is not None:
+            broker.stop()
+        if server is not None:
+            server.stop()
