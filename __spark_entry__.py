@@ -35,7 +35,7 @@ _PRIORITY = [  # round-10 window (previous windows: git history of this list)
     "agg_rollup",
     "stream_tumbling_window",
     # -- BYTES CHANGED since the r9 verdict: the typed-images fixture
-    #    moved to v6 — corrupt byte images (month 99, hour byte 0,
+    #    moved to v7 — corrupt byte images (month 99, hour byte 0,
     #    mantissa >99, truncated TSTZ, …) on every k%11==0 order now
     #    exercise the columnUnknown guards end-to-end (r9 VERDICT #1);
     #    cdc_type_tail re-windowed with it per the same prescription.

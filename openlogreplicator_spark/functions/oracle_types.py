@@ -346,6 +346,7 @@ def decode_timestamp_tz(
     b = bytes(b)
     if len(b) != 13 or not _dt_components_valid(b):
         return column_unknown(b, unknown)
+    frac = struct.unpack(">I", b[7:11])[0]
     if 5 <= b[11] <= 36:
         tzh = b[11] - 20
         tzm = b[12] - 60
@@ -354,9 +355,12 @@ def decode_timestamp_tz(
     else:
         tz = TIMEZONE_MAP.get((b[11] << 8) | b[12], TZ_UNKNOWN)
     if fmt == "iso8601_nano":
-        return f"{decode_timestamp(b[:11])} {tz}"
+        # direct render, NOT through decode_timestamp: the TSTZ case
+        # faithfully has NO fraction guard (Builder.cpp:340-344), so
+        # delegating would leak the TIMESTAMP kernel's fraction check
+        # and emit a hybrid '? <tz>'
+        return f"{decode_date(b[:7])}.{frac:09d} {tz}"
     year = (b[0] - 100) * 100 + (b[1] - 100)
-    frac = struct.unpack(">I", b[7:11])[0]
     epoch = (
         _days_from_civil(year, b[2], b[3]) * 86400
         + (b[4] - 1) * 3600 + (b[5] - 1) * 60 + (b[6] - 1)
@@ -579,11 +583,17 @@ def decode_timestamp_ltz(
         or nanos > 999_999_999
     ):
         return column_unknown(b, unknown)
-    wall = decode_date(b[:7])
-    dt = _dt.datetime.strptime(wall, "%Y-%m-%d %H:%M:%S") - _dt.timedelta(
-        seconds=db_tz_seconds
+    # pure-integer civil arithmetic, like the reference's valuesToEpoch:
+    # a calendar-impossible day that passes the per-byte range guard
+    # (e.g. Feb 30 — day byte 29 IS in [0,30]) normalizes arithmetically
+    # instead of crashing a datetime parser, and BC years work
+    year = (b[0] - 100) * 100 + (b[1] - 100)
+    epoch = (
+        _days_from_civil(year, b[2], b[3]) * 86400
+        + (b[4] - 1) * 3600 + (b[5] - 1) * 60 + (b[6] - 1)
+        - db_tz_seconds
     )
-    return dt.strftime("%Y-%m-%d %H:%M:%S") + f".{nanos:09d}"
+    return _iso_from_epoch(epoch, False) + f".{nanos:09d}"
 
 
 def encode_timestamp_ltz(

@@ -82,6 +82,20 @@ def read_checkpoint_doc(state_dir: str, database: str) -> dict | None:
     return doc
 
 
+def advance_checkpoint_doc(
+    state_dir: str, database: str, scn: int, idx: int = 0
+) -> bool:
+    """Monotone doc advance shared by every sink that persists the
+    confirmed watermark: rewrite the document only when ``scn`` is
+    beyond what it already records (a replayed batch or stale CONFIRM
+    must never regress it). Returns True when the doc moved."""
+    prev = read_checkpoint_doc(state_dir, database)
+    if prev is not None and int(prev["scn"]) >= int(scn):
+        return False
+    write_checkpoint_doc(state_dir, database, scn=int(scn), idx=int(idx))
+    return True
+
+
 def resume_scn(state_dir: str, database: str, default_scn: int = 0) -> int:
     """O3 startup positioning from the portable document."""
     doc = read_checkpoint_doc(state_dir, database)

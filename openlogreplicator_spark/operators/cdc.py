@@ -1415,12 +1415,12 @@ _TSTZ_REGIONS = [
 
 
 def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
-    """OLRS1 v6 fixture exercising the remaining scalar byte images:
+    """OLRS1 v7 fixture exercising the remaining scalar byte images:
     TIMESTAMP WITH TZ (offset, region-key and unknown-key forms),
     INTERVAL YTM/DTS, BOOLEAN, UROWID, NUMBER, TIMESTAMP — one
     transaction per order, deterministic values derived arithmetically
     from the order columns so a SQL oracle can re-render them exactly.
-    v6 plants CORRUPT byte images on every k%11==0 order (month byte
+    v7 plants CORRUPT byte images on every k%11==0 order (month byte
     99, hour byte 0, mantissa digit >99, truncated TSTZ, out-of-range
     interval/boolean/urowid bytes) so the decode plane's columnUnknown
     guards (Builder.cpp:169-613) are exercised end-to-end — those rows
@@ -1436,7 +1436,7 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
 
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        "olrs_typed_images_v6",
+        "olrs_typed_images_v7",
         os.path.basename(os.path.normpath(sf_dir))
         + "-" + _source_stamp(sf_dir, "orders"),
     )
@@ -1560,8 +1560,8 @@ def _typed_images_redo_dir(spark: SparkSession, sf_dir: str) -> str:
     num = corr(num, "c2ff02", "c1")
     # month byte 200 ∉ [49,71] (Builder.cpp:356)
     iym = corr(iym, "80000001c8", "80000001f0")
-    # minute byte 0 ∉ [1,119] (Builder.cpp:437)
-    ids = corr(ids, "800000013c003c80000001", "800000013c003c80000001")
+    # minute byte 0 ∉ [1,119] / truncated 10-byte image (Builder.cpp:437)
+    ids = corr(ids, "800000013c003c80000001", "800000013d3e3f800000")
     # boolean byte 5 / two-byte image (Builder.cpp:597)
     flag = corr(flag, "05", "0100")
     # wrong marker byte / short image (Builder.cpp:607)
@@ -1636,7 +1636,7 @@ def cdc_typed_images_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Locales.cpp:40-640), INTERVAL YEAR TO MONTH / DAY TO SECOND
     (Builder.cpp:354-590), BOOLEAN (Builder.cpp:591-600) and UROWID
     (Builder.cpp:601-613 / RowId.h:114-131) images are encoded into
-    OLRS1 v6 files, validated + walked by the parse plane, decoded by
+    OLRS1 v7 files, validated + walked by the parse plane, decoded by
     the byte kernels inside the record walk, assembled per transaction,
     and checked against a SQL oracle that re-renders every value from
     the order columns. Every k%11==0 order carries CORRUPT byte images

@@ -664,6 +664,16 @@ def _pq_adc_shortlist(
     corpus = emb.select(
         "vec_id", _pq_encode_udf(books)("embedding").alias("codes")
     )
+    # the shortlist shuffle is partitions × |Q| × k·refine rows — the
+    # r10 sf1.0 probe measured it growing MULTIPLICATIVELY with input
+    # splits (86× bytes at 10× data as splits grew with copies).
+    # Bounding the scan to O(cores) partitions caps the term at
+    # cores × |Q| × k·refine regardless of how many thousands of files
+    # the corpus arrives in; coalesce merges upstream splits without a
+    # shuffle and never reduces below the available parallelism
+    corpus = corpus.coalesce(
+        max(1, emb.sparkSession.sparkContext.defaultParallelism)
+    )
 
     def adc_scan(batches):
         import numpy as np

@@ -474,6 +474,12 @@ class ReferenceDeployment:
             "sink": self.spark_sink(),
             "max_message_mb": self.writer.max_message_mb,
         }
+        if self.state_path:
+            # the state element's path is where the reference persists
+            # its portable documents — without this, interval-s/
+            # interval-mb doc pacing and doc-based cold-start
+            # positioning never engage on the literal migration path
+            kw["state_dir"] = self.state_path
         if self.writer.type == "kafka":
             kw["kafka_bootstrap"] = self.writer.brokers
             kw["kafka_topic"] = self.writer.topic or "olr.events"

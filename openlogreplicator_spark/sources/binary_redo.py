@@ -258,6 +258,12 @@ def _enc_str(s: str) -> bytes:
 
 
 CORRUPT_SENTINEL = "!CORRUPT!"
+# tags whose decode kernels carry columnUnknown guards — the only ones
+# the fixture sentinel may plant corrupt bytes under
+_CORRUPTIBLE_TAGS = frozenset((
+    TYPE_NUMBER, TYPE_DATE, TYPE_TS, TYPE_BDOUBLE, TYPE_TSTZ, TYPE_IYM,
+    TYPE_IDS, TYPE_BOOL, TYPE_UROWID, TYPE_TSLTZ, TYPE_BFLOAT,
+))
 
 
 def _enc_value(v: str, vtype: int, cs_idx: int = 0) -> bytes:
@@ -268,8 +274,12 @@ def _enc_value(v: str, vtype: int, cs_idx: int = 0) -> bytes:
     planting torn/out-of-range byte images (month 99, hour byte 0,
     mantissa digit >99, truncated TSTZ, …) so the decode plane's
     columnUnknown guards are exercised end-to-end, like a corrupt redo
-    block replayed through the reference."""
-    if v.startswith(CORRUPT_SENTINEL):
+    block replayed through the reference. The sentinel applies only to
+    the SCALAR TYPED tags (the ones with columnUnknown guards) — text
+    carriers (TYPE_STR, TYPE_CSTEXT) and RAW pass any value through
+    verbatim, so user data can never be hijacked into the corrupt-bytes
+    path."""
+    if vtype in _CORRUPTIBLE_TAGS and v.startswith(CORRUPT_SENTINEL):
         payload = bytes.fromhex(v[len(CORRUPT_SENTINEL):])
         return struct.pack("<HB", len(payload), vtype) + payload
     if vtype == TYPE_NUMBER:
@@ -695,7 +705,14 @@ def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
                 (t, s) if ok else (t, _dec_value_raw(t, version, db_tz))
                 for t, s, ok in zip(items, strs, valid.tolist())
             )
-        elif vtype == TYPE_TS and n > 16 and all(len(x) == 12 for x in items):
+        elif (
+            vtype == TYPE_TS
+            and n > 16
+            # the vectorized render IS iso8601_nano; any other
+            # TIMESTAMP_FORMAT must take the scalar kernel
+            and _opts(db_tz).timestamp_column == "iso8601_nano"
+            and all(len(x) == 12 for x in items)
+        ):
             a = np.frombuffer(b"".join(items), np.uint8).reshape(n, 12)[:, 1:]
             m = _fmt_datetime14(_date_composites(a), extra_cols=10)
             _nano_digits(m, a, 19)

@@ -350,6 +350,7 @@ def build_pipeline(
         )
 
     start_scn = cfg.start_scn
+    doc_scn = None
     if start_scn is None and state_dir is not None:
         from openlogreplicator_spark.metadata.state_documents import (
             read_checkpoint_doc,
@@ -357,7 +358,17 @@ def build_pipeline(
 
         doc = read_checkpoint_doc(state_dir, cfg.fmt.db_name)
         if doc is not None:
-            start_scn = int(doc["scn"])
+            # the W7 document carries the WRITER's confirmed watermark
+            # (a commit scn). Resuming by dropping raw redo RECORDS at
+            # or below it would lose the early operations of any
+            # transaction that was in flight across the watermark (its
+            # records sit below the doc scn, its commit above) — the
+            # reference re-reads redo from the reader-side metadata
+            # checkpoint and lets the WRITER skip already-confirmed
+            # messages (Writer.cpp:235-268 oldScn/idx skip). Model
+            # that: re-parse, re-assemble, and filter assembled
+            # transactions on their COMMIT scn below.
+            doc_scn = int(doc["scn"])
     redo = parse_redo_stream(
         spark, in_dir, max_files_per_trigger,
         dictionary=cfg.pos_dictionary,
@@ -398,6 +409,12 @@ def build_pipeline(
         ttl_timeout=not available_now,
         show_incomplete=getattr(cfg, "show_incomplete_transactions", False),
     )
+    if doc_scn is not None:
+        # doc-based cold start: writer-watermark semantics — only
+        # transactions COMMITTED past the confirmed scn re-emit;
+        # straddling transactions reassemble whole from their earliest
+        # records (begin/commit control rows carry commit_scn = scn)
+        assembled = assembled.filter(F.col("commit_scn") > doc_scn)
     events = to_change_events(assembled, cfg, dict_obj)
     if not getattr(cfg, "show_ddl", False):
         # REDO_FLAGS::SHOW_DDL (Ctx.h:91; Builder.cpp:1755): DDL

@@ -372,13 +372,10 @@ def stream_file_sink(
         if not (force or due_time or due_bytes):
             return
         from openlogreplicator_spark.metadata.state_documents import (
-            read_checkpoint_doc,
-            write_checkpoint_doc,
+            advance_checkpoint_doc,
         )
 
-        prev = read_checkpoint_doc(state_dir, database)
-        if prev is None or int(prev["scn"]) < int(hi_scn):
-            write_checkpoint_doc(state_dir, database, scn=int(hi_scn))
+        advance_checkpoint_doc(state_dir, database, int(hi_scn))
         pace["doc_bytes"] = pace["bytes"]
         pace["doc_time"] = now
         pace["doc_scn"] = hi_scn

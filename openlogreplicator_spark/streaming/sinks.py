@@ -70,16 +70,13 @@ def foreach_batch_idempotent(
         idempotent_append(batch, path, keys)
         if state_dir is not None:
             from openlogreplicator_spark.metadata.state_documents import (
-                read_checkpoint_doc,
-                write_checkpoint_doc,
+                advance_checkpoint_doc,
             )
 
             scn_col = keys[0]
             hi = batch.agg(F.max(scn_col).alias("hi")).collect()[0]["hi"]
             if hi is not None:
-                prev = read_checkpoint_doc(state_dir, database)
-                if prev is None or int(prev["scn"]) < int(hi):
-                    write_checkpoint_doc(state_dir, database, scn=int(hi))
+                advance_checkpoint_doc(state_dir, database, int(hi))
 
     return write
 

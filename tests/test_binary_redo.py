@@ -358,7 +358,7 @@ def test_typed_images_fixture_regeneration_deterministic(spark, sf_dir):
 
         return os.path.join(
             tempfile.gettempdir(),
-            "olrs_typed_images_v6",
+            "olrs_typed_images_v7",
             os.path.basename(os.path.normpath(sf_dir))
             + "-" + _source_stamp(sf_dir, "orders"),
         )

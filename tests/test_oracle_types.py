@@ -647,3 +647,62 @@ def test_column_unknown_through_parse_plane():
     dout = _batch_decode(dgoods + [bad_date], 5, DB_TZ_DEFAULT)
     assert dout[bad_date] == "?"
     assert dout[dgoods[0]] == "2024-03-01 10:11:12"
+
+
+def test_review_pass_r10_guard_edge_cases():
+    """r10 review-pass regressions: (1) calendar-impossible-but-byte-
+    valid images (Feb 30) and out-of-strptime-window years must RENDER
+    (civil arithmetic, like the reference's valuesToEpoch), never crash
+    a Spark task; (2) the TSTZ iso render must not leak the TIMESTAMP
+    kernel's fraction guard into a hybrid '? <tz>' (the reference
+    checks no fraction for TSTZ, Builder.cpp:340-344)."""
+    from openlogreplicator_spark.functions.oracle_types import (
+        decode_timestamp_ltz,
+        decode_timestamp_tz,
+        encode_timestamp_tz,
+    )
+
+    # Feb 30 2024, db tz +02:00 → civil-normalized Mar 1 minus 2h
+    assert decode_timestamp_ltz(bytes([120, 124, 2, 30, 1, 1, 1])) == (
+        "2024-02-29 22:00:00.000000000"
+    )
+    # corrupt year bytes → a rendered (wrong-looking but non-crashing)
+    # value, exactly like the reference's unguarded year arithmetic
+    assert decode_timestamp_ltz(bytes([0, 100, 6, 1, 11, 1, 1]))
+
+    b = encode_timestamp_tz("2024-03-05 10:11:12.000000123 +05:30")
+    bad_frac = b[:7] + b"\xff\xff\xff\xff" + b[11:]
+    out = decode_timestamp_tz(bad_frac)
+    assert out == "2024-03-05 10:11:12.4294967295 +05:30"
+    assert decode_timestamp_tz(bad_frac, unknown="dump") == out
+
+
+def test_review_pass_r10_fast_path_and_sentinel():
+    """(3) the vectorized TS fast path must honor TIMESTAMP_FORMAT —
+    only iso8601_nano may take the numpy render; (4) the '!CORRUPT!'
+    encoder sentinel applies to TYPED tags only — a plain string value
+    starting with the literal is user data, not a corruption plant."""
+    from openlogreplicator_spark.functions.oracle_types import (
+        encode_timestamp,
+    )
+    from openlogreplicator_spark.sources.binary_redo import (
+        DB_TZ_DEFAULT,
+        DecodeOpts,
+        TYPE_STR,
+        TYPE_TS,
+        _batch_decode,
+        _dec_value_raw,
+        _enc_value,
+    )
+
+    goods = [
+        bytes([TYPE_TS]) + encode_timestamp(f"2024-03-{d:02d} 10:11:12.5")
+        for d in range(1, 25)
+    ]
+    unix = _batch_decode(goods, 5, DecodeOpts(0, timestamp_column="unix_nano"))
+    assert all(v.isdigit() for v in unix.values())
+    iso = _batch_decode(goods, 5, DecodeOpts(0))
+    assert iso[goods[0]] == "2024-03-01 10:11:12.500000000"
+
+    enc = _enc_value("!CORRUPT!ed data", TYPE_STR)
+    assert _dec_value_raw(enc[2:], 5, DB_TZ_DEFAULT) == "!CORRUPT!ed data"

@@ -207,3 +207,31 @@ def test_pq_adc_shortlist_matches_numpy_replay(spark):
             if np.isfinite(adist[nid]):
                 expected.add((qid, int(nid), round(float(adist[nid]), 9)))
     assert got == expected
+
+
+def test_pq_adc_shortlist_bounded_by_cores_not_splits(spark):
+    """r10 sf1.0 probe follow-up: the shortlist shuffle is
+    partitions × |Q| × k·refine rows, and the probe measured it growing
+    with input SPLITS (86× bytes at 10× data). The ADC scan now
+    coalesces the encoded corpus to O(defaultParallelism) partitions,
+    so a corpus arriving in thousands of files keeps the shortlist at
+    cores × |Q| × k·refine — never splits × |Q| × k·refine."""
+    from openlogreplicator_spark.operators.similarity import (
+        _PQ_REFINE,
+        _pq_adc_shortlist,
+        pq_fit,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    many_splits = base.repartition(64).localCheckpoint(eager=True)
+    assert many_splits.rdd.getNumPartitions() == 64
+    queries = base.limit(10)
+    books = pq_fit(base)
+    k = 5
+    n = _pq_adc_shortlist(many_splits, queries, books, k).count()
+    cores = spark.sparkContext.defaultParallelism
+    assert n <= cores * 10 * k * _PQ_REFINE, (
+        f"shortlist {n} rows exceeds the per-core cap — the coalesce "
+        "before the ADC scan is gone"
+    )
+    assert n < 64 * 10 * k * _PQ_REFINE / 2  # far under the splits bound

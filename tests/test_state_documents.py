@@ -121,3 +121,59 @@ def test_cold_start_resumes_from_documents(spark, tmp_path):
     drain(q2)
     # db_name default is DB; all SCNs ≤ doc scn were confirmed → no output
     assert spark.sql("select count(*) from olr_cold").collect()[0][0] == 0
+
+
+def test_cold_start_keeps_straddling_transaction_whole(spark, tmp_path):
+    """r10 review pass: the W7 doc carries the writer's confirmed COMMIT
+    scn. A transaction in flight across that watermark (early records
+    below it, commit above) must re-emit WHOLE on a doc-based cold
+    start — filtering raw records on scn would silently drop its early
+    operations (the reference re-reads redo and lets the writer skip
+    confirmed messages, Writer.cpp:235-268)."""
+    import json as _json
+
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.metadata.state_documents import (
+        write_checkpoint_doc,
+    )
+    from openlogreplicator_spark.sources.binary_redo import write_binary_redo
+    from openlogreplicator_spark.sources.redo_gen import redo_records_df
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    def rec(scn, xid, opcode, cols=None):
+        return {
+            "scn": scn, "subscn": 0, "block": 0, "offset": 0, "seq": 1,
+            "xid": xid, "opcode": opcode, "obj": 1, "bdba": 1, "slot": 0,
+            "fb": 0, "cols": cols, "rows": None,
+        }
+
+    records = [
+        rec(90, "B", "begin"),
+        rec(100, "A", "begin"),
+        rec(110, "A", "insert", {"v": "a-early"}),      # below the doc scn
+        rec(120, "B", "insert", {"v": "b-op"}),
+        rec(150, "B", "commit"),                         # doc watermark
+        rec(170, "A", "insert", {"v": "a-late"}),
+        rec(200, "A", "commit"),                         # past the watermark
+    ]
+    redo_dir = str(tmp_path / "redo")
+    write_binary_redo(redo_records_df(spark, records), redo_dir, n_files=1)
+
+    state_dir = str(tmp_path / "state")
+    write_checkpoint_doc(state_dir, "DB", scn=150)
+
+    q = build_pipeline(
+        spark, EngineConfig(), redo_dir,
+        checkpoint=str(tmp_path / "ck"), sink="memory",
+        query_name="olr_straddle", state_dir=state_dir,
+    )
+    drain(q)
+    rows = spark.sql("select value from olr_straddle").collect()
+    vals = [
+        _json.loads(r.value) for r in rows
+    ]
+    texts = _json.dumps(vals)
+    # txn A re-emits WHOLE: the op recorded below the watermark included
+    assert "a-early" in texts and "a-late" in texts
+    # txn B committed at the watermark — already confirmed, not re-sent
+    assert "b-op" not in texts
