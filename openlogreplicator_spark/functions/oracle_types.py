@@ -252,11 +252,7 @@ def decode_timestamp(
         return column_unknown(b, unknown)
     if fmt == "iso8601_nano":
         return f"{decode_date(b[:7])}.{frac:09d}"
-    year = (b[0] - 100) * 100 + (b[1] - 100)
-    epoch = (
-        _days_from_civil(year, b[2], b[3]) * 86400
-        + (b[4] - 1) * 3600 + (b[5] - 1) * 60 + (b[6] - 1)
-    )
+    epoch = _civil_epoch_seconds(b)
     if fmt in ("unix_nano", "unix_nano_string"):
         return str(epoch * 10**9 + frac)
     if fmt in ("unix_micro", "unix_micro_string"):
@@ -280,6 +276,19 @@ def decode_timestamp(
             epoch += 1
         body = _iso_from_epoch(epoch, t_sep)
     return f"{body}Z" if t_sep else body
+
+
+def _civil_epoch_seconds(b: bytes) -> int:
+    """Shared epoch arithmetic of the three timestamp kernels: 7-byte
+    excess-100 century/year + 1-based month/day + excess-1 h/m/s →
+    seconds since 1970-01-01 (the reference's valuesToEpoch) — pure
+    integers, so calendar-impossible byte-valid images normalize
+    arithmetically and BC years work."""
+    year = (b[0] - 100) * 100 + (b[1] - 100)
+    return (
+        _days_from_civil(year, b[2], b[3]) * 86400
+        + (b[4] - 1) * 3600 + (b[5] - 1) * 60 + (b[6] - 1)
+    )
 
 
 def _days_from_civil(y: int, m: int, d: int) -> int:
@@ -360,11 +369,7 @@ def decode_timestamp_tz(
         # delegating would leak the TIMESTAMP kernel's fraction check
         # and emit a hybrid '? <tz>'
         return f"{decode_date(b[:7])}.{frac:09d} {tz}"
-    year = (b[0] - 100) * 100 + (b[1] - 100)
-    epoch = (
-        _days_from_civil(year, b[2], b[3]) * 86400
-        + (b[4] - 1) * 3600 + (b[5] - 1) * 60 + (b[6] - 1)
-    )
+    epoch = _civil_epoch_seconds(b)
     if fmt == "unix_nano_string":
         return f"{epoch * 10**9 + frac},{tz}"
     if fmt == "unix_micro_string":
@@ -587,12 +592,7 @@ def decode_timestamp_ltz(
     # a calendar-impossible day that passes the per-byte range guard
     # (e.g. Feb 30 — day byte 29 IS in [0,30]) normalizes arithmetically
     # instead of crashing a datetime parser, and BC years work
-    year = (b[0] - 100) * 100 + (b[1] - 100)
-    epoch = (
-        _days_from_civil(year, b[2], b[3]) * 86400
-        + (b[4] - 1) * 3600 + (b[5] - 1) * 60 + (b[6] - 1)
-        - db_tz_seconds
-    )
+    epoch = _civil_epoch_seconds(b) - db_tz_seconds
     return _iso_from_epoch(epoch, False) + f".{nanos:09d}"
 
 

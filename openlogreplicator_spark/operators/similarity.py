@@ -629,11 +629,12 @@ def _pq_encode_udf(books):
     return enc
 
 
-def _pq_adc_shortlist(
+def _pq_adc_scored(
     emb: DataFrame, queries: DataFrame, books, k: int
 ) -> DataFrame:
-    """MAP-SIDE ADC scan → per-query shortlist of k×_PQ_REFINE
-    candidates.
+    """MAP-SIDE ADC scan → per-PARTITION shortlists of k×_PQ_REFINE
+    candidates per query (pre-global-top-k; :func:`_pq_adc_shortlist`
+    adds the window).
 
     The scale-critical shape (the r6 plan shuffled |corpus|×|queries|
     pairs into one partition per query_id — a guaranteed hot-partition
@@ -642,11 +643,11 @@ def _pq_adc_shortlist(
     ``mapInArrow`` pass over the encoded-corpus partitions scores every
     (row, query) pair by table lookup and keeps a per-partition
     top-(k·refine) heap per query; only those per-partition shortlists
-    (≤ partitions × |Q| × k·refine rows — shortlist-scale, never
-    corpus-scale) are shuffled for the global top-k. Same partial-TopK
-    discipline as :func:`cosine_topk`. The query-set collect is the
-    same model-scale materialization the old plan's
-    ``broadcast(queries)`` implied."""
+    (≤ cores × |Q| × k·refine rows after the coalesce below —
+    shortlist-scale, never corpus-scale) are shuffled for the global
+    top-k. Same partial-TopK discipline as :func:`cosine_topk`. The
+    query-set collect is the same model-scale materialization the old
+    plan's ``broadcast(queries)`` implied."""
     import numpy as np
 
     m, ksub, d = books.shape
@@ -719,10 +720,19 @@ def _pq_adc_shortlist(
                 names=["query_id", "neighbor_id", "adist"],
             )
 
-    scored = corpus.mapInArrow(
+    return corpus.mapInArrow(
         adc_scan, "query_id bigint, neighbor_id bigint, adist double"
     )
-    # global top-k over the per-partition shortlists only
+
+
+def _pq_adc_shortlist(
+    emb: DataFrame, queries: DataFrame, books, k: int
+) -> DataFrame:
+    """Global top-(k·refine) over the per-partition ADC shortlists —
+    the only shuffle of the scan, bounded at cores × |Q| × k·refine
+    input rows by :func:`_pq_adc_scored`'s coalesce."""
+    keep = k * _PQ_REFINE
+    scored = _pq_adc_scored(emb, queries, books, k)
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")
     )

@@ -224,6 +224,28 @@ def _order_cols(df: DataFrame) -> DataFrame:
     )
 
 
+def _doc_resume_predicate(doc_scn: int, sink: str):
+    """Which assembled rows re-emit on a W7-doc cold start.
+
+    Strictly-after transactions always re-emit. NULL commit_scn rows
+    (SHOW_INCOMPLETE_TRANSACTIONS diagnostics) always pass — they were
+    never confirmed, and a bare ``>`` would NULL them out and suppress
+    every incomplete transaction forever. The BOUNDARY transaction
+    (commit_scn == doc_scn) is sink-dependent: the network sink's doc
+    can record a MID-transaction watermark (per-message idx CONFIRM),
+    so it re-enqueues whole and the client's CONTINUE(c_scn, c_idx)
+    skip trims already-delivered parts (idx assignment is
+    deterministic); the funnel sinks write the doc only after a full
+    batch is durable, so their boundary transaction is complete and
+    strict ``>`` avoids re-appending it."""
+    boundary = (
+        F.col("commit_scn") >= doc_scn
+        if sink == "network"
+        else F.col("commit_scn") > doc_scn
+    )
+    return boundary | F.col("commit_scn").isNull()
+
+
 def build_pipeline(
     spark: SparkSession,
     cfg: EngineConfig,
@@ -368,6 +390,18 @@ def build_pipeline(
             # messages (Writer.cpp:235-268 oldScn/idx skip). Model
             # that: re-parse, re-assemble, and filter assembled
             # transactions on their COMMIT scn below.
+            #
+            # Cost trade-off, explicit: a doc-only cold start re-reads
+            # the WHOLE retained redo directory (no record-level lower
+            # bound is safe — an in-flight transaction's earliest
+            # record can sit arbitrarily far below the watermark; the
+            # reference bounds this with its reader-side min-tran
+            # checkpoint, which Spark's own streaming checkpoint
+            # subsumes here). Warm restarts therefore keep the Spark
+            # checkpoint (bounded, exact state restore); the doc-only
+            # path is the disaster-recovery route where correctness
+            # beats re-read cost, and `keep-checkpoints` GC bounds how
+            # much history the state directory retains.
             doc_scn = int(doc["scn"])
     redo = parse_redo_stream(
         spark, in_dir, max_files_per_trigger,
@@ -413,8 +447,23 @@ def build_pipeline(
         # doc-based cold start: writer-watermark semantics — only
         # transactions COMMITTED past the confirmed scn re-emit;
         # straddling transactions reassemble whole from their earliest
-        # records (begin/commit control rows carry commit_scn = scn)
-        assembled = assembled.filter(F.col("commit_scn") > doc_scn)
+        # records (begin/commit control rows carry commit_scn = scn).
+        # NULL commit_scn = SHOW_INCOMPLETE_TRANSACTIONS diagnostics —
+        # never confirmed by definition, so they always pass (a bare
+        # `>` comparison would NULL them out and suppress every
+        # incomplete transaction forever).
+        #
+        # Boundary transaction (commit_scn == doc_scn): for the network
+        # sink the doc can record a MID-transaction watermark (the
+        # client confirms per message idx, stream_network REQ_CONFIRM),
+        # so that transaction re-enqueues WHOLE and the client's
+        # CONTINUE(c_scn, c_idx) skip trims the already-delivered parts
+        # — idx assignment is deterministic (reset per scn, emission
+        # order), so the numbering matches the first run. The funnel
+        # sinks (file/json/lake) write the doc only after a full batch
+        # is durable, so their boundary transaction is complete and
+        # strict `>` avoids re-appending it.
+        assembled = assembled.filter(_doc_resume_predicate(doc_scn, sink))
     events = to_change_events(assembled, cfg, dict_obj)
     if not getattr(cfg, "show_ddl", False):
         # REDO_FLAGS::SHOW_DDL (Ctx.h:91; Builder.cpp:1755): DDL

@@ -218,7 +218,7 @@ def test_pq_adc_shortlist_bounded_by_cores_not_splits(spark):
     cores × |Q| × k·refine — never splits × |Q| × k·refine."""
     from openlogreplicator_spark.operators.similarity import (
         _PQ_REFINE,
-        _pq_adc_shortlist,
+        _pq_adc_scored,
         pq_fit,
     )
 
@@ -228,10 +228,16 @@ def test_pq_adc_shortlist_bounded_by_cores_not_splits(spark):
     queries = base.limit(10)
     books = pq_fit(base)
     k = 5
-    n = _pq_adc_shortlist(many_splits, queries, books, k).count()
+    # the PRE-top-k frame: this is the shuffle input the cap bounds —
+    # counting the post-window shortlist would be vacuous (the window
+    # caps it at |Q|·k·refine regardless of the coalesce)
+    scored = _pq_adc_scored(many_splits, queries, books, k)
+    assert scored.rdd.getNumPartitions() <= max(
+        1, spark.sparkContext.defaultParallelism
+    ), "the coalesce before the ADC scan is gone"
+    n = scored.count()
     cores = spark.sparkContext.defaultParallelism
     assert n <= cores * 10 * k * _PQ_REFINE, (
-        f"shortlist {n} rows exceeds the per-core cap — the coalesce "
-        "before the ADC scan is gone"
+        f"scored {n} rows exceeds the per-core cap"
     )
-    assert n < 64 * 10 * k * _PQ_REFINE / 2  # far under the splits bound
+    assert n < 64 * 10 * k * _PQ_REFINE  # strictly under the splits bound

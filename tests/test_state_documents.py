@@ -177,3 +177,28 @@ def test_cold_start_keeps_straddling_transaction_whole(spark, tmp_path):
     assert "a-early" in texts and "a-late" in texts
     # txn B committed at the watermark — already confirmed, not re-sent
     assert "b-op" not in texts
+
+
+def test_doc_resume_predicate_matrix(spark):
+    """r10 review pass 3: the doc cold-start predicate must (a) pass
+    NULL-commit_scn rows — SHOW_INCOMPLETE_TRANSACTIONS diagnostics
+    were never confirmed and a bare `>` NULLs them out; (b) include the
+    BOUNDARY transaction for the network sink, whose doc can record a
+    mid-transaction idx watermark (the server's CONTINUE skip trims the
+    confirmed parts), but exclude it for the funnel sinks, whose doc is
+    written only after the full batch is durable."""
+    from openlogreplicator_spark.streaming.engine import (
+        _doc_resume_predicate,
+    )
+
+    df = spark.createDataFrame(
+        [(100,), (150,), (200,), (None,)], "commit_scn long"
+    )
+
+    def scns(sink):
+        rows = df.filter(_doc_resume_predicate(150, sink)).collect()
+        return sorted((r.commit_scn for r in rows), key=lambda x: (x is None, x))
+
+    assert scns("memory") == [200, None]
+    assert scns("file") == [200, None]
+    assert scns("network") == [150, 200, None]

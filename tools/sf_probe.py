@@ -5,7 +5,7 @@ seconds + shuffle-write bytes so the scaling exponent per query is
 EMPIRICAL, not just plan-audited.
 
 sf1.0 synthesis = 10 key-shifted copies of the driver's sf0.1 tables
-(seeded, deterministic). Text copies get a per-copy vowel rotation so
+(seeded, deterministic). Text copies get a per-copy letter rotation so
 cross-copy documents are NOT near-duplicates — the duplicate-rate /
 LSH-bucket-occupancy workload shape of the base corpus is preserved
 per copy instead of amplified 10x (which would measure an adversarial
@@ -31,7 +31,7 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 BASE = "/root/testdata/sf0.1"
-BIG = "/tmp/sfprobe/sf1.0"
+BIG = "/tmp/sfprobe/sf1.0v2"
 COPIES = 10
 PROBES = [
     "dedup_cluster_cc",
@@ -40,7 +40,10 @@ PROBES = [
     "cdc_txn_assembly_binary",
     "ann_pq",
 ]
-VOWELS = "aeiou"
+# 10-letter mutation alphabet: rotation is injective over all 10 copies
+# (a 5-letter alphabet gave copies c and c+5 IDENTICAL text — a 2x
+# exact-duplicate corpus, the amplification this scheme must avoid)
+MUTATE = "aeiousnrtl"
 
 
 def synthesize(spark) -> None:
@@ -72,11 +75,13 @@ def synthesize(spark) -> None:
         out.write.mode("overwrite").parquet(f"{BIG}/{name}.parquet")
 
     def doc_mutate(df, copy: int):
-        # per-copy vowel rotation: same within-copy near-dup structure,
-        # no cross-copy near-dups (every shingle containing a vowel
-        # differs between copies)
-        rot = VOWELS[copy % 5:] + VOWELS[: copy % 5]
-        return df.withColumn("text", F.translate("text", VOWELS, rot))
+        # per-copy letter rotation (bijective on the 10-char alphabet):
+        # same within-copy near-dup structure, no cross-copy near-dups
+        # (every shingle containing any of these letters differs
+        # between copies; period 10 = COPIES, so no two copies share
+        # the mapping)
+        rot = MUTATE[copy % 10:] + MUTATE[: copy % 10]
+        return df.withColumn("text", F.translate("text", MUTATE, rot))
 
     def emb_mutate(df, copy: int):
         return df.withColumn(
