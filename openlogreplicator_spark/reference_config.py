@@ -324,6 +324,11 @@ class ReferenceDeployment:
     start_time_rel: int = 0
     state_path: str = ""           # W7 state documents directory
     state_keep_checkpoints: int = 100   # checkpoint GC depth (O4)
+    # schema-rewrite cadence (state.schema-force-interval, Ctx.h:209
+    # default 20; semantics Metadata.cpp:426-436): an UNCHANGED schema
+    # skips up to N snapshot exports, then re-stores on the (N+1)th;
+    # any change stores immediately and resets the counter
+    schema_force_interval: int = 20
     metrics_bind: str = ""         # W8 Prometheus exposition endpoint
     metrics_tag_names: str = "none"    # TAG_NAMES exposition mode
     dump_redo_log: int = 0         # 0/1/2 — LogMiner-style dump mode
@@ -407,6 +412,28 @@ class ReferenceDeployment:
             resetlogs=resetlogs,
             activation=activation,
             keep=self.state_keep_checkpoints,
+        )
+
+    def export_schema_paced(
+        self, dict_versions, scn: int, schema_changed: bool,
+        resetlogs: int = 0, activation: int = 0,
+    ) -> str | None:
+        """``state.schema-force-interval`` wired — the storeSchema
+        pacing of Metadata::writeCheckpoint (Metadata.cpp:426-436): a
+        CHANGED schema stores immediately (counter resets); an
+        unchanged one skips up to ``schema_force_interval`` exports,
+        then re-stores on the next (counter resets) — the periodic
+        full-schema rewrite that lets old snapshots be GC'd without
+        stranding a cold start on a deleted base. Returns the snapshot
+        path, or None when this call was paced out."""
+        if not schema_changed:
+            n = getattr(self, "_schema_interval", 0)
+            if n < self.schema_force_interval:
+                object.__setattr__(self, "_schema_interval", n + 1)
+                return None
+        object.__setattr__(self, "_schema_interval", 0)
+        return self.export_schema(
+            dict_versions, scn, resetlogs=resetlogs, activation=activation
         )
 
     def copy_redo_files(self, in_dir: str) -> list[str]:
@@ -809,6 +836,7 @@ def from_reference_json(source) -> ReferenceDeployment:
     checkpoint_interval_s = 600    # ctx->checkpointIntervalS (Ctx.h:206)
     checkpoint_interval_mb = 500   # ctx->checkpointIntervalMb (Ctx.h:207)
     state_keep_checkpoints = 100   # ctx->checkpointKeep default
+    schema_force_interval = 20     # ctx->schemaForceInterval (Ctx.h:209)
     if "state" in doc:
         _check_keys(doc["state"], _STATE_KEYS, '"state"', check)
         state_path = doc["state"].get("path", "checkpoint")
@@ -829,13 +857,13 @@ def from_reference_json(source) -> ReferenceDeployment:
             if "keep-checkpoints" in doc["state"]
             else 100
         )
-        # the schema-rewrite cadence paces the reference's own
-        # checkpoint writer thread; the registry table versions schema
-        # on change instead — recorded
-        if "schema-force-interval" in doc["state"]:
-            tuning_unmodeled["state-schema-force-interval"] = (
-                doc["state"]["schema-force-interval"]
-            )
+        # schema-rewrite cadence (cpp:453-454; Metadata.cpp:426-436) —
+        # wired to export_schema_paced's storeSchema pacing
+        schema_force_interval = (
+            _uint(doc["state"], "schema-force-interval", 0, 2**63 - 1)
+            if "schema-force-interval" in doc["state"]
+            else 20
+        )
 
     sources = doc.get("source")
     if not isinstance(sources, list) or len(sources) != 1:
@@ -1167,6 +1195,7 @@ def from_reference_json(source) -> ReferenceDeployment:
         start_time_rel=start_time_rel,
         state_path=state_path,
         state_keep_checkpoints=state_keep_checkpoints,
+        schema_force_interval=schema_force_interval,
         metrics_bind=metrics_bind,
         metrics_tag_names=metrics_tag_names,
         dump_redo_log=dump_redo,

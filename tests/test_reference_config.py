@@ -1220,6 +1220,7 @@ def test_every_accepted_key_wired_rejected_or_recorded():
         "keep-checkpoints": dep.state_keep_checkpoints == 5,
         "interval-s": dep.config.checkpoint_interval_s == 30,
         "interval-mb": dep.config.checkpoint_interval_mb == 100,
+        "schema-force-interval": dep.schema_force_interval == 7,
         "max-mb": dep.config.memory_max_mb == 2048,
         "swap-path": dep.config.memory_swap_path == "/tmp/swap",
         "state-path": dep.state_path == "/tmp/state",
@@ -1250,7 +1251,6 @@ def test_every_accepted_key_wired_rejected_or_recorded():
         "redo-read-sleep-us": 2000, "redo-verify-delay-us": 3000,
         "refresh-interval-us": 4000,
         "log-timezone": "+03:00",
-        "state-schema-force-interval": 7,
     }
     for k, v in recorded.items():
         assert dep.unmodeled.get(k) == v, (k, dep.unmodeled.get(k))
@@ -1562,3 +1562,34 @@ def test_deployment_matrix_e2e(spark, tmp_path, path):
             broker.stop()
         if server is not None:
             server.stop()
+
+
+def test_schema_force_interval_paces_unchanged_snapshots(spark, tmp_path):
+    """state.schema-force-interval WIRED (Metadata::writeCheckpoint
+    storeSchema pacing, Metadata.cpp:426-436): a CHANGED schema stores
+    immediately and resets the counter; an unchanged one skips exactly
+    N exports, then re-stores on the next — the periodic full rewrite
+    that keeps GC from stranding a cold start."""
+    versions = spark.createDataFrame(
+        [(1, 10, "O", "T", "TABLE", False)],
+        "obj long, scn_from long, owner string, name string, "
+        "type string, dropped boolean",
+    )
+    doc = _base()
+    doc["state"] = {"type": "disk", "path": str(tmp_path),
+                    "schema-force-interval": 2}
+    dep = from_reference_json(doc)
+
+    stored = []
+    for scn, changed in (
+        (100, True),    # change → store
+        (101, False),   # skip 1
+        (102, False),   # skip 2 (= interval)
+        (103, False),   # forced re-store, counter resets
+        (104, False),   # skip 1
+        (105, True),    # change → store immediately, counter resets
+        (106, False),   # skip 1
+    ):
+        if dep.export_schema_paced(versions, scn, schema_changed=changed):
+            stored.append(scn)
+    assert stored == [100, 103, 105]
