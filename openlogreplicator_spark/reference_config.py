@@ -329,6 +329,13 @@ class ReferenceDeployment:
     # skips up to N snapshot exports, then re-stores on the (N+1)th;
     # any change stores immediately and resets the counter
     schema_force_interval: int = 20
+    # mutable pacing state for export_schema_paced (per deployment
+    # object, like the reference's in-memory Metadata::schemaInterval);
+    # a field holding a mutable dict keeps the frozen dataclass's value
+    # semantics honest (no object.__setattr__ smuggling)
+    _schema_pacer: dict = field(
+        default_factory=dict, repr=False, compare=False
+    )
     metrics_bind: str = ""         # W8 Prometheus exposition endpoint
     metrics_tag_names: str = "none"    # TAG_NAMES exposition mode
     dump_redo_log: int = 0         # 0/1/2 — LogMiner-style dump mode
@@ -425,13 +432,21 @@ class ReferenceDeployment:
         then re-stores on the next (counter resets) — the periodic
         full-schema rewrite that lets old snapshots be GC'd without
         stranding a cold start on a deleted base. Returns the snapshot
-        path, or None when this call was paced out."""
+        path, or None when this call was paced out.
+
+        This deployment-level API is the runtime surface for schema
+        snapshots (same wiring level the keep-checkpoints GC rides):
+        an operator's registry-update hook calls it on every
+        checkpoint; there is no engine-internal caller because the
+        engine's own schema durability is the versioned registry
+        table — the snapshot documents exist for reference-shaped
+        consumers and cold starts."""
         if not schema_changed:
-            n = getattr(self, "_schema_interval", 0)
+            n = self._schema_pacer.get("n", 0)
             if n < self.schema_force_interval:
-                object.__setattr__(self, "_schema_interval", n + 1)
+                self._schema_pacer["n"] = n + 1
                 return None
-        object.__setattr__(self, "_schema_interval", 0)
+        self._schema_pacer["n"] = 0
         return self.export_schema(
             dict_versions, scn, resetlogs=resetlogs, activation=activation
         )

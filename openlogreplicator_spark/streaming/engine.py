@@ -233,11 +233,12 @@ def _doc_resume_predicate(doc_scn: int, sink: str):
     every incomplete transaction forever. The BOUNDARY transaction
     (commit_scn == doc_scn) is sink-dependent: the network sink's doc
     can record a MID-transaction watermark (per-message idx CONFIRM),
-    so it re-enqueues whole and the client's CONTINUE(c_scn, c_idx)
-    skip trims already-delivered parts (idx assignment is
-    deterministic); the funnel sinks write the doc only after a full
-    batch is durable, so their boundary transaction is complete and
-    strict ``>`` avoids re-appending it."""
+    so it re-assembles WHOLE and the SINK applies the reference's
+    oldScn/idx skip (stream_network_sink cold_start: original per-scn
+    numbering, everything at or below the confirmed (scn, idx) dropped
+    before enqueue — Writer.cpp:235-268); the funnel sinks write the
+    doc only after a full batch is durable, so their boundary
+    transaction is complete and strict ``>`` avoids re-appending it."""
     boundary = (
         F.col("commit_scn") >= doc_scn
         if sink == "network"
@@ -299,11 +300,11 @@ def build_pipeline(
     # so a legacy layout fails loudly with migration instructions.
     # resolve through the Hadoop FS API so the guard also sees into
     # hdfs:// / s3a:// / file: checkpoint locations, not just local paths
-    def _ckpt_offsets_exists() -> bool:
+    def _offsets_exists(ckpt_path: str) -> bool:
         try:
             jvm = spark._jvm
             p = jvm.org.apache.hadoop.fs.Path(
-                os.path.join(checkpoint, "offsets")
+                os.path.join(ckpt_path, "offsets")
             )
             fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
             return bool(fs.exists(p))
@@ -311,20 +312,20 @@ def build_pipeline(
             # no JVM gateway (Spark Connect) — a remote-scheme path can
             # then NOT be verified: warn instead of silently passing,
             # because a missed legacy layout means silent re-delivery
-            if "://" in checkpoint and not checkpoint.startswith("file:"):
+            if "://" in ckpt_path and not ckpt_path.startswith("file:"):
                 import warnings
 
                 warnings.warn(
-                    f"could not probe {checkpoint!r} for a legacy "
+                    f"could not probe {ckpt_path!r} for a streaming "
                     "checkpoint layout (no JVM filesystem access); if a "
                     "pre-suffix checkpoint exists there, move it under "
                     "the per-mode subdirectory before starting",
                     stacklevel=3,
                 )
                 return False
-            return os.path.isdir(os.path.join(checkpoint, "offsets"))
+            return os.path.isdir(os.path.join(ckpt_path, "offsets"))
 
-    if _ckpt_offsets_exists():
+    if _offsets_exists(checkpoint):
         mode = "drain" if available_now else "continuous"
         raise ValueError(
             f"legacy streaming checkpoint found directly at {checkpoint!r}; "
@@ -403,6 +404,12 @@ def build_pipeline(
             # beats re-read cost, and `keep-checkpoints` GC bounds how
             # much history the state directory retains.
             doc_scn = int(doc["scn"])
+    # TRUE cold start = doc-positioned AND no Spark offsets yet at the
+    # resolved (suffixed) checkpoint: the re-emission below reproduces
+    # original per-scn message numbering, so the network sink engages
+    # the Writer.cpp oldScn/idx skip instead of its warm-restart
+    # counter seeding (the two are mutually exclusive by construction)
+    doc_cold_start = doc_scn is not None and not _offsets_exists(checkpoint)
     redo = parse_redo_stream(
         spark, in_dir, max_files_per_trigger,
         dictionary=cfg.pos_dictionary,
@@ -444,25 +451,8 @@ def build_pipeline(
         show_incomplete=getattr(cfg, "show_incomplete_transactions", False),
     )
     if doc_scn is not None:
-        # doc-based cold start: writer-watermark semantics — only
-        # transactions COMMITTED past the confirmed scn re-emit;
-        # straddling transactions reassemble whole from their earliest
-        # records (begin/commit control rows carry commit_scn = scn).
-        # NULL commit_scn = SHOW_INCOMPLETE_TRANSACTIONS diagnostics —
-        # never confirmed by definition, so they always pass (a bare
-        # `>` comparison would NULL them out and suppress every
-        # incomplete transaction forever).
-        #
-        # Boundary transaction (commit_scn == doc_scn): for the network
-        # sink the doc can record a MID-transaction watermark (the
-        # client confirms per message idx, stream_network REQ_CONFIRM),
-        # so that transaction re-enqueues WHOLE and the client's
-        # CONTINUE(c_scn, c_idx) skip trims the already-delivered parts
-        # — idx assignment is deterministic (reset per scn, emission
-        # order), so the numbering matches the first run. The funnel
-        # sinks (file/json/lake) write the doc only after a full batch
-        # is durable, so their boundary transaction is complete and
-        # strict `>` avoids re-appending it.
+        # NULL-passthrough + sink-dependent boundary semantics: see
+        # _doc_resume_predicate's docstring (single source of truth)
         assembled = assembled.filter(_doc_resume_predicate(doc_scn, sink))
     events = to_change_events(assembled, cfg, dict_obj)
     if not getattr(cfg, "show_ddl", False):
@@ -569,6 +559,10 @@ def build_pipeline(
                     fmt=cfg.fmt,
                     max_message_bytes=net_cap,
                     encoder=net_encoder,
+                    # doc cold start: original numbering + the
+                    # Writer.cpp oldScn/idx skip (see
+                    # _doc_resume_predicate)
+                    cold_start=doc_cold_start,
                 )
             )
             .option("checkpointLocation", checkpoint)

@@ -535,7 +535,7 @@ def order_encoded_messages(df):
 
 def stream_network_sink(server: StreamServer, fmt=None,
                         max_message_bytes: int | None = None,
-                        encoder=None):
+                        encoder=None, cold_start: bool = False):
     """foreachBatch writer: CHANGE_EVENT_SCHEMA micro-batches →
     builder-rendered messages on the server's queue, in (c_scn, xid,
     num) emission order. The reference's WriterStream ships the
@@ -571,6 +571,21 @@ def stream_network_sink(server: StreamServer, fmt=None,
     from pyspark.sql import functions as F
 
     wm = {"scn": None, "idx": -1, "seeded": False}
+    # Writer.cpp:235-268 oldScn/idx skip, for DOC COLD STARTS: the
+    # engine re-emits the boundary scn's messages WHOLE (original
+    # numbering from 0 — the seeding below must NOT engage, it would
+    # renumber them above the watermark and defeat both this skip and
+    # the client's CONTINUE trim), and the writer drops everything at
+    # or below the confirmed (scn, idx) watermark captured at startup.
+    # Fully-confirmed boundary transaction → all parts skipped (no
+    # duplicates); partially-confirmed → exactly the unconfirmed tail
+    # re-enqueues with its original idx.
+    skip_wm = None
+    if cold_start:
+        skip_wm = (
+            getattr(server, "confirmed_scn", 0) or 0,
+            getattr(server, "confirmed_idx", 0) or 0,
+        )
     # replay idempotency: a foreachBatch retry (failure after enqueue,
     # before the offset commit) must re-enqueue the SAME (scn, idx)
     # pairs, or CONTINUE's skip loop can no longer dedup the duplicate
@@ -579,6 +594,11 @@ def stream_network_sink(server: StreamServer, fmt=None,
     batch_start: dict[int, dict] = {}
 
     def write(batch_df, batch_id: int) -> None:
+        if not wm["seeded"] and cold_start:
+            # doc cold start: the full re-emission reproduces original
+            # per-scn numbering; seeding above the watermark would
+            # contradict it (see skip_wm above)
+            wm["seeded"] = True
         if not wm["seeded"]:
             # a RESTARTED pipeline gets a fresh closure; seed the
             # counter from the server's durable confirmed watermark so
@@ -625,6 +645,8 @@ def stream_network_sink(server: StreamServer, fmt=None,
                 wm["idx"] += 1
             else:
                 wm["scn"], wm["idx"] = scn, 0
+            if skip_wm is not None and (scn, wm["idx"]) <= skip_wm:
+                continue  # already confirmed before the cold start
             server.enqueue(scn, wm["idx"], to_bytes(row.value))
 
     return write

@@ -240,4 +240,3 @@ def test_pq_adc_shortlist_bounded_by_cores_not_splits(spark):
     assert n <= cores * 10 * k * _PQ_REFINE, (
         f"scored {n} rows exceeds the per-core cap"
     )
-    assert n < 64 * 10 * k * _PQ_REFINE  # strictly under the splits bound

@@ -633,3 +633,36 @@ def test_restarted_sink_seeds_counter_from_confirmed_watermark(spark):
     write = stream_network_sink(srv)   # fresh closure, as after restart
     write(_events_df(spark, n=2, scn0=90), 0)  # c_scn = 100
     assert srv.calls == [(100, 3), (100, 4)]
+
+
+def test_cold_start_sink_applies_writer_skip_with_original_numbering(spark):
+    """r10 review pass 4: on a DOC COLD START the engine re-emits the
+    boundary scn's messages WHOLE, so the sink must use ORIGINAL per-scn
+    numbering (not seed above the watermark — that would renumber the
+    re-emission and defeat every downstream skip) and apply the
+    reference's oldScn/idx writer skip (Writer.cpp:235-268): everything
+    at or below the confirmed (scn, idx) is dropped before enqueue.
+    Partially-confirmed boundary → exactly the unconfirmed tail with
+    original idx; fully-confirmed boundary → nothing re-enqueued."""
+    from openlogreplicator_spark.streaming.stream_network import (
+        stream_network_sink,
+    )
+
+    # partially confirmed: (110, 1) of the boundary's 4 messages
+    srv = _EnqStub()
+    srv.confirmed_scn = 110
+    srv.confirmed_idx = 1
+    write = stream_network_sink(srv, cold_start=True)
+    write(_events_df(spark, n=4, scn0=100), 0)  # boundary c_scn = 110
+    assert srv.calls == [(110, 2), (110, 3)]
+    # messages past the boundary scn flow untouched, numbering from 0
+    write(_events_df(spark, n=2, scn0=200), 1)  # c_scn = 210
+    assert srv.calls[-2:] == [(210, 0), (210, 1)]
+
+    # fully confirmed boundary: nothing re-enqueues (no duplicates)
+    srv2 = _EnqStub()
+    srv2.confirmed_scn = 110
+    srv2.confirmed_idx = 3
+    write2 = stream_network_sink(srv2, cold_start=True)
+    write2(_events_df(spark, n=4, scn0=100), 0)
+    assert srv2.calls == []
