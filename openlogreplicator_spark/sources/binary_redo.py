@@ -571,6 +571,11 @@ def _dec_value_raw(
     if vtype == TYPE_TS:
         return decode_timestamp(payload, o.timestamp_column, unk)
     if vtype == TYPE_CSTEXT:
+        # a torn charset-index byte is a corrupt image, not a crash
+        # (the reference resolves the charset from the DICTIONARY, so
+        # its equivalent failure is a bad column charset id → badChar)
+        if not payload or payload[0] >= len(CHARSET_TABLE):
+            return column_unknown(payload, unk)
         return charset_decode(
             payload[1:], CHARSET_TABLE[payload[0]], o.char_format
         )
@@ -596,7 +601,12 @@ def _dec_value_raw(
     if vtype == TYPE_BFLOAT:
         v = decode_binary_float(payload)
         return column_unknown(payload, unk) if v is None else repr(v)
-    return payload.decode("utf-8")
+    # TYPE_STR / unknown tag: invalid UTF-8 in a torn image replaces
+    # per character instead of killing the task — the reference's
+    # CharacterSet badChar path substitutes UNICODE_REPLACEMENT_
+    # CHARACTER for undecodable sequences (CharacterSet.cpp) rather
+    # than aborting the stream
+    return payload.decode("utf-8", errors="replace")
 
 
 def _fmt_datetime14(comp, extra_cols: int = 0):

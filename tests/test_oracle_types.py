@@ -706,3 +706,45 @@ def test_review_pass_r10_fast_path_and_sentinel():
 
     enc = _enc_value("!CORRUPT!ed data", TYPE_STR)
     assert _dec_value_raw(enc[2:], 5, DB_TZ_DEFAULT) == "!CORRUPT!ed data"
+
+
+def test_kernels_never_raise_on_arbitrary_bytes():
+    """r10 fuzz contract: no typed kernel and no parse-plane dispatch
+    may RAISE on arbitrary bytes — a torn redo image renders the
+    UNKNOWN_FORMAT fallback (or a replacement character for text), it
+    never kills the Spark task. This is the columnUnknown work's
+    load-bearing property; the fuzz that created it found the
+    TYPE_STR invalid-UTF-8 and CSTEXT charset-index crash classes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from openlogreplicator_spark.functions import oracle_types as ot
+    from openlogreplicator_spark.sources.binary_redo import (
+        DB_TZ_DEFAULT,
+        _dec_value_raw,
+    )
+
+    decoders = (
+        ot.decode_number, ot.decode_date, ot.decode_timestamp,
+        ot.decode_timestamp_tz, ot.decode_timestamp_ltz,
+        ot.decode_interval_ym, ot.decode_interval_ds, ot.decode_boolean,
+        ot.decode_urowid, ot.decode_binary_float, ot.decode_binary_double,
+        lambda b: ot.charset_decode(b, "ZHS16GBK"),
+        lambda b: ot.charset_decode(b, "UTF8"),
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.binary(min_size=0, max_size=20))
+    def scalar_kernels(b):
+        for fn in decoders:
+            out = fn(b)
+            assert out is None or isinstance(out, (str, float))
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.binary(min_size=1, max_size=20))
+    def dispatcher(tagged):
+        out = _dec_value_raw(tagged, 5, DB_TZ_DEFAULT)
+        assert out is None or isinstance(out, str)
+
+    scalar_kernels()
+    dispatcher()
