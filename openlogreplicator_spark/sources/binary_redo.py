@@ -1032,36 +1032,53 @@ def parse_redo_columns(
         )
         payload = body[cur: cur + lwn_blocks, 16:].tobytes()
         pos = LWN_HEADER
-        for _ in range(n_records):
-            size, scn, subscn, n_vectors = struct.unpack_from(
-                "<IQHH", payload, pos
-            )
-            # (block, offset) where this record starts — LwnMember analog
-            blk = cur + 1 + pos // PAYLOAD
-            off = 16 + pos % PAYLOAD
-            vpos = pos + REC_HEADER
-            for _ in range(n_vectors):
-                xid, op, obj, bdba, slot, fb, cols, rows, vpos = (
-                    _walk_vector(payload, vpos, version, cache, kcache,
-                                 dictionary)
+        try:
+            for _ in range(n_records):
+                size, scn, subscn, n_vectors = struct.unpack_from(
+                    "<IQHH", payload, pos
                 )
-                c_scn.append(scn)
-                c_subscn.append(subscn)
-                c_block.append(blk)
-                c_offset.append(off)
-                c_xid.append(xid)
-                c_op.append(op)
-                c_obj.append(obj)
-                c_bdba.append(bdba)
-                c_slot.append(slot)
-                c_fb.append(fb)
-                c_cols.append(cols)
-                c_rows.append(rows)
-            if vpos != pos + size:
-                raise ValueError(
-                    f"{path}: record size mismatch at block {blk}"
-                )
-            pos += size
+                # (block, offset) where this record starts — LwnMember
+                blk = cur + 1 + pos // PAYLOAD
+                off = 16 + pos % PAYLOAD
+                vpos = pos + REC_HEADER
+                for _ in range(n_vectors):
+                    xid, op, obj, bdba, slot, fb, cols, rows, vpos = (
+                        _walk_vector(payload, vpos, version, cache,
+                                     kcache, dictionary)
+                    )
+                    c_scn.append(scn)
+                    c_subscn.append(subscn)
+                    c_block.append(blk)
+                    c_offset.append(off)
+                    c_xid.append(xid)
+                    c_op.append(op)
+                    c_obj.append(obj)
+                    c_bdba.append(bdba)
+                    c_slot.append(slot)
+                    c_fb.append(fb)
+                    c_cols.append(cols)
+                    c_rows.append(rows)
+                if vpos != pos + size:
+                    raise ValueError(
+                        f"{path}: record size mismatch at block {blk}"
+                    )
+                pos += size
+        except (
+            struct.error, KeyError, IndexError, UnicodeDecodeError,
+            OverflowError,
+        ) as e:
+            # a structurally-corrupt record that SURVIVED the XOR-fold
+            # checksum (cancelling bit errors — the reference's weak
+            # calcChSum has the same blind spot) must fail as the
+            # controlled redo-corruption error, never a raw KeyError/
+            # IndexError from deep inside the walk — the reference's
+            # numbered RedoLogException (Parser record walk, code
+            # 50007-style)
+            raise ValueError(
+                f"{path}: corrupt record structure in the LWN at block "
+                f"{cur + 1} ({type(e).__name__}: {e}) — redo corruption "
+                "not caught by the block checksum"
+            ) from e
         cur += lwn_blocks
     # columnar value decode: the walk above interned raw tagged images;
     # decode each distinct image once, in per-type vectorized batches,

@@ -393,3 +393,45 @@ def test_db_timezone_threads_into_tsltz_decode():
     assert parse_redo_bytes(data, "t")[0]["cols"]["lt"] == utc_canonical
     shifted = parse_redo_bytes(data, "t", db_tz=9 * 3600)[0]["cols"]["lt"]
     assert shifted == "1997-03-13 23:30:01.000000000"
+
+
+def test_bitflip_corruption_fails_controlled():
+    """r10 fuzz contract at the block layer: random bit flips either
+    fail the XOR-fold checksum (controlled ValueError, like the
+    reference's block checks) or — when cancelling flips slip past the
+    weak fold, the reference's calcChSum has the same blind spot —
+    fail the record walk as the CONTROLLED redo-corruption ValueError,
+    never a raw KeyError/IndexError/UnicodeDecodeError from deep
+    inside the walk."""
+    import random
+
+    from openlogreplicator_spark.sources.binary_redo import (
+        encode_redo_file,
+        parse_redo_bytes,
+    )
+
+    recs = []
+    for i in range(1, 8):
+        for op, scn, cols in (
+            ("begin", i * 100, None),
+            ("insert", i * 100 + 1, {"v": "x"}),
+            ("commit", i * 100 + 9, None),
+        ):
+            recs.append(
+                {"scn": scn, "subscn": 0, "block": 1, "offset": 0,
+                 "seq": 1, "xid": f"{i}", "opcode": op, "obj": 1,
+                 "bdba": 5 if op == "insert" else None,
+                 "slot": 0 if op == "insert" else None, "fb": 0,
+                 "cols": cols, "rows": None}
+            )
+    data = bytearray(encode_redo_file(recs, sequence=1))
+    rng = random.Random(3)
+    for _ in range(1500):
+        buf = bytearray(data)
+        for _f in range(rng.randint(1, 4)):
+            pos = rng.randrange(len(buf))
+            buf[pos] ^= 1 << rng.randrange(8)
+        try:
+            parse_redo_bytes(bytes(buf))
+        except ValueError:
+            pass  # the controlled corruption contract
