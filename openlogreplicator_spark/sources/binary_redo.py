@@ -560,10 +560,14 @@ def _dec_value_raw(
     v2 runs the byte-accurate Oracle kernels (NUMBER/DATE/TIMESTAMP)
     right here in the parse plane — the same place the reference's
     OpCode decoders run."""
-    vtype = tagged[0]
-    payload = tagged[1:]
     o = _opts(db_tz)
     unk = o.unknown
+    if not tagged:
+        # a clamped overrun slice interned an EMPTY image — torn bytes,
+        # the unknown render (a bare tagged[0] would IndexError)
+        return column_unknown(b"", unk)
+    vtype = tagged[0]
+    payload = tagged[1:]
     if vtype == TYPE_NUMBER:
         return decode_number(payload, unk)
     if vtype == TYPE_DATE:
@@ -688,6 +692,10 @@ def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
     out: dict = {}
     by_type: dict[int, list[bytes]] = {}
     for t in uniq:
+        if not t:
+            # empty interned image (torn overrun slice) — unknown
+            out[t] = column_unknown(b"", _opts(db_tz).unknown)
+            continue
         by_type.setdefault(t[0], []).append(t)
     def _dt_valid_mask(a):
         # vectorized twin of oracle_types._dt_components_valid
@@ -1030,6 +1038,17 @@ def parse_redo_columns(
         lwn_blocks, n_records, _lwn_scn, _lwn_ts = struct.unpack_from(
             "<IIQQ", data, (cur + 1) * BLOCK_SIZE + 16
         )
+        if lwn_blocks < 1 or cur + lwn_blocks > n_blocks - 1:
+            # a zeroed/oversized LWN span that survived the weak
+            # XOR-fold checksum: zero would spin this loop forever
+            # (cur += 0), oversize would silently clamp the payload
+            # slice — both are the controlled corruption error
+            raise ValueError(
+                f"{path}: corrupt LWN header at block {cur + 1}: "
+                f"span {lwn_blocks} of {n_blocks - 1 - cur} remaining "
+                "blocks — redo corruption not caught by the block "
+                "checksum"
+            )
         payload = body[cur: cur + lwn_blocks, 16:].tobytes()
         pos = LWN_HEADER
         try:

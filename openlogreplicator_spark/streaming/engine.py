@@ -300,7 +300,14 @@ def build_pipeline(
     # so a legacy layout fails loudly with migration instructions.
     # resolve through the Hadoop FS API so the guard also sees into
     # hdfs:// / s3a:// / file: checkpoint locations, not just local paths
-    def _offsets_exists(ckpt_path: str) -> bool:
+    def _offsets_exists(ckpt_path: str, unprobeable: bool = False) -> bool:
+        """``unprobeable`` is returned when the path cannot be checked
+        (no JVM gateway + remote scheme): callers choose their fail-safe
+        direction — the legacy-layout guard assumes absent (False, with
+        a warning), the cold-start classifier assumes PRESENT (True),
+        because misclassifying a warm restart as cold engages the
+        writer skip against renumbered messages and silently drops
+        frames, while the reverse merely duplicates (at-least-once)."""
         try:
             jvm = spark._jvm
             p = jvm.org.apache.hadoop.fs.Path(
@@ -322,7 +329,7 @@ def build_pipeline(
                     "the per-mode subdirectory before starting",
                     stacklevel=3,
                 )
-                return False
+                return unprobeable
             return os.path.isdir(os.path.join(ckpt_path, "offsets"))
 
     if _offsets_exists(checkpoint):
@@ -409,7 +416,9 @@ def build_pipeline(
     # original per-scn message numbering, so the network sink engages
     # the Writer.cpp oldScn/idx skip instead of its warm-restart
     # counter seeding (the two are mutually exclusive by construction)
-    doc_cold_start = doc_scn is not None and not _offsets_exists(checkpoint)
+    doc_cold_start = doc_scn is not None and not _offsets_exists(
+        checkpoint, unprobeable=True
+    )
     redo = parse_redo_stream(
         spark, in_dir, max_files_per_trigger,
         dictionary=cfg.pos_dictionary,

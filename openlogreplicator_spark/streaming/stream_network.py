@@ -575,11 +575,15 @@ def stream_network_sink(server: StreamServer, fmt=None,
     # engine re-emits the boundary scn's messages WHOLE (original
     # numbering from 0 — the seeding below must NOT engage, it would
     # renumber them above the watermark and defeat both this skip and
-    # the client's CONTINUE trim), and the writer drops everything at
-    # or below the confirmed (scn, idx) watermark captured at startup.
-    # Fully-confirmed boundary transaction → all parts skipped (no
-    # duplicates); partially-confirmed → exactly the unconfirmed tail
-    # re-enqueues with its original idx.
+    # the client's CONTINUE trim), and the writer drops the boundary
+    # scn's messages at or below the confirmed idx. Fully-confirmed
+    # boundary transaction → all parts skipped (no duplicates);
+    # partially-confirmed → exactly the unconfirmed tail re-enqueues
+    # with its original idx. The skip applies ONLY at the boundary scn:
+    # committed messages below it never reach the sink (the engine's
+    # commit-scn filter removed them), so anything arriving with a
+    # lower emission scn is a NULL-commit incomplete-transaction
+    # diagnostic riding its record scn — never confirmed, must pass.
     skip_wm = None
     if cold_start:
         skip_wm = (
@@ -645,8 +649,12 @@ def stream_network_sink(server: StreamServer, fmt=None,
                 wm["idx"] += 1
             else:
                 wm["scn"], wm["idx"] = scn, 0
-            if skip_wm is not None and (scn, wm["idx"]) <= skip_wm:
-                continue  # already confirmed before the cold start
+            if (
+                skip_wm is not None
+                and scn == skip_wm[0]
+                and wm["idx"] <= skip_wm[1]
+            ):
+                continue  # boundary part confirmed before the cold start
             server.enqueue(scn, wm["idx"], to_bytes(row.value))
 
     return write

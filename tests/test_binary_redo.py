@@ -435,3 +435,54 @@ def test_bitflip_corruption_fails_controlled():
             parse_redo_bytes(bytes(buf))
         except ValueError:
             pass  # the controlled corruption contract
+
+
+def test_zeroed_lwn_span_is_controlled_error_not_hang():
+    """r10 review pass 5: cancelling bit flips can zero an LWN header's
+    span while passing the XOR-fold checksum; an unguarded walk would
+    spin forever on cur += 0. Both the zero and the oversized span must
+    fail as the controlled corruption error."""
+    import struct as _struct
+
+    import pytest
+
+    from openlogreplicator_spark.sources.binary_redo import (
+        BLOCK_SIZE,
+        encode_redo_file,
+        parse_redo_bytes,
+    )
+
+    recs = [
+        {"scn": 100, "subscn": 0, "block": 1, "offset": 0, "seq": 1,
+         "xid": "1", "opcode": "begin", "obj": 1, "bdba": None,
+         "slot": None, "fb": 0, "cols": None, "rows": None},
+        {"scn": 101, "subscn": 0, "block": 1, "offset": 0, "seq": 1,
+         "xid": "1", "opcode": "commit", "obj": 1, "bdba": None,
+         "slot": None, "fb": 0, "cols": None, "rows": None},
+    ]
+    data = bytearray(encode_redo_file(recs, sequence=1))
+
+    def patch_lwn(span, n_records=None):
+        buf = bytearray(data)
+        base = BLOCK_SIZE + 16  # first LWN header in block 1
+        _struct.pack_into("<I", buf, base, span)
+        if n_records is not None:
+            _struct.pack_into("<I", buf, base + 4, n_records)
+        # recompute the block's checksum so the corruption is the span,
+        # not a checksum mismatch (the cancelling-flip scenario)
+        blk = bytes(buf[BLOCK_SIZE:2 * BLOCK_SIZE])
+        words = _struct.unpack(f"<{BLOCK_SIZE // 8}Q", blk)
+        w0 = words[0] & ~0xFFFF0000
+        x = 0
+        for w in words[1:]:
+            x ^= w
+        x ^= w0
+        x ^= (x >> 32)
+        x ^= (x >> 16)
+        _struct.pack_into("<H", buf, BLOCK_SIZE + 2, x & 0xFFFF)
+        return bytes(buf)
+
+    with pytest.raises(ValueError, match="corrupt LWN header"):
+        parse_redo_bytes(patch_lwn(0, 0))
+    with pytest.raises(ValueError, match="corrupt LWN header"):
+        parse_redo_bytes(patch_lwn(10_000))

@@ -741,8 +741,8 @@ def test_kernels_never_raise_on_arbitrary_bytes():
             assert out is None or isinstance(out, (str, float))
 
     @settings(max_examples=400, deadline=None)
-    @given(st.binary(min_size=1, max_size=20))
-    def dispatcher(tagged):
+    @given(st.binary(min_size=0, max_size=20))
+    def dispatcher(tagged):  # min_size=0: the empty interned image too
         out = _dec_value_raw(tagged, 5, DB_TZ_DEFAULT)
         assert out is None or isinstance(out, str)
 

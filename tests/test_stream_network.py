@@ -666,3 +666,23 @@ def test_cold_start_sink_applies_writer_skip_with_original_numbering(spark):
     write2 = stream_network_sink(srv2, cold_start=True)
     write2(_events_df(spark, n=4, scn0=100), 0)
     assert srv2.calls == []
+
+
+def test_cold_start_skip_passes_diagnostics_below_boundary(spark):
+    """r10 review pass 5: the cold-start writer skip applies ONLY at
+    the boundary scn. A message arriving with a LOWER emission scn can
+    only be a NULL-commit incomplete-transaction diagnostic riding its
+    record scn (the engine's commit-scn filter removed every committed
+    message below the watermark) — it was never confirmed and must
+    reach the queue."""
+    from openlogreplicator_spark.streaming.stream_network import (
+        stream_network_sink,
+    )
+
+    srv = _EnqStub()
+    srv.confirmed_scn = 500
+    srv.confirmed_idx = 3
+    write = stream_network_sink(srv, cold_start=True)
+    # emission scn 60 < boundary 500: a diagnostic — passes untouched
+    write(_events_df(spark, n=2, scn0=50), 0)  # c_scn = 60
+    assert srv.calls == [(60, 0), (60, 1)]
