@@ -275,9 +275,22 @@ def q21_suppliers_kept_waiting(
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS"
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    # one distinct layer instead of two countDistincts: pre-aggregate to
+    # (order, supplier, had-late-line), then plain counts. Same result;
+    # removes the double-distinct Expand AND a fingerprint flap —
+    # Catalyst's RewriteDistinctAggregates assigns its gid groups in
+    # nondeterministic order for two distinct aggregates, so the
+    # optimized plan (and its noise-detector fingerprint) differed run
+    # to run (found r10 when only this query's fingerprint moved in a
+    # round that never touched it)
+    per_order = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("any_late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.count(F.when(F.col("any_late") == 1, 1)).alias("n_late"),
+        )
     )
     late_lines = (
         li.filter(late)
