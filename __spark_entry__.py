@@ -41,6 +41,9 @@ _PRIORITY = [  # round-10 window (previous windows: git history of this list)
     #    cdc_type_tail re-windowed with it per the same prescription.
     "cdc_typed_images_binary",
     "cdc_type_tail",
+    #    q21 rewritten late in r10 (single distinct layer — the
+    #    double-countDistinct plan fingerprint flapped): re-window
+    "q21_suppliers_kept_waiting",
     # -- STALE-VERDICT ROTATION (r9 VERDICT #2): all 14 remaining
     #    r6-latest queries; after this round no verdict predates r7.
     "agg_approx_distinct",
@@ -87,7 +90,8 @@ _PRIORITY = [  # round-10 window (previous windows: git history of this list)
     "q17_small_quantity_revenue",
     "q19_disjunctive_predicates",
     "q22_global_sales_opportunity",
-    "topk_orders",
+    # (topk_orders yields its slot to the q21 re-window; it joins the
+    # 15 r7-latest stragglers rotating in r11)
 ]
 
 
