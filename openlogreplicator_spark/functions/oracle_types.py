@@ -209,12 +209,21 @@ def _dt_components_valid(b: bytes) -> bool:
 
 def decode_date(b: bytes | None, unknown: str = "question") -> str | None:
     """7-byte Oracle DATE → 'YYYY-MM-DD HH:MM:SS' (keeps time of day).
-    Size/component violations render per UNKNOWN_FORMAT
-    (Builder.cpp:211-246 columnUnknown routes)."""
+    Size/component violations render per UNKNOWN_FORMAT. The 11-byte
+    form is accepted because the reference decodes DATE and TIMESTAMP
+    in ONE case arm admitting both sizes (Builder.cpp:211-246); its
+    fraction bytes are range-checked like that arm does (>999999999 →
+    unknown) but not rendered — the canonical DATE text has no
+    fraction (TYPE_TS is the fraction-bearing tag)."""
     if b is None or len(b) == 0:
         return None
     b = bytes(b)
-    if len(b) not in (7, 11) or not _dt_components_valid(b):
+    frac = struct.unpack(">I", b[7:11])[0] if len(b) == 11 else 0
+    if (
+        len(b) not in (7, 11)
+        or not _dt_components_valid(b)
+        or frac > 999_999_999
+    ):
         return column_unknown(b, unknown)
     year = (b[0] - 100) * 100 + (b[1] - 100)
     return (

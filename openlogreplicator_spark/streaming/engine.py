@@ -194,6 +194,12 @@ def heartbeat_messages(
             F.lit(None).cast("string").alias("_oxid"),
             F.lit(0).cast("long").alias("_oidx"),
             F.col("seq").cast("long").alias("_oseq"),
+            # heartbeats NEVER advance the W7 doc: the heartbeat source
+            # is unthrottled, so its chkpt rows can describe redo files
+            # the throttled main source has not yet emitted — a doc at
+            # that scn would silently drop those transactions on a
+            # doc-based cold start
+            F.lit(None).cast("long").alias("_odoc"),
         ]
         if with_order_cols
         else []
@@ -215,12 +221,18 @@ def heartbeat_messages(
 
 def _order_cols(df: DataFrame) -> DataFrame:
     """Emission-order columns for single-funnel sinks (rotating file,
-    network): commit scn, xid, op index, redo sequence."""
+    network): commit scn, xid, op index, redo sequence. ``_odoc`` is
+    the RAW commit scn (no record-scn fallback): only commit-backed
+    data messages may advance the W7 checkpoint document — an
+    incomplete-transaction diagnostic (NULL c_scn) or a chkpt heartbeat
+    must never push the confirmed watermark past transactions the
+    writer has not actually emitted."""
     return (
         df.withColumn("_oscn", F.coalesce(F.col("c_scn"), F.col("scn")))
         .withColumn("_oxid", F.col("xid"))
         .withColumn("_oidx", F.coalesce(F.col("num"), F.lit(0)))
         .withColumn("_oseq", F.coalesce(F.col("seq"), F.lit(0)))
+        .withColumn("_odoc", F.col("c_scn"))
     )
 
 
@@ -233,12 +245,18 @@ def _doc_resume_predicate(doc_scn: int, sink: str):
     every incomplete transaction forever. The BOUNDARY transaction
     (commit_scn == doc_scn) is sink-dependent: the network sink's doc
     can record a MID-transaction watermark (per-message idx CONFIRM),
-    so it re-assembles WHOLE and the SINK applies the reference's
-    oldScn/idx skip (stream_network_sink cold_start: original per-scn
-    numbering, everything at or below the confirmed (scn, idx) dropped
-    before enqueue — Writer.cpp:235-268); the funnel sinks write the
-    doc only after a full batch is durable, so their boundary
-    transaction is complete and strict ``>`` avoids re-appending it."""
+    so it re-assembles WHOLE; the sink's counter seeds ABOVE the
+    confirmed watermark, so every boundary message (re)delivers —
+    AT-LEAST-ONCE at the boundary, by design (review pass 6: per-scn
+    numbering is arrival order, so a positional idx skip silently LOSES
+    messages when one commit scn splits across micro-batches; bounded
+    duplicates beat loss, and the reference's restart has the same
+    window, Writer.cpp:130-140). The FILE funnel instead records only
+    COMPLETE commit scns in its doc (scns are globally monotone in redo
+    order, so a higher commit proves completeness) — strict ``>`` is
+    then lossless, with duplicates bounded to the final scn's written
+    prefix. The remaining sinks never write docs from inside
+    build_pipeline; strict ``>`` is the conservative choice there."""
     boundary = (
         F.col("commit_scn") >= doc_scn
         if sink == "network"
@@ -300,14 +318,7 @@ def build_pipeline(
     # so a legacy layout fails loudly with migration instructions.
     # resolve through the Hadoop FS API so the guard also sees into
     # hdfs:// / s3a:// / file: checkpoint locations, not just local paths
-    def _offsets_exists(ckpt_path: str, unprobeable: bool = False) -> bool:
-        """``unprobeable`` is returned when the path cannot be checked
-        (no JVM gateway + remote scheme): callers choose their fail-safe
-        direction — the legacy-layout guard assumes absent (False, with
-        a warning), the cold-start classifier assumes PRESENT (True),
-        because misclassifying a warm restart as cold engages the
-        writer skip against renumbered messages and silently drops
-        frames, while the reverse merely duplicates (at-least-once)."""
+    def _offsets_exists(ckpt_path: str) -> bool:
         try:
             jvm = spark._jvm
             p = jvm.org.apache.hadoop.fs.Path(
@@ -329,7 +340,7 @@ def build_pipeline(
                     "the per-mode subdirectory before starting",
                     stacklevel=3,
                 )
-                return unprobeable
+                return False
             return os.path.isdir(os.path.join(ckpt_path, "offsets"))
 
     if _offsets_exists(checkpoint):
@@ -411,14 +422,6 @@ def build_pipeline(
             # beats re-read cost, and `keep-checkpoints` GC bounds how
             # much history the state directory retains.
             doc_scn = int(doc["scn"])
-    # TRUE cold start = doc-positioned AND no Spark offsets yet at the
-    # resolved (suffixed) checkpoint: the re-emission below reproduces
-    # original per-scn message numbering, so the network sink engages
-    # the Writer.cpp oldScn/idx skip instead of its warm-restart
-    # counter seeding (the two are mutually exclusive by construction)
-    doc_cold_start = doc_scn is not None and not _offsets_exists(
-        checkpoint, unprobeable=True
-    )
     redo = parse_redo_stream(
         spark, in_dir, max_files_per_trigger,
         dictionary=cfg.pos_dictionary,
@@ -568,10 +571,6 @@ def build_pipeline(
                     fmt=cfg.fmt,
                     max_message_bytes=net_cap,
                     encoder=net_encoder,
-                    # doc cold start: original numbering + the
-                    # Writer.cpp oldScn/idx skip (see
-                    # _doc_resume_predicate)
-                    cold_start=doc_cold_start,
                 )
             )
             .option("checkpointLocation", checkpoint)
@@ -631,7 +630,7 @@ def build_pipeline(
             stream_file_sink,
         )
 
-        _ORDER = ("_oscn", "_oxid", "_oidx", "_oseq")
+        _ORDER = ("_oscn", "_oxid", "_oidx", "_oseq", "_odoc")
 
         if (payload_format or "json") == "protobuf" and with_heartbeats:
             # the heartbeat union renders JSON text — interleaving it

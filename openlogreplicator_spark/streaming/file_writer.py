@@ -340,7 +340,22 @@ def stream_file_sink(
     the doc is rewritten when EITHER ``interval_s`` elapsed OR
     ``interval_mb`` of rendered message bytes went through this funnel
     since the last doc — ``state.interval-mb`` wired to the byte
-    counter that already drives rotation."""
+    counter that already drives rotation.
+
+    Watermark discipline (review pass 6): the doc records the highest
+    COMPLETE commit scn — the previous distinct commit scn once a
+    HIGHER commit-backed data message is written. SCNs are globally
+    monotone in redo order, so observing commit scn S proves no future
+    message can arrive below S; a strict ``commit_scn > doc`` filter on
+    a doc-based cold start therefore loses nothing, and duplicates are
+    bounded to the final (not-yet-complete) scn's already-written
+    messages — the reference's own at-least-once window
+    (Writer.cpp:130-140). Only commit-backed data rows participate
+    (``_odoc``/``_oxid`` non-null): chkpt heartbeats ride an
+    UNTHROTTLED source and can describe redo the main source has not
+    emitted, and incomplete-transaction diagnostics carry no commit —
+    either advancing the doc would let a cold start silently skip
+    transactions the writer never wrote."""
     import time
 
     side = state_path
@@ -352,12 +367,16 @@ def stream_file_sink(
         except (OSError, ValueError):
             done["bid"] = None
     # checkpoint-doc pacing state (driver-side funnel: plain locals)
-    pace = {"bytes": 0, "doc_bytes": 0, "doc_time": None, "doc_scn": None}
+    pace = {"bytes": 0, "doc_bytes": 0, "doc_time": None, "doc_wm": None}
+    # complete-scn tracking: cur = the newest commit scn seen (possibly
+    # still incomplete), prev = the newest COMPLETE one (a higher scn
+    # proved it finished) — the doc watermark
+    scns = {"cur": None, "cur_idx": -1, "prev": None, "prev_idx": -1}
 
-    def _maybe_checkpoint_doc(hi_scn) -> None:
-        if state_dir is None or hi_scn is None:
+    def _maybe_checkpoint_doc(hi_wm) -> None:
+        if state_dir is None or hi_wm is None:
             return
-        if pace["doc_scn"] is not None and hi_scn <= pace["doc_scn"]:
+        if pace["doc_wm"] is not None and hi_wm <= pace["doc_wm"]:
             return  # nothing confirmed beyond the last doc
         now = time.monotonic()
         force = pace["doc_time"] is None  # force first checkpoint
@@ -375,10 +394,12 @@ def stream_file_sink(
             advance_checkpoint_doc,
         )
 
-        advance_checkpoint_doc(state_dir, database, int(hi_scn))
+        advance_checkpoint_doc(
+            state_dir, database, int(hi_wm[0]), idx=int(hi_wm[1])
+        )
         pace["doc_bytes"] = pace["bytes"]
         pace["doc_time"] = now
-        pace["doc_scn"] = hi_scn
+        pace["doc_wm"] = hi_wm
 
     def write(batch_df, batch_id: int) -> None:
         from openlogreplicator_spark.streaming.stream_network import (
@@ -389,17 +410,32 @@ def stream_file_sink(
         if done["bid"] is not None and batch_id <= done["bid"]:
             return   # already durable — replayed batch, don't re-append
         ordered = order_encoded_messages(batch_df)
-        hi_scn = None
+        # frames without the _odoc column (direct callers) treat every
+        # scn-bearing row as data; engine frames always carry it
+        has_odoc = "_odoc" in batch_df.columns
         for row in ordered.toLocalIterator():
+            scn = getattr(row, "_oscn", None)
             data = to_bytes(row.value)
             writer.write(
                 data,
                 seq=int(row._oseq) if row._oseq is not None else 0,
             )
             pace["bytes"] += len(data)
-            scn = getattr(row, "_oscn", None)
-            if scn is not None and (hi_scn is None or scn > hi_scn):
-                hi_scn = scn
+            is_data = (
+                row._odoc is not None and row._oxid is not None
+                if has_odoc
+                else scn is not None
+            )
+            if is_data:
+                if scn != scns["cur"]:
+                    if scns["cur"] is not None:
+                        # a higher commit scn proves the previous one
+                        # complete — it becomes the doc watermark
+                        scns["prev"] = scns["cur"]
+                        scns["prev_idx"] = scns["cur_idx"]
+                    scns["cur"], scns["cur_idx"] = scn, 0
+                else:
+                    scns["cur_idx"] += 1
         writer.flush()
         done["bid"] = batch_id
         if side is not None:
@@ -408,6 +444,7 @@ def stream_file_sink(
             with open(tmp, "w") as fh:
                 fh.write(str(batch_id))
             os.replace(tmp, side)
-        _maybe_checkpoint_doc(hi_scn)
+        if scns["prev"] is not None:
+            _maybe_checkpoint_doc((scns["prev"], scns["prev_idx"]))
 
     return write

@@ -535,7 +535,7 @@ def order_encoded_messages(df):
 
 def stream_network_sink(server: StreamServer, fmt=None,
                         max_message_bytes: int | None = None,
-                        encoder=None, cold_start: bool = False):
+                        encoder=None):
     """foreachBatch writer: CHANGE_EVENT_SCHEMA micro-batches →
     builder-rendered messages on the server's queue, in (c_scn, xid,
     num) emission order. The reference's WriterStream ships the
@@ -571,25 +571,19 @@ def stream_network_sink(server: StreamServer, fmt=None,
     from pyspark.sql import functions as F
 
     wm = {"scn": None, "idx": -1, "seeded": False}
-    # Writer.cpp:235-268 oldScn/idx skip, for DOC COLD STARTS: the
-    # engine re-emits the boundary scn's messages WHOLE (original
-    # numbering from 0 — the seeding below must NOT engage, it would
-    # renumber them above the watermark and defeat both this skip and
-    # the client's CONTINUE trim), and the writer drops the boundary
-    # scn's messages at or below the confirmed idx. Fully-confirmed
-    # boundary transaction → all parts skipped (no duplicates);
-    # partially-confirmed → exactly the unconfirmed tail re-enqueues
-    # with its original idx. The skip applies ONLY at the boundary scn:
-    # committed messages below it never reach the sink (the engine's
-    # commit-scn filter removed them), so anything arriving with a
-    # lower emission scn is a NULL-commit incomplete-transaction
-    # diagnostic riding its record scn — never confirmed, must pass.
-    skip_wm = None
-    if cold_start:
-        skip_wm = (
-            getattr(server, "confirmed_scn", 0) or 0,
-            getattr(server, "confirmed_idx", 0) or 0,
-        )
+    # DOC COLD STARTS deliver AT-LEAST-ONCE at the
+    # boundary scn, by design: the engine re-emits the boundary scn's
+    # messages whole (commit_scn >= doc scn) and the counter seeds
+    # ABOVE the confirmed watermark like any restart, so every
+    # re-emitted boundary message is (re)delivered. An idx-positional
+    # skip that tried to make this exact was rejected in review pass 6:
+    # per-scn numbering is ARRIVAL order, and when one commit scn
+    # splits across micro-batches (two transactions sharing a commit
+    # scn, commits in different files) the first run's arrival order
+    # differs from the cold re-emission's sorted order — a positional
+    # skip then drops messages a client never received. Bounded
+    # duplicates at the boundary beat silent loss; the reference's own
+    # restart has the same at-least-once window (Writer.cpp:130-140).
     # replay idempotency: a foreachBatch retry (failure after enqueue,
     # before the offset commit) must re-enqueue the SAME (scn, idx)
     # pairs, or CONTINUE's skip loop can no longer dedup the duplicate
@@ -598,11 +592,6 @@ def stream_network_sink(server: StreamServer, fmt=None,
     batch_start: dict[int, dict] = {}
 
     def write(batch_df, batch_id: int) -> None:
-        if not wm["seeded"] and cold_start:
-            # doc cold start: the full re-emission reproduces original
-            # per-scn numbering; seeding above the watermark would
-            # contradict it (see skip_wm above)
-            wm["seeded"] = True
         if not wm["seeded"]:
             # a RESTARTED pipeline gets a fresh closure; seed the
             # counter from the server's durable confirmed watermark so
@@ -649,12 +638,6 @@ def stream_network_sink(server: StreamServer, fmt=None,
                 wm["idx"] += 1
             else:
                 wm["scn"], wm["idx"] = scn, 0
-            if (
-                skip_wm is not None
-                and scn == skip_wm[0]
-                and wm["idx"] <= skip_wm[1]
-            ):
-                continue  # boundary part confirmed before the cold start
             server.enqueue(scn, wm["idx"], to_bytes(row.value))
 
     return write

@@ -617,16 +617,99 @@ def test_interval_mb_byte_paced_checkpoint_doc(spark, tmp_path):
             "_oidx long, _oseq long",
         )
 
-    # batch 0: small — FIRST checkpoint is forced (Writer.cpp:369-370)
+    # scn 100 alone: nothing provably complete yet — no doc
     fb(batch(100, "a" * 10), 0)
-    assert read_checkpoint_doc(state, "DB")["scn"] == 100
-    # batch 1: small, scn advances — neither cadence due → doc holds
+    assert read_checkpoint_doc(state, "DB") is None
+    # scn 200 proves 100 complete — FIRST checkpoint forced
     fb(batch(200, "b" * 10), 1)
     assert read_checkpoint_doc(state, "DB")["scn"] == 100
-    # batch 2: pushes the byte counter past 1 MiB → doc advances
+    # big batch at scn 300: 200 complete AND the byte cadence crossed
     fb(batch(300, "c" * (600 * 1024), n=2), 2)
-    assert read_checkpoint_doc(state, "DB")["scn"] == 300
-    # batch 3: small again — counter reset at the doc write → holds
+    assert read_checkpoint_doc(state, "DB")["scn"] == 200
+    # scn 400 completes 300, but neither cadence is due — doc holds
     fb(batch(400, "d" * 10), 3)
-    assert read_checkpoint_doc(state, "DB")["scn"] == 300
+    assert read_checkpoint_doc(state, "DB")["scn"] == 200
     wr.close()
+
+
+def _msg_batch(spark, rows):
+    """(scn, xid, odoc, value) rows → rendered-message frame with the
+    funnel's order + doc columns."""
+    return spark.createDataFrame(
+        [(scn, xid, odoc, v, 0, 1) for scn, xid, odoc, v in rows],
+        "_oscn long, _oxid string, _odoc long, value string, "
+        "_oidx long, _oseq long",
+    ).selectExpr("'k' as key", "value", "_oscn", "_oxid", "_oidx",
+                 "_oseq", "_odoc")
+
+
+def test_doc_watermark_complete_scns_only(spark, tmp_path):
+    """r10 review pass 6 (final contract): the file funnel's doc
+    records the highest COMPLETE commit scn — advanced only when a
+    HIGHER commit-backed data message proves the previous scn finished
+    (scns are globally monotone in redo order). Heartbeats (NULL xid,
+    unthrottled source) and incomplete diagnostics (NULL commit) never
+    advance it, so a doc-based cold start with strict commit_scn > doc
+    can never skip an unwritten transaction."""
+    from openlogreplicator_spark.metadata.state_documents import (
+        read_checkpoint_doc,
+    )
+    from openlogreplicator_spark.streaming.file_writer import (
+        RotatingFileWriter,
+        stream_file_sink,
+    )
+
+    out = tmp_path / "out.json"
+    state = str(tmp_path / "state")
+    wr = RotatingFileWriter(str(out))
+    fb = stream_file_sink(wr, state_dir=state, database="DB",
+                          interval_s=10_000, interval_mb=10_000)
+    # batch 0: one commit scn only — nothing is provably complete yet
+    fb(_msg_batch(spark, [(100, "1.1.1", 100, "data-a")]), 0)
+    assert read_checkpoint_doc(state, "DB") is None
+    # batch 1: commit 150 proves 100 complete — doc = 100; the far-ahead
+    # heartbeat (500) and the diagnostic (300) do NOT advance it
+    fb(
+        _msg_batch(spark, [
+            (150, "B", 150, "b-0"),
+            (500, None, None, "chkpt-hb"),
+            (300, "2.2.2", None, "diagnostic"),
+        ]),
+        1,
+    )
+    doc = read_checkpoint_doc(state, "DB")
+    assert doc is not None and doc["scn"] == 100, doc
+    wr.close()
+
+
+def test_file_sink_split_scn_never_lost(spark, tmp_path):
+    """Two transactions sharing one commit scn across micro-batches:
+    the doc cannot advance TO that scn until a higher commit appears,
+    so a crash between the batches leaves the doc strictly below it and
+    a cold start (commit_scn > doc) re-emits the whole scn — the
+    unwritten transaction is preserved; duplicates are bounded to the
+    scn's already-written prefix (the reference's at-least-once
+    window)."""
+    from openlogreplicator_spark.metadata.state_documents import (
+        read_checkpoint_doc,
+    )
+    from openlogreplicator_spark.streaming.file_writer import (
+        RotatingFileWriter,
+        stream_file_sink,
+    )
+
+    out = tmp_path / "out.json"
+    state = str(tmp_path / "state")
+    wr = RotatingFileWriter(str(out))
+    fb = stream_file_sink(wr, state_dir=state, database="DB",
+                          interval_s=10_000, interval_mb=10_000)
+    # batch 0 completes scn 100, then writes part of scn 150 (txn B);
+    # txn A (also commit 150) would have come in batch 1 — crash first
+    fb(_msg_batch(spark, [(100, "Z", 100, "z-0"),
+                          (150, "B", 150, "b-0")]), 0)
+    wr.close()
+    doc = read_checkpoint_doc(state, "DB")
+    # the doc records the COMPLETE scn 100, never the in-flight 150
+    assert doc is not None and doc["scn"] == 100, doc
+    # cold start filters commit_scn > 100: scn 150 re-emits WHOLE —
+    # txn A is preserved; b-0 duplicates (bounded, documented)

@@ -200,5 +200,9 @@ def test_doc_resume_predicate_matrix(spark):
         return sorted((r.commit_scn for r in rows), key=lambda x: (x is None, x))
 
     assert scns("memory") == [200, None]
+    # the file funnel's doc records only COMPLETE commit scns, so
+    # strict > is lossless for it (nothing at the doc scn can be
+    # partial); the network doc can record a mid-transaction client
+    # confirm, so the boundary re-emits whole (at-least-once)
     assert scns("file") == [200, None]
     assert scns("network") == [150, 200, None]

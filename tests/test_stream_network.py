@@ -635,54 +635,28 @@ def test_restarted_sink_seeds_counter_from_confirmed_watermark(spark):
     assert srv.calls == [(100, 3), (100, 4)]
 
 
-def test_cold_start_sink_applies_writer_skip_with_original_numbering(spark):
-    """r10 review pass 4: on a DOC COLD START the engine re-emits the
-    boundary scn's messages WHOLE, so the sink must use ORIGINAL per-scn
-    numbering (not seed above the watermark — that would renumber the
-    re-emission and defeat every downstream skip) and apply the
-    reference's oldScn/idx writer skip (Writer.cpp:235-268): everything
-    at or below the confirmed (scn, idx) is dropped before enqueue.
-    Partially-confirmed boundary → exactly the unconfirmed tail with
-    original idx; fully-confirmed boundary → nothing re-enqueued."""
+def test_cold_start_boundary_is_at_least_once_never_lost(spark):
+    """r10 review passes 4-6 (final contract): on a DOC cold start the
+    engine re-emits the boundary scn whole and the sink seeds its
+    counter ABOVE the confirmed watermark — every boundary message gets
+    an idx the CONTINUE skip cannot drop, so nothing is ever lost;
+    already-confirmed parts re-deliver (bounded duplicates, the
+    reference's own at-least-once window). A positional idx skip was
+    tried and rejected: per-scn numbering is arrival order, and a
+    commit scn split across micro-batches makes the cold re-emission's
+    sorted order diverge from it — the skip then LOSES messages."""
     from openlogreplicator_spark.streaming.stream_network import (
         stream_network_sink,
     )
 
-    # partially confirmed: (110, 1) of the boundary's 4 messages
     srv = _EnqStub()
     srv.confirmed_scn = 110
     srv.confirmed_idx = 1
-    write = stream_network_sink(srv, cold_start=True)
+    write = stream_network_sink(srv)  # fresh closure = restart
     write(_events_df(spark, n=4, scn0=100), 0)  # boundary c_scn = 110
-    assert srv.calls == [(110, 2), (110, 3)]
-    # messages past the boundary scn flow untouched, numbering from 0
-    write(_events_df(spark, n=2, scn0=200), 1)  # c_scn = 210
+    # all four boundary messages enqueue ABOVE (110, 1): redelivered,
+    # none skippable by CONTINUE(110, 1)
+    assert srv.calls == [(110, 2), (110, 3), (110, 4), (110, 5)]
+    # later scns number from 0 as always
+    write(_events_df(spark, n=2, scn0=200), 1)
     assert srv.calls[-2:] == [(210, 0), (210, 1)]
-
-    # fully confirmed boundary: nothing re-enqueues (no duplicates)
-    srv2 = _EnqStub()
-    srv2.confirmed_scn = 110
-    srv2.confirmed_idx = 3
-    write2 = stream_network_sink(srv2, cold_start=True)
-    write2(_events_df(spark, n=4, scn0=100), 0)
-    assert srv2.calls == []
-
-
-def test_cold_start_skip_passes_diagnostics_below_boundary(spark):
-    """r10 review pass 5: the cold-start writer skip applies ONLY at
-    the boundary scn. A message arriving with a LOWER emission scn can
-    only be a NULL-commit incomplete-transaction diagnostic riding its
-    record scn (the engine's commit-scn filter removed every committed
-    message below the watermark) — it was never confirmed and must
-    reach the queue."""
-    from openlogreplicator_spark.streaming.stream_network import (
-        stream_network_sink,
-    )
-
-    srv = _EnqStub()
-    srv.confirmed_scn = 500
-    srv.confirmed_idx = 3
-    write = stream_network_sink(srv, cold_start=True)
-    # emission scn 60 < boundary 500: a diagnostic — passes untouched
-    write(_events_df(spark, n=2, scn0=50), 0)  # c_scn = 60
-    assert srv.calls == [(60, 0), (60, 1)]
