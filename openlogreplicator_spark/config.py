@@ -316,6 +316,11 @@ class EngineConfig:
     #                                         emitted too (Builder.cpp:773)
     show_checkpoint: bool = False           # bit 12: op='chkpt' heartbeats
     #                                         reach the sink (Writer.cpp:296)
+    ignore_data_errors: bool = False        # bit 4: a damaged record logs
+    #                                         error + warning 60013 and the
+    #                                         parse continues with the next
+    #                                         record (Parser.cpp:1468-1479)
+    #                                         instead of aborting the file
     experimental_xmltype: bool = False      # bit 16: XMLTYPE decode + the
     #                                         hidden-xmltype-column
     #                                         visibility carve-out

@@ -908,8 +908,8 @@ def from_reference_json(source) -> ReferenceDeployment:
         if flags > 524287:
             raise _bad("flags", flags, "one of {0 .. 524287}")
     # REDO_FLAGS (Ctx.h:86-106): every bit the engine has a knob for is
-    # forwarded; ARCH_ONLY/DIRECT_DISABLE/IGNORE_DATA_ERRORS/
-    # CHECKPOINT_KEEP/VERIFY_SCHEMA/RAW_COLUMN_DATA (bits 0,3,4,13-15)
+    # forwarded; ARCH_ONLY/DIRECT_DISABLE/
+    # CHECKPOINT_KEEP/VERIFY_SCHEMA/RAW_COLUMN_DATA (bits 0,3,13-15)
     # and EXPERIMENTAL_NOT_NULL_MISSING (18) describe reader/runtime
     # behavior Spark supplies or that has no analog — accepted,
     # recorded in `flags`, intentionally not wired.
@@ -920,6 +920,9 @@ def from_reference_json(source) -> ReferenceDeployment:
         schema_mode = "adaptive"
     fmt_experimental_json = bool(flags & (1 << 17))  # EXPERIMENTAL_JSON
     flag_kwargs = dict(
+        # bit 4 IGNORE_DATA_ERRORS (Parser.cpp:1468-1479): per-record
+        # skip-and-continue on data corruption, warning 60013
+        ignore_data_errors=bool(flags & (1 << 4)),
         show_ddl=bool(flags & (1 << 5)),
         show_hidden_columns=bool(flags & (1 << 6)),
         show_guard_columns=bool(flags & (1 << 7)),

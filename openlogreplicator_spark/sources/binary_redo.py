@@ -76,6 +76,7 @@ reference's copy-into-LwnMember step.
 
 from __future__ import annotations
 
+import logging
 import os
 import struct
 from typing import NamedTuple
@@ -140,10 +141,24 @@ class DecodeOpts(NamedTuple):
     # of the typed kernels (columnUnknown, Builder.h:395-405):
     # "question" → '?', "dump" → the byte image as hex
     unknown: str = "question"
+    # REDO_FLAGS::IGNORE_DATA_ERRORS (Ctx.h:91 bit 4; consumer
+    # Parser.cpp:1468-1479): a record whose VECTOR analysis fails
+    # logs the error plus warning 60013 ("forced to continue working
+    # in spite of error") and the walk continues with the next record,
+    # instead of aborting the whole parse. Framing errors (LWN span,
+    # record size overruns — the reference's copy phase, not
+    # analyzeLwn) stay fatal in both modes.
+    ignore_data_errors: bool = False
 
 
 def _opts(o) -> "DecodeOpts":
     return o if isinstance(o, DecodeOpts) else DecodeOpts(db_tz=int(o))
+
+
+# executor-side log surface for the per-record degradation path — the
+# analog of the reference's ctx->error/ctx->warning stream (Ctx.cpp);
+# lands in the Spark executor log
+_LOG = logging.getLogger("openlogreplicator_spark.binary_redo")
 
 BLOCK_SIZE = 512
 PAYLOAD = BLOCK_SIZE - 16
@@ -1029,6 +1044,9 @@ def parse_redo_columns(
     c_rows: list = []
     cache: dict = {}   # per-file memo of tagged image bytes → decoded str
     kcache: dict = {}  # per-file memo of column-name bytes → str
+    # REDO_FLAGS::IGNORE_DATA_ERRORS rides DecodeOpts through the db_tz
+    # slot (Parser.cpp:1468-1479 skip-and-continue; see the walk below)
+    ignore_errs = _opts(db_tz).ignore_data_errors
     cur = 0  # index into body (block number - 1)
     while cur < n_blocks - 1:
         if not flags16[cur] & FLAG_LWN_START:
@@ -1050,15 +1068,43 @@ def parse_redo_columns(
                 "checksum"
             )
         payload = body[cur: cur + lwn_blocks, 16:].tobytes()
+        if n_records > len(payload) // REC_HEADER:
+            # each record costs at least its header: a count that can't
+            # fit the span is framing corruption (bounds the walk — and
+            # the skip-and-continue loop below — in both modes)
+            raise ValueError(
+                f"{path}: corrupt LWN header at block {cur + 1}: "
+                f"{n_records} records cannot fit the {len(payload)}-byte "
+                "span — redo corruption not caught by the block checksum"
+            )
         pos = LWN_HEADER
-        try:
-            for _ in range(n_records):
+        for _ in range(n_records):
+            try:
                 size, scn, subscn, n_vectors = struct.unpack_from(
                     "<IQHH", payload, pos
                 )
-                # (block, offset) where this record starts — LwnMember
-                blk = cur + 1 + pos // PAYLOAD
-                off = 16 + pos % PAYLOAD
+            except struct.error as e:
+                # record FRAMING is the reference's LWN copy phase
+                # (Parser.cpp:1398-1455), not analyzeLwn — a torn
+                # header aborts in both modes; IGNORE_DATA_ERRORS
+                # only covers per-record analysis (Parser.cpp:1468)
+                raise ValueError(
+                    f"{path}: corrupt record structure in the LWN at "
+                    f"block {cur + 1} ({type(e).__name__}: {e}) — redo "
+                    "corruption not caught by the block checksum"
+                ) from e
+            if size < REC_HEADER or pos + size > len(payload):
+                raise ValueError(
+                    f"{path}: corrupt record structure in the LWN at "
+                    f"block {cur + 1}: record size {size} overruns the "
+                    "span — redo corruption not caught by the block "
+                    "checksum"
+                )
+            # (block, offset) where this record starts — LwnMember
+            blk = cur + 1 + pos // PAYLOAD
+            off = 16 + pos % PAYLOAD
+            mark = len(c_scn)
+            try:
                 vpos = pos + REC_HEADER
                 for _ in range(n_vectors):
                     xid, op, obj, bdba, slot, fb, cols, rows, vpos = (
@@ -1081,23 +1127,62 @@ def parse_redo_columns(
                     raise ValueError(
                         f"{path}: record size mismatch at block {blk}"
                     )
-                pos += size
-        except (
-            struct.error, KeyError, IndexError, UnicodeDecodeError,
-            OverflowError,
-        ) as e:
-            # a structurally-corrupt record that SURVIVED the XOR-fold
-            # checksum (cancelling bit errors — the reference's weak
-            # calcChSum has the same blind spot) must fail as the
-            # controlled redo-corruption error, never a raw KeyError/
-            # IndexError from deep inside the walk — the reference's
-            # numbered RedoLogException (Parser record walk, code
-            # 50007-style)
-            raise ValueError(
-                f"{path}: corrupt record structure in the LWN at block "
-                f"{cur + 1} ({type(e).__name__}: {e}) — redo corruption "
-                "not caught by the block checksum"
-            ) from e
+            except (
+                struct.error, KeyError, IndexError, UnicodeDecodeError,
+                OverflowError, ValueError,
+            ) as e:
+                # a structurally-corrupt record that SURVIVED the
+                # XOR-fold checksum (cancelling bit errors — the
+                # reference's weak calcChSum has the same blind spot)
+                # must fail as the controlled redo-corruption error,
+                # never a raw KeyError/IndexError from deep inside the
+                # walk — the reference's numbered RedoLogException
+                # (Parser record walk, code 50007-style)
+                if not ignore_errs:
+                    if isinstance(e, ValueError):
+                        raise
+                    raise ValueError(
+                        f"{path}: corrupt record structure in the LWN "
+                        f"at block {cur + 1} ({type(e).__name__}: {e}) "
+                        "— redo corruption not caught by the block "
+                        "checksum"
+                    ) from e
+                # REDO_FLAGS::IGNORE_DATA_ERRORS (Ctx.h:91 bit 4;
+                # Parser.cpp:1468-1479): drop the damaged record whole
+                # (the reference's analyzeLwn unit of skip), log error
+                # + warning 60013, emit one diagnostic opcode='warn'
+                # row in its place, and continue with the next record
+                # at the framing-known size
+                for lst in (c_scn, c_subscn, c_block, c_offset, c_xid,
+                            c_op, c_obj, c_bdba, c_slot, c_fb, c_cols,
+                            c_rows):
+                    del lst[mark:]
+                err_msg = (
+                    f"{path}: corrupt record at block {blk} "
+                    f"({type(e).__name__}: {e})"
+                )
+                _LOG.error(err_msg)
+                _LOG.warning(
+                    "60013: forced to continue working in spite of error"
+                )
+                c_scn.append(scn)
+                c_subscn.append(subscn)
+                c_block.append(blk)
+                c_offset.append(off)
+                c_xid.append(None)
+                c_op.append("warn")
+                c_obj.append(None)
+                c_bdba.append(None)
+                c_slot.append(None)
+                c_fb.append(None)
+                c_cols.append({
+                    "code": "60013",
+                    "msg": "forced to continue working in spite of "
+                           "error",
+                    "error": err_msg,
+                })
+                c_rows.append(None)
+            pos += size
         cur += lwn_blocks
     # columnar value decode: the walk above interned raw tagged images;
     # decode each distinct image once, in per-type vectorized batches,
@@ -1264,6 +1349,7 @@ def parse_redo_files(
     timestamp_tz: str = "iso8601_nano",
     timestamp_column: str = "iso8601_nano",
     unknown_format: str = "question",
+    ignore_data_errors: bool = False,
 ) -> DataFrame:
     """Directory of OLRS1 files → REDO_RECORD_SCHEMA DataFrame. One task
     per file via the binaryFile source; validation + parse run on the
@@ -1274,10 +1360,12 @@ def parse_redo_files(
     TIME ZONE decode — the reference reads metadata->dbTimezone; here it
     threads from EngineConfig into the parse tasks. ``interval_dts`` /
     ``interval_ytm`` select the INTERVAL_DTS_FORMAT / INTERVAL_YTM_FORMAT
-    rendering variants (Format.h:54-74)."""
+    rendering variants (Format.h:54-74). ``ignore_data_errors`` is
+    REDO_FLAGS bit 4 (Parser.cpp:1468-1479): damaged records degrade to
+    opcode='warn' diagnostic rows instead of aborting the file's parse."""
     opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm,
                       char_format, timestamp_tz, timestamp_column,
-                      unknown_format)
+                      unknown_format, ignore_data_errors)
 
     def kernel(batches):
         return _record_frames(batches, dictionary, opts)
@@ -1299,16 +1387,17 @@ def parse_redo_stream(
     timestamp_tz: str = "iso8601_nano",
     timestamp_column: str = "iso8601_nano",
     unknown_format: str = "question",
+    ignore_data_errors: bool = False,
 ) -> DataFrame:
     """Streaming variant of :func:`parse_redo_files`: the reference's
     online mode (S1 reader thread tailing redo + S4 scheduler) as a
     Structured Streaming source — new OLRS files are discovered in
     order, parsed on executors, and feed the stateful assembly.
-    ``dictionary``, ``db_tz_seconds`` and the interval format selectors
-    behave as in the batch reader."""
+    ``dictionary``, ``db_tz_seconds``, the interval format selectors
+    and ``ignore_data_errors`` behave as in the batch reader."""
     opts = DecodeOpts(db_tz_seconds, interval_dts, interval_ytm,
                       char_format, timestamp_tz, timestamp_column,
-                      unknown_format)
+                      unknown_format, ignore_data_errors)
 
     def kernel(batches):
         return _record_frames(batches, dictionary, opts)

@@ -435,7 +435,14 @@ def build_pipeline(
         # corrupt typed image renders '?' (or its hex dump) instead of
         # a plausible wrong value (columnUnknown, Builder.h:395-405)
         unknown_format=cfg.fmt.unknown.value,
+        # REDO_FLAGS::IGNORE_DATA_ERRORS (bit 4, Parser.cpp:1468-1479):
+        # damaged records degrade per-record instead of killing the query
+        ignore_data_errors=getattr(cfg, "ignore_data_errors", False),
     )
+    # the degradation path's opcode='warn' diagnostic rows are a log
+    # surface (the reference's ctx->error + warning 60013 go to the LOG,
+    # not the sink stream) — they never enter transaction assembly
+    redo = redo.filter(F.col("opcode") != "warn")
     if start_scn is not None:
         # O3/F9 startup positioning: everything at or below the
         # checkpointed SCN was already confirmed by the writer

@@ -395,6 +395,106 @@ def test_db_timezone_threads_into_tsltz_decode():
     assert shifted == "1997-03-13 23:30:01.000000000"
 
 
+def _damage_record(data: bytes, rec_sizes: list[int], idx: int) -> bytes:
+    """Overwrite record `idx`'s first vector opcode with 0xFFFF (an
+    unknown code — vector analysis fails, framing stays intact) and
+    recompute the touched block's XOR-fold checksum, so the corruption
+    reaches the record walk like a cancelling bit error would."""
+    import struct as _struct
+
+    from openlogreplicator_spark.sources.binary_redo import (
+        _fold_checksum,
+    )
+
+    LWN_HEADER, REC_HEADER, PAYLOAD = 24, 16, BLOCK_SIZE - 16
+    p = LWN_HEADER + sum(rec_sizes[:idx]) + REC_HEADER  # vector opcode u16
+    buf = bytearray(data)
+    touched = set()
+    for i, byte in enumerate(b"\xff\xff"):
+        q = p + i
+        buf[(q // PAYLOAD + 1) * BLOCK_SIZE + 16 + q % PAYLOAD] = byte
+        touched.add(q // PAYLOAD)
+    for b in touched:
+        base = (b + 1) * BLOCK_SIZE
+        _struct.pack_into(
+            "<H", buf, base + 2,
+            _fold_checksum(bytearray(buf[base:base + BLOCK_SIZE])),
+        )
+    return bytes(buf)
+
+
+def test_ignore_data_errors_skips_damaged_record():
+    """REDO_FLAGS::IGNORE_DATA_ERRORS (Ctx.h:91 bit 4; consumer
+    Parser.cpp:1468-1479): strict mode aborts the parse with the
+    controlled numbered corruption error; flag mode logs warning 60013,
+    emits EVERY undamaged record, and surfaces one opcode='warn'
+    diagnostic row in the damaged record's place."""
+    from openlogreplicator_spark.sources.binary_redo import DecodeOpts
+
+    recs = []
+    for i in range(1, 4):
+        recs += [
+            _rec(i * 100, f"x{i}", "begin"),
+            _rec(i * 100 + 1, f"x{i}", "insert", obj=1, bdba=5, slot=0,
+                 cols={"v": f"row{i}"}),
+            _rec(i * 100 + 9, f"x{i}", "commit"),
+        ]
+    data = encode_redo_file(recs, sequence=1)
+    sizes = [len(encode_record(r)) for r in recs]
+    damaged = _damage_record(data, sizes, 4)  # x2's insert
+
+    # strict mode: the whole parse aborts, numbered corruption error
+    with pytest.raises(ValueError, match="corrupt record structure"):
+        parse_redo_bytes(damaged, "t")
+
+    # flag mode: 8 undamaged records + 1 warn diagnostic
+    opts = DecodeOpts(db_tz=2 * 3600, ignore_data_errors=True)
+    out = parse_redo_bytes(damaged, "t", db_tz=opts)
+    warns = [r for r in out if r["opcode"] == "warn"]
+    good = [r for r in out if r["opcode"] != "warn"]
+    assert [(r["scn"], r["opcode"]) for r in good] == [
+        (r["scn"], r["opcode"]) for i, r in enumerate(recs) if i != 4
+    ]
+    assert good[3]["cols"] is None or "v" not in (good[3]["cols"] or {})
+    assert len(warns) == 1
+    w = warns[0]
+    assert w["scn"] == recs[4]["scn"]
+    assert w["cols"]["code"] == "60013"
+    assert "forced to continue" in w["cols"]["msg"]
+    assert "corrupt record" in w["cols"]["error"]
+    # an undamaged file parses identically under the flag
+    assert parse_redo_bytes(data, "t", db_tz=opts) == parse_redo_bytes(
+        data, "t"
+    )
+
+
+def test_ignore_data_errors_spark_reader(spark, tmp_path):
+    """The flag threads parse_redo_files → DecodeOpts → the executor
+    walk: a damaged file degrades per-record instead of failing the
+    Spark task."""
+    recs = []
+    for i in range(1, 4):
+        recs += [
+            _rec(i * 100, f"x{i}", "begin"),
+            _rec(i * 100 + 1, f"x{i}", "insert", obj=1, bdba=5, slot=0,
+                 cols={"v": f"row{i}"}),
+            _rec(i * 100 + 9, f"x{i}", "commit"),
+        ]
+    data = encode_redo_file(recs, sequence=1)
+    sizes = [len(encode_record(r)) for r in recs]
+    out_dir = tmp_path / "redo"
+    out_dir.mkdir()
+    (out_dir / "1.olrs").write_bytes(_damage_record(data, sizes, 4))
+
+    rows = parse_redo_files(
+        spark, str(out_dir), ignore_data_errors=True
+    ).collect()
+    assert sum(r.opcode == "warn" for r in rows) == 1
+    assert sum(r.opcode != "warn" for r in rows) == len(recs) - 1
+    with pytest.raises(Exception, match="corrupt record structure"):
+        parse_redo_files(spark, str(out_dir)).collect()
+
+
 def test_bitflip_corruption_fails_controlled():
     """r10 fuzz contract at the block layer: random bit flips either
     fail the XOR-fold checksum (controlled ValueError, like the
@@ -426,6 +526,9 @@ def test_bitflip_corruption_fails_controlled():
             )
     data = bytearray(encode_redo_file(recs, sequence=1))
     rng = random.Random(3)
+    from openlogreplicator_spark.sources.binary_redo import DecodeOpts
+
+    lenient = DecodeOpts(db_tz=2 * 3600, ignore_data_errors=True)
     for _ in range(1500):
         buf = bytearray(data)
         for _f in range(rng.randint(1, 4)):
@@ -435,6 +538,13 @@ def test_bitflip_corruption_fails_controlled():
             parse_redo_bytes(bytes(buf))
         except ValueError:
             pass  # the controlled corruption contract
+        # IGNORE_DATA_ERRORS keeps the same contract: framing errors
+        # stay the controlled ValueError, analysis errors degrade to
+        # warn rows — never a raw exception, never a hang
+        try:
+            parse_redo_bytes(bytes(buf), db_tz=lenient)
+        except ValueError:
+            pass
 
 
 def test_zeroed_lwn_span_is_controlled_error_not_hang():

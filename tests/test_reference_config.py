@@ -531,40 +531,32 @@ def test_reference_config_drives_pipeline(spark, tmp_path):
 # CHANGE engine behavior, not just parse (r6 VERDICT "What's missing" #1)
 
 
-@pytest.mark.parametrize(
-    "bit,attr",
-    [
-        (5, "show_ddl"),
-        (6, "show_hidden_columns"),
-        (7, "show_guard_columns"),
-        (8, "show_nested_columns"),
-        (9, "show_unused_columns"),
-        (10, "show_incomplete_transactions"),
-        (11, "show_system_transactions"),
-        (12, "show_checkpoint"),
-        (16, "experimental_xmltype"),
-    ],
-)
+_FLAG_BITS = [
+    (4, "ignore_data_errors"),
+    (5, "show_ddl"),
+    (6, "show_hidden_columns"),
+    (7, "show_guard_columns"),
+    (8, "show_nested_columns"),
+    (9, "show_unused_columns"),
+    (10, "show_incomplete_transactions"),
+    (11, "show_system_transactions"),
+    (12, "show_checkpoint"),
+    (16, "experimental_xmltype"),
+]
+
+
+@pytest.mark.parametrize("bit,attr", _FLAG_BITS)
 def test_redo_flags_bits_map_to_engine_knobs(bit, attr):
-    """Each REDO_FLAGS presentation bit (Ctx.h:91-101) lands on the
-    EngineConfig knob build_pipeline wires."""
+    """Each wired REDO_FLAGS bit (Ctx.h:91-101 presentation bits + the
+    bit-4 IGNORE_DATA_ERRORS degradation, Parser.cpp:1468-1479) lands on
+    the EngineConfig knob build_pipeline wires."""
     doc = _base()
     assert getattr(from_reference_json(doc).config, attr) is False
     doc["source"][0]["flags"] = 1 << bit
     cfg = from_reference_json(doc).config
     assert getattr(cfg, attr) is True
     # and ONLY that knob flips
-    others = {
-        a
-        for b, a in [
-            (5, "show_ddl"), (6, "show_hidden_columns"),
-            (7, "show_guard_columns"), (8, "show_nested_columns"),
-            (9, "show_unused_columns"), (10, "show_incomplete_transactions"),
-            (11, "show_system_transactions"), (12, "show_checkpoint"),
-            (16, "experimental_xmltype"),
-        ]
-        if a != attr
-    }
+    others = {a for b, a in _FLAG_BITS if a != attr}
     assert all(getattr(cfg, a) is False for a in others)
 
 
