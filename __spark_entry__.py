@@ -27,71 +27,68 @@ if _REPO_ROOT not in sys.path:
 # round 1 (now fixed), then a few representative re-verifies. Everything
 # else registers after slot 50 — still runnable, checked locally by
 # tests/test_queries_vs_duckdb.py.
-_PRIORITY = [  # round-10 window (previous windows: git history of this list)
+_PRIORITY = [  # round-11 window (previous windows: git history of this list)
     # -- 5 green canaries, one per result-type family (drift detection)
     "q1_pricing_summary",
     "cdc_txn_assembly",
     "dedup_minhash_lsh",
     "agg_rollup",
     "stream_tumbling_window",
-    # -- BYTES CHANGED since the r9 verdict: the typed-images fixture
-    #    moved to v7 — corrupt byte images (month 99, hour byte 0,
-    #    mantissa >99, truncated TSTZ, …) on every k%11==0 order now
-    #    exercise the columnUnknown guards end-to-end (r9 VERDICT #1);
-    #    cdc_type_tail re-windowed with it per the same prescription.
+    # -- BYTES CHANGED since the r10 verdict: the OLRS1 record walk was
+    #    restructured for IGNORE_DATA_ERRORS (per-record skip-and-
+    #    continue, Parser.cpp:1468-1479) — every query that rides
+    #    parse_redo_columns re-verifies (strict-mode results must be
+    #    byte-identical to r10's).
+    "cdc_txn_assembly_binary",
+    "cdc_kdo_positional_binary",
     "cdc_typed_images_binary",
     "cdc_type_tail",
-    #    q21 rewritten late in r10 (single distinct layer — the
-    #    double-countDistinct plan fingerprint flapped): re-window
-    "q21_suppliers_kept_waiting",
-    # -- STALE-VERDICT ROTATION (r9 VERDICT #2): all 14 remaining
-    #    r6-latest queries; after this round no verdict predates r7.
-    "agg_approx_distinct",
-    "agg_stats",
-    "join_broadcast_dim",
-    "join_left_semi",
-    "join_skew_salted",
-    "proj_filter_rlike",
-    "q10_returned_items",
-    "q12_late_lines_by_flag",
-    "q18_large_orders",
-    "q7_volume_shipping",
-    "subquery_in",
-    "text_filter_pipeline",
-    "text_repetition_filter",
-    "text_vocab_topk",
-    # -- oldest r7-latest block: 29 of 44 (novel operators first; the
-    #    15 scalar/setop/subquery stragglers rotate r11)
-    "ann_cosine_topk",
-    "ann_ivf",
-    "ann_lsh_bucketed",
-    "ann_pq",
-    "cdc_config_reference",
-    "cdc_json_builder",
-    "cdc_protobuf_builder",
-    "pipeline_pretraining_corpus",
-    "stream_dedup_replay",
-    "join_asof_attribution",
-    "join_range_window",
-    "join_shuffle_facts",
-    "join_left_anti",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_statistical",
-    "window_distribution",
-    "window_lag_lead",
-    "window_rank_topn",
-    "window_running_sum",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q14_promo_share",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    # (topk_orders yields its slot to the q21 re-window; it joins the
-    # 15 r7-latest stragglers rotating in r11)
+    "cdc_metrics",
+    # -- STALE-VERDICT ROTATION (r10 VERDICT #3): all 16 remaining
+    #    r7-latest queries; after this round no verdict predates r8.
+    "array_explode_wordcount",
+    "distinct_pairs",
+    "higher_order_array_funcs",
+    "map_funcs",
+    "pivot_status_by_priority",
+    "scalar_datetime_funcs",
+    "scalar_json_funcs",
+    "scalar_math_funcs",
+    "scalar_null_handling",
+    "scalar_string_funcs",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "subquery_exists_correlated",
+    "subquery_scalar_avg",
+    "topk_orders",
+    # -- oldest r8-latest block: 24 of 43, novel operators first (the
+    #    19 remaining — 9 relational q*, 2 agg approx, 8 text/stream —
+    #    rotate r12)
+    "cdc_asof_snapshot",
+    "cdc_before_image",
+    "cdc_clob_charset",
+    "cdc_condition_filter",
+    "cdc_json_builder_debezium",
+    "cdc_lob_reassembly",
+    "cdc_protobuf_builder_full",
+    "cdc_schema_asof_resolve",
+    "cdc_txn_split",
+    "cdc_unchanged_suppression",
+    "dedup_canonical_pick",
+    "dedup_cluster_cc",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "stream_session_window",
+    "stream_sliding_window",
+    "tokenizer_bpe_pairs",
+    "multimodal_decode_table",
+    "embedding_quantize",
+    "sample_group_cap",
+    "sample_temperature_mix",
+    "split_train_eval",
+    "text_fingerprint",
+    "window_range_interval",
 ]
 
 

@@ -1308,7 +1308,21 @@ def _binary_files_stream(
 ) -> DataFrame:
     """S1/S4 online reader: ordered incremental listing of redo files —
     the archived+online scheduler made declarative (maxFilesPerTrigger =
-    the reader-thread queue depth)."""
+    the reader-thread queue depth).
+
+    ORDERED-ARRIVAL CONTRACT (r11 chaos e2e): Spark's file source
+    batches by MODIFICATION TIME (``latestFirst=false``); in the online
+    deployment files appear over time, so batch order equals sequence
+    order — the same sequential-read premise the reference's Parser
+    holds. A directory of same-instant files (a bulk-copied archive)
+    batches in UNDEFINED order under maxFilesPerTrigger: a commit can
+    then precede its own ops across micro-batches, which breaks
+    assembly's in-order premise, and the W7 doc's completeness proof
+    (the funnels freeze/cap the doc when they OBSERVE an inversion, but
+    an inversion still unread is invisible to any online proof). For
+    bulk replays either leave maxFilesPerTrigger unset (one batch is
+    order-safe — the record sort handles intra-batch order) or restore
+    mtimes in sequence order first."""
     reader = (
         spark.readStream.format("binaryFile")
         .schema(BINARY_FILE_SCHEMA)

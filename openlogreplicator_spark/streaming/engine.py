@@ -568,7 +568,7 @@ def build_pipeline(
                     dict_cols=dict_cols,
                     key_cols=sel.key,
                     max_message_bytes=net_cap,
-                    extra_cols=("_oscn", "_oxid", "_oidx"),
+                    extra_cols=("_oscn", "_oxid", "_oidx", "_odoc"),
                 )
 
         return (

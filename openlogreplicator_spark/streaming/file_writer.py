@@ -355,26 +355,102 @@ def stream_file_sink(
     UNTHROTTLED source and can describe redo the main source has not
     emitted, and incomplete-transaction diagnostics carry no commit —
     either advancing the doc would let a cold start silently skip
-    transactions the writer never wrote."""
-    import time
+    transactions the writer never wrote.
 
-    side = state_path
-    done = {"bid": None}
-    if side is not None and os.path.exists(side):
-        try:
-            with open(side) as fh:
-                done["bid"] = int(fh.read().strip())
-        except (OSError, ValueError):
-            done["bid"] = None
-    # checkpoint-doc pacing state (driver-side funnel: plain locals)
-    pace = {"bytes": 0, "doc_bytes": 0, "doc_time": None, "doc_wm": None}
-    # complete-scn tracking: cur = the newest commit scn seen (possibly
-    # still incomplete), prev = the newest COMPLETE one (a higher scn
-    # proved it finished) — the doc watermark
-    scns = {"cur": None, "cur_idx": -1, "prev": None, "prev_idx": -1}
+    The completeness proof requires SEQUENCE-ORDERED input (the S4
+    scheduler's contract; see ``_binary_files_stream``): on an observed
+    out-of-order commit the funnel FREEZES the doc (r11 hardening,
+    fail-safe to duplicates), but an inversion still sitting unread is
+    invisible to any online proof — non-sequential bulk replays must
+    not pace files into separate micro-batches."""
+    core = FileFunnelCore(
+        writer, state_path=state_path, state_dir=state_dir,
+        database=database, interval_s=interval_s, interval_mb=interval_mb,
+    )
 
-    def _maybe_checkpoint_doc(hi_wm) -> None:
-        if state_dir is None or hi_wm is None:
+    def write(batch_df, batch_id: int) -> None:
+        from openlogreplicator_spark.streaming.stream_network import (
+            order_encoded_messages,
+            to_bytes,
+        )
+
+        if core.skip_batch(batch_id):
+            return   # already durable — replayed batch, don't re-append
+        ordered = order_encoded_messages(batch_df)
+        # frames without the _odoc column (direct callers) treat every
+        # scn-bearing row as data; engine frames always carry it
+        has_odoc = "_odoc" in batch_df.columns
+
+        def rows():
+            for row in ordered.toLocalIterator():
+                scn = getattr(row, "_oscn", None)
+                yield (
+                    to_bytes(row.value),
+                    scn,
+                    (
+                        row._odoc is not None and row._oxid is not None
+                        if has_odoc
+                        else scn is not None
+                    ),
+                    int(row._oseq) if row._oseq is not None else 0,
+                )
+
+        core.feed(rows(), batch_id)
+
+    return write
+
+
+class FileFunnelCore:
+    """The PURE (Spark-free) state machine of :func:`stream_file_sink`:
+    batch-replay skip, rendered-byte checkpoint-doc pacing, and the
+    complete-commit-scn doc watermark — the whole restart/boundary
+    contract, minus the Spark frame plumbing. ``stream_file_sink``
+    drives it with the ordered micro-batch rows; the adversarial
+    restart harness (tests/test_restart_chaos.py) drives it directly
+    with plain tuples, so hundreds of randomized kill schedules run
+    without a SparkSession. Contract semantics: the docstring of
+    :func:`stream_file_sink` (single source of truth)."""
+
+    def __init__(
+        self,
+        writer,
+        state_path: str | None = None,
+        state_dir: str | None = None,
+        database: str = "DB",
+        interval_s: int = 600,
+        interval_mb: int = 500,
+    ) -> None:
+        self.writer = writer
+        self.state_path = state_path
+        self.state_dir = state_dir
+        self.database = database
+        self.interval_s = interval_s
+        self.interval_mb = interval_mb
+        self.done_bid = None
+        if state_path is not None and os.path.exists(state_path):
+            try:
+                with open(state_path) as fh:
+                    self.done_bid = int(fh.read().strip())
+            except (OSError, ValueError):
+                self.done_bid = None
+        # checkpoint-doc pacing state (driver-side funnel: plain attrs)
+        self.pace = {
+            "bytes": 0, "doc_bytes": 0, "doc_time": None, "doc_wm": None,
+        }
+        # complete-scn tracking: cur = the newest commit scn seen
+        # (possibly still incomplete), prev = the newest COMPLETE one (a
+        # higher scn proved it finished) — the doc watermark
+        self.scns = {"cur": None, "cur_idx": -1, "prev": None,
+                     "prev_idx": -1}
+
+    def skip_batch(self, batch_id: int) -> bool:
+        return self.done_bid is not None and batch_id <= self.done_bid
+
+    def _maybe_checkpoint_doc(self, hi_wm) -> None:
+        import time
+
+        pace = self.pace
+        if self.state_dir is None or hi_wm is None:
             return
         if pace["doc_wm"] is not None and hi_wm <= pace["doc_wm"]:
             return  # nothing confirmed beyond the last doc
@@ -382,11 +458,11 @@ def stream_file_sink(
         force = pace["doc_time"] is None  # force first checkpoint
         due_time = (
             pace["doc_time"] is not None
-            and now - pace["doc_time"] >= interval_s
+            and now - pace["doc_time"] >= self.interval_s
         )
         due_bytes = (
             (pace["bytes"] - pace["doc_bytes"]) // (1024 * 1024)
-            >= interval_mb
+            >= self.interval_mb
         )
         if not (force or due_time or due_bytes):
             return
@@ -395,56 +471,55 @@ def stream_file_sink(
         )
 
         advance_checkpoint_doc(
-            state_dir, database, int(hi_wm[0]), idx=int(hi_wm[1])
+            self.state_dir, self.database, int(hi_wm[0]),
+            idx=int(hi_wm[1]),
         )
         pace["doc_bytes"] = pace["bytes"]
         pace["doc_time"] = now
         pace["doc_wm"] = hi_wm
 
-    def write(batch_df, batch_id: int) -> None:
-        from openlogreplicator_spark.streaming.stream_network import (
-            order_encoded_messages,
-            to_bytes,
-        )
-
-        if done["bid"] is not None and batch_id <= done["bid"]:
-            return   # already durable — replayed batch, don't re-append
-        ordered = order_encoded_messages(batch_df)
-        # frames without the _odoc column (direct callers) treat every
-        # scn-bearing row as data; engine frames always carry it
-        has_odoc = "_odoc" in batch_df.columns
-        for row in ordered.toLocalIterator():
-            scn = getattr(row, "_oscn", None)
-            data = to_bytes(row.value)
-            writer.write(
-                data,
-                seq=int(row._oseq) if row._oseq is not None else 0,
-            )
+    def feed(self, rows, batch_id: int) -> None:
+        """One micro-batch in final emission order. ``rows`` yields
+        ``(data_bytes, commit_scn_or_None, is_data, seq)`` tuples. The
+        caller must have consulted :meth:`skip_batch` first (the Spark
+        wrapper skips before paying for the frame sort)."""
+        pace, scns = self.pace, self.scns
+        for data, scn, is_data, seq in rows:
+            self.writer.write(data, seq=seq)
             pace["bytes"] += len(data)
-            is_data = (
-                row._odoc is not None and row._oxid is not None
-                if has_odoc
-                else scn is not None
-            )
             if is_data:
                 if scn != scns["cur"]:
-                    if scns["cur"] is not None:
+                    if scns["cur"] is not None and scn > scns["cur"]:
                         # a higher commit scn proves the previous one
                         # complete — it becomes the doc watermark
                         scns["prev"] = scns["cur"]
                         scns["prev_idx"] = scns["cur_idx"]
+                    elif scns["cur"] is not None:
+                        # OUT-OF-ORDER commit (r11 chaos e2e): a batch-
+                        # paced replay of files that are not sequence-
+                        # ordered segments (e.g. a hash-partitioned
+                        # OLRS fixture) emits commits non-monotonically
+                        # across micro-batches — the completeness proof
+                        # above is void from here on. FREEZE the doc
+                        # watermark for the rest of this funnel's life:
+                        # a cold start then re-reads more and
+                        # duplicates, but can never skip a transaction
+                        # the doc wrongly claimed complete. Sequential
+                        # redo (the S4 scheduler's contract) never
+                        # takes this branch.
+                        scns["frozen"] = True
                     scns["cur"], scns["cur_idx"] = scn, 0
                 else:
                     scns["cur_idx"] += 1
-        writer.flush()
-        done["bid"] = batch_id
-        if side is not None:
-            os.makedirs(os.path.dirname(side) or ".", exist_ok=True)
-            tmp = side + ".tmp"
+        self.writer.flush()
+        self.done_bid = batch_id
+        if self.state_path is not None:
+            os.makedirs(
+                os.path.dirname(self.state_path) or ".", exist_ok=True
+            )
+            tmp = self.state_path + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(str(batch_id))
-            os.replace(tmp, side)
-        if scns["prev"] is not None:
-            _maybe_checkpoint_doc((scns["prev"], scns["prev_idx"]))
-
-    return write
+            os.replace(tmp, self.state_path)
+        if scns["prev"] is not None and not scns.get("frozen"):
+            self._maybe_checkpoint_doc((scns["prev"], scns["prev_idx"]))

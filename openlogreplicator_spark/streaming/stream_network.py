@@ -227,6 +227,7 @@ class StreamServer:
         self._queue: list[tuple[int, int, bytes]] = []
         self.confirmed_scn = 0
         self.confirmed_idx = 0
+        self._doc_cap: int | None = None  # see set_doc_cap
         # hydrate the watermark from the durable checkpoint document: a
         # restarted server that started back at (0, 0) would let a
         # stale CONFIRM replay regress the persisted doc below what was
@@ -268,6 +269,20 @@ class StreamServer:
 
     # -- protocol ----------------------------------------------------------
 
+    def set_doc_cap(self, scn: int) -> None:
+        """Cap the PERSISTED doc watermark (r11 chaos e2e): when the
+        producer observes an out-of-order commit (non-sequence-ordered
+        multi-file replay), delivery proofs in queue-key space no
+        longer bound commit-scn space — a doc at the confirmed key's
+        scn could skip a late low-commit transaction on cold start.
+        The cap is the lowest inverted commit scn: the ``>=`` cold-
+        start boundary then re-emits every unproven transaction
+        (duplicates, never loss). The in-memory confirm watermark is
+        NOT capped — queue pruning and CONTINUE stay exact."""
+        with self._lock:
+            if self._doc_cap is None or scn < self._doc_cap:
+                self._doc_cap = scn
+
     def _persist_confirm(self) -> None:
         if self.state_dir is None:
             return
@@ -275,11 +290,14 @@ class StreamServer:
             write_checkpoint_doc,
         )
 
+        scn, idx = self.confirmed_scn, self.confirmed_idx
+        if self._doc_cap is not None and self._doc_cap <= scn:
+            scn, idx = self._doc_cap, 0
         write_checkpoint_doc(
             self.state_dir,
             self.database,
-            scn=self.confirmed_scn,
-            idx=self.confirmed_idx,
+            scn=scn,
+            idx=idx,
         )
 
     def _handle(self, req: dict) -> bytes | None:
@@ -570,28 +588,112 @@ def stream_network_sink(server: StreamServer, fmt=None,
     )
     from pyspark.sql import functions as F
 
-    wm = {"scn": None, "idx": -1, "seeded": False}
-    # DOC COLD STARTS deliver AT-LEAST-ONCE at the
-    # boundary scn, by design: the engine re-emits the boundary scn's
-    # messages whole (commit_scn >= doc scn) and the counter seeds
-    # ABOVE the confirmed watermark like any restart, so every
-    # re-emitted boundary message is (re)delivered. An idx-positional
-    # skip that tried to make this exact was rejected in review pass 6:
-    # per-scn numbering is ARRIVAL order, and when one commit scn
-    # splits across micro-batches (two transactions sharing a commit
-    # scn, commits in different files) the first run's arrival order
-    # differs from the cold re-emission's sorted order — a positional
-    # skip then drops messages a client never received. Bounded
-    # duplicates at the boundary beat silent loss; the reference's own
-    # restart has the same at-least-once window (Writer.cpp:130-140).
-    # replay idempotency: a foreachBatch retry (failure after enqueue,
-    # before the offset commit) must re-enqueue the SAME (scn, idx)
-    # pairs, or CONTINUE's skip loop can no longer dedup the duplicate
-    # frames — snapshot the counter at each batch start and restore it
-    # when the same batch_id comes around again
-    batch_start: dict[int, dict] = {}
+    core = NetworkFunnelCore(server)
 
     def write(batch_df, batch_id: int) -> None:
+        prepared = (
+            batch_df.withColumn(
+                "_oscn", F.coalesce(F.col("c_scn"), F.col("scn"))
+            )
+            .withColumn("_oxid", F.col("xid"))
+            .withColumn("_oidx", F.coalesce(F.col("num"), F.lit(0)))
+            # commit-backedness for the queue-key discipline: chkpt
+            # heartbeats have NULL xid, incomplete-transaction
+            # diagnostics have NULL c_scn — neither may move the
+            # watermark scn (see NetworkFunnelCore)
+            .withColumn("_odoc", F.col("c_scn"))
+        )
+        extra = ("_oscn", "_oxid", "_oidx", "_odoc")
+        if encoder is not None:
+            rendered = encoder(prepared)
+        else:
+            rendered = build_protobuf_events(
+                prepared, extra_cols=extra, fmt=fmt,
+                max_message_bytes=max_message_bytes,
+            )
+        encoded = order_encoded_messages(rendered)
+        # frames without the _odoc column (direct callers with a custom
+        # encoder) treat every row as commit-backed data — the same
+        # convention as the file funnel; engine frames always carry it
+        has_odoc = "_odoc" in rendered.columns
+        core.feed(
+            (
+                (
+                    int(row._oscn),
+                    (
+                        row._odoc is not None and row._oxid is not None
+                        if has_odoc
+                        else True
+                    ),
+                    to_bytes(row.value),
+                )
+                for row in encoded.toLocalIterator()
+            ),
+            batch_id,
+        )
+
+    return write
+
+
+class NetworkFunnelCore:
+    """The PURE (Spark-free) numbering/enqueue state machine of
+    :func:`stream_network_sink` — watermark seeding, batch-replay idx
+    snapshots, per-scn monotone message numbering. The Spark wrapper
+    drives it with the encoded micro-batch rows; the adversarial
+    restart harness (tests/test_restart_chaos.py) drives it directly,
+    so randomized kill schedules exercise the real contract without a
+    SparkSession.
+
+    DOC COLD STARTS deliver AT-LEAST-ONCE at the
+    boundary scn, by design: the engine re-emits the boundary scn's
+    messages whole (commit_scn >= doc scn) and the counter seeds
+    ABOVE the confirmed watermark like any restart, so every
+    re-emitted boundary message is (re)delivered. An idx-positional
+    skip that tried to make this exact was rejected in review pass 6:
+    per-scn numbering is ARRIVAL order, and when one commit scn
+    splits across micro-batches (two transactions sharing a commit
+    scn, commits in different files) the first run's arrival order
+    differs from the cold re-emission's sorted order — a positional
+    skip then drops messages a client never received. Bounded
+    duplicates at the boundary beat silent loss; the reference's own
+    restart has the same at-least-once window (Writer.cpp:130-140).
+
+    Replay idempotency: a foreachBatch retry (failure after enqueue,
+    before the offset commit) must re-enqueue the SAME (scn, idx)
+    pairs, or CONTINUE's skip loop can no longer dedup the duplicate
+    frames — the counter snapshots at each batch start and restores
+    when the same batch_id comes around again.
+
+    Queue-key monotonicity (found by the r11 chaos harness): CONTINUE's
+    prefix skip and CONFIRM's prune are only sound when the queue's
+    (scn, idx) keys are monotone in enqueue order. Commit-backed data
+    scns ARE monotone (redo order), but chkpt heartbeats ride an
+    UNTHROTTLED source that can describe redo ahead of the throttled
+    main source, and incomplete-transaction diagnostics carry a record
+    scn that can trail the last commit — interleaved across
+    micro-batches either resets the per-scn counter, minting a key at
+    or below the confirmed watermark for a frame the client never
+    received (CONTINUE then skips it: silent loss), and a confirmed
+    ahead-of-data heartbeat would persist a doc past unemitted
+    transactions (the network twin of the file funnel's pass-6
+    heartbeat bug). The reference has neither problem because its
+    checkpoint messages are built IN-stream, scn-monotone by
+    construction (Builder.cpp:701 lwnIdx, Writer.cpp:130-140) — so
+    non-data frames here enqueue AT the current watermark key
+    (wm.scn, wm.idx+1), never moving the scn: keys stay monotone, and
+    confirming a heartbeat can never push the doc past the last
+    commit-backed message actually written."""
+
+    def __init__(self, server) -> None:
+        self.server = server
+        self.wm = {"scn": None, "idx": -1, "seeded": False}
+        self.batch_start: dict[int, dict] = {}
+
+    def feed(self, rows, batch_id: int) -> None:
+        """One micro-batch in final emission order; ``rows`` yields
+        ``(scn, is_data, frame_bytes)`` — ``is_data`` is False for
+        chkpt heartbeats and NULL-commit diagnostics."""
+        wm = self.wm
         if not wm["seeded"]:
             # a RESTARTED pipeline gets a fresh closure; seed the
             # counter from the server's durable confirmed watermark so
@@ -607,40 +709,43 @@ def stream_network_sink(server: StreamServer, fmt=None,
             # sendMessage and the confirm checkpoint (Writer.cpp:
             # 130-140); within one run the batch-id snapshot below
             # keeps replays byte- and idx-exact
-            c_scn = getattr(server, "confirmed_scn", 0) or 0
+            c_scn = getattr(self.server, "confirmed_scn", 0) or 0
             if c_scn:
                 wm["scn"] = c_scn
-                wm["idx"] = getattr(server, "confirmed_idx", 0) or 0
+                wm["idx"] = getattr(self.server, "confirmed_idx", 0) or 0
             wm["seeded"] = True
-        if batch_id in batch_start:
-            wm.update(batch_start[batch_id])
+        if batch_id in self.batch_start:
+            wm.update(self.batch_start[batch_id])
         else:
-            batch_start.clear()   # only the latest batch can replay
-            batch_start[batch_id] = dict(wm)
-        prepared = (
-            batch_df.withColumn(
-                "_oscn", F.coalesce(F.col("c_scn"), F.col("scn"))
-            )
-            .withColumn("_oxid", F.col("xid"))
-            .withColumn("_oidx", F.coalesce(F.col("num"), F.lit(0)))
-        )
-        if encoder is not None:
-            rendered = encoder(prepared)
-        else:
-            rendered = build_protobuf_events(
-                prepared, extra_cols=("_oscn", "_oxid", "_oidx"), fmt=fmt,
-                max_message_bytes=max_message_bytes,
-            )
-        encoded = order_encoded_messages(rendered)
-        for row in encoded.toLocalIterator():
-            scn = int(row._oscn)
-            if scn == wm["scn"]:
+            self.batch_start.clear()  # only the latest batch can replay
+            self.batch_start[batch_id] = dict(wm)
+        for scn, is_data, frame in rows:
+            if not is_data:
+                # heartbeat / diagnostic: ride the current watermark
+                # key — never move the scn (docstring, monotonicity)
+                if wm["scn"] is None:
+                    wm["scn"] = 0
                 wm["idx"] += 1
+            elif scn == wm["scn"]:
+                wm["idx"] += 1
+            elif wm["scn"] is not None and scn < wm["scn"]:
+                # OUT-OF-ORDER commit (r11 chaos e2e; same root as the
+                # file funnel's freeze): a non-sequence-ordered
+                # multi-file replay can emit a lower commit after a
+                # higher one across micro-batches. The queue key rides
+                # the current watermark (keys stay monotone, so
+                # CONTINUE's prefix skip and CONFIRM's prune remain
+                # exact), and the persisted doc is capped at the
+                # inverted commit scn — a cold start's ``>=`` boundary
+                # then re-emits it (duplicates, never loss). Sequential
+                # redo never takes this branch.
+                wm["idx"] += 1
+                cap = getattr(self.server, "set_doc_cap", None)
+                if cap is not None:
+                    cap(scn)
             else:
                 wm["scn"], wm["idx"] = scn, 0
-            server.enqueue(scn, wm["idx"], to_bytes(row.value))
-
-    return write
+            self.server.enqueue(wm["scn"], wm["idx"], frame)
 
 
 # --------------------------------------------------------------------------
