@@ -38,6 +38,7 @@ a fresh checkpoint, like any stateful-operator schema change.
 from __future__ import annotations
 
 import json
+import logging
 from typing import Iterable
 
 import pandas as pd
@@ -57,6 +58,24 @@ _STATE_SCHEMA = T.StructType(
 )
 
 _TERMINAL = ("commit", "rollback")
+
+_LOG = logging.getLogger("openlogreplicator_spark.assembly")
+_warned_buckets: set = set()  # once per bucket per executor lifetime
+
+
+def _warn_out_of_order(key, lo: int, hi: int) -> None:
+    if key in _warned_buckets:
+        return
+    _warned_buckets.add(key)
+    _LOG.warning(
+        "redo records arrived out of order: bucket %s received scn %d "
+        "below its high-water scn %d. Harmless when files hold whole "
+        "transactions (hash-partitioned fixture replay); if your redo "
+        "files are sequential SEGMENTS, a transaction straddling the "
+        "inversion will never emit — deliver files in sequence order "
+        "(see sources.binary_redo._binary_files_stream) or leave "
+        "maxFilesPerTrigger unset for bulk directories", key, lo, hi
+    )
 
 
 _REC_COLUMNS = [
@@ -105,16 +124,20 @@ def _records_arrow_table(pdf: pd.DataFrame):
     return pa.Table.from_arrays(arrays, names=_REC_COLUMNS)
 
 
-def _encode_state(leftover: pd.DataFrame, skip_xids: set) -> bytes:
-    """Leftover open-transaction records + skiplist → one Arrow IPC
-    stream (skiplist as schema metadata). One vectorized serialize;
-    no per-row Python."""
+def _encode_state(
+    leftover: pd.DataFrame, skip_xids: set, max_scn: int | None = None
+) -> bytes:
+    """Leftover open-transaction records + skiplist + arrival-order
+    watermark → one Arrow IPC stream (skiplist and watermark as schema
+    metadata — metadata keys are additive, so pre-watermark checkpoints
+    restore fine). One vectorized serialize; no per-row Python."""
     import pyarrow as pa
 
     tbl = _records_arrow_table(leftover)
-    tbl = tbl.replace_schema_metadata(
-        {b"skip": json.dumps(sorted(skip_xids)).encode()}
-    )
+    meta = {b"skip": json.dumps(sorted(skip_xids)).encode()}
+    if max_scn is not None:
+        meta[b"max_scn"] = str(int(max_scn)).encode()
+    tbl = tbl.replace_schema_metadata(meta)
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, tbl.schema) as writer:
         writer.write_table(tbl)
@@ -140,7 +163,8 @@ def _decode_state(payload: bytes):
         ) from e
     meta = tbl.schema.metadata or {}
     skip = set(json.loads(meta.get(b"skip", b"[]")))
-    return tbl, skip
+    max_scn = meta.get(b"max_scn")
+    return tbl, skip, (int(max_scn) if max_scn is not None else None)
 
 
 def assemble_stateful(
@@ -169,9 +193,10 @@ def assemble_stateful(
 
     buffered_tbl = None
     skip_xids: set = set()
+    max_seen: int | None = None
     if state.exists:
         (_, payload) = state.get
-        buffered_tbl, skip_xids = _decode_state(bytes(payload))
+        buffered_tbl, skip_xids, max_seen = _decode_state(bytes(payload))
 
     empty = pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
     if state.hasTimedOut:
@@ -195,6 +220,29 @@ def assemble_stateful(
         return
 
     frames = [pdf for pdf in pdf_iter if len(pdf)]
+    # ARRIVAL-ORDER WATCHDOG (r11 chaos e2e): records arriving in redo
+    # order ACROSS micro-batches is the reference's sequential-reader
+    # premise (_binary_files_stream's ordered-arrival contract). A
+    # batch dipping below this bucket's high-water scn means the source
+    # delivered files out of sequence. That is only DANGEROUS when a
+    # transaction STRADDLES the inversion (ops arriving after their
+    # commit was flushed buffer forever — silently), but it is also
+    # perfectly legal for txn-whole files (a hash-partitioned OLRS
+    # fixture replayed with pacing assembles every late-arriving whole
+    # transaction correctly, just out of emission order — which the
+    # funnels' doc freeze/cap already fail-safe). The two cases are
+    # indistinguishable online, so this WARNS (once per bucket per
+    # run) instead of failing a legitimate replay; the watermark rides
+    # the state payload's schema metadata (additive: pre-watchdog
+    # checkpoints restore with it unarmed until the next batch).
+    for pdf in frames:
+        s = pdf["scn"].dropna()
+        if not len(s):
+            continue
+        lo, hi = int(s.min()), int(s.max())
+        if max_seen is not None and lo < max_seen:
+            _warn_out_of_order(key, lo, max_seen)
+        max_seen = hi if max_seen is None else max(max_seen, hi)
     if buffered_tbl is not None and buffered_tbl.num_rows:
         frames.insert(
             0, buffered_tbl.to_pandas(maps_as_pydicts="strict")
@@ -299,9 +347,12 @@ def assemble_stateful(
                 # terminal already present: drop whole, no skiplist
                 drop = fl.loc[(fcounts > max_ops).to_numpy()].index
                 flush_m[drop] = False
-    if len(leftover) or skip_xids:
+    if len(leftover) or skip_xids or max_seen is not None:
+        # the arrival-order watermark keeps the bucket's state row
+        # alive even with nothing buffered — state rows are bounded by
+        # the bucket count (≤ max(32, defaultParallelism)), not by data
         state.update(
-            (len(leftover), _encode_state(leftover, skip_xids))
+            (len(leftover), _encode_state(leftover, skip_xids, max_seen))
         )
         # incomplete-transaction TTL. Generous by default: an open
         # transaction is legitimate until its commit arrives; the

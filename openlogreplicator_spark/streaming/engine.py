@@ -439,10 +439,13 @@ def build_pipeline(
         # damaged records degrade per-record instead of killing the query
         ignore_data_errors=getattr(cfg, "ignore_data_errors", False),
     )
-    # the degradation path's opcode='warn' diagnostic rows are a log
-    # surface (the reference's ctx->error + warning 60013 go to the LOG,
-    # not the sink stream) — they never enter transaction assembly
-    redo = redo.filter(F.col("opcode") != "warn")
+    if getattr(cfg, "ignore_data_errors", False):
+        # the degradation path's opcode='warn' diagnostic rows are a
+        # log surface (the reference's ctx->error + warning 60013 go to
+        # the LOG, not the sink stream) — they never enter transaction
+        # assembly. Strict mode can't produce them (the parse aborts
+        # instead), so the filter only rides the flagged path.
+        redo = redo.filter(F.col("opcode") != "warn")
     if start_scn is not None:
         # O3/F9 startup positioning: everything at or below the
         # checkpointed SCN was already confirmed by the writer

@@ -344,7 +344,7 @@ class _FakeGroupState:
     def get(self):
         from openlogreplicator_spark.streaming.assembly import _decode_state
 
-        tbl, _ = _decode_state(bytes(self._payload))
+        tbl, _, _max = _decode_state(bytes(self._payload))
         return (tbl.num_rows, self._payload)
 
     def update(self, value):
@@ -584,7 +584,7 @@ def test_stateful_kernel_buffering_size_guard_bounds_state():
     from openlogreplicator_spark.streaming.assembly import _decode_state
 
     _, payload = state.get
-    tbl, skip = _decode_state(bytes(payload))
+    tbl, skip, _max = _decode_state(bytes(payload))
     assert tbl.num_rows == 0
     assert skip == {"7.7.7"}
 
@@ -598,7 +598,13 @@ def test_stateful_kernel_buffering_size_guard_bounds_state():
         assemble_stateful(("7.7.7",), iter([tail]), state2, max_ops=3)
     )
     assert sum(len(p) for p in out2) == 0, "oversized txn never emits"
-    assert state2.removed, "retired skiplist leaves no state behind"
+    # the retired skiplist leaves no RECORDS behind; the bucket row
+    # itself stays for the r11 arrival-order watermark (bounded by the
+    # bucket count, not by data)
+    assert not state2.removed
+    _, payload2 = state2.get
+    tbl2, skip2, max2 = _decode_state(bytes(payload2))
+    assert tbl2.num_rows == 0 and skip2 == set() and max2 == 21
 
 
 def test_legacy_json_state_payload_fails_with_remedy():
@@ -744,7 +750,12 @@ def test_skiplisted_xid_reuse_in_same_batch_survives():
         got.extend(out.to_dict("records"))
     assert len(got) == 1, "the reused xid's fresh transaction must emit"
     assert got[0]["cols"] == {"A": "new"}
-    assert state2.removed, "skiplist retired, nothing left in state"
+    # skiplist retired, no records left; the bucket row persists only
+    # for the r11 arrival-order watermark
+    assert not state2.removed
+    _, payload2 = state2.get
+    tbl2, skip2, hi2 = _decode_state(bytes(payload2))
+    assert (tbl2.num_rows, skip2, hi2) == (0, set(), 24)
 
 
 def test_flush_cap_counts_per_transaction_not_per_xid():
@@ -780,3 +791,84 @@ def test_flush_cap_counts_per_transaction_not_per_xid():
     for out in assemble_stateful(("b",), iter([batch]), state, max_ops=5):
         got.extend(out.to_dict("records"))
     assert sorted(r["cols"]["A"] for r in got) == ["t1a", "t1b", "t2a", "t2b"]
+
+
+def test_arrival_order_watchdog_warns_on_out_of_order_batches():
+    """r11 chaos-e2e hardening: a batch whose records dip below the
+    bucket's high-water scn (out-of-sequence file delivery) logs the
+    once-per-bucket ordering warning while still assembling whole late
+    transactions; in-order batches carry the watermark forward in
+    state."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from openlogreplicator_spark.streaming.assembly import (
+        _decode_state,
+        assemble_stateful,
+    )
+
+    def rec(scn, xid, opcode, **kw):
+        base = {"scn": scn, "subscn": 0, "block": 1, "offset": 0,
+                "seq": 1, "xid": xid, "opcode": opcode, "obj": 9,
+                "bdba": 5 if opcode == "insert" else None,
+                "slot": 0 if opcode == "insert" else None, "fb": 0,
+                "cols": {"A": "v"} if opcode == "insert" else None,
+                "rows": None}
+        base.update(kw)
+        return base
+
+    b1 = pd.DataFrame([rec(10, "1.1.1", "begin"),
+                       rec(11, "1.1.1", "insert"),
+                       rec(15, "1.1.1", "commit")])
+    state = _FakeGroupState()
+    out = list(assemble_stateful(("b",), iter([b1]), state,
+                                 ttl_timeout=False))
+    assert sum(len(p) for p in out) == 1
+    # watermark persisted even though nothing is buffered
+    assert state.exists and not state.removed
+    _, payload = state.get
+    tbl, skip, hi = _decode_state(bytes(payload))
+    assert (tbl.num_rows, skip, hi) == (0, set(), 15)
+
+    # in-order continuation advances the watermark
+    b2 = pd.DataFrame([rec(20, "2.2.2", "begin"),
+                       rec(21, "2.2.2", "insert"),
+                       rec(25, "2.2.2", "commit")])
+    state2 = _FakeGroupState(payload=payload)
+    list(assemble_stateful(("b",), iter([b2]), state2,
+                           ttl_timeout=False))
+    _, payload2 = state2.get
+    assert _decode_state(bytes(payload2))[2] == 25
+
+    # out-of-order batch: scn 12 below the high-water 25 → WARNS (a
+    # whole late transaction is legal — hash-partitioned replay — so a
+    # raise would fail legitimate workloads; straddling+inversion is
+    # indistinguishable online and the funnels' doc freeze/cap carry
+    # the fail-safe) and still assembles the whole late transaction
+    import logging as _logging
+
+    from openlogreplicator_spark.streaming import assembly as _asm
+
+    _asm._warned_buckets.clear()
+    late = pd.DataFrame([rec(12, "3.3.3", "begin"),
+                         rec(13, "3.3.3", "insert"),
+                         rec(14, "3.3.3", "commit")])
+    state3 = _FakeGroupState(payload=payload2)
+    records = []
+
+    class _Cap(_logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    h = _Cap()
+    _asm._LOG.addHandler(h)
+    try:
+        out3 = list(assemble_stateful(("b",), iter([late]), state3,
+                                      ttl_timeout=False))
+    finally:
+        _asm._LOG.removeHandler(h)
+    assert sum(len(p) for p in out3) == 1, "whole late txn still emits"
+    assert any("out of order" in m for m in records)
+    # high-water never regresses
+    _, payload3 = state3.get
+    assert _decode_state(bytes(payload3))[2] == 25
