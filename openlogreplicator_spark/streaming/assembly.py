@@ -235,11 +235,17 @@ def assemble_stateful(
     # run) instead of failing a legitimate replay; the watermark rides
     # the state payload's schema metadata (additive: pre-watchdog
     # checkpoints restore with it unarmed until the next batch).
+    # batch-level min/max: chunk order WITHIN a micro-batch is
+    # arbitrary post-shuffle (and legal — the kernel re-sorts below);
+    # only the cross-BATCH comparison is the ordering contract
+    lo = hi = None
     for pdf in frames:
         s = pdf["scn"].dropna()
         if not len(s):
             continue
-        lo, hi = int(s.min()), int(s.max())
+        lo = int(s.min()) if lo is None else min(lo, int(s.min()))
+        hi = int(s.max()) if hi is None else max(hi, int(s.max()))
+    if lo is not None:
         if max_seen is not None and lo < max_seen:
             _warn_out_of_order(key, lo, max_seen)
         max_seen = hi if max_seen is None else max(max_seen, hi)

@@ -724,7 +724,11 @@ class NetworkFunnelCore:
                 # heartbeat / diagnostic: ride the current watermark
                 # key — never move the scn (docstring, monotonicity)
                 if wm["scn"] is None:
-                    wm["scn"] = 0
+                    # virgin stream: (0, 0) IS the initial confirm
+                    # watermark — a frame keyed there would be
+                    # CONTINUE-skipped undelivered and could never be
+                    # confirmed (review pass 1); start strictly above
+                    wm["scn"], wm["idx"] = 0, 0
                 wm["idx"] += 1
             elif scn == wm["scn"]:
                 wm["idx"] += 1
