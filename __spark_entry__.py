@@ -44,6 +44,9 @@ _PRIORITY = [  # round-11 window (previous windows: git history of this list)
     "cdc_typed_images_binary",
     "cdc_type_tail",
     "cdc_metrics",
+    # -- NEW in r11: IGNORE_DATA_ERRORS skip-and-continue on a fixture
+    #    with one destroyed record per redo file (r10 VERDICT #2)
+    "cdc_ignore_data_errors",
     # -- STALE-VERDICT ROTATION (r10 VERDICT #3): all 16 remaining
     #    r7-latest queries; after this round no verdict predates r8.
     "array_explode_wordcount",
@@ -88,7 +91,8 @@ _PRIORITY = [  # round-11 window (previous windows: git history of this list)
     "sample_temperature_mix",
     "split_train_eval",
     "text_fingerprint",
-    "window_range_interval",
+    # (window_range_interval yields its slot to cdc_ignore_data_errors;
+    # it joins the r8-latest block rotating r12)
 ]
 
 

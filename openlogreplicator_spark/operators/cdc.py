@@ -348,6 +348,114 @@ def _binary_redo_dir(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
+def _damaged_redo_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Binary fixture with REAL record-level damage, for the
+    IGNORE_DATA_ERRORS degradation path (REDO_FLAGS bit 4,
+    Parser.cpp:1468-1479): one txn per order (begin / one insert /
+    commit — exactly one insert so the damaged record's OPCODE is
+    deterministic), 32 sequence files, and in EVERY file record #1 (the
+    file's first insert — record #0 is its transaction's begin) gets
+    its vector opcode bytes destroyed with the block checksums
+    recomputed (`damage_nth_record`), i.e. corruption the block layer
+    cannot catch, only the vector analysis can."""
+    import tempfile
+
+    from openlogreplicator_spark.sources.binary_redo import (
+        damage_nth_record,
+        write_binary_redo,
+    )
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "olrs_binary_redo_v3",
+        os.path.basename(os.path.normpath(sf_dir))
+        + "-dmg1-" + _source_stamp(sf_dir, "orders"),
+    )
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        import shutil
+
+        staging = f"{out_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+
+        def rec(opcode, scn_off, cols):
+            return orders.select(
+                (F.col("o_orderkey") * 100 + scn_off).alias("scn"),
+                F.lit(0).alias("subscn"),
+                F.lit(0).cast("long").alias("block"),
+                F.lit(0).alias("offset"),
+                F.lit(1).cast("long").alias("seq"),
+                F.col("o_orderkey").cast("string").alias("xid"),
+                F.lit(opcode).alias("opcode"),
+                F.lit(0).cast("long").alias("obj"),
+                (F.col("o_orderkey") if opcode == "insert"
+                 else F.lit(None)).cast("long").alias("bdba"),
+                (F.lit(0) if opcode == "insert"
+                 else F.lit(None)).cast("int").alias("slot"),
+                F.lit(0).alias("fb"),
+                (cols if cols is not None
+                 else F.lit(None).cast("map<string,string>")).alias("cols"),
+                F.lit(None).cast("array<map<string,string>>").alias("rows"),
+            )
+
+        stream = (
+            rec("begin", 0, None)
+            .unionByName(rec(
+                "insert", 1,
+                F.create_map(F.lit("v"), F.col("o_orderpriority")),
+            ))
+            .unionByName(rec("commit", 9, None))
+        )
+        write_binary_redo(stream, staging, n_files=32)
+        for f in os.listdir(staging):
+            if f.endswith(".olrs"):
+                p = os.path.join(staging, f)
+                with open(p, "rb") as fh:
+                    data = fh.read()
+                with open(p, "wb") as fh:
+                    fh.write(damage_nth_record(data, 1))
+        _publish_fixture(staging, out_dir)
+    return out_dir
+
+
+def cdc_ignore_data_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REDO_FLAGS::IGNORE_DATA_ERRORS end to end (Ctx.h:91 bit 4;
+    consumer Parser.cpp:1468-1479, warning 60013): every redo file
+    carries one record whose vector analysis fails (opcode bytes
+    destroyed, checksums recomputed — damage the block layer cannot
+    see). Under the flag the parse logs the error, emits one
+    opcode='warn' diagnostic row in the damaged record's place, and
+    CONTINUES — every undamaged record still parses; strict mode's
+    whole-file abort is pinned in tests/test_binary_redo.py. Output is
+    record counts by opcode plus the warn rows' numbered code —
+    partition-independent, because WHICH order's insert is damaged
+    depends on the fixture's xid hashing, which the SQL oracle cannot
+    reproduce."""
+    from openlogreplicator_spark.sources.binary_redo import parse_redo_files
+
+    redo = parse_redo_files(
+        spark, _damaged_redo_dir(spark, sf_dir), ignore_data_errors=True
+    )
+    return redo.groupBy(
+        "opcode",
+        F.element_at("cols", F.lit("code")).alias("code"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+CDC_IGNORE_DATA_ERRORS_SQL = """
+SELECT 'begin' AS opcode, CAST(NULL AS VARCHAR) AS code,
+       CAST(COUNT(*) AS BIGINT) AS n FROM orders
+UNION ALL
+SELECT 'commit', CAST(NULL AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'insert', CAST(NULL AS VARCHAR), CAST(COUNT(*) - 32 AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'warn', '60013', CAST(32 AS BIGINT)
+"""
+
+
 def cdc_txn_assembly_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's FULL front half, end to end: binary redo blocks →
     (block validation + checksum) → LWN groups → record split → typed
@@ -2096,6 +2204,7 @@ FROM orders WHERE o_orderkey % 10 = 0
 
 QUERIES = {
     "cdc_type_tail": cdc_type_tail,
+    "cdc_ignore_data_errors": cdc_ignore_data_errors,
     "cdc_sessionize": cdc_sessionize,
     "cdc_last_image": cdc_last_image,
     "cdc_txn_assembly": cdc_txn_assembly,
@@ -2123,6 +2232,7 @@ QUERIES = {
 
 ORACLE = {
     "cdc_type_tail": CDC_TYPE_TAIL_SQL,
+    "cdc_ignore_data_errors": CDC_IGNORE_DATA_ERRORS_SQL,
     "cdc_schema_asof_resolve": CDC_SCHEMA_ASOF_SQL,
     "cdc_sessionize": CDC_SESSIONIZE_SQL,
     "cdc_last_image": CDC_LAST_IMAGE_SQL,

@@ -498,6 +498,53 @@ def encode_redo_file(
     return bytes(out)
 
 
+def damage_nth_record(data: bytes, n: int) -> bytes:
+    """Byte-surgery fixture helper: overwrite the n-th record's first
+    vector opcode with 0xFFFF (an unknown code — vector ANALYSIS fails,
+    record FRAMING stays intact) and recompute the touched blocks'
+    XOR-fold checksums, so the damage reaches the record walk exactly
+    like a cancelling bit error would. This is the shape of corruption
+    IGNORE_DATA_ERRORS (Parser.cpp:1468-1479) degrades on: strict mode
+    aborts the parse, flag mode emits a warn row and continues."""
+    if data[:8] != MAGIC:
+        raise ValueError("not an OLRS1 file")
+    buf = bytearray(data)
+    n_blocks = len(data) // BLOCK_SIZE
+    idx = 0
+    cur = 0
+    while cur < n_blocks - 1:
+        lwn_blocks, n_records = struct.unpack_from(
+            "<II", data, (cur + 1) * BLOCK_SIZE + 16
+        )
+        pos = LWN_HEADER  # payload-relative, within this LWN
+        for _ in range(n_records):
+            # payload byte q lives at body block cur + q // PAYLOAD
+            def at(q: int) -> int:
+                return (cur + 1 + q // PAYLOAD) * BLOCK_SIZE + 16 + q % PAYLOAD
+
+            size = (
+                buf[at(pos)]
+                | buf[at(pos + 1)] << 8
+                | buf[at(pos + 2)] << 16
+                | buf[at(pos + 3)] << 24
+            )
+            if idx == n:
+                touched = set()
+                for q in (pos + REC_HEADER, pos + REC_HEADER + 1):
+                    buf[at(q)] = 0xFF
+                    touched.add(cur + 1 + q // PAYLOAD)
+                for b in touched:
+                    blk = bytearray(buf[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE])
+                    struct.pack_into(
+                        "<H", buf, b * BLOCK_SIZE + 2, _fold_checksum(blk)
+                    )
+                return bytes(buf)
+            idx += 1
+            pos += size
+        cur += lwn_blocks
+    raise IndexError(f"file has only {idx} records, wanted {n}")
+
+
 def write_binary_redo(
     redo: DataFrame,
     out_dir: str,
