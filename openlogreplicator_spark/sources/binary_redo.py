@@ -517,11 +517,12 @@ def damage_nth_record(data: bytes, n: int) -> bytes:
             "<II", data, (cur + 1) * BLOCK_SIZE + 16
         )
         pos = LWN_HEADER  # payload-relative, within this LWN
-        for _ in range(n_records):
-            # payload byte q lives at body block cur + q // PAYLOAD
-            def at(q: int) -> int:
-                return (cur + 1 + q // PAYLOAD) * BLOCK_SIZE + 16 + q % PAYLOAD
 
+        # payload byte q lives at body block cur + q // PAYLOAD
+        def at(q: int, base: int = cur) -> int:
+            return (base + 1 + q // PAYLOAD) * BLOCK_SIZE + 16 + q % PAYLOAD
+
+        for _ in range(n_records):
             size = (
                 buf[at(pos)]
                 | buf[at(pos + 1)] << 8

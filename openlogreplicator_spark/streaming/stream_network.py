@@ -563,7 +563,7 @@ def stream_network_sink(server: StreamServer, fmt=None,
     passes an encoder producing the json builder's (key, value)
     messages and the same frames carry JSON bytes. ``encoder`` takes
     the order-column-prepared events frame and must return a
-    (key, value, _oscn, _oxid, _oidx) frame.
+    (key, value, _oscn, _oxid, _oidx[, _odoc]) frame.
     Encoding runs distributed (Arrow pandas UDF); only
     the framed bytes of the batch funnel to the driver, because network
     delivery IS one ordered socket — the reference writer has the
@@ -573,16 +573,17 @@ def stream_network_sink(server: StreamServer, fmt=None,
     are one-op by construction, matching the reference where only
     multi-op envelopes can grow past the cap).
 
-    The queue watermark idx is a per-scn monotone message counter
-    assigned here, in final emission order — the reference's
-    ``msg->lwnIdx = lwnIdx++`` with reset on scn change (Builder.h:324,
-    Builder.cpp:701). It must be unique per message within a scn: FULL
-    envelopes collapse a whole transaction's ``num`` range to one
-    aggregate, and two transactions committing at the same scn restart
-    ``num`` at 0 — reusing those as the idx would make CONTINUE's skip
-    loop (scn==c_scn and idx<=c_idx) drop committed messages a
-    reconnecting client never received. The counter lives in the
-    closure so it stays monotone across micro-batches."""
+    The queue watermark idx is a per-scn monotone message counter —
+    the reference's ``msg->lwnIdx = lwnIdx++`` with reset on scn change
+    (Builder.h:324, Builder.cpp:701). It must be unique per message
+    within a scn: FULL envelopes collapse a whole transaction's ``num``
+    range to one aggregate, and two transactions committing at the same
+    scn restart ``num`` at 0 — reusing those as the idx would make
+    CONTINUE's skip loop (scn==c_scn and idx<=c_idx) drop committed
+    messages a reconnecting client never received. The numbering,
+    seeding, replay-snapshot, and key-monotonicity rules live in
+    :class:`NetworkFunnelCore` (one instance per sink closure, so the
+    counter stays monotone across micro-batches)."""
     from openlogreplicator_spark.builders.protobuf_builder import (
         build_protobuf_events,
     )

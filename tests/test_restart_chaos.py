@@ -45,7 +45,6 @@ from __future__ import annotations
 import json
 import os
 import random
-import socket
 from collections import Counter
 
 import pytest
