@@ -79,6 +79,15 @@ def read_checkpoint_doc(state_dir: str, database: str) -> dict | None:
     for field in ("database", "scn", "idx", "resetlogs", "activation"):
         if field not in doc:
             raise ValueError(f"{path}: missing checkpoint field {field!r}")
+    if doc["database"] != database:
+        # the reference validates the BODY's database name against the
+        # requested one, not just the filename — a doc copied between
+        # deployments must fail loudly, never position a foreign stream
+        # (Writer::readCheckpoint, Writer.cpp:424-426, error 20001)
+        raise ValueError(
+            f"{path}: invalid database name: {doc['database']!r} "
+            f"(expected {database!r}) — reference error 20001"
+        )
     return doc
 
 

@@ -443,7 +443,32 @@ class _MirroringServer:
         return self._server.confirmed_idx
 
 
-def _drain_frames(client: StreamClient, budget: float = 0.3):
+def _raw_recv_tcp(client):
+    return recv_frame(client._sock)
+
+
+def _raw_recv_zmq(client):
+    return client._pair.recv()
+
+
+# transport matrix: the W5 ZMQ server/client share the WriterStream
+# state machine (queue, CONTINUE, CONFIRM) — only the framing differs,
+# so the same randomized schedules drive both
+_TRANSPORTS = {
+    "tcp": (StreamServer, StreamClient, _raw_recv_tcp),
+}
+
+
+def _zmq_transport():
+    from openlogreplicator_spark.streaming.stream_network import (
+        ZmqStreamClient,
+        ZmqStreamServer,
+    )
+
+    return ZmqStreamServer, ZmqStreamClient, _raw_recv_zmq
+
+
+def _drain_frames(client, raw_recv, budget: float = 0.3):
     """Receive raw data frames until the stream goes quiet."""
     import select as _select
 
@@ -452,7 +477,7 @@ def _drain_frames(client: StreamClient, budget: float = 0.3):
         r, _, _ = _select.select([client._sock], [], [], budget)
         if not r:
             return out
-        f = recv_frame(client._sock)
+        f = raw_recv(client)
         if f is None:
             return out
         out.append(f)
@@ -470,7 +495,8 @@ def _settle_confirm(server: StreamServer, want: tuple[int, int]) -> None:
     raise AssertionError(f"server never applied CONFIRM {want}")
 
 
-def _run_network_schedule(seed: int, tmpdir: str) -> None:
+def _run_network_schedule(seed: int, tmpdir: str,
+                          transport: str = "tcp") -> None:
     rng = random.Random(seed)
     txns, heartbeats, diags = _gen_schedule(rng)
     oracle = {p: t["scn"] for t in txns for p in t["msgs"]}
@@ -484,16 +510,20 @@ def _run_network_schedule(seed: int, tmpdir: str) -> None:
     batches = _make_batches(rng, txns, heartbeats, diags, monotone)
     committed = 0
     kills = 0
-    server = StreamServer("DB", state_dir=state_dir)
+    server_cls, client_cls, raw_recv = (
+        _TRANSPORTS[transport] if transport in _TRANSPORTS
+        else _zmq_transport()
+    )
+    server = server_cls("DB", state_dir=state_dir)
     proxy = _MirroringServer(server, mirror)
-    client = StreamClient("127.0.0.1", server.address[1], "DB")
+    client = client_cls("127.0.0.1", server.address[1], "DB")
     client.start()
     mirror.on_start()
     confirmed = (0, 0)
 
     def drain_and_maybe_confirm():
         nonlocal confirmed
-        frames = _drain_frames(client)
+        frames = _drain_frames(client, raw_recv)
         for f in frames:
             scn, idx = mirror.next_meta(f)
             received.append((scn, idx, f))
@@ -518,7 +548,7 @@ def _run_network_schedule(seed: int, tmpdir: str) -> None:
         for scn, idx, f in received:
             if (scn, idx) > confirmed:
                 allowed[f] += 1
-        client = StreamClient("127.0.0.1", server.address[1], "DB")
+        client = client_cls("127.0.0.1", server.address[1], "DB")
         client.resume(confirmed[0] or None, confirmed[1])
         mirror.on_continue(*confirmed)
 
@@ -587,9 +617,9 @@ def _run_network_schedule(seed: int, tmpdir: str) -> None:
                         if (scn, idx) > confirmed:
                             allowed[f] += 1
                     mirror.clear()
-                    server = StreamServer("DB", state_dir=state_dir)
+                    server = server_cls("DB", state_dir=state_dir)
                     proxy = _MirroringServer(server, mirror)
-                    client = StreamClient(
+                    client = client_cls(
                         "127.0.0.1", server.address[1], "DB"
                     )
                     client.resume(confirmed[0] or None, confirmed[1])
@@ -615,7 +645,7 @@ def _run_network_schedule(seed: int, tmpdir: str) -> None:
 
         # final drain: everything still queued must reach the client
         drain_and_maybe_confirm()
-        for f in _drain_frames(client):
+        for f in _drain_frames(client, raw_recv):
             scn, idx = mirror.next_meta(f)
             received.append((scn, idx, f))
         got = Counter(f for _s, _i, f in received if f in oracle)
@@ -648,6 +678,16 @@ def test_network_sink_chaos_zero_loss_bounded_dups(block, tmp_path):
     duplicates confined to the at-least-once windows."""
     for seed in range(block * 6, (block + 1) * 6):
         _run_network_schedule(seed, str(tmp_path))
+
+
+@pytest.mark.parametrize("block", range(2))
+def test_zmq_sink_chaos_zero_loss_bounded_dups(block, tmp_path):
+    """The same randomized schedules over the W5 ZMTP PAIR transport
+    (ZmqStreamServer/ZmqStreamClient) — the state machine is shared,
+    the framing is not; transport-agnosticism gets randomized
+    evidence, not just the deterministic handshake e2e."""
+    for seed in range(100 + block * 6, 100 + (block + 1) * 6):
+        _run_network_schedule(seed, str(tmp_path), transport="zmq")
 
 # ---------------------------------------------------------------------------
 # randomized e2e: REAL build_pipeline drains with foreachBatch crashes

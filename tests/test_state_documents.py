@@ -206,3 +206,30 @@ def test_doc_resume_predicate_matrix(spark):
     # confirm, so the boundary re-emits whole (at-least-once)
     assert scns("file") == [200, None]
     assert scns("network") == [150, 200, None]
+
+
+def test_doc_database_body_mismatch_rejected(tmp_path):
+    """Writer::readCheckpoint validates the doc BODY's database name
+    (Writer.cpp:424-426, error 20001), not just the filename — a doc
+    copied between deployments must never position a foreign stream."""
+    import json
+    import os
+
+    import pytest
+
+    from openlogreplicator_spark.metadata.state_documents import (
+        checkpoint_path,
+        read_checkpoint_doc,
+        write_checkpoint_doc,
+    )
+
+    write_checkpoint_doc(str(tmp_path), "OTHER", scn=500)
+    os.rename(
+        checkpoint_path(str(tmp_path), "OTHER"),
+        checkpoint_path(str(tmp_path), "MAIN"),
+    )
+    with pytest.raises(ValueError, match="invalid database name"):
+        read_checkpoint_doc(str(tmp_path), "MAIN")
+    # the matching doc still reads
+    write_checkpoint_doc(str(tmp_path), "MAIN", scn=600)
+    assert read_checkpoint_doc(str(tmp_path), "MAIN")["scn"] == 600
