@@ -442,6 +442,11 @@ class _MirroringServer:
     def confirmed_idx(self) -> int:
         return self._server.confirmed_idx
 
+    def set_doc_cap(self, scn: int) -> None:
+        # forward the inversion doc cap — hiding it from the real
+        # server would silently disable the r11 hardening under test
+        self._server.set_doc_cap(scn)
+
 
 def _raw_recv_tcp(client):
     return recv_frame(client._sock)
@@ -844,12 +849,15 @@ def test_e2e_file_pipeline_crash_restart_zero_loss(seed, spark, tmp_path):
     # then dies again at a later random point (or finishes)
     kill2 = rng.choice([None, rng.randrange(kill_at, len(oracle) + 1)])
     if kill2 is not None:
+        from _pytest.outcomes import Failed
+
         try:
             run(out, ckpt, state_dir, kill_after=kill2,
                 expect_fail=True)
-        except BaseException:
-            # the second kill point may fall beyond the remaining
-            # work — then the run simply completes; both are valid
+        except Failed:
+            # pytest.raises DID-NOT-RAISE: the second kill point fell
+            # beyond the remaining work and the run simply completed —
+            # valid; any OTHER error must surface
             pass
     # COLD doc-only restart: Spark checkpoint is gone, only the W7 doc
     # positions the re-read
