@@ -348,10 +348,10 @@ def _run_file_schedule(seed: int, tmpdir: str) -> None:
 
 @pytest.mark.parametrize("block", range(10))
 def test_file_funnel_chaos_zero_loss_bounded_dups(block, tmp_path):
-    """≥100 randomized schedules × random kill points through the REAL
+    """300 randomized schedules × random kill points through the REAL
     FileFunnelCore: zero loss, duplicates confined to the boundary
     windows, per-session order, complete-scn doc invariant."""
-    for seed in range(block * 15, (block + 1) * 15):
+    for seed in range(block * 30, (block + 1) * 30):
         _run_file_schedule(seed, str(tmp_path))
 
 # ---------------------------------------------------------------------------
