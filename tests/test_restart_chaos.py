@@ -38,6 +38,14 @@ whole, NULL-commit diagnostics always pass).
 The oracle is the sequential no-kill run of the same schedule. No
 SparkSession anywhere: hundreds of randomized schedules run in seconds
 against the same state machines the engine wires.
+
+On "unprobeable classification" (the r10 ask's third network case):
+since review pass 6 removed the cold-start classifier, the engine has
+NO warm/cold branch to misclassify — the doc predicate is always in
+the plan and Spark's own offset log decides replay, so the chaos
+matrix's warm and cold arms cover the whole behavior space; the only
+remaining classification (the legacy-checkpoint-layout guard) is
+fail-safe-to-loud by its pinned docstring contract.
 """
 
 from __future__ import annotations
