@@ -596,3 +596,63 @@ def test_zeroed_lwn_span_is_controlled_error_not_hang():
         parse_redo_bytes(patch_lwn(0, 0))
     with pytest.raises(ValueError, match="corrupt LWN header"):
         parse_redo_bytes(patch_lwn(10_000))
+
+
+def test_ignore_data_errors_streaming_engine_e2e(spark, tmp_path):
+    """flags bit 4 end to end: reference JSON config → EngineConfig →
+    build_pipeline → streaming parse — a damaged record degrades to the
+    60013 log path and every undamaged transaction's events reach the
+    sink; warn diagnostics never do (the reference's warning goes to
+    the LOG, not the stream). Without the flag the same fixture kills
+    the query with the numbered corruption error."""
+    from conftest import drain
+    from openlogreplicator_spark.sources.binary_redo import (
+        damage_nth_record,
+    )
+    from openlogreplicator_spark.config import EngineConfig, Format
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    recs = []
+    for i in range(1, 5):
+        recs += [
+            _rec(i * 100, f"7.0.{i}", "begin"),
+            _rec(i * 100 + 1, f"7.0.{i}", "insert", obj=9, bdba=5,
+                 slot=0, cols={"v": f"row{i}"}),
+            _rec(i * 100 + 9, f"7.0.{i}", "commit"),
+        ]
+    data = damage_nth_record(encode_redo_file(recs, sequence=1), 1)
+    redo_dir = tmp_path / "redo"
+    redo_dir.mkdir()
+    (redo_dir / "0001.olrs").write_bytes(data)
+
+    def run(flag, name, ckpt):
+        cfg = EngineConfig(
+            fmt=Format(skip_begin=True, skip_commit=True),
+            ignore_data_errors=flag,
+        )
+        return build_pipeline(
+            spark, cfg, str(redo_dir), checkpoint=str(tmp_path / ckpt),
+            sink="memory", query_name=name,
+        )
+
+    import json as _json
+
+    q = run(True, "olr_ide_e2e", "ck1")
+    drain(q)
+    docs = [
+        _json.loads(r.value)
+        for r in spark.sql("select value from olr_ide_e2e").collect()
+    ]
+    # the damaged record was txn 7.0.1's only insert — its transaction
+    # emits nothing; the other three emit one 'c' each; no warn rows
+    # reach the sink (the 60013 path is log-only, like the reference)
+    assert sorted(d["xid"] for d in docs) == ["7.0.2", "7.0.3", "7.0.4"]
+    assert all(d["payload"][0]["op"] == "c" for d in docs)
+
+    # strict mode: the same fixture aborts the stream with the
+    # controlled numbered error
+    q2 = run(False, "olr_ide_strict", "ck2")
+    with pytest.raises(Exception, match="corrupt record structure"):
+        q2.awaitTermination(120)
+    if q2.isActive:
+        q2.stop()
