@@ -1056,3 +1056,33 @@ def test_e2e_lake_sink_kill_between_batches_exactly_once(spark, tmp_path):
     assert set(got) == want, "lake sink lost events across the kill"
     dups = {k: n for k, n in got.items() if n > 1}
     assert not dups, f"lake sink duplicated {dups} (exactly-once broken)"
+
+
+def test_leading_heartbeat_on_virgin_stream_is_confirmable(tmp_path):
+    """Review pass 1 pin: a heartbeat arriving BEFORE any data on a
+    virgin stream must not be keyed (0, 0) — that IS the initial
+    confirm watermark, so CONTINUE at it would skip the frame
+    undelivered and no CONFIRM could ever cover it. The key starts
+    strictly above, stays deliverable after a virgin-watermark
+    CONTINUE, and is prunable by a confirm."""
+    server = StreamServer("DB", state_dir=str(tmp_path / "st"))
+    try:
+        core = NetworkFunnelCore(server)
+        core.feed(iter([(500, False, b"hb")]), 0)
+        keys = [(s, i) for s, i, _f in server._queue]
+        assert keys == [(0, 1)], keys
+        # CONTINUE at the virgin watermark must NOT skip it
+        server._handle({"database": "DB", "code": 2, "c_scn": 0,
+                        "c_idx": 0})
+        assert server._cursor == 0
+        # and a confirm at its key prunes it
+        server._handle({"database": "DB", "code": 3, "c_scn": 0,
+                        "c_idx": 1})
+        assert server._queue == []
+        # data after the leading heartbeat gets its true scn key
+        core.feed(iter([(500, True, b"d0"), (500, True, b"d1")]), 1)
+        assert [(s, i) for s, i, _f in server._queue] == [
+            (500, 0), (500, 1),
+        ]
+    finally:
+        server.stop()
