@@ -136,3 +136,36 @@ def test_zmtp_ping_gets_pong():
     finally:
         a.close()
         b.close()
+
+
+def test_foreach_batch_replay_is_at_least_once(spark):
+    """W2 restart semantics, pinned (r11 chaos-matrix completion): a
+    foreachBatch RETRY re-produces the batch — Kafka delivery is
+    AT-LEAST-ONCE, exactly the guarantee the reference's librdkafka
+    acks=1 producer gives (WriterKafka.cpp:123-155); nothing is lost,
+    duplicates are confined to the replayed batch, and consumers dedup
+    on the message key like any Kafka CDC consumer."""
+    from collections import Counter
+
+    from openlogreplicator_spark.streaming.pipeline import (
+        kafka_foreach_batch,
+    )
+
+    broker = LoopbackKafkaBroker()
+    try:
+        write = kafka_foreach_batch(broker.bootstrap, "olr.replay")
+        batch = spark.createDataFrame(
+            [(f"k{i}", f"v{i}") for i in range(6)], "key string, value string"
+        )
+        write(batch, 0)
+        write(batch, 0)   # in-flight retry of the SAME epoch
+        got = Counter(
+            v.decode() for _k, v in broker.messages("olr.replay")
+        )
+        assert set(got) == {f"v{i}" for i in range(6)}, "loss"
+        assert all(n == 2 for n in got.values()), (
+            "replay must re-deliver the whole batch (at-least-once), "
+            f"got {got}"
+        )
+    finally:
+        broker.stop()
