@@ -241,6 +241,36 @@ def _run_file_schedule(seed: int, tmpdir: str) -> None:
     ckpt_gen = 0    # cold start = fresh checkpoint dir = fresh sidecar
     kills = 0
 
+    written_set = set()
+
+    def _doc_sound(where: str) -> None:
+        """THE doc invariant, checked continuously on SEQUENCE-ORDERED
+        schedules (where the contract promises it): at no point may the
+        persisted doc cover a commit scn whose messages are not yet
+        durably written — the exact loss window the r10 pass-6 bugs
+        (heartbeat advance, incomplete-scn advance) lived in. Checked
+        mid-run, not just at the end, so a bad advance is caught the
+        batch it happens even if no cold start ever consumes it. The
+        non-monotone arm cannot promise this before an inversion is
+        OBSERVED (the documented unread-inversion limit), so there the
+        freeze's contract is pinned deterministically instead
+        (test_file_doc_freezes_on_observed_inversion)."""
+        if not monotone:
+            return
+        doc = read_checkpoint_doc(state_dir, "DB")
+        if doc is None:
+            return
+        written_set.clear()
+        written_set.update(writer.frames)
+        bad = [
+            p for p, pscn in oracle.items()
+            if pscn <= int(doc["scn"]) and p not in written_set
+        ]
+        assert not bad, (
+            f"seed {seed} [{where}]: doc at {doc['scn']} covers "
+            f"unwritten {bad}"
+        )
+
     while True:
         core = FileFunnelCore(
             writer,
@@ -289,6 +319,7 @@ def _run_file_schedule(seed: int, tmpdir: str) -> None:
                 died = True
                 break
             core.feed(iter(feed_rows), bid)
+            _doc_sound(f"batch {bid}")
             if do_kill and kill == "pre_commit":
                 # batch rows + sidecar are durable, offsets are NOT:
                 # warm restart replays this batch id and the sidecar
@@ -541,10 +572,17 @@ def _run_network_schedule(seed: int, tmpdir: str,
             scn, idx = mirror.next_meta(f)
             received.append((scn, idx, f))
         if frames and rng.random() < 0.8:
-            # confirm the exact (scn, idx) of a random received frame —
-            # the faithful client watermark (the reference's Debezium
-            # client confirms the header's c_scn/c_idx)
-            scn, idx, _ = received[rng.randrange(len(received))]
+            # confirm the exact (scn, idx) of a received frame — the
+            # faithful client watermark (the reference's Debezium
+            # client confirms the header's c_scn/c_idx). Half the time
+            # pick the HIGHEST key received: that is where an
+            # ahead-of-data heartbeat would sit, the exact frame whose
+            # confirm once pushed the doc past unemitted transactions
+            # (the bug class the non-data key rule closes)
+            if rng.random() < 0.5:
+                scn, idx, _ = max(received, key=lambda t: (t[0], t[1]))
+            else:
+                scn, idx, _ = received[rng.randrange(len(received))]
             if (scn, idx) > confirmed:
                 client.confirm(scn, idx)
                 _settle_confirm(server, (scn, idx))
@@ -1084,5 +1122,36 @@ def test_leading_heartbeat_on_virgin_stream_is_confirmable(tmp_path):
         assert [(s, i) for s, i, _f in server._queue] == [
             (500, 0), (500, 1),
         ]
+    finally:
+        server.stop()
+
+
+def test_ahead_of_data_heartbeat_confirm_cannot_starve_cold_start(tmp_path):
+    """Mutation-testing find (pass 5): with the non-data key rule
+    disabled, an UNTHROTTLED heartbeat describing redo far ahead of the
+    emitted data gets keyed at its own scn; a client confirming it
+    persists a doc past every unemitted transaction, and a cold start
+    before more data arrives loses them all. The rule keeps the
+    heartbeat at the data watermark key, so the persisted doc can never
+    outrun what was actually enqueued."""
+    state_dir = str(tmp_path / "st")
+    server = StreamServer("DB", state_dir=state_dir)
+    try:
+        core = NetworkFunnelCore(server)
+        # data through scn 200, then a heartbeat describing scn 900
+        core.feed(
+            iter([(100, True, b"t1"), (200, True, b"t2"),
+                  (900, False, b"hb@900")]),
+            0,
+        )
+        keys = [(s, i) for s, i, _f in server._queue]
+        assert keys == [(100, 0), (200, 0), (200, 1)], keys
+        # the client confirms the LAST frame it received — the heartbeat
+        server._handle({"database": "DB", "code": 3, "c_scn": 200,
+                        "c_idx": 1})
+        doc = read_checkpoint_doc(state_dir, "DB")
+        # the doc sits at the DATA watermark, not the heartbeat's 900:
+        # a cold start re-emits everything after scn 200 — zero loss
+        assert int(doc["scn"]) == 200, doc
     finally:
         server.stop()
