@@ -605,6 +605,83 @@ def write_binary_redo(
         fh.write("\n".join(f"{r.file}\t{r.n_records}" for r in summary))
 
 
+def write_binary_redo_segments(
+    redo: DataFrame,
+    out_dir: str,
+    n_files: int = 32,
+    col_types: dict | None = None,
+    pos_dicts: dict | None = None,
+) -> None:
+    """SEQUENCE-SEGMENT fixture writer — the S4 scheduler's real input
+    layout: contiguous scn-ordered slices of the redo, one OLRS1 file
+    per sequence, mtimes restored in sequence order so the streaming
+    file source's mtime batching equals sequence order (the
+    ordered-arrival contract, `_binary_files_stream`). Unlike
+    :func:`write_binary_redo` (hash-partitioned: a transaction never
+    straddles files), a transaction here STRADDLES segments whenever
+    its begin and commit land in different scn ranges — the layout
+    that actually exercises cross-batch assembly state under paced
+    replay. Range-partitioned and encoded on executors; only the
+    per-file summary returns to the driver (plus one utime pass over
+    n_files paths)."""
+    import time as _time
+
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    ordered = redo.repartitionByRange(
+        n_files, F.col("scn"), F.col("subscn"), F.col("block"),
+        F.col("offset"),
+    ).sortWithinPartitions("scn", "subscn", "block", "offset")
+
+    def write_partition(batches):
+        import pandas as pd
+
+        records: list[dict] = []
+        for pdf in batches:
+            records.extend(pdf.to_dict("records"))
+        pid = TaskContext.get().partitionId()
+        for r in records:
+            cols = r.get("cols")
+            if cols is not None and not isinstance(cols, dict):
+                r["cols"] = dict(cols)
+            rows = r.get("rows")
+            if rows is not None and not isinstance(rows, list):
+                rows = list(rows)
+            if rows is not None:
+                r["rows"] = [
+                    dict(x) if not isinstance(x, dict) else x for x in rows
+                ]
+            for f in ("obj", "bdba", "slot", "fb", "subscn"):
+                v = r.get(f)
+                if v is not None and pd.isna(v):
+                    r[f] = None
+            r["seq"] = pid + 1
+        data = encode_redo_file(records, sequence=pid + 1,
+                                col_types=col_types, pos_dicts=pos_dicts)
+        path = os.path.join(out_dir, f"redo_{pid + 1:04d}.olrs")
+        with open(path, "wb") as fh:
+            fh.write(data)
+        yield pd.DataFrame(
+            {"file": [path], "n_records": [len(records)],
+             "n_bytes": [len(data)]}
+        )
+
+    summary = ordered.mapInPandas(
+        write_partition, schema="file string, n_records long, n_bytes long"
+    ).collect()
+    # executor writes land near-simultaneously; restore mtimes in
+    # sequence order so mtime batching == sequence order
+    base_t = _time.time() - 10 * len(summary) - 10
+    for r in sorted(summary, key=lambda r: r.file):
+        idx = int(os.path.basename(r.file).split("_")[1].split(".")[0])
+        t = base_t + idx * 10
+        os.utime(r.file, (t, t))
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:
+        fh.write("\n".join(f"{r.file}\t{r.n_records}" for r in summary))
+
+
 # --------------------------------------------------------------------------
 # decoding (the parse plane)
 # --------------------------------------------------------------------------

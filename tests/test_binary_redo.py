@@ -656,3 +656,68 @@ def test_ignore_data_errors_streaming_engine_e2e(spark, tmp_path):
         q2.awaitTermination(120)
     if q2.isActive:
         q2.stop()
+
+
+def test_segment_writer_straddles_and_assembles(spark, tmp_path):
+    """write_binary_redo_segments (the S4 sequence-segment layout):
+    files are scn-contiguous with mtimes in sequence order, a
+    transaction STRADDLES segments when its commit lands in a later scn
+    range, and the paced streaming drain assembles it identically to
+    the batch oracle."""
+    from conftest import drain
+    from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
+    from openlogreplicator_spark.sources.binary_redo import (
+        write_binary_redo_segments,
+    )
+    from openlogreplicator_spark.streaming.assembly import (
+        streaming_assemble,
+    )
+
+    recs = []
+    for t in range(12):
+        recs.append(_rec(t * 100, f"x{t}", "begin"))
+        recs.append(_rec(t * 100 + 1, f"x{t}", "insert", obj=9, bdba=t,
+                         slot=0, cols={"v": str(t)}))
+        # commit 3 transactions later — straddles the 4-file split
+        recs.append(_rec(min(t + 3, 11) * 100 + 9, f"x{t}", "commit"))
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in REDO_RECORD_SCHEMA.fields) for r in recs],
+        REDO_RECORD_SCHEMA,
+    )
+    out = str(tmp_path / "seg")
+    write_binary_redo_segments(df, out, n_files=4)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".olrs"))
+    assert len(files) == 4
+    mtimes = [os.path.getmtime(os.path.join(out, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+    # scn ranges are contiguous across files, and at least one txn's
+    # records span two files (the straddle this layout exists for)
+    per_file = [
+        parse_redo_bytes(open(os.path.join(out, f), "rb").read(), f)
+        for f in files
+    ]
+    maxs = [max(r["scn"] for r in rows) for rows in per_file if rows]
+    mins = [min(r["scn"] for r in rows) for rows in per_file if rows]
+    assert all(maxs[i] <= mins[i + 1] for i in range(len(maxs) - 1))
+    xid_files = {}
+    for i, rows in enumerate(per_file):
+        for r in rows:
+            xid_files.setdefault(r["xid"], set()).add(i)
+    assert any(len(v) > 1 for v in xid_files.values()), "no straddle"
+    # paced streaming assembly over the segments = full txn set
+    from openlogreplicator_spark.sources.binary_redo import (
+        parse_redo_stream,
+    )
+
+    assembled = streaming_assemble(
+        parse_redo_stream(spark, out, max_files_per_trigger=1),
+        ttl_timeout=False,
+    )
+    q = (
+        assembled.writeStream.format("memory").queryName("seg_asm")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    drain(q)
+    got = spark.sql("select xid, op from seg_asm").collect()
+    assert sorted(r.xid for r in got) == sorted(f"x{t}" for t in range(12))
+    assert all(r.op == "c" for r in got)
