@@ -338,22 +338,28 @@ class StreamServer:
             if code == REQ_CONTINUE:
                 # client supplies its durable watermark; 0/absent means
                 # resume from the server's confirmed point
-                # (WriterStream.cpp:165-197)
+                # (WriterStream.cpp:165-197). Skip-and-prune runs over
+                # the WHOLE queue, not just the prefix: a Spark batch
+                # replay re-enqueues frames at their ORIGINAL keys, and
+                # such a duplicate can sit DEEP behind higher-keyed
+                # first copies — a prefix skip would re-deliver it (r11
+                # chaos find under no-drain reconnects). The reference's
+                # queue is strictly monotone (single writer thread, no
+                # replays), where prefix and full scan coincide; the
+                # full scan is the faithful generalization. Every
+                # ≤-watermark entry is a confirmed frame's duplicate:
+                # within one funnel run keys are monotone (clamp), cold
+                # re-emissions seed above the watermark, and replays
+                # reuse original keys — so pruning them loses nothing.
                 c_scn = req.get("c_scn") or self.confirmed_scn
                 c_idx = req.get("c_idx", self.confirmed_idx)
+                self._prune_le(c_scn, c_idx)
                 self._cursor = 0
-                while self._cursor < len(self._queue) and (
-                    self._queue[self._cursor][0] < c_scn
-                    or (
-                        self._queue[self._cursor][0] == c_scn
-                        and self._queue[self._cursor][1] <= c_idx
-                    )
-                ):
-                    self._cursor += 1
                 self._streaming = True
                 return encode_control_response(RESP_REPLICATE)
             if code == REQ_CONFIRM:
-                # prune everything at or below the watermark
+                # prune everything at or below the watermark — whole
+                # queue, same rationale as REQ_CONTINUE above
                 # (WriterStream.cpp:199-232); no response message
                 c_scn = req.get("c_scn")
                 if c_scn is not None:
@@ -368,22 +374,29 @@ class StreamServer:
                         self.confirmed_idx,
                     ):
                         return None
-                    dropped = 0
-                    while self._queue and (
-                        self._queue[0][0] < c_scn
-                        or (
-                            self._queue[0][0] == c_scn
-                            and self._queue[0][1] <= c_idx
-                        )
-                    ):
-                        self._queue.pop(0)
-                        dropped += 1
-                    self._cursor = max(0, self._cursor - dropped)
+                    self._prune_le(c_scn, c_idx)
                     self.confirmed_scn = c_scn
                     self.confirmed_idx = c_idx
                     self._persist_confirm()
                 return None
         return encode_control_response(RESP_INVALID_COMMAND)
+
+    def _prune_le(self, c_scn: int, c_idx: int) -> None:
+        """Drop every queued frame keyed at or below (c_scn, c_idx),
+        wherever it sits, keeping the send cursor on the same next
+        unsent frame. Caller holds the lock."""
+        keep = []
+        removed_before_cursor = 0
+        for i, entry in enumerate(self._queue):
+            if entry[0] < c_scn or (
+                entry[0] == c_scn and entry[1] <= c_idx
+            ):
+                if i < self._cursor:
+                    removed_before_cursor += 1
+                continue
+            keep.append(entry)
+        self._queue[:] = keep
+        self._cursor = max(0, self._cursor - removed_before_cursor)
 
     def _serve(self) -> None:
         while not self._stop:

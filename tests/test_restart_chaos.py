@@ -417,29 +417,31 @@ class _QueueMirror:
     def enqueue(self, scn: int, idx: int, frame: bytes) -> None:
         self.q.append((scn, idx, frame))
 
+    def _prune_le(self, c_scn: int, c_idx: int) -> None:
+        # full-queue prune, mirroring StreamServer._prune_le: a batch
+        # replay's duplicate can sit DEEP behind higher keys
+        keep = []
+        removed_before = 0
+        for i, entry in enumerate(self.q):
+            if entry[0] < c_scn or (
+                entry[0] == c_scn and entry[1] <= c_idx
+            ):
+                if i < self.cursor:
+                    removed_before += 1
+                continue
+            keep.append(entry)
+        self.q[:] = keep
+        self.cursor = max(0, self.cursor - removed_before)
+
     def on_confirm(self, c_scn: int, c_idx: int) -> None:
         if (c_scn, c_idx) <= self.wm:
             return  # server ignores stale/duplicate confirms
-        dropped = 0
-        while self.q and (
-            self.q[0][0] < c_scn
-            or (self.q[0][0] == c_scn and self.q[0][1] <= c_idx)
-        ):
-            self.q.pop(0)
-            dropped += 1
-        self.cursor = max(0, self.cursor - dropped)
+        self._prune_le(c_scn, c_idx)
         self.wm = (c_scn, c_idx)
 
     def on_continue(self, c_scn: int, c_idx: int) -> None:
+        self._prune_le(c_scn, c_idx)
         self.cursor = 0
-        while self.cursor < len(self.q) and (
-            self.q[self.cursor][0] < c_scn
-            or (
-                self.q[self.cursor][0] == c_scn
-                and self.q[self.cursor][1] <= c_idx
-            )
-        ):
-            self.cursor += 1
 
     def on_start(self) -> None:
         self.cursor = 0
@@ -648,8 +650,18 @@ def _run_network_schedule(seed: int, tmpdir: str,
             if not died:
                 break
             kills += 1
-            drain_and_maybe_confirm()
-            if rng.random() < 0.4:
+            if rng.random() < 0.6:
+                drain_and_maybe_confirm()
+                if rng.random() < 0.4:
+                    reconnect()
+            else:
+                # CLIENT CRASH without draining: socket-buffered frames
+                # are lost unread — everything above the confirmed
+                # watermark must re-deliver after CONTINUE. This is the
+                # arm that makes queue-key monotonicity load-bearing:
+                # an inverted key at/below the watermark hiding in the
+                # prefix would be CONTINUE-skipped undelivered (the
+                # exact loss the r11 clamp closes)
                 reconnect()
             if restart == "cold":
                 # producer cold start from the doc the CONFIRMs
@@ -1153,5 +1165,34 @@ def test_ahead_of_data_heartbeat_confirm_cannot_starve_cold_start(tmp_path):
         # the doc sits at the DATA watermark, not the heartbeat's 900:
         # a cold start re-emits everything after scn 200 — zero loss
         assert int(doc["scn"]) == 200, doc
+    finally:
+        server.stop()
+
+
+def test_confirm_prunes_deep_replay_duplicates(tmp_path):
+    """Chaos find (no-drain reconnect arm, seed 111): a Spark batch
+    replay re-enqueues frames at their ORIGINAL keys, so a duplicate
+    can sit DEEP behind higher-keyed first copies. A head-only prune
+    left it there and a later CONTINUE re-delivered a frame the client
+    had already confirmed — a third delivery outside every documented
+    window. CONFIRM and CONTINUE now prune at-or-below the watermark
+    across the WHOLE queue (the faithful generalization of the
+    reference's monotone-queue prune, WriterStream.cpp:199-232)."""
+    server = StreamServer("DB")
+    try:
+        server.enqueue(100, 0, b"a")
+        server.enqueue(200, 0, b"b")
+        server.enqueue(100, 0, b"a")   # replayed batch, original key
+        server._handle({"database": "DB", "code": 3, "c_scn": 100,
+                        "c_idx": 0})
+        assert [(s, i) for s, i, _f in server._queue] == [(200, 0)], (
+            server._queue
+        )
+        # CONTINUE at a received watermark also clears deep duplicates
+        server.enqueue(150, 0, b"c")   # replay below the tail again
+        server._handle({"database": "DB", "code": 2, "c_scn": 150,
+                        "c_idx": 0})
+        assert [(s, i) for s, i, _f in server._queue] == [(200, 0)]
+        assert server._cursor == 0
     finally:
         server.stop()
