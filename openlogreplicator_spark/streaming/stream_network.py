@@ -276,12 +276,39 @@ class StreamServer:
         longer bound commit-scn space — a doc at the confirmed key's
         scn could skip a late low-commit transaction on cold start.
         The cap is the lowest inverted commit scn: the ``>=`` cold-
-        start boundary then re-emits every unproven transaction
-        (duplicates, never loss). The in-memory confirm watermark is
-        NOT capped — queue pruning and CONTINUE stay exact."""
+        start boundary then re-emits every unproven transaction. A doc
+        ALREADY persisted above the cap (a confirm that landed before
+        the first inversion was observed) is rewritten down here, so
+        observation closes the skip window retroactively; the residual
+        exposure is a cold start in the gap between that early doc
+        write and the inversion's arrival — the same window the file
+        funnel's doc freeze documents. The in-memory confirm watermark
+        is NOT capped — queue pruning and CONTINUE stay exact."""
         with self._lock:
             if self._doc_cap is None or scn < self._doc_cap:
                 self._doc_cap = scn
+                self._rewrite_doc_down()
+
+    def _rewrite_doc_down(self) -> None:
+        """Pull an already-persisted checkpoint doc down to the cap
+        (r12 ADVICE): without this, a doc written above a late low
+        commit's scn BEFORE the inversion was observed would still
+        make a doc-based cold start skip that transaction. Caller
+        holds the lock; only rewrites an EXISTING doc — never mints
+        one (a virgin state dir must keep cold-starting from the log
+        head, not from a synthetic scn-0 doc)."""
+        if self.state_dir is None:
+            return
+        from openlogreplicator_spark.metadata.state_documents import (
+            read_checkpoint_doc,
+            write_checkpoint_doc,
+        )
+
+        doc = read_checkpoint_doc(self.state_dir, self.database)
+        if doc is not None and int(doc.get("scn", 0)) > self._doc_cap:
+            write_checkpoint_doc(
+                self.state_dir, self.database, scn=self._doc_cap, idx=0
+            )
 
     def _persist_confirm(self) -> None:
         if self.state_dir is None:
@@ -338,28 +365,43 @@ class StreamServer:
             if code == REQ_CONTINUE:
                 # client supplies its durable watermark; 0/absent means
                 # resume from the server's confirmed point
-                # (WriterStream.cpp:165-197). Skip-and-prune runs over
-                # the WHOLE queue, not just the prefix: a Spark batch
-                # replay re-enqueues frames at their ORIGINAL keys, and
-                # such a duplicate can sit DEEP behind higher-keyed
-                # first copies — a prefix skip would re-deliver it (r11
-                # chaos find under no-drain reconnects). The reference's
-                # queue is strictly monotone (single writer thread, no
-                # replays), where prefix and full scan coincide; the
-                # full scan is the faithful generalization. Every
-                # ≤-watermark entry is a confirmed frame's duplicate:
-                # within one funnel run keys are monotone (clamp), cold
-                # re-emissions seed above the watermark, and replays
-                # reuse original keys — so pruning them loses nothing.
+                # (WriterStream.cpp:165-197). Two distinct watermarks
+                # apply (r12 ADVICE — the reference's CONTINUE only
+                # REPOSITIONS, it never destroys; only CONFIRM prunes):
+                #  1. DESTRUCTIVE prune strictly at the server's OWN
+                #     confirmed watermark — every such frame is a
+                #     proven duplicate of a confirmed delivery,
+                #     wherever it sits in the queue (a Spark batch
+                #     replay re-enqueues at ORIGINAL keys, so a
+                #     duplicate can hide DEEP behind higher-keyed
+                #     first copies — the r11 chaos find; the
+                #     reference's monotone queue makes prefix and full
+                #     scan coincide, WriterStream.cpp:199-232).
+                #  2. NON-DESTRUCTIVE cursor skip of the leading run
+                #     at or below the CLIENT's claimed watermark — the
+                #     reference's repositioning. A client reconnecting
+                #     with an erroneously HIGH claim therefore skips,
+                #     not destroys: a later reconnect with the correct
+                #     watermark recovers every unconfirmed frame.
+                #     ≤-claim duplicates buried behind higher keys
+                #     re-deliver (at-least-once); clients dedup by
+                #     their received watermark, like the reference's
+                #     Debezium consumer.
                 c_scn = req.get("c_scn") or self.confirmed_scn
                 c_idx = req.get("c_idx", self.confirmed_idx)
-                self._prune_le(c_scn, c_idx)
-                self._cursor = 0
+                self._prune_le(self.confirmed_scn, self.confirmed_idx)
+                cur = 0
+                for scn, idx, _f in self._queue:
+                    if scn < c_scn or (scn == c_scn and idx <= c_idx):
+                        cur += 1
+                    else:
+                        break
+                self._cursor = cur
                 self._streaming = True
                 return encode_control_response(RESP_REPLICATE)
             if code == REQ_CONFIRM:
                 # prune everything at or below the watermark — whole
-                # queue, same rationale as REQ_CONTINUE above
+                # queue, rationale (1) of REQ_CONTINUE above
                 # (WriterStream.cpp:199-232); no response message
                 c_scn = req.get("c_scn")
                 if c_scn is not None:

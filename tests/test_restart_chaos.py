@@ -440,8 +440,18 @@ class _QueueMirror:
         self.wm = (c_scn, c_idx)
 
     def on_continue(self, c_scn: int, c_idx: int) -> None:
-        self._prune_le(c_scn, c_idx)
-        self.cursor = 0
+        # r12 semantics: destructive prune only at the CONFIRMED
+        # watermark (provable duplicates); the client's claimed
+        # watermark only repositions the cursor past the leading
+        # ≤-claim run — the reference's CONTINUE never destroys
+        self._prune_le(*self.wm)
+        cur = 0
+        for scn, idx, _f in self.q:
+            if scn < c_scn or (scn == c_scn and idx <= c_idx):
+                cur += 1
+            else:
+                break
+        self.cursor = cur
 
     def on_start(self) -> None:
         self.cursor = 0
@@ -995,6 +1005,53 @@ def test_network_keys_clamped_and_doc_capped_on_inversion(tmp_path):
         server.stop()
 
 
+def test_doc_persisted_before_inversion_is_rewritten_down(tmp_path):
+    """r12 ADVICE: a checkpoint doc persisted ABOVE a late low commit's
+    scn BEFORE the first inversion is observed would still make a
+    doc-based cold start skip that transaction — set_doc_cap must pull
+    the already-written doc down the moment the inversion arrives, not
+    just cap future writes."""
+    state_dir = str(tmp_path / "st")
+    server = StreamServer("DB", state_dir=state_dir)
+    try:
+        core = NetworkFunnelCore(server)
+        # batch 0: monotone commits; client confirms — doc lands at 30
+        core.feed(iter([(20, True, b"a"), (30, True, b"b")]), 0)
+        server._handle(
+            {"database": "DB", "code": 3, "c_scn": 30, "c_idx": 0}
+        )
+        assert int(read_checkpoint_doc(state_dir, "DB")["scn"]) == 30
+        # batch 1: the INVERSION arrives only now (late commit 15) —
+        # the doc already sitting at 30 must come down immediately, or
+        # a cold start in this window skips transaction 15
+        core.feed(iter([(15, True, b"c")]), 1)
+        doc = read_checkpoint_doc(state_dir, "DB")
+        assert int(doc["scn"]) == 15 and int(doc["idx"]) == 0, doc
+        # and future confirms stay capped as before
+        server._handle(
+            {"database": "DB", "code": 3, "c_scn": 40, "c_idx": 0}
+        )
+        assert int(read_checkpoint_doc(state_dir, "DB")["scn"]) == 15
+    finally:
+        server.stop()
+
+
+def test_doc_cap_never_mints_a_doc_on_virgin_state_dir(tmp_path):
+    """The rewrite-down must only LOWER an existing doc: on a virgin
+    state dir an inversion before any confirm must not create a
+    synthetic doc (a cold start must still position from the log head,
+    not from a minted scn)."""
+    state_dir = str(tmp_path / "st")
+    server = StreamServer("DB", state_dir=state_dir)
+    try:
+        core = NetworkFunnelCore(server)
+        core.feed(iter([(20, True, b"a"), (15, True, b"c")]), 0)
+        assert server._doc_cap == 15
+        assert read_checkpoint_doc(state_dir, "DB") is None
+    finally:
+        server.stop()
+
+
 def test_e2e_lake_sink_kill_between_batches_exactly_once(spark, tmp_path):
     """The third sink family of the chaos matrix: the lake sink rides
     Spark's transactional file sink, so a kill BETWEEN micro-batches
@@ -1175,9 +1232,14 @@ def test_confirm_prunes_deep_replay_duplicates(tmp_path):
     can sit DEEP behind higher-keyed first copies. A head-only prune
     left it there and a later CONTINUE re-delivered a frame the client
     had already confirmed — a third delivery outside every documented
-    window. CONFIRM and CONTINUE now prune at-or-below the watermark
-    across the WHOLE queue (the faithful generalization of the
-    reference's monotone-queue prune, WriterStream.cpp:199-232)."""
+    window. CONFIRM prunes at-or-below the watermark across the WHOLE
+    queue (the faithful generalization of the reference's
+    monotone-queue prune, WriterStream.cpp:199-232). CONTINUE (r12
+    ADVICE) destroys only at the server's OWN confirmed watermark and
+    merely cursor-skips up to the client's claim — an erroneously high
+    claim is recoverable on a later correct reconnect, matching the
+    reference where CONTINUE repositions and never prunes
+    (WriterStream.cpp:165-196)."""
     server = StreamServer("DB")
     try:
         server.enqueue(100, 0, b"a")
@@ -1188,11 +1250,33 @@ def test_confirm_prunes_deep_replay_duplicates(tmp_path):
         assert [(s, i) for s, i, _f in server._queue] == [(200, 0)], (
             server._queue
         )
-        # CONTINUE at a received watermark also clears deep duplicates
+        # CONTINUE above the confirmed watermark prunes only proven
+        # duplicates (≤ confirmed); a received-but-unconfirmed deep
+        # frame stays queued — re-delivered, deduped by the client's
+        # watermark (at-least-once), never destroyed
         server.enqueue(150, 0, b"c")   # replay below the tail again
         server._handle({"database": "DB", "code": 2, "c_scn": 150,
                         "c_idx": 0})
-        assert [(s, i) for s, i, _f in server._queue] == [(200, 0)]
+        assert [(s, i) for s, i, _f in server._queue] == [
+            (200, 0), (150, 0),
+        ]
+        # leading entry (200, 0) exceeds the claim — cursor stays put
         assert server._cursor == 0
+        # RECOVERABILITY (the property the r12 change buys): a client
+        # that erroneously claimed far too high has destroyed nothing —
+        # a later reconnect at the true confirmed watermark re-delivers
+        # every unconfirmed frame
+        server._handle({"database": "DB", "code": 2, "c_scn": 10**9,
+                        "c_idx": 0})
+        assert [(s, i) for s, i, _f in server._queue] == [
+            (200, 0), (150, 0),
+        ]
+        assert server._cursor == 2   # skipped, not pruned
+        server._handle({"database": "DB", "code": 2, "c_scn": 100,
+                        "c_idx": 0})
+        assert server._cursor == 0
+        assert [(s, i) for s, i, _f in server._queue] == [
+            (200, 0), (150, 0),
+        ]
     finally:
         server.stop()
