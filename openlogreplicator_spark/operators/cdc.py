@@ -353,15 +353,21 @@ def _damaged_redo_dir(spark: SparkSession, sf_dir: str) -> str:
     IGNORE_DATA_ERRORS degradation path (REDO_FLAGS bit 4,
     Parser.cpp:1468-1479): one txn per order (begin / one insert /
     commit — exactly one insert so the damaged record's OPCODE is
-    deterministic), 32 sequence files, and in EVERY file record #1 (the
-    file's first insert — record #0 is its transaction's begin) gets
-    its vector opcode bytes destroyed with the block checksums
-    recomputed (`damage_nth_record`), i.e. corruption the block layer
-    cannot catch, only the vector analysis can."""
+    deterministic), 32 hash-partitioned files, and the INSERT record
+    of every order with ``o_orderkey % 10 = 3`` gets its vector opcode
+    bytes destroyed with the block checksums recomputed
+    (`damage_records_by_scn`), i.e. corruption the block layer cannot
+    catch, only the vector analysis can. Targeting records by a KEY
+    predicate instead of by file position (r12 ADVICE) makes the
+    damaged set exactly derivable by the SQL oracle and total on any
+    partitioning — an empty or single-order hash partition can never
+    fault the build (the old per-file `damage_nth_record(data, 1)`
+    raised IndexError on a <2-record file and the oracle hardcoded 32
+    damaged rows)."""
     import tempfile
 
     from openlogreplicator_spark.sources.binary_redo import (
-        damage_nth_record,
+        damage_records_by_scn,
         write_binary_redo,
     )
 
@@ -369,7 +375,7 @@ def _damaged_redo_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "olrs_binary_redo_v3",
         os.path.basename(os.path.normpath(sf_dir))
-        + "-dmg1-" + _source_stamp(sf_dir, "orders"),
+        + "-dmg2-" + _source_stamp(sf_dir, "orders"),
     )
     if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         import shutil
@@ -407,30 +413,47 @@ def _damaged_redo_dir(spark: SparkSession, sf_dir: str) -> str:
             .unionByName(rec("commit", 9, None))
         )
         write_binary_redo(stream, staging, n_files=32)
+        # insert scns are o_orderkey*100+1, so o_orderkey % 10 = 3
+        # ⇔ scn % 1000 = 301 — the oracle's FILTER predicate, applied
+        # here directly to the record headers (no driver collect of
+        # the key set; begin ≡ 0 and commit ≡ 9 mod 100 can't collide)
+        n_damaged = 0
         for f in os.listdir(staging):
             if f.endswith(".olrs"):
                 p = os.path.join(staging, f)
                 with open(p, "rb") as fh:
                     data = fh.read()
-                with open(p, "wb") as fh:
-                    fh.write(damage_nth_record(data, 1))
+                data, n = damage_records_by_scn(
+                    data, lambda scn: scn % 1000 == 301
+                )
+                if n:
+                    with open(p, "wb") as fh:
+                        fh.write(data)
+                    n_damaged += n
+        if n_damaged == 0:
+            raise AssertionError(
+                "damaged-redo fixture build produced zero damaged "
+                f"records from {sf_dir} — the orders table has no "
+                "o_orderkey % 10 = 3 rows, so the IGNORE_DATA_ERRORS "
+                "query would test nothing"
+            )
         _publish_fixture(staging, out_dir)
     return out_dir
 
 
 def cdc_ignore_data_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REDO_FLAGS::IGNORE_DATA_ERRORS end to end (Ctx.h:91 bit 4;
-    consumer Parser.cpp:1468-1479, warning 60013): every redo file
-    carries one record whose vector analysis fails (opcode bytes
-    destroyed, checksums recomputed — damage the block layer cannot
-    see). Under the flag the parse logs the error, emits one
-    opcode='warn' diagnostic row in the damaged record's place, and
-    CONTINUES — every undamaged record still parses; strict mode's
-    whole-file abort is pinned in tests/test_binary_redo.py. Output is
-    record counts by opcode plus the warn rows' numbered code —
-    partition-independent, because WHICH order's insert is damaged
-    depends on the fixture's xid hashing, which the SQL oracle cannot
-    reproduce."""
+    consumer Parser.cpp:1468-1479, warning 60013): the insert record
+    of every ``o_orderkey % 10 = 3`` order has its vector opcode bytes
+    destroyed with checksums recomputed — damage the block layer
+    cannot see, spread across the fixture's 32 files. Under the flag
+    the parse logs the error, emits one opcode='warn' diagnostic row
+    in each damaged record's place, and CONTINUES — every undamaged
+    record still parses; strict mode's whole-file abort is pinned in
+    tests/test_binary_redo.py. Output is record counts by opcode plus
+    the warn rows' numbered code; the key-predicate targeting makes
+    the damaged set exact in the SQL oracle regardless of how xids
+    hash to files (r12 ADVICE)."""
     from openlogreplicator_spark.sources.binary_redo import parse_redo_files
 
     redo = parse_redo_files(
@@ -443,16 +466,23 @@ def cdc_ignore_data_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CDC_IGNORE_DATA_ERRORS_SQL = """
-SELECT 'begin' AS opcode, CAST(NULL AS VARCHAR) AS code,
-       CAST(COUNT(*) AS BIGINT) AS n FROM orders
-UNION ALL
-SELECT 'commit', CAST(NULL AS VARCHAR), CAST(COUNT(*) AS BIGINT)
-FROM orders
-UNION ALL
-SELECT 'insert', CAST(NULL AS VARCHAR), CAST(COUNT(*) - 32 AS BIGINT)
-FROM orders
-UNION ALL
-SELECT 'warn', '60013', CAST(32 AS BIGINT)
+WITH counted AS (
+    SELECT COUNT(*) AS total,
+           COUNT(*) FILTER (WHERE o_orderkey % 10 = 3) AS damaged
+    FROM orders
+)
+SELECT opcode, code, n FROM (
+    SELECT 'begin' AS opcode, CAST(NULL AS VARCHAR) AS code,
+           CAST(total AS BIGINT) AS n FROM counted
+    UNION ALL
+    SELECT 'commit', CAST(NULL AS VARCHAR), CAST(total AS BIGINT)
+    FROM counted
+    UNION ALL
+    SELECT 'insert', CAST(NULL AS VARCHAR),
+           CAST(total - damaged AS BIGINT) FROM counted
+    UNION ALL
+    SELECT 'warn', '60013', CAST(damaged AS BIGINT) FROM counted
+) WHERE n > 0
 """
 
 

@@ -546,6 +546,55 @@ def damage_nth_record(data: bytes, n: int) -> bytes:
     raise IndexError(f"file has only {idx} records, wanted {n}")
 
 
+def damage_records_by_scn(data: bytes, target) -> tuple[bytes, int]:
+    """Scn-targeted twin of :func:`damage_nth_record` (r12 ADVICE):
+    destroy the first vector opcode of EVERY record whose header scn
+    matches ``target`` (a set of scns, or a predicate scn→bool) and
+    recompute the touched blocks' checksums. Returns
+    ``(bytes, n_damaged)``. Targeting by scn instead of position makes
+    the damaged SET derivable by a SQL oracle (the fixture picks scns
+    by a key predicate) and is total on any file — a file holding none
+    of the targets passes through untouched, so empty or tiny
+    partitions can never fault the fixture build."""
+    if data[:8] != MAGIC:
+        raise ValueError("not an OLRS1 file")
+    buf = bytearray(data)
+    n_blocks = len(data) // BLOCK_SIZE
+    cur = 0
+    touched: set[int] = set()
+    n_damaged = 0
+    while cur < n_blocks - 1:
+        lwn_blocks, n_records = struct.unpack_from(
+            "<II", data, (cur + 1) * BLOCK_SIZE + 16
+        )
+        pos = LWN_HEADER  # payload-relative, within this LWN
+
+        # payload byte q lives at body block cur + q // PAYLOAD
+        def at(q: int, base: int = cur) -> int:
+            return (base + 1 + q // PAYLOAD) * BLOCK_SIZE + 16 + q % PAYLOAD
+
+        def u(q: int, width: int) -> int:
+            return int.from_bytes(
+                bytes(buf[at(q + i)] for i in range(width)), "little"
+            )
+
+        hit = target if callable(target) else target.__contains__
+        for _ in range(n_records):
+            size = u(pos, 4)
+            scn = u(pos + 4, 8)  # record header is <IQHH (encode_record)
+            if hit(scn):
+                for q in (pos + REC_HEADER, pos + REC_HEADER + 1):
+                    buf[at(q)] = 0xFF
+                    touched.add(cur + 1 + q // PAYLOAD)
+                n_damaged += 1
+            pos += size
+        cur += lwn_blocks
+    for b in touched:
+        blk = bytearray(buf[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE])
+        struct.pack_into("<H", buf, b * BLOCK_SIZE + 2, _fold_checksum(blk))
+    return bytes(buf), n_damaged
+
+
 def write_binary_redo(
     redo: DataFrame,
     out_dir: str,

@@ -60,13 +60,17 @@ _STATE_SCHEMA = T.StructType(
 _TERMINAL = ("commit", "rollback")
 
 _LOG = logging.getLogger("openlogreplicator_spark.assembly")
-_warned_buckets: set = set()  # once per bucket per executor lifetime
+# keyed by (run token, bucket): executor processes outlive queries, so
+# a bucket-only key would silence the warning for every LATER run on
+# the same executor (r12 ADVICE); the token is minted per
+# streaming_assemble() call and ships inside the kernel closure
+_warned_buckets: set = set()
 
 
-def _warn_out_of_order(key, lo: int, hi: int) -> None:
-    if key in _warned_buckets:
+def _warn_out_of_order(run_token: str, key, lo: int, hi: int) -> None:
+    if (run_token, key) in _warned_buckets:
         return
-    _warned_buckets.add(key)
+    _warned_buckets.add((run_token, key))
     _LOG.warning(
         "redo records arrived out of order: bucket %s received scn %d "
         "below its high-water scn %d. Harmless when files hold whole "
@@ -174,6 +178,7 @@ def assemble_stateful(
     max_ops: int | None = None,
     ttl_timeout: bool = True,
     show_incomplete: bool = False,
+    run_token: str = "",
 ) -> Iterable[pd.DataFrame]:
     """Per-bucket stateful kernel (wired via the xid-hash groupBy in
     :func:`streaming_assemble`; also correct keyed by raw xid — the
@@ -247,7 +252,7 @@ def assemble_stateful(
         hi = int(s.max()) if hi is None else max(hi, int(s.max()))
     if lo is not None:
         if max_seen is not None and lo < max_seen:
-            _warn_out_of_order(key, lo, max_seen)
+            _warn_out_of_order(run_token, key, lo, max_seen)
         max_seen = hi if max_seen is None else max(max_seen, hi)
     if buffered_tbl is not None and buffered_tbl.num_rows:
         frames.insert(
@@ -417,7 +422,14 @@ def streaming_assemble(
     reference at log end, which holds open transactions until more redo
     arrives (Transaction.h buffering)."""
 
+    import uuid
+
     from pyspark.sql import functions as F
+
+    # per-stream-start warn-once token (r12 ADVICE): executor
+    # processes outlive queries, so the once-per-bucket warning must
+    # be scoped to this wiring, not to the executor lifetime
+    run_token = uuid.uuid4().hex
 
     def kernel(key, pdf_iter, state):
         return assemble_stateful(
@@ -427,6 +439,7 @@ def streaming_assemble(
             max_ops=max_ops,
             ttl_timeout=ttl_timeout,
             show_incomplete=show_incomplete,
+            run_token=run_token,
         )
 
     # xid-hash buckets (not raw xid): one Python invocation per bucket

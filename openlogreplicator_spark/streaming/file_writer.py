@@ -442,9 +442,37 @@ class FileFunnelCore:
         # higher scn proved it finished) — the doc watermark
         self.scns = {"cur": None, "cur_idx": -1, "prev": None,
                      "prev_idx": -1}
+        # the out-of-order doc freeze is DURABLE (r12 ADVICE): an
+        # observed inversion proves the input non-sequential for good,
+        # and a funnel restart must not resume doc advancement until
+        # another inversion happens to be re-observed — rehydrate the
+        # marker a previous incarnation persisted
+        if state_dir is not None and os.path.exists(
+            self._frozen_marker_path()
+        ):
+            self.scns["frozen"] = True
 
     def skip_batch(self, batch_id: int) -> bool:
         return self.done_bid is not None and batch_id <= self.done_bid
+
+    def _frozen_marker_path(self) -> str:
+        return os.path.join(
+            self.state_dir, f"{self.database}-doc.frozen"
+        )
+
+    def _persist_frozen(self) -> None:
+        """Durable twin of ``scns['frozen']``: without it the freeze
+        dies with the process and a restarted funnel on persistently
+        non-sequential input re-opens the doc skip window until the
+        NEXT inversion is re-observed. Marker presence is the flag —
+        content is diagnostic only."""
+        if self.state_dir is None:
+            return
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = self._frozen_marker_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("out-of-order commit observed; doc watermark frozen\n")
+        os.replace(tmp, self._frozen_marker_path())
 
     def _maybe_checkpoint_doc(self, hi_wm) -> None:
         import time
@@ -506,8 +534,11 @@ class FileFunnelCore:
                         # duplicates, but can never skip a transaction
                         # the doc wrongly claimed complete. Sequential
                         # redo (the S4 scheduler's contract) never
-                        # takes this branch.
-                        scns["frozen"] = True
+                        # takes this branch. Persisted (r12): the
+                        # freeze survives funnel restarts.
+                        if not scns.get("frozen"):
+                            scns["frozen"] = True
+                            self._persist_frozen()
                     scns["cur"], scns["cur_idx"] = scn, 0
                 else:
                     scns["cur_idx"] += 1

@@ -468,6 +468,48 @@ def test_ignore_data_errors_skips_damaged_record():
     )
 
 
+def test_damage_records_by_scn_targets_exact_set():
+    """r12 ADVICE helper: scn-targeted damage hits EVERY matching
+    record (set or predicate form), leaves non-matching files
+    byte-identical, and the damaged records surface as 60013 warn rows
+    under IGNORE_DATA_ERRORS while all other records still parse."""
+    from openlogreplicator_spark.sources.binary_redo import (
+        DecodeOpts,
+        damage_records_by_scn,
+    )
+
+    recs = []
+    for i in range(1, 5):
+        recs += [
+            _rec(i * 100, f"x{i}", "begin"),
+            _rec(i * 100 + 1, f"x{i}", "insert", obj=1, bdba=5, slot=0,
+                 cols={"v": f"row{i}"}),
+            _rec(i * 100 + 9, f"x{i}", "commit"),
+        ]
+    data = encode_redo_file(recs, sequence=1)
+
+    # predicate form: every insert of an even-indexed txn
+    damaged, n = damage_records_by_scn(
+        data, lambda scn: scn % 100 == 1 and (scn // 100) % 2 == 0
+    )
+    assert n == 2  # x2 and x4's inserts
+    opts = DecodeOpts(db_tz=2 * 3600, ignore_data_errors=True)
+    out = parse_redo_bytes(damaged, "t", db_tz=opts)
+    warns = [r for r in out if r["opcode"] == "warn"]
+    assert sorted(w["scn"] for w in warns) == [201, 401]
+    assert all(w["cols"]["code"] == "60013" for w in warns)
+    assert sum(r["opcode"] != "warn" for r in out) == len(recs) - 2
+
+    # set form agrees with the predicate form byte-for-byte
+    damaged2, n2 = damage_records_by_scn(data, {201, 401})
+    assert n2 == 2 and damaged2 == damaged
+
+    # no match → untouched bytes, zero count (the empty-partition case
+    # that used to IndexError the per-position damage)
+    same, zero = damage_records_by_scn(data, {999999})
+    assert zero == 0 and same == data
+
+
 def test_ignore_data_errors_spark_reader(spark, tmp_path):
     """The flag threads parse_redo_files → DecodeOpts → the executor
     walk: a damaged file degrades per-record instead of failing the

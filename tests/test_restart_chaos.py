@@ -975,6 +975,39 @@ def test_file_doc_freezes_on_observed_inversion(tmp_path):
     assert int(doc["scn"]) == 10, "doc advanced past a void proof"
 
 
+def test_file_doc_freeze_survives_funnel_restart(tmp_path):
+    """r12 ADVICE: the freeze was in-memory only — a restarted funnel
+    on persistently non-sequential input resumed doc advancement until
+    another inversion happened to be re-observed, re-opening the skip
+    window. The marker is durable now: a NEW FileFunnelCore on the same
+    state dir rehydrates frozen and keeps the doc pinned even when the
+    post-restart batches look perfectly sequential."""
+    writer = _CaptureWriter()
+    core = FileFunnelCore(
+        writer, state_dir=str(tmp_path), database="DB",
+        interval_s=0, interval_mb=10 ** 9,
+    )
+    core.feed(iter([(b"a", 10, True, 1), (b"b", 20, True, 1)]), 0)
+    core.feed(iter([(b"c", 15, True, 1)]), 1)   # inversion → freeze
+    assert core.scns.get("frozen") is True
+    # funnel dies; a new incarnation sees only sequential input — the
+    # doc must STAY at the last sound watermark
+    core2 = FileFunnelCore(
+        _CaptureWriter(), state_dir=str(tmp_path), database="DB",
+        interval_s=0, interval_mb=10 ** 9,
+    )
+    assert core2.scns.get("frozen") is True, "freeze lost on restart"
+    core2.feed(iter([(b"d", 40, True, 1), (b"e", 50, True, 1)]), 2)
+    doc = read_checkpoint_doc(str(tmp_path), "DB")
+    assert int(doc["scn"]) == 10, "restart re-opened the doc skip window"
+    # a DIFFERENT database in the same state dir is unaffected
+    other = FileFunnelCore(
+        _CaptureWriter(), state_dir=str(tmp_path), database="OTHER",
+        interval_s=0, interval_mb=10 ** 9,
+    )
+    assert other.scns.get("frozen") is None
+
+
 def test_network_keys_clamped_and_doc_capped_on_inversion(tmp_path):
     """An out-of-order data commit rides the current watermark key
     (queue keys stay monotone — CONTINUE/CONFIRM stay exact) and caps

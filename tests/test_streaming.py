@@ -872,3 +872,34 @@ def test_arrival_order_watchdog_warns_on_out_of_order_batches():
     # high-water never regresses
     _, payload3 = state3.get
     assert _decode_state(bytes(payload3))[2] == 25
+
+
+def test_watchdog_warn_once_is_per_run_not_per_executor():
+    """r12 ADVICE: the warn-once set lived for the executor process
+    and was keyed by bucket alone, so a SECOND query/run on the same
+    executor never got the out-of-order warning for a bucket the first
+    run had already warned on. The set is keyed by (run token, bucket):
+    same token dedups, a new token warns afresh."""
+    import logging as _logging
+
+    from openlogreplicator_spark.streaming import assembly as _asm
+
+    records = []
+
+    class _Cap(_logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    h = _Cap()
+    _asm._LOG.addHandler(h)
+    try:
+        _asm._warn_out_of_order("run-A", ("b",), 10, 25)
+        _asm._warn_out_of_order("run-A", ("b",), 11, 25)  # deduped
+        assert len(records) == 1
+        _asm._warn_out_of_order("run-B", ("b",), 12, 25)  # new run warns
+        assert len(records) == 2
+    finally:
+        _asm._LOG.removeHandler(h)
+        _asm._warned_buckets.difference_update(
+            {("run-A", ("b",)), ("run-B", ("b",))}
+        )
