@@ -874,6 +874,82 @@ def test_arrival_order_watchdog_warns_on_out_of_order_batches():
     assert _decode_state(bytes(payload3))[2] == 25
 
 
+def test_pre_watchdog_checkpoint_payload_restores_unarmed_then_arms():
+    """r11 VERDICT #3 / r12 #2: 'pre-watchdog checkpoints restore
+    unarmed' was a code comment riding on additive Arrow schema
+    metadata — this pins it against a COMMITTED r10-format payload
+    (tests/fixtures/state_payload_pre_watchdog_r10.bin: Arrow IPC with
+    only the b'skip' metadata key, generated by the r10 encoder's
+    format; regenerating it in-test would defeat the gate). The current
+    kernel must (1) decode it with the watchdog unarmed, (2) assemble
+    the buffered open transaction when its commit arrives, emitting no
+    ordering warning regardless of the batch's scns, and (3) ARM the
+    watchdog in the rewritten state. This is the durable gate every
+    future state-payload change has to keep green."""
+    import logging as _logging
+    import os as _os
+
+    import pandas as pd
+
+    from openlogreplicator_spark.streaming import assembly as _asm
+    from openlogreplicator_spark.streaming.assembly import (
+        _decode_state,
+        assemble_stateful,
+    )
+
+    fixture = _os.path.join(
+        _os.path.dirname(__file__), "fixtures",
+        "state_payload_pre_watchdog_r10.bin",
+    )
+    with open(fixture, "rb") as fh:
+        payload = fh.read()
+
+    # (1) decodes with the watchdog UNARMED
+    tbl, skip, max_seen = _decode_state(payload)
+    assert tbl.num_rows == 2 and skip == set() and max_seen is None
+
+    # (2) the commit arrives — note scn 90 BELOW the buffered 101: an
+    # armed watchdog would warn, an unarmed one must not (there is no
+    # watermark to compare against in a pre-watchdog checkpoint)
+    batch = pd.DataFrame([
+        {"scn": 90, "subscn": 0, "block": 1, "offset": 0, "seq": 1,
+         "xid": "9.9.9", "opcode": "begin", "obj": 9, "bdba": None,
+         "slot": None, "fb": 0, "cols": None, "rows": None},
+        {"scn": 105, "subscn": 0, "block": 2, "offset": 0, "seq": 1,
+         "xid": "7.7.7", "opcode": "commit", "obj": 9, "bdba": None,
+         "slot": None, "fb": 0, "cols": None, "rows": None},
+    ])
+    warned = []
+
+    class _Cap(_logging.Handler):
+        def emit(self, r):
+            warned.append(r.getMessage())
+
+    h = _Cap()
+    _asm._LOG.addHandler(h)
+    state = _FakeGroupState(payload=payload)
+    try:
+        got = []
+        for out in assemble_stateful(("b",), iter([batch]), state,
+                                     ttl_timeout=False):
+            got.extend(out.to_dict("records"))
+    finally:
+        _asm._LOG.removeHandler(h)
+    assert [r["cols"]["A"] for r in got if r["op"] == "c"] == [
+        "pre-watchdog"
+    ], "buffered pre-watchdog transaction failed to assemble"
+    assert [(r["begin_scn"], r["commit_scn"]) for r in got] == [(100, 105)]
+    assert not any("out of order" in m for m in warned), (
+        "restored-unarmed violated: first post-restore batch warned"
+    )
+
+    # (3) the rewritten state is ARMED at the batch's high water
+    assert state.exists
+    _, payload2 = state.get
+    _tbl2, _skip2, hi = _decode_state(bytes(payload2))
+    assert hi == 105, f"watchdog failed to arm on the next batch: {hi}"
+
+
 def test_watchdog_warn_once_is_per_run_not_per_executor():
     """r12 ADVICE: the warn-once set lived for the executor process
     and was keyed by bucket alone, so a SECOND query/run on the same
