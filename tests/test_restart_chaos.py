@@ -771,12 +771,19 @@ class _KillingWriter:
     """RotatingFileWriter proxy that dies after N writes — a real
     foreachBatch crash mid-batch, so the full Spark replay machinery
     (offset log, batch-id sidecar, doc positioning) is exercised, not
-    simulated."""
+    simulated. ``kill_flush`` kills on the Nth per-batch flush instead
+    (1-based, BEFORE the batch-id sidecar advances): with the straddle
+    fixture the early batches emit nothing — only a flush-point kill
+    can land while the assembly state holds the open-transaction
+    window, which is the restore path the r12 arm exists to exercise."""
 
-    def __init__(self, inner, kill_after: int | None):
+    def __init__(self, inner, kill_after: int | None,
+                 kill_flush: int | None = None):
         self._inner = inner
         self._kill_after = kill_after
+        self._kill_flush = kill_flush
         self._n = 0
+        self._flushes = 0
 
     def write(self, data: bytes, seq: int = 0) -> None:
         if self._kill_after is not None and self._n >= self._kill_after:
@@ -785,6 +792,9 @@ class _KillingWriter:
         self._inner.write(data, seq=seq)
 
     def flush(self) -> None:
+        self._flushes += 1
+        if self._kill_flush is not None and self._flushes >= self._kill_flush:
+            raise OSError("chaos kill")
         self._inner.flush()
 
     def close(self) -> None:
@@ -949,6 +959,209 @@ def test_e2e_file_pipeline_crash_restart_zero_loss(seed, spark, tmp_path):
                 f"seed {seed}: {mid} duplicated {n}x at scn {mscn} "
                 f"below doc {doc_scn}"
             )
+
+# ---------------------------------------------------------------------------
+# r12 arm: assembly-state restore under STRADDLE (the segment fixture)
+# ---------------------------------------------------------------------------
+#
+# The 342 randomized schedules above exercise the SINK cores Spark-free,
+# and the 3 file + 1 lake e2e runs kill a real pipeline — but none on a
+# workload where open transactions actually cross the kill point. This
+# arm kills a REAL build_pipeline drain over write_binary_redo_segments
+# with an open window of _STRADDLE_N (≥ 1k) transactions live in the
+# applyInPandasWithState checkpoint at the kill, then finishes via warm
+# restart (assembly-state restore) and sometimes a cold doc-only
+# restart, asserting the no-kill oracle. Reference semantics: a restart
+# re-reads from the checkpoint scn and re-buffers open transactions
+# (8.checkpointing.adoc:40-45 — the checkpoint records the scn of the
+# oldest uncommitted transaction precisely so open windows survive).
+
+_STRADDLE_N = 1100       # open window at the kill point — keep ≥ 1000
+_STRADDLE_FILES = 6
+
+
+@pytest.fixture(scope="module")
+def straddle_fixture(spark, tmp_path_factory):
+    """Deterministic segment workload where EVERY transaction straddles
+    into the commit-phase files: begins fill files 1-2, inserts 3-4,
+    commits 5-6 (scn ranges [1,N], [N+1,2N], [2N+1,3N] range-partition
+    that way) — any kill before the commit batches leaves the whole
+    _STRADDLE_N window open in assembly state. Built and oracle-drained
+    once per module; the seeds randomize only kill schedules."""
+    from openlogreplicator_spark.config import EngineConfig, Format
+    from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
+    from openlogreplicator_spark.sources.binary_redo import (
+        write_binary_redo_segments,
+    )
+
+    N = _STRADDLE_N
+    rows = []
+    for i in range(N):
+        xid = f"9.1.{i}"
+        rows.append((i + 1, 0, 1, 0, 1, xid, "begin", 9, None, None, 0,
+                     None, None))
+        rows.append((N + i + 1, 0, 1, 0, 1, xid, "insert", 9, 5, 0, 0,
+                     {"A": xid}, None))
+        rows.append((2 * N + i + 1, 0, 1, 0, 1, xid, "commit", 9, None,
+                     None, 0, None, None))
+    df = spark.createDataFrame(rows, REDO_RECORD_SCHEMA)
+    base = tmp_path_factory.mktemp("straddle")
+    redo_dir = str(base / "redo")
+    write_binary_redo_segments(df, redo_dir, n_files=_STRADDLE_FILES)
+
+    cfg = EngineConfig(
+        fmt=Format(skip_begin=True, skip_commit=True),
+        checkpoint_interval_s=0,
+    )
+    oracle_out = str(base / "oracle")
+    _straddle_run(spark, cfg, redo_dir, oracle_out,
+                  str(base / "ckpt_oracle"), str(base / "state_oracle"))
+    oracle = [(r["scn"], r["payload"][0]["after"]["A"])
+              for r in _e2e_lines(oracle_out)]
+    assert len(oracle) == N and len(set(oracle)) == N
+    return redo_dir, cfg, oracle
+
+
+def _straddle_run(spark, cfg, redo_dir, out, ckpt, state_dir,
+                  kill_after=None, kill_flush=None, tag="straddle"):
+    """One pipeline (partial or full) over the straddle fixture; a kill
+    schedule makes it raise 'chaos kill' mid-drain."""
+    from conftest import drain
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+    from openlogreplicator_spark.streaming.file_writer import (
+        RotatingFileWriter,
+    )
+
+    os.makedirs(out, exist_ok=True)
+    fw = RotatingFileWriter(
+        os.path.join(out, "o-%3i.json"), max_file_size=1 << 22
+    )
+    w = _KillingWriter(fw, kill_after, kill_flush=kill_flush)
+    q = build_pipeline(
+        spark, cfg, redo_dir, checkpoint=ckpt,
+        sink="file", file_writer=w,
+        query_name=f"olr_chaos_{tag}",
+        state_dir=state_dir, max_files_per_trigger=1,
+    )
+    try:
+        if kill_after is not None or kill_flush is not None:
+            with pytest.raises(Exception, match="chaos kill"):
+                q.awaitTermination(180)
+        else:
+            drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+        fw.close()
+
+
+@pytest.mark.parametrize("seed", range(200, 210))
+def test_e2e_straddle_assembly_state_restore(seed, straddle_fixture,
+                                             spark, tmp_path):
+    """≥1k open transactions cross every kill point: a flush-point kill
+    lands in the buffering phase (nothing emitted yet — the restart
+    must restore the WHOLE open window from the state checkpoint), a
+    write-count kill lands mid-emission (state restore plus sink
+    replay). Warm restart finishes the drain; half the seeds then also
+    prove the state checkpoint is not load-bearing for durability by
+    deleting it (cold doc-only restart). Contract vs the no-kill
+    oracle: zero loss, no spurious messages, duplicates bounded by the
+    crash/cold windows."""
+    redo_dir, cfg, oracle = straddle_fixture
+    rng = random.Random(seed)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    state_dir = str(tmp_path / "state")
+    # EXACT duplicate ledger: only a killed run's written delta (its
+    # in-flight batch may replay) and the cold re-read above the doc
+    # may legally duplicate — a blanket per-kill allowance would absorb
+    # a doc-positioning regression (mutation audit, r12)
+    allowed = Counter()
+    written = Counter()
+
+    def _snapshot_delta():
+        now = Counter((r["scn"], r["payload"][0]["after"]["A"])
+                      for r in _e2e_lines(out))
+        delta = now - written
+        written.clear()
+        written.update(now)
+        return delta
+
+    # first kill: buffering phase (the whole open window live in
+    # state — nothing emitted yet) or mid-emission
+    if rng.random() < 0.5:
+        kill_flush = rng.randint(1, _STRADDLE_FILES - 2)
+        _straddle_run(spark, cfg, redo_dir, out, ckpt, state_dir,
+                      kill_flush=kill_flush, tag=f"s{seed}k1")
+    else:
+        kill_after = rng.randrange(0, len(oracle))
+        _straddle_run(spark, cfg, redo_dir, out, ckpt, state_dir,
+                      kill_after=kill_after, tag=f"s{seed}k1")
+    allowed.update(_snapshot_delta())
+
+    # sometimes a second kill on the warm restart, mid-emission
+    if rng.random() < 0.4:
+        from _pytest.outcomes import Failed
+
+        try:
+            _straddle_run(
+                spark, cfg, redo_dir, out, ckpt, state_dir,
+                kill_after=rng.randrange(0, len(oracle)),
+                tag=f"s{seed}k2",
+            )
+            allowed.update(_snapshot_delta())
+        except Failed:
+            # kill point fell beyond the remaining work — run completed
+            _snapshot_delta()
+
+    # warm restart finishes the drain: the assembly state checkpoint
+    # must restore the open window the kill left behind
+    _straddle_run(spark, cfg, redo_dir, out, ckpt, state_dir,
+                  tag=f"s{seed}warm")
+    _snapshot_delta()
+
+    cold = rng.random() < 0.5
+    doc_scn = None
+    if cold:
+        # cold doc-only restart AFTER a complete drain: the Spark
+        # checkpoint (offsets AND the assembly state store) is deleted
+        # — only the W7 doc positions the re-read, which must re-buffer
+        # open transactions at the boundary from the redo itself and
+        # re-emit NOTHING below the doc scn
+        import shutil as _shutil
+
+        doc = read_checkpoint_doc(state_dir, cfg.fmt.db_name)
+        doc_scn = int(doc["scn"]) if doc else None
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        _straddle_run(spark, cfg, redo_dir, out, str(tmp_path / "ckpt2"),
+                      state_dir, tag=f"s{seed}cold")
+        # the doc boundary lives in COMMIT-scn space; a message's own
+        # scn is its record scn (insert at N+i+1, commit at 2N+i+1)
+        for (mscn, mid) in oracle:
+            commit_scn = 2 * _STRADDLE_N + int(mid.rsplit(".", 1)[1]) + 1
+            if doc_scn is None or commit_scn >= doc_scn:
+                allowed[(mscn, mid)] += 1
+
+    got = Counter((r["scn"], r["payload"][0]["after"]["A"])
+                  for r in _e2e_lines(out))
+    # 1. ZERO LOSS — every oracle message arrived (the open window
+    #    survived the kill via state restore or doc re-read)
+    lost = [m for m in oracle if got[m] == 0]
+    assert not lost, (
+        f"seed {seed}: lost {len(lost)} of {len(oracle)} "
+        f"(first {lost[:3]}, doc={doc_scn}, cold={cold})"
+    )
+    # 2. NO SPURIOUS messages
+    assert set(got) <= set(oracle), (
+        f"seed {seed}: spurious {sorted(set(got) - set(oracle))[:3]}"
+    )
+    # 3. EXACTLY BOUNDED DUPLICATES per the ledger
+    for m, n in got.items():
+        assert n - 1 <= allowed[m], (
+            f"seed {seed}: {m} delivered {n}× but only {allowed[m]} "
+            f"duplicate(s) allowed (doc={doc_scn}, cold={cold})"
+        )
+
 
 # ---------------------------------------------------------------------------
 # deterministic pins for the r11 hardening the harness found
