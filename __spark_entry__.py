@@ -27,72 +27,69 @@ if _REPO_ROOT not in sys.path:
 # round 1 (now fixed), then a few representative re-verifies. Everything
 # else registers after slot 50 — still runnable, checked locally by
 # tests/test_queries_vs_duckdb.py.
-_PRIORITY = [  # round-11 window (previous windows: git history of this list)
+_PRIORITY = [  # round-12 window (previous windows: git history of this list)
     # -- 5 green canaries, one per result-type family (drift detection)
     "q1_pricing_summary",
     "cdc_txn_assembly",
     "dedup_minhash_lsh",
     "agg_rollup",
     "stream_tumbling_window",
-    # -- BYTES CHANGED since the r10 verdict: the OLRS1 record walk was
-    #    restructured for IGNORE_DATA_ERRORS (per-record skip-and-
-    #    continue, Parser.cpp:1468-1479) — every query that rides
-    #    parse_redo_columns re-verifies (strict-mode results must be
-    #    byte-identical to r10's).
-    "cdc_txn_assembly_binary",
-    "cdc_kdo_positional_binary",
-    "cdc_typed_images_binary",
-    "cdc_type_tail",
-    "cdc_metrics",
-    # -- NEW in r11: IGNORE_DATA_ERRORS skip-and-continue on a fixture
-    #    with one destroyed record per redo file (r10 VERDICT #2)
+    # -- BYTES CHANGED since the r11 verdict: the IGNORE_DATA_ERRORS
+    #    fixture moved to scn-targeted damage (o_orderkey % 10 = 3,
+    #    damage_records_by_scn) with the oracle deriving the damaged
+    #    count from the same predicate (r12 ADVICE) — the only
+    #    registered query whose input bytes or oracle changed
     "cdc_ignore_data_errors",
-    # -- STALE-VERDICT ROTATION (r10 VERDICT #3): all 16 remaining
-    #    r7-latest queries; after this round no verdict predates r8.
-    "array_explode_wordcount",
-    "distinct_pairs",
-    "higher_order_array_funcs",
-    "map_funcs",
-    "pivot_status_by_priority",
-    "scalar_datetime_funcs",
-    "scalar_json_funcs",
-    "scalar_math_funcs",
-    "scalar_null_handling",
-    "scalar_string_funcs",
-    "setop_except",
-    "setop_intersect",
-    "setop_union",
-    "subquery_exists_correlated",
-    "subquery_scalar_avg",
-    "topk_orders",
-    # -- oldest r8-latest block: 24 of 43, novel operators first (the
-    #    19 remaining — 9 relational q*, 2 agg approx, 8 text/stream —
-    #    rotate r12)
-    "cdc_asof_snapshot",
-    "cdc_before_image",
-    "cdc_clob_charset",
-    "cdc_condition_filter",
-    "cdc_json_builder_debezium",
-    "cdc_lob_reassembly",
-    "cdc_protobuf_builder_full",
-    "cdc_schema_asof_resolve",
-    "cdc_txn_split",
-    "cdc_unchanged_suppression",
-    "dedup_canonical_pick",
-    "dedup_cluster_cc",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "stream_session_window",
-    "stream_sliding_window",
-    "tokenizer_bpe_pairs",
-    "multimodal_decode_table",
-    "embedding_quantize",
-    "sample_group_cap",
-    "sample_temperature_mix",
-    "split_train_eval",
-    "text_fingerprint",
-    # (window_range_interval yields its slot to cdc_ignore_data_errors;
-    # it joins the r8-latest block rotating r12)
+    # -- STALE-VERDICT ROTATION (r11 VERDICT #1): all 18 remaining
+    #    r8-latest queries; after this round no verdict predates r9.
+    "agg_approx_quantile",
+    "agg_histogram",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_relationship",
+    "q20_potential_part_promotion",
+    "text_chunk_split",
+    "text_commonness",
+    "text_dedup_passages",
+    "text_entropy_filter",
+    "text_tfidf_topterms",
+    "text_token_count",
+    "window_range_interval",
+    # -- oldest r9-latest block: 26 of 42, CDC consumers and embeddings
+    #    first per the r11 verdict (the 16 remaining — events,
+    #    multimodal, sampling, text scoring, tokenizer_bpe_train —
+    #    rotate r13, finishing the backlog)
+    "cdc_adaptive_schema",
+    "cdc_apply_changes",
+    "cdc_ddl_classify",
+    "cdc_gap_detect",
+    "cdc_heartbeat",
+    "cdc_last_image",
+    "cdc_net_changes",
+    "cdc_partition_routing",
+    "cdc_resume_filter",
+    "cdc_scd2_history",
+    "cdc_schemaless_decode",
+    "cdc_sessionize",
+    "cdc_txn_envelope",
+    "cdc_txn_stats",
+    "cdc_xmltype_decode",
+    "embedding_moments",
+    "embedding_normalize",
+    "embedding_pca",
+    "embedding_stats",
+    "dedup_cross_source",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_semantic",
+    "dedup_simhash",
+    "dedup_substring",
+    "decontaminate_ngram",
 ]
 
 
