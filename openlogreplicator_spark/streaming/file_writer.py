@@ -362,7 +362,12 @@ def stream_file_sink(
     out-of-order commit the funnel FREEZES the doc (r11 hardening,
     fail-safe to duplicates), but an inversion still sitting unread is
     invisible to any online proof — non-sequential bulk replays must
-    not pace files into separate micro-batches."""
+    not pace files into separate micro-batches. The freeze is DURABLE
+    (r12: a ``<database>-doc.frozen`` marker next to the checkpoint
+    doc, rehydrated on funnel construction) — an input proven
+    non-sequential stays distrusted across restarts; to resume doc
+    advancement after fixing the input's ordering, delete the marker
+    along with the (now re-derivable) checkpoint doc."""
     core = FileFunnelCore(
         writer, state_path=state_path, state_dir=state_dir,
         database=database, interval_s=interval_s, interval_mb=interval_mb,
