@@ -498,19 +498,15 @@ def encode_redo_file(
     return bytes(out)
 
 
-def damage_nth_record(data: bytes, n: int) -> bytes:
-    """Byte-surgery fixture helper: overwrite the n-th record's first
-    vector opcode with 0xFFFF (an unknown code — vector ANALYSIS fails,
-    record FRAMING stays intact) and recompute the touched blocks'
-    XOR-fold checksums, so the damage reaches the record walk exactly
-    like a cancelling bit error would. This is the shape of corruption
-    IGNORE_DATA_ERRORS (Parser.cpp:1468-1479) degrades on: strict mode
-    aborts the parse, flag mode emits a warn row and continues."""
-    if data[:8] != MAGIC:
-        raise ValueError("not an OLRS1 file")
-    buf = bytearray(data)
+def _walk_lwn_records(data: bytes):
+    """Shared OLRS1 record walk for the byte-surgery helpers: yield
+    ``(cur, pos, size, scn, at)`` per record — ``cur`` the LWN's base
+    body-block index, ``pos`` the record's payload-relative offset,
+    ``at`` the payload-offset→file-offset map for that LWN (payload
+    byte q lives at body block cur + q // PAYLOAD). One walker so a
+    future layout change (REC_HEADER, LWN_HEADER, block framing)
+    cannot silently diverge between the damage helpers."""
     n_blocks = len(data) // BLOCK_SIZE
-    idx = 0
     cur = 0
     while cur < n_blocks - 1:
         lwn_blocks, n_records = struct.unpack_from(
@@ -518,31 +514,56 @@ def damage_nth_record(data: bytes, n: int) -> bytes:
         )
         pos = LWN_HEADER  # payload-relative, within this LWN
 
-        # payload byte q lives at body block cur + q // PAYLOAD
         def at(q: int, base: int = cur) -> int:
             return (base + 1 + q // PAYLOAD) * BLOCK_SIZE + 16 + q % PAYLOAD
 
-        for _ in range(n_records):
-            size = (
-                buf[at(pos)]
-                | buf[at(pos + 1)] << 8
-                | buf[at(pos + 2)] << 16
-                | buf[at(pos + 3)] << 24
+        def u(q: int, width: int, _at=at) -> int:
+            return int.from_bytes(
+                bytes(data[_at(q + i)] for i in range(width)), "little"
             )
-            if idx == n:
-                touched = set()
-                for q in (pos + REC_HEADER, pos + REC_HEADER + 1):
-                    buf[at(q)] = 0xFF
-                    touched.add(cur + 1 + q // PAYLOAD)
-                for b in touched:
-                    blk = bytearray(buf[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE])
-                    struct.pack_into(
-                        "<H", buf, b * BLOCK_SIZE + 2, _fold_checksum(blk)
-                    )
-                return bytes(buf)
-            idx += 1
+
+        for _ in range(n_records):
+            size = u(pos, 4)
+            scn = u(pos + 4, 8)  # record header is <IQHH (encode_record)
+            yield cur, pos, size, scn, at
             pos += size
         cur += lwn_blocks
+
+
+def _destroy_vector_opcode(buf: bytearray, cur: int, pos: int, at,
+                           touched: set) -> None:
+    """Overwrite a record's first vector opcode with 0xFFFF (an unknown
+    code — vector ANALYSIS fails, record FRAMING stays intact) and
+    track the touched body blocks for checksum recompute."""
+    for q in (pos + REC_HEADER, pos + REC_HEADER + 1):
+        buf[at(q)] = 0xFF
+        touched.add(cur + 1 + q // PAYLOAD)
+
+
+def _recompute_checksums(buf: bytearray, touched: set) -> None:
+    for b in touched:
+        blk = bytearray(buf[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE])
+        struct.pack_into("<H", buf, b * BLOCK_SIZE + 2, _fold_checksum(blk))
+
+
+def damage_nth_record(data: bytes, n: int) -> bytes:
+    """Byte-surgery fixture helper: overwrite the n-th record's first
+    vector opcode with 0xFFFF and recompute the touched blocks'
+    XOR-fold checksums, so the damage reaches the record walk exactly
+    like a cancelling bit error would. This is the shape of corruption
+    IGNORE_DATA_ERRORS (Parser.cpp:1468-1479) degrades on: strict mode
+    aborts the parse, flag mode emits a warn row and continues."""
+    if data[:8] != MAGIC:
+        raise ValueError("not an OLRS1 file")
+    buf = bytearray(data)
+    idx = 0
+    for cur, pos, _size, _scn, at in _walk_lwn_records(data):
+        if idx == n:
+            touched: set[int] = set()
+            _destroy_vector_opcode(buf, cur, pos, at, touched)
+            _recompute_checksums(buf, touched)
+            return bytes(buf)
+        idx += 1
     raise IndexError(f"file has only {idx} records, wanted {n}")
 
 
@@ -558,40 +579,15 @@ def damage_records_by_scn(data: bytes, target) -> tuple[bytes, int]:
     partitions can never fault the fixture build."""
     if data[:8] != MAGIC:
         raise ValueError("not an OLRS1 file")
+    hit = target if callable(target) else target.__contains__
     buf = bytearray(data)
-    n_blocks = len(data) // BLOCK_SIZE
-    cur = 0
     touched: set[int] = set()
     n_damaged = 0
-    while cur < n_blocks - 1:
-        lwn_blocks, n_records = struct.unpack_from(
-            "<II", data, (cur + 1) * BLOCK_SIZE + 16
-        )
-        pos = LWN_HEADER  # payload-relative, within this LWN
-
-        # payload byte q lives at body block cur + q // PAYLOAD
-        def at(q: int, base: int = cur) -> int:
-            return (base + 1 + q // PAYLOAD) * BLOCK_SIZE + 16 + q % PAYLOAD
-
-        def u(q: int, width: int) -> int:
-            return int.from_bytes(
-                bytes(buf[at(q + i)] for i in range(width)), "little"
-            )
-
-        hit = target if callable(target) else target.__contains__
-        for _ in range(n_records):
-            size = u(pos, 4)
-            scn = u(pos + 4, 8)  # record header is <IQHH (encode_record)
-            if hit(scn):
-                for q in (pos + REC_HEADER, pos + REC_HEADER + 1):
-                    buf[at(q)] = 0xFF
-                    touched.add(cur + 1 + q // PAYLOAD)
-                n_damaged += 1
-            pos += size
-        cur += lwn_blocks
-    for b in touched:
-        blk = bytearray(buf[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE])
-        struct.pack_into("<H", buf, b * BLOCK_SIZE + 2, _fold_checksum(blk))
+    for cur, pos, _size, scn, at in _walk_lwn_records(data):
+        if hit(scn):
+            _destroy_vector_opcode(buf, cur, pos, at, touched)
+            n_damaged += 1
+    _recompute_checksums(buf, touched)
     return bytes(buf), n_damaged
 
 

@@ -60,17 +60,27 @@ _STATE_SCHEMA = T.StructType(
 _TERMINAL = ("commit", "rollback")
 
 _LOG = logging.getLogger("openlogreplicator_spark.assembly")
-# keyed by (run token, bucket): executor processes outlive queries, so
-# a bucket-only key would silence the warning for every LATER run on
-# the same executor (r12 ADVICE); the token is minted per
-# streaming_assemble() call and ships inside the kernel closure
-_warned_buckets: set = set()
+# keyed by run token → warned buckets: executor processes outlive
+# queries, so a bucket-only key would silence the warning for every
+# LATER run on the same executor (r12 ADVICE); the token is minted per
+# streaming_assemble() call and ships inside the kernel closure.
+# Bounded (r12 review pass): tokens evict FIFO past _MAX_WARN_RUNS, so
+# a long-lived executor surviving thousands of query restarts does not
+# leak the set monotonically (per-run buckets stay bounded by the
+# bucket count; the runs dimension needed the cap).
+_warned_buckets: dict = {}
+_MAX_WARN_RUNS = 8
 
 
 def _warn_out_of_order(run_token: str, key, lo: int, hi: int) -> None:
-    if (run_token, key) in _warned_buckets:
+    seen = _warned_buckets.get(run_token)
+    if seen is None:
+        while len(_warned_buckets) >= _MAX_WARN_RUNS:
+            _warned_buckets.pop(next(iter(_warned_buckets)))
+        seen = _warned_buckets[run_token] = set()
+    if key in seen:
         return
-    _warned_buckets.add((run_token, key))
+    seen.add(key)
     _LOG.warning(
         "redo records arrived out of order: bucket %s received scn %d "
         "below its high-water scn %d. Harmless when files hold whole "

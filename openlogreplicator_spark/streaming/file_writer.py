@@ -479,6 +479,29 @@ class FileFunnelCore:
             fh.write("out-of-order commit observed; doc watermark frozen\n")
         os.replace(tmp, self._frozen_marker_path())
 
+    def _rewrite_doc_below(self, late_scn: int) -> None:
+        """Retroactive half of the freeze (r12 review pass): freezing
+        only stops FUTURE doc advancement — a doc already persisted at
+        or above the late commit's scn would still make a doc-based
+        cold start skip it (the file boundary is strict
+        ``commit_scn > doc``, so the late transaction re-emits only if
+        the doc sits strictly BELOW its scn; its bytes may not be
+        durable yet — the crash window between this batch's writes and
+        its flush). Mirror of ``StreamServer._rewrite_doc_down``; only
+        lowers an existing doc, never mints one."""
+        if self.state_dir is None:
+            return
+        from openlogreplicator_spark.metadata.state_documents import (
+            read_checkpoint_doc,
+            write_checkpoint_doc,
+        )
+
+        doc = read_checkpoint_doc(self.state_dir, self.database)
+        if doc is not None and int(doc.get("scn", 0)) > late_scn - 1:
+            write_checkpoint_doc(
+                self.state_dir, self.database, scn=late_scn - 1, idx=0
+            )
+
     def _maybe_checkpoint_doc(self, hi_wm) -> None:
         import time
 
@@ -540,10 +563,15 @@ class FileFunnelCore:
                         # the doc wrongly claimed complete. Sequential
                         # redo (the S4 scheduler's contract) never
                         # takes this branch. Persisted (r12): the
-                        # freeze survives funnel restarts.
+                        # freeze survives funnel restarts, and a doc
+                        # already written at or above the late commit
+                        # is pulled strictly below it — this batch's
+                        # bytes are not yet flushed, so the doc must
+                        # not claim the late transaction durable.
                         if not scns.get("frozen"):
                             scns["frozen"] = True
                             self._persist_frozen()
+                        self._rewrite_doc_below(int(scn))
                     scns["cur"], scns["cur_idx"] = scn, 0
                 else:
                     scns["cur_idx"] += 1

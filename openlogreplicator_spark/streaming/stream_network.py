@@ -227,7 +227,11 @@ class StreamServer:
         self._queue: list[tuple[int, int, bytes]] = []
         self.confirmed_scn = 0
         self.confirmed_idx = 0
-        self._doc_cap: int | None = None  # see set_doc_cap
+        # see set_doc_cap; DURABLE (r12 review pass): a restarted
+        # server on persistently non-sequential input must not let a
+        # confirm that lands before the inversion is RE-observed
+        # persist an uncapped doc past the late commit
+        self._doc_cap: int | None = self._read_doc_cap()
         # hydrate the watermark from the durable checkpoint document: a
         # restarted server that started back at (0, 0) would let a
         # stale CONFIRM replay regress the persisted doc below what was
@@ -287,7 +291,36 @@ class StreamServer:
         with self._lock:
             if self._doc_cap is None or scn < self._doc_cap:
                 self._doc_cap = scn
+                self._persist_doc_cap()
                 self._rewrite_doc_down()
+
+    def _cap_marker_path(self) -> str:
+        return os.path.join(self.state_dir, f"{self.database}-doc.cap")
+
+    def _read_doc_cap(self) -> int | None:
+        if self.state_dir is None:
+            return None
+        try:
+            with open(self._cap_marker_path()) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _persist_doc_cap(self) -> None:
+        """Durable twin of ``_doc_cap`` (mirror of the file funnel's
+        frozen marker): the cap is a fact about the INPUT — observed
+        non-sequential once, it stays suspect — so it must survive a
+        server restart, or a confirm landing in the window before the
+        inversion is re-observed writes an uncapped doc past the late
+        commit (silent loss on the next cold start). Caller holds the
+        lock."""
+        if self.state_dir is None:
+            return
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = self._cap_marker_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(int(self._doc_cap)))
+        os.replace(tmp, self._cap_marker_path())
 
     def _rewrite_doc_down(self) -> None:
         """Pull an already-persisted checkpoint doc down to the cap

@@ -932,11 +932,13 @@ def test_e2e_file_pipeline_crash_restart_zero_loss(seed, spark, tmp_path):
         try:
             run(out, ckpt, state_dir, kill_after=kill2,
                 expect_fail=True)
-        except Failed:
+        except Failed as e:
             # pytest.raises DID-NOT-RAISE: the second kill point fell
             # beyond the remaining work and the run simply completed —
-            # valid; any OTHER error must surface
-            pass
+            # valid; any OTHER Failed (e.g. a genuine pipeline error
+            # failing the 'chaos kill' match) must surface
+            if "DID NOT RAISE" not in str(e):
+                raise
     # COLD doc-only restart: Spark checkpoint is gone, only the W7 doc
     # positions the re-read
     doc = read_checkpoint_doc(state_dir, cfg.fmt.db_name)
@@ -1110,8 +1112,13 @@ def test_e2e_straddle_assembly_state_restore(seed, straddle_fixture,
                 tag=f"s{seed}k2",
             )
             allowed.update(_snapshot_delta())
-        except Failed:
-            # kill point fell beyond the remaining work — run completed
+        except Failed as e:
+            # ONLY the kill point falling beyond the remaining work
+            # (run completed without raising) is benign; a Failed from
+            # a genuine pipeline error failing the 'chaos kill' match
+            # must surface, not be re-baselined away (r12 review pass)
+            if "DID NOT RAISE" not in str(e):
+                raise
             _snapshot_delta()
 
     # warm restart finishes the drain: the assembly state checkpoint
@@ -1186,6 +1193,57 @@ def test_file_doc_freezes_on_observed_inversion(tmp_path):
     core.feed(iter([(b"c", 15, True, 1), (b"d", 30, True, 1)]), 1)
     doc = read_checkpoint_doc(str(tmp_path), "DB")
     assert int(doc["scn"]) == 10, "doc advanced past a void proof"
+
+
+def test_file_doc_rewritten_below_late_commit_on_inversion(tmp_path):
+    """r12 review pass (mirror of the network rewrite-down): freezing
+    only stops FUTURE advancement — a doc already persisted at or above
+    the late commit would still skip it on a doc cold start (the file
+    boundary is strict commit_scn > doc, and the late batch's bytes may
+    not be flushed yet). The doc must come down STRICTLY BELOW the late
+    commit's scn at observation time."""
+    writer = _CaptureWriter()
+    core = FileFunnelCore(
+        writer, state_dir=str(tmp_path), database="DB",
+        interval_s=0, interval_mb=10 ** 9,
+    )
+    core.feed(iter([(b"a", 10, True, 1), (b"b", 20, True, 1),
+                    (b"c", 30, True, 1)]), 0)
+    assert int(read_checkpoint_doc(str(tmp_path), "DB")["scn"]) == 20
+    # late commit 15 arrives: doc at 20 would skip it on cold start
+    core.feed(iter([(b"d", 15, True, 1)]), 1)
+    doc = read_checkpoint_doc(str(tmp_path), "DB")
+    assert int(doc["scn"]) == 14, doc  # strictly below the late commit
+    # a second, LOWER inversion pulls it further down
+    core.feed(iter([(b"e", 12, True, 1)]), 2)
+    assert int(read_checkpoint_doc(str(tmp_path), "DB")["scn"]) == 11
+    # ... and a HIGHER late commit never raises it back
+    core.feed(iter([(b"f", 13, True, 1)]), 3)
+    assert int(read_checkpoint_doc(str(tmp_path), "DB")["scn"]) == 11
+
+
+def test_network_doc_cap_survives_server_restart(tmp_path):
+    """r12 review pass (mirror of the file funnel's durable freeze):
+    the inversion cap is a fact about the INPUT, so it must survive a
+    server restart — otherwise a confirm landing before the inversion
+    is re-observed persists an uncapped doc past the late commit, and
+    a cold start in that window silently skips it."""
+    state_dir = str(tmp_path / "st")
+    server = StreamServer("DB", state_dir=state_dir)
+    try:
+        core = NetworkFunnelCore(server)
+        core.feed(iter([(20, True, b"a"), (15, True, b"c")]), 0)
+        assert server._doc_cap == 15
+    finally:
+        server.stop()
+    # restarted server rehydrates the cap; a high confirm stays capped
+    s2 = StreamServer("DB", state_dir=state_dir)
+    try:
+        assert s2._doc_cap == 15
+        s2._handle({"database": "DB", "code": 3, "c_scn": 40, "c_idx": 0})
+        assert int(read_checkpoint_doc(state_dir, "DB")["scn"]) == 15
+    finally:
+        s2.stop()
 
 
 def test_file_doc_freeze_survives_funnel_restart(tmp_path):

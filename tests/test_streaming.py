@@ -974,8 +974,13 @@ def test_watchdog_warn_once_is_per_run_not_per_executor():
         assert len(records) == 1
         _asm._warn_out_of_order("run-B", ("b",), 12, 25)  # new run warns
         assert len(records) == 2
+        # bounded across runs (r12 review pass): tokens evict FIFO, so
+        # thousands of restarts can't grow the set monotonically
+        for i in range(_asm._MAX_WARN_RUNS + 3):
+            _asm._warn_out_of_order(f"run-evict-{i}", ("b",), 13, 25)
+        assert len(_asm._warned_buckets) <= _asm._MAX_WARN_RUNS
     finally:
         _asm._LOG.removeHandler(h)
-        _asm._warned_buckets.difference_update(
-            {("run-A", ("b",)), ("run-B", ("b",))}
-        )
+        for tok in [t for t in _asm._warned_buckets
+                    if t.startswith(("run-A", "run-B", "run-evict"))]:
+            _asm._warned_buckets.pop(tok, None)
