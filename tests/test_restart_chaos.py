@@ -62,6 +62,7 @@ from openlogreplicator_spark.metadata.state_documents import (
 )
 from openlogreplicator_spark.streaming.file_writer import FileFunnelCore
 from openlogreplicator_spark.streaming.stream_network import (
+    RESP_REPLICATE,
     NetworkFunnelCore,
     StreamServer,
     StreamClient,
@@ -1168,6 +1169,163 @@ def test_e2e_straddle_assembly_state_restore(seed, straddle_fixture,
             f"seed {seed}: {m} delivered {n}× but only {allowed[m]} "
             f"duplicate(s) allowed (doc={doc_scn}, cold={cold})"
         )
+
+
+class _EnqueueKillingServer:
+    """StreamServer proxy that dies after N enqueues — a real
+    foreachBatch crash mid-emission through the NETWORK funnel, so the
+    warm restart exercises Spark state restore + the funnel's
+    watermark re-seed + the confirm protocol together."""
+
+    def __init__(self, server, kill_after=None):
+        self._server = server
+        self._kill_after = kill_after
+        self._n = 0
+
+    def enqueue(self, scn: int, idx: int, frame: bytes) -> None:
+        if self._kill_after is not None and self._n >= self._kill_after:
+            raise OSError("chaos kill")
+        self._n += 1
+        self._server.enqueue(scn, idx, frame)
+
+    @property
+    def confirmed_scn(self) -> int:
+        return self._server.confirmed_scn
+
+    @property
+    def confirmed_idx(self) -> int:
+        return self._server.confirmed_idx
+
+    def set_doc_cap(self, scn: int) -> None:
+        self._server.set_doc_cap(scn)
+
+
+@pytest.mark.parametrize("seed", range(300, 305))
+def test_e2e_straddle_network_sink_state_restore(seed, straddle_fixture,
+                                                 spark, tmp_path):
+    """Network twin of the straddle file arm: the same ≥1k-open-window
+    segment workload drains through build_pipeline(sink='network') with
+    a live consuming client; kills land either as a graceful stop in
+    the buffering phase (the open window lives in assembly state — the
+    warm restart must restore it) or as an enqueue-count crash
+    mid-emission (state restore + funnel watermark re-seed + batch
+    replay dedup via CONTINUE keys); half the seeds finish with a cold
+    doc-only restart (Spark checkpoint deleted, W7 doc + confirmed
+    watermark position the re-read). Contract: the client's deduped
+    receive set equals the oracle's commit-scn set exactly — zero loss,
+    no spurious frames — through every schedule."""
+    import time as _time
+
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    redo_dir, cfg, oracle = straddle_fixture
+    rng = random.Random(seed)
+    db = cfg.fmt.db_name
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    oracle_scns = {2 * _STRADDLE_N + i + 1 for i in range(_STRADDLE_N)}
+
+    server = StreamServer(db, state_dir=state_dir)
+    client = StreamClient("127.0.0.1", server.address[1], db)
+    received: list[int] = []
+    confirmed = 0
+
+    def drain_client():
+        nonlocal confirmed
+        while True:
+            ev = client.recv_event(timeout=2.0)
+            if ev is None:
+                break
+            received.append(ev.get("c_scn", ev["scn"]))
+        if received and rng.random() < 0.8:
+            hi = max(received)
+            if hi > confirmed:
+                client.confirm(hi, 10 ** 9)
+                for _ in range(500):   # fire-and-forget: wait applied
+                    if server.confirmed_scn >= hi:
+                        break
+                    _time.sleep(0.01)
+                assert server.confirmed_scn >= hi
+                confirmed = hi
+
+    def leg(kill_after=None, stop_after_batches=None, ck=None):
+        proxy = _EnqueueKillingServer(server, kill_after)
+        q = build_pipeline(
+            spark, cfg, redo_dir, checkpoint=ck or ckpt, sink="network",
+            network_server=proxy, query_name=f"olr_net_straddle_{seed}",
+            state_dir=state_dir, max_files_per_trigger=1,
+        )
+        try:
+            if kill_after is not None:
+                with pytest.raises(Exception, match="chaos kill"):
+                    q.awaitTermination(180)
+            elif stop_after_batches is not None:
+                deadline = _time.time() + 180
+                while q.isActive and _time.time() < deadline:
+                    if len(q.recentProgress) >= stop_after_batches:
+                        q.stop()
+                        break
+                    _time.sleep(0.2)
+                q.awaitTermination(120)
+            else:
+                from conftest import drain
+
+                drain(q)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    try:
+        assert client.start(scn=0)["code"] == RESP_REPLICATE
+        # leg 1: interruption with the open window live in state
+        if rng.random() < 0.5:
+            # graceful stop during the buffering phase (batches 1-4
+            # emit nothing — an enqueue kill cannot land there)
+            leg(stop_after_batches=rng.randint(1, _STRADDLE_FILES - 2))
+        else:
+            leg(kill_after=rng.randrange(0, len(oracle)))
+        if rng.random() < 0.7:
+            drain_client()
+        if rng.random() < 0.6:
+            # client reconnect — SOMETIMES without draining first, so
+            # socket-buffered frames are lost unread and everything
+            # unconfirmed must re-deliver after CONTINUE. This makes
+            # the arm sensitive to funnel key-numbering bugs: a warm
+            # replay numbered below the confirmed watermark (the
+            # re-seed contract) would be CONTINUE-skipped undelivered
+            # — without the reconnect this mutation sails through
+            # (mutation audit, r12)
+            try:
+                client.close()
+            except OSError:
+                pass
+            client = StreamClient("127.0.0.1", server.address[1], db)
+            client.resume(
+                confirmed or None, 10 ** 9 if confirmed else 0
+            )
+        # leg 2: warm restart finishes the drain on the same checkpoint
+        leg()
+        drain_client()
+        if rng.random() < 0.5:
+            # cold doc-only restart: checkpoint (offsets + assembly
+            # state) deleted; W7 doc + confirmed watermark position the
+            # re-read; the client dedups re-deliveries by its set
+            import shutil as _shutil
+
+            _shutil.rmtree(ckpt, ignore_errors=True)
+            leg(ck=str(tmp_path / "ckpt2"))
+            drain_client()
+        got = set(received)
+        assert got == oracle_scns, (
+            f"seed {seed}: lost {len(oracle_scns - got)}, "
+            f"spurious {sorted(got - oracle_scns)[:3]}"
+        )
+    finally:
+        try:
+            client.close()
+        except OSError:
+            pass
+        server.stop()
 
 
 # ---------------------------------------------------------------------------
