@@ -169,8 +169,17 @@ def to_change_events(
         "owner",
         "table",
         "obj",
+        # B9: the dba carries the file number in its high bits — the
+        # reference renders afn = dba >> 22, block = dba & 0x3FFFFF
+        # (RowId.h:167-169 toString); passing the raw dba as the block
+        # with a hardcoded afn mismatched every ROWID whose file field
+        # is non-zero (r12 review pass; fixtures' small dbas never
+        # exercised the split)
         rowid_expr(
-            F.col("obj"), F.lit(1), F.col("bdba"), F.col("slot")
+            F.col("obj"),
+            F.shiftright(F.col("bdba").cast("long"), 22),
+            F.col("bdba").cast("long").bitwiseAND(F.lit(0x3FFFFF)),
+            F.col("slot"),
         ).alias("rid"),
         before.alias("before"),
         after.alias("after"),
@@ -341,7 +350,16 @@ def build_pipeline(
                     stacklevel=3,
                 )
                 return False
-            return os.path.isdir(os.path.join(ckpt_path, "offsets"))
+            # a file:-scheme URI must lose its scheme before the local
+            # probe — os.path.isdir("file:///x/offsets") is always
+            # False, which silently passed a legacy layout straight to
+            # re-delivery (r12 review pass)
+            local = ckpt_path
+            if local.startswith("file:"):
+                from urllib.parse import urlparse
+
+                local = urlparse(local).path or local[len("file:"):]
+            return os.path.isdir(os.path.join(local, "offsets"))
 
     if _offsets_exists(checkpoint):
         mode = "drain" if available_now else "continuous"
@@ -356,6 +374,15 @@ def build_pipeline(
     checkpoint = os.path.join(
         checkpoint, "drain" if available_now else "continuous"
     )
+
+    if sink == "network" and network_server is None:
+        # build-time, like the kafka/file sinks — without this the
+        # mistake surfaces as an executor-side AttributeError in the
+        # first micro-batch (r12 review pass)
+        raise ValueError(
+            "sink='network' requires network_server (a StreamServer "
+            "or ZmqStreamServer instance)"
+        )
 
     # reference "memory" element → the T10 spill knobs the batch and
     # hot-bucket kernels read (transaction_assembly.py): max-mb bounds
@@ -462,8 +489,15 @@ def build_pipeline(
     # (transaction-max-mb); this engine's unit of buffering is ops, so
     # the cap converts at the OLRS1 average vector size (~512 B/op —
     # one block per op is the worst case, so the converted cap is
-    # conservative in the reference's favor)
-    max_ops = cfg.transaction_max_mb * (1024 * 1024 // 512)
+    # conservative in the reference's favor). 0 = UNCAPPED, the
+    # reference's own semantics and default (every guard site is
+    # `transactionSizeMax > 0 && ...`, Parser.cpp:611/717/960/1230,
+    # Ctx.h:232) — converting 0 to max_ops=0 would instead drop EVERY
+    # transaction whole (r12 review pass: silent total loss)
+    max_ops = (
+        cfg.transaction_max_mb * (1024 * 1024 // 512)
+        if cfg.transaction_max_mb > 0 else None
+    )
     # drain runs must not register processing-time timers (see
     # streaming_assemble: a pending timer blocks AvailableNow termination)
     assembled = streaming_assemble(
@@ -484,6 +518,13 @@ def build_pipeline(
     sel = cfg.selectors[0] if cfg.selectors else TableSelector()
     if sel.condition:
         events = events.filter(compile_condition(sel.condition))
+    # W8 counters observed per micro-batch — attached BEFORE the sink
+    # dispatch so the network and lake sinks carry them too (r12 review
+    # pass: they returned early and never got olr_metrics), and via the
+    # shared helper instead of a re-implementation
+    from openlogreplicator_spark.streaming.pipeline import observed
+
+    events = observed(events)
     if sink == "lake" and with_heartbeats:
         # the lake sink persists TYPED DML rows, which chkpt heartbeat
         # rows cannot join — fail loudly rather than silently dropping
@@ -586,13 +627,6 @@ def build_pipeline(
             .option("checkpointLocation", checkpoint)
             .start()
         )
-    events = events.observe(
-        "olr_metrics",
-        F.count(F.lit(1)).alias("rows_out"),
-        F.sum(
-            F.when(F.col("op").isin("c", "u", "d"), 1).otherwise(0)
-        ).alias("dml_out"),
-    )
     # T6 big-transaction split (writer "max-message-mb",
     # Transaction.cpp:519-538): byte-true — the builder greedily packs
     # RENDERED message bytes against the cap (Builder.h:167; the Kafka

@@ -506,9 +506,12 @@ class StreamServer:
                 frame = t.recv()
                 if frame is None:
                     return  # client went away — await reconnect
-                resp = self._handle(decode_redo_request(frame))
-                if resp is not None:
-                    t.send(resp)
+                if frame:  # b"" = command-only wakeup (ZMTP PING) —
+                    # nothing to handle; fall through and keep
+                    # streaming (zmtp.ZmtpPair.recv docstring)
+                    resp = self._handle(decode_redo_request(frame))
+                    if resp is not None:
+                        t.send(resp)
             # then stream pending data frames
             with self._lock:
                 streaming = self._streaming
@@ -878,6 +881,8 @@ class ZmqStreamClient(StreamClient):
     def _rpc(self, payload: bytes) -> dict:
         self._pair.send(payload)
         frame = self._pair.recv()
+        while frame == b"":   # command-only wakeups precede the reply
+            frame = self._pair.recv()
         if frame is None:
             raise ConnectionError("server closed during rpc")
         return decode_control_response(frame)
@@ -898,4 +903,8 @@ class ZmqStreamClient(StreamClient):
         frame = self._pair.recv()
         if frame is None:
             return None
+        if not frame:
+            # command-only wakeup (a server-side PING) — not an event;
+            # keep waiting within a fresh timeout window
+            return self.recv_event(timeout)
         return decode_event(frame)

@@ -157,13 +157,24 @@ class ZmtpPair:
     def recv(self) -> bytes | None:
         """Next MESSAGE payload (single- or multi-part concatenated);
         command frames are answered/consumed transparently (PING→PONG).
-        None ⇒ peer closed."""
+        None ⇒ peer closed. b"" ⇒ a command-only wakeup: the frame(s)
+        read were commands and no message bytes are pending — the
+        caller must treat it as 'nothing to read yet', NOT as a
+        payload. Without this, a quiet libzmq peer with
+        ZMQ_HEARTBEAT_IVL set wedged StreamServer._session permanently:
+        its PING woke poll(), recv() answered PONG and re-entered the
+        blocking read, and the thread never returned to the
+        queue-draining half of the session loop (r12 review pass).
+        Mid-MESSAGE (a MORE part already read) the read keeps blocking:
+        a message, once started, completes atomically."""
         try:
             parts: list[bytes] = []
             while True:
                 flags, body = self._recv_frame()
                 if flags & _FLAG_COMMAND:
                     self._handle_command(body)
+                    if not parts and not self.poll(0):
+                        return b""
                     continue
                 parts.append(body)
                 if not flags & _FLAG_MORE:

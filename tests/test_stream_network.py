@@ -660,3 +660,45 @@ def test_cold_start_boundary_is_at_least_once_never_lost(spark):
     # later scns number from 0 as always
     write(_events_df(spark, n=2, scn0=200), 1)
     assert srv.calls[-2:] == [(210, 0), (210, 1)]
+
+
+def test_zmtp_ping_does_not_wedge_the_session():
+    """r12 review pass: a quiet libzmq PAIR peer with ZMQ_HEARTBEAT_IVL
+    set sends PING commands between data; the server session must
+    answer PONG and RETURN to its queue-draining half. Previously
+    recv() re-entered the blocking read after the PONG, parking the
+    session thread until the (quiet) client sent something else —
+    delivery halted permanently on the first heartbeat."""
+    import struct as _struct
+    import time as _time
+
+    from openlogreplicator_spark.streaming import zmtp as _zmtp
+    from openlogreplicator_spark.streaming.stream_network import (
+        ZmqStreamClient,
+        ZmqStreamServer,
+    )
+
+    server = ZmqStreamServer("DBPING")
+    host, port = server.address
+    try:
+        c = ZmqStreamClient(host, port, "DBPING")
+        assert c.start(scn=0)["code"] == RESP_REPLICATE
+        # libzmq heartbeat PING: name | u16 TTL | context (rfc 37)
+        ping = bytes([4]) + b"PING" + _struct.pack(">H", 100) + b"ctx"
+        c._pair._send_frame(_zmtp._FLAG_COMMAND, ping)
+        _time.sleep(0.3)   # the server session wakes on the ping
+        # data enqueued AFTER the ping must still be delivered — a
+        # wedged session never returns to the streaming half
+        server.enqueue(100, 0, b"data-after-ping")
+        got = None
+        deadline = _time.time() + 5
+        while _time.time() < deadline:
+            if not c._pair.poll(0.2):
+                continue
+            frame = c._pair.recv()   # consumes the PONG transparently
+            if frame:
+                got = frame
+                break
+        assert got == b"data-after-ping", "session wedged after PING"
+    finally:
+        server.stop()

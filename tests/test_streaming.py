@@ -874,6 +874,76 @@ def test_arrival_order_watchdog_warns_on_out_of_order_batches():
     assert _decode_state(bytes(payload3))[2] == 25
 
 
+def test_rid_splits_afn_from_dba(spark):
+    """B9 through the ENGINE path (r12 review pass): the dba carries
+    the file number in bits 22+, so the rendered ROWID must split
+    afn = dba >> 22, block = dba & 0x3FFFFF (RowId.h:167-169 toString).
+    The old code passed the raw dba as the block with afn hardcoded to
+    1 — every ROWID with a non-zero file field mismatched Oracle's, and
+    small-fixture dbas never exercised the split."""
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.functions.oracle_types import (
+        rowid_to_text,
+    )
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        ASSEMBLED_SCHEMA,
+    )
+    from openlogreplicator_spark.streaming.engine import to_change_events
+
+    dba = (5 << 22) | 100   # datafile 5, block 100
+    assembled = spark.createDataFrame(
+        [("1.1.1", 10, 20, 0, "c", 101, dba, 7, 11, {"A": "1"}, None,
+          None, 1)],
+        ASSEMBLED_SCHEMA,
+    )
+    row = to_change_events(assembled, EngineConfig(), None).collect()[0]
+    assert row.rid == rowid_to_text(101, 5, 100, 7)
+
+
+def test_transaction_max_mb_zero_means_uncapped(spark, tmp_path):
+    """transaction-max-mb=0 is the reference's UNCAPPED default (every
+    guard site is `transactionSizeMax > 0 && ...`, Parser.cpp:611,
+    Ctx.h:232). Converting it to max_ops=0 made the T4 guard drop every
+    transaction whole — a pipeline that runs cleanly and emits nothing
+    (r12 review pass)."""
+    from conftest import drain
+    from openlogreplicator_spark.config import EngineConfig, Format
+    from openlogreplicator_spark.sources.binary_redo import (
+        write_binary_redo,
+    )
+    from openlogreplicator_spark.sources.redo_gen import (
+        generate_redo_records,
+        redo_records_df,
+    )
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    redo_dir = str(tmp_path / "redo")
+    records = generate_redo_records(n_txns=4, seed=9, p_rollback=0.0)
+    write_binary_redo(redo_records_df(spark, records), redo_dir, n_files=2)
+    cfg = EngineConfig(fmt=Format(), transaction_max_mb=0)
+    q = build_pipeline(
+        spark, cfg, redo_dir, checkpoint=str(tmp_path / "ckpt"),
+        sink="memory", query_name="olr_uncapped",
+    )
+    drain(q)
+    rows = spark.sql("select * from olr_uncapped").collect()
+    assert rows, "transaction_max_mb=0 must be uncapped, not drop-all"
+
+
+def test_network_sink_requires_server(spark, tmp_path):
+    """sink='network' without a server must fail loudly at build time
+    (like kafka/file), not as an executor-side AttributeError in the
+    first micro-batch (r12 review pass)."""
+    from openlogreplicator_spark.config import EngineConfig
+    from openlogreplicator_spark.streaming.engine import build_pipeline
+
+    with pytest.raises(ValueError, match="network_server"):
+        build_pipeline(
+            spark, EngineConfig(), str(tmp_path / "redo"),
+            checkpoint=str(tmp_path / "ckpt"), sink="network",
+        )
+
+
 def test_pre_watchdog_checkpoint_payload_restores_unarmed_then_arms():
     """r11 VERDICT #3 / r12 #2: 'pre-watchdog checkpoints restore
     unarmed' was a code comment riding on additive Arrow schema
