@@ -123,11 +123,16 @@ def xid_expr(fmt: Format, col: str = "xid") -> Column:
     if fmt.xid == XidFormat.NUMERIC:
         return F.shiftleft(usn, 48) + F.shiftleft(slt, 32) + sqn
     if fmt.xid == XidFormat.TEXT_HEX:
+        # fixed-width zero-padded 0x%04x.%03x.%08x — the reference's
+        # appendHex4/appendHex3/appendHex8 emit EVERY nibble including
+        # leading zeros (BuilderJson.h:301-305, 544-590; same layout as
+        # Xid::toString, Xid.h:151-152). Unpadded hex diverged for any
+        # component with a leading zero nibble (r12 review pass).
         return F.concat(
             F.lit("0x"),
-            F.lower(F.hex(usn)), F.lit("."),
-            F.lower(F.hex(slt)), F.lit("."),
-            F.lower(F.hex(sqn)),
+            F.lpad(F.lower(F.hex(usn)), 4, "0"), F.lit("."),
+            F.lpad(F.lower(F.hex(slt)), 3, "0"), F.lit("."),
+            F.lpad(F.lower(F.hex(sqn)), 8, "0"),
         )
     if fmt.xid == XidFormat.TEXT_REVERSED:
         return reversed_hex16(F.shiftleft(usn, 48) + F.shiftleft(slt, 32) + sqn)
@@ -561,10 +566,18 @@ def tag_expr(
     cols = tag_cols or key_cols
     if not cols:
         return F.col("xid")
-    return F.to_json(
-        F.struct(
-            *[F.element_at(img, F.lit(c)).alias(c) for c in cols]
-        )
+    # begin/commit/ddl markers carry no row image, so no tag can be
+    # computed — the reference sends such messages KEYLESS (tagSize=0
+    # skips RD_KAFKA_VTYPE_KEY entirely, WriterKafka.cpp:123-139), not
+    # keyed by a constant '{}' that would funnel every transaction's
+    # markers onto one partition (r12 review pass)
+    return F.when(
+        img.isNotNull(),
+        F.to_json(
+            F.struct(
+                *[F.element_at(img, F.lit(c)).alias(c) for c in cols]
+            )
+        ),
     )
 
 
@@ -606,7 +619,12 @@ def build_events(
         df = df.withColumn("thread", F.lit(1))
     if fmt.scn_begin and "begin_scn" not in df.columns:
         df = df.withColumn("begin_scn", F.lit(None).cast("long"))
-    if fmt.scn_commit and "c_scn" not in df.columns:
+    if (
+        fmt.scn_commit or fmt.scn_type == ScnType.COMMIT_VALUE
+    ) and "c_scn" not in df.columns:
+        # SCN_TYPE::COMMIT_VALUE reads c_scn through scn_expr's coalesce
+        # even when the c_scn FIELD is off — gating the injection on
+        # scn_commit alone left an unresolved column (r12 review pass)
         df = df.withColumn("c_scn", F.lit(None).cast("long"))
     if (fmt.tm_begin or fmt.tm_commit or fmt.tm_commit_value):
         if "b_tm" not in df.columns:
@@ -620,17 +638,19 @@ def build_events(
 
     with_dict = dict_cols is not None
     if with_dict:
+        from openlogreplicator_spark.metadata.schema_registry import (
+            latest_columns,
+        )
+
+        dict_cols = latest_columns(dict_cols)
         meta = dict_cols.groupBy("obj").agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "col", "name", "type", "length", "precision",
-                            "scale", "nullable", "numpk",
-                        )
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "col", "name", "type", "length", "precision",
+                        "scale", "nullable", "numpk",
                     )
-                ),
-                lambda s: s,
+                )
             ).alias("_all_cols"),
             F.array_sort(
                 F.collect_list(F.when(F.col("numpk") > 0, F.col("name")))

@@ -408,6 +408,23 @@ def build_protobuf_events(
                 F.col("xid").isNotNull(),
                 F.lpad(F.lower(F.hex(packed)), 16, "0"),
             )
+    # DB_FORMAT gate (r12 review pass): the reference's appendHeader
+    # writes set_db only under showDb = isDbFormatAddDml() (ADD_DDL for
+    # DDL messages) — BuilderProtobuf.h:189-190, BuilderProtobuf.cpp:
+    # 104-292 — the same toggle the JSON builder's _db_expr honors.
+    # Unconditionally emitting field 8 made one deployment's two
+    # builders disagree about DB_FORMAT::DEFAULT.
+    db_out = F.col("db")
+    if fmt is not None:
+        from openlogreplicator_spark.config import DbFormat as _DbF
+
+        if fmt.db == _DbF.DEFAULT:
+            db_out = null_s
+        elif fmt.db == _DbF.ADD_DML:
+            db_out = F.when(F.col("op") != "ddl", F.col("db"))
+        elif fmt.db == _DbF.ADD_DDL:
+            db_out = F.when(F.col("op") == "ddl", F.col("db"))
+
     from pyspark.sql.pandas.functions import pandas_udf
 
     from openlogreplicator_spark.config import MessageFormat, SchemaFormat
@@ -422,6 +439,11 @@ def build_protobuf_events(
         and fmt.schema in (SchemaFormat.FULL, SchemaFormat.REPEATED)
     )
     if with_schema:
+        from openlogreplicator_spark.metadata.schema_registry import (
+            latest_columns,
+        )
+
+        dict_cols = latest_columns(dict_cols)
         meta = dict_cols.groupBy("obj").agg(
             F.array_sort(
                 F.collect_list(
@@ -454,6 +476,16 @@ def build_protobuf_events(
             greedy_parts,
         )
 
+        # a FULL envelope is a TRANSACTION message: the reference stamps
+        # its single header with the ADD_DML bit (format-level, like the
+        # JSON builder's full_message gate) — never per-payload-row
+        from openlogreplicator_spark.config import DbFormat as _DbF
+
+        db_full = (
+            F.col("db")
+            if fmt.db in (_DbF.ALL, _DbF.ADD_DML)
+            else null_s
+        )
         hdr_struct = F.struct(
             "scn",
             scns.alias("scns"),
@@ -463,7 +495,7 @@ def build_protobuf_events(
             tms.alias("tms"),
             xid_out.alias("xid"),
             xidn.alias("xidn"),
-            "db",
+            db_full.alias("db"),
         )
         op_struct = F.struct(
             "op", "owner", "table", "obj", "rid", "before", "after",
@@ -559,7 +591,7 @@ def build_protobuf_events(
             "seq",
             xid_out.alias("xid"),
             xidn.alias("xidn"),
-            "db",
+            db_out.alias("db"),
             "op",
             "owner",
             "table",

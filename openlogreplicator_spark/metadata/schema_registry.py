@@ -156,18 +156,52 @@ def asof_resolve_broadcast(
     is a map-side join + partial agg — zero exchanges of the big side
     when AQE confirms the dictionary fits the broadcast threshold."""
     dcols = [c for c in dict_versions.columns if c not in (*keys, "scn_from")]
-    cond = [events[k] == dict_versions[k] for k in keys]
-    # the ≤ belongs in the JOIN condition: a left join + post-filter would
-    # drop events whose only dictionary versions are in the future
-    cond.append(dict_versions["scn_from"] <= events[event_scn])
-    joined = events.join(F.broadcast(dict_versions), on=cond, how="left")
-    agg = [
-        F.max_by(F.struct(*dcols), "scn_from").alias("_dict"),
-    ]
+    # collapse the dictionary to one scn-sorted version ARRAY per key
+    # and pick per event row with filter + element_at(-1) (greatest
+    # scn_from ≤ scn). The first implementation joined all versions and
+    # re-grouped by every event column, which (a) throws for map-typed
+    # event columns (maps are not groupable — any real CHANGE_EVENT /
+    # REDO_RECORD frame has them) and (b) collapsed duplicate event
+    # rows (r12 review pass). The array pick is per-row, keeps the
+    # event side exchange-free, and costs O(versions-per-key), which is
+    # catalog-scale by this variant's own precondition.
+    versions = dict_versions.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("scn_from").alias("_scn"),
+                    F.struct(*[F.col(c) for c in dcols]).alias("_v"),
+                )
+            )
+        ).alias("_vers")
+    )
+    joined = events.join(F.broadcast(versions), on=list(keys), how="left")
+    picked = F.try_element_at(
+        F.filter("_vers", lambda v: v["_scn"] <= F.col(event_scn)),
+        F.lit(-1),   # try_: NULL when no version ≤ scn (or key unseen)
+    )["_v"]
     ecols = events.columns
-    grouped = joined.groupBy(*[events[c] for c in ecols]).agg(*agg)
-    return grouped.select(
-        *ecols, *[F.col(f"_dict.{c}").alias(c) for c in dcols]
+    return joined.select(
+        *ecols, *[picked[c].alias(c) for c in dcols]
+    )
+
+
+def latest_columns(dict_cols: DataFrame) -> DataFrame:
+    """Collapse a VERSIONED column dictionary (DICT_COL_SCHEMA rows) to
+    the single latest version per (obj, col) — what the message
+    builders need: they stamp the CURRENT schema descriptors, not
+    per-event as-of versions (that path is :func:`asof_resolve`).
+    Feeding all versions to the builders' collect_list produced
+    duplicate column names: map_from_entries then throws
+    DUPLICATED_MAP_KEY on the first appended schema change (r12 review
+    pass). No-op for unversioned frames (no scn_from column)."""
+    if "scn_from" not in dict_cols.columns:
+        return dict_cols
+    w = Window.partitionBy("obj", "col").orderBy(F.col("scn_from").desc())
+    return (
+        dict_cols.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

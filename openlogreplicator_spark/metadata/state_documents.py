@@ -95,13 +95,23 @@ def advance_checkpoint_doc(
     state_dir: str, database: str, scn: int, idx: int = 0
 ) -> bool:
     """Monotone doc advance shared by every sink that persists the
-    confirmed watermark: rewrite the document only when ``scn`` is
-    beyond what it already records (a replayed batch or stale CONFIRM
-    must never regress it). Returns True when the doc moved."""
+    confirmed watermark: rewrite the document only when ``(scn, idx)``
+    is LEXICOGRAPHICALLY beyond what it already records (a replayed
+    batch or stale CONFIRM must never regress it; comparing scn alone
+    silently discarded intra-scn idx progress — the exact field idx
+    exists for, r12 review pass). Carries the incarnation identifiers
+    (resetlogs/activation) from the previous document rather than
+    resetting them to 0. Returns True when the doc moved."""
     prev = read_checkpoint_doc(state_dir, database)
-    if prev is not None and int(prev["scn"]) >= int(scn):
+    if prev is not None and (int(prev["scn"]), int(prev["idx"])) >= (
+        int(scn), int(idx)
+    ):
         return False
-    write_checkpoint_doc(state_dir, database, scn=int(scn), idx=int(idx))
+    write_checkpoint_doc(
+        state_dir, database, scn=int(scn), idx=int(idx),
+        resetlogs=int(prev["resetlogs"]) if prev else 0,
+        activation=int(prev["activation"]) if prev else 0,
+    )
     return True
 
 

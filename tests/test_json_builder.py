@@ -13,6 +13,7 @@ from openlogreplicator_spark.config import (
     Format,
     MessageFormat,
     ScnFormat,
+    SchemaFormat,
     TimestampFormat,
     XidFormat,
     debezium_preset,
@@ -84,7 +85,9 @@ def test_scn_hex_and_xid_formats(events_df):
 
     hexfmt = Format(xid=XidFormat.TEXT_HEX)
     v2 = json.loads(build_events(events_df, hexfmt).collect()[0].value)
-    assert v2["xid"] == "0x3.7.2a"
+    # fixed-width 0x%04x.%03x.%08x — appendHex4/3/8 emit every nibble
+    # (BuilderJson.h:301-305); matches the protobuf builder's rendering
+    assert v2["xid"] == "0x0003.007.0000002a"
 
 
 def test_timestamp_formats(events_df):
@@ -666,3 +669,68 @@ def test_xid_text_reversed_render(events_df):
     # the debezium preset itself uses this rendering
     dbz = build_events(events_df, debezium_preset()).collect()
     assert json.loads(dbz[0].value)["xid"] == expected
+
+
+def test_tag_is_keyless_for_markers(events_df):
+    """r12 review pass: begin/commit (and ddl) carry no row image, so
+    no tag can be computed — the reference sends such messages KEYLESS
+    (tagSize=0 skips RD_KAFKA_VTYPE_KEY, WriterKafka.cpp:123-139). A
+    constant '{}' key would funnel every transaction's markers onto one
+    Kafka partition."""
+    out = build_events(events_df, Format(), tag_cols=("ID",)).collect()
+    by_op = {
+        json.loads(r.value)["payload"][0]["op"]: r.key for r in out
+    }
+    assert by_op["begin"] is None and by_op["commit"] is None
+    assert json.loads(by_op["c"]) == {"ID": "1"}
+
+
+def test_versioned_dict_cols_use_latest_schema(spark, events_df):
+    """r12 review pass: with a versioned dictionary (two scn_from
+    versions of one column), build_events used to feed BOTH versions to
+    map_from_entries → DUPLICATED_MAP_KEY; it must use the latest."""
+    from openlogreplicator_spark.event_model import DICT_COL_SCHEMA
+
+    rows = [
+        (5001, 0, 0, 0, "ID", 2, 22, 10, 0, 873, False, 1, 0, 0),
+        (5001, 1, 1, 1, "V", 1, 20, None, None, 873, True, 0, 0, 0),
+        (5001, 1, 1, 1, "V", 1, 40, None, None, 873, True, 0, 0, 100),
+    ]
+    dc = spark.createDataFrame(rows, DICT_COL_SCHEMA)
+    fmt = Format(schema=SchemaFormat.REPEATED)
+    out = [
+        json.loads(r.value)
+        for r in build_events(events_df, fmt, dict_cols=dc).collect()
+    ]
+    lens = {
+        c["name"]: c.get("length")
+        for v in out
+        for p in v["payload"]
+        for c in (p.get("schema") or {}).get("columns", [])
+    }
+    assert "V" in lens, f"no schema columns rendered: {out}"
+    assert lens["V"] == 40, f"stale column version used: {lens}"
+
+
+def test_commit_value_scn_without_c_scn_column(spark):
+    """r12 review pass: SCN_TYPE::COMMIT_VALUE reads c_scn through
+    scn_expr's coalesce even when the c_scn FIELD toggle is off — a
+    frame without the optional column must not fail plan-time."""
+    from openlogreplicator_spark.config import ScnType
+
+    import datetime as _dt
+
+    rows = [(1000, _dt.datetime(2024, 1, 1), "3.7.42", "DB", "c", "APP",
+             "T", 5001, "AAAAAAAAAAAAAAAAAA", None, {"ID": "1"}, {}, 0,
+             0)]
+    df = spark.createDataFrame(
+        rows,
+        "scn long, tm timestamp, xid string, db string, op string, "
+        "owner string, table string, obj long, rid string, "
+        "before map<string,string>, after map<string,string>, "
+        "attrs map<string,string>, num long, offset long",
+    )
+    fmt = Format(scn_type=ScnType.COMMIT_VALUE, scn_commit=False)
+    out = build_events(df, fmt).collect()
+    assert len(out) == 1   # must not raise UNRESOLVED_COLUMN
+    assert json.loads(out[0].value)["scn"] == 1000  # falls back to scn

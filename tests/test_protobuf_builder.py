@@ -414,3 +414,41 @@ def test_full_envelope_with_descriptors_hand_derived_golden(spark):
         + b"\x50\x96\x01"          # 10:c_scn VARINT 150     (10<<3|0)
     )                              # 11:c_idx omitted (0)
     assert bytes(row.value) == expected
+
+
+def test_db_format_gates_field8(spark):
+    """r12 review pass: the reference's protobuf appendHeader writes
+    set_db only under showDb = isDbFormatAddDml() (ADD_DDL for DDL) —
+    BuilderProtobuf.h:189-190, BuilderProtobuf.cpp:104-292 — the same
+    DB_FORMAT toggle the JSON builder honors. Unconditional emission
+    made one deployment's two builders disagree about DEFAULT."""
+    import datetime as _dt
+
+    from openlogreplicator_spark.config import DbFormat, Format
+
+    ts = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (4095, 1000, 3, ts, 9, "3.7.42", "DB", "c", "USR", "T1", 5001,
+         "rid1", None, {"ID": "1"}, {}, 1, 77),
+        (4096, 1000, 3, ts, 9, "3.7.42", "DB", "ddl", "USR", "T1", 5001,
+         "rid1", None, {"SQL": "ALTER ..."}, {}, 2, 78),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+    def fields(fmt):
+        return [
+            dict((f, v) for f, _, v in decode_message(bytes(r.value)))
+            for r in build_protobuf_events(df, fmt=fmt).collect()
+        ]
+
+    # default fmt: db = ALL → field 8 on every message (the pinned
+    # legacy behavior)
+    assert all(8 in m for m in fields(Format()))
+    # DEFAULT: omitted everywhere
+    assert all(8 not in m for m in fields(Format(db=DbFormat.DEFAULT)))
+    # ADD_DML: on the DML message only; ADD_DDL: on the DDL message only
+    dml = fields(Format(db=DbFormat.ADD_DML))
+    assert sum(8 in m for m in dml) == 1
+    ddl = fields(Format(db=DbFormat.ADD_DDL))
+    assert sum(8 in m for m in ddl) == 1
+    assert [8 in m for m in dml] != [8 in m for m in ddl]

@@ -1530,7 +1530,18 @@ def test_deployment_matrix_e2e(spark, tmp_path, path):
         assert frames, "no frames reached the stream client"
         if kw["payload_format"] == "protobuf":
             evs = [decode_event(f) for f in frames]
-            assert all(e["db"] == dep.config.fmt.db_name for e in evs)
+            # DB_FORMAT gate (r12): the example configs set no "db"
+            # key, so the reference default DEFAULT omits field 8
+            # (OpenLogReplicator.cpp:675, BuilderProtobuf.h:189-190);
+            # a config with db set would carry db_name here
+            from openlogreplicator_spark.config import DbFormat as _DbF
+
+            if dep.config.fmt.db == _DbF.DEFAULT:
+                assert all("db" not in e for e in evs)
+            else:
+                assert all(
+                    e["db"] == dep.config.fmt.db_name for e in evs
+                )
             scns = [e.get("c_scn", e.get("scn", 0)) for e in evs]
             assert scns == sorted(scns)
             hi = max(scns)

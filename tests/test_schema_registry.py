@@ -151,3 +151,57 @@ def test_diff_schemas_compare_to(spark):
         (1, 3): ("column_dropped", "DROPME", None),
         (1, 4): ("column_added", None, "ADDED"),
     }
+
+
+def test_asof_resolve_broadcast_maps_and_duplicates(spark):
+    """r12 review pass: the broadcast variant re-grouped by EVERY event
+    column, which threw for map-typed columns (not groupable — every
+    real event frame has them) and collapsed duplicate event rows. The
+    version-array pick must resolve a mappy frame and preserve the row
+    MULTISET."""
+    events = spark.createDataFrame(
+        [
+            (1, 150, {"A": "x"}),
+            (1, 150, {"A": "x"}),   # exact duplicate row — must survive
+            (1, 5, {"B": "y"}),
+            (9, 100, None),         # unknown obj → unresolved, kept
+        ],
+        "obj long, scn long, cols map<string,string>",
+    )
+    out = asof_resolve_broadcast(events, _dict(spark)).collect()
+    assert len(out) == 4, "duplicate/unresolved rows must be preserved"
+    by = sorted(
+        ((r.obj, r.scn, r.name, r.dropped) for r in out),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert by == [
+        (1, 5, "T1", False),
+        (1, 150, "T1_RENAMED", False),
+        (1, 150, "T1_RENAMED", False),
+        (9, 100, None, None),
+    ]
+
+
+def test_latest_columns_collapses_versions(spark):
+    """r12 review pass: builders fed ALL versions of a versioned column
+    dictionary produced duplicate column names (DUPLICATED_MAP_KEY at
+    runtime on the first appended schema change); latest_columns keeps
+    exactly the newest version per (obj, col)."""
+    from openlogreplicator_spark.event_model import DICT_COL_SCHEMA
+    from openlogreplicator_spark.metadata.schema_registry import (
+        latest_columns,
+    )
+
+    rows = [
+        (7, 0, 0, 0, "ID", 2, 22, 10, 0, 873, False, 1, 0, 0),
+        (7, 1, 1, 1, "V", 1, 20, None, None, 873, True, 0, 0, 0),
+        # column 1 widened at scn 100 — a SECOND version of col 1
+        (7, 1, 1, 1, "V", 1, 40, None, None, 873, True, 0, 0, 100),
+    ]
+    dc = spark.createDataFrame(rows, DICT_COL_SCHEMA)
+    got = {(r.col, r.length, r.scn_from)
+           for r in latest_columns(dc).collect()}
+    assert got == {(0, 22, 0), (1, 40, 100)}
+    # unversioned frames pass through untouched
+    plain = dc.drop("scn_from")
+    assert latest_columns(plain).count() == 3

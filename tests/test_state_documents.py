@@ -233,3 +233,31 @@ def test_doc_database_body_mismatch_rejected(tmp_path):
     # the matching doc still reads
     write_checkpoint_doc(str(tmp_path), "MAIN", scn=600)
     assert read_checkpoint_doc(str(tmp_path), "MAIN")["scn"] == 600
+
+
+def test_advance_checkpoint_doc_is_lexicographic_and_carries_incarnation(tmp_path):
+    """r12 review pass: (1) comparing scn alone never persisted
+    intra-scn idx progress — the exact field idx exists for; (2) the
+    rewrite reset resetlogs/activation to 0, corrupting incarnation
+    identifiers a prior write recorded."""
+    from openlogreplicator_spark.metadata.state_documents import (
+        advance_checkpoint_doc,
+        read_checkpoint_doc,
+        write_checkpoint_doc,
+    )
+
+    d = str(tmp_path)
+    write_checkpoint_doc(d, "DB", scn=100, idx=2, resetlogs=7,
+                         activation=9)
+    # same scn, HIGHER idx → must advance
+    assert advance_checkpoint_doc(d, "DB", 100, idx=5) is True
+    doc = read_checkpoint_doc(d, "DB")
+    assert (doc["scn"], doc["idx"]) == (100, 5)
+    # incarnation identifiers carried, not zeroed
+    assert (doc["resetlogs"], doc["activation"]) == (7, 9)
+    # same scn, lower/equal idx → stale, never regress
+    assert advance_checkpoint_doc(d, "DB", 100, idx=5) is False
+    assert advance_checkpoint_doc(d, "DB", 100, idx=1) is False
+    assert advance_checkpoint_doc(d, "DB", 99, idx=9) is False
+    doc = read_checkpoint_doc(d, "DB")
+    assert (doc["scn"], doc["idx"], doc["resetlogs"]) == (100, 5, 7)
