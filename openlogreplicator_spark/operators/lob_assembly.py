@@ -111,8 +111,17 @@ def chain_page_numbers(chains: DataFrame) -> DataFrame:
         out_dba: list[int] = []
         out_no: list[int] = []
         for lob_id, g in pdf.groupby("lob_id", sort=False):
-            nxt = dict(zip(g["dba"], g["next_dba"]))
-            heads = set(g["dba"]) - set(g["next_dba"])
+            # normalize NaN tail links to None: LOB_CHAIN_SCHEMA allows
+            # a null-terminated tail row, and pandas floats its NaN
+            # through `cur is not None` — the walk then emitted one
+            # bogus NaN-dba page per chain (r12 review pass)
+            nxt = {
+                d: (None if pd.isna(n) else n)
+                for d, n in zip(g["dba"], g["next_dba"])
+            }
+            heads = set(g["dba"]) - {
+                n for n in nxt.values() if n is not None
+            }
             for head in heads:
                 cur, no = head, 0
                 seen = 0
@@ -127,12 +136,14 @@ def chain_page_numbers(chains: DataFrame) -> DataFrame:
             {"lob_id": out_lob, "dba": out_dba, "page_no": out_no}
         )
 
-    # one bucket per session core (floor 32): Python-runner tasks carry
-    # a ~15-20 ms serialized launch cost each, so a fixed 256 buckets
-    # paid more in launches than it gained in balance on any tested box
-    n_buckets = max(
-        32, chains.sparkSession.sparkContext.defaultParallelism
+    # shared bucket heuristic (one per core, floor 32, honoring the
+    # spark.olrs.assembly.buckets override) — was a hand-copy that
+    # ignored the tuning knob the assembly stage honors (r12 review)
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        _default_buckets,
     )
+
+    n_buckets = _default_buckets(chains)
     bucketed = chains.withColumn(
         "_bucket", F.pmod(F.xxhash64("lob_id"), F.lit(n_buckets))
     )
@@ -164,7 +175,13 @@ def chain_page_numbers_doubling(
     )
     nodes = (
         chains.select("lob_id", "dba")
-        .union(chains.select("lob_id", F.col("next_dba").alias("dba")))
+        .union(
+            # a null next_dba is a TAIL LINK, not a node — including it
+            # minted a spurious (lob_id, null, 0) output row (r12
+            # review pass, sibling of the walk_bucket NaN fix)
+            chains.select("lob_id", F.col("next_dba").alias("dba"))
+            .where(F.col("dba").isNotNull())
+        )
         .distinct()
         .join(pred, ["lob_id", "dba"], "left")
         .select(
@@ -175,9 +192,18 @@ def chain_page_numbers_doubling(
         )
     )
     _ = heads  # heads are exactly the ptr-null nodes; kept for clarity
+    prev = None
     for _i in range(max_iter):
         nodes = nodes.persist()
-        if nodes.filter(F.col("ptr").isNotNull()).isEmpty():
+        done = nodes.filter(F.col("ptr").isNotNull()).isEmpty()
+        # the isEmpty() above materialized THIS round — the previous
+        # round's cache is now dead weight; without the unpersist every
+        # invocation pinned up to max_iter full node sets in executor
+        # storage for the application lifetime (r12 review pass)
+        if prev is not None:
+            prev.unpersist()
+        prev = nodes
+        if done:
             break
         hop = nodes.select(
             "lob_id",
@@ -242,11 +268,18 @@ def assemble_lobs_indexed(
 def reassemble_ddl(ddl_chunks: DataFrame) -> DataFrame:
     """P15 DDL text reassembly (OpCode1801.h:28-103): a DDL statement
     arrives chunked across redo records as (xid, seq, cnt, text_part);
-    concatenate in seq order per xid — same ordered-concat shape as LOB
-    assembly, one shuffle on xid. Emits op='ddl' rows with the full
-    statement and a completeness flag (got all `cnt` chunks). A
-    ``ddl_type`` column (the 24.1 record's numeric type code) is carried
-    through for :func:`classify_ddl`."""
+    concatenate in seq order per statement — same ordered-concat shape
+    as LOB assembly, one shuffle on the group key. Emits op='ddl' rows
+    with the full statement and a completeness flag (got all `cnt`
+    chunks). A ``ddl_type`` column (the 24.1 record's numeric type
+    code) is carried through for :func:`classify_ddl`.
+
+    The reference scopes reassembly to ONE redo record group; xid alone
+    under-scopes it when a transaction carries several chunked DDL
+    statements (their seqs would interleave into one garbled text, r12
+    review pass) — so a ``scn`` column, when present, joins the group
+    key as the per-statement discriminator. Chunk frames without one
+    must carry at most one statement per xid."""
     aggs = [
         F.concat_ws(
             "",
@@ -265,8 +298,11 @@ def reassemble_ddl(ddl_chunks: DataFrame) -> DataFrame:
     ]
     if "ddl_type" in ddl_chunks.columns:
         aggs.append(F.max("ddl_type").alias("ddl_type"))
+    keys = ["xid"] + (
+        ["scn"] if "scn" in ddl_chunks.columns else []
+    )
     return (
-        ddl_chunks.groupBy("xid")
+        ddl_chunks.groupBy(*keys)
         .agg(*aggs)
         .withColumn("complete", F.col("n_chunks") == F.col("expected_chunks"))
         .withColumn("op", F.lit("ddl"))
@@ -332,13 +368,23 @@ def attach_lobs(events: DataFrame, lobs: DataFrame, cols_field: str = "cols") ->
     Unresolved references keep their placeholder (orphan policy) so a
     later batch can attach them."""
     orig_cols = events.columns
-    ref_ids = F.array_distinct(
-        F.transform(
-            F.map_values(
-                F.map_filter(F.col(cols_field), lambda k, v: v.startswith("LOB:"))
-            ),
-            lambda v: v.substr(F.lit(5), F.lit(1 << 10)),
-        )
+    # coalesce to an empty array: a NULL cols map (a DML record parsed
+    # with no column payload) propagates NULL through map_filter, and
+    # F.size(NULL) is -1 — the row then failed BOTH branch filters and
+    # silently vanished from the output (r12 review pass)
+    ref_ids = F.coalesce(
+        F.array_distinct(
+            F.transform(
+                F.map_values(
+                    F.map_filter(
+                        F.col(cols_field),
+                        lambda k, v: v.startswith("LOB:"),
+                    )
+                ),
+                lambda v: v.substr(F.lit(5), F.lit(1 << 10)),
+            )
+        ),
+        F.array().cast("array<string>"),
     )
     tagged = events.withColumn("_ref_ids", ref_ids)
     plain = tagged.filter(F.size("_ref_ids") == 0).drop("_ref_ids")

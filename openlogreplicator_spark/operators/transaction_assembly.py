@@ -193,9 +193,16 @@ def assemble_transactions_py(
             # redoLogRecord1 of the same record). Addressed by
             # (bdba, slot); consumed by the next row op at that address.
             if r.get("bdba") is not None:
+                # keep a null image NULL (not {}): an undo vector that
+                # carried no columns sets no before values in the
+                # reference (valueSet never fires → no before section),
+                # and the vectorized route takes the column verbatim —
+                # `or {}` made the two routes diverge on the same
+                # transaction (r12 review pass: route-independence is
+                # this module's stated invariant)
                 t.setdefault("pending_undo", {})[
                     (r.get("bdba"), r.get("slot"))
-                ] = r.get("cols") or {}
+                ] = r.get("cols")
         elif opc == "lock":
             # 11.4 lock row piece (select-for-update): parsed, never
             # emitted — no change event exists for a lock.
@@ -227,17 +234,27 @@ def assemble_transactions_py(
         elif opc in ("qmi", "qmd"):
             op = "c" if opc == "qmi" else "d"
             rows = r.get("rows") or []
-            # QMD rollback-of-insert walks rows in reverse (Builder.cpp:805-895)
-            it = rows if opc == "qmi" else list(reversed(rows))
-            for j, row in enumerate(it):
+            # QMD rollback-of-insert walks rows in reverse (Builder.
+            # cpp:805-895) — but every row keeps ITS OWN slot: the
+            # reference
+            # reads the slot per row from slotsDelta (Builder.cpp:
+            # 860-869), so reversing the emission order must not
+            # re-derive slots from the reversed position. Pairing row
+            # k with slot base+(n-1-k) addressed each delete at a
+            # DIFFERENT row than the one it removes — a partial
+            # rollback at (bdba, slot) then cancelled the wrong row
+            # (r12 review pass).
+            n = len(rows)
+            order = range(n) if opc == "qmi" else range(n - 1, -1, -1)
+            for k in order:
                 t["ops"].append(
                     {
                         "op": op,
                         "obj": r["obj"],
                         "bdba": r.get("bdba"),
-                        "slot": (r.get("slot") or 0) + j,
+                        "slot": (r.get("slot") or 0) + k,
                         "scn": r["scn"],
-                        "cols": row,
+                        "cols": rows[k],
                         "seq": r.get("seq"),
                     }
                 )
@@ -310,8 +327,12 @@ def _state_machine_frame(
             r["rows"] = None
         else:
             r["rows"] = [_norm_map(x) for x in rows]
+        # fb/obj included (r12 review pass): one NULL in the column —
+        # e.g. the fb=None of an IGNORE_DATA_ERRORS warn row sharing
+        # the bucket — floats the whole pandas column, and a chained
+        # row's `fb & FB_PREV` then dies on float & int
         for k in ("scn", "subscn", "block", "offset", "bdba", "slot",
-                  "seq"):
+                  "seq", "fb", "obj"):
             v = r.get(k)
             if isinstance(v, float):
                 r[k] = None if pd.isna(v) else int(v)

@@ -180,3 +180,25 @@ def test_big_transaction_split(spark):
     ns = [p["after"]["N"] for k in sorted(by_key) for p in by_key[k]["payload"]]
     assert ns == [str(i) for i in range(7)]
     assert by_key["1.1.1:2"]["part"] == 2
+
+
+def test_chain_walk_null_tail_link_emits_no_phantom_page(spark):
+    """r12 review pass: LOB_CHAIN_SCHEMA allows a null-terminated tail
+    row (dba=30, next_dba=NULL); pandas floats the NULL to NaN, which
+    passed `cur is not None` and appended a phantom NaN-dba page to
+    every chain. Both walk variants must emit exactly the real pages."""
+    from openlogreplicator_spark.operators.lob_assembly import (
+        chain_page_numbers,
+        chain_page_numbers_doubling,
+    )
+
+    chains = spark.createDataFrame(
+        [("L1", 10, 20), ("L1", 20, 30), ("L1", 30, None)],
+        "lob_id string, dba long, next_dba long",
+    )
+    for fn in (chain_page_numbers, chain_page_numbers_doubling):
+        got = sorted(
+            (r.dba, r.page_no) for r in fn(chains).collect()
+        )
+        assert got == [(10, 0), (20, 1), (30, 2)], (fn.__name__, got)
+        assert all(r.dba is not None for r in fn(chains).collect())

@@ -232,6 +232,32 @@ def test_qmi_expansion_and_order():
         ("d", "9"), ("d", "8"),  # qmd walks rows in reverse
     ]
     assert [e["num"] for e in out] == [0, 1, 2, 3, 4]
+    # each row keeps ITS OWN slot through the reversal (the reference
+    # reads the slot per row from slotsDelta, Builder.cpp:860-869):
+    # row k of the record sits at slot base+k regardless of emission
+    # order — r12 review pass caught the reversed walk re-deriving
+    # slots from the reversed position
+    assert [(e["cols"]["k"], e["slot"]) for e in out] == [
+        ("1", 0), ("2", 1), ("3", 2),
+        ("9", 1), ("8", 0),
+    ]
+
+
+def test_qmd_reversed_slots_pair_with_their_rows_for_prollback():
+    """The observable consequence of the slot pairing: a partial
+    rollback addressed at (bdba, slot 0) must cancel the delete of the
+    row THAT SLOT holds (row '8', the record's first row), not whichever
+    row the reversed emission happened to place at position 0."""
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "qmd", "obj": 9, "bdba": 6,
+         "slot": 0, "rows": [{"k": "8"}, {"k": "9"}]},
+        {"scn": 3, "xid": "t", "opcode": "prollback", "bdba": 6,
+         "slot": 0},
+        {"scn": 4, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert [(e["cols"]["k"], e["slot"]) for e in out] == [("9", 1)]
 
 
 def test_size_guard_drops_oversized():
@@ -491,3 +517,56 @@ def test_null_scn_sorts_first_and_stays_null(spark):
     assert len(got) == 1
     assert got[0]["begin_scn"] is None  # null scn begin → null, not 0
     assert got[0]["commit_scn"] == 9
+
+
+def test_warn_row_in_bucket_does_not_float_fb(spark):
+    """r12 review pass: one fb=None row (an IGNORE_DATA_ERRORS warn
+    diagnostic sharing the bucket) floats the pandas fb column; a
+    chained-row transaction in the same frame then crashed the
+    sequential route with TypeError: float & int inside
+    _merge_row_pieces."""
+    from openlogreplicator_spark.event_model import REDO_RECORD_SCHEMA
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        assemble_transactions,
+    )
+
+    def rec(scn, xid, opcode, fb=0, cols=None, bdba=None, slot=None,
+            obj=9):
+        return (scn, 0, 1, 0, 1, xid, opcode, obj, bdba, slot, fb,
+                cols, None)
+
+    rows = [
+        # warn diagnostic: fb NULL (log-surface row; exotic opcode so
+        # the frame routes through the sequential state machine)
+        rec(5, "w.0.0", "warn", fb=None, cols={"code": "60013"}),
+        rec(10, "1.1.1", "begin"),
+        # 2-piece chained insert (FB_NEXT then FB_PREV)
+        rec(11, "1.1.1", "insert", fb=1, cols={"A": "head"}, bdba=5,
+            slot=0),
+        rec(12, "1.1.1", "insert", fb=2, cols={"B": "tail"}, bdba=5,
+            slot=1),
+        rec(13, "1.1.1", "commit"),
+    ]
+    df = spark.createDataFrame(rows, REDO_RECORD_SCHEMA)
+    got = assemble_transactions(df).collect()
+    merged = [r for r in got if r.op == "c"]
+    assert len(merged) == 1
+    assert dict(merged[0].cols) == {"A": "head", "B": "tail"}
+
+
+def test_null_cols_undo_is_route_independent():
+    """r12 review pass: a 5.1 undo vector with a NULL cols map must
+    yield before_cols=None on the paired op — the sequential route's
+    `or {}` rendered an EMPTY map where the vectorized route rendered
+    NULL, breaking the module's route-independence invariant."""
+    recs = [
+        {"scn": 1, "xid": "t", "opcode": "begin"},
+        {"scn": 2, "xid": "t", "opcode": "undo", "bdba": 5, "slot": 0,
+         "cols": None},
+        {"scn": 3, "xid": "t", "opcode": "update", "obj": 9, "bdba": 5,
+         "slot": 0, "cols": {"A": "new"}},
+        {"scn": 4, "xid": "t", "opcode": "commit"},
+    ]
+    out = assemble_transactions_py(recs)
+    assert len(out) == 1
+    assert out[0]["before_cols"] is None
