@@ -12,9 +12,13 @@ Validation mirrors the reference parser's observable behavior:
 
 - schema ``version`` must match (CMakeLists.txt ``SCHEMA_VERSION 1.9.0``;
   rejection OpenLogReplicator.cpp:199-202),
-- unknown keys are rejected at every nesting level with the same
-  allowed-key sets (``checkJsonFields`` call sites; suppressible like the
-  reference's DISABLE_CHECKS::JSON_TAGS via ``disable_checks``),
+- unknown keys are rejected at every nesting level the reference
+  key-checks, with the same allowed-key sets (``checkJsonFields`` call
+  sites; suppressible like the reference's DISABLE_CHECKS::JSON_TAGS via
+  ``disable_checks``) — the target element is deliberately NOT
+  key-checked because the reference never runs checkJsonFields over it
+  (cpp:1070-1085 has no targetNames list); missing required fields
+  reject with the getJsonField* shape (code 20003),
 - exactly one source and one target (cpp:459, 1068),
 - the format/message/filter value-range and mutual-exclusion rules
   (FULL vs SKIP_BEGIN/SKIP_COMMIT, start-scn vs start-time[-rel],
@@ -71,6 +75,17 @@ def _bad(key: str, value, expected: str) -> ConfigurationError:
         30001,
         f'bad JSON, invalid "{key}" value: {value}, expected: {expected}',
     )
+
+
+def _require(obj: dict, key: str):
+    """Missing required field → the reference's getJsonField* shape
+    (Ctx.cpp:107-140, DataException 20003 'field <k> not found') instead
+    of a raw KeyError (r12 review-pass-6)."""
+    if key not in obj:
+        raise ConfigurationError(
+            20003, f"parse error, field {key} not found"
+        )
+    return obj[key]
 
 
 # checkJsonFields allowed-key sets (OpenLogReplicator.cpp, per level)
@@ -347,20 +362,58 @@ class ReferenceDeployment:
     dump_xid: tuple[str, ...] = ()
     unmodeled: dict = field(default_factory=dict)
 
+    def _decode_opts(self):
+        """The deployment's own decode plane as a DecodeOpts — the dump
+        diagnostics must parse with the SAME dictionary/timezone/format
+        selectors/degradation mode as the pipeline, or the trace
+        diverges from what was actually emitted (r12 review-pass-6)."""
+        from openlogreplicator_spark.sources.binary_redo import (
+            DB_TZ_DEFAULT,
+            DecodeOpts,
+        )
+
+        cfg = self.config
+        return DecodeOpts(
+            db_tz=(
+                cfg.db_timezone_seconds
+                if cfg.db_timezone_seconds is not None else DB_TZ_DEFAULT
+            ),
+            interval_dts=cfg.interval_dts,
+            interval_ytm=cfg.interval_ytm,
+            char_format=cfg.char_format,
+            timestamp_tz=cfg.timestamp_tz,
+            timestamp_column=cfg.timestamp_column,
+            unknown=cfg.fmt.unknown.value,
+            ignore_data_errors=getattr(cfg, "ignore_data_errors", False),
+        )
+
     def dump_xid_records(self, spark, in_dir):
         """``filter.dump-xid`` diagnostics: the raw parsed records of
         the listed transactions, as the reference traces a matching
         transaction's full redo when it commits (Transaction.cpp dump
         path driven by the filter's dumpXidList). Returns the
         record-level frame so the caller can route it wherever traces
-        go; empty dump-xid returns an empty frame."""
+        go; empty dump-xid returns an empty frame. Parses under the
+        deployment's own decode options (see _decode_opts)."""
         from pyspark.sql import functions as F
 
         from openlogreplicator_spark.sources.binary_redo import (
             parse_redo_files,
         )
 
-        recs = parse_redo_files(spark, in_dir)
+        o = self._decode_opts()
+        recs = parse_redo_files(
+            spark, in_dir,
+            dictionary=self.config.pos_dictionary,
+            db_tz_seconds=o.db_tz,
+            interval_dts=o.interval_dts,
+            interval_ytm=o.interval_ytm,
+            char_format=o.char_format,
+            timestamp_tz=o.timestamp_tz,
+            timestamp_column=o.timestamp_column,
+            unknown_format=o.unknown,
+            ignore_data_errors=o.ignore_data_errors,
+        )
         if not self.dump_xid:
             return recs.filter(F.lit(False))
         return recs.filter(F.col("xid").isin(list(self.dump_xid)))
@@ -393,7 +446,9 @@ class ReferenceDeployment:
             with open(out_path, "w") as fh:
                 fh.write(
                     dump_redo_log(
-                        data, path, raw=self.dump_raw_data > 0
+                        data, path, raw=self.dump_raw_data > 0,
+                        dictionary=self.config.pos_dictionary,
+                        db_tz=self._decode_opts(),
                     )
                 )
             written.append(out_path)
@@ -525,6 +580,15 @@ class ReferenceDeployment:
         if self.writer.type == "kafka":
             kw["kafka_bootstrap"] = self.writer.brokers
             kw["kafka_topic"] = self.writer.topic or "olr.events"
+        if self.writer.type in ("network", "zeromq"):
+            # the reference's WriterStream binds at the configured uri
+            # during startup (StreamNetwork::initializeServer /
+            # StreamZeroMQ's zmq_bind); constructing the server here is
+            # that moment — without it the advertised one-call literal
+            # migration raised for two of the reference's writer types
+            # (r12 review-pass-6). Callers that manage their own server
+            # can still override network_server after the fact.
+            kw["network_server"] = self.stream_server()
         if self.writer.type == "file" and self.writer.output:
             # a named output engages the reference's single-file writer
             # with its rotation contract (max-file-size + %i/%t/%s masks,
@@ -562,6 +626,42 @@ class ReferenceDeployment:
                 "sink (protobuf frames), or use the network/kafka sink",
             )
         return kw
+
+    def stream_server(self):
+        """Bind the W4/W5 delivery server at the writer's ``uri``.
+        Network uris are ``host:port`` (missing ':' → the reference's
+        30008, StreamNetwork.cpp:58-60); zeromq uris carry the
+        ``tcp://`` scheme the reference hands to zmq_bind
+        (StreamZeroMQ.cpp:39-60) — accepted with or without it here.
+        The deployment's ``state.path`` rides along so checkpoint-doc
+        persistence engages exactly as on the file path."""
+        from openlogreplicator_spark.streaming.stream_network import (
+            StreamServer,
+            ZmqStreamServer,
+        )
+
+        uri = self.writer.uri
+        if self.writer.type == "zeromq" and uri.startswith("tcp://"):
+            uri = uri[len("tcp://"):]
+        if ":" not in uri:
+            raise ConfigurationError(
+                30008, f"uri is missing ':' in parameter: {self.writer.uri}"
+            )
+        host, _, port_s = uri.rpartition(":")
+        try:
+            port = int(port_s)
+        except ValueError:
+            raise ConfigurationError(
+                30008, f"uri has invalid port in parameter: "
+                f"{self.writer.uri}"
+            ) from None
+        cls = ZmqStreamServer if self.writer.type == "zeromq" else (
+            StreamServer
+        )
+        return cls(
+            self.db_name, host=host, port=port,
+            state_dir=self.state_path or None,
+        )
 
     def spark_sink(self) -> str:
         """build_pipeline `sink` for this writer type (W1-W6 mapping).
@@ -819,7 +919,12 @@ def from_reference_json(source) -> ReferenceDeployment:
     memory_swap_path = ""
     if "memory" in doc:
         _check_keys(doc["memory"], _MEMORY_KEYS, '"memory"', check)
-        memory_max_mb = doc["memory"].get("max-mb", 1024)
+        # getJsonFieldU64 (cpp:275) — string/negative values reject here
+        # instead of breaking arithmetic deep in the engine
+        memory_max_mb = (
+            _uint(doc["memory"], "max-mb", 0, 2**63 - 1)
+            if "max-mb" in doc["memory"] else 1024
+        )
         memory_present = True
         memory_swap_path = doc["memory"].get("swap-path", "")
         # the remaining memory element keys are allocator tuning the
@@ -855,7 +960,11 @@ def from_reference_json(source) -> ReferenceDeployment:
     if "state" in doc:
         _check_keys(doc["state"], _STATE_KEYS, '"state"', check)
         state_path = doc["state"].get("path", "checkpoint")
-        checkpoint_interval_s = doc["state"].get("interval-s", 600)
+        # getJsonFieldU64 (cpp:444-445)
+        checkpoint_interval_s = (
+            _uint(doc["state"], "interval-s", 0, 2**63 - 1)
+            if "interval-s" in doc["state"] else 600
+        )
         # byte cadence of the checkpoint document (cpp:447-448;
         # Metadata::writeCheckpoint pacing, Metadata.cpp:421-424): the
         # doc also advances when the funnel sinks' rendered-byte
@@ -889,8 +998,8 @@ def from_reference_json(source) -> ReferenceDeployment:
         )
     src = sources[0]
     _check_keys(src, _SOURCE_KEYS, '"source"', check)
-    alias = src["alias"]
-    db_name = src["name"]
+    alias = _require(src, "alias")
+    db_name = _require(src, "name")
 
     if "memory" in src:
         # the reference's source-level allowed-key list includes
@@ -902,11 +1011,11 @@ def from_reference_json(source) -> ReferenceDeployment:
     else:
         unmodeled_src_memory = None
 
-    flags = 0
-    if "flags" in src:
-        flags = src["flags"]
-        if flags > 524287:
-            raise _bad("flags", flags, "one of {0 .. 524287}")
+    # getJsonFieldU64 + the 524287 ceiling (cpp:517-521): negative and
+    # non-int values reject like the reference's uint parse — a negative
+    # flags previously passed the `> 524287` check alone and silently
+    # enabled EVERY behavior bit via two's-complement (r12 review-pass-6)
+    flags = _uint(src, "flags", 0, 524287) if "flags" in src else 0
     # REDO_FLAGS (Ctx.h:86-106): every bit the engine has a knob for is
     # forwarded; ARCH_ONLY/DIRECT_DISABLE/
     # CHECKPOINT_KEEP/VERIFY_SCHEMA/RAW_COLUMN_DATA (bits 0,3,13-15)
@@ -958,7 +1067,7 @@ def from_reference_json(source) -> ReferenceDeployment:
             )
         tuning_unmodeled["arch"] = src["arch"]
 
-    reader = src["reader"]
+    reader = _require(src, "reader")
     _check_keys(reader, _READER_KEYS, '"reader"', check)
     reader_type = reader.get("type")
     if reader_type not in ("online", "offline", "batch"):
@@ -983,9 +1092,19 @@ def from_reference_json(source) -> ReferenceDeployment:
     if reader_type == "batch" and "redo-log" not in reader:
         raise _bad("redo-log", None, "set for batch reader")
 
-    start_scn = reader.get("start-scn")
-    start_seq = reader.get("start-seq")
-    start_time_rel = reader.get("start-time-rel", 0)
+    # getJsonFieldU64/U32 (cpp:534-543)
+    start_scn = (
+        _uint(reader, "start-scn", 0, 2**63 - 1)
+        if "start-scn" in reader else None
+    )
+    start_seq = (
+        _uint(reader, "start-seq", 0, 2**32 - 1)
+        if "start-seq" in reader else None
+    )
+    start_time_rel = (
+        _uint(reader, "start-time-rel", 0, 2**63 - 1)
+        if "start-time-rel" in reader else 0
+    )
     start_time = reader.get("start-time", "")
     if start_time_rel and start_scn is not None:
         raise _bad(
@@ -1010,7 +1129,13 @@ def from_reference_json(source) -> ReferenceDeployment:
             "path-mapping", len(path_mapping), "even number of elements"
         )
 
-    transaction_max_mb = src.get("transaction-max-mb", 1024)
+    # getJsonFieldU64 (cpp:600-606): uint-validated BEFORE the max-mb
+    # comparison, so a string value rejects with 30001 rather than a
+    # TypeError at the `>` (r12 review-pass-6)
+    transaction_max_mb = (
+        _uint(src, "transaction-max-mb", 0, 2**63 - 1)
+        if "transaction-max-mb" in src else 1024
+    )
     if "transaction-max-mb" in src and transaction_max_mb > memory_max_mb:
         raise _bad(
             "transaction-max-mb", transaction_max_mb,
@@ -1041,7 +1166,7 @@ def from_reference_json(source) -> ReferenceDeployment:
         tuning_unmodeled["debug"] = dict(dbg)
 
     fmt, format_type, unmodeled = _parse_format(
-        src["format"], db_name, check
+        _require(src, "format"), db_name, check
     )
     if fmt_experimental_json:
         fmt = fmt.with_options(experimental_json=True)
@@ -1065,8 +1190,8 @@ def from_reference_json(source) -> ReferenceDeployment:
             _check_keys(el, _TABLE_KEYS, '"table"', check)
             selectors.append(
                 TableSelector(
-                    owner=el["owner"],
-                    table=el["table"],
+                    owner=_require(el, "owner"),
+                    table=_require(el, "table"),
                     key=tuple(
                         k for k in el.get("key", "").split(separator) if k
                     ),
@@ -1087,13 +1212,18 @@ def from_reference_json(source) -> ReferenceDeployment:
             "1 element",
         )
     tgt = targets[0]
-    if tgt.get("source") != alias:
+    # NOTE: the reference runs NO checkJsonFields over the target
+    # element itself (cpp:1070-1085 — there is no targetNames list), so
+    # unknown target-level keys are accepted here too; its required
+    # fields still reject when absent (getJsonFieldS/O → 20003)
+    tgt_alias = _require(tgt, "alias")
+    if _require(tgt, "source") != alias:
         raise _bad(
             "source", tgt.get("source"),
             'value used earlier in "source" field',
         )
 
-    writer_json = tgt["writer"]
+    writer_json = _require(tgt, "writer")
     _check_keys(writer_json, _WRITER_KEYS, '"writer"', check)
     wtype = writer_json.get("type")
     if wtype not in ("file", "kafka", "zeromq", "network", "discard"):
@@ -1115,6 +1245,8 @@ def from_reference_json(source) -> ReferenceDeployment:
         # validated like the reference (cpp:1152-1157); the flush-size
         # double-buffer itself is subsumed by Python's buffered IO
         _uint(writer_json, "write-buffer-flush-size", 0, 1_048_576)
+    if "max-file-size" in writer_json:
+        _uint(writer_json, "max-file-size", 0, 2**63 - 1)  # cpp:1123-1124
     if wtype == "file" and writer_json.get("max-file-size", 0) > 0 and not (
         writer_json.get("output")
     ):
@@ -1199,7 +1331,7 @@ def from_reference_json(source) -> ReferenceDeployment:
     return ReferenceDeployment(
         config=cfg,
         source_alias=alias,
-        target_alias=tgt["alias"],
+        target_alias=tgt_alias,
         db_name=db_name,
         reader_type=reader_type,
         format_type=format_type,

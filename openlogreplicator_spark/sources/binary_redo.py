@@ -887,9 +887,17 @@ def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
         # (Builder.cpp:242-246): a invalid component routes the image to
         # the scalar kernel, whose guard renders the UNKNOWN_FORMAT
         # fallback — the fast path must not format a plausible-looking
-        # wrong date from corrupt bytes
+        # wrong date from corrupt bytes. Years outside 0..9999 are NOT
+        # invalid (the scalar kernel renders e.g. '-4712-…' faithfully)
+        # but the 14-digit matrix render can't represent them — they
+        # route to the scalar kernel too, so both routes stay
+        # byte-identical on every image.
+        y = (a[:, 0].astype("int64") - 100) * 100 + (
+            a[:, 1].astype("int64") - 100
+        )
         return (
-            (a[:, 2] >= 1) & (a[:, 2] <= 12)
+            (y >= 0) & (y <= 9999)
+            & (a[:, 2] >= 1) & (a[:, 2] <= 12)
             & (a[:, 3] >= 1) & (a[:, 3] <= 31)
             & (a[:, 4] >= 1) & (a[:, 4] <= 24)
             & (a[:, 5] >= 1) & (a[:, 5] <= 60)
@@ -1172,7 +1180,11 @@ def parse_redo_columns(
         bad = int(np.argmax((body[:, 0] != SIG0) | (body[:, 1] != SIG1)))
         raise ValueError(f"{path}: bad block signature at block {bad + 1}")
     # block numbers + sequence
-    hdr = np.frombuffer(body.tobytes(), dtype="<u4").reshape(n_blocks - 1, 128)
+    # body is a contiguous row slice of the frombuffer array, so the
+    # u4/u8/u2 header reads are zero-copy reinterpret views — the
+    # previous .tobytes() per view copied the whole file body three
+    # times on the per-file hot path (r12 review-pass-6)
+    hdr = body.view("<u4").reshape(n_blocks - 1, 128)
     blkno = hdr[:, 1]
     seqno = hdr[:, 2]
     expect = np.arange(1, n_blocks, dtype="<u4")
@@ -1184,7 +1196,7 @@ def parse_redo_columns(
     if not (seqno == sequence).all():
         raise ValueError(f"{path}: sequence mismatch inside file")
     # XOR-fold checksums, all blocks at once (Reader::calcChSum semantics)
-    words = np.frombuffer(body.tobytes(), dtype="<u8").reshape(n_blocks - 1, 64)
+    words = body.view("<u8").reshape(n_blocks - 1, 64)
     stored = ((words[:, 0] >> np.uint64(16)) & np.uint64(0xFFFF)).astype(
         np.uint64
     )
@@ -1196,9 +1208,7 @@ def parse_redo_columns(
     if not (stored == calc).all():
         bad = int(np.argmax(stored != calc))
         raise ValueError(f"{path}: checksum mismatch at block {bad + 1}")
-    flags16 = np.frombuffer(body.tobytes(), dtype="<u2").reshape(
-        n_blocks - 1, 256
-    )[:, 6]
+    flags16 = body.view("<u2").reshape(n_blocks - 1, 256)[:, 6]
 
     c_scn: list = []
     c_subscn: list = []
@@ -1591,7 +1601,10 @@ def parse_redo_stream(
     ).mapInPandas(kernel, schema=REDO_RECORD_SCHEMA)
 
 
-def dump_redo_log(data: bytes, path: str = "<mem>", raw: bool = False) -> str:
+def dump_redo_log(
+    data: bytes, path: str = "<mem>", raw: bool = False,
+    dictionary: dict | None = None, db_tz=DB_TZ_DEFAULT,
+) -> str:
     """Debug dump of one OLRS1 file in the spirit of the reference's
     LogMiner-compatible ``dump-redo-log`` mode (Parser.cpp:143-201 emits
     the same text Oracle's ``ALTER SYSTEM DUMP LOGFILE`` produces, so
@@ -1602,10 +1615,17 @@ def dump_redo_log(data: bytes, path: str = "<mem>", raw: bool = False) -> str:
     first.
 
     ``raw`` additionally hex-dumps each record's header bytes
-    (``## H:`` lines, Parser.cpp:161-171 dumpRawData)."""
+    (``## H:`` lines, Parser.cpp:161-171 dumpRawData).
+
+    ``dictionary``/``db_tz`` (a plain offset or a :class:`DecodeOpts`)
+    thread the deployment's own decode plane into the dump — the
+    reference's dump path runs inside the SAME parser the pipeline
+    uses, so positional column names, TSLTZ offsets, format selectors
+    and IGNORE_DATA_ERRORS degradation appear in the trace exactly as
+    they appeared in the emitted stream (r12 review-pass-6)."""
     (sequence,) = struct.unpack_from("<I", data, 12)
     out: list[str] = []
-    records = parse_redo_bytes(data, path)
+    records = parse_redo_bytes(data, path, dictionary, db_tz)
     # regroup vectors by (scn, subscn, block, offset) — one REDO RECORD
     # header per record, as the reference prints
     by_rec: dict = {}
@@ -1628,6 +1648,14 @@ def dump_redo_log(data: bytes, path: str = "<mem>", raw: bool = False) -> str:
             )
         out.append(f"SCN: 0x{scn:016x} SUBSCN:{subscn:3d}")
         for v in vecs:
+            if v["opcode"] == "warn":
+                # IGNORE_DATA_ERRORS diagnostic row: the reference logs
+                # the skip (warning 60013) and the dump shows the gap
+                out.append(
+                    "CHANGE #1 OP:0.0 DAMAGED RECORD SKIPPED "
+                    "(ignore-data-errors)"
+                )
+                continue
             code = OP_TO_CODE[
                 "commit" if v["opcode"] == "rollback" else v["opcode"]
             ]

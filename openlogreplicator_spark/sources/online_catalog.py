@@ -409,10 +409,23 @@ class OnlineCatalog:
             "name string, type string, scn_from long, dropped boolean",
         )
         dict_cols = spark.createDataFrame(col_rows, DICT_COL_SCHEMA)
-        # KDO positional resolve wants obj → ordered column names
-        pos: dict[int, list[str]] = {}
+        # KDO positional resolve wants obj → column names in SEGCOL#
+        # order: the reference walks SysColSeg-keyed maps skipping
+        # segCol==0 virtual columns (Schema.cpp:649-654) and
+        # DbTable::addColumn asserts segCol == position+1
+        # (DbTable.cpp:116-120). col_rows arrive in INTCOL# order,
+        # which diverges whenever columns were dropped/reordered or
+        # virtual columns exist — sorting by intcol# here silently
+        # mis-attributed positional values (r12 review-pass-6).
+        by_obj: dict[int, list[tuple[int, str]]] = {}
         for r in col_rows:
-            pos.setdefault(r[0], []).append(r[4])
+            if int(r[2]) == 0:  # segcol#=0: virtual, never in KDO areas
+                continue
+            by_obj.setdefault(r[0], []).append((int(r[2]), r[4]))
+        pos: dict[int, list[str]] = {
+            obj: [name for _, name in sorted(pairs)]
+            for obj, pairs in by_obj.items()
+        }
         return dict_obj, dict_cols, pos, info.current_scn, info
 
 

@@ -266,6 +266,21 @@ class StreamServer:
 
     def stop(self) -> None:
         self._stop = True
+        # closing the listener does NOT interrupt an accept(2) already
+        # parked on it (Linux): the blocked syscall keeps the port bound
+        # for the life of the process, so a same-process restart at the
+        # reference's fixed writer uri got EADDRINUSE forever (r12
+        # review-pass-6). A dummy connection wakes the accept; the
+        # serve loop then sees _stop and exits (a live session exits at
+        # its next 20 ms poll tick).
+        try:
+            with socket.create_connection(
+                ("127.0.0.1", self.address[1]), timeout=1.0
+            ):
+                pass
+        except OSError:
+            pass
+        self._thread.join(timeout=5.0)
         try:
             self._srv.close()
         except OSError:

@@ -215,6 +215,28 @@ def test_dictionary_snapshot_shapes(spark):
     assert scn == 5000
 
 
+def test_positional_dictionary_follows_segcol_order(spark):
+    """r12 review-pass-6 regression: the KDO positional dictionary must
+    be ordered by SEGCOL# with virtual (segcol#=0) columns excluded —
+    the reference walks SysColSeg-keyed maps skipping segCol==0
+    (Schema.cpp:649-654) and addColumn asserts segCol == position+1
+    (DbTable.cpp:116-120). INTCOL# order diverges after drop/reorder
+    and silently mis-attributes positional values."""
+    con = _fixture_catalog()
+    # obj 88: intcol# order is (B, A, V) but segcol# order is (A, B);
+    # V is a virtual column (segcol#=0) that never appears in KDO areas
+    con.execute('INSERT INTO "OBJ$" VALUES (88, 88, 101, \'REORG\', 2)')
+    con.execute(
+        'INSERT INTO "COL$" VALUES'
+        " (88, 1, 2, 1, 'B', 1, 100, NULL, NULL, 873, 0, 0),"
+        " (88, 2, 1, 2, 'A', 2, 22, 10, 2, 0, 1, 0),"
+        " (88, 3, 0, 3, 'V', 1, 100, NULL, NULL, 873, 0, 0)"
+    )
+    _, _, pos, _, _ = OnlineCatalog(con).bootstrap(spark)
+    assert pos[88] == ["A", "B"]
+    assert pos[77] == ["AMOUNT", "NOTE"]
+
+
 def test_bootstrap_feeds_pipeline_end_to_end(spark, tmp_path):
     """Discovery → dictionary → KDO-positional pipeline: the catalog's
     column names resolve the positional images, exactly the reference's

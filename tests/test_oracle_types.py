@@ -649,6 +649,49 @@ def test_column_unknown_through_parse_plane():
     assert dout[dgoods[0]] == "2024-03-01 10:11:12"
 
 
+def test_batch_decode_out_of_range_years_match_scalar_kernel():
+    """r12 review-pass-6 regression: the vectorized DATE/TS fast path
+    (>16 same-size images) silently rendered plausible-but-wrong dates
+    for years outside 0..9999 — a legal BC date (year -4712) became
+    '5288-03-15 …' and year 12010 became '2010-03-15 …' — while the
+    scalar kernel renders '-4712-…'/'12010-…' faithfully. The mask now
+    routes years the 14-digit matrix can't represent to the scalar
+    kernel; EVERY image must decode byte-identically on both routes."""
+    from openlogreplicator_spark.functions.oracle_types import (
+        decode_date,
+        decode_timestamp,
+        encode_timestamp,
+    )
+    from openlogreplicator_spark.sources.binary_redo import (
+        DB_TZ_DEFAULT,
+        TYPE_DATE,
+        TYPE_TS,
+        _batch_decode,
+    )
+
+    base = encode_timestamp("2024-03-15 10:20:30.000000123")
+    # century/year bytes: BC year -4712 (53, 88), AD year 12010 (220, 110),
+    # plus the boundary years 0 (100, 100) and 9999 (199, 199)
+    variants = [bytes([c, y]) + base[2:] for c, y in
+                [(53, 88), (220, 110), (100, 100), (199, 199)]]
+    goods = [encode_timestamp(f"2024-03-{d:02d} 10:20:30.5")
+             for d in range(1, 25)]
+
+    ts_imgs = [bytes([TYPE_TS]) + b for b in goods + variants]
+    tout = _batch_decode(ts_imgs, 5, DB_TZ_DEFAULT)
+    for img in ts_imgs:
+        assert tout[img] == decode_timestamp(img[1:]), img.hex()
+    assert tout[bytes([TYPE_TS]) + variants[0]].startswith("-4712-03-15")
+    assert tout[bytes([TYPE_TS]) + variants[1]].startswith("12010-03-15")
+
+    d_imgs = [bytes([TYPE_DATE]) + b[:7] for b in goods + variants]
+    dout = _batch_decode(d_imgs, 5, DB_TZ_DEFAULT)
+    for img in d_imgs:
+        assert dout[img] == decode_date(img[1:]), img.hex()
+    assert dout[bytes([TYPE_DATE]) + variants[0][:7]] == "-4712-03-15 10:20:30"
+    assert dout[bytes([TYPE_DATE]) + variants[3][:7]] == "9999-03-15 10:20:30"
+
+
 def test_review_pass_r10_guard_edge_cases():
     """r10 review-pass regressions: (1) calendar-impossible-but-byte-
     valid images (Feb 30) and out-of-strptime-window years must RENDER

@@ -887,6 +887,42 @@ def test_pipeline_kwargs_one_call_migration():
     assert fw.max_file_size == 1073741824
     assert fw.append == 0
 
+    # r12 review-pass-6: network/zeromq writers bind their delivery
+    # server at the configured uri (the reference's WriterStream
+    # startup) instead of raising on the literal migration call
+    from openlogreplicator_spark.streaming.stream_network import (
+        StreamServer,
+        ZmqStreamServer,
+    )
+
+    net = from_reference_json(
+        os.path.join(_SCRIPTS, "OpenLogReplicator-example-network.json")
+    )
+    kw = net.pipeline_kwargs()
+    try:
+        assert type(kw["network_server"]) is StreamServer
+        assert kw["network_server"].address[1] == 5000
+    finally:
+        kw["network_server"].stop()
+
+    zmq = from_reference_json(
+        os.path.join(_SCRIPTS, "OpenLogReplicator-example-zeromq.json")
+    )
+    kw = zmq.pipeline_kwargs()  # tcp:// scheme stripped before bind
+    try:
+        assert isinstance(kw["network_server"], ZmqStreamServer)
+        assert kw["network_server"].address[1] == 5000
+    finally:
+        kw["network_server"].stop()
+
+    # missing ':' → the reference's 30008 (StreamNetwork.cpp:58-60)
+    doc = json.load(
+        open(os.path.join(_SCRIPTS, "OpenLogReplicator-example-network.json"))
+    )
+    doc["target"][0]["writer"]["uri"] = "just-a-host"
+    with pytest.raises(ConfigurationError, match="30008"):
+        from_reference_json(doc).pipeline_kwargs()
+
 
 def test_hidden_column_flag_changes_message_output(spark, tmp_path):
     """Bit 6 end-to-end THROUGH the message surface: with a hidden
@@ -1327,6 +1363,26 @@ def test_dump_redo_log_writes_reference_named_dumps(spark, tmp_path):
         str(redo_dir)
     ) == []
 
+    # r12 review-pass-6: the dump parses under the deployment's OWN
+    # decode options — an IGNORE_DATA_ERRORS deployment (flags bit 4)
+    # dumps a damaged file with the skip marker where the strict
+    # deployment's dump aborts exactly like its pipeline would
+    from openlogreplicator_spark.sources.binary_redo import (
+        damage_nth_record,
+    )
+
+    (redo_dir / "redo_0007.olrs").write_bytes(
+        damage_nth_record(encode_redo_file(recs, sequence=7), 2)
+    )
+    with pytest.raises(ValueError):
+        from_reference_json(doc).write_redo_dumps(str(redo_dir))
+    doc["source"][0]["flags"] = 1 << 4
+    lenient = open(
+        from_reference_json(doc).write_redo_dumps(str(redo_dir))[0]
+    ).read()
+    assert "DAMAGED RECORD SKIPPED" in lenient
+    assert "XID:1.1.1" in lenient  # undamaged records still rendered
+
 
 def test_redo_copy_path_archives_with_reference_naming(spark, tmp_path):
     """redo-copy-path is WIRED: copy_redo_files archives each input
@@ -1442,21 +1498,18 @@ def test_deployment_matrix_e2e(spark, tmp_path, path):
         elif kw["sink"] == "network":
             from openlogreplicator_spark.streaming.stream_network import (
                 StreamClient,
-                StreamServer,
                 ZmqStreamClient,
-                ZmqStreamServer,
                 decode_event,
                 recv_frame,
             )
 
-            srv_cls = (
-                ZmqStreamServer
-                if dep.writer.type == "zeromq"
-                else StreamServer
-            )
-            server = srv_cls(dep.config.fmt.db_name)
-            kw["network_server"] = server
+            # r12: pipeline_kwargs now binds the server at the writer's
+            # own uri (the reference's WriterStream startup moment) —
+            # use IT, so the literal migration path is what's e2e-tested
+            server = kw["network_server"]
             host, port = server.address
+            if host == "0.0.0.0":
+                host = "127.0.0.1"
             cli_cls = (
                 ZmqStreamClient
                 if dep.writer.type == "zeromq"

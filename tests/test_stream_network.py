@@ -702,3 +702,25 @@ def test_zmtp_ping_does_not_wedge_the_session():
         assert got == b"data-after-ping", "session wedged after PING"
     finally:
         server.stop()
+
+
+def test_stop_releases_fixed_port_for_in_process_restart():
+    """r12 review-pass-6 regression: stop() must interrupt the accept
+    thread — closing the listener alone leaves the blocked accept(2)
+    holding the port for the life of the process, so a same-process
+    sink restart at the reference's fixed writer uri (W4/W5 uris pin a
+    port, e.g. '0.0.0.0:5000') died with EADDRINUSE forever. Covers
+    both transports and idempotent double-stop."""
+    from openlogreplicator_spark.streaming.stream_network import (
+        StreamServer,
+        ZmqStreamServer,
+    )
+
+    for cls in (StreamServer, ZmqStreamServer):
+        first = cls("DBPORT", host="127.0.0.1", port=0)
+        port = first.address[1]
+        first.stop()
+        second = cls("DBPORT", host="127.0.0.1", port=port)
+        assert second.address[1] == port
+        second.stop()
+        second.stop()  # idempotent
