@@ -165,6 +165,13 @@ def connected_components(
     # shuffle width to the measured edge count (from the convergence
     # signature we already compute), never above the session default —
     # at cluster scale with billions of edges this is a no-op.
+    # KNOWN SCOPE HAZARD (r12 review-pass-7, accepted): conf.set is
+    # session-global, so a query running CONCURRENTLY on this session
+    # would have its shuffles squeezed while the loop runs. The engine's
+    # execution model is one registered query at a time (bench, driver,
+    # oracle sweep are all sequential) and Spark offers no per-plan
+    # shuffle-width knob that survives localCheckpoint's RDD
+    # materialization; the finally below restores the session default.
     spark = edges.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     orig_parts = spark.conf.get(conf_key)
@@ -204,6 +211,20 @@ def connected_components(
             n_edges = row["n"]
             if row["n_chain"] == 0 and (row["max_c"] or 1) == 1:
                 break
+        else:
+            # exhausting the rounds without reaching a star forest must
+            # FAIL, not silently emit partially-merged components — the
+            # members/roots extraction below is only valid on the
+            # converged fixpoint (r12 review-pass-7). Alternating-star
+            # converges in O(log² n) rounds, so 25 covers any real
+            # graph; hitting this means the loop (or a caller's
+            # max_iter) is broken.
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iter} alternating-star rounds "
+                f"({n_edges} canon edges still non-star); the result "
+                f"would be partially-merged components — raise max_iter"
+            )
     finally:
         spark.conf.set(conf_key, orig_parts)
     # converged edge set is a star forest: (node > root) → root

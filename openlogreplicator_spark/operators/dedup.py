@@ -242,14 +242,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("na") + F.col("nb") - F.col("n_inter")),
-                6,
-            ),
+            "_j_raw",
+            F.col("n_inter")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
         )
-        .filter(F.col("jaccard") >= 0.6)
+        # filter the RAW ratio, round only the rendered column — the
+        # oracle's WHERE also compares the raw value, so a pair whose
+        # ratio sits just under the threshold but rounds up to it must
+        # fail on BOTH sides (r12 review-pass-7; same convention as
+        # clustering._jaccard_pairs)
+        .filter(F.col("_j_raw") >= 0.6)
+        .withColumn("jaccard", F.round(F.col("_j_raw"), 6))
         .select("id_a", "id_b", "n_inter", "jaccard")
     )
 

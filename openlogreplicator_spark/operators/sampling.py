@@ -192,9 +192,15 @@ FROM assigned GROUP BY split, lang
 
 
 # temperature-sampling knobs: alpha=0.5 rebalances toward low-resource
-# strata (sqrt is IEEE-exact in every engine, so the computed rates are
-# bit-identical between Spark and the oracle); M is the target mix size
-# as a fraction of the corpus
+# strata; M is the target mix size as a fraction of the corpus.
+# Determinism note (r12 review-pass-7): each per-language sqrt(cnt) is
+# IEEE-exact, but z = SUM(sqrt(cnt)) is a float sum whose accumulation
+# ORDER the engines don't guarantee to match — an ulp difference in z
+# flips FLOOR only when the true rate sits exactly on an integer
+# percent boundary, which the 0.4 target and organic counts make
+# vanishingly unlikely but not impossible. The rates are deterministic
+# PER ENGINE RUN (same data → same partial-agg tree per engine); the
+# cross-engine claim is "equal except on exact integer boundaries".
 _TEMP_TARGET_FRAC = 0.4
 
 

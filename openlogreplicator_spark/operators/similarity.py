@@ -145,11 +145,16 @@ def lsh_bucket(
     bucket occupancy — and the per-bucket pair count — stays bounded."""
     from pyspark.sql.pandas.functions import pandas_udf
 
+    # built ONCE on the driver and closure-captured: rebuilding the
+    # md5-seeded matrix inside the UDF paid tables×planes digests + RNG
+    # setup per Arrow batch on the single-map-pass hot path
+    # (r12 review-pass-7)
+    m = _lsh_sign_matrix(n_tables, n_planes)
+
     @pandas_udf("array<int>")
     def buckets(col: "pd.Series") -> "pd.Series":
         import numpy as np
 
-        m = _lsh_sign_matrix(n_tables, n_planes)
         vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
         proj = vecs @ m.T > 0  # (n, tables*planes) sign bits
         out = []
@@ -171,17 +176,25 @@ def ann_lsh_topk(
     """ANN via multi-table LSH: exact search restricted to bucket-mates in
     any of the 8 tables. The (table, bucket) equi-join replaces the cross
     join — the scale path."""
-    be = lsh_bucket(emb)
-    bq = lsh_bucket(queries).select(
+    # norms computed ONCE per vector before bucketing — scoring each
+    # candidate pair re-ran the 64-step norm aggregate twice per pair
+    # (r12 review-pass-7; cosine_topk/ann_ivf_topk already project
+    # norms pre-pairing)
+    be = lsh_bucket(emb.withColumn("e_norm", _norm(F.col("embedding"))))
+    bq = lsh_bucket(
+        queries.withColumn("q_norm", _norm(F.col("embedding")))
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        "q_norm",
         "table",
         "bucket",
     )
     pairs = (
         be.join(bq, ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_emb", "vec_id", "embedding")
+        .select("query_id", "q_emb", "q_norm", "vec_id", "embedding",
+                "e_norm")
         .dropDuplicates(["query_id", "vec_id"])
     )
     scored = pairs.select(
@@ -189,7 +202,7 @@ def ann_lsh_topk(
         F.col("vec_id").alias("neighbor_id"),
         (
             _dot(F.col("q_emb"), F.col("embedding"))
-            / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+            / (F.col("q_norm") * F.col("e_norm"))
         ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -223,9 +236,7 @@ def _recall_contract(
     approx = approx_fn(emb, queries).select(
         "query_id", "neighbor_id"
     )
-    exact = cosine_topk(emb, queries).select(
-        "query_id", "neighbor_id", F.lit(1).alias("is_exact")
-    )
+    exact = cosine_topk(emb, queries).select("query_id", "neighbor_id")
     per_q = (
         exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
@@ -298,7 +309,6 @@ def ivf_fit(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS):
     reproducible without a model store."""
     import numpy as np
 
-    dim = len(emb.select("embedding").first()[0])
     seed = emb.orderBy("vec_id").limit(k).collect()
     cent = np.asarray(
         [np.asarray(r.embedding, dtype=np.float64) for r in seed]
@@ -323,7 +333,6 @@ def ivf_fit(emb: DataFrame, k: int = _IVF_K, iters: int = _IVF_ITERS):
             counts[r.cid] = r.n
         # empty cells keep their previous centroid
         cent = np.where(counts[:, None] > 0, new, cent)
-        _ = dim
     return cent
 
 
@@ -471,14 +480,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(copies)
 
-    bucketed = lsh_bucket(corpus, _DEDUP_TABLES, _DEDUP_PLANES)
+    # norm projected ONCE per corpus row before bucketing (see
+    # ann_lsh_topk — r12 review-pass-7): the per-pair 64-step norm
+    # aggregate otherwise ran twice for every bucket-mate candidate
+    bucketed = lsh_bucket(
+        corpus.withColumn("nrm", _norm(F.col("embedding"))),
+        _DEDUP_TABLES, _DEDUP_PLANES,
+    )
     a = bucketed.select(
         "table", "bucket",
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = bucketed.select(
         "table", "bucket",
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     candidates = (
         a.join(b, ["table", "bucket"])
@@ -487,7 +504,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = (
         _dot(F.col("emb_a"), F.col("emb_b"))
-        / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+        / (F.col("nrm_a") * F.col("nrm_b"))
     )
     return (
         candidates.withColumn("cos", cos)

@@ -580,7 +580,7 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_VOCAB_SQL = """
 WITH toks AS (
-    SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token
+    SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS token
     FROM documents
 )
 SELECT token, CAST(COUNT(*) AS BIGINT) AS n,
@@ -604,9 +604,12 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-tokenization split): one row per (doc, window) with the stride
     index — downstream embedding/packing consumes these directly."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # empty text yields NO chunk rows (the oracle's generate_series(0,
+    # -1) is empty); the previous greatest(...,0) clamp emitted a
+    # phantom empty chunk for len=0 documents (r12 review-pass-7)
+    docs = docs.filter(F.length("text") > 0)
     starts = F.sequence(
-        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)),
-        F.lit(_CHUNK_STRIDE),
+        F.lit(0), F.length("text") - 1, F.lit(_CHUNK_STRIDE)
     )
     return docs.select(
         "doc_id",

@@ -170,3 +170,22 @@ def test_cc_local_and_distributed_paths_agree(spark):
         for r in connected_components(df, local_threshold=0).collect()
     }
     assert local == dist and local
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """r12 review-pass-7 regression: exhausting max_iter without
+    reaching a star forest must raise — the members/roots extraction is
+    only valid on the converged fixpoint, so falling through silently
+    emitted partially-merged cluster ids."""
+    from openlogreplicator_spark.operators.clustering import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1, local_threshold=0)
+    # and the same graph converges fine with the default budget
+    out = connected_components(chain, local_threshold=0)
+    assert out.select("component").distinct().count() == 1

@@ -31,7 +31,15 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize("name", sorted(_ORACLE))
 def test_query_matches_oracle(spark, sf_dir, name):
     df = _QUERIES[name](spark, sf_dir)
-    compare_to_oracle(spark, df, _ORACLE[name], sf_dir, name=name)
+    try:
+        compare_to_oracle(spark, df, _ORACLE[name], sf_dir, name=name)
+    finally:
+        # several builders persist() intermediates inside their plans
+        # (dedup/LSH/tfidf/bigram) with no way to unpersist a frame
+        # they return lazily — clear per query so the 153-query sweep
+        # doesn't accumulate cached blocks (r12 review-pass-7; bench.py
+        # does the same per measurement)
+        spark.catalog.clearCache()
 
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLE)))
