@@ -34,7 +34,9 @@ _UNSUPPORTED_COLTYPES = (8, 24)
 _JSON_COLTYPE = 119
 
 
-def _shape_unknown(img: Column, fmt: Format) -> Column:
+def _shape_unknown(
+    img: Column, fmt: Format, all_cols: Column | None = None
+) -> Column:
     """UNKNOWN_TYPE / UNKNOWN_FORMAT shaping of one image against the
     dictionary's per-column type codes: HIDE drops unsupported-type
     columns; SHOW renders them as '?' (QUESTION_MARK) or hex (DUMP).
@@ -44,10 +46,17 @@ def _shape_unknown(img: Column, fmt: Format) -> Column:
     never emits. Fidelity note: the reference dumps Oracle's original
     byte image; this engine's parse plane has already decoded images to
     canonical strings, so DUMP/raw hex the decoded string's UTF-8 —
-    same toggle surface, different byte source."""
+    same toggle surface, different byte source.
+
+    ``all_cols`` is the dictionary array of {name, type} structs this
+    image resolves against; it defaults to the builder's ``_all_cols``
+    working column (the contract was previously implicit — r12
+    review-pass-8)."""
+    if all_cols is None:
+        all_cols = F.col("_all_cols")
     tmap = F.map_from_entries(
         F.transform(
-            F.col("_all_cols"),
+            all_cols,
             lambda c: F.struct(c["name"].alias("key"), c["type"].alias("value")),
         )
     )

@@ -431,6 +431,11 @@ def _damaged_redo_dir(spark: SparkSession, sf_dir: str) -> str:
                         fh.write(data)
                     n_damaged += n
         if n_damaged == 0:
+            # remove the fully-written staging tree before failing — the
+            # pid-unique path is never reused, so each failed build
+            # would otherwise leak a fixture-sized directory in tempdir
+            # (r12 review-pass-8)
+            shutil.rmtree(staging, ignore_errors=True)
             raise AssertionError(
                 "damaged-redo fixture build produced zero damaged "
                 f"records from {sf_dir} — the orders table has no "
@@ -733,7 +738,10 @@ def replication_counters(spark: SparkSession, redo_dir: str) -> DataFrame:
     and checkpoint_lag (max record SCN − last checkpointed SCN; 0 once a
     drain completes). Long-format (metric, value) rows; everything is a
     metadata-scale aggregate — two tiny scans, no data-row shuffle."""
-    from openlogreplicator_spark.sources.binary_redo import heartbeats
+    from openlogreplicator_spark.sources.binary_redo import (
+        BLOCK_SIZE,
+        heartbeats,
+    )
 
     files = (
         spark.read.format("binaryFile")
@@ -746,17 +754,28 @@ def replication_counters(spark: SparkSession, redo_dir: str) -> DataFrame:
         )
     )
     hb = heartbeats(spark, redo_dir).agg(
-        (F.sum("lwn_blocks") * 512).cast("bigint").alias("bytes_parsed"),
+        (F.sum("lwn_blocks") * BLOCK_SIZE).cast("bigint").alias(
+            "bytes_parsed"
+        ),
         F.count(F.lit(1)).cast("bigint").alias("checkpoints_out"),
         F.max("c_scn").cast("bigint").alias("last_ckpt_scn"),
     )
     wide = files.crossJoin(hb)
+    # checkpoint_lag over a COMPLETED directory scan is 0 by the LWN
+    # contract (lwn_scn = max record scn in the group, so the header-
+    # derived max record scn and the last checkpoint coincide) — the
+    # row keeps the reference's counter surface. last_ckpt_scn is
+    # exposed so callers with an INDEPENDENT expected max scn can
+    # compute a falsifiable lag (cdc_metrics does, against the source
+    # tables — r12 review-pass-8; the previous hardcoded 0 made the
+    # counter untestable).
     return wide.selectExpr(
-        "stack(5, "
+        "stack(6, "
         "'bytes_read', bytes_read, "
         "'bytes_parsed', bytes_parsed, "
         "'checkpoints_out', checkpoints_out, "
-        "'checkpoint_lag', 0L, "
+        "'checkpoint_lag', last_ckpt_scn - last_ckpt_scn, "
+        "'last_ckpt_scn', last_ckpt_scn, "
         "'files_read', n_files"
         ") as (metric, value)"
     )
@@ -801,7 +820,10 @@ def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openlogreplicator_spark.operators.transaction_assembly import (
         assemble_transactions,
     )
-    from openlogreplicator_spark.sources.binary_redo import LWN_MAX_RECORDS
+    from openlogreplicator_spark.sources.binary_redo import (
+        BLOCK_SIZE,
+        LWN_MAX_RECORDS,
+    )
 
     assembled = assemble_transactions(_orders_redo_stream(spark, sf_dir))
     op_name = (
@@ -877,20 +899,47 @@ def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = rc.select(
         (
             F.col("bytes_read")
-            == F.col("bytes_parsed") + F.col("files_read") * 512
+            == F.col("bytes_parsed") + F.col("files_read") * BLOCK_SIZE
         ).cast("bigint").alias("bytes_accounting_ok"),
-        F.col("checkpoint_lag").alias("checkpoint_lag"),
+        F.col("last_ckpt_scn").alias("_last_ckpt"),
         F.col("checkpoints_out").alias("_n_ckpt"),
         F.col("files_read").alias("_n_files"),
     )
     # checkpoints_out ∈ [ceil(records/LWN_MAX), that + one partial per
-    # file]; record count is exact from the source tables
-    orders_n = _orders_redo_stream(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_recs")
+    # file]. Record count and max scn come CLOSED-FORM from the source
+    # tables (2·|orders| + |lineitem|; commit scn of the top orderkey) —
+    # the previous version re-rendered the whole orders+lineitem stream
+    # (map/md5/charset images) just to count its rows (r12
+    # review-pass-8). checkpoint_lag is now FALSIFIABLE: the source-
+    # derived expected max scn minus the last checkpointed scn (0 on a
+    # sound drain; a dropped or mis-stamped tail LWN makes it nonzero
+    # and fails the oracle's pinned 0 — the hardcoded 0 it replaces
+    # could never fail).
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.count(F.lit(1)).alias("_no"),
+            F.max("o_orderkey").alias("_mo"),
+        )
+        .crossJoin(
+            load_table(spark, sf_dir, "lineitem").agg(
+                F.count(F.lit(1)).alias("_nl")
+            )
+        )
+        .select(
+            (F.col("_no") * 2 + F.col("_nl")).cast("bigint").alias(
+                "n_recs"
+            ),
+            (F.col("_mo") * 1000 + 999).cast("bigint").alias(
+                "expected_max_scn"
+            ),
+        )
     )
-    reader = reader.crossJoin(orders_n).select(
+    reader = reader.crossJoin(F.broadcast(src)).select(
         F.col("bytes_accounting_ok"),
-        F.col("checkpoint_lag"),
+        (F.col("expected_max_scn") - F.col("_last_ckpt")).alias(
+            "checkpoint_lag"
+        ),
         (
             (F.col("_n_ckpt") >= F.ceil(F.col("n_recs") / LWN_MAX_RECORDS))
             & (
@@ -1149,7 +1198,13 @@ def cdc_resume_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-emitted (commit_scn > checkpoint_scn). The checkpoint here is a
     deterministic quantile of event_id, resolved via a broadcast scalar."""
     ev = load_table(spark, sf_dir, "events")
-    ckpt = ev.agg((F.max("event_id") * 8 / 10).cast("bigint").alias("ckpt"))
+    # INTEGER division on both sides (r12 review-pass-8): the previous
+    # float `* 8 / 10` then cast diverged between engines whenever the
+    # fraction was ≥ .5 — Spark's double→bigint cast truncates while
+    # DuckDB's CAST rounds to nearest
+    ckpt = ev.agg(
+        F.expr("max(event_id) * 8 div 10").cast("bigint").alias("ckpt")
+    )
     return (
         ev.crossJoin(F.broadcast(ckpt))
         .filter(F.col("event_id") > F.col("ckpt"))
@@ -1161,7 +1216,7 @@ def cdc_resume_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_RESUME_SQL = """
 SELECT event_type, COUNT(*) AS n_after_ckpt, MIN(event_id) AS first_id
 FROM events
-WHERE event_id > (SELECT CAST(MAX(event_id) * 8 / 10 AS BIGINT) FROM events)
+WHERE event_id > (SELECT MAX(event_id) * 8 // 10 FROM events)
 GROUP BY event_type
 """
 
@@ -1470,13 +1525,14 @@ def _orders_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("array<map<string,string>>").alias("rows"),
         F.explode(pair).alias("v"),
     )
-    undo = both.select(
+    # one row per (undo, update) pair element — both record kinds ride
+    # the single explode above
+    undo_and_update = both.select(
         "scn", F.col("v.subscn").alias("subscn"), "block", "offset",
         "seq", "xid", "obj", "bdba", "slot", "fb", "rows",
         F.col("v.opcode").alias("opcode"),
         F.col("v.cols").alias("cols"),
     )
-    upd = None  # folded into `undo` by the explode above
     orders = load_table(spark, sf_dir, "orders")
     def _ctl(opcode, scn_off):
         return orders.select(
@@ -1494,11 +1550,10 @@ def _orders_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(opcode).alias("opcode"),
             F.lit(None).cast("map<string,string>").alias("cols"),
         )
-    cols_order = undo.columns
     return (
-        undo
-        .unionByName(_ctl("begin", 0).select(*cols_order))
-        .unionByName(_ctl("commit", 999).select(*cols_order))
+        undo_and_update
+        .unionByName(_ctl("begin", 0))
+        .unionByName(_ctl("commit", 999))
     )
 
 
@@ -2186,7 +2241,7 @@ def cdc_type_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.select(
         F.col("o_orderkey").alias("order_key"),
         img.alias("_img"),
-        dict_cols.alias("_all_cols"),
+        dict_cols.alias("_dict"),
     )
     hide = Format(unknown_type=UnknownType.HIDE)
     show_dump = Format(
@@ -2199,9 +2254,11 @@ def cdc_type_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shaped = base.select(
         "order_key",
-        _shape_unknown(F.col("_img"), hide).alias("m_hide"),
-        _shape_unknown(F.col("_img"), show_dump).alias("m_dump"),
-        _shape_unknown(F.col("_img"), show_q).alias("m_q"),
+        _shape_unknown(F.col("_img"), hide, F.col("_dict")).alias("m_hide"),
+        _shape_unknown(F.col("_img"), show_dump, F.col("_dict")).alias(
+            "m_dump"
+        ),
+        _shape_unknown(F.col("_img"), show_q, F.col("_dict")).alias("m_q"),
     )
     return shaped.select(
         "order_key",

@@ -30,17 +30,16 @@ from pyspark.sql import functions as F
 from openlogreplicator_spark.sources.tables import load_table
 
 
-def _dec(c, scale: int = 4):
-    return c.cast(f"decimal(18,{scale})")
-
-
-def _money(name: str):
-    """Exact decimal view of a 2-decimal money column. Casting the raw
-    double is safe because stored values sit ≥0.005 from any rounding
-    boundary; downstream arithmetic then stays in exact decimals (products
-    keep their natural scale) so aggregate hashes are order- and
-    engine-independent."""
-    return F.col(name).cast("decimal(18,2)")
+def _money(col):
+    """Exact decimal(18,2) view of a 2-decimal money column (name or
+    Column). Casting the raw double is safe because stored values sit
+    ≥0.005 from any rounding boundary; downstream arithmetic then stays
+    in exact decimals (products keep their natural scale) so aggregate
+    hashes are order- and engine-independent. (The former _dec twin —
+    same cast, never called at any other scale — merged here, r12
+    review-pass-8.)"""
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("decimal(18,2)")
 
 
 def _revenue():
@@ -286,7 +285,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec(F.col("o_totalprice"), 2)).cast("double").alias("total_value"),
+            F.sum(_money("o_totalprice")).cast("double").alias("total_value"),
         )
     )
 
@@ -485,7 +484,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("sum_qty"),
+        F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
@@ -510,7 +509,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec(F.col("l_quantity"), 2)).cast("double").alias("sum_qty"),
+        F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
     )
 
 
@@ -525,7 +524,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec(F.col("o_totalprice"), 2)).cast("double").alias("total"),
+        F.sum(_money("o_totalprice")).cast("double").alias("total"),
     )
 
 
