@@ -160,9 +160,19 @@ def render_prometheus(
         for labels, value in sorted(families[fam], key=lambda lv: sorted(lv[0].items())):
             if labels:
                 body = ",".join(
-                    f'{k}="{v}"' for k, v in sorted(labels.items())
+                    f'{k}="{_esc_label(v)}"'
+                    for k, v in sorted(labels.items())
                 )
                 out.append(f"{name}{{{body}}} {value}")
             else:
                 out.append(f"{name} {value}")
     return "\n".join(out) + "\n"
+
+
+def _esc_label(v: str) -> str:
+    """Prometheus exposition-format label-value escaping (backslash,
+    double quote, newline) — what the reference's prometheus-cpp
+    TextSerializer applies; an unescaped quoted Oracle identifier
+    (table 'A\"B') previously broke the whole scrape body (r12
+    review-pass-9)."""
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")

@@ -33,6 +33,7 @@ Reference semantics mirrored:
 from __future__ import annotations
 
 import datetime as _dt
+import math
 import struct
 
 import pandas as pd
@@ -226,6 +227,13 @@ def decode_date(b: bytes | None, unknown: str = "question") -> str | None:
     ):
         return column_unknown(b, unknown)
     year = (b[0] - 100) * 100 + (b[1] - 100)
+    if year < 1:
+        # the reference's one DATE/TIMESTAMP arm routes BC (and year-0)
+        # values through valuesToEpoch + the epochToIso8601 BC branch
+        # (Builder.cpp:210-249) — the rendered text is epoch-derived,
+        # not component-derived (r12 review-pass-9); the canonical DATE
+        # text still carries no fraction digits (adjudicated)
+        return _iso_from_epoch(_civil_epoch_seconds(b), False)
     return (
         f"{year:04d}-{b[2]:02d}-{b[3]:02d} "
         f"{b[4] - 1:02d}:{b[5] - 1:02d}:{b[6] - 1:02d}"
@@ -259,9 +267,36 @@ def decode_timestamp(
         or frac > 999_999_999
     ):
         return column_unknown(b, unknown)
-    if fmt == "iso8601_nano":
+    year = (b[0] - 100) * 100 + (b[1] - 100)
+    if fmt == "iso8601_nano" and year >= 1:
+        # byte-pinned canonical fast path; years < 1 must take the
+        # epoch route so the BC fraction flip and the reference's BC
+        # render branch apply (r12 review-pass-9)
         return f"{decode_date(b[:7])}.{frac:09d}"
-    epoch = _civil_epoch_seconds(b)
+    epoch, frac = _bc_flip(year, _civil_epoch_seconds(b), frac)
+    return _render_ts_body(epoch, frac, fmt)
+
+
+def _bc_flip(year: int, epoch: int, frac: int) -> tuple:
+    """Builder.cpp:200-203 / 245-248 / 345-348 (all three timestamp
+    arms): for BC values the stored fraction is subtractive —
+    'fraction = 1000000000 - fraction; --timestamp' whenever year < 0
+    and fraction > 0. The reference's fraction is a uint64, so an
+    oversized TSTZ fraction (which has no validity guard there) wraps
+    modulo 2^64 — reproduced so the rendered digits match."""
+    if year < 0 and frac > 0:
+        frac = (1_000_000_000 - frac) % 2**64
+        epoch -= 1
+    return epoch, frac
+
+
+def _render_ts_body(epoch: int, frac: int, fmt: str) -> str:
+    """TIMESTAMP_FORMAT epoch-based render tail shared by the three
+    timestamp kernels (BuilderJson::columnTimestamp's matrix,
+    BuilderJson.cpp:104-278): UNIX scaled epochs with half-up rounding,
+    ISO bodies with fraction carry, 'T'/'Z' on the *_tz variants. One
+    copy — the rounding/overflow logic previously existed verbatim in
+    both the TIMESTAMP and TSTZ kernels (r12 review-pass-9)."""
     if fmt in ("unix_nano", "unix_nano_string"):
         return str(epoch * 10**9 + frac)
     if fmt in ("unix_micro", "unix_micro_string"):
@@ -287,17 +322,59 @@ def decode_timestamp(
     return f"{body}Z" if t_sep else body
 
 
+# the reference's epoch anchors (Data.h:30-33): days from its year-0
+# base to 1970-01-01; the BC base sits 365 days earlier because year 0
+# does not exist in the Oracle calendar
+_UNIX_AD1970 = 62_167_132_800
+_UNIX_BC1970 = _UNIX_AD1970 - 365 * 86400
+_CUM_DAYS = (0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334)
+_CUM_DAYS_LEAP = (0, 31, 60, 91, 121, 152, 182, 213, 244, 274, 305, 335)
+
+
+def _is_leap(y: int) -> bool:
+    return y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+
+
+def _year_to_days(year: int, month0: int) -> int:
+    # Data.h:35-41 (AD); all callers pass year >= 0, so Python's floor
+    # division matches C's truncation
+    r = year * 365 + year // 4 - year // 100 + year // 400
+    if _is_leap(year) and month0 < 2:
+        r -= 1
+    return r
+
+
+def _year_to_days_bc(year: int, month0: int) -> int:
+    # Data.h:43-49 (BC; year is the POSITIVE magnitude)
+    r = year * 365 + year // 4 - year // 100 + year // 400
+    if _is_leap(year) and month0 >= 2:
+        r -= 1
+    return r
+
+
 def _civil_epoch_seconds(b: bytes) -> int:
     """Shared epoch arithmetic of the three timestamp kernels: 7-byte
     excess-100 century/year + 1-based month/day + excess-1 h/m/s →
-    seconds since 1970-01-01 (the reference's valuesToEpoch) — pure
-    integers, so calendar-impossible byte-valid images normalize
-    arithmetically and BC years work."""
+    seconds since 1970-01-01 — the reference's valuesToEpoch
+    (Data.cpp:165-188) ported exactly, BOTH branches: AD uses the
+    year-0 day base, BC uses the 365-days-earlier base (year 0 does not
+    exist) with yearToDaysBC's inverted leap adjustment. Pure integers,
+    so calendar-impossible byte-valid images normalize arithmetically
+    and BC years carry the reference's exact epoch (the previous
+    Hinnant-only arithmetic sat 366/367 days off for every BC year —
+    r12 review-pass-9)."""
     year = (b[0] - 100) * 100 + (b[1] - 100)
-    return (
-        _days_from_civil(year, b[2], b[3]) * 86400
-        + (b[4] - 1) * 3600 + (b[5] - 1) * 60 + (b[6] - 1)
+    month0 = b[2] - 1
+    tod = (b[4] - 1) * 3600 + (b[5] - 1) * 60 + (b[6] - 1)
+    if year > 0:
+        days = _year_to_days(year, month0) + _CUM_DAYS[month0 % 12] + (
+            b[3] - 1
+        )
+        return days * 86400 + tod - _UNIX_AD1970
+    days = -_year_to_days_bc(-year, month0) + _CUM_DAYS[month0 % 12] + (
+        b[3] - 1
     )
+    return days * 86400 + tod - _UNIX_BC1970
 
 
 def _days_from_civil(y: int, m: int, d: int) -> int:
@@ -325,9 +402,43 @@ def _civil_from_days(z: int) -> tuple:
 
 
 def _iso_from_epoch(epoch: int, t_sep: bool) -> str:
+    sep = "T" if t_sep else " "
+    ts = epoch + _UNIX_AD1970
+    if ts < 365 * 86400:
+        # the reference's BC render branch (Data.cpp:271-335,
+        # epochToIso8601): taken for every timestamp below year 1's
+        # start (year 0 included — it renders as '-0000-…' there too).
+        # Ported exactly — including its year scan over yearToDaysBC
+        # and the day/27 month seed — so BC text matches the reference
+        # byte for byte (r12 review-pass-9). Timestamps below the
+        # reference's BC4712 floor would THROW there (RuntimeException
+        # 10069, killing the process); rendering through the same
+        # arithmetic instead is this engine's documented
+        # never-crash-a-task divergence.
+        ts = 365 * 86400 - ts
+        s = ts % 60
+        ts //= 60
+        mi = ts % 60
+        ts //= 60
+        h = ts % 24
+        ts //= 24
+        year = max(ts // 366 - 1, 0)
+        day = _year_to_days_bc(year, 0)
+        while day < ts:
+            year += 1
+            day = _year_to_days_bc(year, 0)
+        day -= ts
+        month = min(day // 27, 11)
+        cum = _CUM_DAYS_LEAP if _is_leap(year) else _CUM_DAYS
+        while cum[month] > day:
+            month -= 1
+        day -= cum[month]
+        return (
+            f"-{year:04d}-{month + 1:02d}-{day + 1:02d}{sep}"
+            f"{h:02d}:{mi:02d}:{s:02d}"
+        )
     days, rem = divmod(epoch, 86400)
     y, mo, d = _civil_from_days(days)
-    sep = "T" if t_sep else " "
     return (
         f"{y:04d}-{mo:02d}-{d:02d}{sep}"
         f"{rem // 3600:02d}:{(rem % 3600) // 60:02d}:{rem % 60:02d}"
@@ -372,13 +483,15 @@ def decode_timestamp_tz(
         tz = f"{sign}{abs(tzh):02d}:{abs(tzm):02d}"
     else:
         tz = TIMEZONE_MAP.get((b[11] << 8) | b[12], TZ_UNKNOWN)
-    if fmt == "iso8601_nano":
+    year = (b[0] - 100) * 100 + (b[1] - 100)
+    if fmt == "iso8601_nano" and year >= 1:
         # direct render, NOT through decode_timestamp: the TSTZ case
         # faithfully has NO fraction guard (Builder.cpp:340-344), so
         # delegating would leak the TIMESTAMP kernel's fraction check
-        # and emit a hybrid '? <tz>'
+        # and emit a hybrid '? <tz>'; years < 1 take the epoch route
+        # (BC flip + the reference's BC render branch)
         return f"{decode_date(b[:7])}.{frac:09d} {tz}"
-    epoch = _civil_epoch_seconds(b)
+    epoch, frac = _bc_flip(year, _civil_epoch_seconds(b), frac)
     if fmt == "unix_nano_string":
         return f"{epoch * 10**9 + frac},{tz}"
     if fmt == "unix_micro_string":
@@ -387,21 +500,7 @@ def decode_timestamp_tz(
         return f"{epoch * 1000 + (frac + 500_000) // 10**6},{tz}"
     if fmt == "unix_string":
         return f"{epoch + (frac + 500_000_000) // 10**9},{tz}"
-    t_sep = fmt.endswith("_tz")
-    digits = (9 if "nano" in fmt else 6 if "micro" in fmt
-              else 3 if "milli" in fmt else 0)
-    if digits:
-        scale = 10 ** (9 - digits)
-        f2 = frac if digits == 9 else (frac + scale // 2) // scale
-        if f2 >= 10**digits:
-            f2 -= 10**digits
-            epoch += 1
-        body = f"{_iso_from_epoch(epoch, t_sep)}.{f2:0{digits}d}"
-    else:
-        if frac >= 500_000_000:
-            epoch += 1
-        body = _iso_from_epoch(epoch, t_sep)
-    return f"{body}Z {tz}" if t_sep else f"{body} {tz}"
+    return f"{_render_ts_body(epoch, frac, fmt)} {tz}"
 
 
 # INTERVAL render variants (Format.h:54-74; render loops
@@ -533,28 +632,82 @@ def decode_binary_float(b: bytes | None) -> float | None:
     (invert all bits). None for any size other than 4 — the reference's
     columnUnknown route (Builder.cpp:258-263); the parse-plane
     dispatcher renders the unknown fallback (float-typed, so the '?'/
-    hex text cannot come from this kernel)."""
+    hex text cannot come from this kernel).
+
+    Exact port of Builder::decodeFloat (Builder.cpp:617-645), which is
+    NOT a plain IEEE unpack at the edges (r12 review-pass-9): stored
+    subnormals decode via ldexp(sig/2^23, exp-127) — no implicit bit
+    but the NORMAL exponent bias, i.e. HALF the IEEE subnormal value —
+    and only the canonical quiet-NaN payload (exp 0xFF, sig 0x400000)
+    maps to NaN; every other NaN-patterned image decodes as a huge
+    finite number through the normal formula."""
     if b is None or len(b) != 4:
         return None
     b = bytes(b)
-    if b[0] & 0x80:
-        raw = bytes([b[0] & 0x7F]) + b[1:4]
-    else:
-        raw = bytes(x ^ 0xFF for x in b[:4])
-    return struct.unpack(">f", raw)[0]
+    sign = b[0] & 0x80
+    exponent = ((b[0] & 0x7F) << 1) | (b[1] >> 7)
+    significand = ((b[1] & 0x7F) << 16) | (b[2] << 8) | b[3]
+    if sign:
+        if significand == 0:
+            if exponent == 0:
+                return 0.0
+            if exponent == 0xFF:
+                return math.inf
+        elif significand == 0x400000 and exponent == 0xFF:
+            return math.nan
+        if exponent > 0:
+            significand += 0x800000
+        return math.ldexp(significand / 0x800000, exponent - 0x7F)
+    if exponent == 0 and significand == 0x7FFFFF:
+        return -math.inf
+    significand = 0x7FFFFF - significand
+    if exponent < 0xFF:
+        significand += 0x800000
+    return -math.ldexp(significand / 0x800000, 0x80 - exponent)
 
 
 def decode_binary_double(b: bytes | None) -> float | None:
     """None for any size other than 8 — the reference's columnUnknown
-    route (Builder.cpp:265-270); the dispatcher renders the fallback."""
+    route (Builder.cpp:265-270); the dispatcher renders the fallback.
+    Exact port of Builder::decodeDouble (Builder.cpp:647-676) — same
+    subnormal/non-canonical-NaN edge semantics as decode_binary_float."""
     if b is None or len(b) != 8:
         return None
     b = bytes(b)
-    if b[0] & 0x80:
-        raw = bytes([b[0] & 0x7F]) + b[1:8]
-    else:
-        raw = bytes(x ^ 0xFF for x in b[:8])
-    return struct.unpack(">d", raw)[0]
+    sign = b[0] & 0x80
+    exponent = ((b[0] & 0x7F) << 4) | (b[1] >> 4)
+    significand = (
+        ((b[1] & 0x0F) << 48) | (b[2] << 40) | (b[3] << 32)
+        | (b[4] << 24) | (b[5] << 16) | (b[6] << 8) | b[7]
+    )
+    if sign:
+        if significand == 0:
+            if exponent == 0:
+                return 0.0
+            if exponent == 0x7FF:
+                return math.inf
+        elif significand == 0x8000000000000 and exponent == 0x7FF:
+            return math.nan
+        if exponent > 0:
+            significand += 0x10000000000000
+        try:
+            return math.ldexp(
+                significand / 0x10000000000000, exponent - 0x3FF
+            )
+        except OverflowError:
+            # the reference computes in 80-bit long double, which holds
+            # the ~2^1025 non-canonical-NaN decode a 64-bit float
+            # cannot; saturate instead of crashing the task
+            return math.inf
+    if exponent == 0 and significand == 0xFFFFFFFFFFFFF:
+        return -math.inf
+    significand = 0xFFFFFFFFFFFFF - significand
+    if exponent < 0x7FF:
+        significand += 0x10000000000000
+    try:
+        return -math.ldexp(significand / 0x10000000000000, 0x400 - exponent)
+    except OverflowError:
+        return -math.inf
 
 
 def encode_binary_double(v: float) -> bytes:
@@ -579,14 +732,17 @@ DB_TIMEZONE_SECONDS = 2 * 3600
 
 def decode_timestamp_ltz(
     b: bytes | None, db_tz_seconds: int = DB_TIMEZONE_SECONDS,
-    unknown: str = "question",
+    unknown: str = "question", fmt: str = "iso8601_nano",
 ) -> str | None:
     """7/11-byte TIMESTAMP WITH LOCAL TIME ZONE: the stored wall clock
     is in the DATABASE timezone; the emitted value is the UTC instant
     (Builder.cpp:167-208 — valuesToEpoch(metadata->dbTimezone)).
     Malformed images render per UNKNOWN_FORMAT with the reference's
     guards (Builder.cpp:168-198): size 7/11, component ranges,
-    fraction ≤ 999999999."""
+    fraction ≤ 999999999. ``fmt`` is TIMESTAMP_FORMAT — the reference
+    renders TSLTZ through the SAME columnTimestamp matrix as
+    DATE/TIMESTAMP (Builder.cpp:205), which this kernel previously
+    ignored (r12 review-pass-9)."""
     if b is None or len(b) == 0:
         return None
     b = bytes(b)
@@ -601,8 +757,11 @@ def decode_timestamp_ltz(
     # a calendar-impossible day that passes the per-byte range guard
     # (e.g. Feb 30 — day byte 29 IS in [0,30]) normalizes arithmetically
     # instead of crashing a datetime parser, and BC years work
-    epoch = _civil_epoch_seconds(b) - db_tz_seconds
-    return _iso_from_epoch(epoch, False) + f".{nanos:09d}"
+    year = (b[0] - 100) * 100 + (b[1] - 100)
+    epoch, nanos = _bc_flip(
+        year, _civil_epoch_seconds(b) - db_tz_seconds, nanos
+    )
+    return _render_ts_body(epoch, nanos, fmt)
 
 
 def encode_timestamp_ltz(

@@ -103,6 +103,12 @@ def decode_xmltype(
         elif tok == TOK_ATTR:
             aid, n = struct.unpack_from("<IH", data, pos)
             pos += 6
+            # attribute values (and text below) are emitted VERBATIM,
+            # unescaped — faithful to Builder::parseXml, which raw-
+            # appends the stored bytes with no XML escaping
+            # (Builder.cpp:2060/2235 valueBufferAppend); content
+            # containing '"'/'<'/'&' yields not-well-formed XML in the
+            # reference too (r12 review-pass-9 adjudication)
             val = data[pos: pos + n].decode("utf-8")
             pos += n
             name = attr_names.get(aid, f"__unknown_attr_{aid}")
@@ -114,6 +120,12 @@ def decode_xmltype(
             out.append(data[pos: pos + n].decode("utf-8"))
             pos += n
         elif tok == TOK_CLOSE:
+            if not stack:
+                # torn image: a close with no open element must follow
+                # the module's ValueError contract (callers route it to
+                # the unknown render), not leak an IndexError into the
+                # Arrow task (r12 review-pass-9)
+                raise ValueError(f"close token with empty stack at {pos - 1}")
             if open_pending:
                 out.append("/>")
                 open_pending = False

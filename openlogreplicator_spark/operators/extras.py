@@ -677,6 +677,12 @@ def cdc_lob_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     chunk = 200
+    # an empty document has CEIL(0/200)=0 chunks and must emit NO rows:
+    # F.sequence(0, -1) yields the DESCENDING [0, -1] in Spark, which
+    # fabricated two phantom chunks (one with a negative dba) while the
+    # oracle's recursive walk produced none (r12 review-pass-9; latent
+    # on the current min-length-44 corpus)
+    docs = docs.filter(F.length("text") > 0)
     n_chunks = F.ceil(F.length("text") / chunk).cast("int")
     # dba: position-scrambled but unique per (lob, page): order is NOT
     # recoverable from the dba value — only the chains define it

@@ -116,7 +116,11 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 def _decode_one(media_id: int, kind: str, data: bytes) -> dict:
     """One blob → decoded statistics via the real codecs; unknown bytes
-    degrade to the raw byte-level contract."""
+    degrade to the raw byte-level contract. The sniff keys on 2-byte
+    magic prefixes ('BM', 'P6'), so ordinary text can FALSE-POSITIVE as
+    media — a failed decode therefore falls back to the raw branch
+    instead of killing the Spark stage (r12 review-pass-9: a document
+    starting 'BMW…' crashed the whole query)."""
     import numpy as np
 
     fmt = ic.sniff_format(data)
@@ -130,32 +134,40 @@ def _decode_one(media_id: int, kind: str, data: bytes) -> dict:
         "checksum": hashlib.md5(data).hexdigest(),
         "decoder": fmt,
     }
-    if fmt in ("png", "bmp", "ppm"):
-        px = ic.decode_image(data)
-        out["height"], out["width"] = px.shape[0], px.shape[1]
-        out["mean_intensity"] = float(px.mean()) / 255.0
-    elif fmt == "wav":
-        samples, sr = ic.decode_wav(data)
-        out["width"] = sr
-        out["mean_intensity"] = (
-            float(np.abs(samples.astype(np.float64)).mean()) / 32768.0
-            if len(samples)
-            else 0.0
-        )
-    elif fmt == "mpng":
-        frames = ic.decode_mpng(data)
-        out["n_frames"] = len(frames)
-        if frames:
-            out["height"], out["width"] = frames[0].shape[:2]
-            out["mean_intensity"] = float(
-                np.mean([f.mean() for f in frames])
-            ) / 255.0
-        else:
-            out["mean_intensity"] = 0.0
-    else:  # raw passthrough — byte statistics
-        out["mean_intensity"] = (
-            sum(data) / len(data) / 255.0 if data else 0.0
-        )
+    try:
+        if fmt in ("png", "bmp", "ppm"):
+            px = ic.decode_image(data)
+            out["height"], out["width"] = px.shape[0], px.shape[1]
+            out["mean_intensity"] = float(px.mean()) / 255.0
+            return out
+        if fmt == "wav":
+            samples, sr = ic.decode_wav(data)
+            out["width"] = sr
+            out["mean_intensity"] = (
+                float(np.abs(samples.astype(np.float64)).mean()) / 32768.0
+                if len(samples)
+                else 0.0
+            )
+            return out
+        if fmt == "mpng":
+            frames = ic.decode_mpng(data)
+            out["n_frames"] = len(frames)
+            if frames:
+                out["height"], out["width"] = frames[0].shape[:2]
+                out["mean_intensity"] = float(
+                    np.mean([f.mean() for f in frames])
+                ) / 255.0
+            else:
+                out["mean_intensity"] = 0.0
+            return out
+    except Exception:
+        out["decoder"] = "raw"
+        out["width"] = out["height"] = None
+        out["n_frames"] = 1
+    # raw passthrough — byte statistics
+    out["mean_intensity"] = (
+        sum(data) / len(data) / 255.0 if data else 0.0
+    )
     return out
 
 

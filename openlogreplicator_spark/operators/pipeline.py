@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from openlogreplicator_spark.operators.sampling import (
     _DEFAULT_PCT,
+    _MIX_CASE,
     _MIX_PCT,
     _n_tokens,
     sample_mix,
@@ -57,8 +58,6 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-_MIX_CASE = " ".join(f"WHEN '{lang}' THEN {p}" for lang, p in _MIX_PCT.items())
 
 PIPELINE_PRETRAINING_SQL = f"""
 WITH sig AS (

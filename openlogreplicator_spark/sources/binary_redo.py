@@ -756,6 +756,14 @@ def _dec_value_raw(
     if vtype == TYPE_NUMBER:
         return decode_number(payload, unk)
     if vtype == TYPE_DATE:
+        # the reference decodes DATE and TIMESTAMP in ONE arm that
+        # renders through the columnTimestamp TIMESTAMP_FORMAT matrix
+        # (Builder.cpp:210-249), so DATE columns follow the format
+        # selector too; the canonical iso8601_nano case keeps this
+        # engine's adjudicated fraction-less DATE text (r12
+        # review-pass-9)
+        if o.timestamp_column != "iso8601_nano":
+            return decode_timestamp(payload, o.timestamp_column, unk)
         return decode_date(payload, unk)
     if vtype == TYPE_TS:
         return decode_timestamp(payload, o.timestamp_column, unk)
@@ -786,7 +794,11 @@ def _dec_value_raw(
     if vtype == TYPE_UROWID:
         return decode_urowid(payload, unk)
     if vtype == TYPE_TSLTZ:
-        return decode_timestamp_ltz(payload, o.db_tz, unk)
+        # TSLTZ rides the SAME TIMESTAMP_FORMAT matrix as DATE/TS in
+        # the reference (Builder.cpp:205 → columnTimestamp)
+        return decode_timestamp_ltz(
+            payload, o.db_tz, unk, fmt=o.timestamp_column
+        )
     if vtype == TYPE_BFLOAT:
         v = decode_binary_float(payload)
         return column_unknown(payload, unk) if v is None else repr(v)
@@ -891,12 +903,14 @@ def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
         # invalid (the scalar kernel renders e.g. '-4712-…' faithfully)
         # but the 14-digit matrix render can't represent them — they
         # route to the scalar kernel too, so both routes stay
-        # byte-identical on every image.
+        # byte-identical on every image. Year 0 also goes scalar: the
+        # reference has no year 0 and renders it through the epoch
+        # branches (valuesToEpoch BC base / epochToIso8601).
         y = (a[:, 0].astype("int64") - 100) * 100 + (
             a[:, 1].astype("int64") - 100
         )
         return (
-            (y >= 0) & (y <= 9999)
+            (y >= 1) & (y <= 9999)
             & (a[:, 2] >= 1) & (a[:, 2] <= 12)
             & (a[:, 3] >= 1) & (a[:, 3] <= 31)
             & (a[:, 4] >= 1) & (a[:, 4] <= 24)
@@ -906,8 +920,14 @@ def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
 
     for vtype, items in by_type.items():
         n = len(items)
-        if vtype == TYPE_DATE and n > 16 and len(items[0]) == 8 and all(
-            len(x) == 8 for x in items
+        if (
+            vtype == TYPE_DATE
+            and n > 16
+            # DATE follows TIMESTAMP_FORMAT too (one reference arm);
+            # the vectorized render IS the canonical fraction-less form
+            and _opts(db_tz).timestamp_column == "iso8601_nano"
+            and len(items[0]) == 8
+            and all(len(x) == 8 for x in items)
         ):
             a = np.frombuffer(b"".join(items), np.uint8).reshape(n, 8)[:, 1:]
             strs = _np_strings(_fmt_datetime14(_date_composites(a)))
@@ -946,7 +966,18 @@ def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
             raw[pos, 0] &= 0x7F
             raw[~pos] ^= 0xFF
             vals = np.ascontiguousarray(raw).view(">f8").ravel().tolist()
-            out.update(zip(items, (repr(v) for v in vals)))
+            # edge exponent classes (zeros/subnormals/inf/NaN patterns)
+            # take the scalar kernel: Builder::decodeDouble halves
+            # subnormals and finite-izes non-canonical NaNs — the IEEE
+            # view here must not diverge from it (r12 review-pass-9)
+            exp = (
+                (raw[:, 0].astype("int64") & 0x7F) << 4
+            ) | (raw[:, 1].astype("int64") >> 4)
+            fast = (exp != 0) & (exp != 0x7FF)
+            out.update(
+                (t, repr(v)) if ok else (t, _dec_value_raw(t, version, db_tz))
+                for t, v, ok in zip(items, vals, fast.tolist())
+            )
         elif vtype == TYPE_BFLOAT and n > 16 and all(
             len(x) == 5 for x in items
         ):
@@ -957,7 +988,15 @@ def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
             raw[pos, 0] &= 0x7F
             raw[~pos] ^= 0xFF
             vals = np.ascontiguousarray(raw).view(">f4").ravel().tolist()
-            out.update(zip(items, (repr(v) for v in vals)))
+            # see the BDOUBLE branch: edge exponents go scalar
+            exp = (
+                (raw[:, 0].astype("int64") & 0x7F) << 1
+            ) | (raw[:, 1].astype("int64") >> 7)
+            fast = (exp != 0) & (exp != 0xFF)
+            out.update(
+                (t, repr(v)) if ok else (t, _dec_value_raw(t, version, db_tz))
+                for t, v, ok in zip(items, vals, fast.tolist())
+            )
         else:
             for t in items:
                 out[t] = _dec_value_raw(t, version, db_tz)

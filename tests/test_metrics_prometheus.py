@@ -134,3 +134,22 @@ def test_replication_counters_accounting(spark, sf_dir, tmp_path):
     assert vals["bytes_read"] == vals["bytes_parsed"] + 512 * vals["files_read"]
     assert vals["checkpoints_out"] >= 1
     assert vals["checkpoint_lag"] == 0
+
+
+def test_label_values_escaped_in_exposition(spark):
+    """r12 review-pass-9: Prometheus exposition label values must
+    escape backslash, double-quote and newline (prometheus-cpp
+    TextSerializer semantics) — a quoted Oracle identifier in a
+    per-table series previously broke the whole scrape body."""
+    from openlogreplicator_spark.functions.metrics_prometheus import (
+        render_prometheus,
+    )
+
+    m = spark.createDataFrame(
+        [('dml_ops_insert_out:OWN."A"B"', 3)], "metric string, value long"
+    )
+    text = render_prometheus(m, tag_names="all")
+    line = [ln for ln in text.splitlines() if ln.startswith("dml_ops{")]
+    assert line and '\\"' in line[0]
+    # parseable: every label value's quotes are balanced after unescape
+    assert 'table="' in line[0] or 'owner="' in line[0]

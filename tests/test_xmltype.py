@@ -89,3 +89,16 @@ def test_decode_udf_on_spark(spark):
         ).collect()
     }
     assert out[3] == '<a x="3"><b>v3</b></a>'
+
+
+def test_torn_close_raises_valueerror_not_indexerror():
+    """r12 review-pass-9: a close token with no open element (torn
+    image) must follow the module's ValueError contract so callers can
+    route it to the unknown render — an IndexError killed the Arrow
+    task instead."""
+    import pytest
+
+    from openlogreplicator_spark.functions.xmltype import decode_xmltype
+
+    with pytest.raises(ValueError, match="empty stack"):
+        decode_xmltype(b"OLRX1\x00\xd9\xa0", {}, {})
