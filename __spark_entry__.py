@@ -37,9 +37,18 @@ _PRIORITY = [  # round-12 window (previous windows: git history of this list)
     # -- BYTES CHANGED since the r11 verdict: the IGNORE_DATA_ERRORS
     #    fixture moved to scn-targeted damage (o_orderkey % 10 = 3,
     #    damage_records_by_scn) with the oracle deriving the damaged
-    #    count from the same predicate (r12 ADVICE) — the only
-    #    registered query whose input bytes or oracle changed
+    #    count from the same predicate (r12 ADVICE)
     "cdc_ignore_data_errors",
+    # -- KERNEL-CHANGED re-verifies (the r11 parse-restructure
+    #    convention): review passes 6/9 rewrote the date-mask year
+    #    gating, the BC epoch/flip/ISO path, the binary float/double
+    #    decode edges and the TSLTZ/DATE format threading; these two
+    #    drive every typed kernel through the binary plane and must
+    #    stay byte-identical. cdc_metrics re-verifies the falsifiable
+    #    checkpoint_lag restructure (pass 8).
+    "cdc_typed_images_binary",
+    "cdc_type_tail",
+    "cdc_metrics",
     # -- STALE-VERDICT ROTATION (r11 VERDICT #1): all 18 remaining
     #    r8-latest queries; after this round no verdict predates r9.
     "agg_approx_quantile",
@@ -60,10 +69,13 @@ _PRIORITY = [  # round-12 window (previous windows: git history of this list)
     "text_tfidf_topterms",
     "text_token_count",
     "window_range_interval",
-    # -- oldest r9-latest block: 26 of 42, CDC consumers and embeddings
-    #    first per the r11 verdict (the 16 remaining — events,
-    #    multimodal, sampling, text scoring, tokenizer_bpe_train —
-    #    rotate r13, finishing the backlog)
+    # -- oldest r9-latest block: 23 of 42, CDC consumers and embeddings
+    #    first per the r11 verdict (the 19 remaining — events,
+    #    multimodal, sampling, text scoring, tokenizer_bpe_train,
+    #    embedding_moments/normalize/stats — rotate r13, finishing the
+    #    backlog; three embedding re-verifies ceded their slots to the
+    #    kernel-changed re-verifies above, embedding_pca stays as the
+    #    family representative)
     "cdc_adaptive_schema",
     "cdc_apply_changes",
     "cdc_ddl_classify",
@@ -79,10 +91,7 @@ _PRIORITY = [  # round-12 window (previous windows: git history of this list)
     "cdc_txn_envelope",
     "cdc_txn_stats",
     "cdc_xmltype_decode",
-    "embedding_moments",
-    "embedding_normalize",
     "embedding_pca",
-    "embedding_stats",
     "dedup_cross_source",
     "dedup_embedding_cosine",
     "dedup_exact",
