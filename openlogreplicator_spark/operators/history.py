@@ -77,7 +77,11 @@ FROM events
 """
 
 
-_INSERT_OFFSET = 10_000
+# far beyond c_custkey at any scale factor (sf100 tops out at 15M):
+# at 10_000 every sf0.1+ signup key COLLIDED with an existing customer,
+# so the insert path silently became an update at bench scale
+# (r12 review-pass-10)
+_INSERT_OFFSET = 100_000_000
 
 
 def apply_changes(
@@ -99,10 +103,20 @@ def apply_changes(
     w = Window.partitionBy(key).orderBy(
         F.col(ts_col).desc(), F.col(tiebreak).desc()
     )
+    # _had_i: whether ANY change in the key's set is an insert —
+    # sequential MERGE of [i, u...] on a base-missing key ends with the
+    # row EXISTING at the last update's balance; keeping only the last
+    # op dropped it (r12 review-pass-10)
     last = (
         changes.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_had_i",
+            F.max((F.col("op") == "i").cast("int")).over(
+                Window.partitionBy(key)
+            ),
+        )
         .filter(F.col("_rn") == 1)
-        .select(key, "op", "new_bal")
+        .select(key, "op", "new_bal", "_had_i")
     )
     b = base.alias("b")
     c = last.alias("c")
@@ -111,7 +125,11 @@ def apply_changes(
         joined.filter(
             F.col("c.op").isNull() | (F.col("c.op") != "d")
         )
-        .filter(F.col(f"b.{key}").isNotNull() | (F.col("c.op") == "i"))
+        .filter(
+            F.col(f"b.{key}").isNotNull()
+            | (F.col("c.op") == "i")
+            | (F.col("c._had_i") == 1)
+        )
         .select(
             F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key),
             F.coalesce(
@@ -166,9 +184,11 @@ WITH changes AS (
     FROM events
 ),
 last AS (
-    SELECT c_custkey, op, new_bal
+    SELECT c_custkey, op, new_bal, had_i
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
-                                       ORDER BY ts DESC, event_id DESC) AS rn
+                                       ORDER BY ts DESC, event_id DESC) AS rn,
+                 MAX(CASE WHEN op = 'i' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY c_custkey) AS had_i
           FROM changes)
     WHERE rn = 1
 )
@@ -179,7 +199,7 @@ SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
        COALESCE(b.c_mktsegment, 'NEW') AS c_mktsegment
 FROM customer b FULL OUTER JOIN last c ON b.c_custkey = c.c_custkey
 WHERE (c.op IS NULL OR c.op <> 'd')
-  AND (b.c_custkey IS NOT NULL OR c.op = 'i')
+  AND (b.c_custkey IS NOT NULL OR c.op = 'i' OR c.had_i = 1)
 """
 
 

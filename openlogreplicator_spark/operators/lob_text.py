@@ -68,9 +68,16 @@ def cdc_clob_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openlogreplicator_spark.operators.lob_assembly import assemble_lobs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    jp = F.concat(
-        F.lit("返品承認テスト "), F.substring("text", 1, 80), F.lit(" 済")
+    # printable-ASCII-sanitized body, SAME derivation as the oracle
+    # (r12 review-pass-10): the oracle's byte arithmetic equates char
+    # count with Shift-JIS byte count, which only holds for ASCII — a
+    # regenerated corpus containing multibyte text would silently break
+    # the n_chunks formula (and non-SJIS-encodable chars would crash
+    # the encode); the sanitize makes the invariant structural
+    ascii_body = F.regexp_replace(
+        F.substring("text", 1, 80), r"[^\x20-\x7e]", ""
     )
+    jp = F.concat(F.lit("返品承認テスト "), ascii_body, F.lit(" 済"))
     hexed = docs.select(
         F.concat(F.lit("C"), F.col("doc_id")).alias("lob_id"),
         _sjis_hex()(jp).alias("hx"),
@@ -100,13 +107,18 @@ def cdc_clob_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CDC_CLOB_CHARSET_SQL = """
+WITH body AS (
+    SELECT doc_id,
+           regexp_replace(substr(text, 1, 80), '[^\\x20-\\x7e]', '', 'g')
+               AS b
+    FROM documents
+)
 SELECT doc_id,
        -- Shift-JIS bytes: 7 two-byte JP chars + space = 15, ASCII body
        -- 1 byte/char, trailing ' 済' = 3 ⇒ len + 18 bytes, 3 per chunk
-       CAST(CEIL((LENGTH(substr(text, 1, 80)) + 18) / 3.0) AS INT)
-           AS n_chunks,
-       md5('返品承認テスト ' || substr(text, 1, 80) || ' 済') AS text_md5
-FROM documents
+       CAST(CEIL((LENGTH(b) + 18) / 3.0) AS INT) AS n_chunks,
+       md5('返品承認テスト ' || b || ' 済') AS text_md5
+FROM body
 """
 
 

@@ -7,7 +7,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openlogreplicator_spark.operators.relational import _money
+from openlogreplicator_spark.operators.relational import (
+    REVENUE_SQL,
+    _money,
+    _revenue,
+)
 from openlogreplicator_spark.sources.tables import load_table
 
 
@@ -190,16 +194,15 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.filter(cond).agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(_money("l_extendedprice") * (1 - _money("l_discount")))
-        .cast("double")
-        .alias("revenue"),
+        # the shared money-discipline aggregate (r12 review-pass-10:
+        # this was a verbatim re-spelling of relational._revenue)
+        _revenue(),
     )
 
 
-Q19_SQL = """
+Q19_SQL = f"""
 SELECT COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       {REVENUE_SQL} AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 5 AND 25)

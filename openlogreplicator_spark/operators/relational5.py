@@ -220,7 +220,12 @@ def q20_potential_part_promotion(
     shipped = li.groupBy(
         F.col("l_partkey").alias("p_partkey"),
         F.col("l_suppkey").alias("s_suppkey"),
-    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty_1996"))
+        # FLOOR on BOTH sides (r12 review-pass-10): a bare double→bigint
+        # cast TRUNCATES in Spark but ROUNDS in DuckDB — identical today
+        # only because quantities are whole numbers
+    ).agg(
+        F.sum(F.floor("l_quantity").cast("bigint")).alias("qty_1996")
+    )
     sup = (
         _supply(part, supp)
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -235,7 +240,7 @@ Q20_SQL = f"""
 WITH supply AS ({_SUPPLY_SQL}),
 shipped AS (
     SELECT l_partkey, l_suppkey,
-           SUM(CAST(l_quantity AS BIGINT)) AS qty_1996
+           SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS qty_1996
     FROM lineitem
     WHERE EXTRACT(year FROM l_shipdate) = 1996
     GROUP BY l_partkey, l_suppkey

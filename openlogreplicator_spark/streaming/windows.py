@@ -28,7 +28,14 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            # decimal(18,6) per row: `value` carries 6 decimal digits,
+            # so the cast is EXACT and the sum is the true total; the
+            # previous (18,2) cast quantized each row before summing —
+            # a sum of rounded values, not an exact decimal sum
+            # (r12 review-pass-10)
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -44,7 +51,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_TUMBLING_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """
@@ -112,18 +119,21 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_SESSION_SQL = """
 WITH lagged AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
     FROM events
 ), flagged AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN prev_ts IS NULL
                   OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000
                 THEN 1 ELSE 0 END AS is_new
     FROM lagged
 ), sess AS (
+    -- event_id joins the cum-sum ORDER BY (r12 review-pass-10): the
+    -- LAG above tiebreaks on it, so duplicate (user_id, ts) rows
+    -- otherwise get nondeterministic session assignment
     SELECT user_id, ts,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_idx
     FROM flagged
 )

@@ -115,3 +115,39 @@ def test_net_changes_single_agg_shuffle(spark, sf_dir):
     # to SortAggregate)
     assert "partial_min_by" in plan
     assert plan.count("Aggregate") >= 2
+
+
+def test_apply_changes_insert_then_update_keeps_the_row(spark):
+    """r12 review-pass-10: sequential MERGE of [insert@t1, update@t2]
+    for a key absent from base must end with the row existing at the
+    update's balance — last-change-wins alone dropped it. A lone
+    update on a missing key stays a no-op, and the insert path must
+    actually insert (the old 10k offset collided with real customer
+    keys at sf0.1+)."""
+    from openlogreplicator_spark.operators.history import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "alice", 10.0, "SEG")],
+        "c_custkey long, c_name string, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (99, "i", 5.0, 1, 1),   # new key: insert...
+            (99, "u", 7.0, 2, 2),   # ...then update — must survive at 7
+            (50, "u", 3.0, 1, 3),   # lone update on missing key: no-op
+            (1, "u", 11.0, 1, 4),   # update on base row
+        ],
+        "c_custkey long, op string, new_bal double, ts long, "
+        "event_id long",
+    )
+    out = {
+        r.c_custkey: r.asDict()
+        for r in apply_changes(
+            base, changes, "c_custkey", "ts", "event_id"
+        ).collect()
+    }
+    assert set(out) == {1, 99}
+    assert out[99]["c_acctbal"] == 7.0
+    assert out[99]["c_name"] == "NEW-99" and out[99]["c_mktsegment"] == "NEW"
+    assert out[1]["c_acctbal"] == 11.0
