@@ -83,6 +83,11 @@ def generate_redo_records(
             roll = rng.random()
             if roll < p_prollback and t["live"]:
                 bdba, slot = rng.choice(t["live"])
+                # the rolled-back op leaves the live set — re-picking it
+                # emitted dangling rollbacks no legal redo sequence
+                # produces (the LIFO cancel pairs each 5.6 with exactly
+                # one standing op, Transaction.cpp) — r12 review-pass-11
+                t["live"].remove((bdba, slot))
                 records.append(rec(xid, "prollback", bdba=bdba, slot=slot))
             elif roll < p_prollback + p_qmulti:
                 opc = rng.choice(["qmi", "qmd"])

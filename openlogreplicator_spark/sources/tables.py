@@ -39,7 +39,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # downstream operator sees exactly one type no matter how the file was
     # written. DuckDB reads the same file as a naive timestamp, which under
     # a UTC session matches value-for-value.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # session-wide by necessity (there is no per-read knob for the
+    # legacy NANOS surface); tune_for_session sets it too — the guard
+    # keeps this a set-once instead of a per-table JVM conf write
+    # (r12 review-pass-11)
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, None) != "true":
+        spark.conf.set(key, "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name != "ts":

@@ -124,10 +124,19 @@ def _records_arrow_table(pdf: pd.DataFrame):
                     return list(m.items())
                 return [tuple(p) for p in m]
 
+            def pairs_or_none(m):
+                # a null ELEMENT inside a rows array is legal under the
+                # nullable array<map> schema — pairs(None) raised
+                # TypeError and killed the micro-batch
+                # (r12 review-pass-11)
+                if m is None or (isinstance(m, float) and pd.isna(m)):
+                    return None
+                return pairs(m)
+
             vals = [
                 None if v is None or (isinstance(v, float) and pd.isna(v))
                 else (pairs(v) if name == "cols"
-                      else [pairs(m) for m in v])
+                      else [pairs_or_none(m) for m in v])
                 for v in s.tolist()
             ]
             arrays.append(pa.array(vals, type=types[name]))
@@ -139,18 +148,21 @@ def _records_arrow_table(pdf: pd.DataFrame):
 
 
 def _encode_state(
-    leftover: pd.DataFrame, skip_xids: set, max_scn: int | None = None
+    leftover: pd.DataFrame, skip_xids: set, max_scn: int | None = None,
+    n_buckets: int | None = None,
 ) -> bytes:
     """Leftover open-transaction records + skiplist + arrival-order
-    watermark → one Arrow IPC stream (skiplist and watermark as schema
-    metadata — metadata keys are additive, so pre-watermark checkpoints
-    restore fine). One vectorized serialize; no per-row Python."""
+    watermark + bucket-count stamp → one Arrow IPC stream (all as schema
+    metadata — metadata keys are additive, so older checkpoints restore
+    fine). One vectorized serialize; no per-row Python."""
     import pyarrow as pa
 
     tbl = _records_arrow_table(leftover)
     meta = {b"skip": json.dumps(sorted(skip_xids)).encode()}
     if max_scn is not None:
         meta[b"max_scn"] = str(int(max_scn)).encode()
+    if n_buckets is not None:
+        meta[b"n_buckets"] = str(int(n_buckets)).encode()
     tbl = tbl.replace_schema_metadata(meta)
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, tbl.schema) as writer:
@@ -178,7 +190,13 @@ def _decode_state(payload: bytes):
     meta = tbl.schema.metadata or {}
     skip = set(json.loads(meta.get(b"skip", b"[]")))
     max_scn = meta.get(b"max_scn")
-    return tbl, skip, (int(max_scn) if max_scn is not None else None)
+    stamped = meta.get(b"n_buckets")
+    return (
+        tbl,
+        skip,
+        (int(max_scn) if max_scn is not None else None),
+        (int(stamped) if stamped is not None else None),
+    )
 
 
 def assemble_stateful(
@@ -189,6 +207,7 @@ def assemble_stateful(
     ttl_timeout: bool = True,
     show_incomplete: bool = False,
     run_token: str = "",
+    n_buckets: int | None = None,
 ) -> Iterable[pd.DataFrame]:
     """Per-bucket stateful kernel (wired via the xid-hash groupBy in
     :func:`streaming_assemble`; also correct keyed by raw xid — the
@@ -211,15 +230,56 @@ def assemble_stateful(
     max_seen: int | None = None
     if state.exists:
         (_, payload) = state.get
-        buffered_tbl, skip_xids, max_seen = _decode_state(bytes(payload))
+        buffered_tbl, skip_xids, max_seen, stamped = _decode_state(
+            bytes(payload)
+        )
+        if (
+            stamped is not None
+            and n_buckets is not None
+            and stamped != n_buckets
+        ):
+            # bucket-count mismatch on checkpoint resume: xids would
+            # re-hash into DIFFERENT buckets than their buffered state,
+            # silently stranding open transactions (truncated emission)
+            # — fail with the remedy instead (r12 review-pass-11).
+            # Pre-stamp checkpoints (stamped None) restore unarmed.
+            raise RuntimeError(
+                f"assembly state bucket-count mismatch: checkpoint was "
+                f"written with {stamped} buckets but this session "
+                f"computes {n_buckets} (defaultParallelism changed?). "
+                f"Set spark.olrs.assembly.buckets={stamped} to resume "
+                f"this checkpoint, or start a fresh checkpoint "
+                f"directory."
+            )
 
     empty = pd.DataFrame(columns=[f.name for f in ASSEMBLED_SCHEMA.fields])
     if state.hasTimedOut:
         # incomplete-transaction policy: by default the abandoned
         # transaction drops whole; with SHOW_INCOMPLETE_TRANSACTIONS
         # (REDO_FLAGS bit 10, Parser.cpp:585) its buffered ops are
-        # emitted with a null commit_scn before state clears
-        state.remove()
+        # emitted with a null commit_scn before state clears.
+        # The T4 skiplist (and the arrival-order watermark) SURVIVE the
+        # reap: dropping the skiplist let late records of an oversized,
+        # already-partially-dropped xid reassemble into a truncated
+        # transaction — violating the cap's drop-whole guarantee
+        # (r12 review-pass-11). Skiplist entries retire when their
+        # terminal arrives, so the retained row is skiplist-sized.
+        if skip_xids or max_seen is not None:
+            state.update(
+                (
+                    0,
+                    _encode_state(
+                        pd.DataFrame(columns=_REC_COLUMNS),
+                        skip_xids,
+                        max_seen,
+                        n_buckets,
+                    ),
+                )
+            )
+            if ttl_timeout:
+                state.setTimeoutDuration(3_600_000)
+        else:
+            state.remove()
         if show_incomplete and buffered_tbl is not None \
                 and buffered_tbl.num_rows:
             emitted = False
@@ -373,7 +433,10 @@ def assemble_stateful(
         # alive even with nothing buffered — state rows are bounded by
         # the bucket count (≤ max(32, defaultParallelism)), not by data
         state.update(
-            (len(leftover), _encode_state(leftover, skip_xids, max_seen))
+            (
+                len(leftover),
+                _encode_state(leftover, skip_xids, max_seen, n_buckets),
+            )
         )
         # incomplete-transaction TTL. Generous by default: an open
         # transaction is legitimate until its commit arrives; the
@@ -450,6 +513,7 @@ def streaming_assemble(
             ttl_timeout=ttl_timeout,
             show_incomplete=show_incomplete,
             run_token=run_token,
+            n_buckets=n_buckets,
         )
 
     # xid-hash buckets (not raw xid): one Python invocation per bucket
@@ -460,8 +524,18 @@ def streaming_assemble(
     # BUCKET has been idle for the TTL (a bucket that keeps receiving
     # records keeps its stale transactions buffered until log end —
     # which is the reference's own behavior for open transactions).
-    n_buckets = max(
-        32, redo_stream.sparkSession.sparkContext.defaultParallelism
+    # the bucket count is part of the CHECKPOINT contract: xids hash to
+    # buckets by it, so resuming in a different-sized environment would
+    # re-key state. It is stamped into every state payload; a mismatch
+    # on restore raises with the remedy. `spark.olrs.assembly.buckets`
+    # pins it explicitly for cross-environment resumes
+    # (r12 review-pass-11).
+    sess = redo_stream.sparkSession
+    conf_val = sess.conf.get("spark.olrs.assembly.buckets", None)
+    n_buckets = (
+        int(conf_val)
+        if conf_val
+        else max(32, sess.sparkContext.defaultParallelism)
     )
     bucketed = redo_stream.withColumn(
         "_bucket", F.pmod(F.xxhash64("xid"), F.lit(n_buckets))

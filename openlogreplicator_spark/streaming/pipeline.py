@@ -202,8 +202,15 @@ class MetricsListener:
             def onQueryTerminated(self, event):
                 pass
 
+        # re-attach replaces (never orphans) a previous listener; detach
+        # before attach was an AttributeError that masked the caller's
+        # real teardown error (r12 review-pass-11)
+        if getattr(self, "_listener", None) is not None:
+            spark.streams.removeListener(self._listener)
         self._listener = _L()
         spark.streams.addListener(self._listener)
 
     def detach(self, spark: SparkSession) -> None:
-        spark.streams.removeListener(self._listener)
+        if getattr(self, "_listener", None) is not None:
+            spark.streams.removeListener(self._listener)
+            self._listener = None

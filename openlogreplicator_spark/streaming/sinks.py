@@ -27,26 +27,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _target_exists(spark, path: str) -> bool:
+    """Existence probe through the session's Hadoop filesystem — valid
+    for ANY scheme the cluster can reach (local, hdfs://, s3a://…).
+    os.path.exists silently returned False for every remote URI, which
+    disabled the replay dedup exactly where the module's 100-TB/lake
+    framing needs it (r12 review-pass-11)."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+    except Exception:
+        return os.path.exists(path)
+
+
 def idempotent_append(
-    batch: DataFrame, path: str, keys: tuple[str, ...] = ("commit_scn", "xid", "num")
+    batch: DataFrame,
+    path: str,
+    keys: tuple[str, ...] = ("commit_scn", "xid", "num"),
+    _out: dict | None = None,
 ) -> int:
     """Append only rows whose key tuple is not already in the target.
     Returns the number of rows actually written. ``keys[0]`` must be the
-    monotone SCN column — it drives the watermark pruning predicate."""
+    monotone SCN column — it drives the watermark pruning predicate.
+
+    Null-keyed rows (show_incomplete emits commit_scn=None,
+    transaction_assembly.py:295) dedup too: the anti-join compares
+    null-safely and the watermark filter keeps the target's null-scn
+    rows in scope — plain equality re-appended every null-keyed row on
+    replay (r12 review-pass-11).
+
+    ``_out`` (internal): when a dict is passed, its 'hi' key receives
+    max(scn) computed inside the persisted scope, so foreachBatch hooks
+    don't re-execute the upstream plan for one aggregate."""
     spark = batch.sparkSession
     batch = batch.persist()
     scn_col = keys[0]
-    lo = batch.agg(F.min(scn_col).alias("lo")).collect()[0]["lo"]
+    bounds = batch.agg(
+        F.min(scn_col).alias("lo"), F.max(scn_col).alias("hi")
+    ).collect()[0]
+    lo = bounds["lo"]
+    if _out is not None:
+        _out["hi"] = bounds["hi"]
     to_write = batch
-    if os.path.exists(path) and lo is not None:
-        existing = (
-            spark.read.parquet(path)
+    if _target_exists(spark, path):
+        scn_window = F.col(scn_col).isNull()
+        if lo is not None:
             # SCN watermark: only files overlapping [lo, ∞) are read —
-            # parquet min/max stats skip the rest of the history.
-            .filter(F.col(scn_col) >= F.lit(lo))
-            .select(*keys)
+            # parquet min/max stats skip the rest of the history; the
+            # null-scn rows ride along (they carry no ordering proof)
+            scn_window = scn_window | (F.col(scn_col) >= F.lit(lo))
+        existing = (
+            spark.read.parquet(path).filter(scn_window).select(*keys)
         )
-        to_write = batch.join(existing, on=list(keys), how="left_anti")
+        b = batch.alias("b")
+        e = existing.alias("e")
+        cond = None
+        for k in keys:
+            c = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
+            cond = c if cond is None else (cond & c)
+        to_write = b.join(e, cond, "left_anti")
     n = to_write.count()
     if n:
         to_write.write.mode("append").parquet(path)
@@ -67,14 +108,17 @@ def foreach_batch_idempotent(
     so a reference-style cold start can resume from the document alone."""
 
     def write(batch: DataFrame, epoch_id: int) -> None:
-        idempotent_append(batch, path, keys)
+        # hi rides out of idempotent_append's persisted scope — the
+        # separate agg here re-executed the whole upstream plan once
+        # more per epoch (r12 review-pass-11)
+        out: dict = {}
+        idempotent_append(batch, path, keys, _out=out)
         if state_dir is not None:
             from openlogreplicator_spark.metadata.state_documents import (
                 advance_checkpoint_doc,
             )
 
-            scn_col = keys[0]
-            hi = batch.agg(F.max(scn_col).alias("hi")).collect()[0]["hi"]
+            hi = out.get("hi")
             if hi is not None:
                 advance_checkpoint_doc(state_dir, database, int(hi))
 

@@ -344,7 +344,7 @@ class _FakeGroupState:
     def get(self):
         from openlogreplicator_spark.streaming.assembly import _decode_state
 
-        tbl, _, _max = _decode_state(bytes(self._payload))
+        tbl, _, _max, _nb = _decode_state(bytes(self._payload))
         return (tbl.num_rows, self._payload)
 
     def update(self, value):
@@ -584,7 +584,7 @@ def test_stateful_kernel_buffering_size_guard_bounds_state():
     from openlogreplicator_spark.streaming.assembly import _decode_state
 
     _, payload = state.get
-    tbl, skip, _max = _decode_state(bytes(payload))
+    tbl, skip, _max, _nb = _decode_state(bytes(payload))
     assert tbl.num_rows == 0
     assert skip == {"7.7.7"}
 
@@ -603,7 +603,7 @@ def test_stateful_kernel_buffering_size_guard_bounds_state():
     # bucket count, not by data)
     assert not state2.removed
     _, payload2 = state2.get
-    tbl2, skip2, max2 = _decode_state(bytes(payload2))
+    tbl2, skip2, max2, _nb = _decode_state(bytes(payload2))
     assert tbl2.num_rows == 0 and skip2 == set() and max2 == 21
 
 
@@ -754,7 +754,7 @@ def test_skiplisted_xid_reuse_in_same_batch_survives():
     # for the r11 arrival-order watermark
     assert not state2.removed
     _, payload2 = state2.get
-    tbl2, skip2, hi2 = _decode_state(bytes(payload2))
+    tbl2, skip2, hi2, _nb = _decode_state(bytes(payload2))
     assert (tbl2.num_rows, skip2, hi2) == (0, set(), 24)
 
 
@@ -827,7 +827,7 @@ def test_arrival_order_watchdog_warns_on_out_of_order_batches():
     # watermark persisted even though nothing is buffered
     assert state.exists and not state.removed
     _, payload = state.get
-    tbl, skip, hi = _decode_state(bytes(payload))
+    tbl, skip, hi, _nb = _decode_state(bytes(payload))
     assert (tbl.num_rows, skip, hi) == (0, set(), 15)
 
     # in-order continuation advances the watermark
@@ -975,7 +975,7 @@ def test_pre_watchdog_checkpoint_payload_restores_unarmed_then_arms():
         payload = fh.read()
 
     # (1) decodes with the watchdog UNARMED
-    tbl, skip, max_seen = _decode_state(payload)
+    tbl, skip, max_seen, _nb = _decode_state(payload)
     assert tbl.num_rows == 2 and skip == set() and max_seen is None
 
     # (2) the commit arrives — note scn 90 BELOW the buffered 101: an
@@ -1016,7 +1016,7 @@ def test_pre_watchdog_checkpoint_payload_restores_unarmed_then_arms():
     # (3) the rewritten state is ARMED at the batch's high water
     assert state.exists
     _, payload2 = state.get
-    _tbl2, _skip2, hi = _decode_state(bytes(payload2))
+    _tbl2, _skip2, hi, _nb = _decode_state(bytes(payload2))
     assert hi == 105, f"watchdog failed to arm on the next batch: {hi}"
 
 
@@ -1054,3 +1054,94 @@ def test_watchdog_warn_once_is_per_run_not_per_executor():
         for tok in [t for t in _asm._warned_buckets
                     if t.startswith(("run-A", "run-B", "run-evict"))]:
             _asm._warned_buckets.pop(tok, None)
+
+
+def test_idempotent_append_dedups_null_keyed_rows(spark, tmp_path):
+    """r12 review-pass-11: show_incomplete rows carry commit_scn=None;
+    the replay dedup must drop an already-written null-keyed row too
+    (null-safe anti-join + nulls kept in the watermark window). Plain
+    equality re-appended every null-keyed row on each replay."""
+    from openlogreplicator_spark.streaming.sinks import idempotent_append
+
+    path = str(tmp_path / "target")
+    batch = spark.createDataFrame(
+        [(100, "1.1.1", 0), (None, "2.2.2", 0)],
+        "commit_scn long, xid string, num long",
+    )
+    assert idempotent_append(batch, path) == 2
+    # full replay: nothing new — including the null-scn row
+    assert idempotent_append(batch, path) == 0
+    # an all-null-scn replayed batch must also dedup (the lo=None case
+    # previously skipped the anti-join entirely)
+    nulls = spark.createDataFrame(
+        [(None, "2.2.2", 0)], "commit_scn long, xid string, num long"
+    )
+    assert idempotent_append(nulls, path) == 0
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_ttl_reap_retains_skiplist_for_dropped_oversized_xid():
+    """r12 review-pass-11: the bucket TTL reap must NOT discard the T4
+    skiplist — late records of an oversized (already partially dropped)
+    xid would otherwise reassemble into a truncated transaction,
+    violating the cap's drop-whole guarantee. The retained state row is
+    skiplist-sized; the entry retires when the xid's terminal arrives."""
+    import pandas as pd
+
+    from openlogreplicator_spark.streaming.assembly import (
+        _decode_state,
+        assemble_stateful,
+    )
+
+    buffered = _state_payload([], skip=("9.9.9",))
+    state = _FakeGroupState(payload=buffered, timed_out=True)
+    out = list(assemble_stateful(("0",), iter([]), state))
+    assert not state.removed and state.exists
+    _, skip, _, _ = _decode_state(bytes(state._payload))
+    assert skip == {"9.9.9"}
+    assert sum(len(p) for p in out) == 0
+
+    # the xid's late tail (ops + commit) now arrives: nothing may emit,
+    # and the terminal retires the skiplist entry
+    state.hasTimedOut = False
+    tail = pd.DataFrame(
+        [
+            {"scn": 20, "subscn": 0, "block": 2, "offset": 0, "seq": 1,
+             "xid": "9.9.9", "opcode": "insert", "obj": 5, "bdba": 2,
+             "slot": 0, "fb": 0, "cols": {"A": "2"}, "rows": None},
+            {"scn": 21, "subscn": 0, "block": 3, "offset": 0, "seq": 1,
+             "xid": "9.9.9", "opcode": "commit", "obj": 0, "bdba": None,
+             "slot": None, "fb": 0, "cols": None, "rows": None},
+        ]
+    )
+    out2 = list(assemble_stateful(("0",), iter([tail]), state))
+    assert sum(len(p) for p in out2) == 0, "partial txn must not emit"
+
+
+def test_bucket_count_mismatch_raises_with_remedy():
+    """r12 review-pass-11: resuming a checkpoint whose state was
+    written under a different bucket count re-keys xids and strands
+    open transactions — the stamp must fail the restore loudly.
+    Pre-stamp payloads (no n_buckets metadata) restore unarmed."""
+    import pandas as pd
+    import pytest
+
+    from openlogreplicator_spark.streaming.assembly import (
+        _REC_COLUMNS,
+        _encode_state,
+        assemble_stateful,
+    )
+
+    stamped = _encode_state(
+        pd.DataFrame(columns=_REC_COLUMNS), set(), None, n_buckets=64
+    )
+    state = _FakeGroupState(payload=stamped)
+    with pytest.raises(RuntimeError, match="bucket-count mismatch"):
+        list(assemble_stateful(("0",), iter([]), state, n_buckets=32))
+    # same count: fine
+    state2 = _FakeGroupState(payload=stamped)
+    list(assemble_stateful(("0",), iter([]), state2, n_buckets=64))
+    # pre-stamp payload: restores against any count
+    legacy = _state_payload([])
+    state3 = _FakeGroupState(payload=legacy)
+    list(assemble_stateful(("0",), iter([]), state3, n_buckets=32))
