@@ -896,3 +896,52 @@ def test_timestamp_format_matrix_reaches_tsltz_and_date():
     # no fraction → no flip, epoch only
     bc0 = bytes([53, 88]) + b[2:7] + b"\x00\x00\x00\x00"
     assert decode_timestamp(bc0, "unix_nano") == "-210825466770000000000"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(1, 9999), st.integers(1, 12), st.integers(1, 28),
+    st.integers(0, 23), st.integers(0, 59), st.integers(0, 59),
+)
+def test_ad_epoch_render_matches_component_render(y, mo, d, h, mi, s):
+    """Internal-consistency property for the r12 epoch rewrite: for any
+    valid AD date, the epoch-based ISO render (valuesToEpoch port →
+    _iso_from_epoch) must reproduce the byte-pinned component render
+    (decode_date's fast path) exactly — the two derivations share no
+    code for the day arithmetic."""
+    from openlogreplicator_spark.functions.oracle_types import (
+        _civil_epoch_seconds,
+        _iso_from_epoch,
+        decode_date,
+    )
+
+    b = bytes([y // 100 + 100, y % 100 + 100, mo, d, h + 1, mi + 1, s + 1])
+    assert _iso_from_epoch(_civil_epoch_seconds(b), False) == decode_date(b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=4, max_size=4), st.binary(min_size=8, max_size=8))
+def test_float_ports_match_ieee_for_normals(b4, b8):
+    """Differential property for the decodeFloat/decodeDouble ports:
+    on NORMAL-exponent images the reference formula reduces to the
+    plain IEEE value, so the port must agree with struct.unpack bit
+    for bit; edge exponents (zeros/subnormals/inf/NaN) are excluded
+    here — their reference-specific semantics are pinned separately."""
+    import struct
+
+    from openlogreplicator_spark.functions.oracle_types import (
+        decode_binary_double,
+        decode_binary_float,
+    )
+
+    def norm(raw):
+        if raw[0] & 0x80:
+            return bytes([raw[0] & 0x7F]) + raw[1:]
+        return bytes(x ^ 0xFF for x in raw)
+
+    exp4 = ((norm(b4)[0] & 0x7F) << 1) | (norm(b4)[1] >> 7)
+    if 0 < exp4 < 0xFF:
+        assert decode_binary_float(b4) == struct.unpack(">f", norm(b4))[0]
+    exp8 = ((norm(b8)[0] & 0x7F) << 4) | (norm(b8)[1] >> 4)
+    if 0 < exp8 < 0x7FF:
+        assert decode_binary_double(b8) == struct.unpack(">d", norm(b8))[0]
