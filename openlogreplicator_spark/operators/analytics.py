@@ -25,42 +25,60 @@ from openlogreplicator_spark.sources.tables import load_table
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-stage funnel view → click → purchase: a user counts at
     a stage only if the stage event happened strictly AFTER the previous
-    stage's first completion (min-timestamp chaining). Each stage is a
-    per-user aggregate (one shuffle on user_id) joined back to the
-    events scan; the join inputs shrink monotonically stage over stage."""
-    ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("vts"))
+    stage's first completion (min-timestamp chaining).
+
+    r12 shape: ONE user_id exchange total. The three stage thresholds
+    are chained unordered-frame window mins over the same user
+    partitioning (no per-window sort, no re-exchange); the old shape
+    re-scanned events and re-aggregated stage frames in each of the
+    three union branches (6 scans, 8 exchanges → 1 scan, 1 data-scale
+    exchange). Chaining semantics are identical: a null previous
+    threshold nulls the `ts > prev` predicate, so the conditional min
+    ignores the row — exactly the old inner-join-then-filter gate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("vts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("cts"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("cts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("pts"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit("1_view").alias("stage"), "n_users"
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "vts",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(w),
         )
-        .unionByName(
-            c.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit("2_click").alias("stage"), "n_users"
-            )
+        .withColumn(
+            "cts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("vts")),
+                    F.col("ts"),
+                )
+            ).over(w),
         )
-        .unionByName(
-            p.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit("3_purchase").alias("stage"), "n_users"
-            )
+        .withColumn(
+            "pts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("cts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    # one row per user, exchange-free (user_id-clustered already);
+    # count(col) counts non-null = users that completed the stage
+    per_user = staged.select("user_id", "vts", "cts", "pts").distinct()
+    counts = per_user.agg(
+        F.count("vts").alias("nv"),
+        F.count("cts").alias("nc"),
+        F.count("pts").alias("np"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_view', nv, '2_click', nc, '3_purchase', np)"
+            " as (stage, n_users)"
         )
     )
 

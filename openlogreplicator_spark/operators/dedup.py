@@ -504,8 +504,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the gram explode is the dominant cost and must use every core;
         # the test corpus is one parquet split, which would otherwise pin
         # the whole scan+explode to a single task (at production scale the
-        # source has many splits and this is a near-free small shuffle)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # source has many splits and this is a near-free small shuffle).
+        # Hash by doc_id so the (doc_id, gram) distinct below rides this
+        # same exchange instead of adding its own (guide §2.4)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     # Grams are hashed to 64 bits right after the explode, so every
     # downstream exchange (two DISTINCTs + the equi-join) shuffles 8-byte

@@ -288,19 +288,20 @@ def q21_suppliers_kept_waiting(
     # optimized plan (and its noise-detector fingerprint) differed run
     # to run (found r10 when only this query's fingerprint moved in a
     # round that never touched it)
-    per_order = (
-        li.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late.cast("int")).alias("any_late"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_supp"),
-            F.count(F.when(F.col("any_late") == 1, 1)).alias("n_late"),
-        )
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("any_late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("any_late") == 1, 1)).alias("n_late"),
     )
     late_lines = (
-        li.filter(late)
+        # a (order, supplier) pair had a late line ⟺ any_late == 1:
+        # exactly the old `li.filter(late).select(...).distinct()` set,
+        # but derived from per_pair so lineitem is scanned and exchanged
+        # once, not twice
+        per_pair.filter(F.col("any_late") == 1)
         .select("l_orderkey", "l_suppkey")
-        .distinct()
         .join(per_order, "l_orderkey")
         # sole late supplier on a multi-supplier order
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))

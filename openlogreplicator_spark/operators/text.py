@@ -656,7 +656,11 @@ def text_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spread the passage explode across every core even when the
         # source is a single parquet split (test corpus); at production
         # scale the scan has many splits and this shuffle is noise
-        .repartition(spark.sparkContext.defaultParallelism)
+        # hash by doc_id (not round-robin): every downstream doc-keyed
+        # distinct/aggregate/window is then satisfied by this one
+        # exchange (HashPartitioning(doc_id) ⊆ any doc_id-led clustering)
+        # and drops its own data-scale Exchange — r12 guide §2.4
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     words = F.split("text", " ")
     n = _PASSAGE_WORDS
@@ -726,7 +730,11 @@ def text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        # hash by doc_id (not round-robin): every downstream doc-keyed
+        # distinct/aggregate/window is then satisfied by this one
+        # exchange (HashPartitioning(doc_id) ⊆ any doc_id-led clustering)
+        # and drops its own data-scale Exchange — r12 guide §2.4
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
@@ -779,7 +787,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        # hash by doc_id (not round-robin): every downstream doc-keyed
+        # distinct/aggregate/window is then satisfied by this one
+        # exchange (HashPartitioning(doc_id) ⊆ any doc_id-led clustering)
+        # and drops its own data-scale Exchange — r12 guide §2.4
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
@@ -846,7 +858,11 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        # hash by doc_id (not round-robin): every downstream doc-keyed
+        # distinct/aggregate/window is then satisfied by this one
+        # exchange (HashPartitioning(doc_id) ⊆ any doc_id-led clustering)
+        # and drops its own data-scale Exchange — r12 guide §2.4
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     chars = docs.select(
         "doc_id", F.explode(F.split("text", "")).alias("ch")
@@ -911,7 +927,11 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.length("text") >= 2)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # hash by doc_id (not round-robin): every downstream doc-keyed
+        # distinct/aggregate/window is then satisfied by this one
+        # exchange (HashPartitioning(doc_id) ⊆ any doc_id-led clustering)
+        # and drops its own data-scale Exchange — r12 guide §2.4
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     bigrams = docs.select(
         "doc_id",
@@ -1000,7 +1020,11 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        # hash by doc_id (not round-robin): every downstream doc-keyed
+        # distinct/aggregate/window is then satisfied by this one
+        # exchange (HashPartitioning(doc_id) ⊆ any doc_id-led clustering)
+        # and drops its own data-scale Exchange — r12 guide §2.4
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     toks = docs.select(
         "doc_id",
