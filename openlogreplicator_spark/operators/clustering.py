@@ -140,7 +140,10 @@ def _cc_local(e: DataFrame) -> DataFrame:
             {"node": nodes, "component": [find(v) for v in nodes]}
         )
 
-    return e.repartition(1).mapInPandas(
+    # coalesce, not repartition: the union-find consumes every row in one
+    # task either way, and coalesce(1) folds the upstream partitions into
+    # that task without a 1-partition shuffle write+read (guide §2.4)
+    return e.coalesce(1).mapInPandas(
         uf, schema="node long, component long"
     )
 
@@ -151,12 +154,28 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     local_threshold: int = _LOCAL_CC_EDGES,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge; component =
-    the minimum node id reachable through the undirected edge set."""
-    e = _canon_edges(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).localCheckpoint()
+    the minimum node id reachable through the undirected edge set.
+
+    ``assume_canonical``: the caller guarantees edges are already
+    distinct, self-loop-free and (src > dst)-oriented — true for every
+    pair generator in this package (their pairs are grouped on
+    (id_a < id_b)) — so the entry canonicalization pass (one exchange +
+    distinct over the pair set) is skipped. The loop's per-round
+    invariants are unchanged."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_canonical:
+        e = _canon_edges(e)
+    else:
+        # pair generators emit (smaller, larger); the loop's canonical
+        # orientation is (src > dst) — a projection, not a shuffle
+        e = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+    e = e.localCheckpoint()
     # Each round's shuffles otherwise run at the session's full
     # spark.sql.shuffle.partitions even when the edge set has shrunk to
     # thousands of rows — AQE's partition coalescing does not apply to
@@ -319,7 +338,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster's canonical survivor flag."""
     corpus = _three_gen_corpus(spark, sf_dir)
     pairs = _jaccard_pairs(corpus, _JACCARD_T)
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", assume_canonical=True
+    )
     return comp.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("cluster_id"),
@@ -374,7 +395,9 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct-max, so no second pass over members."""
     corpus = _three_gen_corpus(spark, sf_dir)
     pairs = _jaccard_pairs(corpus, _JACCARD_T)
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", assume_canonical=True
+    )
     sized = comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     ).join(

@@ -12,6 +12,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+# JVM↔Python Arrow transfer granularity. The engine's hot Python stages
+# (redo parse, transaction assembly) move SLIM rows through iterator-form
+# kernels whose heavy init is per-task, so batch size only sets transfer/
+# pipelining granularity: an interleaved A/B at sf0.1 (r12, quiet-box
+# medians over 3-6 runs each way) measured 4000 beating the 10000 default
+# by 15-20% on the three assembly-plane queries (2.8→2.3 s class) and
+# neutral-or-better on every other Python-boundary operator (LOB
+# reassembly 1.55→1.39, semantic dedup 3.62→3.48, multimodal/quantize/
+# drain within noise); 20k-100k batches lose 20-40% (less JVM↔Python
+# overlap, bigger per-batch working sets). Env-tunable for clusters where
+# wider rows or faster interconnects move the optimum.
+_ARROW_BATCH = os.environ.get("OLRS_ARROW_BATCH", "4000")
+
 
 def get_spark(
     app_name: str = "openlogreplicator-spark",
@@ -35,6 +48,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", _ARROW_BATCH
+        )
         # files.maxPartitionBytes stays at the 128 MB default: an A/B at
         # sf0.1 showed 16 MB partitions (≈10 scan tasks for a 300 MB
         # file instead of 3) consistently LOSE end-to-end — each extra
@@ -63,6 +79,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.execution.arrow.maxRecordsPerBatch", _ARROW_BATCH),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:
