@@ -242,8 +242,16 @@ def _recall_contract(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    # queries whose approx set missed everything still count (recall 0)
-    all_q = exact.select("query_id").distinct().join(
+    # queries whose approx set missed everything still count (recall 0).
+    # The spine is the QUERY SET itself, not exact.query_id.distinct():
+    # every query emits exact rows whenever the corpus is non-trivial, so
+    # the two spines are identical (it is literally the oracle's
+    # n_queries definition) — but deriving it from `exact` re-executed
+    # the whole brute-force crossJoin+top-k subtree a second time (Spark
+    # shares no subtrees below a plan fork; a persist() of exact was
+    # A/B-measured SLOWER at sf0.1 — cache-build barrier vs cheap
+    # parallel recompute — so the fix is to not need the reuse at all).
+    all_q = queries.select(F.col("vec_id").alias("query_id")).join(
         per_q, "query_id", "left"
     ).select(
         "query_id",
