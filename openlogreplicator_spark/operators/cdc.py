@@ -833,9 +833,28 @@ def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     skipped = F.col("xid").cast("bigint") % _METRICS_SKIP_MOD == 0
     filt = F.when(skipped, "skip").otherwise("out")
-    dml = assembled.groupBy(
-        op_name.alias("kind"), filt.alias("filter")
-    ).agg(F.count(F.lit(1)).alias("value")).select(
+    # ONE pass over the assembled stream (r12): the dml / per-table /
+    # transaction counters previously each consumed `assembled`
+    # directly, and Spark shares no subtrees below a plan fork — the
+    # whole synthesize+shuffle+Arrow-assembly pipeline executed three
+    # times. This persisted pre-aggregate holds one slim row per
+    # (kind, filter, tab, xid) — transaction-scale, the counters' finest
+    # grain — and each family folds it down exchange-free-cheap.
+    # Summing the partial counts reproduces every original groupBy
+    # exactly (filter is xid-functional, so no xid straddles filters).
+    pre = (
+        assembled.groupBy(
+            op_name.alias("kind"),
+            filt.alias("filter"),
+            F.concat(F.lit("TPCH.T"), F.col("obj") % 4).alias("tab"),
+            F.col("xid").alias("xid"),
+        )
+        .agg(F.count(F.lit(1)).alias("value"))
+        .persist()
+    )
+    dml = pre.groupBy("kind", "filter").agg(
+        F.sum("value").alias("value")
+    ).select(
         F.concat(
             F.lit("dml_ops_"), "kind", F.lit("_"), "filter"
         ).alias("metric"),
@@ -843,16 +862,15 @@ def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-table splits: owner/table resolved from obj (adaptive-mode
     # synthesis keeps the mapping SQL-reproducible)
-    dml_tab = assembled.filter(~skipped).groupBy(
-        op_name.alias("kind"),
-        F.concat(F.lit("TPCH.T"), F.col("obj") % 4).alias("tab"),
-    ).agg(F.count(F.lit(1)).alias("value")).select(
+    dml_tab = pre.filter(F.col("filter") == "out").groupBy(
+        "kind", "tab"
+    ).agg(F.sum("value").alias("value")).select(
         F.concat(
             F.lit("dml_ops_"), "kind", F.lit("_out:"), "tab"
         ).alias("metric"),
         "value",
     )
-    txns = assembled.groupBy(filt.alias("filter")).agg(
+    txns = pre.groupBy("filter").agg(
         F.countDistinct("xid").alias("value")
     ).select(
         F.concat(F.lit("transactions_commit_"), "filter").alias("metric"),
