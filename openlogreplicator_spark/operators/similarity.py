@@ -882,15 +882,17 @@ def semantic_dedup(
         ).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "anchor_id")
-    # three consumers (both pair-scan sides + the output join) — persist
-    # so anchor assignment runs once, not per subtree
     assigned = (
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("anchor_id").alias("cluster"))
-        .persist()
     )
-    sided = assigned.join(e, "vec_id")
+    # the persist moved from `assigned` to `sided` (r12): all three
+    # consumers (both pair-scan sides + the output projection) need the
+    # JOINED frame, so caching only the assignment still re-ran the
+    # assignment⋈embedding join (an SMJ) once per side. One cached
+    # corpus-scale frame, three cache readers, zero repeated joins.
+    sided = assigned.join(e, "vec_id").persist()
     a = sided.select(
         F.col("vec_id").alias("a_id"),
         "cluster",
@@ -922,7 +924,9 @@ def semantic_dedup(
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )
-    return assigned.join(dups, "vec_id", "left").select(
+    return sided.select("vec_id", "cluster").join(
+        dups, "vec_id", "left"
+    ).select(
         "vec_id",
         F.col("cluster").cast("bigint").alias("cluster"),
         F.coalesce(~F.col("is_dup"), F.lit(True)).alias("keep"),
