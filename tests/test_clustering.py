@@ -189,3 +189,26 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and the same graph converges fine with the default budget
     out = connected_components(chain, local_threshold=0)
     assert out.select("component").distinct().count() == 1
+
+
+def test_cc_assume_canonical_matches_default(spark):
+    """r12: the canonicalization-skip path must produce exactly the
+    default path's labels when the caller's guarantee holds (distinct,
+    self-loop-free, consistently oriented pairs — the shape every pair
+    generator emits), in both orientations and on both the local and
+    distributed routes."""
+    pairs = [(1, 7), (2, 7), (3, 9), (9, 11), (5, 6)]
+    for orient in (pairs, [(b, a) for a, b in pairs]):
+        df = spark.createDataFrame(orient, "src: long, dst: long")
+        want = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        for thresh in (len(pairs) + 1, 0):  # local route, loop route
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    df, local_threshold=thresh, assume_canonical=True
+                ).collect()
+            }
+            assert got == want
