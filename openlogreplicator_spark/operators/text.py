@@ -92,48 +92,71 @@ FROM documents
 """
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Marker-word language ID: argmax over per-language marker counts
-    (ties → language with most markers wins alphabetically). One explode +
-    broadcast join against the tiny marker table + one doc-keyed agg."""
-    spark = docs.sparkSession
-    markers = spark.createDataFrame(
-        [(lang, w) for lang, ws in _LANG_MARKERS.items() for w in ws],
-        "cand_lang string, marker string",
+    (ties → alphabetically-first language, the window's old
+    score-desc/lang-asc order).
+
+    r12 shape: fully MAP-SIDE. The marker table is a compile-time
+    constant (5 langs × 3 words), so each language's score is a
+    `size(filter(tokens, isin(markers)))` over the split array and the
+    argmax is a when-fold across the five staged score columns — no
+    explode, no marker join, no per-doc aggregate, no window. The old
+    plan paid a token explode + (doc, lang) exchange + a doc-keyed
+    window sort for what one projection computes; at any scale this is
+    now zero data shuffles. Scores stay exact token counts (same
+    whitespace split, same exact-match semantics — a word marking two
+    languages counts for both, as the join did). ``carry`` names extra
+    input columns to keep on the output row, letting callers drop
+    their join-back."""
+    langs = sorted(_LANG_MARKERS)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    # staged: each score column is referenced twice by the fold below,
+    # and higher-order lambdas block subexpression elimination (the
+    # filter_gate staging rule). The marker set closes over a factory —
+    # a defaulted lambda parameter would make PySpark treat it as the
+    # (element, index) two-arg form.
+    def _is_marker(ws):
+        return lambda t: t.isin(*ws)
+
+    staged = docs.select(
+        "doc_id",
+        *carry,
+        *[
+            F.size(
+                F.filter(words, _is_marker(_LANG_MARKERS[lang]))
+            ).alias(f"_s_{lang}")
+            for lang in langs
+        ],
     )
-    langs = spark.createDataFrame(
-        [(lang,) for lang in _LANG_MARKERS], "cand_lang string"
+    # fold in ascending language order with a STRICT > : ties keep the
+    # alphabetically-first language — exactly the old window's
+    # (score DESC, cand_lang ASC) row_number()=1 pick
+    best = F.struct(
+        F.col(f"_s_{langs[0]}").alias("score"),
+        F.lit(langs[0]).alias("lang"),
     )
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-    )
-    counts = (
-        tokens.join(F.broadcast(markers), tokens.tok == markers.marker)
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.count(F.lit(1)).alias("score"))
-    )
-    scored = (
-        docs.select("doc_id")
-        .crossJoin(F.broadcast(langs))
-        .join(counts, ["doc_id", "cand_lang"], "left")
-        .fillna(0, ["score"])
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("cand_lang")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
+    for lang in langs[1:]:
+        s = F.col(f"_s_{lang}")
+        best = F.when(
+            s > best["score"],
+            F.struct(s.alias("score"), F.lit(lang).alias("lang")),
+        ).otherwise(best)
+    return staged.select(
+        "doc_id",
+        *carry,
+        best["lang"].alias("pred_lang"),
+        best["score"].cast("bigint").alias("score"),
     )
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pred = lang_id(docs)
+    # lang rides the map-side projection (carry) — no join-back; the
+    # only exchange left is the tiny (pred_lang, lang) partial agg
+    pred = lang_id(docs, carry=("lang",))
     return (
-        pred.join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("pred_lang", "lang")
+        pred.groupBy("pred_lang", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
