@@ -1298,46 +1298,66 @@ def cdc_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator reports each gap as (gap_start, gap_end, n_missing).
 
     100-TB shape: a global `lag` window would range-sort the whole
-    sequence space through one task chain, so gaps are found with two
-    self-equi-joins instead — a sequence s starts a gap iff s+1 is
-    absent, ends one iff s-1 is absent (anti-joins shuffled on the
-    sequence key, fully parallel). Only the gap *boundaries* — rare by
-    construction — flow into the final pairing window, so that sort is
-    over a vanishingly small frame, not the data."""
+    sequence space through one task chain, and anti-joins on shifted
+    copies would shuffle the sequence set once per join side — so each
+    observed sequence instead emits three position markers (itself,
+    s+1, s-1) and ONE hash aggregation over the marker position yields
+    presence plus both neighbour flags: a position p starts a gap iff
+    p-1 is present and p is not; ends one iff p+1 is present and p is
+    not. One data-scale exchange total (partially aggregated map-side,
+    and duplicate-insensitive, so no distinct prepass), with the
+    bounds as a map-side min/max broadcast. Only the gap *boundaries*
+    — rare by construction — survive the aggregate, and because starts
+    and ends strictly alternate in position order, one `lead` window
+    over that vanishingly small frame pairs them with no self-join and
+    no second consumer of the aggregated subtree."""
     ev = load_table(spark, sf_dir, "events")
-    seqs = (
-        ev.filter(F.col("event_id") % 97 != 0)
-        .select(F.col("event_id").alias("seq"))
-        .distinct()
+    obs = ev.filter(F.col("event_id") % 97 != 0).select(
+        F.col("event_id").alias("seq")
     )
-    # s+1 is absent  ⇔  s is not in {t-1 | t ∈ seqs}  (gap starts at s+1)
-    # s-1 is absent  ⇔  s is not in {t+1 | t ∈ seqs}  (gap ends at s-1)
-    nxt = seqs.select((F.col("seq") + 1).alias("seq"))
-    prv = seqs.select((F.col("seq") - 1).alias("seq"))
-    bounds = seqs.agg(
-        F.min("seq").alias("lo"), F.max("seq").alias("hi")
+    triples = obs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("seq").alias("pos"), F.lit(0).alias("kind")),
+                F.struct((F.col("seq") + 1).alias("pos"), F.lit(1).alias("kind")),
+                F.struct((F.col("seq") - 1).alias("pos"), F.lit(2).alias("kind")),
+            )
+        ).alias("m")
+    ).select("m.pos", "m.kind")
+    grouped = triples.groupBy("pos").agg(
+        F.max(F.col("kind") == 0).alias("present"),
+        F.max(F.col("kind") == 1).alias("has_prev"),
+        F.max(F.col("kind") == 2).alias("has_next"),
     )
-    starts = (
-        seqs.join(prv, "seq", "left_anti")
+    bounds = obs.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"))
+    boundaries = (
+        grouped.filter(~F.col("present"))
         .join(F.broadcast(bounds))
-        .filter(F.col("seq") < F.col("hi"))
-        .select((F.col("seq") + 1).alias("gap_start"))
+        .withColumn(
+            "is_start", F.col("has_prev") & (F.col("pos") <= F.col("hi"))
+        )
+        .withColumn(
+            "is_end", F.col("has_next") & (F.col("pos") >= F.col("lo"))
+        )
+        .filter(F.col("is_start") | F.col("is_end"))
     )
-    ends = (
-        seqs.join(nxt, "seq", "left_anti")
-        .join(F.broadcast(bounds))
-        .filter(F.col("seq") > F.col("lo"))
-        .select((F.col("seq") - 1).alias("gap_end"))
-    )
-    w = Window.orderBy("gap_start")
-    w2 = Window.orderBy("gap_end")
+    # A single missing position is its own start AND end; a longer
+    # gap's start row is immediately followed (in position order) by
+    # its end row, because interior missing positions never reach
+    # `grouped` (no present neighbour emits a marker for them).
+    w = Window.orderBy("pos")
     paired = (
-        starts.withColumn("k", F.row_number().over(w))
-        .join(ends.withColumn("k", F.row_number().over(w2)), "k")
+        boundaries.withColumn(
+            "gap_end_",
+            F.when(F.col("is_end"), F.col("pos")).otherwise(
+                F.lead("pos").over(w)
+            ),
+        )
+        .filter(F.col("is_start"))
         .select(
-            "gap_start",
-            "gap_end",
-            (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
+            F.col("pos").alias("gap_start"),
+            F.col("gap_end_").alias("gap_end"),
+            (F.col("gap_end_") - F.col("pos") + 1).alias("n_missing"),
         )
     )
     return paired
