@@ -102,17 +102,22 @@ SELECT '3_purchase' AS stage, COUNT(*) AS n_users FROM p
 
 def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-activity day,
-    counted distinct on each later active day. Two shuffles (first-day
-    agg, cohort-cell agg); the (user, day) distinct is partial-aggregated
-    map-side so the exchange carries at most one row per user-day."""
+    counted distinct on each later active day. One scan of events: the
+    (user, day) distinct is partial-aggregated map-side, then cohort is
+    an unordered per-user window over the deduped rows (no second scan
+    or broadcast of a first-day aggregate) before the cohort-cell agg."""
     ev = load_table(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("cohort")
-    )
     active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # cohort = min(day) over the user's distinct days == min over raw days;
+    # deriving it as an unordered window over `active` reads events ONCE
+    # (the two-aggregate formulation scans it twice — the optimizer strips
+    # the distinct under min(), so the subtrees diverge and nothing reuses).
+    # The extra user_id exchange carries only the deduped user-day rows.
+    withc = active.withColumn(
+        "cohort", F.min("day").over(Window.partitionBy("user_id"))
+    )
     return (
-        active.join(firsts, "user_id")
-        .groupBy(
+        withc.groupBy(
             F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
             F.datediff("day", "cohort").cast("int").alias("day_offset"),
         )
