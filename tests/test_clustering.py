@@ -212,3 +212,28 @@ def test_cc_assume_canonical_matches_default(spark):
                 ).collect()
             }
             assert got == want
+
+
+def test_jaccard_df_cap_excludes_boilerplate(spark):
+    """r12: the DF cap moved from a window count to a hot-shingle
+    broadcast anti-join; pin the cap semantics directly against a
+    synthetic corpus — a shingle present in MORE than _SHINGLE_DF_CAP
+    documents generates no candidate pairs, while pairs sharing rare
+    shingles survive with the same threshold gate."""
+    from openlogreplicator_spark.operators.clustering import (
+        _SHINGLE_DF_CAP,
+        _jaccard_pairs,
+    )
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    rows = [(1, "one " + body), (2, "two " + body)]
+    # _SHINGLE_DF_CAP + 1 docs sharing exactly one boilerplate shingle
+    rows += [
+        (100 + i, f"common boiler plate u{i} v{i}")
+        for i in range(_SHINGLE_DF_CAP + 1)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in _jaccard_pairs(corpus, 0.6).collect()}
+    # docs 1/2 share 9 of 11 distinct shingles (J = 0.818); every
+    # boilerplate-only doc pair must be suppressed by the cap
+    assert got == {(1, 2)}
