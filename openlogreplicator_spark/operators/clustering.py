@@ -264,7 +264,9 @@ def _three_gen_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", r"^\S+", "zzz"), r"\S+$", "qqq"
         ).alias("text"),
     )
-    return docs.unionByName(m1).unionByName(m2).repartition(64, "doc_id")
+    # scale-adaptive spread — see dedup._docs_with_exact_copies
+    width = 2 * spark.sparkContext.defaultParallelism
+    return docs.unionByName(m1).unionByName(m2).repartition(width, "doc_id")
 
 
 _THREE_GEN_SQL = f"""

@@ -39,8 +39,13 @@ def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text", "source"
     )
     # the documents file is a single small parquet → 1-2 input splits;
-    # spread the (expensive) shingle/hash stages across all cores
-    return docs.unionByName(dup).repartition(64, "doc_id")
+    # spread the (expensive) shingle/hash stages across all cores.
+    # 2× the executor-core count (not a constant): identical to the old
+    # literal 64 at the bench's local[32], scales with the cluster, and
+    # the 2× headroom absorbs doc-length skew in the explode stage
+    # (AQE cannot split an input partition of a Generate).
+    width = 2 * spark.sparkContext.defaultParallelism
+    return docs.unionByName(dup).repartition(width, "doc_id")
 
 
 _DOCS_WITH_COPIES_SQL = f"""
@@ -57,7 +62,9 @@ def _docs_with_mutated_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
         F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
     )
-    return docs.unionByName(mut).repartition(64, "doc_id")
+    # scale-adaptive spread — see _docs_with_exact_copies
+    width = 2 * spark.sparkContext.defaultParallelism
+    return docs.unionByName(mut).repartition(width, "doc_id")
 
 
 _DOCS_MUTATED_SQL = f"""
