@@ -286,29 +286,31 @@ _THREE_GEN_SQL = f"""
 def _jaccard_pairs(corpus: DataFrame, threshold: float) -> DataFrame:
     """Near-dup candidate pairs (same shape as dedup_ngram_jaccard)."""
 
+    from pyspark.sql import Window
+
     # 64-bit shingle hashing — same shuffle-narrowing as
     # dedup_ngram_jaccard; Jaccard counts are hash-collision-exact at
     # any realistic corpus size.
-    # ONE persisted frame, partitioned by shingle (the distinct rides
-    # the corpus's doc_id partitioning — subset rule). The DF cap is a
-    # hot-shingle aggregate riding the cached partitioning (no
-    # exchange, boilerplate-sized output) broadcast-anti-joined back:
-    # no sort of the whole shingle set, unlike the window-count shape
-    # it replaces (r12 A/B on this composite: 3.43 vs 3.84 s median).
-    base = (
+    # ONE persisted frame, already partitioned by shingle: the DF cap is
+    # a window count over that partitioning (replacing the previous
+    # aggregate + anti-join pass over a second persist), and the
+    # self-join below joins ON the partitioning key, so neither side
+    # needs another exchange — the shingle set shuffles exactly twice
+    # (distinct, then the shingle repartition) instead of four times.
+    # r12: a no-sort hot-shingle anti-join variant was A/B-measured at
+    # the 10× probe and reverted — see dedup.dedup_ngram_jaccard.
+    sh = (
         shingles(corpus)
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
         .repartition("shingle")
+        .withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .drop("_df")
         .persist()
     )
-    hot = (
-        base.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > _SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    sh = base.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

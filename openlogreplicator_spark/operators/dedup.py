@@ -209,34 +209,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join anywhere; the document-frequency cap bounds its fan-out."""
     corpus = _docs_with_mutated_copies(spark, sf_dir)
 
+    from pyspark.sql import Window
+
     # shingles hash to 64 bits before any exchange: the distinct, the
-    # df-cap, and the self-join all shuffle 8-byte keys instead of
-    # ~20-byte trigram strings (collision odds are ~1e-8 at 1e9
+    # df-cap window, and the self-join all shuffle 8-byte keys instead
+    # of ~20-byte trigram strings (collision odds are ~1e-8 at 1e9
     # distinct shingles — see decontaminate_ngram).
-    # ONE persisted frame, partitioned by shingle (the distinct itself
-    # rides the corpus's doc_id partitioning — subset rule — so the
-    # shingle set crosses the wire once). The DF cap is a hot-shingle
-    # aggregate that ALSO rides the cached partitioning (no exchange,
-    # boilerplate-vocabulary-sized output) broadcast-anti-joined back —
-    # unlike the previous window count, it needs no sort of the whole
-    # shingle set (r12 A/B: 2.02 vs 2.15 s here, 3.43 vs 3.84 s in the
-    # clustering composite). The hot side stays broadcastable at any
-    # scale: it holds only shingles whose document frequency exceeds
-    # the cap, i.e. shared boilerplate, not the corpus.
-    base = (
+    # ONE persisted frame, partitioned by shingle: the DF cap is a
+    # window count over that partitioning (not a second aggregate +
+    # anti-join pass over a second persist), and the self-join joins ON
+    # the partitioning key — the shingle set shuffles twice total.
+    # Interleaved A/B at sf0.1 (clustering.py's identical pipeline):
+    # median 8.1s → 5.9s for pairs+components.
+    # r12 note: a hot-shingle broadcast anti-join (no sort, cache holds
+    # the UNFILTERED set) measured ~10% faster at sf0.1 but parity-to-
+    # worse at the 10× probe with a heavy degradation tail (the uncapped
+    # hot-shingle rows in the cache spill under pressure) — measured,
+    # reverted; the window's whole-set sort buys the SMALLER cache,
+    # which is what matters at scale.
+    sh = (
         shingles(corpus)
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .distinct()
         .repartition("shingle")
+        .withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .drop("_df")
         .persist()
     )
-    hot = (
-        base.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > _SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    sh = base.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
