@@ -19,9 +19,11 @@ Scale shape: one task per redo file (`spark.read.format("binaryFile")`
 keeps each file whole), the same unit of parallelism as the reference's
 one-reader-per-file thread model but multiplied across the cluster.
 Block validation (signature, block number, checksum) is vectorized with
-numpy over all blocks of a file at once; only the record/vector walk is
-a Python loop, and it feeds straight into the Arrow batch that
-`mapInPandas` returns.
+numpy over all blocks of a file at once; the record/vector walk is a
+flat-offset Python loop that records integers only (no per-vector
+dicts, no per-value slices), value images are unique-ified and decoded
+in vectorized batches, and the output is built directly as the Arrow
+RecordBatch that `mapInArrow` returns (r13, guide §4.2).
 
 OLRS1 layout (all little-endian, 512-byte blocks):
 
@@ -876,6 +878,96 @@ def _nano_digits(m, a, col: int):
         c //= 10
 
 
+def _pair_strings(vals):
+    """(n, k) matrix of base-100 digit values 0..99 → list of n
+    2k-char decimal-pair strings (vectorized digit render)."""
+    import numpy as np
+
+    n, k = vals.shape
+    mm = np.empty((n, 2 * k), np.uint8)
+    mm[:, 0::2] = vals // 10 + 48
+    mm[:, 1::2] = vals % 10 + 48
+    return _np_strings(mm)
+
+
+def _batch_decode_numbers(items, unk: str) -> dict:
+    """Vectorized twin of :func:`decode_number` over same-length groups
+    of unique NUMBER images: header/sign/exponent split, base-100 digit
+    expansion and range validation are whole-matrix numpy ops; the
+    canonical-string tail (leading/trailing-zero strips, decimal-point
+    placement) is the scalar kernel's own arithmetic on the rendered
+    digit string. Any malformed or edge-shape image (lone header,
+    empty digits after the 0x66 terminator, out-of-range digit bytes)
+    routes to the scalar kernel, so both routes stay byte-identical on
+    every image."""
+    import numpy as np
+
+    out: dict = {}
+    by_len: dict[int, list[bytes]] = {}
+    for t in items:
+        by_len.setdefault(len(t), []).append(t)
+    for L, grp in by_len.items():
+        # tagged length L = 1 (tag) + payload; vector path needs ≥ 2
+        # digit-capable payload bytes (header + ≥1 digit)
+        if L < 3 or len(grp) <= 16:
+            for t in grp:
+                out[t] = decode_number(t[1:], unk)
+            continue
+        n = len(grp)
+        m = np.frombuffer(b"".join(grp), np.uint8).reshape(n, L)[:, 1:]
+        b0 = m[:, 0].astype(np.int64)
+        posm = (b0 & 0x80) != 0
+        d = m[:, 1:].astype(np.int64)
+        term = (~posm) & (m[:, -1] == 0x66)
+        # three shapes: positive (k = P-1), negative with 0x66
+        # terminator (k = P-2), negative without (k = P-1)
+        for mask, sign, drop_last in (
+            (posm, "", False),
+            (term, "-", True),
+            ((~posm) & ~term, "-", False),
+        ):
+            idx = np.nonzero(mask)[0]
+            if not len(idx):
+                continue
+            dd = d[idx, :-1] if drop_last else d[idx]
+            k = dd.shape[1]
+            if k == 0:
+                for i in idx.tolist():
+                    out[grp[i]] = decode_number(grp[i][1:], unk)
+                continue
+            if sign:
+                exps = (62 - b0[idx]).tolist()
+                valid = ((dd >= 2) & (dd <= 101)).all(axis=1)
+                vals = 101 - dd
+            else:
+                exps = ((b0[idx] & 0x7F) - 65).tolist()
+                valid = ((dd >= 1) & (dd <= 100)).all(axis=1)
+                vals = dd - 1
+            dstrs = _pair_strings(vals)
+            for i, dstr, exp, ok in zip(
+                idx.tolist(), dstrs, exps, valid.tolist()
+            ):
+                t = grp[i]
+                if not ok:
+                    out[t] = decode_number(t[1:], unk)
+                elif exp < 0:
+                    frac = ("00" * (-exp - 1) + dstr).rstrip("0") or "0"
+                    out[t] = f"{sign}0.{frac}"
+                else:
+                    ip = 2 * (exp + 1)
+                    int_part = (
+                        (dstr[:2].lstrip("0") or "0")
+                        + dstr[2:ip]
+                        + "00" * (exp + 1 - k if exp + 1 > k else 0)
+                    )
+                    frac = dstr[ip:].rstrip("0")
+                    out[t] = (
+                        f"{sign}{int_part}.{frac}" if frac
+                        else sign + int_part
+                    )
+    return out
+
+
 def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
     """Unique tagged images → decoded strings, grouped by type tag and
     decoded in vectorized numpy batches where the byte form is fixed
@@ -920,7 +1012,9 @@ def _batch_decode(uniq, version: int, db_tz: int = DB_TZ_DEFAULT) -> dict:
 
     for vtype, items in by_type.items():
         n = len(items)
-        if (
+        if vtype == TYPE_NUMBER and n > 16:
+            out.update(_batch_decode_numbers(items, _opts(db_tz).unknown))
+        elif (
             vtype == TYPE_DATE
             and n > 16
             # DATE follows TIMESTAMP_FORMAT too (one reference arm);
@@ -1031,6 +1125,15 @@ def _remap_images(
                 }
                 for d in rows
             ]
+
+
+def _batch_decode_list(uniq, version: int, db_tz=DB_TZ_DEFAULT) -> list:
+    """Order-preserving list view of :func:`_batch_decode`: the columnar
+    parse plane dictionary-encodes the gathered value images (C++ hash)
+    and decodes each DISTINCT image exactly once, in the dictionary's
+    index order, so the final string column is a single Arrow ``take``."""
+    decoded = _batch_decode(uniq, version, db_tz)
+    return [decoded[t] for t in uniq]
 
 
 def _dec_cols(
@@ -1184,18 +1287,30 @@ def decode_vector(
     )
 
 
-def parse_redo_columns(
-    data: bytes, path: str = "<mem>", dictionary: dict | None = None,
-    db_tz: int = DB_TZ_DEFAULT,
-) -> dict[str, list]:
-    """One OLRS1 file → column lists in REDO_RECORD_SCHEMA order (the
-    Arrow-friendly shape: `pd.DataFrame(dict-of-lists)` is ~4× cheaper
-    than building a frame from per-record dicts at ~1M vectors/file).
-    Validates the file magic, every block's signature + block number +
-    XOR-fold checksum (all vectorized), then walks LWN groups and splits
-    the packed record stream back out of the payload areas — assigning
-    each record the (block, offset) where it starts, like the
-    reference's LwnMember."""
+_ARROW_SCHEMA = None
+
+
+def _arrow_schema():
+    """REDO_RECORD_SCHEMA as the exact Arrow schema Spark's mapInArrow
+    expects (computed once; pyspark's own converter so field order,
+    entry naming and nullability can never drift from the contract)."""
+    global _ARROW_SCHEMA
+    if _ARROW_SCHEMA is None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        _ARROW_SCHEMA = to_arrow_schema(REDO_RECORD_SCHEMA)
+    return _ARROW_SCHEMA
+
+
+def _validate_blocks(data: bytes, path: str):
+    """File magic + per-block signature / block-number / XOR-fold
+    checksum validation (vectorized, semantics unchanged from the
+    historical parse loop). Returns ``(version, sequence, n_blocks,
+    big, flags16)`` where ``big`` is the CONTIGUOUS concatenation of
+    every body block's 496-byte payload area — payload byte q of the
+    LWN starting at body block c lives at ``big[c * PAYLOAD + q]``, so
+    the record walk addresses one flat buffer instead of copying each
+    LWN's span separately."""
     import numpy as np
 
     if len(data) % BLOCK_SIZE != 0:
@@ -1207,22 +1322,17 @@ def parse_redo_columns(
     )
     if version not in (1, 2, 3, 4, 5) or block_size != BLOCK_SIZE:
         raise ValueError(f"{path}: unsupported version/block size")
-
     n_blocks = len(data) // BLOCK_SIZE
     if n_blocks < 2:
-        return {f.name: [] for f in REDO_RECORD_SCHEMA.fields}
-
+        return version, sequence, n_blocks, b"", None
     arr = np.frombuffer(data, dtype="<u1").reshape(n_blocks, BLOCK_SIZE)
     body = arr[1:]
     # signature bytes
     if not ((body[:, 0] == SIG0).all() and (body[:, 1] == SIG1).all()):
         bad = int(np.argmax((body[:, 0] != SIG0) | (body[:, 1] != SIG1)))
         raise ValueError(f"{path}: bad block signature at block {bad + 1}")
-    # block numbers + sequence
-    # body is a contiguous row slice of the frombuffer array, so the
-    # u4/u8/u2 header reads are zero-copy reinterpret views — the
-    # previous .tobytes() per view copied the whole file body three
-    # times on the per-file hot path (r12 review-pass-6)
+    # block numbers + sequence — zero-copy reinterpret views (body is a
+    # contiguous row slice of the frombuffer array; r12 review-pass-6)
     hdr = body.view("<u4").reshape(n_blocks - 1, 128)
     blkno = hdr[:, 1]
     seqno = hdr[:, 2]
@@ -1248,71 +1358,147 @@ def parse_redo_columns(
         bad = int(np.argmax(stored != calc))
         raise ValueError(f"{path}: checksum mismatch at block {bad + 1}")
     flags16 = body.view("<u2").reshape(n_blocks - 1, 256)[:, 6]
+    big = body[:, 16:].tobytes()
+    return version, sequence, n_blocks, big, flags16
 
-    c_scn: list = []
-    c_subscn: list = []
-    c_block: list = []
-    c_offset: list = []
-    c_xid: list = []
-    c_op: list = []
-    c_obj: list = []
-    c_bdba: list = []
-    c_slot: list = []
-    c_fb: list = []
-    c_cols: list = []
-    c_rows: list = []
-    cache: dict = {}   # per-file memo of tagged image bytes → decoded str
-    kcache: dict = {}  # per-file memo of column-name bytes → str
-    # REDO_FLAGS::IGNORE_DATA_ERRORS rides DecodeOpts through the db_tz
-    # slot (Parser.cpp:1468-1479 skip-and-continue; see the walk below)
-    ignore_errs = _opts(db_tz).ignore_data_errors
+
+def _parse_flat(
+    data: bytes, path: str, dictionary: dict | None, db_tz
+) -> dict:
+    """One OLRS1 file → FLAT columnar accumulators (r13 parse-plane
+    vectorization, guide §4.2): the Python record walk records only
+    integers — per-vector scalars, interned key/xid ids, and for every
+    column VALUE the (start, length) of its tagged image inside the
+    flat payload buffer. No per-vector dicts, no per-value byte slices:
+    the value bytes are gathered, unique-ified (Arrow
+    ``dictionary_encode``) and decoded ONCE PER DISTINCT IMAGE by
+    `_flat_to_arrow`, all vectorized. Walk semantics (framing checks,
+    IGNORE_DATA_ERRORS degradation, clamped overrun slices) mirror the
+    historical per-dict walk, which survives as the reference
+    implementation behind :func:`decode_vector`.
+
+    Value encodings in the flat lists: ``cv_s``/``rv_s`` hold the
+    image's global start offset, or -1 for a pre-decoded literal
+    (v1 strings, warn-row diagnostics — index into ``vlits`` rides the
+    length slot), or -2 for NULL. Every recorded (start, length) is
+    clamped to the record's LWN span exactly like the historical
+    slice, so the render-stage gather can never index out of bounds."""
+    version, sequence, n_blocks, big, flags16 = _validate_blocks(data, path)
+    flat: dict = {
+        "version": version, "sequence": sequence, "big": big,
+        "scn": [], "subscn": [], "block": [], "offset": [],
+        "xid": [], "op": [],
+        "obj": [], "bdba": [], "slot": [], "fb": [],
+        "cn": [], "rn": [],
+        "ck": [], "cv_s": [], "cv_l": [],
+        "rcn": [], "rk": [], "rv_s": [], "rv_l": [],
+        "klits": [], "vlits": [],
+    }
+    if n_blocks < 2:
+        return flat
+    opts = _opts(db_tz)
+    ignore_errs = opts.ignore_data_errors
+    unpack_from = struct.unpack_from
+    code_to_op = CODE_TO_OP
+
+    c_scn = flat["scn"]; c_subscn = flat["subscn"]
+    c_block = flat["block"]; c_offset = flat["offset"]
+    c_xid = flat["xid"]; c_op = flat["op"]
+    c_obj = flat["obj"]; c_bdba = flat["bdba"]
+    c_slot = flat["slot"]; c_fb = flat["fb"]
+    cn = flat["cn"]; rn = flat["rn"]
+    ck = flat["ck"]; cv_s = flat["cv_s"]; cv_l = flat["cv_l"]
+    rcn = flat["rcn"]; rk = flat["rk"]
+    rv_s = flat["rv_s"]; rv_l = flat["rv_l"]
+    klits = flat["klits"]; vlits = flat["vlits"]
+    # the per-row lists share one length, as do the col-entry and
+    # row-entry triples — a rollback mark is just 4 counters, and only
+    # the IGNORE_DATA_ERRORS mode ever truncates (strict mode
+    # propagates, so it skips the per-record mark entirely)
+    row_lists = (c_scn, c_subscn, c_block, c_offset, c_xid, c_op, c_obj,
+                 c_bdba, c_slot, c_fb, cn, rn)
+    mark = (0, 0, 0, 0)
+
+    kmap_b: dict = {}   # named-key bytes → key id
+    kmap_s: dict = {}   # literal key string → key id
+    vmap_s: dict = {}   # literal value string → vlits id
+    xmap: dict = {}     # xid bytes → str
+    pos_kids: dict = {}  # obj → growing list of positional key ids
+
+    def _kid_s(name: str) -> int:
+        i = kmap_s.get(name)
+        if i is None:
+            i = kmap_s[name] = len(klits)
+            klits.append(name)
+        return i
+
+    def _vlit(sval: str) -> int:
+        i = vmap_s.get(sval)
+        if i is None:
+            i = vmap_s[sval] = len(vlits)
+            vlits.append(sval)
+        return i
+
+    def _pos_kids(obj, cc: int) -> list:
+        kids = pos_kids.get(obj)
+        if kids is None:
+            names = dictionary.get(obj) if dictionary else None
+            # per-column fallback beyond the dictionary's name list:
+            # schemaless COL_<n> rendering (Builder.cpp:96-100)
+            kids = pos_kids[obj] = [_kid_s(nm) for nm in (names or [])]
+        while len(kids) < cc:
+            kids.append(_kid_s(f"COL_{len(kids)}"))
+        return kids
+
+    v1 = version < 2
+    n_body = n_blocks - 1
     cur = 0  # index into body (block number - 1)
-    while cur < n_blocks - 1:
+    while cur < n_body:
         if not flags16[cur] & FLAG_LWN_START:
             raise ValueError(
                 f"{path}: expected LWN start at block {cur + 1}"
             )
-        lwn_blocks, n_records, _lwn_scn, _lwn_ts = struct.unpack_from(
-            "<IIQQ", data, (cur + 1) * BLOCK_SIZE + 16
+        base = cur * PAYLOAD
+        lwn_blocks, n_records, _lwn_scn, _lwn_ts = unpack_from(
+            "<IIQQ", big, base
         )
-        if lwn_blocks < 1 or cur + lwn_blocks > n_blocks - 1:
+        if lwn_blocks < 1 or cur + lwn_blocks > n_body:
             # a zeroed/oversized LWN span that survived the weak
             # XOR-fold checksum: zero would spin this loop forever
             # (cur += 0), oversize would silently clamp the payload
             # slice — both are the controlled corruption error
             raise ValueError(
                 f"{path}: corrupt LWN header at block {cur + 1}: "
-                f"span {lwn_blocks} of {n_blocks - 1 - cur} remaining "
+                f"span {lwn_blocks} of {n_body - cur} remaining "
                 "blocks — redo corruption not caught by the block "
                 "checksum"
             )
-        payload = body[cur: cur + lwn_blocks, 16:].tobytes()
-        if n_records > len(payload) // REC_HEADER:
+        lwn_end = base + lwn_blocks * PAYLOAD
+        if n_records > (lwn_end - base) // REC_HEADER:
             # each record costs at least its header: a count that can't
             # fit the span is framing corruption (bounds the walk — and
             # the skip-and-continue loop below — in both modes)
             raise ValueError(
                 f"{path}: corrupt LWN header at block {cur + 1}: "
-                f"{n_records} records cannot fit the {len(payload)}-byte "
-                "span — redo corruption not caught by the block checksum"
+                f"{n_records} records cannot fit the "
+                f"{lwn_end - base}-byte span — redo corruption not "
+                "caught by the block checksum"
             )
-        pos = LWN_HEADER
+        pos = base + LWN_HEADER
         for _ in range(n_records):
-            try:
-                size, scn, subscn, n_vectors = struct.unpack_from(
-                    "<IQHH", payload, pos
-                )
-            except struct.error as e:
+            if pos + REC_HEADER > lwn_end:
                 # record FRAMING is the reference's LWN copy phase
                 # (Parser.cpp:1398-1455), not analyzeLwn — a torn
                 # header aborts in both modes; IGNORE_DATA_ERRORS
                 # only covers per-record analysis (Parser.cpp:1468)
                 raise ValueError(
                     f"{path}: corrupt record structure in the LWN at "
-                    f"block {cur + 1} ({type(e).__name__}: {e}) — redo "
-                    "corruption not caught by the block checksum"
-                ) from e
-            if size < REC_HEADER or pos + size > len(payload):
+                    f"block {cur + 1} (record header overruns the "
+                    "span) — redo corruption not caught by the block "
+                    "checksum"
+                )
+            size, scn, subscn, n_vectors = unpack_from("<IQHH", big, pos)
+            if size < REC_HEADER or pos + size > lwn_end:
                 raise ValueError(
                     f"{path}: corrupt record structure in the LWN at "
                     f"block {cur + 1}: record size {size} overruns the "
@@ -1320,29 +1506,147 @@ def parse_redo_columns(
                     "checksum"
                 )
             # (block, offset) where this record starts — LwnMember
-            blk = cur + 1 + pos // PAYLOAD
+            blk = pos // PAYLOAD + 1
             off = 16 + pos % PAYLOAD
-            mark = len(c_scn)
+            if ignore_errs:
+                mark = (len(c_scn), len(ck), len(rcn), len(rk))
             try:
-                vpos = pos + REC_HEADER
+                g = pos + REC_HEADER
                 for _ in range(n_vectors):
-                    xid, op, obj, bdba, slot, fb, cols, rows, vpos = (
-                        _walk_vector(payload, vpos, version, cache,
-                                     kcache, dictionary)
+                    code, obj, bdba, slot, fb, flags = unpack_from(
+                        "<HIIHBB", big, g
                     )
+                    g += 14
+                    xl = big[g] | (big[g + 1] << 8)
+                    g += 2
+                    e = g + xl
+                    xb = big[g:e] if e <= lwn_end else big[g:lwn_end]
+                    g += xl
+                    xid = xmap.get(xb)
+                    if xid is None:
+                        xid = xmap[xb] = xb.decode("utf-8")
+                    cols_n = -1
+                    rows_n = -1
+                    if flags & FLAG_POSITIONAL:
+                        o = None if obj == NULL32 else obj
+                        cc = big[g]
+                        g += 1
+                        nb = (cc + 7) // 8
+                        e = g + nb
+                        bitmap = big[g:e] if e <= lwn_end else big[g:lwn_end]
+                        g += nb
+                        kids = _pos_kids(o, cc)
+                        for i in range(cc):
+                            ck.append(kids[i])
+                            if bitmap[i >> 3] & (1 << (i & 7)):
+                                cv_s.append(-2)
+                                cv_l.append(0)
+                            else:
+                                vlen = big[g] | (big[g + 1] << 8)
+                                g += 2
+                                e = g + vlen + 1
+                                cv_s.append(g)
+                                if e <= lwn_end:
+                                    cv_l.append(vlen + 1)
+                                else:
+                                    cv_l.append(
+                                        lwn_end - g if g < lwn_end else 0
+                                    )
+                                g = e
+                        cols_n = cc
+                    elif flags & 0x01:
+                        nn = big[g] | (big[g + 1] << 8)
+                        g += 2
+                        for _ in range(nn):
+                            klen = big[g] | (big[g + 1] << 8)
+                            g += 2
+                            e = g + klen
+                            kb = big[g:e] if e <= lwn_end else big[g:lwn_end]
+                            g += klen
+                            kid = kmap_b.get(kb)
+                            if kid is None:
+                                kid = kmap_b[kb] = len(klits)
+                                klits.append(kb.decode("utf-8"))
+                            ck.append(kid)
+                            vlen = big[g] | (big[g + 1] << 8)
+                            g += 2
+                            if vlen == NULL16:
+                                cv_s.append(-2)
+                                cv_l.append(0)
+                            elif v1:
+                                e = min(g + vlen, lwn_end)
+                                sv = big[g:e].decode("utf-8")
+                                cv_s.append(-1)
+                                cv_l.append(_vlit(sv))
+                                g += vlen
+                            else:
+                                e = g + vlen + 1
+                                cv_s.append(g)
+                                if e <= lwn_end:
+                                    cv_l.append(vlen + 1)
+                                else:
+                                    cv_l.append(
+                                        lwn_end - g if g < lwn_end else 0
+                                    )
+                                g = e
+                        cols_n = nn
+                    if flags & 0x02:
+                        nr = big[g] | (big[g + 1] << 8)
+                        g += 2
+                        rows_n = nr
+                        for _ in range(nr):
+                            nn = big[g] | (big[g + 1] << 8)
+                            g += 2
+                            rcn.append(nn)
+                            for _ in range(nn):
+                                klen = big[g] | (big[g + 1] << 8)
+                                g += 2
+                                e = g + klen
+                                kb = big[g:e] if e <= lwn_end else big[g:lwn_end]
+                                g += klen
+                                kid = kmap_b.get(kb)
+                                if kid is None:
+                                    kid = kmap_b[kb] = len(klits)
+                                    klits.append(kb.decode("utf-8"))
+                                rk.append(kid)
+                                vlen = big[g] | (big[g + 1] << 8)
+                                g += 2
+                                if vlen == NULL16:
+                                    rv_s.append(-2)
+                                    rv_l.append(0)
+                                elif v1:
+                                    e = min(g + vlen, lwn_end)
+                                    sv = big[g:e].decode("utf-8")
+                                    rv_s.append(-1)
+                                    rv_l.append(_vlit(sv))
+                                    g += vlen
+                                else:
+                                    e = g + vlen + 1
+                                    rv_s.append(g)
+                                    if e <= lwn_end:
+                                        rv_l.append(vlen + 1)
+                                    else:
+                                        rv_l.append(
+                                            lwn_end - g
+                                            if g < lwn_end else 0
+                                        )
+                                    g = e
+                    op = code_to_op[code]
+                    if code == 0x0504 and flags & 0x04:
+                        op = "rollback"
                     c_scn.append(scn)
                     c_subscn.append(subscn)
                     c_block.append(blk)
                     c_offset.append(off)
                     c_xid.append(xid)
                     c_op.append(op)
-                    c_obj.append(obj)
-                    c_bdba.append(bdba)
-                    c_slot.append(slot)
+                    c_obj.append(None if obj == NULL32 else obj)
+                    c_bdba.append(None if bdba == NULL32 else bdba)
+                    c_slot.append(None if slot == NULL16 else slot)
                     c_fb.append(fb)
-                    c_cols.append(cols)
-                    c_rows.append(rows)
-                if vpos != pos + size:
+                    cn.append(cols_n)
+                    rn.append(rows_n)
+                if g != pos + size:
                     raise ValueError(
                         f"{path}: record size mismatch at block {blk}"
                     )
@@ -1372,10 +1676,11 @@ def parse_redo_columns(
                 # + warning 60013, emit one diagnostic opcode='warn'
                 # row in its place, and continue with the next record
                 # at the framing-known size
-                for lst in (c_scn, c_subscn, c_block, c_offset, c_xid,
-                            c_op, c_obj, c_bdba, c_slot, c_fb, c_cols,
-                            c_rows):
-                    del lst[mark:]
+                for lst in row_lists:
+                    del lst[mark[0]:]
+                del ck[mark[1]:]; del cv_s[mark[1]:]; del cv_l[mark[1]:]
+                del rcn[mark[2]:]
+                del rk[mark[3]:]; del rv_s[mark[3]:]; del rv_l[mark[3]:]
                 err_msg = (
                     f"{path}: corrupt record at block {blk} "
                     f"({type(e).__name__}: {e})"
@@ -1394,39 +1699,155 @@ def parse_redo_columns(
                 c_bdba.append(None)
                 c_slot.append(None)
                 c_fb.append(None)
-                c_cols.append({
-                    "code": "60013",
-                    "msg": "forced to continue working in spite of "
-                           "error",
-                    "error": err_msg,
-                })
-                c_rows.append(None)
+                cn.append(3)
+                rn.append(-1)
+                for k_, v_ in (
+                    ("code", "60013"),
+                    ("msg", "forced to continue working in spite of "
+                            "error"),
+                    ("error", err_msg),
+                ):
+                    ck.append(_kid_s(k_))
+                    cv_s.append(-1)
+                    cv_l.append(_vlit(v_))
             pos += size
         cur += lwn_blocks
-    # columnar value decode: the walk above interned raw tagged images;
-    # decode each distinct image once, in per-type vectorized batches,
-    # then swap them into the column dicts
-    _remap_images(c_cols, c_rows, cache, version, db_tz)
-    cols = {
-        "scn": c_scn,
-        "subscn": c_subscn,
-        "block": c_block,
-        "offset": c_offset,
-        "seq": [sequence] * len(c_scn),
-        "xid": c_xid,
-        "opcode": c_op,
-        "obj": c_obj,
-        "bdba": c_bdba,
-        "slot": c_slot,
-        "fb": c_fb,
-        "cols": c_cols,
-        "rows": c_rows,
-    }
-    # mapInPandas matches the yielded frame to REDO_RECORD_SCHEMA
-    # positionally — key the dict by the schema's own field order so a
-    # schema change can never silently mis-assign columns (a missing
-    # name raises KeyError here instead)
-    return {f.name: cols[f.name] for f in REDO_RECORD_SCHEMA.fields}
+    return flat
+
+
+def _gather_binary(bignp, starts, lens):
+    """Vectorized ragged gather: (start, length) pairs over the flat
+    payload buffer → ONE Arrow binary array (new offsets over gathered
+    bytes — the §4.2 re-slicing pattern, no per-value Python slice)."""
+    import numpy as np
+    import pyarrow as pa
+
+    m = len(starts)
+    offsets = np.zeros(m + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    idx = np.repeat(starts - offsets[:-1], lens) + np.arange(
+        total, dtype=np.int64
+    )
+    data = bignp[idx]
+    return pa.Array.from_buffers(
+        pa.binary(), m,
+        [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(data)],
+    )
+
+
+def _flat_to_arrow(flat: dict, db_tz):
+    """Flat accumulators → one Arrow RecordBatch in REDO_RECORD_SCHEMA:
+    gather the value images, dictionary-encode (C++ hash), decode each
+    DISTINCT image once (`_batch_decode` — the same per-type vectorized
+    kernels as before), then build every column with `take` and offset
+    arithmetic. Null maps/lists ride null offsets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = _arrow_schema()
+    n = len(flat["scn"])
+    if n == 0:
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], type=f.type) for f in schema], schema=schema
+        )
+    version = flat["version"]
+    bignp = np.frombuffer(flat["big"], np.uint8)
+    ncv = len(flat["cv_s"])
+    all_s = np.array(flat["cv_s"] + flat["rv_s"], np.int64)
+    all_l = np.array(flat["cv_l"] + flat["rv_l"], np.int64)
+    gm = all_s >= 0
+    de = pc.dictionary_encode(_gather_binary(bignp, all_s[gm], all_l[gm]))
+    uniq = de.dictionary.to_pylist()
+    decoded = _batch_decode_list(uniq, version, db_tz)
+    vtable = decoded + flat["vlits"]
+    vidx = np.zeros(len(all_s), np.int64)
+    if len(uniq):
+        vidx[gm] = de.indices.to_numpy(zero_copy_only=False)
+    lm = all_s == -1
+    vidx[lm] = len(decoded) + all_l[lm]
+    nullm = all_s == -2
+    vals_all = pa.array(vtable, type=pa.string()).take(
+        pa.array(vidx, mask=nullm)
+    )
+    ktab = pa.array(flat["klits"], type=pa.string())
+    cols_keys = ktab.take(pa.array(np.asarray(flat["ck"], np.int64)))
+    rows_keys = ktab.take(pa.array(np.asarray(flat["rk"], np.int64)))
+
+    def _offs(counts, n_rows):
+        cnp = np.asarray(counts, np.int64)
+        offs = np.zeros(n_rows + 1, np.int64)
+        np.cumsum(np.maximum(cnp, 0), out=offs[1:])
+        mask = np.zeros(n_rows + 1, bool)
+        mask[:-1] = cnp < 0
+        return pa.array(offs.astype(np.int32), mask=mask)
+
+    cols_arr = pa.MapArray.from_arrays(
+        _offs(flat["cn"], n), cols_keys, vals_all.slice(0, ncv)
+    ).cast(schema.field("cols").type)
+    rcn_np = np.asarray(flat["rcn"], np.int64)
+    roffs = np.zeros(len(rcn_np) + 1, np.int64)
+    np.cumsum(rcn_np, out=roffs[1:])
+    inner = pa.MapArray.from_arrays(
+        pa.array(roffs.astype(np.int32)), rows_keys, vals_all.slice(ncv)
+    )
+    rows_arr = pa.ListArray.from_arrays(
+        _offs(flat["rn"], n), inner
+    ).cast(schema.field("rows").type)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(flat["scn"], pa.int64()),
+            pa.array(flat["subscn"], pa.int32()),
+            pa.array(flat["block"], pa.int64()),
+            pa.array(flat["offset"], pa.int32()),
+            pa.array(np.full(n, flat["sequence"], np.int64)),
+            pa.array(flat["xid"], pa.string()),
+            pa.array(flat["op"], pa.string()),
+            pa.array(flat["obj"], pa.int64()),
+            pa.array(flat["bdba"], pa.int64()),
+            pa.array(flat["slot"], pa.int32()),
+            pa.array(flat["fb"], pa.int32()),
+            cols_arr,
+            rows_arr,
+        ],
+        schema=schema,
+    )
+
+
+def parse_redo_arrow(
+    data: bytes, path: str = "<mem>", dictionary: dict | None = None,
+    db_tz=DB_TZ_DEFAULT,
+):
+    """One OLRS1 file → one Arrow RecordBatch in REDO_RECORD_SCHEMA.
+    The hot parse surface: block validation vectorized, the record walk
+    a flat-offset Python loop (no dicts, no per-value slices), value
+    decode once per distinct image, Arrow output built by `take`."""
+    opts = _opts(db_tz)  # normalize ONCE — the decode plane re-checks
+    #                      per value, and a plain-int db_tz would
+    #                      rebuild the options tuple every call
+    return _flat_to_arrow(
+        _parse_flat(data, path, dictionary, opts), opts
+    )
+
+
+def parse_redo_columns(
+    data: bytes, path: str = "<mem>", dictionary: dict | None = None,
+    db_tz: int = DB_TZ_DEFAULT,
+) -> dict[str, list]:
+    """Dict-of-lists view of :func:`parse_redo_arrow` (cols as Python
+    dicts) — the historical test/debug contract; the distributed
+    readers consume the Arrow batch directly."""
+    batch = parse_redo_arrow(data, path, dictionary, db_tz)
+    out = batch.to_pydict()
+    out["cols"] = [
+        None if m is None else dict(m) for m in out["cols"]
+    ]
+    out["rows"] = [
+        None if rs is None else [dict(m) for m in rs]
+        for rs in out["rows"]
+    ]
+    return out
 
 
 def parse_redo_bytes(
@@ -1487,18 +1908,21 @@ _HB_COLS = ["op", "seq", "block", "lwn_blocks", "n_records", "c_scn",
             "ts_us"]
 
 
-def _record_frames(
+def _record_batches(
     batches, dictionary: dict | None = None, db_tz: int = DB_TZ_DEFAULT
 ):
-    """mapInPandas kernel: (path, content) batches → record frames.
-    Shared by the batch and streaming readers."""
-    import pandas as pd
-
-    for pdf in batches:
-        for path, content in zip(pdf["path"], pdf["content"]):
-            cols = parse_redo_columns(bytes(content), path, dictionary, db_tz)
-            if cols["scn"]:
-                yield pd.DataFrame(cols, copy=False)
+    """mapInArrow kernel: (path, content) batches → REDO_RECORD_SCHEMA
+    record batches, one per file. Shared by the batch and streaming
+    readers; the parse output never exists as pandas/Python rows."""
+    for b in batches:
+        paths = b.column(0).to_pylist()
+        contents = b.column(1)
+        for i, path in enumerate(paths):
+            rb = parse_redo_arrow(
+                contents[i].as_py(), path, dictionary, db_tz
+            )
+            if rb.num_rows:
+                yield rb
 
 
 def _heartbeat_frames(batches):
@@ -1601,9 +2025,9 @@ def parse_redo_files(
                       unknown_format, ignore_data_errors)
 
     def kernel(batches):
-        return _record_frames(batches, dictionary, opts)
+        return _record_batches(batches, dictionary, opts)
 
-    return _binary_files(spark, in_dir).mapInPandas(
+    return _binary_files(spark, in_dir).mapInArrow(
         kernel, schema=REDO_RECORD_SCHEMA
     )
 
@@ -1633,11 +2057,11 @@ def parse_redo_stream(
                       unknown_format, ignore_data_errors)
 
     def kernel(batches):
-        return _record_frames(batches, dictionary, opts)
+        return _record_batches(batches, dictionary, opts)
 
     return _binary_files_stream(
         spark, in_dir, max_files_per_trigger
-    ).mapInPandas(kernel, schema=REDO_RECORD_SCHEMA)
+    ).mapInArrow(kernel, schema=REDO_RECORD_SCHEMA)
 
 
 def dump_redo_log(
