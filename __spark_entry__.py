@@ -27,78 +27,71 @@ if _REPO_ROOT not in sys.path:
 # round 1 (now fixed), then a few representative re-verifies. Everything
 # else registers after slot 50 — still runnable, checked locally by
 # tests/test_queries_vs_duckdb.py.
-_PRIORITY = [  # round-12 window (previous windows: git history of this list)
+_PRIORITY = [  # round-13 window (previous windows: git history of this list)
     # -- 5 green canaries, one per result-type family (drift detection)
     "q1_pricing_summary",
     "cdc_txn_assembly",
     "dedup_minhash_lsh",
     "agg_rollup",
     "stream_tumbling_window",
-    # -- BYTES CHANGED since the r11 verdict: the IGNORE_DATA_ERRORS
-    #    fixture moved to scn-targeted damage (o_orderkey % 10 = 3,
-    #    damage_records_by_scn) with the oracle deriving the damaged
-    #    count from the same predicate (r12 ADVICE)
-    "cdc_ignore_data_errors",
-    # -- KERNEL-CHANGED re-verifies (the r11 parse-restructure
-    #    convention): review passes 6/9 rewrote the date-mask year
-    #    gating, the BC epoch/flip/ISO path, the binary float/double
-    #    decode edges and the TSLTZ/DATE format threading; these two
-    #    drive every typed kernel through the binary plane and must
-    #    stay byte-identical. cdc_metrics re-verifies the falsifiable
-    #    checkpoint_lag restructure (pass 8).
+    # -- KERNEL-CHANGED re-verifies: r13 vectorized the binary parse
+    #    plane (sources/binary_redo.py — flat-offset walk, Arrow-native
+    #    output, mapInPandas → mapInArrow). These six are every
+    #    registered consumer of parse_redo_files (plus the damaged-
+    #    fixture and counter surfaces) and must stay byte-identical.
     "cdc_typed_images_binary",
-    "cdc_type_tail",
-    "cdc_metrics",
-    # -- STALE-VERDICT ROTATION (r11 VERDICT #1): all 18 remaining
-    #    r8-latest queries; after this round no verdict predates r9.
-    "agg_approx_quantile",
-    "agg_histogram",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_relationship",
-    "q20_potential_part_promotion",
-    "text_chunk_split",
-    "text_commonness",
-    "text_dedup_passages",
-    "text_entropy_filter",
-    "text_tfidf_topterms",
-    "text_token_count",
-    "window_range_interval",
-    # -- oldest r9-latest block: 23 of 42, CDC consumers and embeddings
-    #    first per the r11 verdict (the 19 remaining — events,
-    #    multimodal, sampling, text scoring, tokenizer_bpe_train,
-    #    embedding_moments/normalize/stats — rotate r13, finishing the
-    #    backlog; three embedding re-verifies ceded their slots to the
-    #    kernel-changed re-verifies above, embedding_pca stays as the
-    #    family representative)
-    "cdc_adaptive_schema",
-    "cdc_apply_changes",
-    "cdc_ddl_classify",
-    "cdc_gap_detect",
+    "cdc_kdo_positional_binary",
+    "cdc_txn_assembly_binary",
+    "cdc_ignore_data_errors",
     "cdc_heartbeat",
-    "cdc_last_image",
-    "cdc_net_changes",
-    "cdc_partition_routing",
-    "cdc_resume_filter",
-    "cdc_scd2_history",
-    "cdc_schemaless_decode",
-    "cdc_sessionize",
-    "cdc_txn_envelope",
-    "cdc_txn_stats",
-    "cdc_xmltype_decode",
-    "embedding_pca",
-    "dedup_cross_source",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_semantic",
-    "dedup_simhash",
-    "dedup_substring",
-    "decontaminate_ngram",
+    "cdc_metrics",
+    # -- r12-RESTRUCTURED, driver-unverified (r12 VERDICT #1 / "What's
+    #    wrong" #3): locally oracle-green only — the driver must close
+    #    the loop on each of the eleven.
+    "event_funnel",
+    "event_retention",
+    "q21_suppliers_kept_waiting",
+    "text_lang_id",
+    "text_bigram_perplexity",
+    "ann_pq",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "dedup_cluster_cc",
+    "dedup_canonical_pick",
+    "sample_dsir_weights",
+    # -- STALE-VERDICT ROTATION, finishing the r9 backlog (r11 VERDICT
+    #    #1 named these 19; the five shared with the block above sit
+    #    there): after this round no verdict predates r10.
+    "corpus_stats_report",
+    "embedding_moments",
+    "embedding_normalize",
+    "embedding_stats",
+    "event_anomaly_mad",
+    "event_transitions",
+    "multimodal_decode",
+    "multimodal_features_ann",
+    "multimodal_image_stats",
+    "pack_training_sequences",
+    "sample_training_mix",
+    "text_pii_scrub",
+    "text_quality_score",
+    "tokenizer_bpe_train",
+    # -- oldest r10-latest block: 14 of 43, headline-bench queries and
+    #    the historically-red agg_cube first; the rest rotate r14+.
+    "ann_cosine_topk",
+    "pipeline_pretraining_corpus",
+    "join_shuffle_facts",
+    "join_asof_attribution",
+    "join_range_window",
+    "window_running_sum",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "stream_dedup_replay",
+    "cdc_json_builder",
+    "cdc_protobuf_builder",
+    "agg_cube",
+    "join_skew_salted",
 ]
 
 

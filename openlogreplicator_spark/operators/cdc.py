@@ -842,6 +842,9 @@ def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grain — and each family folds it down exchange-free-cheap.
     # Summing the partial counts reproduces every original groupBy
     # exactly (filter is xid-functional, so no xid straddles filters).
+    # Lifetime contract (r12 ADVICE): the cached frame outlives this
+    # builder; long-lived sessions must clearCache() between queries
+    # (bench.py:257 and the oracle sweep do).
     pre = (
         assembled.groupBy(
             op_name.alias("kind"),

@@ -497,7 +497,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: BOTH self-join sides consume this frame, and without the
     # cache the whole scan + norm + bucket-UDF matmul map pass runs twice
     # (interleaved A/B at sf0.1: 1.83 -> 1.60 s median). MEMORY_AND_DISK
-    # default keeps a hot-corpus spill safe at scale.
+    # default keeps a hot-corpus spill safe at scale. Lifetime contract
+    # (r12 ADVICE): the frame outlives this builder, so long-lived
+    # sessions running many queries must clearCache() between them —
+    # bench.py does (bench.py:257), as does the oracle sweep.
     ).persist()
     a = bucketed.select(
         "table", "bucket",
@@ -892,6 +895,8 @@ def semantic_dedup(
     # JOINED frame, so caching only the assignment still re-ran the
     # assignment⋈embedding join (an SMJ) once per side. One cached
     # corpus-scale frame, three cache readers, zero repeated joins.
+    # Lifetime contract (r12 ADVICE): callers running many queries on
+    # one session must clearCache() between them (bench.py:257 does).
     sided = assigned.join(e, "vec_id").persist()
     a = sided.select(
         F.col("vec_id").alias("a_id"),

@@ -119,12 +119,17 @@ def lang_id(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     def _is_marker(ws):
         return lambda t: t.isin(*ws)
 
+    # coalesce pins the old join+fillna path's NULL-text behavior
+    # (score 0, pred_lang = alphabetically-first language): the
+    # split/filter/size chain alone would yield NULL scores for a NULL
+    # text (r12 ADVICE).
     staged = docs.select(
         "doc_id",
         *carry,
         *[
-            F.size(
-                F.filter(words, _is_marker(_LANG_MARKERS[lang]))
+            F.coalesce(
+                F.size(F.filter(words, _is_marker(_LANG_MARKERS[lang]))),
+                F.lit(0),
             ).alias(f"_s_{lang}")
             for lang in langs
         ],

@@ -215,11 +215,13 @@ def test_cc_assume_canonical_matches_default(spark):
 
 
 def test_jaccard_df_cap_excludes_boilerplate(spark):
-    """r12: the DF cap moved from a window count to a hot-shingle
-    broadcast anti-join; pin the cap semantics directly against a
-    synthetic corpus — a shingle present in MORE than _SHINGLE_DF_CAP
-    documents generates no candidate pairs, while pairs sharing rare
-    shingles survive with the same threshold gate."""
+    """The DF cap remains a window count over the shingle partitioning
+    (an r12 hot-shingle broadcast anti-join variant was A/B-measured at
+    the 10x probe and reverted — commit 74a08c6); pin the cap semantics
+    shape-agnostically against a synthetic corpus — a shingle present
+    in MORE than _SHINGLE_DF_CAP documents generates no candidate
+    pairs, while pairs sharing rare shingles survive with the same
+    threshold gate."""
     from openlogreplicator_spark.operators.clustering import (
         _SHINGLE_DF_CAP,
         _jaccard_pairs,

@@ -374,9 +374,13 @@ def test_binary_assembly_single_parse_single_exchange(spark, sf_dir):
     plan = cdc_txn_assembly_binary(
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 1, plan[:2000]
+    # r13: the parse kernel moved from mapInPandas to mapInArrow
+    # (flat-offset walk, Arrow-native output) — the pipeline is now two
+    # MapInArrow nodes (parse, assembly) around the single xid exchange,
+    # with zero pandas conversions anywhere.
+    assert plan.count("MapInPandas") == 0, plan[:2000]
+    assert plan.count("MapInArrow") == 2, plan[:2000]
     assert plan.count("Exchange") == 1, plan[:2000]
-    assert "MapInArrow" in plan  # the assembly kernel itself
 
 
 def test_q2_min_cost_all_dims_broadcast(spark, sf_dir):
