@@ -100,6 +100,34 @@ def _drain_signature(progresses) -> str:
     return hashlib.sha256(json.dumps(rows).encode()).hexdigest()[:12]
 
 
+def _stage_bytes(spark) -> tuple[int, int]:
+    """(shuffle_write_bytes, input_bytes) totals across completed stages
+    via the REST status API — the load-independent counters the r12
+    verdict asked for (#4): a wall-clock move with UNCHANGED bytes and
+    an unchanged plan fingerprint is machine noise with certainty,
+    while changed bytes localize a real plan/data change. Sampled
+    OUTSIDE the timed region (before t0 / after dt), so the timing
+    methodology is untouched. Returns (-1, -1) when the UI is off."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return -1, -1
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = json.load(r)
+        return (
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            sum(s.get("inputBytes", 0) for s in stages),
+        )
+    except Exception:
+        return -1, -1
+
+
 def _stream_drain_rate(spark, sf_dir: str) -> dict:
     """End-to-end STREAMING drain over the OLRS binary fixture — the
     reference's headline workload (binary redo → parse → stateful
@@ -167,6 +195,10 @@ def main() -> None:
         app_name="olr-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # the engine default disables the UI; the bench needs the REST
+        # status store for the per-query shuffle/scan byte counters
+        # (r12 VERDICT #4). Port 0 = any free port (parallel sessions).
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -224,16 +256,33 @@ def main() -> None:
     # round 5's printed line outgrew the driver's stdout-tail capture
     # (BENCH_r05 parsed:null), so fingerprints now live in a side file;
     # it is ALSO the noise-detection source for rounds whose BENCH doc
-    # failed to parse (like r5)
+    # failed to parse (like r5).
+    # r13: the side file is keyed per core count. The driver benches at
+    # 32 AND at 8 cores; queries with parallelism-derived repartition
+    # widths legitimately plan differently per core count, so the
+    # 8-core run overwriting the flat side file silently disabled the
+    # noise detector for exactly those queries in the next 32-core run
+    # (found r13: 6 non-binary fingerprint "changes" were the r12 c8
+    # run's 8-core plans). Same-core-count fingerprints AND timings are
+    # now preferred for the noise comparison; other core counts'
+    # entries are preserved on write.
     fp_path = os.path.join(REPO_ROOT, "bench_fingerprints.json")
     prev_drain: dict = {}
+    side: dict = {}
     if os.path.exists(fp_path):
         with open(fp_path) as fh:
             side = json.load(fh)
-        if not prev_fp:
-            prev_fp = side.get("plan_fingerprints", {})
-            prev = prev or side.get("queries", {})
-        prev_drain = side.get("stream_drain", {})
+        same_cpus = side.get("by_cpus", {}).get(str(cpus))
+        if same_cpus is None and str(side.get("cpus", cpus)) == str(cpus):
+            # legacy flat layout, written at this core count
+            same_cpus = side
+        # an entry recorded at a DIFFERENT scale factor (a local smoke
+        # run) must not feed the comparison either — same flaw class
+        # as the core-count poisoning
+        if same_cpus and same_cpus.get("sf_dir", sf_dir) == sf_dir:
+            prev_fp = same_cpus.get("plan_fingerprints", {})
+            prev = same_cpus.get("queries", {}) or prev
+            prev_drain = same_cpus.get("stream_drain", {})
 
     # median of three FULL PASSES over the query list, not three
     # back-to-back runs per query: this box's interference arrives in
@@ -244,13 +293,20 @@ def main() -> None:
     # Arrow channel setup, page-cache fill) the reference's long-running
     # process never re-pays.
     samples: dict[str, list[float]] = {n: [] for n in names}
+    byte_samples: dict[str, list[tuple[int, int]]] = {n: [] for n in names}
     for _pass in range(3):
         for name in names:
             fn = registry[name]
+            sh0, in0 = _stage_bytes(spark)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - t0)
+            # byte counters sampled after the clock stops — no cost
+            # inside the timed region
+            sh1, in1 = _stage_bytes(spark)
+            if sh0 >= 0 and sh1 >= 0:
+                byte_samples[name].append((sh1 - sh0, in1 - in0))
             # release persisted frames (dedup pipelines cache
             # intermediates) so later queries aren't taxed by
             # accumulated executor memory
@@ -258,9 +314,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     fingerprints: dict[str, str] = {}
+    bytes_kb: dict[str, list[int]] = {}
     noise: list[str] = []
     for name in names:
         timings[name] = round(statistics.median(samples[name]), 3)
+        if byte_samples[name]:
+            bytes_kb[name] = [
+                int(statistics.median(x[0] for x in byte_samples[name]))
+                // 1024,
+                int(statistics.median(x[1] for x in byte_samples[name]))
+                // 1024,
+            ]
         fingerprints[name] = plan_fingerprint(registry[name](spark, sf_dir))
         # >25% move on an unchanged plan = machine noise by construction
         if (
@@ -299,16 +363,27 @@ def main() -> None:
     # plan fingerprints (26 queries × 12-hex) blew the driver's stdout
     # tail window in round 5 → side file; the printed line carries only
     # the headline numbers, compact separators, and is the LAST line
+    this_run = {
+        "sf_dir": sf_dir,
+        "plan_fingerprints": fingerprints,
+        "queries": timings,
+        # per-query [shuffle_write_kb, scan_kb] medians — the
+        # full per-pass samples stay here (side file), the
+        # printed line carries the same medians compactly
+        "bytes_kb": bytes_kb,
+        "byte_samples": {n: v for n, v in byte_samples.items() if v},
+        "stream_drain": {
+            "signature": drain["signature"],
+            "records_per_sec": drain["records_per_sec"],
+        },
+    }
+    by_cpus = side.get("by_cpus", {}) if isinstance(side, dict) else {}
+    by_cpus[str(cpus)] = this_run
     with open(fp_path, "w") as fh:
         json.dump(
-            {
-                "plan_fingerprints": fingerprints,
-                "queries": timings,
-                "stream_drain": {
-                    "signature": drain["signature"],
-                    "records_per_sec": drain["records_per_sec"],
-                },
-            },
+            # top level mirrors this run (legacy readers) + the
+            # per-core-count history (same-core noise comparison)
+            {**this_run, "cpus": int(cpus), "by_cpus": by_cpus},
             fh,
             indent=1,
         )
@@ -321,6 +396,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # [shuffle_write_kb, scan_kb] per query (REST stage
+                # deltas, median of the 3 passes): load-independent
+                # signals next to the walls (r12 VERDICT #4)
+                "bytes_kb": bytes_kb,
                 "noise_flagged": noise,
                 "stream_drain": drain,
                 "sf": float(sf) if sf else sf_dir,
