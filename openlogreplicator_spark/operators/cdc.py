@@ -163,25 +163,23 @@ FROM (
 """
 
 
-def _orders_redo_stream(
+def _orders_redo_slim(
     spark: SparkSession, sf_dir: str, typed_images: bool = False
 ) -> DataFrame:
-    """Deterministic redo-record stream synthesized from orders+lineitem:
-    each order is a transaction (xid = orderkey); its lineitems are
-    inserts ordered by linenumber; commit closes it. SCNs are derived
-    arithmetically so the stream is reproducible in SQL."""
+    """The redo-record stream WITHOUT its column-image maps: every
+    REDO_RECORD_SCHEMA scalar plus the few slim source columns
+    `_attach_images` needs (guide §2.3 — shuffle keys and metadata,
+    build the heavy payload after the exchange). The map's l_qty value
+    is `block` (qty rides there as the tie-breaking sort key) and
+    l_raw's md5 input is (bdba, slot) = (orderkey, linenumber), so
+    only `_price`, `_ship` (+ `_rflag`/`_lstat`/`_disc` for typed
+    images) travel in addition to the REDO scalars — ~1/3 the bytes of
+    the built maps, whose per-row key strings dominate."""
     li = load_table(spark, sf_dir, "lineitem")
-    # distribute the image build: a single-file scan yields only
-    # size/128MB partitions, so the map/md5/charset rendering below
-    # would otherwise run 2-3 wide on a 32-core box (measured 2.4×
-    # slower). The shuffle moves slim source columns, and assembly's
-    # xid shuffle downstream moves the built maps either way.
-    li = li.repartition(
-        spark.sparkContext.defaultParallelism, "l_orderkey"
-    )
     # (orderkey, linenumber) is NOT unique in the test data — block/offset
     # carry (qty, partkey) so the (scn, subscn, block, offset) sort key is
     # deterministic; remaining ties are content-identical records.
+    _price_t = "decimal(12,2)"
     dml = li.select(
         (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).alias("scn"),
         F.lit(0).alias("subscn"),
@@ -194,79 +192,148 @@ def _orders_redo_stream(
         F.col("l_orderkey").alias("bdba"),
         F.col("l_linenumber").alias("slot"),
         F.lit(0).alias("fb"),
-        # canonical-string column images; the binary rendering (OLRS1 v3)
-        # re-encodes l_qty/l_price as Oracle NUMBER bytes, l_ship as a
-        # 7-byte DATE, and — when typed_images is set (the binary-fixture
-        # path only, to keep the typed-row assembly query lean) — l_note
-        # as JA16SJIS charset text, l_disc as BINARY_DOUBLE and l_raw as
-        # RAW, so every scalar byte kernel runs in the parse plane
-        F.create_map(
-            *(
-                [
-                    F.lit("l_qty"),
-                    F.col("l_quantity").cast("bigint").cast("string"),
-                    F.lit("l_price"),
-                    F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
-                    F.lit("l_ship"),
-                    F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
-                ]
-                + (
-                    [
-                        F.lit("l_note"),
-                        F.concat(
-                            F.when(F.col("l_returnflag") == "R", F.lit("返品 "))
-                            .when(F.col("l_returnflag") == "A", F.lit("承認 "))
-                            .otherwise(F.lit("通常 ")),
-                            F.col("l_linestatus"),
-                        ),
-                        F.lit("l_disc"),
-                        F.col("l_discount").cast("string"),
-                        F.lit("l_raw"),
-                        F.md5(
-                            F.concat_ws("|", "l_orderkey", "l_linenumber")
-                        ),
-                    ]
-                    if typed_images
-                    else []
-                )
-            )
-        ).alias("cols"),
-        F.lit(None)
-        .cast("array<map<string,string>>")
-        .alias("rows"),
+        F.col("l_extendedprice").cast(_price_t).alias("_price"),
+        F.col("l_shipdate").alias("_ship"),
+        *(
+            [
+                F.col("l_returnflag").alias("_rflag"),
+                F.col("l_linestatus").alias("_lstat"),
+                F.col("l_discount").alias("_disc"),
+            ]
+            if typed_images
+            else []
+        ),
     )
     orders = load_table(spark, sf_dir, "orders")
-    commits = orders.select(
-        (F.col("o_orderkey") * 1000 + 999).alias("scn"),
-        F.lit(0).alias("subscn"),
-        F.lit(0).cast("long").alias("block"),
-        F.lit(0).alias("offset"),
-        F.lit(1).cast("long").alias("seq"),
-        F.col("o_orderkey").cast("string").alias("xid"),
-        F.lit("commit").alias("opcode"),
-        F.lit(0).cast("long").alias("obj"),
-        F.lit(None).cast("long").alias("bdba"),
-        F.lit(None).cast("int").alias("slot"),
-        F.lit(0).alias("fb"),
-        F.lit(None).cast("map<string,string>").alias("cols"),
+
+    def _ctrl(scn_off: int, opcode: str) -> DataFrame:
+        return orders.select(
+            (F.col("o_orderkey") * 1000 + scn_off).alias("scn"),
+            F.lit(0).alias("subscn"),
+            F.lit(0).cast("long").alias("block"),
+            F.lit(0).alias("offset"),
+            F.lit(1).cast("long").alias("seq"),
+            F.col("o_orderkey").cast("string").alias("xid"),
+            F.lit(opcode).alias("opcode"),
+            F.lit(0).cast("long").alias("obj"),
+            F.lit(None).cast("long").alias("bdba"),
+            F.lit(None).cast("int").alias("slot"),
+            F.lit(0).alias("fb"),
+            F.lit(None).cast(_price_t).alias("_price"),
+            F.lit(None).cast(dml.schema["_ship"].dataType).alias("_ship"),
+            *(
+                [
+                    F.lit(None).cast("string").alias("_rflag"),
+                    F.lit(None).cast("string").alias("_lstat"),
+                    F.lit(None)
+                    .cast(dml.schema["_disc"].dataType)
+                    .alias("_disc"),
+                ]
+                if typed_images
+                else []
+            ),
+        )
+
+    return dml.unionByName(_ctrl(999, "commit")).unionByName(
+        _ctrl(0, "begin")
+    )
+
+
+def _attach_images(slim: DataFrame, typed_images: bool = False) -> DataFrame:
+    """Build the canonical-string column-image maps from the slim
+    stream's source columns and drop the carriers — placed ABOVE the
+    xid exchange so the maps (per-row key strings and all) never
+    shuffle. Values are byte-identical to the historical pre-shuffle
+    build: l_qty from `block` (same bigint), l_price/l_ship/l_disc by
+    the same casts/formats on the carried originals, l_raw's md5 over
+    (bdba, slot) — concat_ws renders the longs exactly as it did the
+    source columns. The binary rendering (OLRS1 v3) re-encodes
+    l_qty/l_price as Oracle NUMBER bytes, l_ship as a 7-byte DATE, and
+    — when typed_images is set (the binary-fixture path only) — l_note
+    as JA16SJIS charset text, l_disc as BINARY_DOUBLE and l_raw as
+    RAW, so every scalar byte kernel runs in the parse plane."""
+    img = F.create_map(
+        *(
+            [
+                F.lit("l_qty"),
+                F.col("block").cast("string"),
+                F.lit("l_price"),
+                F.col("_price").cast("string"),
+                F.lit("l_ship"),
+                F.date_format("_ship", "yyyy-MM-dd HH:mm:ss"),
+            ]
+            + (
+                [
+                    F.lit("l_note"),
+                    F.concat(
+                        F.when(F.col("_rflag") == "R", F.lit("返品 "))
+                        .when(F.col("_rflag") == "A", F.lit("承認 "))
+                        .otherwise(F.lit("通常 ")),
+                        F.col("_lstat"),
+                    ),
+                    F.lit("l_disc"),
+                    F.col("_disc").cast("string"),
+                    F.lit("l_raw"),
+                    F.md5(F.concat_ws("|", "bdba", "slot")),
+                ]
+                if typed_images
+                else []
+            )
+        )
+    )
+    return slim.select(
+        "scn", "subscn", "block", "offset", "seq", "xid", "opcode",
+        "obj", "bdba", "slot", "fb",
+        F.when(F.col("opcode") == "insert", img)
+        .otherwise(F.lit(None).cast("map<string,string>"))
+        .alias("cols"),
         F.lit(None).cast("array<map<string,string>>").alias("rows"),
     )
-    begins = orders.select(
-        (F.col("o_orderkey") * 1000).alias("scn"),
-        F.lit(0).alias("subscn"),
-        F.lit(0).cast("long").alias("block"),
-        F.lit(0).alias("offset"),
-        F.lit(1).cast("long").alias("seq"),
-        F.col("o_orderkey").cast("string").alias("xid"),
-        F.lit("begin").alias("opcode"),
-        F.lit(0).cast("long").alias("obj"),
-        F.lit(None).cast("long").alias("bdba"),
-        F.lit(None).cast("int").alias("slot"),
-        F.lit(0).alias("fb"),
-        F.lit(None).cast("map<string,string>").alias("cols"),
-        F.lit(None).cast("array<map<string,string>>").alias("rows"),
+
+
+def _orders_redo_stream(
+    spark: SparkSession, sf_dir: str, typed_images: bool = False
+) -> DataFrame:
+    """Deterministic redo-record stream synthesized from orders+lineitem:
+    each order is a transaction (xid = orderkey); its lineitems are
+    inserts ordered by linenumber; commit closes it. SCNs are derived
+    arithmetically so the stream is reproducible in SQL.
+
+    r13 shape: ONE slim xid-keyed exchange, images built above it. The
+    previous shape repartitioned lineitem (for image-build parallelism
+    — a single-file scan yields 2-3 partitions) and then BUILT the
+    maps below assembly's second, xid-keyed exchange, shuffling the
+    maps' per-row key strings. Now the slim union shuffles once by xid
+    and `_attach_images` runs post-exchange at full width — same build
+    parallelism, one exchange instead of two, ~1/3 the shuffled bytes.
+    Consumers that feed `assemble_transactions` should use
+    `_orders_redo_assembled` so the kernel rides this same exchange."""
+    width = spark.sparkContext.defaultParallelism
+    return _attach_images(
+        _orders_redo_slim(spark, sf_dir, typed_images).repartition(
+            width, "xid"
+        ),
+        typed_images,
     )
-    return dml.unionByName(begins).unionByName(commits)
+
+
+def _orders_redo_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """assemble_transactions over the synthesized stream with the slim
+    single-exchange shape: the xid repartition is performed HERE on the
+    slim stream (pre-aggregation-width rows), images attach above it,
+    and the assembly kernel consumes in place (`pre_partitioned`) —
+    the built maps never cross an exchange."""
+    from openlogreplicator_spark.operators.transaction_assembly import (
+        _default_buckets,
+        assemble_transactions,
+    )
+
+    slim = _orders_redo_slim(spark, sf_dir)
+    n_buckets = _default_buckets(slim)
+    redo = _attach_images(slim.repartition(n_buckets, "xid"))
+    return assemble_transactions(
+        redo, n_buckets=n_buckets, pre_partitioned=True
+    )
 
 
 def cdc_txn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,8 +344,7 @@ def cdc_txn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         assemble_transactions,
     )
 
-    redo = _orders_redo_stream(spark, sf_dir)
-    assembled = assemble_transactions(redo)
+    assembled = _orders_redo_assembled(spark, sf_dir)
     return assembled.select(
         F.col("xid").cast("bigint").alias("order_xid"),
         "begin_scn",
@@ -703,7 +769,7 @@ def cdc_txn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         assemble_transactions,
     )
 
-    assembled = assemble_transactions(_orders_redo_stream(spark, sf_dir))
+    assembled = _orders_redo_assembled(spark, sf_dir)
     return assembled.groupBy(
         F.col("xid").cast("bigint").alias("order_xid")
     ).agg(
@@ -825,7 +891,7 @@ def cdc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         LWN_MAX_RECORDS,
     )
 
-    assembled = assemble_transactions(_orders_redo_stream(spark, sf_dir))
+    assembled = _orders_redo_assembled(spark, sf_dir)
     op_name = (
         F.when(F.col("op") == "c", "insert")
         .when(F.col("op") == "u", "update")
@@ -1408,7 +1474,7 @@ def cdc_adaptive_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("APP").alias("owner"),
         F.concat(F.lit("PART_"), F.col("p_partkey")).alias("name"),
     )
-    assembled = assemble_transactions(_orders_redo_stream(spark, sf_dir))
+    assembled = _orders_redo_assembled(spark, sf_dir)
     events = to_change_events(
         assembled, EngineConfig(schema_mode="adaptive"), dict_obj
     )
@@ -1453,7 +1519,7 @@ def cdc_schemaless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from openlogreplicator_spark.streaming.engine import to_change_events
 
-    assembled = assemble_transactions(_orders_redo_stream(spark, sf_dir))
+    assembled = _orders_redo_assembled(spark, sf_dir)
     events = to_change_events(
         assembled, EngineConfig(schema_mode="schemaless")
     )

@@ -885,6 +885,7 @@ def assemble_transactions(
     show_incomplete: bool = False,
     max_ops: int | None = None,
     n_buckets: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Batch transaction assembly: ONE xid shuffle, ONE Arrow pass.
 
@@ -943,9 +944,17 @@ def assemble_transactions(
     # form on the plain path. Each partition holds complete
     # transactions; the kernel vectorizes the plain majority and runs
     # the per-xid state machine only for the exotic tail.
-    return records.repartition(n_buckets, "xid").mapInArrow(
-        kernel, schema=ASSEMBLED_SCHEMA
+    # ``pre_partitioned``: the caller guarantees `records` is already
+    # hash-partitioned by xid into `n_buckets` partitions (every record
+    # of a transaction on one partition) — used by the slim-shuffle
+    # synthesized stream (cdc._orders_redo_assembled, guide §2.3) to
+    # shuffle source scalars instead of built image maps.
+    part = (
+        records
+        if pre_partitioned
+        else records.repartition(n_buckets, "xid")
     )
+    return part.mapInArrow(kernel, schema=ASSEMBLED_SCHEMA)
 
 
 def with_emission_order(assembled: DataFrame) -> DataFrame:

@@ -570,3 +570,36 @@ def test_null_cols_undo_is_route_independent():
     out = assemble_transactions_py(recs)
     assert len(out) == 1
     assert out[0]["before_cols"] is None
+
+
+def test_slim_shuffle_assembly_matches_full_stream(spark):
+    """r13 guide-§2.3 restructure: `cdc._orders_redo_assembled` shuffles
+    the SLIM synthesized stream once by xid and builds the column-image
+    maps above the exchange (`pre_partitioned=True` skips assembly's own
+    repartition). Pin (a) row-set equality with the historical
+    build-then-shuffle shape and (b) the single-exchange plan."""
+    from openlogreplicator_spark.operators.cdc import (
+        _orders_redo_assembled,
+        _orders_redo_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    slim = _orders_redo_assembled(spark, sf_dir)
+    full = assemble_transactions(_orders_redo_stream(spark, sf_dir))
+
+    plan = slim._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert plan.count("MapInArrow") == 1, plan[:2000]
+
+    def key(r):
+        d = r.asDict()
+        return (
+            d["xid"], d["num"], d["begin_scn"], d["commit_scn"], d["op"],
+            d["obj"], d["bdba"], d["slot"], d["scn"], d["seq"],
+            tuple(sorted((d["cols"] or {}).items())),
+            tuple(sorted((d["before_cols"] or {}).items())),
+        )
+
+    got = sorted(key(r) for r in slim.collect())
+    want = sorted(key(r) for r in full.collect())
+    assert got == want and len(got) > 0
