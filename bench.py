@@ -198,7 +198,15 @@ def main() -> None:
         # the engine default disables the UI; the bench needs the REST
         # status store for the per-query shuffle/scan byte counters
         # (r12 VERDICT #4). Port 0 = any free port (parallel sessions).
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "0"},
+        # retainedStages raised above the full bench's ~800 stages: the
+        # 1000 default could evict early stages mid-run, making the
+        # completed-stage byte deltas undercount (or go negative).
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            "spark.ui.retainedStages": "10000",
+            "spark.ui.retainedJobs": "10000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -305,7 +313,9 @@ def main() -> None:
             # byte counters sampled after the clock stops — no cost
             # inside the timed region
             sh1, in1 = _stage_bytes(spark)
-            if sh0 >= 0 and sh1 >= 0:
+            # drop the sample if either endpoint failed OR the delta is
+            # negative (status-store eviction between samples)
+            if sh0 >= 0 and sh1 >= sh0 and in1 >= in0:
                 byte_samples[name].append((sh1 - sh0, in1 - in0))
             # release persisted frames (dedup pipelines cache
             # intermediates) so later queries aren't taxed by
